@@ -1,0 +1,17 @@
+"""thor_ray — a from-scratch, Ray-Data-native CDC / incremental-ingest engine.
+
+Capability target: hk-Lei/thor's Kafka-Connect-style log-collection pipeline
+(reference tree at /root/reference is empty in this sandbox; the authoritative
+spec is BASELINE.json:6,14,15 — see SURVEY.md §0 for the citation protocol).
+
+Layout:
+  gen.py        deterministic fixture generators (base lake table + binlog)
+  oracle.py     single-process reference applier (test oracle, no Ray)
+  sources/      readers: base table, binlog tail
+  stages/       stateless SMT transforms (map_batches stages)
+  state/        commit manifests, schema registry
+  pipelines/    the flagship CDC apply pipeline
+  ops/          standalone relational / text / dedup / ann operator library
+"""
+
+__version__ = "0.1.0"

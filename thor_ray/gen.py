@@ -1,0 +1,356 @@
+"""Deterministic synthetic fixtures: base lake table + change-event binlog.
+
+Schemas per FIXTURES.md §1–2 (which implement BASELINE.json:15's input_hint
+``(repo, path, commit, lang, content)`` and the CDC event contract of
+BASELINE.json:6: at-least-once delivery with injected duplicates, bounded
+out-of-order skew, mid-stream DDL schema evolution).
+
+All generation is seeded (numpy Generator); no wall clock, no global state.
+Duplicated events keep their original ``lsn`` (at-least-once re-delivery of
+the *same* record, Kafka semantics — SURVEY.md §2.9 W4), so exactly-once is
+achieved downstream by dropping repeated ``lsn``s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = ["py", "java", "go", "rs", "ts", "c", "md"]
+
+_EPOCH_TS_US = 1_600_000_000_000_000  # fixed base timestamp (us), no wall clock
+
+BASE_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+EVENT_SCHEMA = pa.schema(
+    [
+        ("lsn", pa.int64()),
+        ("txn", pa.int64()),
+        ("op", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("extra", pa.string()),
+        ("ddl", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("schema_ver", pa.int32()),
+        ("shard", pa.int32()),
+    ]
+)
+
+
+def _text_pool(seed: int, size: int = 1 << 20) -> str:
+    """A deterministic ASCII pool; contents are cheap slices of it."""
+    rng = np.random.default_rng(seed ^ 0x9E3779B9)
+    # printable ASCII, whitespace-rich so it looks like source text
+    alphabet = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        b" ._()=+-*/{}[]<>:;#\n    ",
+        dtype=np.uint8,
+    )
+    return rng.choice(alphabet, size=size).tobytes().decode("ascii")
+
+
+def _hex40(vals: np.ndarray) -> list[str]:
+    """Deterministic 40-char lowercase hex 'commit' ids from int64 values."""
+    return [f"{(int(v) * 0x9E3779B97F4A7C15) & ((1 << 160) - 1):040x}" for v in vals]
+
+
+def gen_base_table(
+    n_repos: int = 200,
+    paths_per_repo: int = 50,
+    seed: int = 42,
+    content_len: tuple[int, int] = (64, 2048),
+) -> pa.Table:
+    """Base lake table: unique PK (repo, path); FIXTURES.md §1."""
+    rng = np.random.default_rng(seed)
+    pool = _text_pool(seed)
+    n = n_repos * paths_per_repo
+    repo_idx = np.repeat(np.arange(n_repos), paths_per_repo)
+    path_idx = np.tile(np.arange(paths_per_repo), n_repos)
+    repos = [f"org{i % 37}/project{i}" for i in range(n_repos)]
+    exts = rng.integers(0, len(LANGS), size=n)
+    lo, hi = content_len
+    # zipf-ish lengths clipped to [lo, hi]
+    lens = np.clip((rng.pareto(1.5, size=n) * lo + lo).astype(np.int64), lo, hi)
+    offs = rng.integers(0, len(pool) - hi - 1, size=n)
+    repo_col = [repos[i] for i in repo_idx]
+    path_col = [
+        f"src/pkg{p % 13}/mod{p % 7}/file{p}.{LANGS[e]}"
+        for p, e in zip(path_idx, exts)
+    ]
+    content = [
+        f"// {r}/{p} v0\n{pool[o : o + l]}"
+        for r, p, o, l in zip(repo_col, path_col, offs, lens)
+    ]
+    return pa.table(
+        {
+            "repo": repo_col,
+            "path": path_col,
+            "commit": _hex40(rng.integers(1, 1 << 62, size=n)),
+            "lang": [LANGS[e] for e in exts],
+            "content": content,
+        },
+        schema=BASE_SCHEMA,
+    )
+
+
+@dataclass
+class BinlogConfig:
+    """Knobs per FIXTURES.md §2; all defaults are the small-scale test tier."""
+
+    n_events: int = 100_000
+    n_shards: int = 8
+    dup_rate: float = 0.05
+    shuffle_window: int = 512
+    ddl_every: int = 25_000          # 0 disables DDL injection
+    delete_rate: float = 0.05
+    update_rate: float = 0.60        # remainder after delete/ddl = inserts
+    new_key_rate: float = 0.30       # fraction of I events that mint a new key
+    content_len: tuple[int, int] = (64, 512)
+    seed: int = 42
+
+
+@dataclass
+class Binlog:
+    shards: list[pa.Table]
+    config: BinlogConfig
+    n_ddl: int
+    max_lsn: int
+    evolved_schema: list[str] = field(default_factory=list)
+
+    def write(self, out_dir: str) -> list[str]:
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, t in enumerate(self.shards):
+            p = os.path.join(out_dir, f"shard-{i:04d}.parquet")
+            pq.write_table(t, p, row_group_size=64 * 1024)
+            paths.append(p)
+        return paths
+
+
+def _ddl_timeline(n_events: int, ddl_every: int) -> list[tuple[int, dict]]:
+    """Positions (1-based lsn) and payloads of DDL events, deterministic.
+
+    Alternates add_column / rename_column (renames only once a column exists).
+    """
+    if not ddl_every:
+        return []
+    out: list[tuple[int, dict]] = []
+    cols: list[str] = []
+    k = 0
+    for pos in range(ddl_every, n_events + 1, ddl_every):
+        if cols and k % 2 == 1:
+            victim = cols[k // 2 % len(cols)]
+            new = f"{victim}_r{k}"
+            out.append((pos, {"action": "rename_column", "name": victim, "new_name": new}))
+            cols[cols.index(victim)] = new
+        else:
+            name = f"c{k}"
+            out.append((pos, {"action": "add_column", "name": name, "type": "string"}))
+            cols.append(name)
+        k += 1
+    return out
+
+
+def columns_at_version(ddls: list[dict], version: int) -> list[str]:
+    """Evolved column names after applying the first `version` DDLs."""
+    cols: list[str] = []
+    for d in ddls[:version]:
+        if d["action"] == "add_column":
+            cols.append(d["name"])
+        else:
+            cols[cols.index(d["name"])] = d["new_name"]
+    return cols
+
+
+def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
+    """Generate the sharded change-event log over (and beyond) base's keys.
+
+    True global order = lsn order. Events are then sharded by key hash
+    (Kafka partition-by-key analogue), duplicates injected, and each shard
+    file shuffled within a bounded window (FIXTURES.md §2 knobs).
+    """
+    rng = np.random.default_rng(cfg.seed + 1)
+    pool = _text_pool(cfg.seed + 2)
+    n = cfg.n_events
+
+    base_repo = base.column("repo").to_pylist()
+    base_path = base.column("path").to_pylist()
+    key_repo: list[str] = list(base_repo)
+    key_path: list[str] = list(base_path)
+
+    ddl_at = dict(_ddl_timeline(n, cfg.ddl_every))
+    ddls = [ddl_at[p] for p in sorted(ddl_at)]
+
+    # pre-draw randomness in bulk
+    op_draw = rng.random(n)
+    newkey_draw = rng.random(n)
+    key_draw = rng.random(n)
+    lang_draw = rng.integers(0, len(LANGS), size=n)
+    lo, hi = cfg.content_len
+    len_draw = np.clip((rng.pareto(1.5, size=n) * lo + lo).astype(np.int64), lo, hi)
+    off_draw = rng.integers(0, len(pool) - hi - 1, size=n)
+    commit_ints = rng.integers(1, 1 << 62, size=n)
+    txn_step = rng.random(n) < 0.4  # ~2.5 events per txn
+
+    cols: dict[str, list] = {k: [] for k in (
+        "lsn", "txn", "op", "repo", "path", "commit", "lang",
+        "content", "extra", "ddl", "ts", "schema_ver", "shard")}
+    ap = {k: cols[k].append for k in cols}
+
+    ver = 0
+    evolved: list[str] = []
+    txn = 0
+    new_key_counter = 0
+    d_thresh = cfg.delete_rate
+    u_thresh = cfg.delete_rate + cfg.update_rate
+
+    for i in range(n):
+        lsn = i + 1
+        if txn_step[i]:
+            txn += 1
+        ts = _EPOCH_TS_US + lsn * 1000
+        ddl = ddl_at.get(lsn)
+        if ddl is not None:
+            ap["lsn"](lsn); ap["txn"](txn); ap["op"]("DDL")
+            ap["repo"](None); ap["path"](None); ap["commit"](None)
+            ap["lang"](None); ap["content"](None); ap["extra"](None)
+            ap["ddl"](json.dumps(ddl, sort_keys=True))
+            ap["ts"](ts); ap["schema_ver"](ver); ap["shard"](0)
+            if ddl["action"] == "add_column":
+                evolved.append(ddl["name"])
+            else:
+                evolved[evolved.index(ddl["name"])] = ddl["new_name"]
+            ver += 1
+            continue
+        d = op_draw[i]
+        if d < d_thresh:
+            op = "D"
+        elif d < u_thresh:
+            op = "U"
+        else:
+            op = "I"
+        if op == "I" and newkey_draw[i] < cfg.new_key_rate:
+            new_key_counter += 1
+            repo = f"org{new_key_counter % 53}/newproj{new_key_counter % 211}"
+            path = f"gen/dir{new_key_counter % 17}/f{new_key_counter}.{LANGS[lang_draw[i]]}"
+            key_repo.append(repo)
+            key_path.append(path)
+        else:
+            j = int(key_draw[i] * len(key_repo))
+            repo, path = key_repo[j], key_path[j]
+        ap["lsn"](lsn); ap["txn"](txn); ap["op"](op)
+        ap["repo"](repo); ap["path"](path)
+        if op == "D":
+            ap["commit"](None); ap["lang"](None); ap["content"](None)
+        else:
+            ap["commit"](f"{(int(commit_ints[i]) * 0x9E3779B97F4A7C15) & ((1 << 160) - 1):040x}")
+            ap["lang"](LANGS[lang_draw[i]])
+            o, ln = off_draw[i], len_draw[i]
+            ap["content"](f"// {repo}/{path}@{lsn}\n{pool[o : o + ln]}")
+        # full-replacement evolved values at this event's schema version
+        ap["extra"](
+            json.dumps({c: f"{c}:{lsn}" for c in evolved}, sort_keys=True)
+            if evolved else "{}"
+        )
+        ap["ddl"](None); ap["ts"](ts); ap["schema_ver"](ver)
+        ap["shard"](_key_shard(repo, path, cfg.n_shards))
+
+    tbl = pa.table({k: pa.array(v, type=EVENT_SCHEMA.field(k).type) for k, v in cols.items()},
+                   schema=EVENT_SCHEMA)
+
+    shards = _shard_tables(tbl, cfg, rng)
+    return Binlog(shards=shards, config=cfg, n_ddl=ver, max_lsn=n, evolved_schema=evolved)
+
+
+def _key_shard(repo: str, path: str, n_shards: int) -> int:
+    # stable, python-hash-independent
+    h = 2166136261
+    for ch in (repo + "\x00" + path).encode():
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    return h % n_shards
+
+
+def _shard_tables(tbl: pa.Table, cfg: BinlogConfig, rng: np.random.Generator) -> list[pa.Table]:
+    """Split by shard, inject duplicates, bounded-window shuffle each shard."""
+    shard_col = tbl.column("shard").to_numpy()
+    out = []
+    for s in range(cfg.n_shards):
+        idx = np.nonzero(shard_col == s)[0]
+        m = len(idx)
+        if m == 0:
+            out.append(tbl.slice(0, 0))
+            continue
+        # duplicates: re-emit a sample of rows (same lsn), displaced forward
+        n_dup = int(m * cfg.dup_rate)
+        if n_dup:
+            # DDL events are never duplicated (FIXTURES.md §2); they live in
+            # shard 0 — exclude by op check
+            ops = tbl.column("op").take(pa.array(idx)).to_pylist()
+            data_pos = np.array([k for k, o in enumerate(ops) if o != "DDL"])
+            pick = rng.choice(data_pos, size=min(n_dup, len(data_pos)), replace=False)
+            dup_offsets = rng.integers(1, max(2, cfg.shuffle_window), size=len(pick))
+            order = np.concatenate([np.arange(m).astype(np.float64),
+                                    pick + dup_offsets + 0.5])
+            rows = np.concatenate([idx, idx[pick]])
+        else:
+            order = np.arange(m).astype(np.float64)
+            rows = idx
+        # bounded-window shuffle: jitter each position by < window/2, DDL pinned
+        if cfg.shuffle_window > 1:
+            jitter = rng.uniform(0, cfg.shuffle_window / 2, size=len(order))
+            if s == 0 and cfg.ddl_every:
+                ops_all = tbl.column("op").take(pa.array(rows)).to_pylist()
+                jitter[np.array([o == "DDL" for o in ops_all])] = 0.0
+            order = order + jitter
+        out.append(tbl.take(pa.array(rows[np.argsort(order, kind="stable")])))
+    return out
+
+
+def write_fixture(
+    out_dir: str,
+    n_keys: int = 10_000,
+    cfg: BinlogConfig | None = None,
+    seed: int = 42,
+) -> dict:
+    """Materialize base.parquet + binlog/shard-*.parquet under out_dir.
+
+    Returns a manifest dict (paths + config) and is a no-op if the fixture
+    already exists (marker file carries the config hash).
+    """
+    cfg = cfg or BinlogConfig(seed=seed)
+    n_repos = max(1, n_keys // 50)
+    key = json.dumps(
+        {"n_keys": n_keys, "seed": seed, **{k: str(v) for k, v in vars(cfg).items()}},
+        sort_keys=True,
+    )
+    marker = os.path.join(out_dir, "_FIXTURE_OK")
+    base_path = os.path.join(out_dir, "base.parquet")
+    binlog_dir = os.path.join(out_dir, "binlog")
+    if os.path.exists(marker) and open(marker).read() == key:
+        return {"base": base_path, "binlog_dir": binlog_dir, "cached": True}
+    os.makedirs(out_dir, exist_ok=True)
+    base = gen_base_table(n_repos=n_repos, paths_per_repo=max(1, n_keys // n_repos), seed=seed)
+    pq.write_table(base, base_path, row_group_size=64 * 1024)
+    log = gen_binlog(base, cfg)
+    log.write(binlog_dir)
+    with open(marker, "w") as f:
+        f.write(key)
+    return {"base": base_path, "binlog_dir": binlog_dir, "cached": False,
+            "max_lsn": log.max_lsn, "n_ddl": log.n_ddl}

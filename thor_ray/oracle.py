@@ -1,0 +1,87 @@
+"""Single-process reference applier — the test oracle (SURVEY.md §5.3).
+
+Deliberately simple: fold all change events in global ``lsn`` order with a
+plain dict, dropping repeated ``lsn``s (at-least-once duplicates). No Ray.
+Semantics (FIXTURES.md §2 oracle contract):
+
+  I/U  -> upsert the full row by (repo, path); ``extra`` is a *full
+          replacement* of every evolved column existing at the event's
+          schema version (missing later-added columns become null).
+  D    -> delete the key if present (no-op otherwise).
+  DDL  -> bump registry: add_column (existing rows -> null) or
+          rename_column (values carry over under the new name).
+
+The engine's distributed apply (thor_ray.pipelines.cdc) must reproduce this
+state exactly; tests compare per-row sha256(content) plus full equality on
+evolved columns (BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pandas as pd
+import pyarrow as pa
+
+
+def apply_events(events: pa.Table | pd.DataFrame) -> tuple[pd.DataFrame, list[dict]]:
+    """Fold events; returns (final_table, ddl_list).
+
+    final_table columns: repo path commit lang content + evolved columns
+    (current names), sorted by (repo, path). ddl_list is the ordered DDL
+    payload sequence (the registry timeline).
+    """
+    if isinstance(events, pa.Table):
+        df = events.to_pandas()
+    else:
+        df = events
+    df = df.sort_values("lsn", kind="stable").drop_duplicates("lsn", keep="first")
+
+    state: dict[tuple[str, str], dict] = {}
+    evolved: list[str] = []
+    ddls: list[dict] = []
+
+    for row in df.itertuples(index=False):
+        if row.op == "DDL":
+            d = json.loads(row.ddl)
+            ddls.append(d)
+            if d["action"] == "add_column":
+                evolved.append(d["name"])
+                for r in state.values():
+                    r[d["name"]] = None
+            else:
+                evolved[evolved.index(d["name"])] = d["new_name"]
+                for r in state.values():
+                    r[d["new_name"]] = r.pop(d["name"], None)
+            continue
+        key = (row.repo, row.path)
+        if row.op == "D":
+            state.pop(key, None)
+            continue
+        extra = json.loads(row.extra) if row.extra else {}
+        rec = {
+            "repo": row.repo,
+            "path": row.path,
+            "commit": row.commit,
+            "lang": row.lang,
+            "content": row.content,
+        }
+        for c in evolved:
+            rec[c] = extra.get(c)  # full replacement at this event's version
+        state[key] = rec
+
+    cols = ["repo", "path", "commit", "lang", "content"] + evolved
+    out = pd.DataFrame(list(state.values()), columns=cols)
+    return out.sort_values(["repo", "path"]).reset_index(drop=True), ddls
+
+
+def content_sha(df: pd.DataFrame) -> pd.Series:
+    """Per-row sha256(content) — the BASELINE.json:15 invariant column."""
+    return df["content"].map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+
+
+def table_hash(df: pd.DataFrame) -> str:
+    """sha256 over sorted per-row content sha256s (FIXTURES.md §3)."""
+    shas = sorted(content_sha(df).tolist())
+    return hashlib.sha256("".join(shas).encode()).hexdigest()
