@@ -20,8 +20,20 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship CDC pipeline at smoke scale: generate the deterministic
+    base+binlog fixture (BASELINE.json:15 input shape — (repo, path, commit,
+    lang, content)), bootstrap the lake, replay every epoch (upsert + dedup
+    + DDL + exactly-once manifests), return the materialized lake table.
+
+    Uses the synthetic fixture rather than sf0.001 because the north_rule
+    input (BASELINE.json:14-15) is the source-code-repo change-event table,
+    not the TPC-H-ish star schema; the sf tables back queries()/oracle_sql().
+    """
+    from thor_ray.pipelines.flagship import run_flagship
+
+    pipe = run_flagship("/tmp/thor_ray_entry", n_keys=1_000, n_events=10_000,
+                        n_shards=4, num_partitions=8, epoch_size=2_500)
+    return pipe.final_table()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

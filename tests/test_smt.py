@@ -1,0 +1,118 @@
+"""Unit tests for the SMT library (SURVEY.md §2.2) on tiny in-memory tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from thor_ray import stages as S
+
+
+@pytest.fixture
+def t():
+    return pa.table({
+        "topic": ["db.orders", "db.users", "db.orders"],
+        "ts": pa.array([1_600_000_000_000_000, 1_600_086_400_000_000,
+                        1_600_172_800_000_000], type=pa.timestamp("us")),
+        "amount": pa.array([1.5, 2.5, 3.5]),
+        "props": ['{"k": 87, "s": "x"}', '{"k": 1}', '{"s": "y"}'],
+        "secret": ["a", "b", "c"],
+    })
+
+
+def test_extract_and_hoist_roundtrip(t):
+    hoisted = S.hoist_field(["topic", "amount"], into="payload")(t)
+    assert pa.types.is_struct(hoisted["payload"].type)
+    back = S.extract_field("payload", "amount", keep_struct=True)(hoisted)
+    assert back["amount"].to_pylist() == [1.5, 2.5, 3.5]
+
+
+def test_flatten(t):
+    hoisted = S.hoist_field(["topic", "amount"], into="payload")(t)
+    flat = S.flatten(delimiter="_")(hoisted)
+    assert "payload_topic" in flat.column_names
+    assert "payload_amount" in flat.column_names
+
+
+def test_replace_mask_cast(t):
+    out = S.rename_fields({"amount": "amt"})(t)
+    assert "amt" in out.column_names
+    out = S.mask_field(["secret"])(t)
+    assert out["secret"].null_count == 3
+    out = S.mask_field(["secret"], replacement="***")(t)
+    assert out["secret"].to_pylist() == ["***"] * 3
+    out = S.cast_fields({"amount": pa.int64()})(t)
+    assert out["amount"].type == pa.int64()
+    out = S.select_fields(["topic"])(t)
+    assert out.column_names == ["topic"]
+    out = S.drop_fields(["secret", "props"])(t)
+    assert "secret" not in out.column_names
+
+
+def test_insert_field(t):
+    out = S.insert_field("source", value="binlog")(t)
+    assert out["source"].to_pylist() == ["binlog"] * 3
+    out = S.insert_field("double_amt", derive=lambda b: pc.multiply(b["amount"], 2))(t)
+    assert out["double_amt"].to_pylist() == [3.0, 5.0, 7.0]
+
+
+def test_timestamp_converter_and_router(t):
+    out = S.timestamp_converter("ts", "string", fmt="%Y-%m-%d")(t)
+    assert out["ts"].to_pylist()[0] == "2020-09-13"
+    out = S.timestamp_converter("ts", "unix")(t)
+    assert out["ts"].to_pylist()[0] == 1_600_000_000_000_000
+    out = S.timestamp_router("ts", fmt="%Y%m", prefix="t_")(t)
+    assert out["table"].to_pylist() == ["t_202009", "t_202009", "t_202009"]
+
+
+def test_regex_router(t):
+    out = S.regex_router("topic", r"^db\.(.*)$", r"lake_\1", out="table")(t)
+    assert out["table"].to_pylist() == ["lake_orders", "lake_users", "lake_orders"]
+
+
+def test_smt_filter_and_predicate_gate(t):
+    out = S.smt_filter(lambda b: pc.greater(b["amount"], 2.0))(t)
+    assert out.num_rows == 2
+    gated = S.predicate_gate(
+        lambda b: pc.equal(b["topic"], "db.orders"),
+        S.mask_field(["secret"], replacement="X"),
+    )(t)
+    got = dict(zip(gated["topic"].to_pylist(), gated["secret"].to_pylist()))
+    assert got["db.orders"] == "X" and got["db.users"] == "b"
+
+
+def test_json_extract(t):
+    out = S.json_extract("props", "k", out="k", as_type=pa.int64())(t)
+    assert out["k"].to_pylist() == [87, 1, None]
+    out = S.json_extract("props", "s", out="s")(t)
+    assert out["s"].to_pylist() == ["x", None, "y"]
+    out = S.json_extract("props", "k", out="k2", strict=True)(t)
+    assert out["k2"].to_pylist() == ["87", "1", None]
+
+
+def test_key_hash_stable_and_value_pure(t):
+    out = S.key_hash(["topic", "secret"], num_buckets=16)(t)
+    h1 = out["key_hash"].to_pylist()
+    # value-pure: same values alone hash identically
+    solo = pa.table({"topic": ["db.users"], "secret": ["b"]})
+    h_solo = S.key_hash(["topic", "secret"], num_buckets=16)(solo)["key_hash"].to_pylist()
+    assert h_solo[0] == h1[1]
+    # sliced (non-zero offset) arrays hash identically
+    sl = t.slice(1, 2)
+    h_sl = S.key_hash(["topic", "secret"], num_buckets=16)(sl)["key_hash"].to_pylist()
+    assert h_sl == h1[1:]
+    assert all(0 <= v < 16 for v in h1)
+
+
+def test_split_valid_and_chain(t):
+    valid, invalid = S.split_valid(t, [lambda b: pc.greater(b["amount"], 2.0)])
+    assert valid.num_rows == 2 and invalid.num_rows == 1
+    chain = S.TransformChain(
+        S.regex_router("topic", r"^db\.", "", out="table"),
+        S.drop_fields(["secret"]),
+    )
+    out = chain(t)
+    assert out["table"].to_pylist() == ["orders", "users", "orders"]
+    assert "secret" not in out.column_names

@@ -25,8 +25,12 @@ import pandas as pd
 import pyarrow as pa
 
 
-def apply_events(events: pa.Table | pd.DataFrame) -> tuple[pd.DataFrame, list[dict]]:
-    """Fold events; returns (final_table, ddl_list).
+def apply_events(
+    events: pa.Table | pd.DataFrame,
+    initial: pa.Table | pd.DataFrame | None = None,
+) -> tuple[pd.DataFrame, list[dict]]:
+    """Fold events (optionally on top of a bootstrap base table);
+    returns (final_table, ddl_list).
 
     final_table columns: repo path commit lang content + evolved columns
     (current names), sorted by (repo, path). ddl_list is the ordered DDL
@@ -39,6 +43,14 @@ def apply_events(events: pa.Table | pd.DataFrame) -> tuple[pd.DataFrame, list[di
     df = df.sort_values("lsn", kind="stable").drop_duplicates("lsn", keep="first")
 
     state: dict[tuple[str, str], dict] = {}
+    if initial is not None:
+        if isinstance(initial, pa.Table):
+            initial = initial.to_pandas()
+        for row in initial.itertuples(index=False):
+            state[(row.repo, row.path)] = {
+                "repo": row.repo, "path": row.path, "commit": row.commit,
+                "lang": row.lang, "content": row.content,
+            }
     evolved: list[str] = []
     ddls: list[dict] = []
 

@@ -1,0 +1,431 @@
+"""The flagship CDC apply pipeline (SURVEY.md §3.2 lifecycle).
+
+Per epoch, expressed Ray-Data-first:
+
+  TAIL    read_parquet(shards, filter=lsn∈(lo,hi] ∧ op≠DDL)      (pushdown)
+  SMT     stateless map_batches chain: DLQ split, routing         (tasks)
+  ROUTE   pid = stable_hash(repo,path) % P                        (map_batches)
+  SHUFFLE groupby(pid) — the single wide step per epoch
+  APPLY   per pid: watermark-drop → lsn-dedup → last-writer-wins
+          merge with partition state, DDL applied in lsn order    (map_groups)
+  COMMIT  deterministic per-(pid,epoch) state file + atomic
+          manifest swap — the only commit point (exactly-once)
+  METRICS per-partition lineage + events/s JSON per epoch
+
+Correctness contract: replaying the full binlog reproduces
+``thor_ray.oracle.apply_events`` exactly (per-row sha256(content) equality,
+BASELINE.json:15), under injected duplicates, bounded out-of-order delivery,
+mid-stream DDL, forced checkpoint-restore, and epoch re-runs
+(BASELINE.json:6).
+
+Scale notes (SURVEY.md §4.2): the shuffle key is hash(repo,path) % P with
+P ≫ workers; DDL events are broadcast driver-side (rare, tiny) instead of
+shuffled; per-partition state is read/written inside the apply task from
+shared storage, so no actor holds unbounded state and restore is "read the
+manifests".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from thor_ray.sources import binlog as binlog_src
+from thor_ray.stages import chain as chain_mod
+from thor_ray.stages.smt import stable_hash
+from thor_ray.state import Manifest, SchemaRegistry, gc_lake, load_manifests, write_manifest
+
+BASE_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _state_schema(evolved: list[str]) -> pa.Schema:
+    return pa.schema(
+        [(c, pa.string()) for c in BASE_COLS]
+        + [(c, pa.string()) for c in evolved]
+        + [("_lsn", pa.int64()), ("_sha", pa.string())]
+    )
+
+
+def _sha256_series(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: hashlib.sha256(str(v).encode()).hexdigest())
+
+
+def _content_hash(shas: pd.Series) -> str:
+    return hashlib.sha256("".join(sorted(shas.tolist())).encode()).hexdigest()
+
+
+@dataclass
+class CdcConfig:
+    lake_dir: str
+    binlog_dir: str
+    num_partitions: int = 64
+    epoch_size: int = 250_000          # lsn per epoch (micro-batch width)
+    override_num_blocks: int | None = None
+    compute_content_hash: bool = True  # manifest content_hash (incremental)
+    dlq: bool = True
+    metrics: bool = True
+
+
+@dataclass
+class EpochReport:
+    epoch: int
+    lo: int
+    hi: int
+    n_events: int
+    n_applied: dict = field(default_factory=dict)
+    wall_sec: float = 0.0
+    events_per_sec: float = 0.0
+
+
+# ----------------------------------------------------------------------------
+# per-partition apply (runs inside map_groups tasks)
+# ----------------------------------------------------------------------------
+
+def _apply_partition_group(group: pd.DataFrame, *, ctx: dict) -> pd.DataFrame:
+    """Fold one partition's epoch slice into its state; returns a one-row
+    manifest-candidate frame. Idempotent: deterministic output file name per
+    (pid, epoch); only the later manifest swap commits."""
+    pid = int(group["pid"].iloc[0])
+    man = ctx["manifests"].get(pid)
+    watermark = man["upto_lsn"] if man else 0
+    ver_start = man["schema_ver"] if man else 0
+    epoch, hi = ctx["epoch"], ctx["hi"]
+    epoch_ddls: list[dict] = ctx["epoch_ddls"]       # [{lsn, schema_ver, ddl}]
+    registry = SchemaRegistry(ctx["all_entries"])    # full timeline inc. epoch
+    ver_end = registry.version
+    evolved_final = registry.columns_at(ver_end)
+
+    ev = group[group["op"] != "NOOP"]
+    n_in = len(ev)
+    ev = ev[ev["lsn"] > watermark]
+    n_wm_dropped = n_in - len(ev)
+    ev = ev.sort_values("lsn", kind="stable").drop_duplicates("lsn", keep="first")
+    n_dup = n_in - n_wm_dropped - len(ev)
+    counts = ev["op"].value_counts().to_dict()
+    shards = sorted(int(s) for s in ev["shard"].dropna().unique()) if len(ev) else []
+
+    # ---- load current state, evolve its schema through this epoch's DDLs
+    state = _read_state(man["files"]) if man and man["files"] else _empty_state(
+        registry.columns_at(ver_start))
+    # Guard by ver_start: on an epoch re-run (restore path) a partition that
+    # already committed this epoch is at ver_end — re-applying add_column
+    # would wipe its values. Only not-yet-seen transitions apply.
+    for d in epoch_ddls:
+        if d["schema_ver"] < ver_start:
+            continue
+        a = d["ddl"]
+        if a["action"] == "add_column":
+            state[a["name"]] = None
+        else:
+            state = state.rename(columns={a["name"]: a["new_name"]})
+
+    changed = (len(ev) > 0) or bool(epoch_ddls)
+    if not changed:
+        new_files, row_count, chash = (man["files"] if man else []), \
+            (man["row_count"] if man else 0), (man["content_hash"] if man else "")
+    else:
+        # ---- last-writer-wins winners within the epoch slice
+        winners = ev.drop_duplicates(["repo", "path"], keep="last").copy()
+        wcols = _materialize_evolved(winners, registry, evolved_final)
+        winners = winners[["repo", "path", "commit", "lang", "content", "op", "lsn"]]
+        for c in evolved_final:
+            winners[c] = wcols[c]
+        winners = winners.rename(columns={"lsn": "_lsn"})
+        winners["_sha"] = ""
+        live = winners["op"] != "D"
+        winners.loc[live, "_sha"] = _sha256_series(winners.loc[live, "content"])
+
+        state["op"] = "S"
+        merged = pd.concat(
+            [state[BASE_COLS + evolved_final + ["_lsn", "_sha", "op"]], winners],
+            ignore_index=True,
+        )
+        merged = merged.sort_values("_lsn", kind="stable").drop_duplicates(
+            ["repo", "path"], keep="last")
+        merged = merged[merged["op"] != "D"].drop(columns=["op"])
+        merged = merged.sort_values(["repo", "path"], kind="stable")
+
+        out_dir = os.path.join(ctx["lake_dir"], f"part={pid:05d}")
+        os.makedirs(out_dir, exist_ok=True)
+        final_path = os.path.join(out_dir, f"state-e{epoch:06d}.parquet")
+        tmp = final_path + f".tmp-{os.getpid()}"
+        tbl = pa.Table.from_pandas(
+            merged.astype({c: "object" for c in BASE_COLS + evolved_final}),
+            schema=_state_schema(evolved_final), preserve_index=False)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final_path)     # retried task overwrites, never dups
+        new_files, row_count = [final_path], len(merged)
+        chash = _content_hash(merged["_sha"]) if ctx["compute_content_hash"] else ""
+
+    return pd.DataFrame(
+        [{
+            "pid": pid, "epoch": epoch, "upto_lsn": hi, "schema_ver": ver_end,
+            "files": json.dumps(new_files), "row_count": row_count,
+            "content_hash": chash,
+            "n_I": int(counts.get("I", 0)), "n_U": int(counts.get("U", 0)),
+            "n_D": int(counts.get("D", 0)), "n_dup": int(n_dup),
+            "n_wm_dropped": int(n_wm_dropped), "n_events": int(n_in),
+            "input_shards": json.dumps(shards),
+        }]
+    )
+
+
+def _read_state(files: list[str]) -> pd.DataFrame:
+    return pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+
+
+def _empty_state(evolved: list[str]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {c: pd.Series(dtype="object") for c in BASE_COLS + evolved}
+        | {"_lsn": pd.Series(dtype="int64"), "_sha": pd.Series(dtype="object")}
+    )
+
+
+def _materialize_evolved(winners: pd.DataFrame, registry: SchemaRegistry,
+                         evolved_final: list[str]) -> dict[str, list]:
+    """Winner rows' evolved-column values: parse `extra` (full replacement at
+    the event's schema version), mapping names through later renames.
+
+    Python loop over *winners only* (≤ distinct keys touched per partition
+    per epoch — already reduced by last-writer-wins), not over all events."""
+    out: dict[str, list] = {c: [] for c in evolved_final}
+    if not evolved_final:
+        return out
+    rename_cache: dict[int, dict[str, str]] = {}
+    for extra, ver, op in zip(winners["extra"], winners["schema_ver"], winners["op"]):
+        if op == "D" or extra is None or extra == "{}":
+            for c in evolved_final:
+                out[c].append(None)
+            continue
+        ver = int(ver)
+        m = rename_cache.get(ver)
+        if m is None:
+            m = registry.rename_into(ver)
+            rename_cache[ver] = m
+        vals = json.loads(extra)
+        row = {m.get(k, k): v for k, v in vals.items()}
+        for c in evolved_final:
+            out[c].append(row.get(c))
+    return out
+
+
+# ----------------------------------------------------------------------------
+# the pipeline driver object
+# ----------------------------------------------------------------------------
+
+class CdcPipeline:
+    def __init__(self, cfg: CdcConfig):
+        self.cfg = cfg
+        self.reports: list[EpochReport] = []
+
+    # ---- bootstrap / recover --------------------------------------------
+    def bootstrap(self, base: "ray.data.Dataset | str | None" = None) -> None:
+        """Epoch 0: partition the base table into the lake (or init empty).
+
+        Idempotent: skipped if manifests already exist (restore path)."""
+        cfg = self.cfg
+        if load_manifests(cfg.lake_dir):
+            return
+        os.makedirs(cfg.lake_dir, exist_ok=True)
+        P = cfg.num_partitions
+        if isinstance(base, str):
+            base = ray.data.read_parquet(base)
+        if base is None:
+            for pid in range(P):
+                write_manifest(cfg.lake_dir, Manifest(pid, 0, 0, 0, [], 0, "", {}))
+            SchemaRegistry().save(cfg.lake_dir)
+            return
+
+        lake_dir, compute_hash = cfg.lake_dir, cfg.compute_content_hash
+
+        def route(t: pa.Table) -> pa.Table:
+            pid = stable_hash(t, ["repo", "path"]) % P
+            return t.append_column("pid", pa.array(pid, type=pa.int64()))
+
+        def init_group(g: pd.DataFrame) -> pd.DataFrame:
+            pid = int(g["pid"].iloc[0])
+            g = g[g["repo"] != ""]  # drop marker rows
+            g = g[BASE_COLS].copy().sort_values(["repo", "path"], kind="stable")
+            g["_lsn"] = 0
+            g["_sha"] = _sha256_series(g["content"]) if len(g) else pd.Series(dtype="object")
+            out_dir = os.path.join(lake_dir, f"part={pid:05d}")
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, "state-e000000.parquet")
+            tmp = path + f".tmp-{os.getpid()}"
+            tbl = pa.Table.from_pandas(g, schema=_state_schema([]), preserve_index=False)
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
+            return pd.DataFrame([{
+                "pid": pid, "files": json.dumps([path]), "row_count": len(g),
+                "content_hash": _content_hash(g["_sha"]) if compute_hash and len(g) else "",
+            }])
+
+        markers = pa.table({
+            **{c: pa.array([""] * P, type=pa.string()) for c in BASE_COLS},
+            "pid": pa.array(list(range(P)), type=pa.int64()),
+        })
+        cand = (
+            base.map_batches(route, batch_format="pyarrow")
+            .union(ray.data.from_arrow(markers))
+            .groupby("pid")
+            .map_groups(init_group, batch_format="pandas")
+            .to_pandas()
+        )
+        for r in cand.itertuples(index=False):
+            write_manifest(cfg.lake_dir, Manifest(
+                int(r.pid), 0, 0, 0, json.loads(r.files), int(r.row_count),
+                r.content_hash, {"counts": {}, "input_shards": []}))
+        SchemaRegistry().save(cfg.lake_dir)
+
+    # ---- epoch loop ------------------------------------------------------
+    def run(self, base: "ray.data.Dataset | str | None" = None,
+            max_epochs: int | None = None, until_lsn: int | None = None) -> list[EpochReport]:
+        """Bootstrap (or recover from manifests) and replay the log to its
+        end. Safe to kill and re-run: resumes from committed manifests."""
+        cfg = self.cfg
+        self.bootstrap(base)
+        manifests = load_manifests(cfg.lake_dir)
+        max_l = until_lsn or binlog_src.max_lsn(cfg.binlog_dir)
+        epoch = min(m.epoch for m in manifests.values()) + 1
+        n_run = 0
+        while (epoch - 1) * cfg.epoch_size < max_l:
+            if max_epochs is not None and n_run >= max_epochs:
+                break
+            self.run_epoch(epoch, manifests)
+            manifests = load_manifests(cfg.lake_dir)
+            epoch += 1
+            n_run += 1
+        return self.reports
+
+    def run_epoch(self, epoch: int, manifests: dict[int, Manifest] | None = None) -> EpochReport:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        manifests = manifests or load_manifests(cfg.lake_dir)
+        P = cfg.num_partitions
+        lo = (epoch - 1) * cfg.epoch_size
+        hi = epoch * cfg.epoch_size
+
+        registry = SchemaRegistry.load(cfg.lake_dir)
+        epoch_ddls = binlog_src.read_ddl_events(cfg.binlog_dir, lo, hi)
+        full_registry = registry.merged(epoch_ddls)  # lsn-dedup: re-run safe
+
+        ctx = {
+            "lake_dir": cfg.lake_dir, "epoch": epoch, "hi": hi,
+            "manifests": {pid: {
+                "upto_lsn": m.upto_lsn, "schema_ver": m.schema_ver,
+                "files": m.files, "row_count": m.row_count,
+                "content_hash": m.content_hash,
+            } for pid, m in manifests.items()},
+            "epoch_ddls": epoch_ddls, "all_entries": full_registry.entries,
+            "compute_content_hash": cfg.compute_content_hash,
+        }
+
+        ds = binlog_src.read_epoch(cfg.binlog_dir, lo, hi,
+                                   override_num_blocks=cfg.override_num_blocks)
+        stages = []
+        if cfg.dlq:
+            stages.append(chain_mod.dlq_stage(
+                os.path.join(cfg.lake_dir, "_dlq"),
+                rules=[
+                    lambda t: pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"])),
+                    lambda t: pc.and_(pc.is_valid(t["repo"]), pc.is_valid(t["path"])),
+                    lambda t: pc.or_(pc.equal(t["op"], "D"), pc.is_valid(t["content"])),
+                ],
+                tag=f"e{epoch}-",
+            ))
+
+        def route(t: pa.Table) -> pa.Table:
+            for s in stages:
+                t = s(t)
+            pid = stable_hash(t, ["repo", "path"]) % P
+            return t.append_column("pid", pa.array(pid, type=pa.int64()))
+
+        # marker rows guarantee every partition emits a manifest candidate
+        # (and applies DDL) even with zero data events this epoch
+        marker = pa.table({
+            "lsn": pa.array([-1] * P, type=pa.int64()),
+            "txn": pa.array([-1] * P, type=pa.int64()),
+            "op": pa.array(["NOOP"] * P),
+            **{c: pa.array([None] * P, type=pa.string())
+               for c in ["repo", "path", "commit", "lang", "content", "extra", "ddl"]},
+            "ts": pa.array([0] * P, type=pa.timestamp("us")),
+            "schema_ver": pa.array([0] * P, type=pa.int32()),
+            "shard": pa.array([-1] * P, type=pa.int32()),
+            "pid": pa.array(list(range(P)), type=pa.int64()),
+        })
+
+        from functools import partial
+
+        cand = (
+            ds.map_batches(route, batch_format="pyarrow")
+            .union(ray.data.from_arrow(marker))
+            .groupby("pid")
+            .map_groups(partial(_apply_partition_group, ctx=ctx),
+                        batch_format="pandas")
+            .to_pandas()
+        )
+
+        # ---- commit: atomic per-partition manifest swaps --------------------
+        for r in cand.itertuples(index=False):
+            write_manifest(cfg.lake_dir, Manifest(
+                partition_id=int(r.pid), epoch=epoch, upto_lsn=int(r.upto_lsn),
+                schema_ver=int(r.schema_ver), files=json.loads(r.files),
+                row_count=int(r.row_count), content_hash=r.content_hash,
+                lineage={
+                    "input_shards": json.loads(r.input_shards),
+                    "counts": {"I": int(r.n_I), "U": int(r.n_U), "D": int(r.n_D),
+                               "DDL": len(epoch_ddls), "dup_dropped": int(r.n_dup)},
+                },
+            ))
+        full_registry.save(cfg.lake_dir)
+        committed = load_manifests(cfg.lake_dir)
+        gc_lake(cfg.lake_dir, committed)
+
+        wall = time.perf_counter() - t0
+        n_events = int(cand["n_events"].sum())
+        rep = EpochReport(
+            epoch=epoch, lo=lo, hi=hi, n_events=n_events,
+            n_applied={k: int(cand[f"n_{k}"].sum()) for k in ("I", "U", "D", "dup")},
+            wall_sec=round(wall, 4),
+            events_per_sec=round(n_events / wall, 1) if wall > 0 else 0.0,
+        )
+        self.reports.append(rep)
+        if cfg.metrics:
+            self._write_lineage(epoch, cand, rep)
+        return rep
+
+    def _write_lineage(self, epoch: int, cand: pd.DataFrame, rep: EpochReport) -> None:
+        """Per-epoch lineage JSONL (deterministic per-epoch file → idempotent
+        on re-run; SURVEY.md §2.1 S4)."""
+        d = os.path.join(self.cfg.lake_dir, "_lineage")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"epoch-{epoch:06d}.jsonl")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"type": "epoch", **rep.__dict__}) + "\n")
+            for r in cand.itertuples(index=False):
+                f.write(json.dumps({
+                    "type": "partition", "epoch": epoch, "pid": int(r.pid),
+                    "rows": int(r.row_count), "events": int(r.n_events),
+                    "counts": {"I": int(r.n_I), "U": int(r.n_U), "D": int(r.n_D),
+                               "dup_dropped": int(r.n_dup)},
+                    "input_shards": json.loads(r.input_shards),
+                    "content_hash": r.content_hash,
+                }) + "\n")
+        os.replace(tmp, path)
+
+    # ---- results ---------------------------------------------------------
+    def final_table(self, keep_internal: bool = False) -> "ray.data.Dataset":
+        from thor_ray.sources.lake import read_lake
+
+        return read_lake(self.cfg.lake_dir, keep_internal=keep_internal)

@@ -1,0 +1,68 @@
+"""Binlog tail source — the FileStreamSource analogue (SURVEY.md §2.1 S2).
+
+An "epoch" is a bounded lsn slice of the sharded change-event log
+(micro-batch tail). Reads are predicate-pushed: shard files are
+mostly-lsn-sorted (bounded shuffle window), so Parquet row-group statistics
+prune most of the file for a given lsn range — the tail never rescans the
+whole log. DDL events are tiny and read driver-side (they are broadcast to
+every partition's applier, SURVEY.md §7 "cross-partition DDL consistency").
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def shard_files(binlog_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(binlog_dir, "shard-*.parquet")))
+
+
+def max_lsn(binlog_dir: str) -> int:
+    """Max lsn across shards, from Parquet row-group stats (no data read)."""
+    hi = 0
+    for p in shard_files(binlog_dir):
+        md = pq.read_metadata(p)
+        idx = md.schema.names.index("lsn")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                hi = max(hi, st.max)
+    return hi
+
+
+def read_epoch(binlog_dir: str, lo: int, hi: int,
+               override_num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Data events (op != DDL) with lsn in (lo, hi] as a streaming Dataset."""
+    flt = (pc.field("lsn") > lo) & (pc.field("lsn") <= hi) & (pc.field("op") != "DDL")
+    kw = {}
+    if override_num_blocks:
+        kw["override_num_blocks"] = override_num_blocks
+    return ray.data.read_parquet(shard_files(binlog_dir), filter=flt, **kw)
+
+
+def read_ddl_events(binlog_dir: str, lo: int, hi: int) -> list[dict]:
+    """Driver-side read of DDL events in (lo, hi], lsn-ordered, deduped.
+
+    Returns [{"lsn", "schema_ver", "ddl": {...}}, ...]; tiny by contract
+    (DDL is rare — SURVEY.md §2.3 A3)."""
+    ds = pads.dataset(shard_files(binlog_dir))
+    t = ds.to_table(
+        columns=["lsn", "schema_ver", "ddl"],
+        filter=(pc.field("lsn") > lo) & (pc.field("lsn") <= hi)
+        & (pc.field("op") == "DDL"),
+    )
+    rows = sorted(
+        {r["lsn"]: r for r in t.to_pylist()}.values(), key=lambda r: r["lsn"]
+    )
+    return [
+        {"lsn": r["lsn"], "schema_ver": r["schema_ver"], "ddl": json.loads(r["ddl"])}
+        for r in rows
+    ]

@@ -1,0 +1,27 @@
+from .smt import (
+    cast_fields,
+    drop_fields,
+    extract_field,
+    flatten,
+    hoist_field,
+    insert_field,
+    json_extract,
+    key_hash,
+    mask_field,
+    regex_router,
+    rename_fields,
+    replace_field,
+    select_fields,
+    smt_filter,
+    timestamp_converter,
+    timestamp_router,
+)
+from .chain import TransformChain, predicate_gate, split_valid
+
+__all__ = [
+    "cast_fields", "drop_fields", "extract_field", "flatten", "hoist_field",
+    "insert_field", "json_extract", "key_hash", "mask_field", "regex_router",
+    "rename_fields", "replace_field", "select_fields", "smt_filter",
+    "timestamp_converter", "timestamp_router",
+    "TransformChain", "predicate_gate", "split_valid",
+]

@@ -1,0 +1,87 @@
+"""Transform chains, predicate gating, and the dead-letter split.
+
+Connect analogues (SURVEY.md §2.2, §2.1 S5; `[K]` — public Kafka Connect
+``TransformationChain`` / ``errors.tolerance=all`` + DLQ): a chain is just
+function composition over Arrow batches; the DLQ split routes invalid rows
+aside instead of dropping them silently.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+Batch = pa.Table
+Transform = Callable[[Batch], Batch]
+
+
+class TransformChain:
+    """Composable list of batch transforms → one map_batches callable."""
+
+    def __init__(self, *transforms: Transform):
+        self.transforms = list(transforms)
+
+    def add(self, t: Transform) -> "TransformChain":
+        self.transforms.append(t)
+        return self
+
+    def __call__(self, batch: Batch) -> Batch:
+        for t in self.transforms:
+            batch = t(batch)
+        return batch
+
+
+def predicate_gate(predicate: Callable[[Batch], pa.Array],
+                   transform: Transform) -> Transform:
+    """Apply `transform` only to rows matching `predicate` (Connect's
+    SMT predicates); non-matching rows pass through unchanged.
+
+    Requires the transform to preserve schema (row-wise rewrite)."""
+    def fn(t: Batch) -> Batch:
+        mask = predicate(t)
+        yes = transform(t.filter(mask))
+        no = t.filter(pc.invert(mask))
+        return pa.concat_tables([yes, no], promote_options="permissive")
+    return fn
+
+
+def split_valid(t: Batch, rules: list[Callable[[Batch], pa.Array]]) -> tuple[Batch, Batch]:
+    """(valid, invalid) by AND of vectorized validity rules."""
+    if not rules:
+        return t, t.slice(0, 0)
+    mask = rules[0](t)
+    for r in rules[1:]:
+        mask = pc.and_kleene(mask, r(t))
+    mask = pc.fill_null(mask, False)
+    return t.filter(mask), t.filter(pc.invert(mask))
+
+
+def dlq_stage(dlq_dir: str, rules: list[Callable[[Batch], pa.Array]],
+              tag: str = "") -> Transform:
+    """Dead-letter split as a map_batches stage: invalid rows are written to
+    ``dlq_dir`` (one small parquet per offending batch, content-addressed so
+    task retries overwrite instead of duplicating), valid rows flow on."""
+    def fn(t: Batch) -> Batch:
+        valid, invalid = split_valid(t, rules)
+        if invalid.num_rows:
+            os.makedirs(dlq_dir, exist_ok=True)
+            # deterministic name from the invalid rows' identity
+            import hashlib
+
+            key_cols = [c for c in ("shard", "lsn") if c in invalid.column_names]
+            ident = (
+                ",".join(str(v) for c in key_cols for v in invalid[c].to_pylist())
+                or uuid.uuid4().hex
+            )
+            name = hashlib.sha256((tag + ident).encode()).hexdigest()[:24]
+            path = os.path.join(dlq_dir, f"dlq-{name}.parquet")
+            tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(invalid, tmp)
+            os.replace(tmp, path)
+        return valid
+    return fn
