@@ -1,0 +1,151 @@
+"""Unit tests for the ops library on tiny in-memory data (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from thor_ray.ops import ann as ANN
+from thor_ray.ops import dedup as DD
+from thor_ray.ops import multimodal as MM
+from thor_ray.ops import relational as R
+from thor_ray.ops import text as TX
+
+
+def ds_of(d: dict) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table(d))
+
+
+def test_set_ops(ray_session):
+    a = ds_of({"k": [1, 2, 2, 3]})
+    b = ds_of({"k": [2, 3, 4]})
+    assert sorted(R.intersect(a, b, ["k"]).to_pandas()["k"]) == [2, 3]
+    assert sorted(R.except_(a, b, ["k"]).to_pandas()["k"]) == [1]
+    assert sorted(R.distinct(a, ["k"]).to_pandas()["k"]) == [1, 2, 3]
+
+
+def test_top_k_with_prefilter(ray_session):
+    ds = ds_of({"v": list(range(100)), "id": list(range(100))})
+    got = R.top_k(ds, ["v", "id"], [True, False], 5).to_pandas()
+    assert got["v"].tolist() == [99, 98, 97, 96, 95]
+
+
+def test_dedup_by_key(ray_session):
+    ds = ds_of({"k": ["a", "a", "b"], "lsn": [1, 5, 2], "v": ["x", "y", "z"]})
+    got = R.dedup_by_key(ds, ["k"], "lsn", keep="max").to_pandas().sort_values("k")
+    assert got["v"].tolist() == ["y", "z"]
+
+
+def test_broadcast_and_semi(ray_session):
+    big = ds_of({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    small = pa.table({"k": [2, 4], "w": ["X", "Y"]})
+    j = R.broadcast_join(big, small, on=["k"]).to_pandas().sort_values("k")
+    assert j["w"].tolist() == ["X", "Y"]
+    s = R.semi_join(big, {2, 4}, on="k").to_pandas()
+    assert sorted(s["k"]) == [2, 4]
+    s = R.semi_join(big, {2, 4}, on="k", anti=True).to_pandas()
+    assert sorted(s["k"]) == [1, 3]
+
+
+def test_asof_join_tiny(ray_session):
+    ts = lambda s: pd.Timestamp(f"2024-01-01 00:00:{s:02d}")
+    left = ray.data.from_pandas(pd.DataFrame({
+        "uid": [1, 1, 2], "ts": [ts(10), ts(20), ts(5)], "ev": ["p1", "p2", "p3"]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "uid": [1, 1, 2], "ts": [ts(9), ts(15), ts(6)], "sid": [100, 200, 300]}))
+    out = R.asof_join(left, right, on="uid", left_ts="ts", right_ts="ts",
+                      right_payload=["sid"]).to_pandas().sort_values("ev")
+    # p1@10 -> sid 100 (9<=10); p2@20 -> sid 200 (15); p3@5 -> none (6>5)
+    got = dict(zip(out["ev"], out["sid_r"]))
+    assert got["p1"] == "100" and got["p2"] == "200"
+    assert got["p3"] is None or (isinstance(got["p3"], float) and np.isnan(got["p3"]))
+
+
+def test_minhash_identical_and_disjoint(ray_session):
+    # rich shingle sets (no repetition), one small edit -> true Jaccard ~0.95
+    words_a = [f"tok{i:03d}" for i in range(200)]
+    words_b = words_a[:-5] + ["altered", "tail", "words", "here", "now"]
+    words_c = [f"other{i:03d}" for i in range(200)]
+    ds = ds_of({"doc_id": [1, 2, 3],
+                "text": [" ".join(words_a), " ".join(words_b), " ".join(words_c)]})
+    pairs = DD.minhash_lsh_pairs(ds, "text", "doc_id",
+                                 jaccard_threshold=0.5).to_pandas()
+    assert {(1, 2)} == set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (pairs["est_jaccard"] >= 0.5).all()
+
+
+def test_simhash_near_dup(ray_session):
+    base = "streaming dataset execution with arrow batches " * 20
+    ds = ds_of({"doc_id": [1, 2, 3],
+                "text": [base, base + " tiny change", "unrelated words " * 30]})
+    pairs = DD.simhash_near_dup_pairs(ds, "text", "doc_id",
+                                      max_hamming=6).to_pandas()
+    assert (1, 2) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (1, 3) not in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_ngram_jaccard_exact_verification(ray_session):
+    a = "abcdefghij" * 30
+    ds = ds_of({"doc_id": [1, 2, 3], "text": [a, a, "zyxwvutsrq" * 30]})
+    pairs = DD.ngram_jaccard_pairs(ds, "text", "doc_id",
+                                   threshold=0.9).to_pandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(1, 2)}
+    assert pairs["jaccard"].iloc[0] == 1.0
+
+
+def test_embedding_near_dup(ray_session):
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(16)
+    vecs = [v, v + rng.standard_normal(16) * 0.01, rng.standard_normal(16)]
+    ds = ds_of({"vec_id": [1, 2, 3],
+                "embedding": [list(map(float, x)) for x in vecs]})
+    pairs = DD.embedding_near_dup_pairs(ds, "embedding", "vec_id",
+                                        threshold=0.95).to_pandas()
+    assert (1, 2) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_brute_topk_exact(ray_session):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((50, 8))
+    ds = ds_of({"vec_id": list(range(50)),
+                "embedding": [list(map(float, v)) for v in vecs]})
+    q = vecs[7]
+    got = ANN.brute_topk(ds, q, k=5).to_pandas()
+    assert got["vec_id"].iloc[0] == 7 and got["cos"].iloc[0] == 1.0
+    # matches full numpy computation
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    expect = np.argsort(-np.round(norm @ (q / np.linalg.norm(q)), 4),
+                        kind="stable")[:5]
+    assert got["vec_id"].tolist() == expect.tolist()
+
+
+def test_rolling_fingerprint_properties(ray_session):
+    a = "identical document body for fingerprinting purposes"
+    ds = ds_of({"doc_id": [1, 2, 3], "text": [a, a, a + " changed tail"]})
+    got = TX.rolling_fingerprint(ds, k=8).to_pandas()
+    # identical text -> identical fingerprint; supersets share the min window
+    assert got["rfp"].iloc[0] == got["rfp"].iloc[1]
+    assert got["rfp"].iloc[0] != 0
+
+
+def test_token_count_edge_cases(ray_session):
+    ds = ds_of({"doc_id": [1, 2, 3], "text": ["a b  c", "", "one"]})
+    got = TX.token_count(ds).to_pandas().sort_values("doc_id")
+    # matches duckdb regexp_split_to_array semantics: '' -> [''] -> 1
+    assert got["n_tokens"].tolist() == [3, 1, 1]
+
+
+def test_multimodal_strict_raises(ray_session):
+    with pytest.raises(NotImplementedError):
+        MM.DecodeImage(strict=True)
+
+
+def test_partial_then_final_sum(ray_session):
+    ds = ds_of({"k": [1, 1, 2, 2, 2], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    got = R.partial_then_final_sum(ds, "k", "v", alias="s").to_pandas() \
+        .sort_values("k")
+    assert got["s"].tolist() == [3.0, 12.0]

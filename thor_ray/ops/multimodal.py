@@ -1,0 +1,135 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+The Ray-side plumbing (schemas, actor-pool stages, batch sizing, output
+layout) is real and tested; the actual codec work is STUBBED because this
+container has no image/audio libraries — each stage tries the real import
+and otherwise produces a deterministic fake (clearly marked), or raises
+NotImplementedError in `strict` mode. At scale these run as actor pools
+with SMALL batch sizes (large binary payloads → batch_size 16–64 so
+batch × concurrency fits worker heaps — ray_guide 'Memory-aware').
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),            # image | audio | video
+    ("payload", pa.binary()),         # opaque encoded bytes
+    ("meta", pa.struct([
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("sample_rate", pa.int32()), ("n_frames", pa.int32()),
+        ("codec", pa.string()),
+    ])),
+])
+
+
+def make_fake_media_table(n: int = 64, kind: str = "image",
+                          seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media rows for tests/benches."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(s), dtype=np.uint8).tobytes()
+                for s in rng.integers(256, 4096, size=n)]
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "kind": pa.array([kind] * n),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "meta": pa.array(
+            [{"width": int(w), "height": int(h), "sample_rate": 16000,
+              "n_frames": int(f), "codec": "fake"}
+             for w, h, f in zip(rng.integers(16, 256, n),
+                                rng.integers(16, 256, n),
+                                rng.integers(1, 300, n))],
+            type=MEDIA_SCHEMA.field("meta").type),
+    }, schema=MEDIA_SCHEMA)
+
+
+class DecodeImage:
+    """Actor-pool stage: decode image payloads → (h, w, 3) uint8 arrays.
+
+    Real path uses PIL when importable (not in this container); fake path
+    derives a deterministic pixel array from the payload hash + meta dims.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        try:
+            from PIL import Image  # noqa: F401
+            self.backend = "pil"
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    "image decode requires PIL; not available in this container")
+            self.backend = "fake"
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.backend == "pil":
+            from io import BytesIO
+            from PIL import Image
+            arrs = [np.asarray(Image.open(BytesIO(p)).convert("RGB"))
+                    for p in batch["payload"]]
+        else:
+            arrs = []
+            for p, m in zip(batch["payload"], batch["meta"]):
+                h, w = int(m["height"]), int(m["width"])
+                seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
+                arrs.append(np.random.default_rng(seed).integers(
+                    0, 256, size=(h, w, 3), dtype=np.uint8))
+        batch = batch.drop(columns=["payload"])
+        batch["pixels"] = arrs
+        batch["decode_backend"] = self.backend
+        return batch
+
+
+class ImageFeatures:
+    """Actor-pool stage: per-image feature vector (mean/std per channel +
+    dims) from decoded pixels — real numpy math (works on fake pixels too).
+    """
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats = []
+        for px in batch["pixels"]:
+            px = np.asarray(px, dtype=np.float64)
+            feats.append(np.concatenate([
+                px.mean(axis=(0, 1)) / 255.0, px.std(axis=(0, 1)) / 255.0,
+                [px.shape[0] / 1024.0, px.shape[1] / 1024.0]]).astype(np.float32))
+        batch = batch.drop(columns=["pixels"])
+        batch["features"] = feats
+        return batch
+
+
+class FrameSample:
+    """Actor-pool stage: sample every `stride`-th frame index from video
+    metadata (decode itself stubbed; emits frame indices + payload slices).
+    """
+
+    def __init__(self, stride: int = 10):
+        self.stride = stride
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["frame_indices"] = [
+            list(range(0, int(m["n_frames"]), self.stride)) for m in batch["meta"]
+        ]
+        batch["n_sampled"] = batch["frame_indices"].map(len)
+        return batch
+
+
+def decode_and_featurize(ds: Dataset, concurrency: int = 4,
+                         batch_size: int = 32, strict: bool = False) -> Dataset:
+    """The image pipeline: decode (actor pool, small batches) → features.
+
+    batch_size is deliberately small: payloads are large binaries and a
+    batch × concurrency must fit in a worker heap."""
+    decoded = ds.map_batches(
+        DecodeImage, fn_constructor_kwargs={"strict": strict},
+        batch_format="pandas", batch_size=batch_size, concurrency=concurrency)
+    return decoded.map_batches(ImageFeatures, batch_format="pandas",
+                               batch_size=batch_size, concurrency=concurrency)

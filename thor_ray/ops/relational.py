@@ -1,0 +1,254 @@
+"""Relational operator library over ray.data.Dataset (SURVEY.md §2.4–2.7).
+
+Standalone, composable `(Dataset, ...) -> Dataset` functions — the harness
+currency (each is exercised by __ray_entry__.queries() with a DuckDB oracle)
+AND the engine's internals. Scale notes are inline per operator: which ones
+shuffle, which broadcast, and the partitioning key each relies on.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min
+
+
+def _arrow_schema(ds: Dataset) -> pa.Schema:
+    """Dataset schema as a pyarrow.Schema, tolerating pandas-block inputs."""
+    s = ds.schema()
+    bs = getattr(s, "base_schema", None)
+    if isinstance(bs, pa.Schema):
+        return bs
+    fields = []
+    for n, t in zip(s.names, getattr(s, "types", [])):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:
+            try:
+                fields.append((n, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((n, pa.string()))
+    return pa.schema(fields)
+
+
+# --- joins ---------------------------------------------------------------
+
+def hash_join(left: Dataset, right: Dataset, on: tuple[str, ...],
+              join_type: str = "inner", right_on: tuple[str, ...] | None = None,
+              num_partitions: int | None = None) -> Dataset:
+    """Partitioned hash join (both sides large) — an all-to-all shuffle on
+    the join key. Prefer broadcast_join when one side is small
+    (SURVEY.md §2.4 J1/J3).
+
+    Aggregator actors reserve fractional CPUs: with default (1 CPU each)
+    the pool can consume every core of a small cluster and starve the
+    upstream reads — a real deadlock observed at num_cpus=4."""
+    from ray.data import DataContext
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if num_partitions is None:
+        num_partitions = max(8, ncpu * 2)
+    max_aggs = DataContext.get_current().max_hash_shuffle_aggregators or num_partitions
+    n_aggs = min(num_partitions, max_aggs)
+    cpu_per_agg = max(0.05, round((ncpu / 2) / n_aggs, 2))  # pool ≤ half the cluster
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on else None,
+        aggregator_ray_remote_args={"num_cpus": cpu_per_agg},
+    )
+
+
+def broadcast_join(left: Dataset, right: "pa.Table | pd.DataFrame",
+                   on: list[str], right_on: list[str] | None = None,
+                   how: str = "inner") -> Dataset:
+    """Small-side join with NO shuffle: the dimension table is ray.put once
+    and probed per batch with a pandas merge (SURVEY.md §2.4 J2). The big
+    side streams; per-task cost is a local hash probe."""
+    if isinstance(right, pa.Table):
+        right = right.to_pandas()
+    ref = ray.put(right)
+    right_on = right_on or on
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)
+        return batch.merge(small, how=how, left_on=on, right_on=right_on)
+
+    return left.map_batches(probe, batch_format="pandas")
+
+
+def semi_join(left: Dataset, keys: "pa.Table | pd.DataFrame | set",
+              on: str, anti: bool = False) -> Dataset:
+    """Semi/anti join by broadcast key-set + vectorized is_in mask — no
+    shuffle (SURVEY.md §2.4 J3). `keys` is the small side's key column."""
+    if isinstance(keys, pa.Table):
+        keys = set(keys.column(0).to_pylist())
+    elif isinstance(keys, pd.DataFrame):
+        keys = set(keys.iloc[:, 0].tolist())
+    ref = ray.put(pa.array(sorted(keys)))
+
+    def mask(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        m = pc.is_in(batch[on], value_set=vs)
+        if anti:
+            m = pc.invert(m)
+        return batch.filter(m)
+
+    return left.map_batches(mask, batch_format="pyarrow")
+
+
+def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
+              right_ts: str, right_payload: list[str],
+              suffix: str = "_r") -> Dataset:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts for the same key (SURVEY.md §2.4 J4).
+
+    Composition, not a new primitive: tag each side, align schemas, union,
+    shuffle ONCE on the key, then pd.merge_asof inside each group.
+    Partitioning assumption: one key's rows fit in one task (true for
+    per-user / per-device event history; salt the key upstream if not)."""
+    lschema = _arrow_schema(left)
+    lcols = lschema.names
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("_side", pa.array(["L"] * len(t)))
+        t = t.append_column("_ts", pc.cast(t[left_ts], pa.timestamp("us")))
+        for c in right_payload:
+            t = t.append_column(c + suffix, pa.nulls(len(t), type=pa.string()))
+        return t
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        out = {on: t[on], "_side": pa.array(["R"] * len(t)),
+               "_ts": pc.cast(t[right_ts], pa.timestamp("us"))}
+        for c in right_payload:
+            out[c + suffix] = pc.cast(t[c], pa.string())
+        for c in lcols:
+            if c not in out:
+                out[c] = pa.nulls(len(t), type=lschema.field(c).type)
+        cols = lcols + ["_side", "_ts"] + [c + suffix for c in right_payload]
+        return pa.table({c: out[c] for c in cols})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "L"].sort_values("_ts", kind="stable")
+        rg = g[g["_side"] == "R"].sort_values("_ts", kind="stable")
+        rcols = [c + suffix for c in right_payload]
+        lg = lg.drop(columns=rcols)
+        if not len(lg):
+            return pd.DataFrame(columns=lcols + rcols)
+        merged = pd.merge_asof(
+            lg, rg[["_ts"] + rcols], on="_ts", direction="backward")
+        return merged[lcols + rcols]
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    return tagged.groupby(on).map_groups(merge_group, batch_format="pandas")
+
+
+# --- set ops (distributed; no driver materialization) --------------------
+
+def distinct(ds: Dataset, cols: list[str]) -> Dataset:
+    """DISTINCT on cols — one hash-shuffle aggregate."""
+    return ds.groupby(cols).aggregate(Count(alias_name="_n")).select_columns(cols)
+
+
+def _tagged_union(a: Dataset, b: Dataset, cols: list[str]) -> Dataset:
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            t = t.append_column("_a", pa.array([1 - side] * len(t), type=pa.int64()))
+            return t.append_column("_b", pa.array([side] * len(t), type=pa.int64()))
+        return fn
+    return a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow"))
+
+
+def intersect(a: Dataset, b: Dataset, cols: list[str]) -> Dataset:
+    """Set INTERSECT (distinct) — single shuffle on the key columns."""
+    u = _tagged_union(a, b, cols)
+    agg = u.groupby(cols).aggregate(Max("_a", alias_name="_ina"),
+                                    Max("_b", alias_name="_inb"))
+    return agg.filter(expr="_ina == 1 and _inb == 1").select_columns(cols)
+
+
+def except_(a: Dataset, b: Dataset, cols: list[str]) -> Dataset:
+    """Set EXCEPT (distinct) — single shuffle on the key columns."""
+    u = _tagged_union(a, b, cols)
+    agg = u.groupby(cols).aggregate(Max("_a", alias_name="_ina"),
+                                    Max("_b", alias_name="_inb"))
+    return agg.filter(expr="_ina == 1 and _inb == 0").select_columns(cols)
+
+
+# --- sort / top-k --------------------------------------------------------
+
+def top_k(ds: Dataset, keys: list[str], descending: list[bool], k: int,
+          prefilter: bool = True) -> Dataset:
+    """Global top-k. With ``prefilter``, each block is cut to its local
+    top-k first (vectorized), so the final range-shuffle sort sees ≤
+    k × num_blocks rows instead of everything (SURVEY.md §2.6 O2)."""
+    if prefilter:
+        def local_topk(t: pa.Table) -> pa.Table:
+            idx = pc.select_k_unstable(
+                t, k=min(k, len(t)),
+                sort_keys=[(c, "descending" if d else "ascending")
+                           for c, d in zip(keys, descending)])
+            return t.take(idx)
+        ds = ds.map_batches(local_topk, batch_format="pyarrow")
+    return ds.sort(keys, descending=descending).limit(k)
+
+
+def topk_per_group(ds: Dataset, group_key: str, sort_cols: list[str],
+                   descending: list[bool], k: int) -> Dataset:
+    """Top-k rows per group — shuffle on group_key, vectorized head inside."""
+    asc = [not d for d in descending]
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_cols, ascending=asc, kind="stable").head(k)
+
+    return ds.groupby(group_key).map_groups(head, batch_format="pandas")
+
+
+# --- dedup ---------------------------------------------------------------
+
+def dedup_by_key(ds: Dataset, key_cols: list[str], order_col: str,
+                 keep: str = "max") -> Dataset:
+    """Exact dedup: one row per key, keeping the min/max of order_col —
+    the heart of the upsert (SURVEY.md §2.7 D3). Single shuffle."""
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        i = g[order_col].idxmax() if keep == "max" else g[order_col].idxmin()
+        return g.loc[[i]]
+
+    return ds.groupby(key_cols).map_groups(pick, batch_format="pandas")
+
+
+# --- pre-aggregation (combiner) ------------------------------------------
+
+def partial_then_final_sum(ds: Dataset, key: str, col: str, alias: str,
+                           round_to: int | None = None) -> Dataset:
+    """Grouped sum with an explicit per-batch partial aggregate (combiner)
+    before the shuffle — the scale pattern for high-cardinality inputs:
+    the wide exchange moves one row per (key, batch) instead of every row
+    (SURVEY.md §2.5 G2, ray_guide 'Aggregation at scale')."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate([(col, "sum")])
+        return g.rename_columns([key, alias])
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(key).aggregate(Sum(alias, alias_name=alias))
+    if round_to is not None:
+        out = out.map_batches(
+            lambda t: t.set_column(t.schema.get_field_index(alias), alias,
+                                   pc.round(t[alias], round_to)),
+            batch_format="pyarrow")
+    return out

@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All hot paths are vectorized (pyarrow.compute / pandas.str); the only
+per-row Python is md5/rolling-hash where no Arrow kernel exists, kept in
+stateful actor-pool stages when used at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+TOKEN_RE = r"\s+"
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with", "data", "value"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "mit", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "dans", "une"],
+    "es": ["el", "la", "los", "y", "es", "para", "con", "una"],
+}
+
+
+def token_count(ds: Dataset, text_col: str = "text",
+                out: str = "n_tokens") -> Dataset:
+    """Whitespace-run token count (matches DuckDB
+    ``len(regexp_split_to_array(text, '\\s+'))``)."""
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t[text_col], pattern=TOKEN_RE)
+        return t.append_column(out, pc.cast(pc.list_value_length(toks), pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Heuristic document-quality features + combined score ∈ [0, 1]:
+    length band, alpha ratio, stopword ratio, digit ratio — the standard
+    pretraining-corpus filters, fully vectorized."""
+    stop_pat = r"\b(" + "|".join(_LANG_MARKERS["en"]) + r")\b"
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        n_chars = pc.cast(pc.utf8_length(txt), pa.float64())
+        n_alpha = pc.cast(pc.count_substring_regex(txt, pattern=r"[A-Za-z]"),
+                          pa.float64())
+        n_digit = pc.cast(pc.count_substring_regex(txt, pattern=r"[0-9]"),
+                          pa.float64())
+        n_tok = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(txt, pattern=TOKEN_RE)), pa.float64())
+        n_stop = pc.cast(pc.count_substring_regex(txt, pattern=stop_pat),
+                         pa.float64())
+        safe = pc.max_element_wise(n_chars, pa.scalar(1.0))
+        alpha_ratio = pc.divide(n_alpha, safe)
+        digit_ratio = pc.divide(n_digit, safe)
+        stop_ratio = pc.divide(n_stop, pc.max_element_wise(n_tok, pa.scalar(1.0)))
+        len_band = pc.if_else(
+            pc.and_(pc.greater_equal(n_chars, 100.0), pc.less(n_chars, 20000.0)),
+            pa.scalar(1.0), pa.scalar(0.3))
+        score = pc.multiply(
+            len_band,
+            pc.add(pc.multiply(alpha_ratio, 0.5),
+                   pc.add(pc.multiply(pc.min_element_wise(
+                       pc.multiply(stop_ratio, 4.0), pa.scalar(1.0)), 0.4),
+                       pc.multiply(pc.subtract(1.0, pc.min_element_wise(
+                           digit_ratio, pa.scalar(1.0))), 0.1))))
+        for name, arr in [("alpha_ratio", alpha_ratio), ("digit_ratio", digit_ratio),
+                          ("stop_ratio", stop_ratio), ("quality", score)]:
+            t = t.append_column(name, pc.round(arr, 4))
+        return t
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(ds: Dataset, text_col: str = "text",
+            out: str = "pred_lang") -> Dataset:
+    """Marker-lexicon language ID (n-gram heuristic). Stateful setup (the
+    compiled per-language patterns) lives in the actor __init__ — the
+    actor-pool pattern for model-like stages (ray_guide 'Stateful stages')."""
+
+    class LangId:
+        def __init__(self):
+            import re
+            self.pats = {
+                lang: re.compile(r"\b(" + "|".join(ws) + r")\b")
+                for lang, ws in _LANG_MARKERS.items()
+            }
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            lower = batch[text_col].str.lower()
+            scores = np.stack(
+                [lower.str.count(p.pattern).to_numpy() for p in self.pats.values()],
+                axis=1)
+            langs = np.array(list(self.pats.keys()))
+            best = langs[scores.argmax(axis=1)]
+            best[scores.max(axis=1) == 0] = "unk"
+            batch[out] = best
+            return batch
+
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+
+
+def md5_fingerprint(ds: Dataset, text_col: str = "text",
+                    out: str = "fp") -> Dataset:
+    """Exact document fingerprint (md5 hex) — the exact-dedup key."""
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(v.encode()).hexdigest() if v is not None else None
+               for v in t[text_col].to_pylist()]
+        return t.append_column(out, pa.array(fps, type=pa.string()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_fingerprint(ds: Dataset, text_col: str = "text", k: int = 16,
+                        out: str = "rfp") -> Dataset:
+    """Winnowing-style fingerprint: min rolling (Rabin-Karp) hash over
+    k-char windows. Vectorized: k numpy passes over the batch's whole
+    concatenated byte buffer (the loop is over window POSITION, not bytes),
+    then a per-row min via reduceat."""
+    B, MOD = np.uint64(257), np.uint64((1 << 31) - 1)  # B*MOD fits in uint64
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_vals = np.zeros(len(t), dtype=np.int64)
+        arr = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        if pa.types.is_large_string(arr.type):
+            arr = pc.cast(arr, pa.string())
+        n = len(arr)
+        if n:
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + n + 1].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8).astype(np.uint64)
+            m = len(data)
+            if m >= k:
+                nh = m - k + 1
+                h = np.zeros(nh, dtype=np.uint64)
+                for j in range(k):  # k vectorized passes
+                    h = (h * B + data[j : j + nh]) % MOD
+                BIG = np.uint64(1) << np.uint64(62)
+                hm = np.concatenate([h, np.full(k - 1, BIG, dtype=np.uint64)])
+                # windows crossing a row boundary: the last k-1 positions of
+                # each row — masked out in k-1 vectorized passes
+                for j in range(1, k):
+                    pos = offs[1:] - j
+                    valid = pos >= offs[:-1]
+                    hm[pos[valid]] = BIG
+                starts = np.minimum(offs[:-1], m - 1)
+                mins = np.minimum.reduceat(hm, starts)
+                lens = offs[1:] - offs[:-1]
+                ok = (lens >= k)
+                out_vals[ok] = mins[ok].astype(np.int64)
+                for i in np.nonzero(~ok)[0]:  # rare: rows shorter than k
+                    out_vals[i] = int(data[offs[i]:offs[i + 1]].sum())
+        return t.append_column(out, pa.array(out_vals, type=pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow")

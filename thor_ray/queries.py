@@ -1,0 +1,742 @@
+"""Named query registry: every SURVEY.md §2 operator as a standalone
+callable over an ``sf_dir``, with a DuckDB oracle SQL twin where the
+semantics are SQL-expressible (driver contract __ray_entry__.py:27-44).
+
+Column-name discipline: each Ray result names its computed/aggregate
+columns EXACTLY as the SQL does (the driver's compare sorts columns by
+name before value-hashing). Float aggregates are rounded identically on
+both sides so summation-order nondeterminism cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from thor_ray.ops import ann as ANN
+from thor_ray.ops import dedup as DD
+from thor_ray.ops import multimodal as MM
+from thor_ray.ops import relational as R
+from thor_ray.ops import text as TX
+
+
+def T(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
+    """Read one fixture table, pruning columns at the read."""
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _rnd(arr, n: int):
+    """Round half-away-from-zero — DuckDB's ROUND semantics (pyarrow's
+    default is half-to-even, which diverges on exact-cent money values)."""
+    return pc.round(arr, n, round_mode="half_towards_infinity")
+
+
+def _round_cols(ds: Dataset, spec: dict[str, int]) -> Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        for c, n in spec.items():
+            t = t.set_column(t.schema.get_field_index(c), c, _rnd(t[c], n))
+        return t
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _round_away(x: float, n: int) -> float:
+    import math
+    m = 10 ** n
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(sf: str):
+    """G2 grouped aggregates (TPC-H Q1 shape)."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                            "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        return t.append_column(
+            "disc_price", pc.multiply(t["l_extendedprice"],
+                                      pc.subtract(1.0, t["l_discount"])))
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="n"),
+    )
+    return _round_cols(out, {"sum_qty": 2, "sum_base": 2,
+                             "sum_disc_price": 2, "avg_qty": 4})
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)  AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)  AS avg_qty,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(sf: str):
+    """Vectorized filter + projection + computed column (T5/T12, §2.8)."""
+    ds = T(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
+                            "l_extendedprice", "l_discount"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        rev = _rnd(pc.multiply(t["l_extendedprice"],
+                               pc.subtract(1.0, t["l_discount"])), 2)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "revenue": rev})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q02 = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1.0 - l_discount), 2) AS revenue
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def q03_join_orders_customer(sf: str):
+    """J1 partitioned hash join + grouped aggregate."""
+    orders = T(sf, "orders", ["o_custkey", "o_totalprice"])
+    cust = T(sf, "customer", ["c_custkey", "c_mktsegment"])
+    j = R.hash_join(orders, cust, on=("o_custkey",), right_on=("c_custkey",))
+    out = j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    return _round_cols(out, {"total": 2})
+
+
+SQL_Q03 = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q04_broadcast_dims(sf: str):
+    """J2 broadcast small-side joins (nation, region) — no shuffle."""
+    cust = T(sf, "customer", ["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf}/region.parquet", columns=["r_regionkey", "r_name"])
+    j = R.broadcast_join(cust, nation, on=["c_nationkey"], right_on=["n_nationkey"])
+    j = R.broadcast_join(j, region, on=["n_regionkey"], right_on=["r_regionkey"])
+    return j.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+SQL_Q04 = """
+SELECT r_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q05_left_join_count(sf: str):
+    """J3 left outer join; zero-order customers kept with n_orders = 0."""
+    cust = T(sf, "customer", ["c_custkey"])
+    orders = T(sf, "orders", ["o_custkey", "o_orderkey"])
+    j = R.hash_join(cust, orders, on=("c_custkey",), right_on=("o_custkey",),
+                    join_type="left_outer")
+    return j.groupby("c_custkey").aggregate(
+        Count(on="o_orderkey", ignore_nulls=True, alias_name="n_orders"))
+
+
+SQL_Q05 = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q06_semi_join(sf: str):
+    """J3 semi join (native left_semi): parts that appear in lineitem."""
+    part = T(sf, "part", ["p_partkey", "p_name"])
+    li = T(sf, "lineitem", ["l_partkey"])
+    return R.hash_join(part, li, on=("p_partkey",), right_on=("l_partkey",),
+                       join_type="left_semi")
+
+
+SQL_Q06 = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+def q07_anti_join(sf: str):
+    """J3 anti join via broadcast key set: customers with no big order.
+
+    (Every custkey has ≥1 order in the fixtures, so the filter on the
+    right side keeps the anti result non-empty at every sf.)"""
+    cust = T(sf, "customer", ["c_custkey", "c_name"])
+    big = T(sf, "orders", ["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 400000")
+    keys = R.distinct(big.select_columns(["o_custkey"]), ["o_custkey"]).to_pandas()
+    return R.semi_join(cust, keys, on="c_custkey", anti=True)
+
+
+SQL_Q07 = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q08_global_agg(sf: str):
+    """G1 global aggregates in one pass."""
+    ds = T(sf, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+    r = ds.aggregate(Count(alias_name="n_items"),
+                     Sum("l_quantity", alias_name="sum_qty"),
+                     Mean("l_extendedprice", alias_name="avg_price"),
+                     Min("l_discount", alias_name="min_disc"),
+                     Max("l_discount", alias_name="max_disc"))
+    return pd.DataFrame([{
+        "n_items": int(r["n_items"]), "sum_qty": _round_away(float(r["sum_qty"]), 2),
+        "avg_price": _round_away(float(r["avg_price"]), 4),
+        "min_disc": float(r["min_disc"]), "max_disc": float(r["max_disc"]),
+    }])
+
+
+SQL_Q08 = """
+SELECT count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       min(l_discount) AS min_disc, max(l_discount) AS max_disc
+FROM lineitem
+"""
+
+
+def q09_count_distinct(sf: str):
+    """G3 exact count-distinct (shuffle distinct, then count)."""
+    n = R.distinct(T(sf, "orders", ["o_custkey"]), ["o_custkey"]).count()
+    return pd.DataFrame([{"n_customers": int(n)}])
+
+
+SQL_Q09 = "SELECT count(DISTINCT o_custkey) AS n_customers FROM orders"
+
+
+def q10_topk_orders(sf: str):
+    """O2 global top-k with per-block prefilter."""
+    ds = T(sf, "orders", ["o_orderkey", "o_totalprice"])
+    return R.top_k(ds, ["o_totalprice", "o_orderkey"], [True, False], 10)
+
+
+SQL_Q10 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q11_sort_limit(sf: str):
+    """O1 global sort (range shuffle) + limit."""
+    ds = T(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                   descending=[True, False, False]).limit(100)
+
+
+SQL_Q11 = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+def q12_union_all(sf: str):
+    """D1 union."""
+    def tag(src: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"id": pc.cast(t[key], pa.int64()),
+                             "src": pa.array([src] * len(t))})
+        return fn
+    c = T(sf, "customer", ["c_custkey"]).map_batches(tag("customer", "c_custkey"),
+                                                     batch_format="pyarrow")
+    s = T(sf, "supplier", ["s_suppkey"]).map_batches(tag("supplier", "s_suppkey"),
+                                                     batch_format="pyarrow")
+    return c.union(s)
+
+
+SQL_Q12 = """
+SELECT c_custkey AS id, 'customer' AS src FROM customer
+UNION ALL
+SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
+"""
+
+
+def _nk(sf: str, table: str, col: str) -> Dataset:
+    return T(sf, table, [col]).map_batches(
+        lambda t: pa.table({"nk": t[col]}), batch_format="pyarrow")
+
+
+def q13_intersect(sf: str):
+    """D2 intersect (distributed, single shuffle)."""
+    return R.intersect(_nk(sf, "customer", "c_nationkey"),
+                       _nk(sf, "supplier", "s_nationkey"), ["nk"])
+
+
+SQL_Q13 = """
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+"""
+
+
+def q14_except(sf: str):
+    """D2 except (distributed, single shuffle). The right side is limited
+    to the first 20 supplier keys so the result is non-empty at every sf
+    (20 suppliers can cover at most 20 of the 25 nations)."""
+    supp = T(sf, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .filter(expr="s_suppkey < 20") \
+        .map_batches(lambda t: pa.table({"nk": t["s_nationkey"]}),
+                     batch_format="pyarrow")
+    return R.except_(_nk(sf, "customer", "c_nationkey"), supp, ["nk"])
+
+
+SQL_Q14 = """
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier WHERE s_suppkey < 20
+"""
+
+
+def q15_exact_dedup(sf: str):
+    """D3 exact dedup by content, keeping the smallest id."""
+    return DD.exact_dedup(T(sf, "documents", ["doc_id", "text"]),
+                          key_col="text", id_col="doc_id")
+
+
+SQL_Q15 = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+
+def q16_string_fns(sf: str):
+    """§2.8 string scalar functions."""
+    ds = T(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        digits = pc.struct_field(
+            pc.extract_regex(t["c_name"], pattern=r"(?P<d>[0-9]+)"), "d")
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "uname": pc.utf8_upper(t["c_name"]),
+            "seg3": pc.utf8_slice_codeunits(t["c_mktsegment"], 0, 3),
+            "tagged": pc.binary_join_element_wise(t["c_name"], t["c_mktsegment"], "#"),
+            "digits": digits,
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q16 = """
+SELECT c_custkey, upper(c_name) AS uname,
+       substring(c_mktsegment, 1, 3) AS seg3,
+       c_name || '#' || c_mktsegment AS tagged,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits
+FROM customer
+"""
+
+
+def q17_date_parts(sf: str):
+    """§2.8 date functions + grouped aggregate (T8 family)."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column("yr", pc.year(t["o_orderdate"])) \
+                .append_column("mon", pc.month(t["o_orderdate"]))
+    out = ds.map_batches(fn, batch_format="pyarrow").groupby(["yr", "mon"]) \
+            .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
+    return _round_cols(out, {"total": 2})
+
+
+SQL_Q17 = """
+SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY yr, mon
+"""
+
+
+def q18_json_extract(sf: str):
+    """T14 JSON field extraction (SMT) + grouped aggregate."""
+    from thor_ray.stages.smt import json_extract
+    ds = T(sf, "events", ["event_type", "props"])
+    ds = ds.map_batches(json_extract("props", "k", out="k", as_type=pa.int64()),
+                        batch_format="pyarrow")
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+
+
+SQL_Q18 = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q19_window_tumbling(sf: str):
+    """W1 event-time tumbling window as grouped agg on truncated ts."""
+    ds = T(sf, "events", ["ts", "value"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("day", pc.floor_temporal(t["ts"], unit="day")),
+        batch_format="pyarrow")
+    out = ds.groupby("day").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    return _round_cols(out, {"total_value": 2})
+
+
+SQL_Q19 = """
+SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY day
+"""
+
+
+def q20_sessions(sf: str):
+    """G5 grouped custom reduce (map_groups): per-user event stats."""
+    ds = T(sf, "events", ["user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        span = (g["ts"].max() - g["ts"].min()) // pd.Timedelta(microseconds=1)
+        return pd.DataFrame([{
+            "user_id": g["user_id"].iloc[0],
+            "n_events": np.int64(len(g)),
+            "n_types": np.int64(g["event_type"].nunique()),
+            "span_us": np.int64(span),
+        }])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_Q20 = """
+SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+       date_diff('microsecond', min(ts), max(ts)) AS span_us
+FROM events GROUP BY user_id
+"""
+
+
+def q21_mask_case(sf: str):
+    """T6 MaskField with predicate (CASE WHEN)."""
+    ds = T(sf, "customer", ["c_custkey", "c_mktsegment"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        seg = pc.if_else(pc.equal(t["c_mktsegment"], "AUTOMOBILE"),
+                         pa.scalar("***"), t["c_mktsegment"])
+        return pa.table({"c_custkey": t["c_custkey"], "seg": seg})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q21 = """
+SELECT c_custkey,
+       CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '***' ELSE c_mktsegment END AS seg
+FROM customer
+"""
+
+
+def q22_cast(sf: str):
+    """T7 Cast."""
+    ds = T(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"],
+            "qty_int": pc.cast(t["l_quantity"], pa.int64(), safe=False),
+            "okey_str": pc.cast(t["l_orderkey"], pa.string()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q22 = """
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_int,
+       CAST(l_orderkey AS VARCHAR) AS okey_str
+FROM lineitem
+"""
+
+
+def q23_top1_per_group(sf: str):
+    """O2 top-k per group (window-function shape)."""
+    ds = T(sf, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = R.topk_per_group(ds, "o_custkey", ["o_totalprice", "o_orderkey"],
+                           [True, False], k=1)
+    return out.select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+
+
+SQL_Q23 = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1
+"""
+
+
+def q24_partial_agg(sf: str):
+    """G2 with an explicit per-batch combiner before the shuffle."""
+    ds = T(sf, "lineitem", ["l_suppkey", "l_quantity"])
+    return R.partial_then_final_sum(ds, "l_suppkey", "l_quantity",
+                                    alias="sum_qty", round_to=2)
+
+
+SQL_Q24 = """
+SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q25_asof_join(sf: str):
+    """J4 as-of join: each purchase matched to the user's latest prior signup."""
+    ev = T(sf, "events", ["event_id", "user_id", "event_type", "ts"])
+    p = ev.filter(expr="event_type == 'purchase'")
+    s = ev.filter(expr="event_type == 'signup'")
+    out = R.asof_join(p, s, on="user_id", left_ts="ts", right_ts="ts",
+                      right_payload=["event_id"], suffix="_r")
+    return out.select_columns(["event_id", "event_id_r"])
+
+
+SQL_Q25 = """
+SELECT p.event_id AS event_id, CAST(s.event_id AS VARCHAR) AS event_id_r
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND s.ts <= p.ts
+"""
+
+
+def q26_minmax_group(sf: str):
+    """G2 min/max grouped."""
+    out = T(sf, "supplier", ["s_nationkey", "s_acctbal"]) \
+        .groupby("s_nationkey").aggregate(
+            Max("s_acctbal", alias_name="max_bal"),
+            Min("s_acctbal", alias_name="min_bal"),
+            Count(alias_name="n"))
+    return _round_cols(out, {"max_bal": 2, "min_bal": 2})
+
+
+SQL_Q26 = """
+SELECT s_nationkey, round(max(s_acctbal), 2) AS max_bal,
+       round(min(s_acctbal), 2) AS min_bal, count(*) AS n
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def q27_distinct_pairs(sf: str):
+    """G3/D2 DISTINCT on two columns."""
+    return R.distinct(T(sf, "lineitem", ["l_returnflag", "l_linestatus"]),
+                      ["l_returnflag", "l_linestatus"])
+
+
+SQL_Q27 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q28_token_count(sf: str):
+    """Text: whitespace token count (vectorized)."""
+    out = TX.token_count(T(sf, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+SQL_Q28 = r"""
+SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n_tokens
+FROM documents
+"""
+
+
+def q29_lang_stats(sf: str):
+    """Grouped stats over documents."""
+    out = T(sf, "documents", ["lang", "n_chars"]).groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+    return _round_cols(out, {"avg_chars": 2})
+
+
+SQL_Q29 = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q30_md5_fingerprint(sf: str):
+    """Text: exact document fingerprint."""
+    out = TX.md5_fingerprint(T(sf, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "fp"])
+
+
+SQL_Q30 = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def _query_vec(sf: str) -> np.ndarray:
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_pylist().index(0)
+    return np.array(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def q31_ann_brute(sf: str):
+    """ANN baseline: exact cosine top-10 to the vec_id=0 embedding."""
+    return ANN.brute_topk(T(sf, "embeddings", ["vec_id", "embedding"]),
+                          _query_vec(sf), k=10)
+
+
+SQL_Q31 = """
+SELECT vec_id,
+       round(list_cosine_similarity(
+           CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+       ), 4) AS cos
+FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (not SQL-expressible; driver records a weaker check)
+# ---------------------------------------------------------------------------
+
+def cdc_replay(sf: str):
+    """The flagship CDC pipeline at correctness scale — rows-only check
+    (its real oracle is thor_ray.oracle, exercised in tests/test_cdc.py)."""
+    from thor_ray.pipelines.flagship import run_flagship
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    pipe = run_flagship(f"/tmp/thor_ray_q_cdc_{tag}", n_keys=2_000,
+                        n_events=30_000, n_shards=4, num_partitions=16,
+                        epoch_size=6_000)
+    return pipe.final_table()
+
+
+def q40_minhash_pairs(sf: str):
+    return DD.minhash_lsh_pairs(T(sf, "documents", ["doc_id", "text"]),
+                                "text", "doc_id", jaccard_threshold=0.5)
+
+
+def q41_simhash_pairs(sf: str):
+    return DD.simhash_near_dup_pairs(T(sf, "documents", ["doc_id", "text"]),
+                                     "text", "doc_id", max_hamming=3)
+
+
+def q42_ngram_jaccard(sf: str):
+    return DD.ngram_jaccard_pairs(T(sf, "documents", ["doc_id", "text"]),
+                                  "text", "doc_id", threshold=0.7)
+
+
+def q43_embedding_neardup(sf: str):
+    """The fixture embeddings are near-orthogonal (max pairwise cos ≈ 0.48),
+    so near-dups are injected deterministically: a lightly-perturbed copy of
+    every 10th vector (vec_id + 1_000_000). The operator must find exactly
+    those planted pairs."""
+    base = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(base.column("vec_id").to_pylist())[::10]
+    vecs = np.stack(base.column("embedding").to_pylist())[::10].astype(np.float64)
+    rng = np.random.default_rng(7)
+    noisy = vecs + rng.standard_normal(vecs.shape) * 0.01
+    dup = pa.table({
+        "vec_id": pa.array((ids + 1_000_000).astype("int64")),
+        "embedding": pa.array([list(map(float, v)) for v in noisy],
+                              type=base.schema.field("embedding").type),
+    })
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]) \
+        .union(ray.data.from_arrow(dup))
+    return DD.embedding_near_dup_pairs(ds, "embedding", "vec_id", threshold=0.95)
+
+
+def q44_quality_score(sf: str):
+    out = TX.quality_score(T(sf, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "alpha_ratio", "digit_ratio",
+                               "stop_ratio", "quality"])
+
+
+def q45_langid(sf: str):
+    out = TX.lang_id(T(sf, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "pred_lang"])
+
+
+def q46_ivf_topk(sf: str):
+    return ANN.ivf_topk(T(sf, "embeddings", ["vec_id", "embedding"]),
+                        _query_vec(sf), k=10, n_cells=8, nprobe=3)
+
+
+def q47_rolling_fingerprint(sf: str):
+    out = TX.rolling_fingerprint(T(sf, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "rfp"])
+
+
+def q48_sample(sf: str):
+    return T(sf, "documents", ["doc_id"]).random_sample(0.2, seed=7)
+
+
+def q49_multimodal_features(sf: str):
+    ds = ray.data.from_arrow(MM.make_fake_media_table(64))
+    out = MM.decode_and_featurize(ds, concurrency=2, batch_size=16)
+
+    def summarize(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": t["media_id"],
+            "backend": t["decode_backend"],
+            "feat_dim": t["features"].map(len).astype("int64"),
+            "feat_norm": t["features"].map(
+                lambda f: round(float(np.linalg.norm(f)), 4)),
+        })
+    return out.map_batches(summarize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, SQL_Q01),
+    "q02_filter_project": (q02_filter_project, SQL_Q02),
+    "q03_join_orders_customer": (q03_join_orders_customer, SQL_Q03),
+    "q04_broadcast_dims": (q04_broadcast_dims, SQL_Q04),
+    "q05_left_join_count": (q05_left_join_count, SQL_Q05),
+    "q06_semi_join": (q06_semi_join, SQL_Q06),
+    "q07_anti_join": (q07_anti_join, SQL_Q07),
+    "q08_global_agg": (q08_global_agg, SQL_Q08),
+    "q09_count_distinct": (q09_count_distinct, SQL_Q09),
+    "q10_topk_orders": (q10_topk_orders, SQL_Q10),
+    "q11_sort_limit": (q11_sort_limit, SQL_Q11),
+    "q12_union_all": (q12_union_all, SQL_Q12),
+    "q13_intersect": (q13_intersect, SQL_Q13),
+    "q14_except": (q14_except, SQL_Q14),
+    "q15_exact_dedup": (q15_exact_dedup, SQL_Q15),
+    "q16_string_fns": (q16_string_fns, SQL_Q16),
+    "q17_date_parts": (q17_date_parts, SQL_Q17),
+    "q18_json_extract": (q18_json_extract, SQL_Q18),
+    "q19_window_tumbling": (q19_window_tumbling, SQL_Q19),
+    "q20_sessions": (q20_sessions, SQL_Q20),
+    "q21_mask_case": (q21_mask_case, SQL_Q21),
+    "q22_cast": (q22_cast, SQL_Q22),
+    "q23_top1_per_group": (q23_top1_per_group, SQL_Q23),
+    "q24_partial_agg": (q24_partial_agg, SQL_Q24),
+    "q25_asof_join": (q25_asof_join, SQL_Q25),
+    "q26_minmax_group": (q26_minmax_group, SQL_Q26),
+    "q27_distinct_pairs": (q27_distinct_pairs, SQL_Q27),
+    "q28_token_count": (q28_token_count, SQL_Q28),
+    "q29_lang_stats": (q29_lang_stats, SQL_Q29),
+    "q30_md5_fingerprint": (q30_md5_fingerprint, SQL_Q30),
+    "q31_ann_brute": (q31_ann_brute, SQL_Q31),
+    # rows-only
+    "cdc_replay": (cdc_replay, None),
+    "q40_minhash_pairs": (q40_minhash_pairs, None),
+    "q41_simhash_pairs": (q41_simhash_pairs, None),
+    "q42_ngram_jaccard": (q42_ngram_jaccard, None),
+    "q43_embedding_neardup": (q43_embedding_neardup, None),
+    "q44_quality_score": (q44_quality_score, None),
+    "q45_langid": (q45_langid, None),
+    "q46_ivf_topk": (q46_ivf_topk, None),
+    "q47_rolling_fingerprint": (q47_rolling_fingerprint, None),
+    "q48_sample": (q48_sample, None),
+    "q49_multimodal_features": (q49_multimodal_features, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
