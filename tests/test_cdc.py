@@ -37,9 +37,9 @@ def fixture(tmp_path_factory):
             "max_lsn": log.max_lsn}
 
 
-def run_pipeline(fixture, lake_dir, epoch_size=2_500, P=8, **kw):
+def run_pipeline(fixture, lake_dir, epoch_size=2_500, P=8, shuffle="spill", **kw):
     cfg = CdcConfig(lake_dir=lake_dir, binlog_dir=fixture["binlog_dir"],
-                    num_partitions=P, epoch_size=epoch_size)
+                    num_partitions=P, epoch_size=epoch_size, shuffle=shuffle)
     pipe = CdcPipeline(cfg)
     pipe.run(base=fixture["base_path"], **kw)
     return pipe
@@ -59,6 +59,14 @@ def assert_matches_oracle(pipe: CdcPipeline, fixture):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # the BASELINE.json:15 invariant explicitly
     assert oracle.content_sha(got).tolist() == oracle.content_sha(exp).tolist()
+
+
+@pytest.mark.parametrize("shuffle", ["sort", "hash"])
+def test_replay_matches_oracle_all_shuffles(ray_session, fixture, tmp_path, shuffle):
+    """Every exchange strategy must produce the identical oracle state."""
+    pipe = run_pipeline(fixture, str(tmp_path / f"lake_{shuffle}"),
+                        epoch_size=6_000, shuffle=shuffle)
+    assert_matches_oracle(pipe, fixture)
 
 
 def test_replay_matches_oracle(ray_session, fixture, tmp_path):

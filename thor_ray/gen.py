@@ -31,7 +31,7 @@ BASE_SCHEMA = pa.schema(
         ("path", pa.string()),
         ("commit", pa.string()),
         ("lang", pa.string()),
-        ("content", pa.string()),
+        ("content", pa.large_string()),  # 64-bit offsets: a fixture slice can exceed 2 GB of text
     ]
 )
 
@@ -44,8 +44,8 @@ EVENT_SCHEMA = pa.schema(
         ("path", pa.string()),
         ("commit", pa.string()),
         ("lang", pa.string()),
-        ("content", pa.string()),
-        ("extra", pa.string()),
+        ("content", pa.large_string()),
+        ("extra", pa.large_string()),
         ("ddl", pa.string()),
         ("ts", pa.timestamp("us")),
         ("schema_ver", pa.int32()),
@@ -122,6 +122,7 @@ class BinlogConfig:
     delete_rate: float = 0.05
     update_rate: float = 0.60        # remainder after delete/ddl = inserts
     new_key_rate: float = 0.30       # fraction of I events that mint a new key
+    corrupt_rate: float = 0.0        # fraction of malformed events (DLQ fodder)
     content_len: tuple[int, int] = (64, 512)
     seed: int = 42
 
@@ -134,12 +135,15 @@ class Binlog:
     max_lsn: int
     evolved_schema: list[str] = field(default_factory=list)
 
-    def write(self, out_dir: str) -> list[str]:
+    def write(self, out_dir: str, row_group_size: int = 16 * 1024) -> list[str]:
+        """Small row groups matter: the epoch tail prunes by lsn via
+        row-group statistics — one giant group per shard would force every
+        epoch to decode the whole shard (measured 2-3× epoch slowdown)."""
         os.makedirs(out_dir, exist_ok=True)
         paths = []
         for i, t in enumerate(self.shards):
             p = os.path.join(out_dir, f"shard-{i:04d}.parquet")
-            pq.write_table(t, p, row_group_size=64 * 1024)
+            pq.write_table(t, p, row_group_size=row_group_size)
             paths.append(p)
         return paths
 
@@ -200,6 +204,7 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
 
     # pre-draw randomness in bulk
     op_draw = rng.random(n)
+    corrupt_draw = rng.random(n)
     newkey_draw = rng.random(n)
     key_draw = rng.random(n)
     lang_draw = rng.integers(0, len(LANGS), size=n)
@@ -240,6 +245,23 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
             ver += 1
             continue
         d = op_draw[i]
+        if cfg.corrupt_rate and corrupt_draw[i] < cfg.corrupt_rate:
+            # malformed event: unknown op / null key / null payload — must
+            # land in the dead-letter queue, not the lake (SURVEY.md §2.1 S5)
+            kind = int(corrupt_draw[i] / cfg.corrupt_rate * 3)
+            ts = _EPOCH_TS_US + lsn * 1000
+            if kind == 0:     # unknown op
+                ap["lsn"](lsn); ap["op"]("X"); ap["repo"]("bad/repo"); ap["path"]("p")
+                ap["commit"](None); ap["lang"](None); ap["content"]("x")
+            elif kind == 1:   # null key
+                ap["lsn"](lsn); ap["op"]("I"); ap["repo"](None); ap["path"](None)
+                ap["commit"]("c"); ap["lang"]("py"); ap["content"]("x")
+            else:             # upsert with null content
+                ap["lsn"](lsn); ap["op"]("U"); ap["repo"]("bad/repo"); ap["path"]("p")
+                ap["commit"]("c"); ap["lang"]("py"); ap["content"](None)
+            ap["txn"](txn); ap["extra"]("{}"); ap["ddl"](None); ap["ts"](ts)
+            ap["schema_ver"](ver); ap["shard"](int(lsn) % cfg.n_shards)
+            continue
         if d < d_thresh:
             op = "D"
         elif d < u_thresh:
@@ -337,7 +359,8 @@ def write_fixture(
     cfg = cfg or BinlogConfig(seed=seed)
     n_repos = max(1, n_keys // 50)
     key = json.dumps(
-        {"n_keys": n_keys, "seed": seed, **{k: str(v) for k, v in vars(cfg).items()}},
+        {"n_keys": n_keys, "seed": seed, "fmt": 3,
+         **{k: str(v) for k, v in vars(cfg).items()}},
         sort_keys=True,
     )
     marker = os.path.join(out_dir, "_FIXTURE_OK")

@@ -122,24 +122,36 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
                              type=pa.binary()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) < 2:
+    def band_pairs(band_df: pd.DataFrame) -> pd.DataFrame:
+        """All pairs within each exact (band_hash) bucket of one band.
+
+        The shuffle groups only on `band` (bands buckets are fine-grained —
+        one Ray group per bucket means one Python call per ~singleton
+        group, measured 10s of pure call overhead); buckets are resolved
+        inside with a C-level pandas groupby over rows that actually
+        collide."""
+        dup = band_df[band_df.duplicated("band_hash", keep=False)]
+        outs = []
+        for _, g in dup.groupby("band_hash", sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col).head(MAX_BUCKET)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["_sig"]])
+            ia, ib = np.triu_indices(len(ids), k=1)
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            outs.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                                      "est_jaccard": np.round(est, 4)}))
+        if not outs:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
                                  "est_jaccard": pd.Series(dtype="float64")})
-        g = g.head(MAX_BUCKET)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["_sig"]])
-        ia, ib = np.triu_indices(len(ids), k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
-                             "est_jaccard": np.round(est, 4)})
+        return pd.concat(outs, ignore_index=True)
 
     pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
     )
     if jaccard_threshold is not None:
         thr = jaccard_threshold
@@ -197,27 +209,36 @@ def simhash_near_dup_pairs(ds: Dataset, text_col: str, id_col: str,
             "simhash": pa.array(np.tile(h, 4).astype(np.int64)),
         })
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col).head(MAX_BUCKET)
-        if len(g) < 2:
+    def chunk_pairs(chunk_df: pd.DataFrame) -> pd.DataFrame:
+        # one Ray group per chunk (4 total); exact chunk_val buckets are
+        # resolved inside with a C-level groupby (see band_pairs rationale)
+        dup = chunk_df[chunk_df.duplicated("chunk_val", keep=False)]
+        outs = []
+        for _, g in dup.groupby("chunk_val", sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col).head(MAX_BUCKET)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            h = g["simhash"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            x = h[ia] ^ h[ib]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            keep = ham <= max_hamming
+            outs.append(pd.DataFrame({"id_a": ids[ia][keep],
+                                      "id_b": ids[ib][keep],
+                                      "hamming": ham[keep]}))
+        if not outs:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
                                  "hamming": pd.Series(dtype="int64")})
-        ids = g[id_col].to_numpy()
-        h = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = h[ia] ^ h[ib]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x = x >> np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "hamming": ham[keep]})
+        return pd.concat(outs, ignore_index=True)
 
     pairs = (with_h.map_batches(to_chunks, batch_format="pyarrow")
-             .groupby(["chunk", "chunk_val"])
-             .map_groups(bucket, batch_format="pandas"))
+             .groupby("chunk")
+             .map_groups(chunk_pairs, batch_format="pandas"))
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
@@ -272,29 +293,38 @@ def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
             bucket |= signs[:, b] << np.uint64(b)
         norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         return pa.table({
+            "coarse": pa.array((bucket % np.uint64(64)).astype(np.int64)),
             "bucket": pa.array(bucket.astype(np.int64)),
             id_col: t[id_col],
             "_v": pa.array([v.astype(np.float32).tobytes() for v in norm],
                            type=pa.binary()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col).head(MAX_BUCKET)
-        if len(g) < 2:
+    def coarse_pairs(cdf: pd.DataFrame) -> pd.DataFrame:
+        # shuffle on 64 coarse groups; exact buckets resolved inside
+        dup = cdf[cdf.duplicated("bucket", keep=False)]
+        outs = []
+        for _, g in dup.groupby("bucket", sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col).head(MAX_BUCKET)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            vecs = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["_v"]])
+            sims = vecs @ vecs.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            cos = sims[ia, ib]
+            keep = cos >= threshold
+            outs.append(pd.DataFrame({
+                "id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                "cosine": np.round(cos[keep].astype(np.float64), 4)}))
+        if not outs:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
                                  "cosine": pd.Series(dtype="float64")})
-        ids = g[id_col].to_numpy()
-        vecs = np.stack([np.frombuffer(v, dtype=np.float32) for v in g["_v"]])
-        sims = vecs @ vecs.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        cos = sims[ia, ib]
-        keep = cos >= threshold
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "cosine": np.round(cos[keep].astype(np.float64), 4)})
+        return pd.concat(outs, ignore_index=True)
 
     from ray.data.aggregate import Max
     pairs = (ds.map_batches(to_bucket, batch_format="pyarrow")
-             .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas"))
+             .groupby("coarse").map_groups(coarse_pairs, batch_format="pandas"))
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Max("cosine", alias_name="cosine"))

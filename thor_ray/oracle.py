@@ -67,6 +67,9 @@ def apply_events(
                 for r in state.values():
                     r[d["new_name"]] = r.pop(d["name"], None)
             continue
+        if row.op not in ("I", "U", "D") or row.repo is None or row.path is None \
+                or (row.op in ("I", "U") and row.content is None):
+            continue  # malformed → dead-letter queue, never applied
         key = (row.repo, row.path)
         if row.op == "D":
             state.pop(key, None)

@@ -46,6 +46,9 @@ from thor_ray.stages.smt import stable_hash
 from thor_ray.state import Manifest, SchemaRegistry, gc_lake, load_manifests, write_manifest
 
 BASE_COLS = ["repo", "path", "commit", "lang", "content"]
+# event columns the apply path needs — txn/ts/ddl are pruned at the read
+APPLY_COLS = ["lsn", "op", "repo", "path", "commit", "lang", "content",
+              "extra", "schema_ver", "shard"]
 
 
 def _state_schema(evolved: list[str]) -> pa.Schema:
@@ -74,6 +77,37 @@ class CdcConfig:
     compute_content_hash: bool = True  # manifest content_hash (incremental)
     dlq: bool = True
     metrics: bool = True
+    apply_blocks: int | None = None    # hash-shuffle output blocks (default 2×CPU)
+    # "sort": groupby sort-shuffle (no actor pools — best when epochs are
+    # frequent; pool startup dominates hash shuffle at micro-batch cadence).
+    # "hash": key-based hash repartition (aggregator actor pool per epoch —
+    # wins only when epochs are large enough to amortize pool startup).
+    # "spill": Spark-style two-stage exchange through the filesystem —
+    # stage 1 tasks split each block by pid-slot and write Arrow IPC spill
+    # files, stage 2 runs one task per slot over its files. Both stages are
+    # embarrassingly parallel; measured to scale where Ray's all-to-all ops
+    # flatten on this box. Retries are safe: spill names are content-
+    # derived (overwrite) and the apply's lsn-dedup absorbs leftovers.
+    shuffle: str = "spill"
+    exchange_dir: str | None = None    # spill root (default <lake>/_exchange)
+
+    def exchange_root(self) -> str:
+        return self.exchange_dir or os.path.join(self.lake_dir, "_exchange")
+
+    def n_apply_blocks(self) -> int:
+        if self.apply_blocks:
+            return self.apply_blocks
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        return max(8, min(self.num_partitions, ncpu * 2))
+
+    def n_read_blocks(self) -> int:
+        """Explicit read block count: Ray's default splitting makes hundreds
+        of ~1k-row blocks for a filtered epoch read, and the sort shuffle's
+        per-block overhead then dominates (measured 6.5s → 1.4s at 32 CPUs
+        by fixing the block count to 2×CPU)."""
+        if self.override_num_blocks:
+            return self.override_num_blocks
+        return int(ray.cluster_resources().get("CPU", 8)) * 2
 
 
 @dataclass
@@ -85,17 +119,96 @@ class EpochReport:
     n_applied: dict = field(default_factory=dict)
     wall_sec: float = 0.0
     events_per_sec: float = 0.0
+    phase_sec: dict = field(default_factory=dict)  # ddl/apply/commit breakdown
 
 
 # ----------------------------------------------------------------------------
 # per-partition apply (runs inside map_groups tasks)
 # ----------------------------------------------------------------------------
 
-def _apply_partition_group(group: pd.DataFrame, *, ctx: dict) -> pd.DataFrame:
+def _spill_stage1(t: pa.Table, *, ex_dir: str, n_slots: int) -> pa.Table:
+    """Write this block's rows into per-slot Arrow IPC spill files.
+
+    slot = pid % n_slots. File names are content-derived (lsn digest), so a
+    retried task overwrites its own output instead of duplicating."""
+    import numpy as np
+
+    pid = t["pid"].to_numpy()
+    slots = pid % n_slots
+    lsns = t["lsn"].to_numpy()
+    order = np.argsort(slots, kind="stable")
+    sorted_slots = slots[order]
+    bounds = np.searchsorted(sorted_slots, np.arange(n_slots + 1))
+    counts = {"slot": [], "rows": []}
+    for s in np.unique(sorted_slots):
+        idx = order[bounds[s] : bounds[s + 1]]
+        sub = t.take(pa.array(idx))
+        sl = lsns[idx]
+        digest = f"{len(sl)}-{sl.min()}-{sl.max()}-{np.bitwise_xor.reduce(sl) & 0xFFFFFFFFFFFF:012x}"
+        d = os.path.join(ex_dir, f"slot={int(s):05d}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"b-{digest}.arrow")
+        tmp = path + f".tmp-{os.getpid()}"
+        with pa.OSFile(tmp, "wb") as f:
+            with pa.ipc.new_stream(f, sub.schema) as w:
+                w.write_table(sub)
+        os.replace(tmp, path)
+        counts["slot"].append(int(s))
+        counts["rows"].append(len(idx))
+    return pa.table(counts, schema=pa.schema([("slot", pa.int64()),
+                                              ("rows", pa.int64())]))
+
+
+def _apply_slot(batch: pd.DataFrame, *, ex_dir: str, ctx: dict,
+                n_slots: int, num_partitions: int) -> pd.DataFrame:
+    """Stage 2 of the spill exchange: one slot's files → apply every owned
+    pid (slot s owns {p : p % n_slots == s}), INCLUDING pids with no events
+    this epoch (empty fold advances their watermark / applies DDL — the
+    role markers play in the shuffle paths)."""
+    import glob as _glob
+
+    empty = pd.DataFrame({c: pd.Series(dtype="object") for c in APPLY_COLS}
+                         | {"lsn": pd.Series(dtype="int64"),
+                            "schema_ver": pd.Series(dtype="int64"),
+                            "pid": pd.Series(dtype="int64")})
+    outs = []
+    for slot in batch["slot"].tolist():
+        files = sorted(_glob.glob(os.path.join(ex_dir, f"slot={slot:05d}", "b-*.arrow")))
+        tables = []
+        for f in files:
+            with pa.OSFile(f, "rb") as fh:
+                tables.append(pa.ipc.open_stream(fh).read_all())
+        present: dict[int, pd.DataFrame] = {}
+        if tables:
+            df = pa.concat_tables(tables).to_pandas()
+            present = {int(p): g for p, g in df.groupby("pid", sort=True)}
+        for pid in range(slot, num_partitions, n_slots):
+            outs.append(_apply_partition_group(present.get(pid, empty),
+                                               ctx=ctx, pid=pid))
+    if not outs:
+        return pd.DataFrame()
+    return pd.concat(outs, ignore_index=True)
+
+
+def _apply_block(block: pd.DataFrame, *, ctx: dict) -> pd.DataFrame:
+    """Apply every whole partition present in one hash-repartitioned block.
+
+    The key-based repartition guarantees all rows of a pid land in exactly
+    one block, so a block is a bundle of complete partitions — iterating
+    them here costs one task per block instead of one per partition."""
+    out = [
+        _apply_partition_group(g, ctx=ctx)
+        for _, g in block.groupby("pid", sort=True)
+    ]
+    return pd.concat(out, ignore_index=True)
+
+
+def _apply_partition_group(group: pd.DataFrame, *, ctx: dict,
+                           pid: int | None = None) -> pd.DataFrame:
     """Fold one partition's epoch slice into its state; returns a one-row
     manifest-candidate frame. Idempotent: deterministic output file name per
     (pid, epoch); only the later manifest swap commits."""
-    pid = int(group["pid"].iloc[0])
+    pid = int(group["pid"].iloc[0]) if pid is None else pid
     man = ctx["manifests"].get(pid)
     watermark = man["upto_lsn"] if man else 0
     ver_start = man["schema_ver"] if man else 0
@@ -223,10 +336,61 @@ def _materialize_evolved(winners: pd.DataFrame, registry: SchemaRegistry,
 # the pipeline driver object
 # ----------------------------------------------------------------------------
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _hash_shuffle_ctx():
+    """Key-based repartition needs ShuffleStrategy.HASH_SHUFFLE; aggregator
+    actors get fractional CPUs so the pool can't starve upstream reads on
+    small clusters (observed deadlock at 4 CPUs with 1-CPU aggregators)."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    prev_cpus = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = min(
+        0.5, max(0.05, (ncpu / 2) / max(ncpu * 2, 8)))
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = prev_cpus
+
+
+def _hash_impl() -> str:
+    try:
+        import polars  # noqa: F401
+        return "polars-xxh"
+    except ImportError:
+        return "fnv1a"
+
+
 class CdcPipeline:
     def __init__(self, cfg: CdcConfig):
         self.cfg = cfg
         self.reports: list[EpochReport] = []
+
+    def _check_engine_meta(self) -> None:
+        """Routing is hash-based; a lake written under one hash impl must
+        not be resumed under another (keys would re-route and duplicate)."""
+        p = os.path.join(self.cfg.lake_dir, "_schema", "engine.json")
+        meta = {"hash_impl": _hash_impl(), "num_partitions": self.cfg.num_partitions}
+        if os.path.exists(p):
+            with open(p) as f:
+                prev = json.load(f)
+            if prev != meta:
+                raise RuntimeError(
+                    f"lake engine meta mismatch: lake={prev}, runtime={meta}")
+        else:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, p)
 
     # ---- bootstrap / recover --------------------------------------------
     def bootstrap(self, base: "ray.data.Dataset | str | None" = None) -> None:
@@ -238,8 +402,6 @@ class CdcPipeline:
             return
         os.makedirs(cfg.lake_dir, exist_ok=True)
         P = cfg.num_partitions
-        if isinstance(base, str):
-            base = ray.data.read_parquet(base)
         if base is None:
             for pid in range(P):
                 write_manifest(cfg.lake_dir, Manifest(pid, 0, 0, 0, [], 0, "", {}))
@@ -270,17 +432,35 @@ class CdcPipeline:
                 "content_hash": _content_hash(g["_sha"]) if compute_hash and len(g) else "",
             }])
 
+        def init_block(block: pd.DataFrame) -> pd.DataFrame:
+            return pd.concat([init_group(g) for _, g in block.groupby("pid", sort=True)],
+                             ignore_index=True)
+
         markers = pa.table({
             **{c: pa.array([""] * P, type=pa.string()) for c in BASE_COLS},
             "pid": pa.array(list(range(P)), type=pa.int64()),
         })
-        cand = (
-            base.map_batches(route, batch_format="pyarrow")
-            .union(ray.data.from_arrow(markers))
-            .groupby("pid")
-            .map_groups(init_group, batch_format="pandas")
-            .to_pandas()
-        )
+        if cfg.shuffle == "hash":
+            with _hash_shuffle_ctx():
+                if isinstance(base, str):
+                    base = ray.data.read_parquet(base)
+                cand = (
+                    base.map_batches(route, batch_format="pyarrow")
+                    .union(ray.data.from_arrow(markers))
+                    .repartition(num_blocks=cfg.n_apply_blocks(), keys=["pid"])
+                    .map_batches(init_block, batch_format="pandas", batch_size=None)
+                    .to_pandas()
+                )
+        else:
+            if isinstance(base, str):
+                base = ray.data.read_parquet(base)
+            cand = (
+                base.map_batches(route, batch_format="pyarrow")
+                .union(ray.data.from_arrow(markers))
+                .groupby("pid")
+                .map_groups(init_group, batch_format="pandas")
+                .to_pandas()
+            )
         for r in cand.itertuples(index=False):
             write_manifest(cfg.lake_dir, Manifest(
                 int(r.pid), 0, 0, 0, json.loads(r.files), int(r.row_count),
@@ -293,6 +473,7 @@ class CdcPipeline:
         """Bootstrap (or recover from manifests) and replay the log to its
         end. Safe to kill and re-run: resumes from committed manifests."""
         cfg = self.cfg
+        self._check_engine_meta()
         self.bootstrap(base)
         manifests = load_manifests(cfg.lake_dir)
         max_l = until_lsn or binlog_src.max_lsn(cfg.binlog_dir)
@@ -316,7 +497,9 @@ class CdcPipeline:
         hi = epoch * cfg.epoch_size
 
         registry = SchemaRegistry.load(cfg.lake_dir)
+        t_ddl = time.perf_counter()
         epoch_ddls = binlog_src.read_ddl_events(cfg.binlog_dir, lo, hi)
+        t_ddl = time.perf_counter() - t_ddl
         full_registry = registry.merged(epoch_ddls)  # lsn-dedup: re-run safe
 
         ctx = {
@@ -330,8 +513,6 @@ class CdcPipeline:
             "compute_content_hash": cfg.compute_content_hash,
         }
 
-        ds = binlog_src.read_epoch(cfg.binlog_dir, lo, hi,
-                                   override_num_blocks=cfg.override_num_blocks)
         stages = []
         if cfg.dlq:
             stages.append(chain_mod.dlq_stage(
@@ -352,30 +533,80 @@ class CdcPipeline:
 
         # marker rows guarantee every partition emits a manifest candidate
         # (and applies DDL) even with zero data events this epoch
+        from thor_ray.gen import EVENT_SCHEMA
+
         marker = pa.table({
             "lsn": pa.array([-1] * P, type=pa.int64()),
-            "txn": pa.array([-1] * P, type=pa.int64()),
             "op": pa.array(["NOOP"] * P),
-            **{c: pa.array([None] * P, type=pa.string())
-               for c in ["repo", "path", "commit", "lang", "content", "extra", "ddl"]},
-            "ts": pa.array([0] * P, type=pa.timestamp("us")),
+            **{c: pa.array([None] * P, type=EVENT_SCHEMA.field(c).type)
+               for c in ["repo", "path", "commit", "lang", "content", "extra"]},
             "schema_ver": pa.array([0] * P, type=pa.int32()),
             "shard": pa.array([-1] * P, type=pa.int32()),
             "pid": pa.array(list(range(P)), type=pa.int64()),
-        })
+        }).select(APPLY_COLS + ["pid"])
 
         from functools import partial
 
-        cand = (
-            ds.map_batches(route, batch_format="pyarrow")
-            .union(ray.data.from_arrow(marker))
-            .groupby("pid")
-            .map_groups(partial(_apply_partition_group, ctx=ctx),
-                        batch_format="pandas")
-            .to_pandas()
-        )
+        # ONE wide step: hash repartition on pid (cheaper than a sort-based
+        # groupby); every pid's rows land whole in exactly one block, so the
+        # apply fn handles a bundle of complete partitions per task.
+        t_apply = time.perf_counter()
+        if cfg.shuffle == "spill":
+            import shutil as _shutil
+
+            ex_dir = os.path.join(cfg.exchange_root(), f"e{epoch:06d}")
+            n_slots = cfg.n_apply_blocks()
+            ds = binlog_src.read_epoch(cfg.binlog_dir, lo, hi,
+                                       override_num_blocks=cfg.n_read_blocks(),
+                                       columns=APPLY_COLS)
+            # stage 1: route + spill (the .sum() is the execution barrier)
+            (ds.map_batches(route, batch_format="pyarrow")
+               .map_batches(partial(_spill_stage1, ex_dir=ex_dir, n_slots=n_slots),
+                            batch_format="pyarrow")
+               .sum("rows", ignore_nulls=True))
+            # stage 2: one task per slot
+            slots = pa.table({"slot": pa.array(list(range(n_slots)), type=pa.int64())})
+            cand = (
+                ray.data.from_arrow(slots)
+                .repartition(n_slots)
+                .map_batches(partial(_apply_slot, ex_dir=ex_dir, ctx=ctx,
+                                     n_slots=n_slots, num_partitions=P),
+                             batch_format="pandas", batch_size=None)
+                .to_pandas()
+            )
+            _shutil.rmtree(ex_dir, ignore_errors=True)
+        elif cfg.shuffle == "hash":
+            with _hash_shuffle_ctx():
+                # context is captured at dataset creation — the read must
+                # happen inside this block for the repartition to plan
+                ds = binlog_src.read_epoch(
+                    cfg.binlog_dir, lo, hi,
+                    override_num_blocks=cfg.n_read_blocks(),
+                    columns=APPLY_COLS)
+                cand = (
+                    ds.map_batches(route, batch_format="pyarrow")
+                    .union(ray.data.from_arrow(marker))
+                    .repartition(num_blocks=cfg.n_apply_blocks(), keys=["pid"])
+                    .map_batches(partial(_apply_block, ctx=ctx),
+                                 batch_format="pandas", batch_size=None)
+                    .to_pandas()
+                )
+        else:
+            ds = binlog_src.read_epoch(cfg.binlog_dir, lo, hi,
+                                       override_num_blocks=cfg.n_read_blocks(),
+                                       columns=APPLY_COLS)
+            cand = (
+                ds.map_batches(route, batch_format="pyarrow")
+                .union(ray.data.from_arrow(marker))
+                .groupby("pid")
+                .map_groups(partial(_apply_partition_group, ctx=ctx),
+                            batch_format="pandas")
+                .to_pandas()
+            )
+        t_apply = time.perf_counter() - t_apply
 
         # ---- commit: atomic per-partition manifest swaps --------------------
+        t_commit = time.perf_counter()
         for r in cand.itertuples(index=False):
             write_manifest(cfg.lake_dir, Manifest(
                 partition_id=int(r.pid), epoch=epoch, upto_lsn=int(r.upto_lsn),
@@ -390,6 +621,7 @@ class CdcPipeline:
         full_registry.save(cfg.lake_dir)
         committed = load_manifests(cfg.lake_dir)
         gc_lake(cfg.lake_dir, committed)
+        t_commit = time.perf_counter() - t_commit
 
         wall = time.perf_counter() - t0
         n_events = int(cand["n_events"].sum())
@@ -398,6 +630,8 @@ class CdcPipeline:
             n_applied={k: int(cand[f"n_{k}"].sum()) for k in ("I", "U", "D", "dup")},
             wall_sec=round(wall, 4),
             events_per_sec=round(n_events / wall, 1) if wall > 0 else 0.0,
+            phase_sec={"ddl": round(t_ddl, 3), "apply": round(t_apply, 3),
+                       "commit": round(t_commit, 3)},
         )
         self.reports.append(rep)
         if cfg.metrics:

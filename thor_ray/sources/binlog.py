@@ -39,12 +39,18 @@ def max_lsn(binlog_dir: str) -> int:
 
 
 def read_epoch(binlog_dir: str, lo: int, hi: int,
-               override_num_blocks: int | None = None) -> "ray.data.Dataset":
-    """Data events (op != DDL) with lsn in (lo, hi] as a streaming Dataset."""
+               override_num_blocks: int | None = None,
+               columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Data events (op != DDL) with lsn in (lo, hi] as a streaming Dataset.
+
+    `columns` prunes at the read (the apply path doesn't need txn/ts/ddl —
+    don't decode or shuffle them)."""
     flt = (pc.field("lsn") > lo) & (pc.field("lsn") <= hi) & (pc.field("op") != "DDL")
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
+    if columns:
+        kw["columns"] = columns
     return ray.data.read_parquet(shard_files(binlog_dir), filter=flt, **kw)
 
 
