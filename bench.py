@@ -71,10 +71,11 @@ def run_bench() -> dict:
     for _ in range(attempts):  # noisy VM: report the best attempt
         lake_dir = f"{lake_root}/lake_{NUM_CPUS}"
         shutil.rmtree(lake_dir, ignore_errors=True)
+        n_epochs = int(os.environ.get("GRAFT_BENCH_EPOCHS", "4"))
         pipe = CdcPipeline(CdcConfig(
             lake_dir=lake_dir, binlog_dir=info["binlog_dir"],
             num_partitions=128,
-            epoch_size=max(N_EVENTS // 4, 1),
+            epoch_size=max(N_EVENTS // n_epochs, 1),
             compute_content_hash=True))
         t0 = time.perf_counter()
         pipe.run(base=info["base"])

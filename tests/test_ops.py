@@ -149,3 +149,38 @@ def test_partial_then_final_sum(ray_session):
     got = R.partial_then_final_sum(ds, "k", "v", alias="s").to_pandas() \
         .sort_values("k")
     assert got["s"].tolist() == [3.0, 12.0]
+
+
+def test_approx_distinct_accuracy(ray_session):
+    from thor_ray.ops.sketch import approx_distinct
+    import ray.data
+    ds = ray.data.range(50_000).map_batches(
+        lambda b: {"k": b["id"] % 7_000}, batch_format="numpy")
+    est = approx_distinct(ds, ["k"], precision=12)
+    assert abs(est - 7_000) / 7_000 < 0.05, est
+
+
+def test_sessionize_gap_semantics(ray_session):
+    from thor_ray.ops.window import sessionize
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:05:00",
+                         "2024-01-01 01:00:00", "2024-01-01 01:01:00",
+                         "2024-01-01 00:00:00"])
+    df = pd.DataFrame({"uid": [1, 1, 1, 1, 2], "ts": ts})
+    out = sessionize(ray.data.from_pandas(df), "uid", "ts",
+                     pd.Timedelta(minutes=10)).to_pandas()
+    u1 = out[out["uid"] == 1].sort_values("session_id")
+    assert u1["n_events"].tolist() == [2, 2]  # two sessions split by the 55-min gap
+    assert out[out["uid"] == 2]["n_events"].tolist() == [1]
+
+
+def test_bpe_token_count_matches_duckdb(ray_session):
+    import duckdb
+    from thor_ray.ops.text import bpe_token_count
+    texts = ["Hello world, it's 2024!", "  spaces\tand\nnewlines ", "x"]
+    ds = ds_of({"doc_id": [1, 2, 3], "text": texts})
+    got = bpe_token_count(ds).to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    exp = [con.execute(
+        r"SELECT len(regexp_extract_all(?, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))",
+        [t]).fetchone()[0] for t in texts]
+    assert got["n_bpe_tokens"].tolist() == exp

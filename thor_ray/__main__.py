@@ -1,0 +1,164 @@
+"""CLI entry points — the ``ray job submit`` surface of the engine.
+
+    python -m thor_ray gen    --out DIR [--n-keys N] [--n-events N] ...
+    python -m thor_ray run    --lake DIR --binlog DIR [--base FILE] ...
+    python -m thor_ray verify --lake DIR --binlog DIR --base FILE
+    python -m thor_ray show   --lake DIR
+
+``run`` is resumable: re-running after a crash continues from the committed
+per-partition manifests (BASELINE.json:14 "resumable from checkpoint").
+This module owns its Ray session (unlike __ray_entry__, whose session the
+driver owns); on a real cluster submit it with ``ray job submit --
+python -m thor_ray run ...`` against shared lake storage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"address": "local", "include_dashboard": False,
+              "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_gen(a) -> int:
+    from thor_ray import gen
+
+    info = gen.write_fixture(
+        a.out, n_keys=a.n_keys,
+        cfg=gen.BinlogConfig(n_events=a.n_events, n_shards=a.shards,
+                             dup_rate=a.dup_rate, shuffle_window=a.shuffle_window,
+                             ddl_every=a.ddl_every, corrupt_rate=a.corrupt_rate,
+                             seed=a.seed))
+    print(json.dumps(info))
+    return 0
+
+
+def cmd_run(a) -> int:
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=a.lake, binlog_dir=a.binlog, num_partitions=a.partitions,
+        epoch_size=a.epoch_size, shuffle=a.shuffle))
+    reports = pipe.run(base=a.base, max_epochs=a.max_epochs)
+    for r in reports:
+        print(json.dumps({"epoch": r.epoch, "events": r.n_events,
+                          "events_per_sec": r.events_per_sec,
+                          "wall_sec": r.wall_sec}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_verify(a) -> int:
+    """Replay-equivalence check: lake state vs the single-process oracle."""
+    ray = _ray_init(a.num_cpus)
+    import glob
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from thor_ray import oracle
+    from thor_ray.sources.lake import read_lake
+
+    shards = sorted(glob.glob(f"{a.binlog}/shard-*.parquet"))
+    events = pa.concat_tables([pq.read_table(p) for p in shards])
+    base = pq.read_table(a.base) if a.base else None
+    expected, _ = oracle.apply_events(events, initial=base)
+    got = read_lake(a.lake).to_pandas()
+
+    def norm(df):
+        df = df.where(pd.notna(df), None)
+        return df.sort_values(["repo", "path"]).reset_index(drop=True)[
+            sorted(df.columns)]
+
+    got, exp = norm(got), norm(expected)
+    ok = list(got.columns) == list(exp.columns) and len(got) == len(exp)
+    if ok:
+        ok = bool((oracle.content_sha(got) == oracle.content_sha(exp)).all())
+        if ok:
+            try:
+                pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+            except AssertionError:
+                ok = False
+    print(json.dumps({"match": ok, "rows": len(got), "cols": list(got.columns)}))
+    ray.shutdown()
+    return 0 if ok else 1
+
+
+def cmd_show(a) -> int:
+    from thor_ray.state import SchemaRegistry, load_manifests
+
+    ms = load_manifests(a.lake)
+    reg = SchemaRegistry.load(a.lake)
+    print(json.dumps({
+        "partitions": len(ms),
+        "epoch": {"min": min((m.epoch for m in ms.values()), default=None),
+                  "max": max((m.epoch for m in ms.values()), default=None)},
+        "upto_lsn": {"min": min((m.upto_lsn for m in ms.values()), default=None),
+                     "max": max((m.upto_lsn for m in ms.values()), default=None)},
+        "rows": sum(m.row_count for m in ms.values()),
+        "schema_version": reg.version,
+        "evolved_columns": reg.columns_at(reg.version),
+    }, indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="thor_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="write a deterministic base+binlog fixture")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-keys", type=int, default=10_000)
+    g.add_argument("--n-events", type=int, default=100_000)
+    g.add_argument("--shards", type=int, default=8)
+    g.add_argument("--dup-rate", type=float, default=0.05)
+    g.add_argument("--shuffle-window", type=int, default=512)
+    g.add_argument("--ddl-every", type=int, default=25_000)
+    g.add_argument("--corrupt-rate", type=float, default=0.0)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen)
+
+    r = sub.add_parser("run", help="bootstrap + replay the binlog (resumable)")
+    r.add_argument("--lake", required=True)
+    r.add_argument("--binlog", required=True)
+    r.add_argument("--base")
+    r.add_argument("--partitions", type=int, default=64)
+    r.add_argument("--epoch-size", type=int, default=250_000)
+    r.add_argument("--shuffle", choices=["spill", "sort", "hash"], default="spill")
+    r.add_argument("--max-epochs", type=int)
+    r.add_argument("--num-cpus", type=int)
+    r.set_defaults(fn=cmd_run)
+
+    v = sub.add_parser("verify", help="lake state vs single-process oracle")
+    v.add_argument("--lake", required=True)
+    v.add_argument("--binlog", required=True)
+    v.add_argument("--base")
+    v.add_argument("--num-cpus", type=int)
+    v.set_defaults(fn=cmd_verify)
+
+    s = sub.add_parser("show", help="manifest / registry summary")
+    s.add_argument("--lake", required=True)
+    s.set_defaults(fn=cmd_show)
+
+    a = p.parse_args(argv)
+    return a.fn(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

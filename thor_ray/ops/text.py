@@ -37,6 +37,20 @@ def token_count(ds: Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+BPE_ISH_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(ds: Dataset, text_col: str = "text",
+                    out: str = "n_bpe_tokens") -> Dataset:
+    """GPT2-style pre-tokenizer regex token count (both pyarrow and DuckDB
+    use RE2, so the DuckDB oracle `len(regexp_extract_all(...))` matches
+    exactly)."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[text_col], pattern=BPE_ISH_RE)
+        return t.append_column(out, pc.cast(n, pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def quality_score(ds: Dataset, text_col: str = "text") -> Dataset:
     """Heuristic document-quality features + combined score ∈ [0, 1]:
     length band, alpha ratio, stopword ratio, digit ratio — the standard

@@ -592,9 +592,57 @@ FROM embeddings ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def q32_sessionize(sf: str):
+    """W1 session windows: gap-based sessions per user (10-minute gap)."""
+    from thor_ray.ops.window import sessionize
+    ds = T(sf, "events", ["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", pd.Timedelta(minutes=10))
+
+
+SQL_Q32 = """
+SELECT user_id, session_id, count(*) AS n_events,
+       date_diff('microsecond', min(ts), max(ts)) AS span_us
+FROM (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 10 MINUTE
+           THEN 1 ELSE 0 END AS is_new
+    FROM events) t1) t2
+GROUP BY user_id, session_id
+"""
+
+
+def q33_bpe_tokens(sf: str):
+    """BPE-ish regex token counting (RE2 on both sides)."""
+    out = TX.bpe_token_count(T(sf, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+SQL_Q33 = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+       AS n_bpe_tokens
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible; driver records a weaker check)
 # ---------------------------------------------------------------------------
+
+def q34_approx_distinct(sf: str):
+    """G4 HLL sketch: approximate distinct customers in orders (rows-only;
+    the unit test asserts <5% error vs the exact count)."""
+    from thor_ray.ops.sketch import approx_distinct
+    n = approx_distinct(T(sf, "orders", ["o_custkey"]), ["o_custkey"])
+    return pd.DataFrame([{"approx_customers": n}])
+
 
 def cdc_replay(sf: str):
     """The flagship CDC pipeline at correctness scale — rows-only check
@@ -719,8 +767,11 @@ QUERIES: dict[str, tuple] = {
     "q29_lang_stats": (q29_lang_stats, SQL_Q29),
     "q30_md5_fingerprint": (q30_md5_fingerprint, SQL_Q30),
     "q31_ann_brute": (q31_ann_brute, SQL_Q31),
+    "q32_sessionize": (q32_sessionize, SQL_Q32),
+    "q33_bpe_tokens": (q33_bpe_tokens, SQL_Q33),
     # rows-only
     "cdc_replay": (cdc_replay, None),
+    "q34_approx_distinct": (q34_approx_distinct, None),
     "q40_minhash_pairs": (q40_minhash_pairs, None),
     "q41_simhash_pairs": (q41_simhash_pairs, None),
     "q42_ngram_jaccard": (q42_ngram_jaccard, None),
