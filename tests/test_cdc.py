@@ -154,3 +154,34 @@ def test_final_schema_matches_registry(ray_session, fixture, tmp_path):
     expect_cols = ["repo", "path", "commit", "lang", "content"] + reg.columns_at(
         reg.version)
     assert pipe.final_table().schema().names == expect_cols
+
+
+@pytest.mark.parametrize("compact_every", [3, 100])
+def test_delta_write_mode(ray_session, fixture, tmp_path, compact_every):
+    """LSM delta path: winners-only delta files + merge-on-read + compaction
+    must reproduce the oracle exactly (with and without compaction firing)."""
+    lake = str(tmp_path / f"lake_delta_{compact_every}")
+    cfg = CdcConfig(lake_dir=lake, binlog_dir=fixture["binlog_dir"],
+                    num_partitions=8, epoch_size=1_500,
+                    write_mode="delta", compact_every=compact_every)
+    pipe = CdcPipeline(cfg)
+    # epoch 1 has no DDL -> must leave a delta run (bootstrap + delta)
+    pipe.run(base=fixture["base_path"], max_epochs=1)
+    mid_files = max(len(m.files) for m in load_manifests(lake).values())
+    assert mid_files == 2, "delta mode should append, not rewrite"
+    pipe.run()  # resume to the end
+    assert_matches_oracle(pipe, fixture)
+    max_files = max(len(m.files) for m in load_manifests(lake).values())
+    assert max_files <= max(compact_every, 3), \
+        "file runs bounded by compaction (DDL epochs always compact)"
+
+
+def test_delta_restore(ray_session, fixture, tmp_path):
+    lake = str(tmp_path / "lake_delta_restore")
+    cfg = CdcConfig(lake_dir=lake, binlog_dir=fixture["binlog_dir"],
+                    num_partitions=8, epoch_size=1_500,
+                    write_mode="delta", compact_every=100)
+    CdcPipeline(cfg).run(base=fixture["base_path"], max_epochs=3)
+    pipe2 = CdcPipeline(cfg)
+    pipe2.run(base=fixture["base_path"])  # resume from manifests
+    assert_matches_oracle(pipe2, fixture)

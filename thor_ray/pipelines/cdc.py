@@ -55,7 +55,7 @@ def _state_schema(evolved: list[str]) -> pa.Schema:
     return pa.schema(
         [(c, pa.string()) for c in BASE_COLS]
         + [(c, pa.string()) for c in evolved]
-        + [("_lsn", pa.int64()), ("_sha", pa.string())]
+        + [("_lsn", pa.int64()), ("_sha", pa.string()), ("_op", pa.string())]
     )
 
 
@@ -90,6 +90,12 @@ class CdcConfig:
     # derived (overwrite) and the apply's lsn-dedup absorbs leftovers.
     shuffle: str = "spill"
     exchange_dir: str | None = None    # spill root (default <lake>/_exchange)
+    # "cow": rewrite each partition's single state file per epoch (simple,
+    # read-optimal). "delta": LSM write path — winners-only delta files with
+    # tombstones, merge-on-read, compaction at DDL epochs or when the file
+    # run exceeds compact_every (write-optimal for hot micro-batches).
+    write_mode: str = "cow"
+    compact_every: int = 8
 
     def exchange_root(self) -> str:
         return self.exchange_dir or os.path.join(self.lake_dir, "_exchange")
@@ -227,24 +233,17 @@ def _apply_partition_group(group: pd.DataFrame, *, ctx: dict,
     counts = ev["op"].value_counts().to_dict()
     shards = sorted(int(s) for s in ev["shard"].dropna().unique()) if len(ev) else []
 
-    # ---- load current state, evolve its schema through this epoch's DDLs
-    state = _read_state(man["files"]) if man and man["files"] else _empty_state(
-        registry.columns_at(ver_start))
     # Guard by ver_start: on an epoch re-run (restore path) a partition that
     # already committed this epoch is at ver_end — re-applying add_column
     # would wipe its values. Only not-yet-seen transitions apply.
-    for d in epoch_ddls:
-        if d["schema_ver"] < ver_start:
-            continue
-        a = d["ddl"]
-        if a["action"] == "add_column":
-            state[a["name"]] = None
-        else:
-            state = state.rename(columns={a["name"]: a["new_name"]})
+    applied_ddls = [d for d in epoch_ddls if d["schema_ver"] >= ver_start]
+    mode = ctx.get("write_mode", "cow")
+    compact_every = ctx.get("compact_every", 8)
+    prior_files = man["files"] if man else []
 
-    changed = (len(ev) > 0) or bool(epoch_ddls)
+    changed = (len(ev) > 0) or bool(applied_ddls)
     if not changed:
-        new_files, row_count, chash = (man["files"] if man else []), \
+        new_files, row_count, chash = prior_files, \
             (man["row_count"] if man else 0), (man["content_hash"] if man else "")
     else:
         # ---- last-writer-wins winners within the epoch slice
@@ -253,32 +252,46 @@ def _apply_partition_group(group: pd.DataFrame, *, ctx: dict,
         winners = winners[["repo", "path", "commit", "lang", "content", "op", "lsn"]]
         for c in evolved_final:
             winners[c] = wcols[c]
-        winners = winners.rename(columns={"lsn": "_lsn"})
+        winners = winners.rename(columns={"lsn": "_lsn", "op": "_op"})
         winners["_sha"] = ""
-        live = winners["op"] != "D"
+        live = winners["_op"] != "D"
         winners.loc[live, "_sha"] = _sha256_series(winners.loc[live, "content"])
-
-        state["op"] = "S"
-        merged = pd.concat(
-            [state[BASE_COLS + evolved_final + ["_lsn", "_sha", "op"]], winners],
-            ignore_index=True,
-        )
-        merged = merged.sort_values("_lsn", kind="stable").drop_duplicates(
-            ["repo", "path"], keep="last")
-        merged = merged[merged["op"] != "D"].drop(columns=["op"])
-        merged = merged.sort_values(["repo", "path"], kind="stable")
 
         out_dir = os.path.join(ctx["lake_dir"], f"part={pid:05d}")
         os.makedirs(out_dir, exist_ok=True)
         final_path = os.path.join(out_dir, f"state-e{epoch:06d}.parquet")
-        tmp = final_path + f".tmp-{os.getpid()}"
-        tbl = pa.Table.from_pandas(
-            merged.astype({c: "object" for c in BASE_COLS + evolved_final}),
-            schema=_state_schema(evolved_final), preserve_index=False)
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, final_path)     # retried task overwrites, never dups
-        new_files, row_count = [final_path], len(merged)
-        chash = _content_hash(merged["_sha"]) if ctx["compute_content_hash"] else ""
+        # delta mode (LSM write path): append a winners-only delta file —
+        # tombstones included — and merge on read; compact to a single file
+        # when a DDL must rewrite schemas (keeps the per-partition file-set
+        # schema-uniform) or the level-0 run grows past compact_every.
+        compact = (mode != "delta") or bool(applied_ddls) \
+            or (len(prior_files) + 1 > compact_every)
+        if compact:
+            state = _read_state(prior_files) if prior_files else _empty_state(
+                registry.columns_at(ver_start))
+            for d in applied_ddls:
+                a = d["ddl"]
+                if a["action"] == "add_column":
+                    state[a["name"]] = None
+                else:
+                    state = state.rename(columns={a["name"]: a["new_name"]})
+            merged = pd.concat(
+                [state[BASE_COLS + evolved_final + ["_lsn", "_sha", "_op"]],
+                 winners],
+                ignore_index=True,
+            )
+            merged = merged.sort_values("_lsn", kind="stable").drop_duplicates(
+                ["repo", "path"], keep="last")
+            merged = merged[merged["_op"] != "D"]
+            merged = merged.assign(_op="U").sort_values(
+                ["repo", "path"], kind="stable")
+            _write_state_file(merged, final_path, evolved_final)
+            new_files, row_count = [final_path], len(merged)
+            chash = _content_hash(merged["_sha"]) if ctx["compute_content_hash"] else ""
+        else:
+            delta = winners.sort_values(["repo", "path"], kind="stable")
+            _write_state_file(delta, final_path, evolved_final)
+            new_files, row_count, chash = prior_files + [final_path], -1, ""
 
     return pd.DataFrame(
         [{
@@ -293,14 +306,29 @@ def _apply_partition_group(group: pd.DataFrame, *, ctx: dict,
     )
 
 
+def _write_state_file(df: pd.DataFrame, final_path: str,
+                      evolved: list[str]) -> None:
+    tmp = final_path + f".tmp-{os.getpid()}"
+    tbl = pa.Table.from_pandas(
+        df.astype({c: "object" for c in BASE_COLS + evolved}),
+        schema=_state_schema(evolved), preserve_index=False)
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, final_path)         # retried task overwrites, never dups
+
+
 def _read_state(files: list[str]) -> pd.DataFrame:
-    return pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    """Merge-on-read: newest (_lsn) row per key wins; tombstones drop."""
+    from thor_ray.sources.lake import merge_state_frames
+
+    return merge_state_frames(
+        [pq.read_table(f).to_pandas() for f in files])
 
 
 def _empty_state(evolved: list[str]) -> pd.DataFrame:
     return pd.DataFrame(
         {c: pd.Series(dtype="object") for c in BASE_COLS + evolved}
-        | {"_lsn": pd.Series(dtype="int64"), "_sha": pd.Series(dtype="object")}
+        | {"_lsn": pd.Series(dtype="int64"), "_sha": pd.Series(dtype="object"),
+           "_op": pd.Series(dtype="object")}
     )
 
 
@@ -420,6 +448,7 @@ class CdcPipeline:
             g = g[BASE_COLS].copy().sort_values(["repo", "path"], kind="stable")
             g["_lsn"] = 0
             g["_sha"] = _sha256_series(g["content"]) if len(g) else pd.Series(dtype="object")
+            g["_op"] = "U"
             out_dir = os.path.join(lake_dir, f"part={pid:05d}")
             os.makedirs(out_dir, exist_ok=True)
             path = os.path.join(out_dir, "state-e000000.parquet")
@@ -511,6 +540,7 @@ class CdcPipeline:
             } for pid, m in manifests.items()},
             "epoch_ddls": epoch_ddls, "all_entries": full_registry.entries,
             "compute_content_hash": cfg.compute_content_hash,
+            "write_mode": cfg.write_mode, "compact_every": cfg.compact_every,
         }
 
         stages = []

@@ -1,41 +1,86 @@
 """Lake table readers (SURVEY.md §2.1 S1).
 
-State files carry two internal columns: ``_lsn`` (last-writer lsn per key,
-the merge tiebreaker) and ``_sha`` (cached sha256(content), so manifests'
-content hashes are incremental — only changed rows are re-hashed each
-epoch, SURVEY.md §7)."""
+State files carry three internal columns: ``_lsn`` (last-writer lsn per
+key, the merge tiebreaker), ``_sha`` (cached sha256(content) so manifest
+content hashes are incremental), and ``_op`` ('U' live row / 'D' tombstone
+— delta files keep tombstones, merge-on-read drops them; SURVEY.md §2.3
+A1 "LSM-style")."""
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data
 
-INTERNAL_COLS = ["_lsn", "_sha"]
+INTERNAL_COLS = ["_lsn", "_sha", "_op"]
+
+
+def merge_state_frames(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """LSM merge: newest (_lsn) row per (repo, path) wins; tombstones drop.
+
+    All frames of one partition share a schema (DDL epochs force
+    compaction, so a file run is never schema-mixed)."""
+    if not frames:
+        return pd.DataFrame()
+    df = pd.concat(frames, ignore_index=True)
+    df = df.sort_values("_lsn", kind="stable").drop_duplicates(
+        ["repo", "path"], keep="last")
+    if "_op" in df.columns:
+        df = df[df["_op"] != "D"]
+    return df
 
 
 def read_lake(lake_dir: str, manifests: dict | None = None,
               keep_internal: bool = False, **read_kwargs) -> "ray.data.Dataset":
-    """Current committed lake state as a Dataset (manifest-listed files)."""
+    """Current committed lake state as a Dataset.
+
+    Partitions whose file run has deltas (write_mode="delta") are merged
+    on read — one task per partition, no shuffle (a partition's files are
+    co-located by construction)."""
     from thor_ray.state import load_manifests
 
     ms = manifests if manifests is not None else load_manifests(lake_dir)
-    files = [f for m in ms.values() for f in (m.files if hasattr(m, "files") else m["files"])]
-    if not files:
+    files_of = {
+        pid: (m.files if hasattr(m, "files") else m["files"])
+        for pid, m in ms.items()
+    }
+    all_files = [f for fs in files_of.values() for f in fs]
+    if not all_files:
         return ray.data.from_items([])
-    # partitioning=None: the part=NNNNN dirs are layout, not hive columns
-    ds = ray.data.read_parquet(files, partitioning=None, **read_kwargs)
-    if not keep_internal:
-        ds = ds.drop_columns([c for c in INTERNAL_COLS if c in ds.schema().names])
-    return ds
+
+    needs_merge = any(len(fs) > 1 for fs in files_of.values())
+    if not needs_merge:
+        # compacted lake: plain parallel parquet read (tombstone-free)
+        # partitioning=None: the part=NNNNN dirs are layout, not hive columns
+        ds = ray.data.read_parquet(all_files, partitioning=None, **read_kwargs)
+        if not keep_internal:
+            ds = ds.drop_columns(
+                [c for c in INTERNAL_COLS if c in ds.schema().names])
+        return ds
+
+    items = pa.table({
+        "files": pa.array([json.dumps(fs) for fs in files_of.values() if fs]),
+    })
+
+    def merge_task(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for fj in batch["files"]:
+            frames = [pq.read_table(f).to_pandas() for f in json.loads(fj)]
+            df = merge_state_frames(frames)
+            if not keep_internal:
+                df = df.drop(columns=[c for c in INTERNAL_COLS if c in df.columns])
+            outs.append(df)
+        return pd.concat(outs, ignore_index=True)
+
+    return (ray.data.from_arrow(items)
+            .repartition(items.num_rows)
+            .map_batches(merge_task, batch_format="pandas", batch_size=None))
 
 
 def read_partition_state(files: list[str]) -> pd.DataFrame:
-    """One partition's current state, inside an apply task (pyarrow read)."""
-    if not files:
-        return pd.DataFrame()
-    import pyarrow as pa
-
-    tables = [pq.read_table(f) for f in files]
-    return pa.concat_tables(tables).to_pandas()
+    """One partition's current merged state, inside an apply task."""
+    return merge_state_frames([pq.read_table(f).to_pandas() for f in files])
