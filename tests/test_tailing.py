@@ -1,0 +1,80 @@
+"""Log-growth tailing: the engine must apply a GROWING binlog incrementally
+and still converge to the oracle state (SURVEY.md §2.1 S2 micro-batch tail;
+the Kafka consumer-loop analogue)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from thor_ray import gen, oracle
+from thor_ray.pipelines import CdcConfig, CdcPipeline
+from thor_ray.sources import binlog as bs
+
+
+@pytest.fixture(scope="module")
+def grown(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tail"))
+    base = gen.gen_base_table(n_repos=10, paths_per_repo=10, seed=12)
+    cfg = gen.BinlogConfig(n_events=8_000, n_shards=4, dup_rate=0.05,
+                           shuffle_window=64, ddl_every=2_500, seed=12)
+    log = gen.gen_binlog(base, cfg)
+    events = pa.concat_tables(log.shards)
+    expected, _ = oracle.apply_events(events, initial=base)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    return {"dir": d, "log": log, "base_path": base_path, "expected": expected}
+
+
+def check(pipe, expected):
+    got = pipe.final_table().to_pandas()
+    got = got.where(pd.notna(got), None).sort_values(["repo", "path"]) \
+        .reset_index(drop=True)[sorted(got.columns)]
+    exp = expected.where(pd.notna(expected), None) \
+        .sort_values(["repo", "path"]).reset_index(drop=True)[sorted(expected.columns)]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_two_phase_growth(ray_session, grown, tmp_path):
+    """Write half the segments, replay; write the rest, replay again —
+    the resumed run must pick up exactly where the watermarks left off."""
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write_segments(binlog_dir, n_segments=4, first=0, last=2)
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=8, epoch_size=1_000)
+    pipe = CdcPipeline(cfg)
+    # only complete epochs below the safe frontier while the log grows
+    frontier = bs.safe_frontier(binlog_dir, slack=250)
+    pipe.run(base=grown["base_path"],
+             until_lsn=(frontier // 1_000) * 1_000)
+    assert len(pipe.reports) >= 2
+    # the log grows
+    grown["log"].write_segments(binlog_dir, n_segments=4, first=2, last=4)
+    pipe2 = CdcPipeline(cfg)
+    pipe2.run()  # resume + drain to the new end
+    check(pipe2, grown["expected"])
+
+
+def test_follow_drains_and_stops(ray_session, grown, tmp_path):
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write_segments(binlog_dir, n_segments=2)
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=8, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    pipe.follow(poll_sec=0.05, idle_polls=2, base=grown["base_path"])
+    check(pipe, grown["expected"])
+
+
+def test_shard_frontiers(grown, tmp_path):
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write_segments(binlog_dir, n_segments=4, first=0, last=2)
+    fr = bs.shard_frontiers(binlog_dir)
+    assert len(fr) == 4
+    # half the log written -> frontier well below max, above zero
+    assert 0 < bs.safe_frontier(binlog_dir) < 8_000
+    grown["log"].write_segments(binlog_dir, n_segments=4, first=2, last=4)
+    assert bs.safe_frontier(binlog_dir) > 7_000

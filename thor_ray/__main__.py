@@ -63,6 +63,22 @@ def cmd_run(a) -> int:
     return 0
 
 
+def cmd_follow(a) -> int:
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=a.lake, binlog_dir=a.binlog, num_partitions=a.partitions,
+        epoch_size=a.epoch_size))
+    reports = pipe.follow(poll_sec=a.poll_sec, idle_polls=a.idle_polls,
+                          base=a.base)
+    for r in reports:
+        print(json.dumps({"epoch": r.epoch, "events": r.n_events,
+                          "events_per_sec": r.events_per_sec}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_verify(a) -> int:
     """Replay-equivalence check: lake state vs the single-process oracle."""
     ray = _ray_init(a.num_cpus)
@@ -133,6 +149,17 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--corrupt-rate", type=float, default=0.0)
     g.add_argument("--seed", type=int, default=42)
     g.set_defaults(fn=cmd_gen)
+
+    f = sub.add_parser("follow", help="continuous tail: poll for log growth")
+    f.add_argument("--lake", required=True)
+    f.add_argument("--binlog", required=True)
+    f.add_argument("--base")
+    f.add_argument("--partitions", type=int, default=64)
+    f.add_argument("--epoch-size", type=int, default=250_000)
+    f.add_argument("--poll-sec", type=float, default=2.0)
+    f.add_argument("--idle-polls", type=int, default=5)
+    f.add_argument("--num-cpus", type=int)
+    f.set_defaults(fn=cmd_follow)
 
     r = sub.add_parser("run", help="bootstrap + replay the binlog (resumable)")
     r.add_argument("--lake", required=True)

@@ -147,6 +147,27 @@ class Binlog:
             paths.append(p)
         return paths
 
+    def write_segments(self, out_dir: str, n_segments: int,
+                       first: int = 0, last: int | None = None,
+                       row_group_size: int = 16 * 1024) -> list[str]:
+        """Write segment files [first, last) of an n_segments split per
+        shard — simulates a GROWING log for tail/follow tests (Kafka
+        segment-roll analogue). Segment files match the shard-*.parquet
+        glob the tail source reads."""
+        os.makedirs(out_dir, exist_ok=True)
+        last = n_segments if last is None else last
+        paths = []
+        for i, t in enumerate(self.shards):
+            seg_len = (t.num_rows + n_segments - 1) // max(n_segments, 1)
+            for s in range(first, last):
+                seg = t.slice(s * seg_len, seg_len)
+                if seg.num_rows == 0:
+                    continue
+                p = os.path.join(out_dir, f"shard-{i:04d}-s{s:03d}.parquet")
+                pq.write_table(seg, p, row_group_size=row_group_size)
+                paths.append(p)
+        return paths
+
 
 def _ddl_timeline(n_events: int, ddl_every: int) -> list[tuple[int, dict]]:
     """Positions (1-based lsn) and payloads of DDL events, deterministic.

@@ -688,6 +688,42 @@ class CdcPipeline:
                 }) + "\n")
         os.replace(tmp, path)
 
+    def follow(self, poll_sec: float = 2.0, idle_polls: int = 3,
+               frontier_slack: int | None = None,
+               base: "ray.data.Dataset | str | None" = None) -> list[EpochReport]:
+        """Continuous tail: poll the binlog dir for log growth (new segment
+        files) and apply new COMPLETE epochs as they appear — micro-batch
+        streaming (Kafka consumer-loop analogue).
+
+        While the log may still grow, epochs are only committed up to the
+        safe frontier (the slowest shard's max lsn minus a skew allowance):
+        committing past it would advance watermarks over events a lagging
+        shard hasn't delivered yet. Once `idle_polls` polls see no growth
+        the log is deemed finished and the tail past the frontier is
+        drained. Safe to kill/restart any time (resume-from-manifests)."""
+        if frontier_slack is None:
+            frontier_slack = self.cfg.epoch_size // 4
+        idle = 0
+        seen = -1
+        while idle < idle_polls:
+            now = binlog_src.max_lsn(self.cfg.binlog_dir)
+            if now > seen:
+                seen = now
+                frontier = binlog_src.safe_frontier(
+                    self.cfg.binlog_dir, slack=frontier_slack)
+                # only epochs fully below the frontier
+                complete = (frontier // self.cfg.epoch_size) * self.cfg.epoch_size
+                if complete > 0:
+                    self.run(base=base, until_lsn=complete)
+                idle = 0
+            else:
+                idle += 1
+                if idle < idle_polls:
+                    time.sleep(poll_sec)
+        # log stopped growing: drain everything (final partial epoch incl.)
+        self.run(base=base)
+        return self.reports
+
     # ---- results ---------------------------------------------------------
     def final_table(self, keep_internal: bool = False) -> "ray.data.Dataset":
         from thor_ray.sources.lake import read_lake

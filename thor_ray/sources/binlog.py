@@ -38,6 +38,31 @@ def max_lsn(binlog_dir: str) -> int:
     return hi
 
 
+def shard_frontiers(binlog_dir: str) -> dict[str, int]:
+    """Max lsn per shard (files grouped by the shard-XXXX name prefix)."""
+    out: dict[str, int] = {}
+    for p in shard_files(binlog_dir):
+        shard = os.path.basename(p)[:10]  # "shard-XXXX"
+        md = pq.read_metadata(p)
+        idx = md.schema.names.index("lsn")
+        hi = out.get(shard, 0)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                hi = max(hi, st.max)
+        out[shard] = hi
+    return out
+
+
+def safe_frontier(binlog_dir: str, slack: int = 0) -> int:
+    """Highest lsn safe to commit past while the log may still grow: the
+    slowest shard's max lsn minus a skew allowance. Committing beyond it
+    would advance watermarks past events a lagging shard hasn't delivered
+    (SURVEY.md §2.9 W2/W3)."""
+    fr = shard_frontiers(binlog_dir)
+    return max(min(fr.values(), default=0) - slack, 0)
+
+
 def read_epoch(binlog_dir: str, lo: int, hi: int,
                override_num_blocks: int | None = None,
                columns: list[str] | None = None) -> "ray.data.Dataset":
