@@ -78,3 +78,18 @@ def test_shard_frontiers(grown, tmp_path):
     assert 0 < bs.safe_frontier(binlog_dir) < 8_000
     grown["log"].write_segments(binlog_dir, n_segments=4, first=2, last=4)
     assert bs.safe_frontier(binlog_dir) > 7_000
+
+
+def test_read_lineage(ray_session, grown, tmp_path):
+    from thor_ray.sources import read_lineage
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write_segments(binlog_dir, n_segments=1)
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=4, epoch_size=4_000)
+    CdcPipeline(cfg).run(base=grown["base_path"])
+    ep = read_lineage(cfg.lake_dir, kind="epoch")
+    pt = read_lineage(cfg.lake_dir, kind="partition")
+    assert len(ep) == 2 and (ep["events_per_sec"] > 0).all()
+    assert len(pt) == 8 and set(pt["pid"]) == set(range(4))
+    # event accounting: per-partition event counts sum to the epoch totals
+    assert pt["events"].sum() == ep["n_events"].sum()

@@ -15,3 +15,21 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import thor_ray` light; heavy deps load
+    on first use)."""
+    if name in ("CdcConfig", "CdcPipeline"):
+        from thor_ray.pipelines import cdc
+
+        return getattr(cdc, name)
+    if name == "run_flagship":
+        from thor_ray.pipelines.flagship import run_flagship
+
+        return run_flagship
+    if name in ("queries", "oracle_sql"):
+        import thor_ray.queries as q
+
+        return getattr(q, name)
+    raise AttributeError(name)

@@ -84,3 +84,19 @@ def read_lake(lake_dir: str, manifests: dict | None = None,
 def read_partition_state(files: list[str]) -> pd.DataFrame:
     """One partition's current merged state, inside an apply task."""
     return merge_state_frames([pq.read_table(f).to_pandas() for f in files])
+
+
+def read_lineage(lake_dir: str, kind: str | None = None) -> pd.DataFrame:
+    """All per-epoch lineage records (SURVEY.md §2.1 S4) as a DataFrame.
+
+    kind: None (all) | "epoch" | "partition"."""
+    import glob as _glob
+
+    rows = []
+    for p in sorted(_glob.glob(f"{lake_dir}/_lineage/epoch-*.jsonl")):
+        with open(p) as f:
+            for line in f:
+                rec = json.loads(line)
+                if kind is None or rec.get("type") == kind:
+                    rows.append(rec)
+    return pd.DataFrame(rows)
