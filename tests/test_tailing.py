@@ -93,3 +93,50 @@ def test_read_lineage(ray_session, grown, tmp_path):
     assert len(pt) == 8 and set(pt["pid"]) == set(range(4))
     # event accounting: per-partition event counts sum to the epoch totals
     assert pt["events"].sum() == ep["n_events"].sum()
+
+
+def test_partial_epoch_growth_no_loss(ray_session, grown, tmp_path):
+    """Regression: a run against a log cut MID-EPOCH must clamp the
+    committed watermark to the observed max lsn — events arriving later in
+    the same epoch range must still be applied (previously silently
+    watermark-dropped)."""
+    binlog_dir = str(tmp_path / "binlog")
+    # 8 segments -> first 3 end mid-epoch for epoch_size=2000 (~3000 lsns)
+    grown["log"].write_segments(binlog_dir, n_segments=8, first=0, last=3)
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=8, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    # the log may still grow -> complete=False drains only to the safe
+    # frontier (a lagging shard's undelivered lower-lsn events stay safe)
+    pipe.run(base=grown["base_path"], complete=False)
+    from thor_ray.state import load_manifests
+    upto = min(m.upto_lsn for m in load_manifests(cfg.lake_dir).values())
+    assert upto < 8_000, "must not have drained to the (unseen) log end"
+    # log grows within the same epoch range and beyond
+    grown["log"].write_segments(binlog_dir, n_segments=8, first=3, last=8)
+    pipe2 = CdcPipeline(cfg)
+    pipe2.run()
+    check(pipe2, grown["expected"])
+
+
+def test_registry_persisted_before_manifests(ray_session, grown, tmp_path):
+    """Regression: the registry is saved BEFORE manifest swaps; a 'crash'
+    leaving the registry ahead of the manifests must replay cleanly (the
+    lsn-keyed merge is idempotent)."""
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write_segments(binlog_dir, n_segments=1)
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=4, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=grown["base_path"], max_epochs=2)  # epoch 2 contains a DDL
+    from thor_ray.state import SchemaRegistry, load_manifests
+    import thor_ray.state.manifest as mmod
+    reg_after = SchemaRegistry.load(cfg.lake_dir)
+    assert reg_after.version >= 1
+    # simulate crash-after-registry-save-before-manifests: rewind manifests
+    for pid, m in load_manifests(cfg.lake_dir).items():
+        m.epoch, m.upto_lsn, m.schema_ver = 1, 2_000, 0
+        mmod.write_manifest(cfg.lake_dir, m)
+    pipe2 = CdcPipeline(cfg)
+    pipe2.run()
+    check(pipe2, grown["expected"])

@@ -28,8 +28,7 @@ def __getattr__(name):
         from thor_ray.pipelines.flagship import run_flagship
 
         return run_flagship
-    if name in ("queries", "oracle_sql"):
-        import thor_ray.queries as q
-
-        return getattr(q, name)
+    # NOTE: no lazy alias for `queries`/`oracle_sql` — the name collides
+    # with the thor_ray.queries SUBMODULE (import binding would shadow the
+    # function after first submodule import). Use thor_ray.queries.queries().
     raise AttributeError(name)

@@ -127,7 +127,9 @@ def cmd_show(a) -> int:
                   "max": max((m.epoch for m in ms.values()), default=None)},
         "upto_lsn": {"min": min((m.upto_lsn for m in ms.values()), default=None),
                      "max": max((m.upto_lsn for m in ms.values()), default=None)},
-        "rows": sum(m.row_count for m in ms.values()),
+        # delta-mode partitions carry row_count=-1 until compaction
+        "rows_known": sum(m.row_count for m in ms.values() if m.row_count >= 0),
+        "partitions_uncompacted": sum(1 for m in ms.values() if m.row_count < 0),
         "schema_version": reg.version,
         "evolved_columns": reg.columns_at(reg.version),
     }, indent=2))

@@ -389,6 +389,11 @@ def write_fixture(
     binlog_dir = os.path.join(out_dir, "binlog")
     if os.path.exists(marker) and open(marker).read() == key:
         return {"base": base_path, "binlog_dir": binlog_dir, "cached": True}
+    # config changed: clear the whole dir — stale shard files from the old
+    # config would be picked up by the binlog glob and corrupt the stream
+    if os.path.exists(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     base = gen_base_table(n_repos=n_repos, paths_per_repo=max(1, n_keys // n_repos), seed=seed)
     pq.write_table(base, base_path, row_group_size=64 * 1024)

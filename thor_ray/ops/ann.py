@@ -35,11 +35,14 @@ def brute_topk(ds: Dataset, query: np.ndarray, k: int, vec_col: str = "embedding
     def score(t: pa.Table) -> pa.Table:
         qv = ray.get(qref)
         vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
-        cos = _normalize(vecs) @ qv
-        order = np.argsort(-cos, kind="stable")[: min(k, len(cos))]
+        cos = np.round(_normalize(vecs) @ qv, round_to)
+        ids = t[id_col].to_numpy()
+        # select by (rounded cos desc, id asc) — the oracle's exact order,
+        # so rounded ties at the k boundary cannot diverge
+        order = np.lexsort((ids, -cos))[: min(k, len(cos))]
         return pa.table({
             id_col: t[id_col].take(pa.array(order)),
-            "cos": pa.array(np.round(cos[order], round_to)),
+            "cos": pa.array(cos[order]),
         })
 
     return (ds.map_batches(score, batch_format="pyarrow")

@@ -108,9 +108,9 @@ def lang_id(ds: Dataset, text_col: str = "text",
             scores = np.stack(
                 [lower.str.count(p.pattern).to_numpy() for p in self.pats.values()],
                 axis=1)
-            langs = np.array(list(self.pats.keys()))
+            langs = np.array(list(self.pats.keys()), dtype=object)
             best = langs[scores.argmax(axis=1)]
-            best[scores.max(axis=1) == 0] = "unk"
+            best[scores.max(axis=1) == 0] = "unk"  # object dtype: no <U2 truncation
             batch[out] = best
             return batch
 

@@ -150,7 +150,9 @@ def _spill_stage1(t: pa.Table, *, ex_dir: str, n_slots: int) -> pa.Table:
         idx = order[bounds[s] : bounds[s + 1]]
         sub = t.take(pa.array(idx))
         sl = lsns[idx]
-        digest = f"{len(sl)}-{sl.min()}-{sl.max()}-{np.bitwise_xor.reduce(sl) & 0xFFFFFFFFFFFF:012x}"
+        # full-content digest: (count,min,max,xor) alone can collide between
+        # two blocks of the same slot and silently clobber rows
+        digest = hashlib.sha256(np.sort(sl).tobytes()).hexdigest()[:20]
         d = os.path.join(ex_dir, f"slot={int(s):05d}")
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"b-{digest}.arrow")
@@ -498,38 +500,69 @@ class CdcPipeline:
 
     # ---- epoch loop ------------------------------------------------------
     def run(self, base: "ray.data.Dataset | str | None" = None,
-            max_epochs: int | None = None, until_lsn: int | None = None) -> list[EpochReport]:
-        """Bootstrap (or recover from manifests) and replay the log to its
-        end. Safe to kill and re-run: resumes from committed manifests."""
+            max_epochs: int | None = None, until_lsn: int | None = None,
+            complete: bool = True) -> list[EpochReport]:
+        """Bootstrap (or recover from manifests) and replay the log.
+
+        complete=True (default): the log is finished — drain to its global
+        max lsn. complete=False: the log may still be GROWING — drain only
+        to the safe frontier (slowest shard's max lsn minus a skew
+        allowance); committing past it would watermark-drop events a
+        lagging shard delivers later. Safe to kill and re-run: resumes from
+        committed manifests."""
         cfg = self.cfg
         self._check_engine_meta()
         self.bootstrap(base)
         manifests = load_manifests(cfg.lake_dir)
-        max_l = until_lsn or binlog_src.max_lsn(cfg.binlog_dir)
-        epoch = min(m.epoch for m in manifests.values()) + 1
+        if until_lsn is not None:
+            max_l = until_lsn
+        elif complete:
+            max_l = binlog_src.max_lsn(cfg.binlog_dir)
+        else:
+            max_l = binlog_src.safe_frontier(
+                cfg.binlog_dir, slack=cfg.epoch_size // 4)
+        # resume from the WATERMARK grid position: a previous run may have
+        # committed a partial tail epoch (upto_lsn < epoch*E); re-entering
+        # that epoch re-reads its range and the per-partition watermark
+        # drops what was already applied
+        min_upto = min(m.upto_lsn for m in manifests.values())
+        epoch = min_upto // cfg.epoch_size + 1
         n_run = 0
         while (epoch - 1) * cfg.epoch_size < max_l:
             if max_epochs is not None and n_run >= max_epochs:
                 break
-            self.run_epoch(epoch, manifests)
+            self.run_epoch(epoch, manifests, ceiling=max_l)
             manifests = load_manifests(cfg.lake_dir)
             epoch += 1
             n_run += 1
         return self.reports
 
-    def run_epoch(self, epoch: int, manifests: dict[int, Manifest] | None = None) -> EpochReport:
+    def run_epoch(self, epoch: int, manifests: dict[int, Manifest] | None = None,
+                  ceiling: int | None = None) -> EpochReport:
         cfg = self.cfg
         t0 = time.perf_counter()
         manifests = manifests or load_manifests(cfg.lake_dir)
         P = cfg.num_partitions
         lo = (epoch - 1) * cfg.epoch_size
-        hi = epoch * cfg.epoch_size
+        # clamp the committed watermark to what the caller knows is fully
+        # delivered (the run's drain ceiling; standalone calls use the
+        # observed log end): committing upto_lsn past delivered data would
+        # silently watermark-drop events that arrive later in that range
+        if ceiling is None:
+            ceiling = binlog_src.max_lsn(cfg.binlog_dir)
+        hi = min(epoch * cfg.epoch_size, ceiling) if ceiling else \
+            epoch * cfg.epoch_size
 
         registry = SchemaRegistry.load(cfg.lake_dir)
         t_ddl = time.perf_counter()
         epoch_ddls = binlog_src.read_ddl_events(cfg.binlog_dir, lo, hi)
         t_ddl = time.perf_counter() - t_ddl
         full_registry = registry.merged(epoch_ddls)  # lsn-dedup: re-run safe
+        # persist BEFORE any manifest swap: a crash between manifests and a
+        # late registry save would lose this epoch's DDLs forever (partition
+        # schema_ver would point past the end of the stored timeline). The
+        # registry is lsn-keyed and idempotent, so saving early is safe.
+        full_registry.save(cfg.lake_dir)
 
         ctx = {
             "lake_dir": cfg.lake_dir, "epoch": epoch, "hi": hi,
@@ -648,7 +681,6 @@ class CdcPipeline:
                                "DDL": len(epoch_ddls), "dup_dropped": int(r.n_dup)},
                 },
             ))
-        full_registry.save(cfg.lake_dir)
         committed = load_manifests(cfg.lake_dir)
         gc_lake(cfg.lake_dir, committed)
         t_commit = time.perf_counter() - t_commit

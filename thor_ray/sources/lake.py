@@ -66,13 +66,18 @@ def read_lake(lake_dir: str, manifests: dict | None = None,
         "files": pa.array([json.dumps(fs) for fs in files_of.values() if fs]),
     })
 
+    columns = read_kwargs.get("columns")
+
     def merge_task(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for fj in batch["files"]:
+            # the merge itself needs the key + internal columns regardless
             frames = [pq.read_table(f).to_pandas() for f in json.loads(fj)]
             df = merge_state_frames(frames)
             if not keep_internal:
                 df = df.drop(columns=[c for c in INTERNAL_COLS if c in df.columns])
+            if columns:
+                df = df[[c for c in columns if c in df.columns]]
             outs.append(df)
         return pd.concat(outs, ignore_index=True)
 

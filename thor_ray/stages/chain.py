@@ -41,12 +41,22 @@ def predicate_gate(predicate: Callable[[Batch], pa.Array],
     """Apply `transform` only to rows matching `predicate` (Connect's
     SMT predicates); non-matching rows pass through unchanged.
 
-    Requires the transform to preserve schema (row-wise rewrite)."""
+    Requires the transform to preserve schema and row count (row-wise
+    rewrite); input row ORDER is preserved."""
     def fn(t: Batch) -> Batch:
+        import numpy as np
+
         mask = predicate(t)
-        yes = transform(t.filter(mask))
-        no = t.filter(pc.invert(mask))
-        return pa.concat_tables([yes, no], promote_options="permissive")
+        idx = pa.array(np.arange(len(t), dtype=np.int64))
+        t2 = t.append_column("__gate_idx", idx)
+        yes = t2.filter(mask)
+        kept = yes.column("__gate_idx")
+        yes = transform(yes.drop_columns(["__gate_idx"])) \
+            .append_column("__gate_idx", kept)
+        no = t2.filter(pc.invert(mask))
+        out = pa.concat_tables([yes, no], promote_options="permissive")
+        order = pc.sort_indices(out.column("__gate_idx"))
+        return out.take(order).drop_columns(["__gate_idx"])
     return fn
 
 
