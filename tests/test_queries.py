@@ -41,6 +41,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].where(pd.notna(df[c]), None)
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype) in ("Int64", "Int32", "Int16", "UInt32"):
+            # pandas nullable ints: int64 when fully valid (what DuckDB
+            # fetchdf gives), float64 when nulls present (ditto)
+            df[c] = df[c].astype("float64") if df[c].isna().any() \
+                else df[c].astype("int64")
         if df[c].dtype in (np.int32, np.uint32, np.int16):
             df[c] = df[c].astype("int64")
         if df[c].dtype == np.float32:
@@ -60,7 +65,10 @@ def test_sql_checked(name, ray_session, con):
     assert list(got.columns) == list(exp.columns), \
         f"{name}: cols {list(got.columns)} != {list(exp.columns)}"
     assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
-    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+    # check_dtype=True: the round-1 driver failures (q18 HUGEINT-as-float,
+    # q25 float64-upcast left key) were pure dtype mismatches the old
+    # check_dtype=False gate could not see — dtypes are part of the hash.
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True,
                                   check_exact=False, rtol=1e-9, atol=1e-9)
 
 

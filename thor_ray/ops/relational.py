@@ -142,16 +142,39 @@ def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
         cols = lcols + ["_side", "_ts"] + [c + suffix for c in right_payload]
         return pa.table({c: out[c] for c in cols})
 
+    def restore_left_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+        # The tag/union design fills left columns with nulls on the right
+        # side, so the grouped pandas frame upcasts int64 → float64 (and
+        # bool → object); cast the left columns back to their original
+        # Arrow-schema dtypes before emitting (round-1 q25 hash failure).
+        for f in lschema:
+            col = df[f.name]
+            if pa.types.is_integer(f.type):
+                df[f.name] = col.astype("Int64") if col.isna().any() \
+                    else col.astype(f.type.to_pandas_dtype())
+            elif pa.types.is_boolean(f.type):
+                df[f.name] = col.astype("boolean")
+        return df
+
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == "L"].sort_values("_ts", kind="stable")
         rg = g[g["_side"] == "R"].sort_values("_ts", kind="stable")
         rcols = [c + suffix for c in right_payload]
         lg = lg.drop(columns=rcols)
         if not len(lg):
-            return pd.DataFrame(columns=lcols + rcols)
+            empty = lschema.empty_table().to_pandas()
+            for c in rcols:
+                empty[c] = pd.Series(dtype="object")
+            return empty
         merged = pd.merge_asof(
             lg, rg[["_ts"] + rcols], on="_ts", direction="backward")
-        return merged[lcols + rcols]
+        merged = merged[lcols + rcols]
+        for c in rcols:
+            # unmatched rows get float NaN from merge_asof; emit proper
+            # nulls (None) so the Arrow block — and the driver's value
+            # hash — sees NULL, not the string "nan"
+            merged[c] = merged[c].astype(object).where(pd.notna(merged[c]), None)
+        return restore_left_dtypes(merged)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))

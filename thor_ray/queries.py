@@ -380,9 +380,13 @@ def q18_json_extract(sf: str):
 
 SQL_Q18 = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
+# NOTE the outer CAST: DuckDB sum(BIGINT) returns HUGEINT, which the driver
+# fetches as float64 ("99111.0") while the engine emits int64 ("99111") —
+# the order-insensitive value-hash stringifies them differently (round-1
+# q18 failure). Audit any future sum-of-integer oracle for the same trap.
 
 
 def q19_window_tumbling(sf: str):
