@@ -116,3 +116,29 @@ def test_split_valid_and_chain(t):
     out = chain(t)
     assert out["table"].to_pylist() == ["orders", "users", "orders"]
     assert "secret" not in out.column_names
+
+
+def test_stable_hash_null_keys_defined(monkeypatch):
+    """Null key columns must hash deterministically (as empty string) in the
+    FNV fallback — previously an all-null column's missing data buffer
+    crashed, or null rows hashed to arbitrary partitions (ADVICE round 1)."""
+    import sys
+    import numpy as np
+    import pyarrow as pa
+    from thor_ray.stages.smt import stable_hash
+    t = pa.table({"repo": pa.array([None, "a", None], type=pa.string()),
+                  "path": pa.array(["x", None, None], type=pa.string())})
+    all_null = pa.table({"repo": pa.array([None, None], type=pa.string()),
+                         "path": pa.array([None, None], type=pa.string())})
+    # force the FNV fallback by hiding polars
+    monkeypatch.setitem(sys.modules, "polars", None)
+    try:
+        h = stable_hash(t, ["repo", "path"])
+        assert len(h) == 3 and (h >= 0).all()
+        h2 = stable_hash(all_null, ["repo", "path"])
+        assert len(h2) == 2 and h2[0] == h2[1]
+        # null hashes like empty string -> defined and consistent
+        empty = pa.table({"repo": pa.array(["", ""]), "path": pa.array(["", ""])})
+        assert (stable_hash(empty, ["repo", "path"]) == h2).all()
+    finally:
+        pass

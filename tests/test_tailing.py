@@ -140,3 +140,55 @@ def test_registry_persisted_before_manifests(ray_session, grown, tmp_path):
     pipe2 = CdcPipeline(cfg)
     pipe2.run()
     check(pipe2, grown["expected"])
+
+
+def test_safe_frontier_undelivered_shard(grown, tmp_path):
+    """A declared shard with no files yet must pin the frontier at 0 —
+    otherwise the min over *present* shards commits watermarks past the
+    missing shard's future lower-lsn events (ADVICE round 1)."""
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write_segments(binlog_dir, n_segments=4, first=0, last=2)
+    # drop one shard's files: declared in _shards.json but not delivered
+    removed = [f for f in os.listdir(binlog_dir) if f.startswith("shard-0002")]
+    assert removed
+    for f in removed:
+        os.remove(os.path.join(binlog_dir, f))
+    assert bs.safe_frontier(binlog_dir) == 0
+    # explicit expectation overrides the marker
+    assert bs.safe_frontier(binlog_dir, expected=["shard-0000"]) > 0
+
+
+def test_empty_binlog_run_commits_nothing(ray_session, grown, tmp_path):
+    """run_epoch against an empty binlog must clamp hi to the (zero)
+    ceiling: upto_lsn stays 0, no watermark overcommit (ADVICE round 1)."""
+    binlog_dir = str(tmp_path / "binlog")
+    os.makedirs(binlog_dir, exist_ok=True)
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=4, epoch_size=1_000)
+    pipe = CdcPipeline(cfg)
+    pipe.bootstrap(grown["base_path"])
+    pipe.run_epoch(1)
+    from thor_ray.state import load_manifests
+    assert all(m.upto_lsn == 0 for m in load_manifests(cfg.lake_dir).values())
+
+
+def test_lake_relocation_resume(ray_session, grown, tmp_path):
+    """Manifests store lake-relative file paths: a lake moved to a new
+    mount point must resume (and GC correctly) from the new location."""
+    import shutil
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write_segments(binlog_dir, n_segments=2)
+    lake_a = str(tmp_path / "lake_a")
+    cfg = CdcConfig(lake_dir=lake_a, binlog_dir=binlog_dir,
+                    num_partitions=4, epoch_size=2_000)
+    CdcPipeline(cfg).run(base=grown["base_path"], max_epochs=1)
+    lake_b = str(tmp_path / "lake_b")
+    shutil.move(lake_a, lake_b)
+    from thor_ray.state import load_manifests
+    assert all(os.path.exists(f)
+               for m in load_manifests(lake_b).values() for f in m.files)
+    cfg_b = CdcConfig(lake_dir=lake_b, binlog_dir=binlog_dir,
+                      num_partitions=4, epoch_size=2_000)
+    pipe = CdcPipeline(cfg_b)
+    pipe.run()
+    check(pipe, grown["expected"])

@@ -140,12 +140,27 @@ class Binlog:
         row-group statistics — one giant group per shard would force every
         epoch to decode the whole shard (measured 2-3× epoch slowdown)."""
         os.makedirs(out_dir, exist_ok=True)
+        self._write_shard_marker(out_dir)
         paths = []
         for i, t in enumerate(self.shards):
             p = os.path.join(out_dir, f"shard-{i:04d}.parquet")
             pq.write_table(t, p, row_group_size=row_group_size)
             paths.append(p)
         return paths
+
+    def _write_shard_marker(self, out_dir: str) -> None:
+        """Declare the expected shard set BEFORE any data lands, so the
+        reader's safe_frontier never commits past a shard whose first
+        segment hasn't been delivered yet (thor_ray.sources.binlog)."""
+        p = os.path.join(out_dir, "_shards.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            # only shards that will actually deliver data — an empty shard
+            # would pin the frontier at 0 forever
+            json.dump({"shards": [f"shard-{i:04d}"
+                                  for i, t in enumerate(self.shards)
+                                  if t.num_rows > 0]}, f)
+        os.replace(tmp, p)
 
     def write_segments(self, out_dir: str, n_segments: int,
                        first: int = 0, last: int | None = None,
@@ -155,6 +170,7 @@ class Binlog:
         segment-roll analogue). Segment files match the shard-*.parquet
         glob the tail source reads."""
         os.makedirs(out_dir, exist_ok=True)
+        self._write_shard_marker(out_dir)
         last = n_segments if last is None else last
         paths = []
         for i, t in enumerate(self.shards):

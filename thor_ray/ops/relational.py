@@ -266,8 +266,11 @@ def partial_then_final_sum(ds: Dataset, key: str, col: str, alias: str,
     the wide exchange moves one row per (key, batch) instead of every row
     (SURVEY.md §2.5 G2, ray_guide 'Aggregation at scale')."""
     def partial(t: pa.Table) -> pa.Table:
+        # select by NAME: group_by().aggregate() column order has differed
+        # across pyarrow versions — a positional rename would silently swap
+        # the key and sum labels on a version bump
         g = t.group_by(key).aggregate([(col, "sum")])
-        return g.rename_columns([key, alias])
+        return g.select([key, f"{col}_sum"]).rename_columns([key, alias])
 
     from ray.data.aggregate import Sum
 

@@ -550,8 +550,10 @@ class CdcPipeline:
         # silently watermark-drop events that arrive later in that range
         if ceiling is None:
             ceiling = binlog_src.max_lsn(cfg.binlog_dir)
-        hi = min(epoch * cfg.epoch_size, ceiling) if ceiling else \
-            epoch * cfg.epoch_size
+        # unconditional clamp: ceiling==0 (empty / not-yet-delivered binlog)
+        # must clamp hi to 0, not fall through to epoch*epoch_size — that
+        # would be exactly the watermark overcommit this guard prevents
+        hi = min(epoch * cfg.epoch_size, ceiling)
 
         registry = SchemaRegistry.load(cfg.lake_dir)
         t_ddl = time.perf_counter()

@@ -54,12 +54,30 @@ def shard_frontiers(binlog_dir: str) -> dict[str, int]:
     return out
 
 
-def safe_frontier(binlog_dir: str, slack: int = 0) -> int:
+def expected_shards(binlog_dir: str) -> list[str] | None:
+    """The declared shard set, from the writer's `_shards.json` marker.
+
+    Without it, a shard whose first segment hasn't been delivered yet is
+    invisible to shard_frontiers — the frontier min would skip it and
+    commit watermarks past its future lower-lsn events (ADVICE round 1)."""
+    p = os.path.join(binlog_dir, "_shards.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)["shards"]
+    return None
+
+
+def safe_frontier(binlog_dir: str, slack: int = 0,
+                  expected: list[str] | None = None) -> int:
     """Highest lsn safe to commit past while the log may still grow: the
     slowest shard's max lsn minus a skew allowance. Committing beyond it
     would advance watermarks past events a lagging shard hasn't delivered
-    (SURVEY.md §2.9 W2/W3)."""
+    (SURVEY.md §2.9 W2/W3). While any declared shard (the `_shards.json`
+    marker, or `expected`) has no data yet, the frontier is 0."""
     fr = shard_frontiers(binlog_dir)
+    exp = expected if expected is not None else expected_shards(binlog_dir)
+    if exp is not None and any(s not in fr for s in exp):
+        return 0
     return max(min(fr.values(), default=0) - slack, 0)
 
 
@@ -70,13 +88,18 @@ def read_epoch(binlog_dir: str, lo: int, hi: int,
 
     `columns` prunes at the read (the apply path doesn't need txn/ts/ddl —
     don't decode or shuffle them)."""
+    files = shard_files(binlog_dir)
+    if not files:
+        from thor_ray.gen import EVENT_SCHEMA
+        sel = columns or EVENT_SCHEMA.names
+        return ray.data.from_arrow(EVENT_SCHEMA.empty_table().select(sel))
     flt = (pc.field("lsn") > lo) & (pc.field("lsn") <= hi) & (pc.field("op") != "DDL")
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
     if columns:
         kw["columns"] = columns
-    return ray.data.read_parquet(shard_files(binlog_dir), filter=flt, **kw)
+    return ray.data.read_parquet(files, filter=flt, **kw)
 
 
 def read_ddl_events(binlog_dir: str, lo: int, hi: int) -> list[dict]:
@@ -84,7 +107,10 @@ def read_ddl_events(binlog_dir: str, lo: int, hi: int) -> list[dict]:
 
     Returns [{"lsn", "schema_ver", "ddl": {...}}, ...]; tiny by contract
     (DDL is rare — SURVEY.md §2.3 A3)."""
-    ds = pads.dataset(shard_files(binlog_dir))
+    files = shard_files(binlog_dir)
+    if not files:
+        return []
+    ds = pads.dataset(files)
     t = ds.to_table(
         columns=["lsn", "schema_ver", "ddl"],
         filter=(pc.field("lsn") > lo) & (pc.field("lsn") <= hi)

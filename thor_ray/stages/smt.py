@@ -213,9 +213,13 @@ def stable_hash(t: Batch, cols: list[str]) -> np.ndarray:
         return (h >> np.uint64(1)).astype(np.int64)
     except ImportError:
         pass
-    joined = t[cols[0]]
+    # null keys hash as empty string so routing is DEFINED even when the
+    # DLQ stage is disabled and corrupt events reach route(): without the
+    # fill, binary_join propagates nulls and an all-null column's data
+    # buffer can be None (crash) or rows hash to arbitrary partitions
+    joined = pc.fill_null(t[cols[0]], "")
     for c in cols[1:]:
-        joined = pc.binary_join_element_wise(joined, t[c], "\x00")
+        joined = pc.binary_join_element_wise(joined, pc.fill_null(t[c], ""), "\x00")
     if isinstance(joined, pa.ChunkedArray):
         joined = joined.combine_chunks()
     if pa.types.is_large_string(joined.type):
@@ -225,7 +229,9 @@ def stable_hash(t: Batch, cols: list[str]) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     off_buf = np.frombuffer(joined.buffers()[1], dtype=np.int32)
     offs = off_buf[joined.offset : joined.offset + n + 1].astype(np.int64)
-    data = np.frombuffer(joined.buffers()[2], dtype=np.uint8)
+    data_buf = joined.buffers()[2]
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None \
+        else np.empty(0, dtype=np.uint8)
     lens = offs[1:] - offs[:-1]
     starts = offs[:-1]
     h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)

@@ -48,22 +48,31 @@ def manifest_path(lake_dir: str, pid: int) -> str:
 
 
 def load_manifests(lake_dir: str) -> dict[int, Manifest]:
+    """In-memory Manifest.files are absolute; on disk they are stored
+    lake-relative so a lake mounted/relocated under a different path still
+    resumes (and gc never mistakes still-referenced files for garbage)."""
     out: dict[int, Manifest] = {}
     for p in glob.glob(os.path.join(_manifest_dir(lake_dir), "part-*.json")):
         with open(p) as f:
             m = Manifest.from_json(f.read())
+        m.files = [f if os.path.isabs(f) else os.path.join(lake_dir, f)
+                   for f in m.files]
         out[m.partition_id] = m
     return out
 
 
 def write_manifest(lake_dir: str, m: Manifest) -> None:
-    """Atomic swap: write tmp in the same dir, fsync, os.replace."""
+    """Atomic swap: write tmp in the same dir, fsync, os.replace.
+    File paths are relativized against lake_dir before persisting."""
     d = _manifest_dir(lake_dir)
     os.makedirs(d, exist_ok=True)
     final = manifest_path(lake_dir, m.partition_id)
     tmp = final + ".tmp"
+    payload = asdict(m)
+    payload["files"] = [os.path.relpath(f, lake_dir) if os.path.isabs(f) else f
+                        for f in m.files]
     with open(tmp, "w") as f:
-        f.write(m.to_json())
+        f.write(json.dumps(payload, sort_keys=True))
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, final)
