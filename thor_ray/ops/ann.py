@@ -22,6 +22,25 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def vec_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """(n, d) float64 matrix from a list<float>/fixed_size_list column with
+    NO per-row Python: flatten + reshape over the Arrow buffers (the old
+    ``np.stack(col.to_pylist())`` built n Python lists per batch)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+    else:
+        lens = pc.list_value_length(arr).to_numpy()
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("ragged embedding column; expected uniform dim")
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    return flat.reshape(n, d).astype(np.float64, copy=False)
+
+
 def brute_topk(ds: Dataset, query: np.ndarray, k: int, vec_col: str = "embedding",
                id_col: str = "vec_id", round_to: int = 4) -> Dataset:
     """Exact cosine top-k of `query` (1, d) against every row.
@@ -34,7 +53,7 @@ def brute_topk(ds: Dataset, query: np.ndarray, k: int, vec_col: str = "embedding
 
     def score(t: pa.Table) -> pa.Table:
         qv = ray.get(qref)
-        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        vecs = vec_matrix(t[vec_col])
         cos = np.round(_normalize(vecs) @ qv, round_to)
         ids = t[id_col].to_numpy()
         # select by (rounded cos desc, id asc) — the oracle's exact order,
@@ -91,8 +110,7 @@ def ivf_topk(ds: Dataset, query: np.ndarray, k: int, n_cells: int = 16,
 
     def score(t: pa.Table) -> pa.Table:
         centroids, cells, qv = ray.get(iref)
-        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
-        nv = _normalize(vecs)
+        nv = _normalize(vec_matrix(t[vec_col]))
         assign = np.argmax(nv @ centroids.T, axis=1)
         mask = np.isin(assign, list(cells))
         cos = nv[mask] @ qv

@@ -22,6 +22,19 @@ MERSENNE = np.uint64((1 << 61) - 1)
 MAX_BUCKET = 1000  # cap pairs per LSH bucket; a bigger bucket is pathological
 
 
+def _lsh_fanout(per_cpu: int = 4, floor: int = 32) -> int:
+    """Shuffle-key salt cardinality for the LSH pair stages: proportional to
+    cluster CPUs so the wide step's parallelism scales with the cluster
+    (round-1 review: fixed 16/4/64-group keys hard-capped task count).
+    Buckets are never split — the salt is derived from the bucket hash."""
+    import ray
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return max(floor, per_cpu * ncpu)
+
+
 def exact_dedup(ds: Dataset, key_col: str, id_col: str) -> Dataset:
     """One row per distinct key, keeping the smallest id — single shuffle.
     For long keys (document text) dedup on a fingerprint column instead
@@ -97,6 +110,7 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
     Returns Dataset[{id_a, id_b, est_jaccard}] with id_a < id_b.
     """
     rows_per_band = num_perm // bands
+    fanout = _lsh_fanout()
 
     def to_bands(t: pa.Table) -> pa.Table:
         sig = _minhash_sig(t[text_col], shingle_k, num_perm, seed)
@@ -117,19 +131,23 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
         packed = [sig[i].tobytes() for i in range(n)]
         return pa.table({
             "band": pa.array(band_ids), "band_hash": pa.array(bh),
+            # shuffle-key salt: same (band, band_hash) → same salt, so a
+            # bucket is never split, but the group-key cardinality scales
+            # with the cluster instead of being capped at `bands` tasks
+            "bsalt": pa.array(bh % fanout),
             id_col: pa.array(row_ids),
             "_sig": pa.array([packed[i] for i in np.tile(np.arange(n), bands)],
                              type=pa.binary()),
         })
 
     def band_pairs(band_df: pd.DataFrame) -> pd.DataFrame:
-        """All pairs within each exact (band_hash) bucket of one band.
+        """All pairs within each exact (band_hash) bucket of one group.
 
-        The shuffle groups only on `band` (bands buckets are fine-grained —
-        one Ray group per bucket means one Python call per ~singleton
-        group, measured 10s of pure call overhead); buckets are resolved
-        inside with a C-level pandas groupby over rows that actually
-        collide."""
+        The shuffle groups on (band, bsalt) — coarse enough that a Ray
+        group is never a ~singleton bucket (one Python call per bucket was
+        measured at 10s of pure call overhead), fine enough that task count
+        scales with the cluster; exact buckets are resolved inside with a
+        C-level pandas groupby over rows that actually collide."""
         dup = band_df[band_df.duplicated("band_hash", keep=False)]
         outs = []
         for _, g in dup.groupby("band_hash", sort=False):
@@ -150,7 +168,7 @@ def minhash_lsh_pairs(ds: Dataset, text_col: str, id_col: str,
 
     pairs = (
         ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby("band")
+        .groupby(["band", "bsalt"])
         .map_groups(band_pairs, batch_format="pandas")
     )
     if jaccard_threshold is not None:
@@ -194,6 +212,7 @@ def simhash_near_dup_pairs(ds: Dataset, text_col: str, id_col: str,
     hamming ≤ 3 over 63 bits must agree on ≥1 chunk → LSH-exact recall for
     the banding bound), verified by exact hamming distance in the bucket."""
     with_h = simhash(ds, text_col, id_col, seed=seed)
+    fanout = _lsh_fanout()
 
     def to_chunks(t: pa.Table) -> pa.Table:
         h = t["simhash"].to_numpy().astype(np.uint64)
@@ -205,13 +224,16 @@ def simhash_near_dup_pairs(ds: Dataset, text_col: str, id_col: str,
         return pa.table({
             "chunk": pa.array(chunk_ids),
             "chunk_val": pa.array(chunk_vals),
+            # salt scales the shuffle fanout without splitting buckets
+            "csalt": pa.array(chunk_vals % fanout),
             id_col: pa.array(np.tile(t[id_col].to_numpy(), 4)),
             "simhash": pa.array(np.tile(h, 4).astype(np.int64)),
         })
 
     def chunk_pairs(chunk_df: pd.DataFrame) -> pd.DataFrame:
-        # one Ray group per chunk (4 total); exact chunk_val buckets are
-        # resolved inside with a C-level groupby (see band_pairs rationale)
+        # one Ray group per (chunk, csalt) — task count ∝ cluster CPUs;
+        # exact chunk_val buckets resolved inside with a C-level groupby
+        # (see band_pairs rationale)
         dup = chunk_df[chunk_df.duplicated("chunk_val", keep=False)]
         outs = []
         for _, g in dup.groupby("chunk_val", sort=False):
@@ -237,7 +259,7 @@ def simhash_near_dup_pairs(ds: Dataset, text_col: str, id_col: str,
         return pd.concat(outs, ignore_index=True)
 
     pairs = (with_h.map_batches(to_chunks, batch_format="pyarrow")
-             .groupby("chunk")
+             .groupby(["chunk", "csalt"])
              .map_groups(chunk_pairs, batch_format="pandas"))
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
@@ -249,12 +271,37 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
                         seed: int = 42) -> Dataset:
     """Exact n-gram Jaccard over LSH candidates: MinHash-LSH proposes, then
     each candidate pair is verified with the TRUE shingle-set Jaccard
-    (recomputed for the pair — exact, but only on candidates)."""
+    (recomputed for the pair — exact, but only on candidates).
+
+    Scale shape: only output-sized state ever reaches the driver — the
+    candidate pair list and the texts of candidate-touched ids (gathered by
+    a broadcast-id filter map over the corpus, no shuffle). The corpus text
+    column itself is never collected."""
+    import ray as _ray
+    import ray.data as _rd
+
     cands = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
                               bands=bands, shingle_k=shingle_k, seed=seed)
-    # broadcast the (small) text lookup for verification
-    import ray as _ray
-    texts = ds.select_columns([id_col, text_col]).to_pandas()
+    # Materialize ONLY the candidate pairs (output-sized) and the texts of
+    # candidate-touched ids. The corpus itself never leaves the cluster:
+    # candidate ids are broadcast, each read task filters its own blocks
+    # with a vectorized is_in — a map-only pass, no shuffle, no driver-side
+    # corpus to_pandas (the round-1 scale-killer).
+    cand_tbl = cands.to_arrow_refs()
+    cand_df = pa.concat_tables(_ray.get(cand_tbl)).to_pandas()
+    if not len(cand_df):
+        return _rd.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}))
+    ids = np.unique(np.concatenate([cand_df["id_a"].to_numpy(),
+                                    cand_df["id_b"].to_numpy()]))
+    idref = _ray.put(pa.array(ids))
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[id_col], value_set=_ray.get(idref))
+        return t.select([id_col, text_col]).filter(m)
+
+    texts = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
     ref = _ray.put(dict(zip(texts[id_col], texts[text_col])))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -273,7 +320,7 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
         ]
         return batch[batch["jaccard"] >= threshold][["id_a", "id_b", "jaccard"]]
 
-    return cands.map_batches(verify, batch_format="pandas")
+    return _rd.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
 
 
 def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
@@ -282,8 +329,11 @@ def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
     """Embedding-cosine near-dup: random-hyperplane LSH buckets candidates
     (sign pattern of `num_planes` projections), exact cosine verifies within
     the bucket. One shuffle on the bucket key."""
+    fanout = _lsh_fanout()
+
     def to_bucket(t: pa.Table) -> pa.Table:
-        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        from thor_ray.ops.ann import vec_matrix
+        vecs = vec_matrix(t[vec_col])  # zero-copy flatten+reshape, no to_pylist
         d = vecs.shape[1]
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((d, num_planes))
@@ -293,7 +343,8 @@ def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
             bucket |= signs[:, b] << np.uint64(b)
         norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         return pa.table({
-            "coarse": pa.array((bucket % np.uint64(64)).astype(np.int64)),
+            # coarse key cardinality ∝ cluster CPUs (was a fixed %64 cap)
+            "coarse": pa.array((bucket % np.uint64(fanout)).astype(np.int64)),
             "bucket": pa.array(bucket.astype(np.int64)),
             id_col: t[id_col],
             "_v": pa.array([v.astype(np.float32).tobytes() for v in norm],
@@ -301,7 +352,7 @@ def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
         })
 
     def coarse_pairs(cdf: pd.DataFrame) -> pd.DataFrame:
-        # shuffle on 64 coarse groups; exact buckets resolved inside
+        # shuffle on CPU-proportional coarse groups; exact buckets inside
         dup = cdf[cdf.duplicated("bucket", keep=False)]
         outs = []
         for _, g in dup.groupby("bucket", sort=False):

@@ -89,11 +89,15 @@ def quality_score(ds: Dataset, text_col: str = "text") -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def lang_id(ds: Dataset, text_col: str = "text",
-            out: str = "pred_lang") -> Dataset:
+def lang_id(ds: Dataset, text_col: str = "text", out: str = "pred_lang",
+            concurrency: "int | tuple[int, int] | None" = None,
+            batch_size: int | None = None) -> Dataset:
     """Marker-lexicon language ID (n-gram heuristic). Stateful setup (the
     compiled per-language patterns) lives in the actor __init__ — the
-    actor-pool pattern for model-like stages (ray_guide 'Stateful stages')."""
+    actor-pool pattern for model-like stages (ray_guide 'Stateful stages').
+
+    ``concurrency`` defaults to an autoscaling pool of (1, cluster CPUs) —
+    a hardcoded pool size would starve a real cluster."""
 
     class LangId:
         def __init__(self):
@@ -114,7 +118,16 @@ def lang_id(ds: Dataset, text_col: str = "text",
             batch[out] = best
             return batch
 
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    if concurrency is None:
+        import ray
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            ncpu = 4
+        concurrency = (1, max(2, ncpu))
+    kw = {"batch_size": batch_size} if batch_size else {}
+    return ds.map_batches(LangId, batch_format="pandas",
+                          concurrency=concurrency, **kw)
 
 
 def md5_fingerprint(ds: Dataset, text_col: str = "text",
