@@ -221,3 +221,45 @@ def test_ngram_jaccard_distributed_verify_matches_reference(ray_session):
     exp = cands[cands["jaccard"] >= 0.7][["id_a", "id_b", "jaccard"]] \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_ivf_build_search_prunes_reads(ray_session, tmp_path):
+    """The built IVF index must (a) return high-recall results and (b)
+    actually read FEWER files than the index holds (read-time pruning —
+    the scale path the q46 scan variant can't give)."""
+    import glob
+    import ray
+    import thor_ray.ops.ann as ANN
+    import thor_ray.queries as Q
+
+    SF = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    info = ANN.ivf_build(ds, idx, n_cells=8)
+    assert info["n_cells"] == 8
+    q = Q._query_vec(SF)
+    dirs, _ = ANN.ivf_probe_dirs(idx, q, nprobe=3)
+    probed = sum(len(glob.glob(d + "/*.parquet")) for d in dirs)
+    total = len(glob.glob(idx + "/cell=*/*.parquet"))
+    assert 0 < probed < total, f"pruned read {probed} !< index {total}"
+    got = ANN.ivf_search(idx, q, k=10, nprobe=3).to_pandas()
+    brute = Q.q31_ann_brute(SF).to_pandas()
+    assert len(set(got["vec_id"]) & set(brute["vec_id"])) >= 5
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    import ray
+    import numpy as np
+    import pyarrow.parquet as pq
+    from thor_ray.ops.sketch import approx_quantiles
+
+    SF = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    got = approx_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+    x = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_extendedprice"])["l_extendedprice"].to_numpy()
+    for q, v in got.items():
+        exact = np.quantile(x, q)
+        assert abs(v - exact) / abs(exact) < 0.01, (q, v, exact)

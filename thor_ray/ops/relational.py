@@ -181,6 +181,76 @@ def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
     return tagged.groupby(on).map_groups(merge_group, batch_format="pandas")
 
 
+def full_outer_join(left: Dataset, right: Dataset, on: list[str],
+                    right_on: list[str] | None = None) -> Dataset:
+    """Full outer join as ONE co-group shuffle: tag each side, align
+    schemas (null-fill the other side's payload), union, groupby the key,
+    pandas outer-merge inside each group. Duplicate keys produce the SQL
+    cross product per key.
+
+    Why not ``Dataset.join(join_type="full_outer")``: Ray 2.49's native
+    path crashes when a hash partition is empty on one side (pyarrow acero
+    ``KeyError`` on the right key — the empty block loses its schema), and
+    with distinct key names the coalesced output drops the right key.
+    Integer columns are restored to Int64 after the null-introducing merge
+    (same dtype discipline as asof_join)."""
+    on = list(on)
+    right_on = list(right_on or on)
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lcols = lschema.names
+    lpay = [c for c in lcols if c not in on]
+    rpay = [c for c in rschema.names if c not in right_on]
+    clash = set(lpay) & set(rpay)
+    if clash:
+        raise ValueError(f"payload column collision: {sorted(clash)}")
+    key_types = {c: lschema.field(c).type for c in on}
+    pay_types = {c: lschema.field(c).type for c in lpay}
+    pay_types.update({c: rschema.field(c).type for c in rpay})
+
+    def tag(side: str):
+        rename = dict(zip(right_on, on))
+
+        def fn(t: pa.Table) -> pa.Table:
+            if side == "R":
+                t = t.rename_columns([rename.get(c, c) for c in t.column_names])
+            cols: dict[str, Any] = {}
+            for c in on:
+                cols[c] = pc.cast(t[c], key_types[c])
+            for c in lpay + rpay:
+                cols[c] = t[c] if c in t.column_names \
+                    else pa.nulls(len(t), pay_types[c])
+            cols["_side"] = pa.array([side] * len(t))
+            return pa.table(cols)
+        return fn
+
+    def restore(df: pd.DataFrame) -> pd.DataFrame:
+        for c, typ in pay_types.items():
+            if pa.types.is_integer(typ):
+                col = df[c]
+                df[c] = col.astype("Int64") if col.isna().any() \
+                    else col.astype(typ.to_pandas_dtype())
+        return df
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "L"][on + lpay]
+        rg = g[g["_side"] == "R"][on + rpay]
+        if not len(lg):
+            out = rg.copy()
+            for c in lpay:
+                out[c] = None
+        elif not len(rg):
+            out = lg.copy()
+            for c in rpay:
+                out[c] = None
+        else:
+            out = lg.merge(rg, on=on, how="outer")
+        return restore(out[on + lpay + rpay])
+
+    tagged = left.map_batches(tag("L"), batch_format="pyarrow").union(
+        right.map_batches(tag("R"), batch_format="pyarrow"))
+    return tagged.groupby(on).map_groups(merge_group, batch_format="pandas")
+
+
 # --- set ops (distributed; no driver materialization) --------------------
 
 def distinct(ds: Dataset, cols: list[str]) -> Dataset:

@@ -56,3 +56,44 @@ def approx_distinct(ds: Dataset, cols: list[str], precision: int = 12) -> int:
         for blob in batch["regs"].to_pylist():
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.int8))
     return int(round(_hll_estimate(merged)))
+
+
+def approx_quantiles(ds: Dataset, col: str, qs: list[float],
+                     n_centroids: int = 256) -> dict[float, float]:
+    """Mergeable quantile sketch (t-digest-style): each batch emits ONE row
+    of `n_centroids` equally-spaced within-batch quantile centroids plus
+    its count; the driver merges by weighted quantile over all centroids.
+    The exchange moves n_centroids×8 bytes per BATCH regardless of input
+    size — the same scale shape as the HLL above. Accuracy is bounded by
+    within-batch interpolation (~1/n_centroids of a batch's mass); the
+    unit test pins <1% relative rank error vs exact on the fixtures."""
+    nc = n_centroids
+
+    def sketch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        x = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        x = np.sort(x[~np.isnan(x)])
+        if not len(x):
+            return pa.table({"vals": pa.array([], type=pa.binary()),
+                             "n": pa.array([], type=pa.int64())})
+        pos = np.linspace(0, len(x) - 1, nc)
+        vals = np.interp(pos, np.arange(len(x)), x)
+        return pa.table({"vals": pa.array([vals.tobytes()], type=pa.binary()),
+                         "n": pa.array([len(x)], type=pa.int64())})
+
+    cents, weights = [], []
+    for batch in ds.map_batches(sketch, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for blob, n in zip(batch["vals"].to_pylist(), batch["n"].to_pylist()):
+            v = np.frombuffer(blob, dtype=np.float64)
+            cents.append(v)
+            weights.append(np.full(len(v), n / len(v)))
+    if not cents:
+        return {q: float("nan") for q in qs}
+    v = np.concatenate(cents)
+    w = np.concatenate(weights)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w) - w / 2.0
+    cum /= cum[-1] + w[-1] / 2.0
+    return {q: float(np.interp(q, cum, v)) for q in qs}

@@ -34,9 +34,18 @@ def T(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
 
 
 def _rnd(arr, n: int):
-    """Round half-away-from-zero — DuckDB's ROUND semantics (pyarrow's
-    default is half-to-even, which diverges on exact-cent money values)."""
-    return pc.round(arr, n, round_mode="half_towards_infinity")
+    """Round half-away-from-zero, BIT-IDENTICAL to DuckDB's ROUND(DOUBLE):
+    copysign(floor(|x|*10^n + 0.5), x) / 10^n — the same multiply/round/
+    divide sequence DuckDB runs (std::round(x*p)/p). pc.round(...,
+    "half_towards_infinity") lands on a DIFFERENT double for ~5% of
+    aggregate sums (e.g. 120.99000000000001 vs 120.99), which flips the
+    driver's stringified value hash even though the decimals agree."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    x = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    m = 10.0 ** n
+    out = np.copysign(np.floor(np.abs(x) * m + 0.5), x) / m
+    return pa.array(out, type=pa.float64())
 
 
 def _round_cols(ds: Dataset, spec: dict[str, int]) -> Dataset:
@@ -636,9 +645,106 @@ FROM documents
 """
 
 
+def q35_hopping_window(sf: str):
+    """W1 hopping (sliding) windows: 1h windows hopping every 30min — each
+    event lands in 2 windows (vectorized replicate + single groupby)."""
+    from thor_ray.ops.window import hopping_window
+    HOP_US = 30 * 60 * 1_000_000
+    ds = T(sf, "events", ["ts", "value"])
+    w = hopping_window(ds, "ts", size_us=2 * HOP_US, hop_us=HOP_US)
+    out = w.groupby("win_start").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    return _round_cols(out, {"total_value": 2})
+
+
+SQL_Q35 = """
+SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 1800000000)
+                      - i.i * 1800000000) AS win_start,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+GROUP BY win_start
+"""
+# integer modulo, NOT floor(epoch_us/hop): float division rounds a ts
+# within ~1 µs of a window boundary up to the next window (observed on
+# 0.19% of fixture rows)
+
+
+def q36_full_outer(sf: str):
+    """J-family full outer join: per-nation customer counts vs per-nation
+    small-supplier counts (right side filtered so some nations miss)."""
+    def as_nk(col: str, alias: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"nk": pc.cast(t[col], pa.int64()),
+                             alias: t[alias]})
+        return fn
+
+    c = T(sf, "customer", ["c_nationkey"]).groupby("c_nationkey") \
+        .aggregate(Count(alias_name="n_cust")) \
+        .map_batches(as_nk("c_nationkey", "n_cust"), batch_format="pyarrow")
+    s = T(sf, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .filter(expr="s_suppkey < 20").groupby("s_nationkey") \
+        .aggregate(Count(alias_name="n_supp")) \
+        .map_batches(as_nk("s_nationkey", "n_supp"), batch_format="pyarrow")
+    j = R.full_outer_join(c, s, on=["nk"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "nk": pc.cast(t["nk"], pa.int64()),
+            "n_cust": pc.coalesce(pc.cast(t["n_cust"], pa.int64()), zero),
+            "n_supp": pc.coalesce(pc.cast(t["n_supp"], pa.int64()), zero),
+        })
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_Q36 = """
+SELECT COALESCE(c.nk, s.nk) AS nk,
+       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, count(*) AS n_supp
+      FROM supplier WHERE s_suppkey < 20 GROUP BY s_nationkey) s
+ON c.nk = s.nk
+"""
+
+
+def q38_group_median(sf: str):
+    """G5 grouped exact discrete median — value picked at x[(n-1)//2] of
+    the sorted group, bitwise-identical to DuckDB quantile_disc(0.5) (an
+    actual data value: no interpolation, no float-ulp hash risk)."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["l_extendedprice"].to_numpy())
+        return pd.DataFrame([{
+            "l_returnflag": g["l_returnflag"].iloc[0],
+            "med_price": float(x[(len(x) - 1) // 2]),
+            "n": np.int64(len(x)),
+        }])
+    return ds.groupby("l_returnflag").map_groups(med, batch_format="pandas")
+
+
+SQL_Q38 = """
+SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible; driver records a weaker check)
 # ---------------------------------------------------------------------------
+
+
+def q37_approx_quantiles(sf: str):
+    """G4 mergeable quantile sketch (rows-only; unit test pins <1% relative
+    error vs exact quantiles on the same column)."""
+    from thor_ray.ops.sketch import approx_quantiles
+    qs = approx_quantiles(T(sf, "lineitem", ["l_extendedprice"]),
+                          "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+    return pd.DataFrame([{"q": q, "value": round(v, 2)}
+                         for q, v in sorted(qs.items())])
 
 def q34_approx_distinct(sf: str):
     """G4 HLL sketch: approximate distinct customers in orders (rows-only;
@@ -711,6 +817,21 @@ def q46_ivf_topk(sf: str):
                         _query_vec(sf), k=10, n_cells=8, nprobe=3)
 
 
+def q50_ivf_pruned(sf: str):
+    """IVF with READ-TIME pruning: the index is cell-partitioned parquet,
+    a search reads only its nprobe probed cell dirs (rows-only; the unit
+    test asserts the pruned read touches fewer files than the index)."""
+    import os
+    import shutil
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    idx = f"/tmp/thor_ray_ivf_{tag}"
+    if not os.path.exists(os.path.join(idx, "_centroids.npy")):
+        shutil.rmtree(idx, ignore_errors=True)
+        ANN.ivf_build(T(sf, "embeddings", ["vec_id", "embedding"]), idx,
+                      n_cells=8)
+    return ANN.ivf_search(idx, _query_vec(sf), k=10, nprobe=3)
+
+
 def q47_rolling_fingerprint(sf: str):
     out = TX.rolling_fingerprint(T(sf, "documents", ["doc_id", "text"]))
     return out.select_columns(["doc_id", "rfp"])
@@ -773,9 +894,13 @@ QUERIES: dict[str, tuple] = {
     "q31_ann_brute": (q31_ann_brute, SQL_Q31),
     "q32_sessionize": (q32_sessionize, SQL_Q32),
     "q33_bpe_tokens": (q33_bpe_tokens, SQL_Q33),
+    "q35_hopping_window": (q35_hopping_window, SQL_Q35),
+    "q36_full_outer": (q36_full_outer, SQL_Q36),
+    "q38_group_median": (q38_group_median, SQL_Q38),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
+    "q37_approx_quantiles": (q37_approx_quantiles, None),
     "q40_minhash_pairs": (q40_minhash_pairs, None),
     "q41_simhash_pairs": (q41_simhash_pairs, None),
     "q42_ngram_jaccard": (q42_ngram_jaccard, None),
@@ -786,6 +911,7 @@ QUERIES: dict[str, tuple] = {
     "q47_rolling_fingerprint": (q47_rolling_fingerprint, None),
     "q48_sample": (q48_sample, None),
     "q49_multimodal_features": (q49_multimodal_features, None),
+    "q50_ivf_pruned": (q50_ivf_pruned, None),
 }
 
 
