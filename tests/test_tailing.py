@@ -192,3 +192,19 @@ def test_lake_relocation_resume(ray_session, grown, tmp_path):
     pipe = CdcPipeline(cfg_b)
     pipe.run()
     check(pipe, grown["expected"])
+
+
+def test_jsonl_binlog_replay(ray_session, grown, tmp_path):
+    """S2 contract over the JSONL wire tier: the same log written as
+    shard-*.jsonl must replay to the identical final state (same lsn
+    pushdown API, post-parse filtering instead of row-group stats)."""
+    binlog_dir = str(tmp_path / "binlog_jsonl")
+    grown["log"].write_jsonl(binlog_dir)
+    assert bs.binlog_format(binlog_dir) == "jsonl"
+    assert bs.max_lsn(binlog_dir) == 8_000
+    assert len(bs.shard_frontiers(binlog_dir)) == 4
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=8, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=grown["base_path"])
+    check(pipe, grown["expected"])

@@ -148,6 +148,22 @@ class Binlog:
             paths.append(p)
         return paths
 
+    def write_jsonl(self, out_dir: str) -> list[str]:
+        """JSONL shard files (`shard-NNNN.jsonl`) — the Kafka-Connect-style
+        JSON wire tier of the same log; `ts` serialized as epoch-µs int64
+        (JSON has no timestamp type). Same lsn/frontier contract as the
+        parquet tier (thor_ray.sources.binlog reads both)."""
+        os.makedirs(out_dir, exist_ok=True)
+        self._write_shard_marker(out_dir)
+        paths = []
+        for i, t in enumerate(self.shards):
+            p = os.path.join(out_dir, f"shard-{i:04d}.jsonl")
+            df = t.to_pandas()
+            df["ts"] = df["ts"].astype("int64")  # datetime64[us] -> µs
+            df.to_json(p, orient="records", lines=True)
+            paths.append(p)
+        return paths
+
     def _write_shard_marker(self, out_dir: str) -> None:
         """Declare the expected shard set BEFORE any data lands, so the
         reader's safe_frontier never commits past a shard whose first

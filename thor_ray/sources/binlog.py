@@ -1,11 +1,19 @@
 """Binlog tail source — the FileStreamSource analogue (SURVEY.md §2.1 S2).
 
 An "epoch" is a bounded lsn slice of the sharded change-event log
-(micro-batch tail). Reads are predicate-pushed: shard files are
-mostly-lsn-sorted (bounded shuffle window), so Parquet row-group statistics
-prune most of the file for a given lsn range — the tail never rescans the
-whole log. DDL events are tiny and read driver-side (they are broadcast to
-every partition's applier, SURVEY.md §7 "cross-partition DDL consistency").
+(micro-batch tail). Two shard formats, same lsn-frontier contract:
+
+- ``shard-*.parquet`` (preferred): predicate-pushed reads — shard files are
+  mostly-lsn-sorted (bounded shuffle window), so Parquet row-group
+  statistics prune most of the file for a given lsn range, and frontiers
+  come from metadata alone (no data read).
+- ``shard-*.jsonl``: the Kafka-Connect-style JSON wire tier. JSONL has no
+  column statistics, so frontier scans parse the (projected) lsn column and
+  epoch reads filter post-parse. Fine for ingest compatibility; a
+  production tail should compact JSONL to parquet. A dir uses ONE format.
+
+DDL events are tiny and read driver-side (they are broadcast to every
+partition's applier, SURVEY.md §7 "cross-partition DDL consistency").
 """
 
 from __future__ import annotations
@@ -14,28 +22,63 @@ import glob
 import json
 import os
 
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
+import pyarrow.json as pajson
 import pyarrow.parquet as pq
 
 import ray.data
 
+# JSONL wire schema: ts as int64 epoch-µs (JSON has no timestamp type)
+_JSONL_FIELDS = [
+    ("lsn", pa.int64()), ("txn", pa.int64()), ("op", pa.string()),
+    ("repo", pa.string()), ("path", pa.string()), ("commit", pa.string()),
+    ("lang", pa.string()), ("content", pa.string()), ("extra", pa.string()),
+    ("ddl", pa.string()), ("ts", pa.int64()),
+    ("schema_ver", pa.int32()), ("shard", pa.int32()),
+]
+
+
+def _jsonl_parse_options(columns: list[str] | None = None) -> pajson.ParseOptions:
+    fields = [(n, t) for n, t in _JSONL_FIELDS
+              if columns is None or n in columns]
+    return pajson.ParseOptions(explicit_schema=pa.schema(fields),
+                               unexpected_field_behavior="ignore")
+
 
 def shard_files(binlog_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(binlog_dir, "shard-*.parquet")))
+    pqs = sorted(glob.glob(os.path.join(binlog_dir, "shard-*.parquet")))
+    if pqs:
+        return pqs
+    return sorted(glob.glob(os.path.join(binlog_dir, "shard-*.jsonl")))
+
+
+def binlog_format(binlog_dir: str) -> str:
+    files = shard_files(binlog_dir)
+    return "jsonl" if files and files[0].endswith(".jsonl") else "parquet"
+
+
+def _file_max_lsn(p: str) -> int:
+    """Max lsn of one shard file: parquet via row-group stats (no data
+    read); jsonl by parsing only the lsn column."""
+    if p.endswith(".jsonl"):
+        t = pajson.read_json(p, parse_options=_jsonl_parse_options(["lsn"]))
+        m = pc.max(t["lsn"]).as_py() if t.num_rows else None
+        return int(m) if m is not None else 0
+    md = pq.read_metadata(p)
+    idx = md.schema.names.index("lsn")
+    hi = 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            hi = max(hi, st.max)
+    return hi
 
 
 def max_lsn(binlog_dir: str) -> int:
-    """Max lsn across shards, from Parquet row-group stats (no data read)."""
-    hi = 0
-    for p in shard_files(binlog_dir):
-        md = pq.read_metadata(p)
-        idx = md.schema.names.index("lsn")
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is not None and st.has_min_max:
-                hi = max(hi, st.max)
-    return hi
+    """Max lsn across shards (parquet: stats only; jsonl: lsn-column scan)."""
+    return max((_file_max_lsn(p) for p in shard_files(binlog_dir)), default=0)
 
 
 def shard_frontiers(binlog_dir: str) -> dict[str, int]:
@@ -43,14 +86,7 @@ def shard_frontiers(binlog_dir: str) -> dict[str, int]:
     out: dict[str, int] = {}
     for p in shard_files(binlog_dir):
         shard = os.path.basename(p)[:10]  # "shard-XXXX"
-        md = pq.read_metadata(p)
-        idx = md.schema.names.index("lsn")
-        hi = out.get(shard, 0)
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is not None and st.has_min_max:
-                hi = max(hi, st.max)
-        out[shard] = hi
+        out[shard] = max(out.get(shard, 0), _file_max_lsn(p))
     return out
 
 
@@ -93,10 +129,25 @@ def read_epoch(binlog_dir: str, lo: int, hi: int,
         from thor_ray.gen import EVENT_SCHEMA
         sel = columns or EVENT_SCHEMA.names
         return ray.data.from_arrow(EVENT_SCHEMA.empty_table().select(sel))
-    flt = (pc.field("lsn") > lo) & (pc.field("lsn") <= hi) & (pc.field("op") != "DDL")
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
+    if files[0].endswith(".jsonl"):
+        # no stats in JSONL: schema-projected parse, then a vectorized
+        # post-parse filter (same lsn contract, no pushdown)
+        ds = ray.data.read_json(
+            files, file_extensions=["jsonl"],
+            parse_options=_jsonl_parse_options(columns), **kw)
+        lo_, hi_ = lo, hi
+
+        def flt_fn(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.and_(pc.greater(t["lsn"], lo_),
+                                pc.less_equal(t["lsn"], hi_)),
+                        pc.not_equal(pc.fill_null(t["op"], ""), "DDL"))
+            return t.filter(m)
+
+        return ds.map_batches(flt_fn, batch_format="pyarrow")
+    flt = (pc.field("lsn") > lo) & (pc.field("lsn") <= hi) & (pc.field("op") != "DDL")
     if columns:
         kw["columns"] = columns
     return ray.data.read_parquet(files, filter=flt, **kw)
@@ -110,12 +161,23 @@ def read_ddl_events(binlog_dir: str, lo: int, hi: int) -> list[dict]:
     files = shard_files(binlog_dir)
     if not files:
         return []
-    ds = pads.dataset(files)
-    t = ds.to_table(
-        columns=["lsn", "schema_ver", "ddl"],
-        filter=(pc.field("lsn") > lo) & (pc.field("lsn") <= hi)
-        & (pc.field("op") == "DDL"),
-    )
+    if files[0].endswith(".jsonl"):
+        parts = []
+        for p in files:
+            tt = pajson.read_json(p, parse_options=_jsonl_parse_options(
+                ["lsn", "op", "schema_ver", "ddl"]))
+            parts.append(tt.filter(
+                pc.and_(pc.and_(pc.greater(tt["lsn"], lo),
+                                pc.less_equal(tt["lsn"], hi)),
+                        pc.equal(pc.fill_null(tt["op"], ""), "DDL"))))
+        t = pa.concat_tables(parts).select(["lsn", "schema_ver", "ddl"])
+    else:
+        ds = pads.dataset(files)
+        t = ds.to_table(
+            columns=["lsn", "schema_ver", "ddl"],
+            filter=(pc.field("lsn") > lo) & (pc.field("lsn") <= hi)
+            & (pc.field("op") == "DDL"),
+        )
     rows = sorted(
         {r["lsn"]: r for r in t.to_pylist()}.values(), key=lambda r: r["lsn"]
     )
