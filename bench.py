@@ -67,26 +67,44 @@ def run_bench() -> dict:
 
     import shutil
     lake_root = "/dev/shm/thor_ray_bench" if scaling_mode else "/tmp/thor_ray_bench"
-    cdc_sec, n_applied = None, 0
-    for _ in range(attempts):  # noisy VM: report the best attempt
-        lake_dir = f"{lake_root}/lake_{NUM_CPUS}"
+    n_epochs = int(os.environ.get("GRAFT_BENCH_EPOCHS", "4"))
+
+    def one_cdc_run(write_mode: str, epochs: int = n_epochs) -> tuple[float, float, int]:
+        """(total wall incl. bootstrap, epoch-loop wall, events applied).
+        The epoch-loop wall (replay_wall_sec) is the throughput denominator
+        — per-epoch walls overlap under pipelined spill/apply."""
+        lake_dir = f"{lake_root}/lake_{NUM_CPUS}_{write_mode}"
         shutil.rmtree(lake_dir, ignore_errors=True)
-        n_epochs = int(os.environ.get("GRAFT_BENCH_EPOCHS", "4"))
         pipe = CdcPipeline(CdcConfig(
             lake_dir=lake_dir, binlog_dir=info["binlog_dir"],
             num_partitions=128,
-            epoch_size=max(N_EVENTS // n_epochs, 1),
-            compute_content_hash=True))
+            epoch_size=max(N_EVENTS // epochs, 1),
+            compute_content_hash=True, write_mode=write_mode))
         t0 = time.perf_counter()
         pipe.run(base=info["base"])
         sec = time.perf_counter() - t0
-        n_applied = sum(r.n_events for r in pipe.reports)
-        epoch_sec = sum(r.wall_sec for r in pipe.reports)
+        n = sum(r.n_events for r in pipe.reports)
+        loop = pipe.replay_wall_sec
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        return sec, loop, n
+
+    # headline mode is delta (LSM write path — no O(state) rewrite per
+    # micro-batch); a cow run is reported alongside for the comparison
+    mode = os.environ.get("GRAFT_WRITE_MODE", "delta")
+    cdc_sec = cdc_epoch_sec = None
+    n_applied = 0
+    for _ in range(attempts):  # noisy VM: report the best attempt
+        sec, loop, n_applied = one_cdc_run(mode)
         if cdc_sec is None or sec < cdc_sec:
-            cdc_sec, cdc_epoch_sec = sec, epoch_sec
-        if scaling_mode:
-            shutil.rmtree(lake_dir, ignore_errors=True)
-    # events/s over the epoch walls (tail→commit); bootstrap is one-time
+            cdc_sec, cdc_epoch_sec = sec, loop
+    # cow-vs-delta at MICRO-BATCH cadence (16 epochs): at the headline's 4
+    # epochs the fixture's per-epoch DDL forces delta to compact each epoch
+    # and the modes converge; write amplification shows at small epochs
+    mode_evps = {}
+    if not scaling_mode:
+        for m in ("cow", "delta"):
+            _, loop2, n2 = one_cdc_run(m, epochs=16)
+            mode_evps[m] = round(n2 / loop2, 1) if loop2 else 0.0
     events_per_sec = n_applied / cdc_epoch_sec if cdc_epoch_sec else 0.0
 
     # pure-CPU calibration: the machine's own parallel ceiling, so the
@@ -131,7 +149,10 @@ def run_bench() -> dict:
         "cdc_events_applied": int(n_applied),
         "cdc_epoch_sec": round(cdc_epoch_sec, 3),
         "cdc_events_per_sec": round(events_per_sec, 1),
+        "cdc_write_mode": mode,
     }
+    if mode_evps:
+        out["cdc_events_per_sec_by_mode"] = mode_evps
     if calib_sec is not None:
         out["calib_sec"] = calib_sec
     return out

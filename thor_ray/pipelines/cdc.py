@@ -60,11 +60,28 @@ def _state_schema(evolved: list[str]) -> pa.Schema:
 
 
 def _sha256_series(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: hashlib.sha256(str(v).encode()).hexdigest())
+    """Per-row sha256 hex of string content. hashlib is the floor (there is
+    no batch sha256 kernel); the wins over the old ``.map(lambda ...)`` are
+    skipping pandas' per-row dispatch and the redundant str() of values
+    that are already str (BASELINE.md §3 'vectorize the apply inner loop')."""
+    sha = hashlib.sha256
+    return pd.Series([sha(v.encode()).hexdigest() for v in s.to_numpy()],
+                     index=s.index, dtype="object")
 
 
 def _content_hash(shas: pd.Series) -> str:
-    return hashlib.sha256("".join(sorted(shas.tolist())).encode()).hexdigest()
+    """Order-independent partition audit fingerprint: byte-wise XOR of the
+    per-row sha256 digests — O(n) vectorized, no O(n log n) string sort +
+    re-hash of the whole SHA set per epoch (the round-1 per-epoch CPU tax).
+    XOR cancels identical digests (two rows with equal content), which is
+    acceptable for an audit field — the strong invariant remains the
+    per-row `_sha` column checked against the oracle."""
+    if not len(shas):
+        return ""
+    import numpy as np
+    a = np.frombuffer(bytes.fromhex("".join(shas.tolist())),
+                      dtype=np.uint8).reshape(len(shas), 32)
+    return np.bitwise_xor.reduce(a, axis=0).tobytes().hex()
 
 
 @dataclass
@@ -96,6 +113,10 @@ class CdcConfig:
     # run exceeds compact_every (write-optimal for hot micro-batches).
     write_mode: str = "cow"
     compact_every: int = 8
+    # overlap epoch N+1's read+route+spill (stage 1) with epoch N's apply
+    # (stage 2): the two-stage barrier per epoch was the measured fixed
+    # cost capping scaling efficiency (BASELINE.md §3). Spill mode only.
+    pipeline_epochs: bool = True
 
     def exchange_root(self) -> str:
         return self.exchange_dir or os.path.join(self.lake_dir, "_exchange")
@@ -403,6 +424,7 @@ class CdcPipeline:
     def __init__(self, cfg: CdcConfig):
         self.cfg = cfg
         self.reports: list[EpochReport] = []
+        self.replay_wall_sec: float = 0.0  # epoch-loop wall of the last run()
 
     def _check_engine_meta(self) -> None:
         """Routing is hash-based; a lake written under one hash impl must
@@ -526,19 +548,92 @@ class CdcPipeline:
         # that epoch re-reads its range and the per-partition watermark
         # drops what was already applied
         min_upto = min(m.upto_lsn for m in manifests.values())
-        epoch = min_upto // cfg.epoch_size + 1
-        n_run = 0
-        while (epoch - 1) * cfg.epoch_size < max_l:
-            if max_epochs is not None and n_run >= max_epochs:
+        first = min_upto // cfg.epoch_size + 1
+        epochs = []
+        e = first
+        while (e - 1) * cfg.epoch_size < max_l:
+            if max_epochs is not None and len(epochs) >= max_epochs:
                 break
-            self.run_epoch(epoch, manifests, ceiling=max_l)
-            manifests = load_manifests(cfg.lake_dir)
-            epoch += 1
-            n_run += 1
+            epochs.append(e)
+            e += 1
+
+        t_replay = time.perf_counter()
+        if cfg.shuffle == "spill" and cfg.pipeline_epochs and len(epochs) > 1:
+            # software pipeline: stage 1 (read+route+spill) of epoch N+1
+            # runs concurrently with stage 2 (apply+commit) of epoch N —
+            # both are Ray jobs sharing the cluster; the per-epoch barrier
+            # cost is paid once, not per epoch. Crash-safe: a spilled but
+            # uncommitted epoch is simply re-spilled on restart
+            # (content-derived spill names overwrite; lsn-dedup absorbs).
+            from concurrent.futures import ThreadPoolExecutor
+
+            def bounds(ep: int) -> tuple[int, int]:
+                return (ep - 1) * cfg.epoch_size, min(ep * cfg.epoch_size, max_l)
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(self._run_spill, epochs[0], *bounds(epochs[0]))
+                for i, ep in enumerate(epochs):
+                    spilled = fut.result()
+                    if i + 1 < len(epochs):
+                        nxt = epochs[i + 1]
+                        fut = pool.submit(self._run_spill, nxt, *bounds(nxt))
+                    self.run_epoch(ep, manifests, ceiling=max_l,
+                                   prespilled=spilled)
+                    manifests = load_manifests(cfg.lake_dir)
+        else:
+            for ep in epochs:
+                self.run_epoch(ep, manifests, ceiling=max_l)
+                manifests = load_manifests(cfg.lake_dir)
+        # honest throughput denominator under pipelining: overlapped epoch
+        # walls double-count, so bench uses this end-to-end replay wall
+        self.replay_wall_sec = round(time.perf_counter() - t_replay, 4)
         return self.reports
 
+    def _make_router(self, epoch: int):
+        """The stateless pre-apply chain: DLQ split + pid routing."""
+        cfg = self.cfg
+        P = cfg.num_partitions
+        stages = []
+        if cfg.dlq:
+            stages.append(chain_mod.dlq_stage(
+                os.path.join(cfg.lake_dir, "_dlq"),
+                rules=[
+                    lambda t: pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"])),
+                    lambda t: pc.and_(pc.is_valid(t["repo"]), pc.is_valid(t["path"])),
+                    lambda t: pc.or_(pc.equal(t["op"], "D"), pc.is_valid(t["content"])),
+                ],
+                tag=f"e{epoch}-",
+            ))
+
+        def route(t: pa.Table) -> pa.Table:
+            for s in stages:
+                t = s(t)
+            pid = stable_hash(t, ["repo", "path"]) % P
+            return t.append_column("pid", pa.array(pid, type=pa.int64()))
+
+        return route
+
+    def _run_spill(self, epoch: int, lo: int, hi: int) -> tuple[str, int]:
+        """Stage 1 of the spill exchange for one epoch: read + route +
+        per-slot spill. Independent of manifests/registry state, so it can
+        run concurrently with the PREVIOUS epoch's apply (pipeline_epochs)."""
+        from functools import partial
+
+        cfg = self.cfg
+        ex_dir = os.path.join(cfg.exchange_root(), f"e{epoch:06d}")
+        n_slots = cfg.n_apply_blocks()
+        ds = binlog_src.read_epoch(cfg.binlog_dir, lo, hi,
+                                   override_num_blocks=cfg.n_read_blocks(),
+                                   columns=APPLY_COLS)
+        (ds.map_batches(self._make_router(epoch), batch_format="pyarrow")
+           .map_batches(partial(_spill_stage1, ex_dir=ex_dir, n_slots=n_slots),
+                        batch_format="pyarrow")
+           .sum("rows", ignore_nulls=True))  # execution barrier
+        return ex_dir, n_slots
+
     def run_epoch(self, epoch: int, manifests: dict[int, Manifest] | None = None,
-                  ceiling: int | None = None) -> EpochReport:
+                  ceiling: int | None = None,
+                  prespilled: tuple[str, int] | None = None) -> EpochReport:
         cfg = self.cfg
         t0 = time.perf_counter()
         manifests = manifests or load_manifests(cfg.lake_dir)
@@ -578,23 +673,7 @@ class CdcPipeline:
             "write_mode": cfg.write_mode, "compact_every": cfg.compact_every,
         }
 
-        stages = []
-        if cfg.dlq:
-            stages.append(chain_mod.dlq_stage(
-                os.path.join(cfg.lake_dir, "_dlq"),
-                rules=[
-                    lambda t: pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"])),
-                    lambda t: pc.and_(pc.is_valid(t["repo"]), pc.is_valid(t["path"])),
-                    lambda t: pc.or_(pc.equal(t["op"], "D"), pc.is_valid(t["content"])),
-                ],
-                tag=f"e{epoch}-",
-            ))
-
-        def route(t: pa.Table) -> pa.Table:
-            for s in stages:
-                t = s(t)
-            pid = stable_hash(t, ["repo", "path"]) % P
-            return t.append_column("pid", pa.array(pid, type=pa.int64()))
+        route = self._make_router(epoch)
 
         # marker rows guarantee every partition emits a manifest candidate
         # (and applies DDL) even with zero data events this epoch
@@ -619,16 +698,9 @@ class CdcPipeline:
         if cfg.shuffle == "spill":
             import shutil as _shutil
 
-            ex_dir = os.path.join(cfg.exchange_root(), f"e{epoch:06d}")
-            n_slots = cfg.n_apply_blocks()
-            ds = binlog_src.read_epoch(cfg.binlog_dir, lo, hi,
-                                       override_num_blocks=cfg.n_read_blocks(),
-                                       columns=APPLY_COLS)
-            # stage 1: route + spill (the .sum() is the execution barrier)
-            (ds.map_batches(route, batch_format="pyarrow")
-               .map_batches(partial(_spill_stage1, ex_dir=ex_dir, n_slots=n_slots),
-                            batch_format="pyarrow")
-               .sum("rows", ignore_nulls=True))
+            # stage 1 (skipped when run() prespilled it concurrently with
+            # the previous epoch's apply)
+            ex_dir, n_slots = prespilled or self._run_spill(epoch, lo, hi)
             # stage 2: one task per slot
             slots = pa.table({"slot": pa.array(list(range(n_slots)), type=pa.int64())})
             cand = (
