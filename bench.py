@@ -63,7 +63,8 @@ def run_bench() -> dict:
     # warm page cache so we measure compute+shuffle, not first disk read
     import pyarrow.parquet as pq
     for f in sorted(os.listdir(info["binlog_dir"])):
-        pq.read_table(os.path.join(info["binlog_dir"], f))
+        if f.endswith(".parquet"):  # skip the _shards.json marker
+            pq.read_table(os.path.join(info["binlog_dir"], f))
 
     import shutil
     lake_root = "/dev/shm/thor_ray_bench" if scaling_mode else "/tmp/thor_ray_bench"
@@ -94,9 +95,9 @@ def run_bench() -> dict:
     cdc_sec = cdc_epoch_sec = None
     n_applied = 0
     for _ in range(attempts):  # noisy VM: report the best attempt
-        sec, loop, n_applied = one_cdc_run(mode)
+        sec, loop, n = one_cdc_run(mode)
         if cdc_sec is None or sec < cdc_sec:
-            cdc_sec, cdc_epoch_sec = sec, loop
+            cdc_sec, cdc_epoch_sec, n_applied = sec, loop, n
     # cow-vs-delta at MICRO-BATCH cadence (16 epochs): at the headline's 4
     # epochs the fixture's per-epoch DDL forces delta to compact each epoch
     # and the modes converge; write amplification shows at small epochs

@@ -53,7 +53,7 @@ def cmd_run(a) -> int:
 
     pipe = CdcPipeline(CdcConfig(
         lake_dir=a.lake, binlog_dir=a.binlog, num_partitions=a.partitions,
-        epoch_size=a.epoch_size, shuffle=a.shuffle))
+        epoch_size=a.epoch_size, shuffle=a.shuffle, write_mode=a.write_mode))
     reports = pipe.run(base=a.base, max_epochs=a.max_epochs)
     for r in reports:
         print(json.dumps({"epoch": r.epoch, "events": r.n_events,
@@ -91,8 +91,19 @@ def cmd_verify(a) -> int:
     from thor_ray import oracle
     from thor_ray.sources.lake import read_lake
 
-    shards = sorted(glob.glob(f"{a.binlog}/shard-*.parquet"))
-    events = pa.concat_tables([pq.read_table(p) for p in shards])
+    from thor_ray.sources import binlog as bs
+
+    shards = bs.shard_files(a.binlog)  # parquet or jsonl tier
+    if shards and shards[0].endswith(".jsonl"):
+        import pyarrow.json as pajson
+        events = pa.concat_tables([
+            pajson.read_json(p, parse_options=bs._jsonl_parse_options())
+            for p in shards])
+        events = events.set_column(
+            events.schema.get_field_index("ts"), "ts",
+            events["ts"].cast(pa.timestamp("us")))
+    else:
+        events = pa.concat_tables([pq.read_table(p) for p in shards])
     base = pq.read_table(a.base) if a.base else None
     expected, _ = oracle.apply_events(events, initial=base)
     got = read_lake(a.lake).to_pandas()
@@ -170,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--partitions", type=int, default=64)
     r.add_argument("--epoch-size", type=int, default=250_000)
     r.add_argument("--shuffle", choices=["spill", "sort", "hash"], default="spill")
+    r.add_argument("--write-mode", choices=["cow", "delta"], default="cow")
     r.add_argument("--max-epochs", type=int)
     r.add_argument("--num-cpus", type=int)
     r.set_defaults(fn=cmd_run)

@@ -320,7 +320,9 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
         ]
         return batch[batch["jaccard"] >= threshold][["id_a", "id_b", "jaccard"]]
 
-    return _rd.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
+    # re-wrap the already-materialized candidate blocks (from_pandas would
+    # collapse to ONE block and serialize the whole verify stage)
+    return _rd.from_arrow_refs(cand_tbl).map_batches(verify, batch_format="pandas")
 
 
 def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
@@ -342,13 +344,15 @@ def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
         for b in range(num_planes):
             bucket |= signs[:, b] << np.uint64(b)
         norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        flat32 = np.ascontiguousarray(norm.astype(np.float32))
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(4 * d), len(norm), [None, pa.py_buffer(flat32.tobytes())])
         return pa.table({
             # coarse key cardinality ∝ cluster CPUs (was a fixed %64 cap)
             "coarse": pa.array((bucket % np.uint64(fanout)).astype(np.int64)),
             "bucket": pa.array(bucket.astype(np.int64)),
             id_col: t[id_col],
-            "_v": pa.array([v.astype(np.float32).tobytes() for v in norm],
-                           type=pa.binary()),
+            "_v": packed,  # one buffer per batch, not one bytes per row
         })
 
     def coarse_pairs(cdf: pd.DataFrame) -> pd.DataFrame:

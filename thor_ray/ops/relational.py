@@ -193,7 +193,12 @@ def full_outer_join(left: Dataset, right: Dataset, on: list[str],
     ``KeyError`` on the right key — the empty block loses its schema), and
     with distinct key names the coalesced output drops the right key.
     Integer columns are restored to Int64 after the null-introducing merge
-    (same dtype discipline as asof_join)."""
+    (same dtype discipline as asof_join). NULL join keys follow SQL
+    semantics: they match nothing and emit unmatched rows from both sides.
+
+    Known limitation: integer payloads round-trip through float64 inside
+    the pandas group, so values above 2^53 lose precision — keep ids that
+    large out of payload columns (keys are unaffected)."""
     on = list(on)
     right_on = list(right_on or on)
     lschema, rschema = _arrow_schema(left), _arrow_schema(right)
@@ -234,6 +239,18 @@ def full_outer_join(left: Dataset, right: Dataset, on: list[str],
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == "L"][on + lpay]
         rg = g[g["_side"] == "R"][on + rpay]
+        # SQL semantics: NULL keys never match (pandas merge would equate
+        # NaN keys; Arrow groupby routes all null keys into one group)
+        lnull = lg[on].isna().any(axis=1)
+        rnull = rg[on].isna().any(axis=1)
+        parts = []
+        for nd, other_pay in ((lg[lnull], rpay), (rg[rnull], lpay)):
+            if len(nd):
+                nd = nd.copy()
+                for c in other_pay:
+                    nd[c] = None
+                parts.append(nd)
+        lg, rg = lg[~lnull], rg[~rnull]
         if not len(lg):
             out = rg.copy()
             for c in lpay:
@@ -244,6 +261,8 @@ def full_outer_join(left: Dataset, right: Dataset, on: list[str],
                 out[c] = None
         else:
             out = lg.merge(rg, on=on, how="outer")
+        if parts:
+            out = pd.concat([out, *parts], ignore_index=True)
         return restore(out[on + lpay + rpay])
 
     tagged = left.map_batches(tag("L"), batch_format="pyarrow").union(

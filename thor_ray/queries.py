@@ -45,7 +45,10 @@ def _rnd(arr, n: int):
     x = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     m = 10.0 ** n
     out = np.copysign(np.floor(np.abs(x) * m + 0.5), x) / m
-    return pa.array(out, type=pa.float64())
+    # preserve NULLs (to_numpy turns them into NaN): DuckDB round(NULL) is
+    # NULL, and a 'nan' string would flip the driver hash
+    mask = np.asarray(pc.is_null(arr)) if arr.null_count else None
+    return pa.array(out, type=pa.float64(), mask=mask)
 
 
 def _round_cols(ds: Dataset, spec: dict[str, int]) -> Dataset:
@@ -732,6 +735,64 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q51_hoist_flatten(sf: str):
+    """T2 HoistField + T3 Flatten + T1 ExtractField as a real pipeline:
+    hoist event fields into a struct, flatten it back, extract one child —
+    the SMT chain shape Connect configs compose (SURVEY.md §2.2)."""
+    from thor_ray.stages.smt import extract_field, flatten, hoist_field
+    ds = T(sf, "events", ["event_id", "user_id", "event_type"])
+    hoist = hoist_field(["user_id", "event_type"], into="payload")   # T2
+    extract = extract_field("payload", "user_id", out="uid",
+                            keep_struct=True)                        # T1
+    flat = flatten(delimiter=".")                                    # T3
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = flat(extract(hoist(t)))
+        return pa.table({"event_id": t["event_id"], "uid": t["uid"],
+                         "etype": t["payload.event_type"]})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q51 = """
+SELECT event_id, user_id AS uid, event_type AS etype FROM events
+"""
+
+
+def q52_regex_router(sf: str):
+    """T10 RegexRouter: topic→table mapping by regex replace, then a
+    per-table count (the routing fan-in a sink sees)."""
+    from thor_ray.stages.smt import regex_router
+    ds = T(sf, "events", ["event_type"])
+    route = regex_router("event_type", pattern=r"^(view|click)$",
+                         replacement=r"web_\1", out="table")
+    out = ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("table").aggregate(Count(alias_name="n"))
+    return out
+
+
+SQL_Q52 = r"""
+SELECT regexp_replace(event_type, '^(view|click)$', 'web_\1') AS "table",
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q53_timestamp_router(sf: str):
+    """T9 TimestampRouter: derive the `t_YYYYMMDD` routing column from the
+    record timestamp (partition-dir routing), count rows per target."""
+    from thor_ray.stages.smt import timestamp_router
+    ds = T(sf, "events", ["ts"])
+    route = timestamp_router("ts", fmt="%Y%m%d", prefix="t_", out="table")
+    return ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("table").aggregate(Count(alias_name="n"))
+
+
+SQL_Q53 = """
+SELECT 't_' || strftime(ts, '%Y%m%d') AS "table", count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible; driver records a weaker check)
 # ---------------------------------------------------------------------------
@@ -824,7 +885,10 @@ def q50_ivf_pruned(sf: str):
     import os
     import shutil
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
-    idx = f"/tmp/thor_ray_ivf_{tag}"
+    # key the cached index by the source file's mtime so a regenerated
+    # fixture can never serve stale cells
+    mt = int(os.path.getmtime(f"{sf}/embeddings.parquet"))
+    idx = f"/tmp/thor_ray_ivf_{tag}_{mt}"
     if not os.path.exists(os.path.join(idx, "_centroids.npy")):
         shutil.rmtree(idx, ignore_errors=True)
         ANN.ivf_build(T(sf, "embeddings", ["vec_id", "embedding"]), idx,
@@ -897,6 +961,9 @@ QUERIES: dict[str, tuple] = {
     "q35_hopping_window": (q35_hopping_window, SQL_Q35),
     "q36_full_outer": (q36_full_outer, SQL_Q36),
     "q38_group_median": (q38_group_median, SQL_Q38),
+    "q51_hoist_flatten": (q51_hoist_flatten, SQL_Q51),
+    "q52_regex_router": (q52_regex_router, SQL_Q52),
+    "q53_timestamp_router": (q53_timestamp_router, SQL_Q53),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),

@@ -139,12 +139,22 @@ def read_epoch(binlog_dir: str, lo: int, hi: int,
             files, file_extensions=["jsonl"],
             parse_options=_jsonl_parse_options(columns), **kw)
         lo_, hi_ = lo, hi
+        from thor_ray.gen import EVENT_SCHEMA
 
         def flt_fn(t: pa.Table) -> pa.Table:
             m = pc.and_(pc.and_(pc.greater(t["lsn"], lo_),
                                 pc.less_equal(t["lsn"], hi_)),
                         pc.not_equal(pc.fill_null(t["op"], ""), "DDL"))
-            return t.filter(m)
+            t = t.filter(m)
+            # align to EVENT_SCHEMA types (content/extra are large_string
+            # there; a later union with schema-typed blocks — the marker
+            # table in sort/hash shuffles — fails on the mismatch)
+            for c in t.column_names:
+                want = EVENT_SCHEMA.field(c).type if c in EVENT_SCHEMA.names else None
+                if want is not None and c != "ts" and t.schema.field(c).type != want:
+                    t = t.set_column(t.schema.get_field_index(c), c,
+                                     pc.cast(t[c], want))
+            return t
 
         return ds.map_batches(flt_fn, batch_format="pyarrow")
     flt = (pc.field("lsn") > lo) & (pc.field("lsn") <= hi) & (pc.field("op") != "DDL")
