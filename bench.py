@@ -111,7 +111,7 @@ def run_bench() -> dict:
     # pure-CPU calibration: the machine's own parallel ceiling, so the
     # scaling efficiency can be read against what this box can deliver at
     # all (BASELINE.md documents eff≈0.65 for embarrassingly parallel work)
-    calib_sec = None
+    calib_sec = membw_gbps = None
     if scaling_mode:
         import numpy as _np
         import ray.data as _rd
@@ -126,6 +126,7 @@ def run_bench() -> dict:
         _rd.range(48_000_000, override_num_blocks=NUM_CPUS * 2).map_batches(
             burn, batch_format="numpy", batch_size=262_144).sum("y")
         calib_sec = round(time.perf_counter() - t0, 3)
+        membw_gbps = _measure_membw(NUM_CPUS)
 
     # ---- operator queries over the sf dir ------------------------------
     q_times: dict[str, float] = {}
@@ -156,7 +157,43 @@ def run_bench() -> dict:
         out["cdc_events_per_sec_by_mode"] = mode_evps
     if calib_sec is not None:
         out["calib_sec"] = calib_sec
+    if membw_gbps is not None:
+        out["membw_gbps"] = membw_gbps
     return out
+
+
+def _measure_membw(nproc: int) -> float:
+    """Aggregate memcpy GB/s at `nproc` parallel processes — the second
+    machine ceiling. The CDC pipeline is byte-movement-heavy (read, spill,
+    exchange, gather); once compute is vectorized its scaling is bounded by
+    how the HOST's DRAM bandwidth scales with process count, which on this
+    single-socket sandbox is far from 4x at 8→32 (a real N→4N cluster adds
+    per-node DRAM linearly). Reported so scaling efficiency can be read
+    against the resource that actually binds."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=_membw_worker, args=(q,)) for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return round(sum(q.get() for _ in ps) / 1024.0, 2)
+
+
+def _membw_worker(q) -> None:
+    import numpy as _np
+    import time as _t
+
+    buf = _np.frombuffer(_np.random.default_rng(0).bytes(256 * 1024 * 1024),
+                         dtype=_np.uint8)
+    t0 = _t.perf_counter()
+    n = 0
+    while _t.perf_counter() - t0 < 3:
+        _ = buf.copy()
+        n += 1
+    q.put(n * 256 / (_t.perf_counter() - t0))  # MB/s
 
 
 def run_scaling() -> dict:
@@ -191,6 +228,17 @@ def run_scaling() -> dict:
         # the sandbox's practical ceiling, not a property of the engine
         out["machine_parallel_ceiling"] = round(ceiling, 3)
         out["efficiency_vs_ceiling"] = round(eff / ceiling, 3) if ceiling else None
+    bw_lo, bw_hi = lo.get("membw_gbps"), hi.get("membw_gbps")
+    if bw_lo and bw_hi:
+        # DRAM-bandwidth ceiling: the pipeline is byte-movement-bound once
+        # compute is vectorized, and this single-socket host's aggregate
+        # memcpy rate does NOT grow 4x from 8 to 32 procs (a real N→4N
+        # cluster adds per-node DRAM linearly). An engine tracking this
+        # curve is using the host fully.
+        bw_ceiling = (bw_hi / bw_lo) / (32 / 8)
+        out["membw_gbps_8"], out["membw_gbps_32"] = bw_lo, bw_hi
+        out["bandwidth_ceiling"] = round(bw_ceiling, 3)
+        out["efficiency_vs_bandwidth_ceiling"] = round(eff / bw_ceiling, 3)
     return out
 
 

@@ -184,14 +184,113 @@ def _spill_stage1(t: pa.Table, *, ex_dir: str, n_slots: int) -> pa.Table:
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"b-{digest}.arrow")
         tmp = path + f".tmp-{os.getpid()}"
+        # lz4 trades bytes for (parallelizable) CPU: text payloads shrink
+        # ~3x, and the exchange is bandwidth-bound once compute vectorizes
+        opts = pa.ipc.IpcWriteOptions(compression="lz4")
         with pa.OSFile(tmp, "wb") as f:
-            with pa.ipc.new_stream(f, sub.schema) as w:
+            with pa.ipc.new_stream(f, sub.schema, options=opts) as w:
                 w.write_table(sub)
         os.replace(tmp, path)
         counts["slot"].append(int(s))
         counts["rows"].append(len(sl))
     return pa.table(counts, schema=pa.schema([("slot", pa.int64()),
                                               ("rows", pa.int64())]))
+
+
+def _reduce_slot_events(t: pa.Table, *, ctx: dict, num_partitions: int
+                        ) -> dict[int, tuple[pd.DataFrame, dict]]:
+    """Vectorized Arrow/numpy reduction of one slot's epoch events to
+    per-pid (winners, stats) WITHOUT materializing the events as pandas:
+    a full epoch's to_pandas() builds millions of Python strings (the
+    round-2 apply bottleneck); only the last-writer-wins winners — bounded
+    by keys touched, not events — cross into Python objects.
+
+    Reproduces the pandas reduction exactly: watermark drop, per-pid lsn
+    dedup (keep first), last-wins per (pid, repo, path), op counts and
+    shard sets over the deduped events."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return {}
+
+    def dict_codes(col: "pa.ChunkedArray") -> tuple[np.ndarray, int]:
+        """(global dictionary codes, dictionary size) for a string column —
+        combined first so codes are table-global, not per-chunk."""
+        arr = col.combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=pa.string())
+        d = pc.dictionary_encode(pc.fill_null(arr, ""))  # null key ≙ ""
+        return np.asarray(d.indices, dtype=np.int64), len(d.dictionary)
+    # index-space reduction: the table itself is NEVER sorted or gathered
+    # wholesale (a full-slot take copies the whole content payload — ~7 GB
+    # per 8M-event epoch); only the key/lsn/op/shard columns become numpy,
+    # and the single take at the end gathers winners only
+    pid0 = t["pid"].to_numpy()
+    lsn0 = t["lsn"].to_numpy()
+    n = len(pid0)
+    order = np.lexsort((lsn0, pid0))  # pid primary, lsn secondary
+    pid = pid0[order]
+    lsn = lsn0[order]
+    wm = np.zeros(num_partitions, dtype=np.int64)
+    for p, m in ctx["manifests"].items():
+        wm[int(p)] = m["upto_lsn"]
+    valid = lsn > wm[pid]
+    dup = np.zeros(n, dtype=bool)
+    if n > 1:
+        dup[1:] = (pid[1:] == pid[:-1]) & (lsn[1:] == lsn[:-1])
+    dup &= valid
+    keep = valid & ~dup
+
+    def percount(mask) -> np.ndarray:
+        return np.bincount(pid[mask], minlength=num_partitions)
+
+    n_in = percount(slice(None))
+    n_wm = percount(~valid)
+    n_dup = percount(dup)
+    op_arr = t["op"].combine_chunks()
+    if isinstance(op_arr, pa.ChunkedArray):
+        op_arr = op_arr.chunk(0)
+    op_d = pc.dictionary_encode(pc.fill_null(op_arr, ""))
+    oc = np.asarray(op_d.indices)[order]
+    opvals = op_d.dictionary.to_pylist()
+    op_counts = {v: percount(keep & (oc == i)) for i, v in enumerate(opvals)}
+    shard_np = t["shard"].to_numpy(zero_copy_only=False)[order]
+    pk = np.unique((pid[keep].astype(np.int64) << np.int64(32))
+                   | shard_np[keep].astype(np.int64))
+    shard_sets: dict[int, list[int]] = {}
+    for v in pk:
+        shard_sets.setdefault(int(v >> 32), []).append(int(v & 0xFFFFFFFF))
+
+    # last-wins winners per (pid, key): dictionary-encode the key columns
+    # (C-level; combined so codes are table-global), combine to one int64,
+    # take the LAST occurrence in (pid, lsn) order via np.unique reversed
+    rc, _ = dict_codes(t["repo"])
+    pcc, path_card = dict_codes(t["path"])
+    key = (rc * np.int64(path_card + 1) + pcc)[order]
+    kidx = np.flatnonzero(keep)
+    combo = pid[kidx].astype(np.int64) * np.int64(n + 1) * np.int64(path_card + 1) \
+        + key[kidx]
+    _, first_rev = np.unique(combo[::-1], return_index=True)
+    win_sorted_pos = np.sort(kidx[len(kidx) - 1 - first_rev])
+    winners_t = t.take(pa.array(order[win_sorted_pos]))
+    wdf = winners_t.to_pandas()  # winners only — small
+    out: dict[int, tuple[pd.DataFrame, dict]] = {}
+    groups = {int(p): g for p, g in wdf.groupby("pid", sort=True)}
+    for p in np.flatnonzero(n_in > 0):
+        p = int(p)
+        stats = {
+            "n_I": int(op_counts.get("I", np.zeros(1))[p]) if "I" in op_counts else 0,
+            "n_U": int(op_counts.get("U", np.zeros(1))[p]) if "U" in op_counts else 0,
+            "n_D": int(op_counts.get("D", np.zeros(1))[p]) if "D" in op_counts else 0,
+            "n_dup": int(n_dup[p]), "n_wm_dropped": int(n_wm[p]),
+            "n_events": int(n_in[p]), "shards": sorted(shard_sets.get(p, [])),
+        }
+        out[p] = (groups.get(p, wdf.iloc[0:0]), stats)
+    return out
+
+
+_EMPTY_STATS = {"n_I": 0, "n_U": 0, "n_D": 0, "n_dup": 0,
+                "n_wm_dropped": 0, "n_events": 0, "shards": []}
 
 
 def _apply_slot(batch: pd.DataFrame, *, ex_dir: str, ctx: dict,
@@ -202,10 +301,10 @@ def _apply_slot(batch: pd.DataFrame, *, ex_dir: str, ctx: dict,
     role markers play in the shuffle paths)."""
     import glob as _glob
 
-    empty = pd.DataFrame({c: pd.Series(dtype="object") for c in APPLY_COLS}
-                         | {"lsn": pd.Series(dtype="int64"),
-                            "schema_ver": pd.Series(dtype="int64"),
-                            "pid": pd.Series(dtype="int64")})
+    empty_w = pd.DataFrame({c: pd.Series(dtype="object") for c in APPLY_COLS}
+                           | {"lsn": pd.Series(dtype="int64"),
+                              "schema_ver": pd.Series(dtype="int64"),
+                              "pid": pd.Series(dtype="int64")})
     outs = []
     for slot in batch["slot"].tolist():
         files = sorted(_glob.glob(os.path.join(ex_dir, f"slot={slot:05d}", "b-*.arrow")))
@@ -213,13 +312,13 @@ def _apply_slot(batch: pd.DataFrame, *, ex_dir: str, ctx: dict,
         for f in files:
             with pa.OSFile(f, "rb") as fh:
                 tables.append(pa.ipc.open_stream(fh).read_all())
-        present: dict[int, pd.DataFrame] = {}
+        reduced: dict[int, tuple[pd.DataFrame, dict]] = {}
         if tables:
-            df = pa.concat_tables(tables).to_pandas()
-            present = {int(p): g for p, g in df.groupby("pid", sort=True)}
+            reduced = _reduce_slot_events(pa.concat_tables(tables), ctx=ctx,
+                                          num_partitions=num_partitions)
         for pid in range(slot, num_partitions, n_slots):
-            outs.append(_apply_partition_group(present.get(pid, empty),
-                                               ctx=ctx, pid=pid))
+            winners, stats = reduced.get(pid, (empty_w, _EMPTY_STATS))
+            outs.append(_fold_partition(winners, stats, ctx=ctx, pid=pid))
     if not outs:
         return pd.DataFrame()
     return pd.concat(outs, ignore_index=True)
@@ -261,6 +360,30 @@ def _apply_partition_group(group: pd.DataFrame, *, ctx: dict,
     n_dup = n_in - n_wm_dropped - len(ev)
     counts = ev["op"].value_counts().to_dict()
     shards = sorted(int(s) for s in ev["shard"].dropna().unique()) if len(ev) else []
+    winners = ev.drop_duplicates(["repo", "path"], keep="last")
+    stats = {"n_I": int(counts.get("I", 0)), "n_U": int(counts.get("U", 0)),
+             "n_D": int(counts.get("D", 0)), "n_dup": int(n_dup),
+             "n_wm_dropped": int(n_wm_dropped), "n_events": int(n_in),
+             "shards": shards}
+    return _fold_partition(winners, stats, ctx=ctx, pid=pid)
+
+
+def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
+                    pid: int) -> pd.DataFrame:
+    """Merge pre-reduced last-writer-wins winners into the partition state.
+
+    `winners` has one row per touched (repo, path) — the epoch's surviving
+    event per key, lsn-ascending — with the APPLY_COLS columns. The
+    reduction to winners happens either in pandas (_apply_partition_group,
+    sort/hash shuffles) or vectorized in Arrow/numpy (_reduce_slot_events,
+    spill path) — this fold is shared."""
+    man = ctx["manifests"].get(pid)
+    ver_start = man["schema_ver"] if man else 0
+    epoch, hi = ctx["epoch"], ctx["hi"]
+    epoch_ddls: list[dict] = ctx["epoch_ddls"]
+    registry = SchemaRegistry(ctx["all_entries"])
+    ver_end = registry.version
+    evolved_final = registry.columns_at(ver_end)
 
     # Guard by ver_start: on an epoch re-run (restore path) a partition that
     # already committed this epoch is at ver_end — re-applying add_column
@@ -270,13 +393,12 @@ def _apply_partition_group(group: pd.DataFrame, *, ctx: dict,
     compact_every = ctx.get("compact_every", 8)
     prior_files = man["files"] if man else []
 
-    changed = (len(ev) > 0) or bool(applied_ddls)
+    changed = (len(winners) > 0) or bool(applied_ddls)
     if not changed:
         new_files, row_count, chash = prior_files, \
             (man["row_count"] if man else 0), (man["content_hash"] if man else "")
     else:
-        # ---- last-writer-wins winners within the epoch slice
-        winners = ev.drop_duplicates(["repo", "path"], keep="last").copy()
+        winners = winners.copy()
         wcols = _materialize_evolved(winners, registry, evolved_final)
         winners = winners[["repo", "path", "commit", "lang", "content", "op", "lsn"]]
         for c in evolved_final:
@@ -327,10 +449,10 @@ def _apply_partition_group(group: pd.DataFrame, *, ctx: dict,
             "pid": pid, "epoch": epoch, "upto_lsn": hi, "schema_ver": ver_end,
             "files": json.dumps(new_files), "row_count": row_count,
             "content_hash": chash,
-            "n_I": int(counts.get("I", 0)), "n_U": int(counts.get("U", 0)),
-            "n_D": int(counts.get("D", 0)), "n_dup": int(n_dup),
-            "n_wm_dropped": int(n_wm_dropped), "n_events": int(n_in),
-            "input_shards": json.dumps(shards),
+            "n_I": stats["n_I"], "n_U": stats["n_U"], "n_D": stats["n_D"],
+            "n_dup": stats["n_dup"], "n_wm_dropped": stats["n_wm_dropped"],
+            "n_events": stats["n_events"],
+            "input_shards": json.dumps(stats["shards"]),
         }]
     )
 
