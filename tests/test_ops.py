@@ -263,3 +263,34 @@ def test_approx_quantiles_error_bound(ray_session):
     for q, v in got.items():
         exact = np.quantile(x, q)
         assert abs(v - exact) / abs(exact) < 0.01, (q, v, exact)
+
+
+def test_multimodal_resize_and_audio(ray_session):
+    import numpy as np
+    import thor_ray.ops.multimodal as MM
+
+    rs = MM.ResizeImage(target_h=32, target_w=48)
+    px = np.arange(100 * 60 * 3, dtype=np.uint8).reshape(100, 60, 3)
+    out = rs(pd.DataFrame({"pixels": [px]}))
+    assert out["pixels"].iloc[0].shape == (32, 48, 3)
+    # nearest-neighbor: corner pixels preserved
+    assert (out["pixels"].iloc[0][0, 0] == px[0, 0]).all()
+
+    af = MM.AudioFeatures(frame_len=64)
+    silent = np.zeros(1024, dtype=np.int16).tobytes()
+    loud = (np.tile([20000, -20000], 512).astype(np.int16)).tobytes()
+    out = af(pd.DataFrame({"payload": [silent, loud]}))
+    f0, f1 = out["audio_features"].iloc[0], out["audio_features"].iloc[1]
+    assert f0[0] == 0.0                     # silent -> zero RMS
+    assert f1[2] > 0.9                      # alternating -> ZCR ~1
+    assert (out["n_audio_frames"] == 16).all()
+
+
+def test_multimodal_frame_sample(ray_session):
+    import ray
+    import thor_ray.ops.multimodal as MM
+
+    ds = ray.data.from_arrow(MM.make_fake_media_table(16, kind="video"))
+    out = MM.frame_sample_pipeline(ds, stride=7).to_pandas()
+    for _, r in out.iterrows():
+        assert r["n_sampled"] == len(range(0, int(r["meta"]["n_frames"]), 7))

@@ -122,6 +122,77 @@ class FrameSample:
         return batch
 
 
+class ResizeImage:
+    """Actor-pool stage: nearest-neighbor resize to (target_h, target_w).
+
+    REAL math (pure numpy fancy indexing — no codec library involved), so
+    this stage is not a stub: it operates on whatever `pixels` the decode
+    stage produced, PIL-decoded or fake."""
+
+    def __init__(self, target_h: int = 64, target_w: int = 64):
+        self.th, self.tw = target_h, target_w
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for px in batch["pixels"]:
+            px = np.asarray(px)
+            h, w = px.shape[0], px.shape[1]
+            ri = (np.arange(self.th) * h // self.th)
+            ci = (np.arange(self.tw) * w // self.tw)
+            out.append(px[ri][:, ci])
+        batch = batch.copy()
+        batch["pixels"] = out
+        return batch
+
+
+class AudioFeatures:
+    """Actor-pool stage: framewise RMS + zero-crossing-rate features over
+    PCM samples. The 'decode' interprets the payload bytes as int16 PCM
+    (deterministic stand-in for a codec — labeled via `decode_backend`);
+    the DSP math itself is real vectorized numpy."""
+
+    def __init__(self, frame_len: int = 256):
+        self.frame_len = frame_len
+        self.backend = "pcm-bytes"  # a real audio codec isn't installed
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats, n_frames = [], []
+        for p in batch["payload"]:
+            pcm = np.frombuffer(p[: len(p) - len(p) % 2], dtype=np.int16) \
+                .astype(np.float64) / 32768.0
+            nf = max(len(pcm) // self.frame_len, 1)
+            frames = pcm[: nf * self.frame_len].reshape(nf, -1) \
+                if len(pcm) >= self.frame_len else pcm.reshape(1, -1)
+            rms = np.sqrt((frames ** 2).mean(axis=1))
+            zcr = (np.abs(np.diff(np.signbit(frames), axis=1)).sum(axis=1)
+                   / max(frames.shape[1] - 1, 1))
+            feats.append(np.round(np.array(
+                [rms.mean(), rms.std(), zcr.mean(), zcr.std()]), 6))
+            n_frames.append(nf)
+        batch = batch.drop(columns=["payload"])
+        batch["audio_features"] = feats
+        batch["n_audio_frames"] = pd.Series(n_frames, index=batch.index,
+                                            dtype="int64")
+        batch["decode_backend"] = self.backend
+        return batch
+
+
+def audio_pipeline(ds: Dataset, concurrency: "int | tuple[int, int]" = 2,
+                   batch_size: int = 32) -> Dataset:
+    """Audio feature extraction as an actor pool with small batches."""
+    return ds.map_batches(AudioFeatures, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def frame_sample_pipeline(ds: Dataset, stride: int = 10,
+                          concurrency: "int | tuple[int, int]" = 2,
+                          batch_size: int = 32) -> Dataset:
+    """Video frame sampling (metadata-driven; decode stubbed)."""
+    return ds.map_batches(FrameSample, fn_constructor_kwargs={"stride": stride},
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
 def decode_and_featurize(ds: Dataset, concurrency: int = 4,
                          batch_size: int = 32, strict: bool = False) -> Dataset:
     """The image pipeline: decode (actor pool, small batches) → features.

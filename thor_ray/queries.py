@@ -878,6 +878,37 @@ def q46_ivf_topk(sf: str):
                         _query_vec(sf), k=10, n_cells=8, nprobe=3)
 
 
+def q54_video_frame_sample(sf: str):
+    """Multimodal: metadata-driven video frame sampling (actor pool, small
+    batches; decode stubbed — the plumbing and stride math are real)."""
+    ds = ray.data.from_arrow(MM.make_fake_media_table(48, kind="video"))
+    out = MM.frame_sample_pipeline(ds, stride=10, concurrency=2, batch_size=16)
+
+    def summarize(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": t["media_id"],
+            "n_frames": t["meta"].map(lambda m: int(m["n_frames"])).astype("int64"),
+            "n_sampled": t["n_sampled"].astype("int64"),
+        })
+    return out.map_batches(summarize, batch_format="pandas")
+
+
+def q55_audio_features(sf: str):
+    """Multimodal: framewise RMS/ZCR audio features (real vectorized DSP
+    over PCM-interpreted payload bytes; codec layer labeled as stand-in)."""
+    ds = ray.data.from_arrow(MM.make_fake_media_table(48, kind="audio"))
+    out = MM.audio_pipeline(ds, concurrency=2, batch_size=16)
+
+    def summarize(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": t["media_id"],
+            "n_audio_frames": t["n_audio_frames"],
+            "rms_mean": t["audio_features"].map(lambda f: float(f[0])),
+            "zcr_mean": t["audio_features"].map(lambda f: float(f[2])),
+        })
+    return out.map_batches(summarize, batch_format="pandas")
+
+
 def q50_ivf_pruned(sf: str):
     """IVF with READ-TIME pruning: the index is cell-partitioned parquet,
     a search reads only its nprobe probed cell dirs (rows-only; the unit
@@ -979,6 +1010,8 @@ QUERIES: dict[str, tuple] = {
     "q48_sample": (q48_sample, None),
     "q49_multimodal_features": (q49_multimodal_features, None),
     "q50_ivf_pruned": (q50_ivf_pruned, None),
+    "q54_video_frame_sample": (q54_video_frame_sample, None),
+    "q55_audio_features": (q55_audio_features, None),
 }
 
 
