@@ -793,6 +793,79 @@ FROM events GROUP BY 1
 """
 
 
+def q56_lag_delta(sf: str):
+    """Window-function shape LAG: per-event gap to the user's previous
+    event (map_groups diff over the ts-sorted per-user history)."""
+    ds = T(sf, "events", ["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gap = (g["ts"].diff() // pd.Timedelta(microseconds=1))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "gap_us": gap.fillna(-1).astype("int64").to_numpy(),
+        })
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_Q56 = """
+SELECT event_id,
+       CAST(COALESCE(date_diff('microsecond',
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts),
+            -1) AS BIGINT) AS gap_us
+FROM events
+"""
+
+
+def q57_conditional_pivot(sf: str):
+    """Pivot by conditional aggregation: per-user counts of three event
+    types as columns (vectorized indicator columns + one grouped sum)."""
+    ds = T(sf, "events", ["user_id", "event_type"])
+
+    def ind(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_click": pc.cast(pc.equal(et, "click"), pa.int64()),
+            "n_view": pc.cast(pc.equal(et, "view"), pa.int64()),
+            "n_purchase": pc.cast(pc.equal(et, "purchase"), pa.int64()),
+        })
+    return ds.map_batches(ind, batch_format="pyarrow").groupby("user_id") \
+        .aggregate(Sum("n_click", alias_name="n_click"),
+                   Sum("n_view", alias_name="n_view"),
+                   Sum("n_purchase", alias_name="n_purchase"))
+
+
+SQL_Q57 = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+FROM events GROUP BY user_id
+"""
+
+
+def q58_string_agg(sf: str):
+    """Grouped ordered string aggregation (distinct statuses per flag)."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "l_returnflag": g["l_returnflag"].iloc[0],
+            "statuses": ",".join(sorted(g["l_linestatus"].unique())),
+            "n": np.int64(len(g)),
+        }])
+    return ds.groupby("l_returnflag").map_groups(agg, batch_format="pandas")
+
+
+SQL_Q58 = """
+SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible; driver records a weaker check)
 # ---------------------------------------------------------------------------
@@ -995,6 +1068,9 @@ QUERIES: dict[str, tuple] = {
     "q51_hoist_flatten": (q51_hoist_flatten, SQL_Q51),
     "q52_regex_router": (q52_regex_router, SQL_Q52),
     "q53_timestamp_router": (q53_timestamp_router, SQL_Q53),
+    "q56_lag_delta": (q56_lag_delta, SQL_Q56),
+    "q57_conditional_pivot": (q57_conditional_pivot, SQL_Q57),
+    "q58_string_agg": (q58_string_agg, SQL_Q58),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
