@@ -185,3 +185,45 @@ def test_delta_restore(ray_session, fixture, tmp_path):
     pipe2 = CdcPipeline(cfg)
     pipe2.run(base=fixture["base_path"])  # resume from manifests
     assert_matches_oracle(pipe2, fixture)
+
+
+def test_pipelined_equals_sequential(ray_session, fixture, tmp_path):
+    """Epoch pipelining (spill of N+1 under apply of N) must not change
+    ANY committed artifact vs the sequential path."""
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    lakes = {}
+    for name, pipelined in (("pipe", True), ("seq", False)):
+        lake = str(tmp_path / name)
+        cfg = CdcConfig(lake_dir=lake, binlog_dir=fixture["binlog_dir"],
+                        num_partitions=8, epoch_size=2_000,
+                        pipeline_epochs=pipelined)
+        CdcPipeline(cfg).run(base=fixture["base_path"])
+        lakes[name] = {p: json.loads(m.to_json())
+                       for p, m in load_manifests(lake).items()}
+    for p, m in lakes["pipe"].items():
+        s = lakes["seq"][p]
+        for k in ("upto_lsn", "schema_ver", "row_count", "content_hash"):
+            assert m[k] == s[k], (p, k)
+
+
+def test_crash_between_spill_and_commit(ray_session, fixture, tmp_path):
+    """Crash after epoch N+1's spill finished but before N+1 commits:
+    restart must replay cleanly (stale spill files are overwritten by the
+    deterministic content-derived names; lsn-dedup absorbs any leftovers)."""
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(lake_dir=lake, binlog_dir=fixture["binlog_dir"],
+                    num_partitions=8, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    pipe.bootstrap(fixture["base_path"])
+    # run epoch 1, then pre-spill epoch 2 and "crash" (no commit of 2)
+    ms = load_manifests(lake)
+    pipe.run_epoch(1, ms)
+    pipe._run_spill(2, 2_000, 4_000)
+    assert glob.glob(os.path.join(cfg.exchange_root(), "e000002", "slot=*", "*.arrow"))
+    # fresh pipeline resumes from manifests and drains everything
+    pipe2 = CdcPipeline(cfg)
+    pipe2.run()
+    assert_matches_oracle(pipe2, fixture)
