@@ -173,13 +173,16 @@ def _measure_membw(nproc: int) -> float:
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
-    q = ctx.Queue()
-    ps = [ctx.Process(target=_membw_worker, args=(q,)) for _ in range(nproc)]
-    for p in ps:
-        p.start()
-    for p in ps:
-        p.join()
-    return round(sum(q.get() for _ in ps) / 1024.0, 2)
+    best = 0.0
+    for _ in range(2):  # best-of-2: a 3s sample can land in a host-throttle window
+        q = ctx.Queue()
+        ps = [ctx.Process(target=_membw_worker, args=(q,)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        best = max(best, sum(q.get() for _ in ps) / 1024.0)
+    return round(best, 2)
 
 
 def _membw_worker(q) -> None:
