@@ -99,3 +99,29 @@ def test_rows_only_semantics(ray_session):
     pd.testing.assert_frame_equal(
         mm.sort_values("media_id").reset_index(drop=True),
         mm2.sort_values("media_id").reset_index(drop=True))
+
+
+def test_rnd_matches_duckdb_bitwise():
+    """Property: _rnd must be BIT-identical to DuckDB ROUND(DOUBLE, n) —
+    a one-ulp divergence flips the driver's stringified value hash (the
+    round-2 q35 near-miss: pc.round diverged on ~5% of aggregate sums)."""
+    import duckdb
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from thor_ray.queries import _rnd
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.floats(min_value=-1e12, max_value=1e12,
+                              allow_nan=False, allow_infinity=False),
+                    min_size=1, max_size=20),
+           st.integers(min_value=0, max_value=6))
+    def prop(xs, n):
+        got = _rnd(pa.array(xs, type=pa.float64()), n).to_pylist()
+        exp = [con.execute(f"SELECT round(CAST(? AS DOUBLE), {n})",
+                           [x]).fetchone()[0] for x in xs]
+        assert all(repr(g) == repr(e) for g, e in zip(got, exp)), (xs, n, got, exp)
+
+    prop()

@@ -103,10 +103,15 @@ class CdcConfig:
     # wins only when epochs are large enough to amortize pool startup).
     # "spill": Spark-style two-stage exchange through the filesystem —
     # stage 1 tasks split each block by pid-slot and write Arrow IPC spill
-    # files, stage 2 runs one task per slot over its files. Both stages are
-    # embarrassingly parallel; measured to scale where Ray's all-to-all ops
-    # flatten on this box. Retries are safe: spill names are content-
-    # derived (overwrite) and the apply's lsn-dedup absorbs leftovers.
+    # files (lz4), stage 2 runs one task per slot over its files. Both
+    # stages are embarrassingly parallel; measured to scale where Ray's
+    # all-to-all ops flatten on this box. Retries are safe: spill names are
+    # content-derived (overwrite) and the apply's lsn-dedup absorbs
+    # leftovers. MULTI-NODE REQUIREMENT: exchange_dir (default
+    # <lake>/_exchange) must live on storage every node can reach
+    # (S3/NFS/shared mount) — stage-2 tasks read spill files written by
+    # stage-1 tasks on other nodes. On a cluster without shared fs, use
+    # shuffle="hash" (in-object-store exchange) instead.
     shuffle: str = "spill"
     exchange_dir: str | None = None    # spill root (default <lake>/_exchange)
     # "cow": rewrite each partition's single state file per epoch (simple,

@@ -34,17 +34,21 @@ def T(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
 
 
 def _rnd(arr, n: int):
-    """Round half-away-from-zero, BIT-IDENTICAL to DuckDB's ROUND(DOUBLE):
-    copysign(floor(|x|*10^n + 0.5), x) / 10^n — the same multiply/round/
-    divide sequence DuckDB runs (std::round(x*p)/p). pc.round(...,
-    "half_towards_infinity") lands on a DIFFERENT double for ~5% of
-    aggregate sums (e.g. 120.99000000000001 vs 120.99), which flips the
-    driver's stringified value hash even though the decimals agree."""
+    """Round half-away-from-zero, BIT-IDENTICAL to DuckDB's ROUND(DOUBLE)
+    = std::round(x*10^n)/10^n. Emulated as floor(v) + (frac(v) >= 0.5) —
+    NOT floor(v + 0.5), which differs above 2^52 where v+0.5 is not
+    representable (hypothesis-found: 450359962737.8125 @ n=4), and NOT
+    pc.round("half_towards_infinity"), which lands on a different double
+    for ~5% of aggregate sums (e.g. 120.99000000000001 vs 120.99). Either
+    divergence flips the driver's stringified value hash even though the
+    decimals agree. Property-tested against DuckDB in tests."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     x = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
     m = 10.0 ** n
-    out = np.copysign(np.floor(np.abs(x) * m + 0.5), x) / m
+    av = np.abs(x) * m
+    fl = np.floor(av)
+    out = np.copysign(fl + (av - fl >= 0.5), x) / m
     # preserve NULLs (to_numpy turns them into NaN): DuckDB round(NULL) is
     # NULL, and a 'nan' string would flip the driver hash
     mask = np.asarray(pc.is_null(arr)) if arr.null_count else None
@@ -60,9 +64,12 @@ def _round_cols(ds: Dataset, spec: dict[str, int]) -> Dataset:
 
 
 def _round_away(x: float, n: int) -> float:
+    """Scalar twin of _rnd (same std::round emulation — see _rnd)."""
     import math
     m = 10 ** n
-    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+    av = abs(x) * m
+    fl = math.floor(av)
+    return math.copysign(fl + (av - fl >= 0.5), x) / m
 
 
 # ---------------------------------------------------------------------------
