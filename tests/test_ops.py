@@ -294,3 +294,27 @@ def test_multimodal_frame_sample(ray_session):
     out = MM.frame_sample_pipeline(ds, stride=7).to_pandas()
     for _, r in out.iterrows():
         assert r["n_sampled"] == len(range(0, int(r["meta"]["n_frames"]), 7))
+
+
+def test_near_dup_clusters_transitive(ray_session):
+    """A~B and B~C (but A!~C directly under LSH) must land in ONE cluster
+    with cluster_id = min id."""
+    import ray
+    import pyarrow as pa
+    import thor_ray.ops.dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 50], type=pa.int64()),
+        "text": pa.array([
+            base,                                   # A
+            base + "tail one extra phrase here",    # B ~ A
+            base + "tail one extra phrase here and then a bit more",  # C ~ B
+            "completely different content " * 30,   # unrelated
+        ]),
+    })
+    out = DD.near_dup_clusters(ray.data.from_arrow(docs), "text", "doc_id",
+                               jaccard_threshold=0.5)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
+    assert 50 not in got

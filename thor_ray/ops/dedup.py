@@ -325,6 +325,36 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
     return _rd.from_arrow_refs(cand_tbl).map_batches(verify, batch_format="pandas")
 
 
+def near_dup_clusters(ds: Dataset, text_col: str, id_col: str,
+                      jaccard_threshold: float = 0.5, **lsh_kw) -> pd.DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    every doc appearing in ≥1 pair gets cluster_id = min doc id of its
+    component (the canonical survivor a dedup pass would keep).
+
+    The union-find runs driver-side over the PAIR LIST — which is
+    output-sized (the distributed LSH stage already reduced the corpus to
+    candidate pairs); at corpus scales where even the pair list is too big
+    for one node, replace with iterative min-label propagation
+    (groupby(id).min(label) until fixpoint)."""
+    pairs = minhash_lsh_pairs(ds, text_col, id_col,
+                              jaccard_threshold=jaccard_threshold,
+                              **lsh_kw).to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((i, find(i)) for i in parent)
+    return pd.DataFrame(rows, columns=[id_col, "cluster_id"])
+
+
 def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
                              threshold: float = 0.95, num_planes: int = 12,
                              seed: int = 42, dim: int | None = None) -> Dataset:

@@ -130,6 +130,46 @@ def lang_id(ds: Dataset, text_col: str = "text", out: str = "pred_lang",
                           concurrency=concurrency, **kw)
 
 
+def normalize_text(ds: Dataset, text_col: str = "text", out: str = "norm_text",
+                   form: str = "NFC", lower: bool = True,
+                   strip: bool = True) -> Dataset:
+    """Unicode-normalize + casefold + trim — the standard first pass of a
+    pretraining text pipeline, fully vectorized (pc.utf8_normalize is an
+    Arrow kernel; matches DuckDB nfc_normalize)."""
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.utf8_normalize(t[text_col], form=form)
+        if lower:
+            x = pc.utf8_lower(x)
+        if strip:
+            x = pc.utf8_trim_whitespace(x)
+        return t.append_column(out, x)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def vocab_topk(ds: Dataset, text_col: str = "text", k: int = 100) -> Dataset:
+    """Corpus vocabulary: top-k whitespace tokens by frequency.
+
+    Scale shape: per-batch C-level token count (split + flatten + arrow
+    group_by) acts as the COMBINER, so the wide groupby moves one row per
+    (token, batch) instead of one per token occurrence; final top-k via
+    per-block prefilter. Ties at the k boundary break by token asc —
+    deterministic vs the SQL oracle."""
+    from thor_ray.ops.relational import top_k
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(t[text_col], pattern=TOKEN_RE))
+        g = pa.table({"token": toks}).group_by("token") \
+            .aggregate([("token", "count")])
+        return g.select(["token", "token_count"]).rename_columns(["token", "n"])
+
+    from ray.data.aggregate import Sum
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+    return top_k(counts, ["n", "token"], [True, False], k)
+
+
 def md5_fingerprint(ds: Dataset, text_col: str = "text",
                     out: str = "fp") -> Dataset:
     """Exact document fingerprint (md5 hex) — the exact-dedup key."""

@@ -800,6 +800,37 @@ FROM events GROUP BY 1
 """
 
 
+def q59_normalize_text(sf: str):
+    """Text normalization pass: NFC + lower + trim (vectorized kernels)."""
+    out = TX.normalize_text(T(sf, "documents", ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "norm_text"])
+
+
+SQL_Q59 = """
+SELECT doc_id, trim(lower(nfc_normalize(text))) AS norm_text FROM documents
+"""
+
+
+def q60_vocab_topk(sf: str):
+    """Corpus vocabulary top-100 (combiner pre-aggregation + one shuffle)."""
+    return TX.vocab_topk(T(sf, "documents", ["doc_id", "text"]), k=100)
+
+
+SQL_Q60 = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+      FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 100
+"""
+
+
+def q61_dup_clusters(sf: str):
+    """Near-dup clusters: connected components over the LSH pair graph
+    (rows-only; transitivity unit-tested on planted chains)."""
+    return DD.near_dup_clusters(T(sf, "documents", ["doc_id", "text"]),
+                                "text", "doc_id", jaccard_threshold=0.5)
+
+
 def q56_lag_delta(sf: str):
     """Window-function shape LAG: per-event gap to the user's previous
     event (map_groups diff over the ts-sorted per-user history)."""
@@ -1078,6 +1109,8 @@ QUERIES: dict[str, tuple] = {
     "q56_lag_delta": (q56_lag_delta, SQL_Q56),
     "q57_conditional_pivot": (q57_conditional_pivot, SQL_Q57),
     "q58_string_agg": (q58_string_agg, SQL_Q58),
+    "q59_normalize_text": (q59_normalize_text, SQL_Q59),
+    "q60_vocab_topk": (q60_vocab_topk, SQL_Q60),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
@@ -1095,6 +1128,7 @@ QUERIES: dict[str, tuple] = {
     "q50_ivf_pruned": (q50_ivf_pruned, None),
     "q54_video_frame_sample": (q54_video_frame_sample, None),
     "q55_audio_features": (q55_audio_features, None),
+    "q61_dup_clusters": (q61_dup_clusters, None),
 }
 
 
