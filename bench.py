@@ -172,6 +172,8 @@ def _measure_membw(nproc: int) -> float:
     against the resource that actually binds."""
     import multiprocessing as mp
 
+    import queue as _queue
+
     ctx = mp.get_context("spawn")
     best = 0.0
     for _ in range(2):  # best-of-2: a 3s sample can land in a host-throttle window
@@ -181,7 +183,13 @@ def _measure_membw(nproc: int) -> float:
             p.start()
         for p in ps:
             p.join()
-        best = max(best, sum(q.get() for _ in ps) / 1024.0)
+        total = 0.0
+        for _ in ps:  # a worker killed (OOM) puts nothing — don't hang
+            try:
+                total += q.get(timeout=30)
+            except _queue.Empty:
+                break
+        best = max(best, total / 1024.0)
     return round(best, 2)
 
 

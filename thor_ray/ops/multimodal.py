@@ -160,6 +160,10 @@ class AudioFeatures:
         for p in batch["payload"]:
             pcm = np.frombuffer(p[: len(p) - len(p) % 2], dtype=np.int16) \
                 .astype(np.float64) / 32768.0
+            if len(pcm) == 0:  # sub-sample payload: zero features, 0 frames
+                feats.append(np.zeros(4))
+                n_frames.append(0)
+                continue
             nf = max(len(pcm) // self.frame_len, 1)
             frames = pcm[: nf * self.frame_len].reshape(nf, -1) \
                 if len(pcm) >= self.frame_len else pcm.reshape(1, -1)

@@ -131,17 +131,21 @@ def lang_id(ds: Dataset, text_col: str = "text", out: str = "pred_lang",
 
 
 def normalize_text(ds: Dataset, text_col: str = "text", out: str = "norm_text",
-                   form: str = "NFC", lower: bool = True,
-                   strip: bool = True) -> Dataset:
+                   form: str = "NFC", lower: bool = True, strip: bool = True,
+                   strip_chars: str | None = None) -> Dataset:
     """Unicode-normalize + casefold + trim — the standard first pass of a
     pretraining text pipeline, fully vectorized (pc.utf8_normalize is an
-    Arrow kernel; matches DuckDB nfc_normalize)."""
+    Arrow kernel; matches DuckDB nfc_normalize).
+
+    strip_chars=None trims ALL Unicode whitespace; pass strip_chars=" " to
+    match SQL trim(), which strips spaces only — the q59 oracle does."""
     def fn(t: pa.Table) -> pa.Table:
         x = pc.utf8_normalize(t[text_col], form=form)
         if lower:
             x = pc.utf8_lower(x)
         if strip:
-            x = pc.utf8_trim_whitespace(x)
+            x = pc.utf8_trim(x, characters=strip_chars) if strip_chars \
+                else pc.utf8_trim_whitespace(x)
         return t.append_column(out, x)
     return ds.map_batches(fn, batch_format="pyarrow")
 

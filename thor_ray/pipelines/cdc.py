@@ -259,9 +259,16 @@ def _reduce_slot_events(t: pa.Table, *, ctx: dict, num_partitions: int
     oc = np.asarray(op_d.indices)[order]
     opvals = op_d.dictionary.to_pylist()
     op_counts = {v: percount(keep & (oc == i)) for i, v in enumerate(opvals)}
-    shard_np = t["shard"].to_numpy(zero_copy_only=False)[order]
-    pk = np.unique((pid[keep].astype(np.int64) << np.int64(32))
-                   | shard_np[keep].astype(np.int64))
+    # shard sets: match the pandas path's dropna() — null shards (float
+    # NaN after to_numpy) must not be packed (NaN→int64 is platform UB)
+    shard_raw = t["shard"].to_numpy(zero_copy_only=False)[order]
+    sh_ok = keep.copy()
+    if shard_raw.dtype.kind == "f":
+        sh_ok &= ~np.isnan(shard_raw)
+    shard_np = np.where(sh_ok, shard_raw, 0).astype(np.int64)
+    sh_ok &= shard_np >= 0  # negative sentinel would corrupt the pid pack
+    pk = np.unique((pid[sh_ok].astype(np.int64) << np.int64(32))
+                   | shard_np[sh_ok])
     shard_sets: dict[int, list[int]] = {}
     for v in pk:
         shard_sets.setdefault(int(v >> 32), []).append(int(v & 0xFFFFFFFF))
@@ -269,13 +276,21 @@ def _reduce_slot_events(t: pa.Table, *, ctx: dict, num_partitions: int
     # last-wins winners per (pid, key): dictionary-encode the key columns
     # (C-level; combined so codes are table-global), combine to one int64,
     # take the LAST occurrence in (pid, lsn) order via np.unique reversed
-    rc, _ = dict_codes(t["repo"])
+    rc, repo_card = dict_codes(t["repo"])
     pcc, path_card = dict_codes(t["path"])
     key = (rc * np.int64(path_card + 1) + pcc)[order]
     kidx = np.flatnonzero(keep)
-    combo = pid[kidx].astype(np.int64) * np.int64(n + 1) * np.int64(path_card + 1) \
-        + key[kidx]
-    _, first_rev = np.unique(combo[::-1], return_index=True)
+    key_bound = np.int64(repo_card + 1) * np.int64(path_card + 1)
+    pid_max = int(pid[-1]) if n else 0
+    if (pid_max + 1) * int(key_bound) < (1 << 62):
+        combo = pid[kidx].astype(np.int64) * key_bound + key[kidx]
+        _, first_rev = np.unique(combo[::-1], return_index=True)
+    else:
+        # overflow-safe fallback (huge slots): structured unique — slower,
+        # never silently collides
+        arr = np.empty(len(kidx), dtype=[("p", "i8"), ("k", "i8")])
+        arr["p"], arr["k"] = pid[kidx], key[kidx]
+        _, first_rev = np.unique(arr[::-1], return_index=True)
     win_sorted_pos = np.sort(kidx[len(kidx) - 1 - first_rev])
     winners_t = t.take(pa.array(order[win_sorted_pos]))
     wdf = winners_t.to_pandas()  # winners only — small
@@ -284,9 +299,9 @@ def _reduce_slot_events(t: pa.Table, *, ctx: dict, num_partitions: int
     for p in np.flatnonzero(n_in > 0):
         p = int(p)
         stats = {
-            "n_I": int(op_counts.get("I", np.zeros(1))[p]) if "I" in op_counts else 0,
-            "n_U": int(op_counts.get("U", np.zeros(1))[p]) if "U" in op_counts else 0,
-            "n_D": int(op_counts.get("D", np.zeros(1))[p]) if "D" in op_counts else 0,
+            "n_I": int(op_counts["I"][p]) if "I" in op_counts else 0,
+            "n_U": int(op_counts["U"][p]) if "U" in op_counts else 0,
+            "n_D": int(op_counts["D"][p]) if "D" in op_counts else 0,
             "n_dup": int(n_dup[p]), "n_wm_dropped": int(n_wm[p]),
             "n_events": int(n_in[p]), "shards": sorted(shard_sets.get(p, [])),
         }
@@ -350,12 +365,6 @@ def _apply_partition_group(group: pd.DataFrame, *, ctx: dict,
     pid = int(group["pid"].iloc[0]) if pid is None else pid
     man = ctx["manifests"].get(pid)
     watermark = man["upto_lsn"] if man else 0
-    ver_start = man["schema_ver"] if man else 0
-    epoch, hi = ctx["epoch"], ctx["hi"]
-    epoch_ddls: list[dict] = ctx["epoch_ddls"]       # [{lsn, schema_ver, ddl}]
-    registry = SchemaRegistry(ctx["all_entries"])    # full timeline inc. epoch
-    ver_end = registry.version
-    evolved_final = registry.columns_at(ver_end)
 
     ev = group[group["op"] != "NOOP"]
     n_in = len(ev)

@@ -801,8 +801,10 @@ FROM events GROUP BY 1
 
 
 def q59_normalize_text(sf: str):
-    """Text normalization pass: NFC + lower + trim (vectorized kernels)."""
-    out = TX.normalize_text(T(sf, "documents", ["doc_id", "text"]))
+    """Text normalization pass: NFC + lower + trim (vectorized kernels).
+    strip_chars=' ' matches SQL trim()'s space-only semantics exactly."""
+    out = TX.normalize_text(T(sf, "documents", ["doc_id", "text"]),
+                            strip_chars=" ")
     return out.select_columns(["doc_id", "norm_text"])
 
 
@@ -888,9 +890,10 @@ def q58_string_agg(sf: str):
     ds = T(sf, "lineitem", ["l_returnflag", "l_linestatus"])
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna: SQL string_agg skips NULLs while count(*) counts the row
         return pd.DataFrame([{
             "l_returnflag": g["l_returnflag"].iloc[0],
-            "statuses": ",".join(sorted(g["l_linestatus"].unique())),
+            "statuses": ",".join(sorted(g["l_linestatus"].dropna().unique())),
             "n": np.int64(len(g)),
         }])
     return ds.groupby("l_returnflag").map_groups(agg, batch_format="pandas")
