@@ -208,3 +208,16 @@ def test_jsonl_binlog_replay(ray_session, grown, tmp_path):
     pipe = CdcPipeline(cfg)
     pipe.run(base=grown["base_path"])
     check(pipe, grown["expected"])
+
+
+def test_csv_binlog_replay(ray_session, grown, tmp_path):
+    """S2 contract over the CSV wire tier (StringConverter analogue)."""
+    binlog_dir = str(tmp_path / "binlog_csv")
+    grown["log"].write_csv(binlog_dir)
+    assert bs.binlog_format(binlog_dir) == "csv"
+    assert bs.max_lsn(binlog_dir) == 8_000
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=8, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=grown["base_path"])
+    check(pipe, grown["expected"])

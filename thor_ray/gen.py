@@ -164,6 +164,22 @@ class Binlog:
             paths.append(p)
         return paths
 
+    def write_csv(self, out_dir: str) -> list[str]:
+        """CSV shard files (`shard-NNNN.csv`) — the StringConverter wire
+        tier; same field layout as the JSONL tier (ts as epoch-µs int64)."""
+        import pyarrow.csv as pacsv
+
+        os.makedirs(out_dir, exist_ok=True)
+        self._write_shard_marker(out_dir)
+        paths = []
+        for i, t in enumerate(self.shards):
+            p = os.path.join(out_dir, f"shard-{i:04d}.csv")
+            t2 = t.set_column(t.schema.get_field_index("ts"), "ts",
+                              t["ts"].cast(pa.int64()))
+            pacsv.write_csv(t2, p)
+            paths.append(p)
+        return paths
+
     def _write_shard_marker(self, out_dir: str) -> None:
         """Declare the expected shard set BEFORE any data lands, so the
         reader's safe_frontier never commits past a shard whose first

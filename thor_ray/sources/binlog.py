@@ -7,10 +7,11 @@ An "epoch" is a bounded lsn slice of the sharded change-event log
   mostly-lsn-sorted (bounded shuffle window), so Parquet row-group
   statistics prune most of the file for a given lsn range, and frontiers
   come from metadata alone (no data read).
-- ``shard-*.jsonl``: the Kafka-Connect-style JSON wire tier. JSONL has no
-  column statistics, so frontier scans parse the (projected) lsn column and
-  epoch reads filter post-parse. Fine for ingest compatibility; a
-  production tail should compact JSONL to parquet. A dir uses ONE format.
+- ``shard-*.jsonl`` / ``shard-*.csv``: the Kafka-Connect-style text wire
+  tiers (JsonConverter / StringConverter analogues). Neither has column
+  statistics, so frontier scans parse the (projected) lsn column and epoch
+  reads filter post-parse. Fine for ingest compatibility; a production
+  tail should compact text tiers to parquet. A dir uses ONE format.
 
 DDL events are tiny and read driver-side (they are broadcast to every
 partition's applier, SURVEY.md §7 "cross-partition DDL consistency").
@@ -48,22 +49,40 @@ def _jsonl_parse_options(columns: list[str] | None = None) -> pajson.ParseOption
 
 
 def shard_files(binlog_dir: str) -> list[str]:
-    pqs = sorted(glob.glob(os.path.join(binlog_dir, "shard-*.parquet")))
-    if pqs:
-        return pqs
-    return sorted(glob.glob(os.path.join(binlog_dir, "shard-*.jsonl")))
+    for ext in ("parquet", "jsonl", "csv"):
+        fs = sorted(glob.glob(os.path.join(binlog_dir, f"shard-*.{ext}")))
+        if fs:
+            return fs
+    return []
 
 
 def binlog_format(binlog_dir: str) -> str:
     files = shard_files(binlog_dir)
-    return "jsonl" if files and files[0].endswith(".jsonl") else "parquet"
+    if not files:
+        return "parquet"
+    return files[0].rsplit(".", 1)[-1]
+
+
+def _csv_convert_options(columns: list[str] | None = None):
+    import pyarrow.csv as pacsv
+
+    types = {n: t for n, t in _JSONL_FIELDS
+             if columns is None or n in columns}
+    return pacsv.ConvertOptions(column_types=types,
+                                include_columns=list(types),
+                                strings_can_be_null=True)
 
 
 def _file_max_lsn(p: str) -> int:
     """Max lsn of one shard file: parquet via row-group stats (no data
-    read); jsonl by parsing only the lsn column."""
+    read); text tiers by parsing only the lsn column."""
     if p.endswith(".jsonl"):
         t = pajson.read_json(p, parse_options=_jsonl_parse_options(["lsn"]))
+        m = pc.max(t["lsn"]).as_py() if t.num_rows else None
+        return int(m) if m is not None else 0
+    if p.endswith(".csv"):
+        import pyarrow.csv as pacsv
+        t = pacsv.read_csv(p, convert_options=_csv_convert_options(["lsn"]))
         m = pc.max(t["lsn"]).as_py() if t.num_rows else None
         return int(m) if m is not None else 0
     md = pq.read_metadata(p)
@@ -132,12 +151,17 @@ def read_epoch(binlog_dir: str, lo: int, hi: int,
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
-    if files[0].endswith(".jsonl"):
-        # no stats in JSONL: schema-projected parse, then a vectorized
+    if files[0].endswith((".jsonl", ".csv")):
+        # no stats in text tiers: schema-projected parse, then a vectorized
         # post-parse filter (same lsn contract, no pushdown)
-        ds = ray.data.read_json(
-            files, file_extensions=["jsonl"],
-            parse_options=_jsonl_parse_options(columns), **kw)
+        if files[0].endswith(".jsonl"):
+            ds = ray.data.read_json(
+                files, file_extensions=["jsonl"],
+                parse_options=_jsonl_parse_options(columns), **kw)
+        else:
+            ds = ray.data.read_csv(
+                files, file_extensions=["csv"],
+                convert_options=_csv_convert_options(columns), **kw)
         lo_, hi_ = lo, hi
         from thor_ray.gen import EVENT_SCHEMA
 
@@ -171,11 +195,16 @@ def read_ddl_events(binlog_dir: str, lo: int, hi: int) -> list[dict]:
     files = shard_files(binlog_dir)
     if not files:
         return []
-    if files[0].endswith(".jsonl"):
+    if files[0].endswith((".jsonl", ".csv")):
         parts = []
         for p in files:
-            tt = pajson.read_json(p, parse_options=_jsonl_parse_options(
-                ["lsn", "op", "schema_ver", "ddl"]))
+            if p.endswith(".jsonl"):
+                tt = pajson.read_json(p, parse_options=_jsonl_parse_options(
+                    ["lsn", "op", "schema_ver", "ddl"]))
+            else:
+                import pyarrow.csv as pacsv
+                tt = pacsv.read_csv(p, convert_options=_csv_convert_options(
+                    ["lsn", "op", "schema_ver", "ddl"]))
             parts.append(tt.filter(
                 pc.and_(pc.and_(pc.greater(tt["lsn"], lo),
                                 pc.less_equal(tt["lsn"], hi)),
