@@ -227,3 +227,31 @@ def test_crash_between_spill_and_commit(ray_session, fixture, tmp_path):
     pipe2 = CdcPipeline(cfg)
     pipe2.run()
     assert_matches_oracle(pipe2, fixture)
+
+
+def test_standalone_compaction(ray_session, fixture, tmp_path):
+    """compact() merges every delta run into one file per partition without
+    moving watermarks/epochs, and the final table is unchanged."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(lake_dir=lake, binlog_dir=fixture["binlog_dir"],
+                    num_partitions=8, epoch_size=2_000,
+                    write_mode="delta", compact_every=100)
+    pipe = CdcPipeline(cfg)
+    # stop after epoch 1 (no DDL yet): bootstrap file + one delta per pid
+    pipe.run(base=fixture["base_path"], max_epochs=1)
+    before = load_manifests(lake)
+    assert any(len(m.files) > 1 for m in before.values())
+    n = pipe.compact()
+    assert n == sum(1 for m in before.values() if len(m.files) > 1)
+    after = load_manifests(lake)
+    for pid, m in after.items():
+        assert len(m.files) == 1
+        assert m.row_count >= 0  # delta's -1 placeholder resolved
+        assert m.upto_lsn == before[pid].upto_lsn
+        assert m.epoch == before[pid].epoch
+    # idempotent: second compact is a no-op
+    assert pipe.compact() == 0
+    # finishing the replay from the compacted state still matches the oracle
+    pipe2 = CdcPipeline(cfg)
+    pipe2.run()
+    assert_matches_oracle(pipe2, fixture)

@@ -79,6 +79,19 @@ def cmd_follow(a) -> int:
     return 0
 
 
+def cmd_compact(a) -> int:
+    """Force-merge delta runs into single state files (LSM maintenance)."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    pipe = CdcPipeline(CdcConfig(lake_dir=a.lake, binlog_dir=a.binlog or "",
+                                 write_mode="delta"))
+    n = pipe.compact()
+    print(json.dumps({"compacted_partitions": n}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_verify(a) -> int:
     """Replay-equivalence check: lake state vs the single-process oracle."""
     ray = _ray_init(a.num_cpus)
@@ -185,6 +198,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--max-epochs", type=int)
     r.add_argument("--num-cpus", type=int)
     r.set_defaults(fn=cmd_run)
+
+    c = sub.add_parser("compact", help="merge delta runs into single state files")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--binlog")
+    c.add_argument("--num-cpus", type=int)
+    c.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("verify", help="lake state vs single-process oracle")
     v.add_argument("--lake", required=True)

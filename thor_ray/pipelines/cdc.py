@@ -393,7 +393,11 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
     spill path) — this fold is shared."""
     man = ctx["manifests"].get(pid)
     ver_start = man["schema_ver"] if man else 0
-    epoch, hi = ctx["epoch"], ctx["hi"]
+    if ctx.get("preserve_position"):   # standalone compaction: watermarks
+        epoch = man["epoch"] if man else 0   # and epochs must NOT move
+        hi = man["upto_lsn"] if man else 0
+    else:
+        epoch, hi = ctx["epoch"], ctx["hi"]
     epoch_ddls: list[dict] = ctx["epoch_ddls"]
     registry = SchemaRegistry(ctx["all_entries"])
     ver_end = registry.version
@@ -407,7 +411,8 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
     compact_every = ctx.get("compact_every", 8)
     prior_files = man["files"] if man else []
 
-    changed = (len(winners) > 0) or bool(applied_ddls)
+    force = bool(ctx.get("force_compact")) and len(prior_files) > 1
+    changed = (len(winners) > 0) or bool(applied_ddls) or force
     if not changed:
         new_files, row_count, chash = prior_files, \
             (man["row_count"] if man else 0), (man["content_hash"] if man else "")
@@ -430,7 +435,7 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
         # when a DDL must rewrite schemas (keeps the per-partition file-set
         # schema-uniform) or the level-0 run grows past compact_every.
         compact = (mode != "delta") or bool(applied_ddls) \
-            or (len(prior_files) + 1 > compact_every)
+            or (len(prior_files) + 1 > compact_every) or force
         if compact:
             state = _read_state(prior_files) if prior_files else _empty_state(
                 registry.columns_at(ver_start))
@@ -971,6 +976,60 @@ class CdcPipeline:
         # log stopped growing: drain everything (final partial epoch incl.)
         self.run(base=base)
         return self.reports
+
+    def compact(self) -> int:
+        """Force-merge every partition's delta run into one state file —
+        the LSM maintenance command for write_mode='delta' (read-optimize a
+        lake without waiting for a DDL or the compact_every threshold).
+        Watermarks/epochs do NOT move; one distributed task bundle folds
+        each partition with an empty winner set; manifests swap atomically
+        (crash between file write and swap is safe — merge-on-read of the
+        old file set plus an overwritten level file is idempotent).
+        Returns the number of partitions compacted."""
+        cfg = self.cfg
+        manifests = load_manifests(cfg.lake_dir)
+        registry = SchemaRegistry.load(cfg.lake_dir)
+        todo = [pid for pid, m in manifests.items() if len(m.files) > 1]
+        if not todo:
+            return 0
+        ctx = {
+            "lake_dir": cfg.lake_dir, "epoch": 0, "hi": 0,
+            "preserve_position": True, "force_compact": True,
+            "manifests": {pid: {
+                "upto_lsn": m.upto_lsn, "schema_ver": m.schema_ver,
+                "epoch": m.epoch, "files": m.files, "row_count": m.row_count,
+                "content_hash": m.content_hash,
+            } for pid, m in manifests.items()},
+            "epoch_ddls": [], "all_entries": registry.entries,
+            "compute_content_hash": cfg.compute_content_hash,
+            "write_mode": cfg.write_mode, "compact_every": cfg.compact_every,
+        }
+        empty_w = pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in APPLY_COLS}
+            | {"lsn": pd.Series(dtype="int64"),
+               "schema_ver": pd.Series(dtype="int64")})
+
+        def fold_block(block: pd.DataFrame) -> pd.DataFrame:
+            return pd.concat(
+                [_fold_partition(empty_w, dict(_EMPTY_STATS), ctx=ctx,
+                                 pid=int(p)) for p in block["pid"]],
+                ignore_index=True)
+
+        pids = pa.table({"pid": pa.array(sorted(todo), type=pa.int64())})
+        cand = (ray.data.from_arrow(pids)
+                .repartition(min(len(todo), cfg.n_apply_blocks()))
+                .map_batches(fold_block, batch_format="pandas",
+                             batch_size=None)
+                .to_pandas())
+        for r in cand.itertuples(index=False):
+            write_manifest(cfg.lake_dir, Manifest(
+                partition_id=int(r.pid), epoch=int(r.epoch),
+                upto_lsn=int(r.upto_lsn), schema_ver=int(r.schema_ver),
+                files=json.loads(r.files), row_count=int(r.row_count),
+                content_hash=r.content_hash,
+                lineage={"input_shards": [], "counts": {"compaction": 1}}))
+        gc_lake(cfg.lake_dir, load_manifests(cfg.lake_dir))
+        return len(todo)
 
     # ---- results ---------------------------------------------------------
     def final_table(self, keep_internal: bool = False) -> "ray.data.Dataset":
