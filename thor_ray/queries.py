@@ -907,6 +907,173 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _salted_order_groups(sf: str, fanout: int = 64) -> Dataset:
+    """lineitem keyed for per-order window functions: shuffle on a coarse
+    salt of the partition key (l_orderkey % fanout) so the wide step has
+    ~fanout Ray groups regardless of order count, and each group resolves
+    its orders with ONE C-level pandas groupby inside (ray-data gotcha:
+    map_groups is a Python call per group — never group on a fine key)."""
+    ds = T(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.bit_wise_and(t["l_orderkey"], fanout - 1), pa.int32())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "osalt": s,
+        })
+
+    return ds.map_batches(salt, batch_format="pyarrow")
+
+
+def q62_running_total(sf: str):
+    """Window-function running SUM: cumulative quantity within each order,
+    ordered by line number (SUM OVER PARTITION BY ... ORDER BY ...).
+
+    SQL's default frame is RANGE, so ORDER-BY peers (duplicate
+    (l_orderkey, l_linenumber) pairs — 11k of them in the fixture) all get
+    the peer group's TOTAL: cumsum then take the last value within each
+    peer group, which is order-independent and so deterministic. Integer
+    math end-to-end, so the hash cannot drift on summation order."""
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_linenumber"], kind="stable")
+        keys = g["l_orderkey"].to_numpy()
+        ln = g["l_linenumber"].to_numpy()
+        cs = g["qty"].groupby(keys).cumsum()
+        return pd.DataFrame({
+            "l_orderkey": keys,
+            "l_linenumber": ln,
+            "run_qty": cs.groupby([keys, ln]).transform("last").to_numpy(),
+        })
+
+    return (_salted_order_groups(sf).groupby("osalt")
+            .map_groups(cum, batch_format="pandas"))
+
+
+SQL_Q62 = """
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS BIGINT))
+            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+            AS BIGINT) AS run_qty
+FROM lineitem
+"""
+
+
+def q65_moving_avg(sf: str):
+    """Window-function moving AVG over a bounded ROWS frame (2 PRECEDING
+    .. CURRENT): per-user payload-size smoothing over the event stream.
+    A ROWS frame is only deterministic under a UNIQUE ordering, so it runs
+    on events ordered by (ts, event_id). The rolling sums are exact (ints
+    in float64) and the final sum/count division is the same IEEE op
+    DuckDB performs, so the doubles match bitwise. Same coarse-salt
+    shuffle shape as q62 (user_id % fanout)."""
+    ds = T(sf, "events", ["event_id", "user_id", "ts", "props"])
+    fanout = 64
+
+    def salt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "plen": pc.cast(pc.binary_length(t["props"]), pa.int64()),
+            "usalt": pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1),
+                             pa.int32()),
+        })
+
+    def mov(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        r = g.groupby("user_id", sort=False)["plen"].rolling(3, min_periods=1)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "mov_len": (r.sum().to_numpy() / r.count().to_numpy()),
+        })
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+            .groupby("usalt").map_groups(mov, batch_format="pandas"))
+
+
+SQL_Q65 = """
+SELECT event_id,
+       AVG(CAST(strlen(props) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_len
+FROM events
+"""
+
+
+def q63_rank_in_group(sf: str):
+    """RANK within a partition: customers ranked inside their nation by
+    order count. Distributed grouped count + broadcast dim join; the rank
+    itself runs per nation (25 groups). The ORDER BY carries a unique
+    tiebreak (c_custkey) so rank == row_number deterministically."""
+    per_cust = (T(sf, "orders", ["o_custkey"])
+                .groupby("o_custkey").aggregate(Count(alias_name="n_orders")))
+    cust = pq.read_table(f"{sf}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    j = R.broadcast_join(per_cust, cust, on=["o_custkey"],
+                         right_on=["c_custkey"])
+
+    def rk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_orders", "c_custkey"],
+                          ascending=[False, True], kind="stable")
+        return pd.DataFrame({
+            "c_nationkey": g["c_nationkey"].to_numpy(),
+            "c_custkey": g["c_custkey"].to_numpy(),
+            "n_orders": g["n_orders"].to_numpy(),
+            "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return j.groupby("c_nationkey").map_groups(rk, batch_format="pandas")
+
+
+SQL_Q63 = """
+SELECT c_nationkey, c_custkey, n_orders,
+       RANK() OVER (PARTITION BY c_nationkey
+                    ORDER BY n_orders DESC, c_custkey) AS rnk
+FROM (SELECT o_custkey AS c_custkey, count(*) AS n_orders
+      FROM orders GROUP BY 1) o
+JOIN customer USING (c_custkey)
+"""
+
+
+def q64_rollup(sf: str):
+    """GROUP BY ROLLUP: the finest grain is the one distributed groupby;
+    the coarser levels are derived from its (output-sized) result on the
+    driver — the standard rollup optimization, one shuffle total."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "q": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    g2 = (ds.map_batches(prep, batch_format="pyarrow")
+          .groupby(["l_returnflag", "l_linestatus"])
+          .aggregate(Count(alias_name="n"), Sum("q", alias_name="sum_qty"))
+          ).to_pandas()
+    g1 = g2.groupby("l_returnflag", as_index=False)[["n", "sum_qty"]].sum()
+    g1["l_linestatus"] = "ALL"
+    g0 = pd.DataFrame([{"l_returnflag": "ALL", "l_linestatus": "ALL",
+                        "n": g2["n"].sum(), "sum_qty": g2["sum_qty"].sum()}])
+    out = pd.concat([g2, g1, g0], ignore_index=True)
+    out = out[["l_returnflag", "l_linestatus", "n", "sum_qty"]]
+    out["n"] = out["n"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out
+
+
+SQL_Q64 = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible; driver records a weaker check)
 # ---------------------------------------------------------------------------
@@ -1114,6 +1281,10 @@ QUERIES: dict[str, tuple] = {
     "q58_string_agg": (q58_string_agg, SQL_Q58),
     "q59_normalize_text": (q59_normalize_text, SQL_Q59),
     "q60_vocab_topk": (q60_vocab_topk, SQL_Q60),
+    "q62_running_total": (q62_running_total, SQL_Q62),
+    "q63_rank_in_group": (q63_rank_in_group, SQL_Q63),
+    "q64_rollup": (q64_rollup, SQL_Q64),
+    "q65_moving_avg": (q65_moving_avg, SQL_Q65),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
