@@ -1,0 +1,110 @@
+"""Time travel: the lake AS OF any retained epoch equals the oracle fold
+of the event-log PREFIX up to that epoch's lsn boundary (snapshot archives
++ gc protection, SURVEY.md §2.1 S3 / §2.9 W5 exactly-once state)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from thor_ray import gen, oracle
+from thor_ray.pipelines import CdcConfig, CdcPipeline
+from thor_ray.state import snapshot_epochs
+
+EPOCH = 1_500
+N_EVENTS = 6_000
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ttfix"))
+    base = gen.gen_base_table(n_repos=20, paths_per_repo=15, seed=31)
+    cfg = gen.BinlogConfig(n_events=N_EVENTS, n_shards=3, dup_rate=0.05,
+                           shuffle_window=96, ddl_every=2_500,
+                           delete_rate=0.08, update_rate=0.5, seed=31)
+    log = gen.gen_binlog(base, cfg)
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    return {"dir": d, "base": base, "base_path": base_path,
+            "binlog_dir": binlog_dir,
+            "events": pa.concat_tables(log.shards), "max_lsn": log.max_lsn}
+
+
+def oracle_at(fixture, epoch: int) -> pd.DataFrame:
+    """Single-process fold of the log prefix an epoch-k snapshot covers."""
+    hi = min(epoch * EPOCH, fixture["max_lsn"])
+    prefix = fixture["events"].filter(pc.less_equal(
+        fixture["events"]["lsn"], hi))
+    expected, _ = oracle.apply_events(prefix, initial=fixture["base"])
+    return expected
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.where(pd.notna(df), None)
+    return df.sort_values(["repo", "path"]).reset_index(drop=True)[
+        sorted(df.columns)]
+
+
+def run_pipe(fixture, lake_dir: str, **cfg_kw) -> CdcPipeline:
+    cfg = CdcConfig(lake_dir=lake_dir, binlog_dir=fixture["binlog_dir"],
+                    num_partitions=6, epoch_size=EPOCH, **cfg_kw)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=fixture["base_path"])
+    return pipe
+
+
+def assert_snapshot_matches(pipe: CdcPipeline, fixture, epoch: int):
+    got = normalize(pipe.table_at(epoch).to_pandas())
+    exp = normalize(oracle_at(fixture, epoch))
+    assert list(got.columns) == list(exp.columns), \
+        (epoch, list(got.columns), list(exp.columns))
+    assert len(got) == len(exp), (epoch, len(got), len(exp))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_snapshots_match_oracle_prefixes(ray_session, fixture, tmp_path):
+    pipe = run_pipe(fixture, str(tmp_path / "lake"), retain_snapshots=99)
+    eps = pipe.snapshots()
+    # epoch 0 (bootstrap) through the final epoch are all retained
+    assert eps[0] == 0 and eps[-1] == N_EVENTS // EPOCH
+    for k in eps:
+        assert_snapshot_matches(pipe, fixture, k)
+    # a requested epoch between snapshots resolves to the newest <= it
+    got = normalize(pipe.table_at(eps[-1] + 5).to_pandas())
+    exp = normalize(oracle_at(fixture, eps[-1]))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_retention_prunes_and_protects(ray_session, fixture, tmp_path):
+    lake = str(tmp_path / "lake")
+    pipe = run_pipe(fixture, lake, retain_snapshots=2)
+    last = N_EVENTS // EPOCH
+    eps = snapshot_epochs(lake)
+    # only the trailing window is retained; pre-window epochs are pruned
+    assert eps == [last - 1, last]
+    with pytest.raises(ValueError):
+        pipe.table_at(last - 2)
+    # gc kept every file the retained snapshots reference
+    for k in eps:
+        assert_snapshot_matches(pipe, fixture, k)
+
+
+def test_delta_mode_time_travel(ray_session, fixture, tmp_path):
+    """Snapshot reads merge the delta run AS OF the epoch — older delta
+    files survive gc while a snapshot references them."""
+    pipe = run_pipe(fixture, str(tmp_path / "lake"), retain_snapshots=99,
+                    write_mode="delta", compact_every=3)
+    for k in pipe.snapshots():
+        assert_snapshot_matches(pipe, fixture, k)
+    # compaction rewrites the CURRENT epoch's physical layout only; every
+    # snapshot still folds to the same logical state afterwards
+    pipe.compact()
+    for k in pipe.snapshots():
+        assert_snapshot_matches(pipe, fixture, k)

@@ -141,7 +141,7 @@ def cmd_verify(a) -> int:
 
 
 def cmd_show(a) -> int:
-    from thor_ray.state import SchemaRegistry, load_manifests
+    from thor_ray.state import SchemaRegistry, load_manifests, snapshot_epochs
 
     ms = load_manifests(a.lake)
     reg = SchemaRegistry.load(a.lake)
@@ -156,6 +156,8 @@ def cmd_show(a) -> int:
         "partitions_uncompacted": sum(1 for m in ms.values() if m.row_count < 0),
         "schema_version": reg.version,
         "evolved_columns": reg.columns_at(reg.version),
+        # retained time-travel snapshots (read with sources.lake.read_lake_at)
+        "snapshot_epochs": snapshot_epochs(a.lake),
     }, indent=2))
     return 0
 

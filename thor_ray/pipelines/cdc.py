@@ -43,7 +43,9 @@ import ray.data
 from thor_ray.sources import binlog as binlog_src
 from thor_ray.stages import chain as chain_mod
 from thor_ray.stages.smt import stable_hash
-from thor_ray.state import Manifest, SchemaRegistry, gc_lake, load_manifests, write_manifest
+from thor_ray.state import (Manifest, SchemaRegistry, archive_manifest,
+                            gc_lake, load_manifests, load_manifests_at,
+                            prune_history, write_manifest)
 
 BASE_COLS = ["repo", "path", "commit", "lang", "content"]
 # event columns the apply path needs — txn/ts/ddl are pruned at the read
@@ -120,6 +122,12 @@ class CdcConfig:
     # run exceeds compact_every (write-optimal for hot micro-batches).
     write_mode: str = "cow"
     compact_every: int = 8
+    # >0: archive each partition's committed manifest per epoch under
+    # _manifests/history so the lake is readable AS OF any retained epoch
+    # (time travel: CdcPipeline.table_at / sources.lake.read_lake_at).
+    # gc protects every file a retained snapshot still references; roughly
+    # this many trailing epochs stay readable. 0 = off (no extra files).
+    retain_snapshots: int = 0
     # overlap epoch N+1's read+route+spill (stage 1) with epoch N's apply
     # (stage 2): the two-stage barrier per epoch was the measured fixed
     # cost capping scaling efficiency (BASELINE.md §3). Spill mode only.
@@ -603,7 +611,10 @@ class CdcPipeline:
         P = cfg.num_partitions
         if base is None:
             for pid in range(P):
-                write_manifest(cfg.lake_dir, Manifest(pid, 0, 0, 0, [], 0, "", {}))
+                m = Manifest(pid, 0, 0, 0, [], 0, "", {})
+                write_manifest(cfg.lake_dir, m)
+                if cfg.retain_snapshots:
+                    archive_manifest(cfg.lake_dir, m)
             SchemaRegistry().save(cfg.lake_dir)
             return
 
@@ -662,9 +673,12 @@ class CdcPipeline:
                 .to_pandas()
             )
         for r in cand.itertuples(index=False):
-            write_manifest(cfg.lake_dir, Manifest(
+            m = Manifest(
                 int(r.pid), 0, 0, 0, json.loads(r.files), int(r.row_count),
-                r.content_hash, {"counts": {}, "input_shards": []}))
+                r.content_hash, {"counts": {}, "input_shards": []})
+            write_manifest(cfg.lake_dir, m)
+            if cfg.retain_snapshots:
+                archive_manifest(cfg.lake_dir, m)
         SchemaRegistry().save(cfg.lake_dir)
 
     # ---- epoch loop ------------------------------------------------------
@@ -892,7 +906,7 @@ class CdcPipeline:
         # ---- commit: atomic per-partition manifest swaps --------------------
         t_commit = time.perf_counter()
         for r in cand.itertuples(index=False):
-            write_manifest(cfg.lake_dir, Manifest(
+            m = Manifest(
                 partition_id=int(r.pid), epoch=epoch, upto_lsn=int(r.upto_lsn),
                 schema_ver=int(r.schema_ver), files=json.loads(r.files),
                 row_count=int(r.row_count), content_hash=r.content_hash,
@@ -901,8 +915,13 @@ class CdcPipeline:
                     "counts": {"I": int(r.n_I), "U": int(r.n_U), "D": int(r.n_D),
                                "DDL": len(epoch_ddls), "dup_dropped": int(r.n_dup)},
                 },
-            ))
+            )
+            write_manifest(cfg.lake_dir, m)
+            if cfg.retain_snapshots:
+                archive_manifest(cfg.lake_dir, m)
         committed = load_manifests(cfg.lake_dir)
+        if cfg.retain_snapshots:
+            prune_history(cfg.lake_dir, epoch - cfg.retain_snapshots + 1)
         gc_lake(cfg.lake_dir, committed)
         t_commit = time.perf_counter() - t_commit
 
@@ -1022,12 +1041,17 @@ class CdcPipeline:
                              batch_size=None)
                 .to_pandas())
         for r in cand.itertuples(index=False):
-            write_manifest(cfg.lake_dir, Manifest(
+            m = Manifest(
                 partition_id=int(r.pid), epoch=int(r.epoch),
                 upto_lsn=int(r.upto_lsn), schema_ver=int(r.schema_ver),
                 files=json.loads(r.files), row_count=int(r.row_count),
                 content_hash=r.content_hash,
-                lineage={"input_shards": [], "counts": {"compaction": 1}}))
+                lineage={"input_shards": [], "counts": {"compaction": 1}})
+            write_manifest(cfg.lake_dir, m)
+            if cfg.retain_snapshots:
+                # same epoch, new physical layout: the archive follows the
+                # compaction (logical snapshot content is unchanged)
+                archive_manifest(cfg.lake_dir, m)
         gc_lake(cfg.lake_dir, load_manifests(cfg.lake_dir))
         return len(todo)
 
@@ -1036,3 +1060,19 @@ class CdcPipeline:
         from thor_ray.sources.lake import read_lake
 
         return read_lake(self.cfg.lake_dir, keep_internal=keep_internal)
+
+    def snapshots(self) -> list[int]:
+        """Epochs readable via table_at (requires retain_snapshots > 0)."""
+        from thor_ray.state import snapshot_epochs
+
+        return snapshot_epochs(self.cfg.lake_dir)
+
+    def table_at(self, epoch: int,
+                 keep_internal: bool = False) -> "ray.data.Dataset":
+        """Time travel: the lake AS OF `epoch` (newest retained snapshot
+        per partition with epoch <= requested). Same merge-on-read path as
+        final_table — one task per partition, no shuffle."""
+        from thor_ray.sources.lake import read_lake_at
+
+        return read_lake_at(self.cfg.lake_dir, epoch,
+                            keep_internal=keep_internal)

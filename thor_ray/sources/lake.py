@@ -86,6 +86,25 @@ def read_lake(lake_dir: str, manifests: dict | None = None,
             .map_batches(merge_task, batch_format="pandas", batch_size=None))
 
 
+def read_lake_at(lake_dir: str, epoch: int, keep_internal: bool = False,
+                 **read_kwargs) -> "ray.data.Dataset":
+    """Time travel: the committed lake AS OF `epoch`, from the snapshot
+    archives a pipeline with retain_snapshots > 0 keeps (per partition,
+    the newest archived manifest with epoch <= requested — partitions
+    commit independently). Raises if the epoch predates the retention
+    window."""
+    from thor_ray.state import load_manifests_at, snapshot_epochs
+
+    ms = load_manifests_at(lake_dir, epoch)
+    if not ms:
+        raise ValueError(
+            f"no snapshot at or before epoch {epoch} in {lake_dir} "
+            f"(retained: {snapshot_epochs(lake_dir)}; "
+            "was the pipeline run with retain_snapshots > 0?)")
+    return read_lake(lake_dir, manifests=ms, keep_internal=keep_internal,
+                     **read_kwargs)
+
+
 def read_partition_state(files: list[str]) -> pd.DataFrame:
     """One partition's current merged state, inside an apply task."""
     return merge_state_frames([pq.read_table(f).to_pandas() for f in files])

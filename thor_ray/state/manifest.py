@@ -61,16 +61,8 @@ def load_manifests(lake_dir: str) -> dict[int, Manifest]:
     return out
 
 
-def write_manifest(lake_dir: str, m: Manifest) -> None:
-    """Atomic swap: write tmp in the same dir, fsync, os.replace.
-    File paths are relativized against lake_dir before persisting."""
-    d = _manifest_dir(lake_dir)
-    os.makedirs(d, exist_ok=True)
-    final = manifest_path(lake_dir, m.partition_id)
+def _atomic_write(final: str, payload: dict) -> None:
     tmp = final + ".tmp"
-    payload = asdict(m)
-    payload["files"] = [os.path.relpath(f, lake_dir) if os.path.isabs(f) else f
-                        for f in m.files]
     with open(tmp, "w") as f:
         f.write(json.dumps(payload, sort_keys=True))
         f.flush()
@@ -78,14 +70,110 @@ def write_manifest(lake_dir: str, m: Manifest) -> None:
     os.replace(tmp, final)
 
 
+def _relativized(m: Manifest, lake_dir: str) -> dict:
+    payload = asdict(m)
+    payload["files"] = [os.path.relpath(f, lake_dir) if os.path.isabs(f) else f
+                        for f in m.files]
+    return payload
+
+
+def write_manifest(lake_dir: str, m: Manifest) -> None:
+    """Atomic swap: write tmp in the same dir, fsync, os.replace.
+    File paths are relativized against lake_dir before persisting."""
+    d = _manifest_dir(lake_dir)
+    os.makedirs(d, exist_ok=True)
+    _atomic_write(manifest_path(lake_dir, m.partition_id),
+                  _relativized(m, lake_dir))
+
+
+# --- snapshot history (time travel) ----------------------------------------
+# An epoch-tagged copy of each committed manifest under _manifests/history/
+# pins the file set of every retained epoch: `read_lake_at` is just "load
+# the newest archived manifest per partition with epoch <= requested".
+# Retention is bounded (CdcConfig.retain_snapshots); gc protects every file
+# a retained snapshot still references, so cow AND delta lakes time-travel.
+
+
+def _history_dir(lake_dir: str) -> str:
+    return os.path.join(_manifest_dir(lake_dir), "history")
+
+
+def archive_manifest(lake_dir: str, m: Manifest) -> None:
+    """Epoch-tagged snapshot copy (idempotent: deterministic name, atomic
+    replace — an epoch re-run rewrites the identical archive)."""
+    d = _history_dir(lake_dir)
+    os.makedirs(d, exist_ok=True)
+    _atomic_write(
+        os.path.join(d, f"part-{m.partition_id:05d}-e{m.epoch:06d}.json"),
+        _relativized(m, lake_dir))
+
+
+def snapshot_epochs(lake_dir: str) -> list[int]:
+    """Epochs with at least one archived manifest, ascending."""
+    eps = {int(os.path.basename(p).rsplit("-e", 1)[1][:-len(".json")])
+           for p in glob.glob(os.path.join(_history_dir(lake_dir),
+                                           "part-*-e*.json"))}
+    return sorted(eps)
+
+
+def load_manifests_at(lake_dir: str, epoch: int) -> dict[int, Manifest]:
+    """Per-partition manifests as of `epoch`: the newest archive with
+    epoch <= requested (partitions commit independently, so a partition
+    untouched since epoch k<=epoch is represented by its epoch-k archive)."""
+    best: dict[int, str] = {}
+    best_ep: dict[int, int] = {}
+    for p in glob.glob(os.path.join(_history_dir(lake_dir), "part-*-e*.json")):
+        b = os.path.basename(p)
+        pid = int(b[len("part-"):len("part-") + 5])
+        ep = int(b.rsplit("-e", 1)[1][:-len(".json")])
+        if ep <= epoch and ep >= best_ep.get(pid, -1):
+            best_ep[pid], best[pid] = ep, p
+    out: dict[int, Manifest] = {}
+    for pid, p in best.items():
+        with open(p) as f:
+            m = Manifest.from_json(f.read())
+        m.files = [f_ if os.path.isabs(f_) else os.path.join(lake_dir, f_)
+                   for f_ in m.files]
+        out[pid] = m
+    return out
+
+
+def prune_history(lake_dir: str, keep_from_epoch: int) -> int:
+    """Drop archives older than the retention window. A partition's newest
+    archive is always kept even if old (it still describes that partition's
+    state inside the window)."""
+    newest: dict[int, int] = {}
+    entries = []
+    for p in glob.glob(os.path.join(_history_dir(lake_dir), "part-*-e*.json")):
+        b = os.path.basename(p)
+        pid = int(b[len("part-"):len("part-") + 5])
+        ep = int(b.rsplit("-e", 1)[1][:-len(".json")])
+        entries.append((pid, ep, p))
+        newest[pid] = max(newest.get(pid, -1), ep)
+    removed = 0
+    for pid, ep, p in entries:
+        if ep < keep_from_epoch and ep != newest[pid]:
+            os.remove(p)
+            removed += 1
+    return removed
+
+
 def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
     """Delete partition data files not referenced by any current manifest.
 
     Only files with an epoch tag strictly older than the owning partition's
     committed epoch are removed — an orphan from a crashed future epoch is
-    kept (it will be overwritten deterministically on replay).
+    kept (it will be overwritten deterministically on replay). Files still
+    referenced by a retained snapshot archive (time travel) are protected;
+    prune_history shrinks that set first.
     """
     live = {os.path.abspath(f) for m in manifests.values() for f in m.files}
+    for p in glob.glob(os.path.join(_history_dir(lake_dir), "part-*-e*.json")):
+        with open(p) as f:
+            payload = json.load(f)
+        live |= {os.path.abspath(f_ if os.path.isabs(f_)
+                                 else os.path.join(lake_dir, f_))
+                 for f_ in payload["files"]}
     removed = 0
     for pid, m in manifests.items():
         pdir = os.path.join(lake_dir, f"part={pid:05d}")
