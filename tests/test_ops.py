@@ -160,6 +160,29 @@ def test_approx_distinct_accuracy(ray_session):
     assert abs(est - 7_000) / 7_000 < 0.05, est
 
 
+def test_approx_distinct_by_accuracy(ray_session):
+    """Grouped HLL: each key's estimate within sketch error of its exact
+    cardinality (group sizes differ by 10x to catch code/register mixups)."""
+    from thor_ray.ops.sketch import approx_distinct_by
+    import ray.data
+
+    def mk(b):
+        g = b["id"] % 3
+        return {"grp": g, "v": np.where(g == 0, b["id"] % 900,
+                                        np.where(g == 1, b["id"] % 9_000,
+                                                 b["id"]))}
+
+    ds = ray.data.range(60_000).map_batches(mk, batch_format="numpy")
+    got = approx_distinct_by(ds, "grp", ["v"], precision=12).to_pandas()
+    # ids in group g are ≡ g (mod 3): id%900 over multiples of 3 hits only
+    # the 300 multiples of 3 below 900, etc.
+    exact = {0: 300, 1: 3_000, 2: 20_000}
+    assert len(got) == 3
+    for _, r in got.iterrows():
+        e = exact[int(r["grp"])]
+        assert abs(r["approx_distinct"] - e) / e < 0.05, dict(r)
+
+
 def test_sessionize_gap_semantics(ray_session):
     from thor_ray.ops.window import sessionize
     ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:05:00",

@@ -82,6 +82,53 @@ def test_snapshots_match_oracle_prefixes(ray_session, fixture, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def oracle_diff(a: pd.DataFrame, b: pd.DataFrame) -> set[tuple]:
+    """(repo, path, change) triples from two oracle-folded states."""
+    vis = sorted((set(a.columns) | set(b.columns)) - {"repo", "path"})
+    mg = a.merge(b, on=["repo", "path"], how="outer",
+                 suffixes=("_a", "_b"), indicator=True)
+    na = pd.Series(pd.NA, index=mg.index)
+
+    def side(c, suffix, present):
+        if f"{c}{suffix}" in mg.columns:
+            return mg[f"{c}{suffix}"]
+        return mg[c] if (present and c in mg.columns) else na
+
+    changed = pd.Series(False, index=mg.index)
+    for c in vis:
+        va, vb = side(c, "_a", c in a.columns), side(c, "_b", c in b.columns)
+        changed |= ~((va == vb) | (va.isna() & vb.isna()))
+    out = set()
+    for r, p, m, ch in zip(mg["repo"], mg["path"], mg["_merge"], changed):
+        if m == "right_only":
+            out.add((r, p, "I"))
+        elif m == "left_only":
+            out.add((r, p, "D"))
+        elif ch:
+            out.add((r, p, "U"))
+    return out
+
+
+def test_snapshot_diff_matches_oracle(ray_session, fixture, tmp_path):
+    from thor_ray.sources.lake import snapshot_diff
+
+    lake = str(tmp_path / "lake")
+    pipe = run_pipe(fixture, lake, retain_snapshots=99)
+    last = N_EVENTS // EPOCH
+    for k in range(1, last + 1):
+        got = snapshot_diff(lake, k - 1, k).to_pandas()
+        exp = oracle_diff(oracle_at(fixture, k - 1), oracle_at(fixture, k))
+        assert set(zip(got["repo"], got["path"], got["change"])) == exp, k
+        # last-writer metadata: live changes carry the winner's lsn (a DDL
+        # rename can change a row visibly WITHOUT a new per-row write, so
+        # lsn_b is not necessarily inside epoch k's window); deletes have
+        # no b-side row
+        assert got.loc[got["change"].isin(["I", "U"]), "lsn_b"].notna().all()
+        assert got.loc[got["change"] == "D", "lsn_b"].isna().all()
+    # a snapshot diffed against itself is empty
+    assert snapshot_diff(lake, last, last).count() == 0
+
+
 def test_retention_prunes_and_protects(ray_session, fixture, tmp_path):
     lake = str(tmp_path / "lake")
     pipe = run_pipe(fixture, lake, retain_snapshots=2)

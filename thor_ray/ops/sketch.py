@@ -15,16 +15,22 @@ from ray.data import Dataset
 from thor_ray.stages.smt import stable_hash
 
 
-def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
-    """Vectorized HLL register fold for one batch of 63-bit hashes."""
+def _bucket_rank(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per 63-bit hash, vectorized."""
     m = 1 << p
     idx = (hashes & np.uint64(m - 1)).astype(np.int64)
     rest = (hashes.astype(np.uint64) >> np.uint64(p)) | (np.uint64(1) << np.uint64(63 - p))
     # rank = position of least-significant set bit + 1 (von-Neumann trick)
     lsb = (rest & (~rest + np.uint64(1))).astype(np.float64)
-    rank = (np.log2(lsb) + 1).astype(np.int64)
-    regs = np.zeros(m, dtype=np.int8)
-    np.maximum.at(regs, idx, rank.astype(np.int8))
+    rank = (np.log2(lsb) + 1).astype(np.int8)
+    return idx, rank
+
+
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Vectorized HLL register fold for one batch of 63-bit hashes."""
+    idx, rank = _bucket_rank(hashes, p)
+    regs = np.zeros(1 << p, dtype=np.int8)
+    np.maximum.at(regs, idx, rank)
     return regs
 
 
@@ -56,6 +62,53 @@ def approx_distinct(ds: Dataset, cols: list[str], precision: int = 12) -> int:
         for blob in batch["regs"].to_pylist():
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.int8))
     return int(round(_hll_estimate(merged)))
+
+
+def approx_distinct_by(ds: Dataset, key: str, cols: list[str],
+                       precision: int = 12, fanout: int = 64) -> Dataset:
+    """Grouped approximate COUNT(DISTINCT cols): one mergeable HLL per key
+    (SURVEY.md §2.5 G4, the per-group companion of approx_distinct).
+
+    Scale shape: each batch emits one 2^p-byte register blob PER KEY IT
+    CONTAINS (a single np.maximum.at over (key-code, bucket) — no per-row
+    Python), so the exchange carries sketch rows, never data rows. The
+    shuffle groups on a coarse salt of the key (task count ∝ fanout, the
+    LSH-family pattern); exact keys merge inside with elementwise max.
+    The Python loop in the merge is over keys-in-salt-group — sketch-space.
+    Memory: a batch touching K keys holds K×2^p bytes (p=12 → 4 KB/key);
+    lower `precision` for very-high-cardinality keys."""
+    import pyarrow.compute as pc
+
+    p = precision
+    m = 1 << p
+
+    def sketch(t: pa.Table) -> pa.Table:
+        st = pa.table({c: pc.cast(t[c], pa.string()) for c in cols})
+        h = stable_hash(st, cols).astype(np.uint64)
+        codes, uniq = pd.factorize(
+            t[key].to_pandas(), use_na_sentinel=False)
+        idx, rank = _bucket_rank(h, p)
+        regs = np.zeros((len(uniq), m), dtype=np.int8)
+        np.maximum.at(regs, (codes, idx), rank)
+        ku = pa.array(uniq)
+        ks = stable_hash(pa.table({key: pc.cast(ku, pa.string())}), [key])
+        return pa.table({
+            key: ku,
+            "ksalt": pa.array((ks % np.uint64(fanout)).astype(np.int32)),
+            "regs": pa.array([r.tobytes() for r in regs], type=pa.binary()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key, sort=False):
+            regs = np.frombuffer(b"".join(gg["regs"]), dtype=np.int8)
+            merged = regs.reshape(len(gg), m).max(axis=0)
+            rows.append({key: k,
+                         "approx_distinct": int(round(_hll_estimate(merged)))})
+        return pd.DataFrame(rows)
+
+    return (ds.map_batches(sketch, batch_format="pyarrow")
+            .groupby("ksalt").map_groups(merge, batch_format="pandas"))
 
 
 def approx_quantiles(ds: Dataset, col: str, qs: list[float],

@@ -28,6 +28,7 @@ def run_flagship(
     ddl_every: int = 8_000,
     content_len: tuple[int, int] = (64, 512),
     compute_content_hash: bool = True,
+    **cfg_kw,
 ) -> CdcPipeline:
     fixture_dir = os.path.join(work_dir, "fixture")
     info = gen.write_fixture(
@@ -49,6 +50,7 @@ def run_flagship(
         num_partitions=num_partitions,
         epoch_size=epoch_size,
         compute_content_hash=compute_content_hash,
+        **cfg_kw,
     ))
     pipe.run(base=info["base"])
     return pipe

@@ -1107,6 +1107,28 @@ def cdc_replay(sf: str):
     return pipe.final_table()
 
 
+def q66_approx_distinct_by(sf: str):
+    """G4 grouped HLL: approx distinct users per event type (rows-only —
+    estimates have no exact SQL twin; accuracy pinned in test_ops)."""
+    from thor_ray.ops.sketch import approx_distinct_by
+    return approx_distinct_by(T(sf, "events", ["event_type", "user_id"]),
+                              "event_type", ["user_id"])
+
+
+def q67_snapshot_diff(sf: str):
+    """Changefeed between the last two retained lake snapshots (rows-only;
+    the diff-vs-oracle equivalence is pinned in test_timetravel)."""
+    from thor_ray.pipelines.flagship import run_flagship
+    from thor_ray.sources.lake import snapshot_diff
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_ttdiff_{tag}"
+    pipe = run_flagship(work, n_keys=1_500, n_events=12_000, n_shards=3,
+                        num_partitions=8, epoch_size=3_000,
+                        retain_snapshots=4)
+    eps = pipe.snapshots()
+    return snapshot_diff(pipe.cfg.lake_dir, eps[-2], eps[-1])
+
+
 def q40_minhash_pairs(sf: str):
     return DD.minhash_lsh_pairs(T(sf, "documents", ["doc_id", "text"]),
                                 "text", "doc_id", jaccard_threshold=0.5)
@@ -1303,6 +1325,8 @@ QUERIES: dict[str, tuple] = {
     "q54_video_frame_sample": (q54_video_frame_sample, None),
     "q55_audio_features": (q55_audio_features, None),
     "q61_dup_clusters": (q61_dup_clusters, None),
+    "q66_approx_distinct_by": (q66_approx_distinct_by, None),
+    "q67_snapshot_diff": (q67_snapshot_diff, None),
 }
 
 
