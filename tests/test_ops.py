@@ -341,3 +341,51 @@ def test_near_dup_clusters_transitive(ray_session):
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
     assert 50 not in got
+
+
+def test_tfidf_top_terms_exact(ray_session):
+    """Hand-computed TF-IDF on a 2-doc corpus."""
+    import math
+    import ray.data
+    from thor_ray.ops.text import tfidf_top_terms
+
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "a a b"},
+        {"doc_id": 2, "text": "a c"},
+    ])
+    got = tfidf_top_terms(ds, k=2).to_pandas() \
+        .sort_values(["doc_id", "tfidf"], ascending=[True, False]) \
+        .reset_index(drop=True)
+    # df: a=2 b=1 c=1, N=2 → idf(a)=0, idf(b)=idf(c)=ln2
+    rows = list(zip(got["doc_id"], got["token"], got["tfidf"]))
+    assert rows[0][:2] == (1, "b") and abs(rows[0][2] - math.log(2) / 3) < 1e-6
+    assert rows[1][:2] == (1, "a") and rows[1][2] == 0.0
+    assert rows[2][:2] == (2, "c") and abs(rows[2][2] - math.log(2) / 2) < 1e-6
+    assert rows[3][:2] == (2, "a") and rows[3][2] == 0.0
+
+
+def test_stratified_sample_deterministic_and_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from thor_ray.ops.sample import stratified_sample
+
+    df = pd.DataFrame({"id": np.arange(4_000),
+                       "s": np.where(np.arange(4_000) % 2 == 0, "x", "y")})
+    fr = {"x": 0.5, "y": 0.1}
+    ds = ray.data.from_pandas(df).repartition(8)
+    a = stratified_sample(ds, "s", fr, "id", seed=3).to_pandas()
+    b = stratified_sample(ds, "s", fr, "id", seed=3).to_pandas()
+    # deterministic: identical keep-set across runs (and block layouts)
+    assert sorted(a["id"]) == sorted(b["id"])
+    for s, f in fr.items():
+        got = (a["s"] == s).sum() / 2_000
+        assert abs(got - f) < 0.05, (s, got)
+    # md5 path reproduces bit-exactly in a SQL engine
+    m = stratified_sample(ds, "s", fr, "id", seed=3,
+                          hash_fn="md5").to_pandas()
+    exp = duckdb.sql("""
+        SELECT id FROM df
+        WHERE substr(md5(CAST(id AS VARCHAR) || '_3'), 1, 8) <
+              CASE s WHEN 'x' THEN '80000000' ELSE '19999999' END
+    """).fetchdf()
+    assert sorted(m["id"]) == sorted(exp["id"])

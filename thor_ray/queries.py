@@ -1074,9 +1074,34 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q69_stratified_sample(sf: str):
+    """Deterministic per-stratum sampling (hash-threshold, the md5 tier):
+    the keep-set is a pure function of (doc_id, seed), so DuckDB replays
+    it bit-exactly — a sampling operator with a FULL value-hash oracle."""
+    from thor_ray.ops.sample import stratified_sample
+    fr = {"en": 0.5, "de": 0.25, "zh": 0.1, "fr": 0.75, "es": 0.2}
+    return stratified_sample(T(sf, "documents", ["doc_id", "lang"]),
+                             "lang", fr, "doc_id", seed=7, hash_fn="md5")
+
+
+SQL_Q69 = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '_7'), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+                WHEN 'zh' THEN '19999999' WHEN 'fr' THEN 'c0000000'
+                ELSE '33333333' END
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible; driver records a weaker check)
 # ---------------------------------------------------------------------------
+
+
+def q68_tfidf(sf: str):
+    """Top-3 TF-IDF terms per document (rows-only; exact-value unit test
+    in test_ops pins the math on a hand-computed corpus)."""
+    return TX.tfidf_top_terms(T(sf, "documents", ["doc_id", "text"]), k=3)
 
 
 def q37_approx_quantiles(sf: str):
@@ -1307,6 +1332,7 @@ QUERIES: dict[str, tuple] = {
     "q63_rank_in_group": (q63_rank_in_group, SQL_Q63),
     "q64_rollup": (q64_rollup, SQL_Q64),
     "q65_moving_avg": (q65_moving_avg, SQL_Q65),
+    "q69_stratified_sample": (q69_stratified_sample, SQL_Q69),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
@@ -1327,6 +1353,7 @@ QUERIES: dict[str, tuple] = {
     "q61_dup_clusters": (q61_dup_clusters, None),
     "q66_approx_distinct_by": (q66_approx_distinct_by, None),
     "q67_snapshot_diff": (q67_snapshot_diff, None),
+    "q68_tfidf": (q68_tfidf, None),
 }
 
 
