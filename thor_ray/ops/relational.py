@@ -371,3 +371,45 @@ def partial_then_final_sum(ds: Dataset, key: str, col: str, alias: str,
                                    pc.round(t[alias], round_to)),
             batch_format="pyarrow")
     return out
+
+
+def unpivot(ds: Dataset, id_cols: list[str], value_cols: list[str],
+            var_name: str = "metric", value_name: str = "val",
+            value_type: "pa.DataType | None" = None) -> Dataset:
+    """UNPIVOT/melt: one output row per (input row, value column) — the
+    wide-to-long reshape (SQL UNPIVOT ... FOR var IN (...)). Map-only: each
+    batch emits len(value_cols) stacked projections, no shuffle, streams at
+    any scale. value_type unifies the value column (default: the common
+    cast of the first value col)."""
+    vt = value_type or pa.float64()
+
+    def fn(t: pa.Table) -> pa.Table:
+        parts = [
+            pa.table({**{c: t[c] for c in id_cols},
+                      var_name: pa.array([vc] * len(t), type=pa.string()),
+                      value_name: pc.cast(t[vc], vt)})
+            for vc in value_cols
+        ]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cross_join(left: Dataset, right: "pa.Table") -> Dataset:
+    """Cartesian product with a broadcast small side: right is ray.put
+    once; each batch emits |batch|x|right| rows via vectorized take —
+    no shuffle (only sane when one side is dimension-sized; the output
+    multiplies, so keep right small)."""
+    ref = ray.put(right)
+
+    def fn(t: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        n, m = len(t), len(r)
+        li = np.repeat(np.arange(n, dtype=np.int64), m)
+        ri = np.tile(np.arange(m, dtype=np.int64), n)
+        out = t.take(pa.array(li))
+        for name in r.column_names:
+            out = out.append_column(name, r[name].take(pa.array(ri)))
+        return out
+
+    return left.map_batches(fn, batch_format="pyarrow")

@@ -1074,6 +1074,38 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q70_unpivot(sf: str):
+    """Wide-to-long reshape: each lineitem row emits one row per measure
+    (map-only UNPIVOT, no shuffle)."""
+    ds = T(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity",
+                            "l_tax", "l_discount"])
+    return R.unpivot(ds, ["l_orderkey", "l_linenumber"],
+                     ["l_quantity", "l_tax", "l_discount"])
+
+
+SQL_Q70 = """
+SELECT l_orderkey, l_linenumber, metric, val
+FROM (SELECT l_orderkey, l_linenumber,
+             l_quantity AS l_quantity, l_tax AS l_tax,
+             l_discount AS l_discount
+      FROM lineitem)
+UNPIVOT (val FOR metric IN (l_quantity, l_tax, l_discount))
+"""
+
+
+def q71_cross_join(sf: str):
+    """Cartesian dimension product (broadcast small side, no shuffle)."""
+    nation = pq.read_table(f"{sf}/nation.parquet",
+                           columns=["n_name", "n_regionkey"])
+    return R.cross_join(T(sf, "region", ["r_regionkey", "r_name"]), nation)
+
+
+SQL_Q71 = """
+SELECT r_regionkey, r_name, n_name, n_regionkey
+FROM region CROSS JOIN nation
+"""
+
+
 def q69_stratified_sample(sf: str):
     """Deterministic per-stratum sampling (hash-threshold, the md5 tier):
     the keep-set is a pure function of (doc_id, seed), so DuckDB replays
@@ -1333,6 +1365,8 @@ QUERIES: dict[str, tuple] = {
     "q64_rollup": (q64_rollup, SQL_Q64),
     "q65_moving_avg": (q65_moving_avg, SQL_Q65),
     "q69_stratified_sample": (q69_stratified_sample, SQL_Q69),
+    "q70_unpivot": (q70_unpivot, SQL_Q70),
+    "q71_cross_join": (q71_cross_join, SQL_Q71),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
