@@ -389,3 +389,40 @@ def test_stratified_sample_deterministic_and_matches_duckdb(ray_session):
               CASE s WHEN 'x' THEN '80000000' ELSE '19999999' END
     """).fetchdf()
     assert sorted(m["id"]) == sorted(exp["id"])
+
+
+def test_stratified_sample_full_fraction_and_null_group(ray_session):
+    """Regression: fraction >= 1.0 in the md5 tier must keep EVERY row
+    (int(1.0*16^8) formats to 9 hex chars and would drop ~94%); grouped
+    HLL must not silently drop a null-key group."""
+    import ray.data
+    from thor_ray.ops.sample import stratified_sample
+    from thor_ray.ops.sketch import approx_distinct_by
+
+    df = pd.DataFrame({"id": np.arange(500), "s": ["x"] * 500})
+    ds = ray.data.from_pandas(df)
+    for hf in ("stable", "md5"):
+        kept = stratified_sample(ds, "s", {"x": 1.0}, "id",
+                                 hash_fn=hf).count()
+        assert kept == 500, (hf, kept)
+
+    nd = ray.data.from_arrow(pa.table({
+        "grp": pa.array(["a"] * 50 + [None] * 50),
+        "v": pa.array(list(range(50)) + list(range(25)) * 2),
+    }))
+    got = approx_distinct_by(nd, "grp", ["v"], precision=12).to_pandas()
+    assert len(got) == 2
+    null_row = got[got["grp"].isna()]
+    assert len(null_row) == 1 and int(null_row["approx_distinct"].iloc[0]) == 25
+
+
+def test_unpivot_null_semantics_and_cross_join_guard(ray_session):
+    """SQL UNPIVOT drops NULL measures (default); cross_join refuses
+    colliding column names instead of silently duplicating them."""
+    t = ds_of({"k": [1, 2], "a": [1.0, None], "b": [3.0, 4.0]})
+    got = R.unpivot(t, ["k"], ["a", "b"]).to_pandas()
+    assert len(got) == 3  # (1,a) (1,b) (2,b) — (2,a) is NULL, excluded
+    kept = R.unpivot(t, ["k"], ["a", "b"], include_nulls=True).to_pandas()
+    assert len(kept) == 4
+    with pytest.raises(ValueError, match="collision"):
+        R.cross_join(t, pa.table({"k": [9]}))

@@ -375,21 +375,25 @@ def partial_then_final_sum(ds: Dataset, key: str, col: str, alias: str,
 
 def unpivot(ds: Dataset, id_cols: list[str], value_cols: list[str],
             var_name: str = "metric", value_name: str = "val",
-            value_type: "pa.DataType | None" = None) -> Dataset:
+            value_type: "pa.DataType | None" = None,
+            include_nulls: bool = False) -> Dataset:
     """UNPIVOT/melt: one output row per (input row, value column) — the
     wide-to-long reshape (SQL UNPIVOT ... FOR var IN (...)). Map-only: each
     batch emits len(value_cols) stacked projections, no shuffle, streams at
-    any scale. value_type unifies the value column (default: the common
-    cast of the first value col)."""
+    any scale. value_type unifies the value column (default float64). SQL
+    UNPIVOT excludes NULL measures, so the default drops them;
+    include_nulls=True keeps the row (pandas-melt semantics)."""
     vt = value_type or pa.float64()
 
     def fn(t: pa.Table) -> pa.Table:
-        parts = [
-            pa.table({**{c: t[c] for c in id_cols},
-                      var_name: pa.array([vc] * len(t), type=pa.string()),
-                      value_name: pc.cast(t[vc], vt)})
-            for vc in value_cols
-        ]
+        parts = []
+        for vc in value_cols:
+            p = pa.table({**{c: t[c] for c in id_cols},
+                          var_name: pa.array([vc] * len(t), type=pa.string()),
+                          value_name: pc.cast(t[vc], vt)})
+            if not include_nulls:
+                p = p.filter(pc.is_valid(p[value_name]))
+            parts.append(p)
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -399,7 +403,12 @@ def cross_join(left: Dataset, right: "pa.Table") -> Dataset:
     """Cartesian product with a broadcast small side: right is ray.put
     once; each batch emits |batch|x|right| rows via vectorized take —
     no shuffle (only sane when one side is dimension-sized; the output
-    multiplies, so keep right small)."""
+    multiplies, so keep right small). Column names must be disjoint —
+    append_column would otherwise create a silent duplicate."""
+    overlap = set(left.schema().names) & set(right.column_names)
+    if overlap:
+        raise ValueError(f"cross_join column collision: {sorted(overlap)}; "
+                         "rename one side first")
     ref = ray.put(right)
 
     def fn(t: pa.Table) -> pa.Table:

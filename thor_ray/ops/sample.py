@@ -31,8 +31,14 @@ def _md5_keep_mask(ids, seed: int, thresholds: np.ndarray) -> np.ndarray:
 
 
 def fraction_hex(fraction: float) -> str:
-    """The 8-hex-digit md5 threshold for a keep fraction (floor)."""
-    return format(int(fraction * 16**8), "08x")
+    """The md5 threshold string for a keep fraction: an 8-hex-digit prefix
+    bound, except fraction >= 1.0 → "g", which sorts after every hex
+    digest (int(1.0 * 16**8) would format to NINE digits and compare
+    lexicographically BELOW most 8-digit prefixes, silently dropping ~94%
+    of a keep-everything stratum)."""
+    if fraction >= 1.0:
+        return "g"
+    return format(max(int(fraction * 16**8), 0), "08x")
 
 
 def stratified_sample(ds: Dataset, strata_col: str,
@@ -52,13 +58,12 @@ def stratified_sample(ds: Dataset, strata_col: str,
 
     def fn(t: pa.Table) -> pa.Table:
         if frac_map is not None:
-            s = pd.Series(
-                t[strata_col].to_pandas().map(frac_map).fillna(0.0).to_numpy())
-            fr = s.to_numpy(dtype=np.float64)
+            fr = t[strata_col].to_pandas().map(frac_map).fillna(0.0) \
+                .to_numpy(dtype=np.float64)
         else:
             fr = np.full(len(t), frac_scalar)
         if hash_fn == "md5":
-            thr = np.array([format(int(f * 16**8), "08x") for f in fr])
+            thr = np.array([fraction_hex(f) for f in fr])
             keep = _md5_keep_mask(t[id_col].to_pylist(), seed, thr)
         else:
             ht = pa.table({

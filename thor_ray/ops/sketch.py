@@ -100,7 +100,7 @@ def approx_distinct_by(ds: Dataset, key: str, cols: list[str],
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for k, gg in g.groupby(key, sort=False):
+        for k, gg in g.groupby(key, sort=False, dropna=False):
             regs = np.frombuffer(b"".join(gg["regs"]), dtype=np.int8)
             merged = regs.reshape(len(gg), m).max(axis=0)
             rows.append({key: k,

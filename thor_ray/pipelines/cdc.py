@@ -44,8 +44,8 @@ from thor_ray.sources import binlog as binlog_src
 from thor_ray.stages import chain as chain_mod
 from thor_ray.stages.smt import stable_hash
 from thor_ray.state import (Manifest, SchemaRegistry, archive_manifest,
-                            gc_lake, load_manifests, load_manifests_at,
-                            prune_history, write_manifest)
+                            gc_lake, load_manifests, prune_history,
+                            write_manifest)
 
 BASE_COLS = ["repo", "path", "commit", "lang", "content"]
 # event columns the apply path needs — txn/ts/ddl are pruned at the read

@@ -168,12 +168,17 @@ def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
     prune_history shrinks that set first.
     """
     live = {os.path.abspath(f) for m in manifests.values() for f in m.files}
-    for p in glob.glob(os.path.join(_history_dir(lake_dir), "part-*-e*.json")):
-        with open(p) as f:
-            payload = json.load(f)
-        live |= {os.path.abspath(f_ if os.path.isabs(f_)
-                                 else os.path.join(lake_dir, f_))
-                 for f_ in payload["files"]}
+    # O(retention × partitions) small-JSON reads per commit — bounded by
+    # prune_history just before this in the pipeline; skipped entirely
+    # when time travel is off (no history dir)
+    if os.path.isdir(_history_dir(lake_dir)):
+        for p in glob.glob(os.path.join(_history_dir(lake_dir),
+                                        "part-*-e*.json")):
+            with open(p) as f:
+                payload = json.load(f)
+            live |= {os.path.abspath(f_ if os.path.isabs(f_)
+                                     else os.path.join(lake_dir, f_))
+                     for f_ in payload["files"]}
     removed = 0
     for pid, m in manifests.items():
         pdir = os.path.join(lake_dir, f"part={pid:05d}")
