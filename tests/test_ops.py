@@ -426,3 +426,22 @@ def test_unpivot_null_semantics_and_cross_join_guard(ray_session):
     assert len(kept) == 4
     with pytest.raises(ValueError, match="collision"):
         R.cross_join(t, pa.table({"k": [9]}))
+
+
+def test_range_join_count_exact(ray_session):
+    """Hand-checked interval counts, including the half-open upper bound
+    (a right row AT left_ts must not count) and an empty right group."""
+    ts = lambda s: pd.Timestamp(f"2024-01-01 00:00:{s:02d}")
+    left = ray.data.from_pandas(pd.DataFrame({
+        "uid": [1, 1, 2], "id": [10, 11, 20],
+        "ts": [ts(10), ts(30), ts(5)]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "uid": [1, 1, 1], "ts": [ts(8), ts(10), ts(25)]}))
+    out = R.range_join_count(left, right, on="uid", left_ts="ts",
+                             right_ts="ts", lower_us=-5_000_000,
+                             upper_us=0).to_pandas()
+    got = dict(zip(out["id"], out["n_matches"]))
+    # id 10 @10: window [5,10) -> only ts 8 (ts 10 excluded); id 11 @30:
+    # window [25,30) -> ts 25; id 20 (uid 2): no right rows -> 0
+    assert got == {10: 1, 11: 1, 20: 0}
+    assert out["n_matches"].dtype == np.int64 and out["id"].dtype == np.int64

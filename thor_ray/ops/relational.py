@@ -422,3 +422,58 @@ def cross_join(left: Dataset, right: "pa.Table") -> Dataset:
         return out
 
     return left.map_batches(fn, batch_format="pyarrow")
+
+
+def range_join_count(left: Dataset, right: Dataset, on: str, left_ts: str,
+                     right_ts: str, lower_us: int, upper_us: int,
+                     out: str = "n_matches") -> Dataset:
+    """Interval/range join, count form: for each left row, how many right
+    rows share its key with right_ts in [left_ts+lower_us, left_ts+upper_us)
+    (microsecond offsets; lower may be negative — "events in the preceding
+    24 h" is lower=-24h, upper=0).
+
+    Same composition as asof_join: tag both sides, union, ONE shuffle on
+    the key, then a per-group vectorized count — np.searchsorted of every
+    left timestamp against the group's sorted right timestamps, so the
+    output is LEFT-SIZED with no pair explosion (the scale-safe form of a
+    range join; when the matched rows themselves are needed, compose
+    broadcast_join + an interval filter instead). Partitioning assumption:
+    one key's rows fit in one task (salt upstream if not)."""
+    lschema = _arrow_schema(left)
+    lcols = lschema.names
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("_side", pa.array(["L"] * len(t)))
+        return t.append_column("_ts", pc.cast(t[left_ts], pa.timestamp("us")))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {on: t[on], "_side": pa.array(["R"] * len(t)),
+                "_ts": pc.cast(t[right_ts], pa.timestamp("us"))}
+        for c in lcols:
+            if c not in cols:
+                cols[c] = pa.nulls(len(t), type=lschema.field(c).type)
+        return pa.table({c: cols[c] for c in lcols + ["_side", "_ts"]})
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "L"]
+        if not len(lg):
+            e = lschema.empty_table().to_pandas()
+            e[out] = pd.Series(dtype="int64")
+            return e
+        rts = np.sort(g.loc[g["_side"] == "R", "_ts"]
+                      .to_numpy(dtype="datetime64[us]").astype(np.int64))
+        lts = lg["_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        n = (np.searchsorted(rts, lts + upper_us, side="left")
+             - np.searchsorted(rts, lts + lower_us, side="left"))
+        res = lg[lcols].copy()
+        # left rows are never null-filled, so the union's float upcast of
+        # int left columns reverses losslessly
+        for f in lschema:
+            if pa.types.is_integer(f.type):
+                res[f.name] = res[f.name].astype(f.type.to_pandas_dtype())
+        res[out] = n.astype(np.int64)
+        return res
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    return tagged.groupby(on).map_groups(count_group, batch_format="pandas")

@@ -1106,6 +1106,33 @@ FROM region CROSS JOIN nation
 """
 
 
+def q72_range_join(sf: str):
+    """Interval/range join (count form): per purchase event, how many
+    clicks the same user made in the preceding 24 h — one key shuffle,
+    vectorized searchsorted per group, left-sized output."""
+    ev = T(sf, "events", ["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["event_id", "user_id", "ts"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+        .select_columns(["user_id", "ts"])
+    out = R.range_join_count(purchases, clicks, on="user_id",
+                             left_ts="ts", right_ts="ts",
+                             lower_us=-24 * 3600 * 1_000_000, upper_us=0,
+                             out="n_prior_clicks")
+    return out.select_columns(["event_id", "n_prior_clicks"])
+
+
+SQL_Q72 = """
+SELECT p.event_id, CAST(count(c.ts) AS BIGINT) AS n_prior_clicks
+FROM events p
+LEFT JOIN events c
+  ON p.user_id = c.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
 def q69_stratified_sample(sf: str):
     """Deterministic per-stratum sampling (hash-threshold, the md5 tier):
     the keep-set is a pure function of (doc_id, seed), so DuckDB replays
@@ -1367,6 +1394,7 @@ QUERIES: dict[str, tuple] = {
     "q69_stratified_sample": (q69_stratified_sample, SQL_Q69),
     "q70_unpivot": (q70_unpivot, SQL_Q70),
     "q71_cross_join": (q71_cross_join, SQL_Q71),
+    "q72_range_join": (q72_range_join, SQL_Q72),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
