@@ -1,3 +1,5 @@
-from . import ann, dedup, multimodal, relational, text
+from . import (ann, dedup, multimodal, relational, sample, sketch, text,
+               window)
 
-__all__ = ["ann", "dedup", "multimodal", "relational", "text"]
+__all__ = ["ann", "dedup", "multimodal", "relational", "sample", "sketch",
+           "text", "window"]
