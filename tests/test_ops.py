@@ -445,3 +445,31 @@ def test_range_join_count_exact(ray_session):
     # window [25,30) -> ts 25; id 20 (uid 2): no right rows -> 0
     assert got == {10: 1, 11: 1, 20: 0}
     assert out["n_matches"].dtype == np.int64 and out["id"].dtype == np.int64
+
+
+def test_write_partitioned_resumable(ray_session, tmp_path):
+    """The brief's resumable-output contract: one dir per key value,
+    atomic finals, re-run skips complete partitions and only rewrites the
+    missing one."""
+    import os
+    import ray.data
+    from thor_ray.sources.sink import write_partitioned
+
+    out = str(tmp_path / "out")
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3 + ["c"] * 2,
+                       "v": range(10)})
+    rep = write_partitioned(ray.data.from_pandas(df).repartition(4), out, "k")
+    assert rep["skipped"].tolist() == [False, False, False]
+    assert sorted(os.listdir(out)) == ["k=a", "k=b", "k=c"]
+    # simulate a crashed partition, then resume
+    os.remove(os.path.join(out, "k=b", "data.parquet"))
+    before = {v: os.path.getmtime(os.path.join(out, f"k={v}", "data.parquet"))
+              for v in ("a", "c")}
+    rep2 = write_partitioned(ray.data.from_pandas(df), out, "k")
+    assert dict(zip(rep2["value"], rep2["skipped"])) == \
+        {"a": True, "b": False, "c": True}
+    for v, t in before.items():
+        assert os.path.getmtime(os.path.join(out, f"k={v}", "data.parquet")) == t
+    got = pd.concat([pd.read_parquet(os.path.join(out, d))
+                     for d in os.listdir(out)])
+    assert sorted(got["v"]) == list(range(10))
