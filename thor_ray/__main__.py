@@ -92,6 +92,23 @@ def cmd_compact(a) -> int:
     return 0
 
 
+def cmd_diff(a) -> int:
+    """Changefeed between two retained snapshots (time travel)."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.sources.lake import snapshot_diff
+
+    df = snapshot_diff(a.lake, a.from_epoch, a.to_epoch).to_pandas()
+    counts = df["change"].value_counts().to_dict()
+    print(json.dumps({"from": a.from_epoch, "to": a.to_epoch,
+                      "changes": len(df),
+                      "by_kind": {k: int(v) for k, v in counts.items()}}))
+    if a.out:
+        df.to_parquet(a.out, index=False)
+        print(f"wrote {a.out}")
+    ray.shutdown()
+    return 0
+
+
 def cmd_verify(a) -> int:
     """Replay-equivalence check: lake state vs the single-process oracle."""
     ray = _ray_init(a.num_cpus)
@@ -217,6 +234,14 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("show", help="manifest / registry summary")
     s.add_argument("--lake", required=True)
     s.set_defaults(fn=cmd_show)
+
+    d = sub.add_parser("diff", help="changefeed between two retained snapshots")
+    d.add_argument("--lake", required=True)
+    d.add_argument("--from-epoch", type=int, required=True)
+    d.add_argument("--to-epoch", type=int, required=True)
+    d.add_argument("--out", help="optional parquet path for the change rows")
+    d.add_argument("--num-cpus", type=int)
+    d.set_defaults(fn=cmd_diff)
 
     a = p.parse_args(argv)
     return a.fn(a)
