@@ -28,6 +28,10 @@ def __getattr__(name):
         from thor_ray.pipelines.flagship import run_flagship
 
         return run_flagship
+    if name in ("read_lake", "read_lake_at", "snapshot_diff"):
+        from thor_ray.sources import lake
+
+        return getattr(lake, name)
     # NOTE: no lazy alias for `queries`/`oracle_sql` — the name collides
     # with the thor_ray.queries SUBMODULE (import binding would shadow the
     # function after first submodule import). Use thor_ray.queries.queries().
