@@ -473,3 +473,37 @@ def test_write_partitioned_resumable(ray_session, tmp_path):
     got = pd.concat([pd.read_parquet(os.path.join(out, d))
                      for d in os.listdir(out)])
     assert sorted(got["v"]) == list(range(10))
+
+
+def test_range_join_count_null_ts_and_guard(ray_session):
+    """NaT timestamps match nothing (not INT64_MIN wraparound), and the
+    internal-column collision fails fast."""
+    ts = lambda s: pd.Timestamp(f"2024-01-01 00:00:{s:02d}")
+    left = ray.data.from_pandas(pd.DataFrame({
+        "uid": [1, 1], "id": [10, 11], "ts": [pd.NaT, ts(10)]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "uid": [1, 1, 1], "ts": [ts(8), ts(9), pd.NaT]}))
+    out = R.range_join_count(left, right, on="uid", left_ts="ts",
+                             right_ts="ts", lower_us=-5_000_000,
+                             upper_us=0).to_pandas()
+    got = dict(zip(out["id"], out["n_matches"]))
+    assert got == {10: 0, 11: 2}  # NaT left -> 0; NaT right never counted
+    bad = ray.data.from_pandas(pd.DataFrame({"uid": [1], "_ts": [ts(1)],
+                                             "ts": [ts(1)]}))
+    with pytest.raises(ValueError, match="internal column"):
+        R.range_join_count(bad, right, on="uid", left_ts="ts",
+                           right_ts="ts", lower_us=0, upper_us=1)
+
+
+def test_write_partitioned_empty_and_bad_key(ray_session, tmp_path):
+    import os
+    import ray.data
+    from thor_ray.sources.sink import write_partitioned
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.Series(dtype=str), "v": pd.Series(dtype=int)}))
+    rep = write_partitioned(empty, str(tmp_path / "e"), "k")
+    assert len(rep) == 0 and list(rep.columns) == ["value", "rows", "skipped"]
+    bad = ray.data.from_pandas(pd.DataFrame({"k": ["2024/01"], "v": [1]}))
+    with pytest.raises(Exception, match="path"):
+        write_partitioned(bad, str(tmp_path / "b"), "k").to_string()

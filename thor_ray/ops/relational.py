@@ -111,6 +111,31 @@ def semi_join(left: Dataset, keys: "pa.Table | pd.DataFrame | set",
     return left.map_batches(mask, batch_format="pyarrow")
 
 
+def _restore_left_dtypes(df: pd.DataFrame, lschema: pa.Schema) -> pd.DataFrame:
+    """Reverse the tag/union design's pandas upcasts: left columns are
+    null-filled on the right side, so the grouped frame upcasts int64 →
+    float64 and bool → object; cast back to the original Arrow dtypes
+    before emitting (round-1 q25 hash failure). NOTE: int64 values above
+    2^53 do not survive the float64 round-trip — tag/union joins assume
+    id-sized integers (true for every fixture key here)."""
+    for f in lschema:
+        col = df[f.name]
+        if pa.types.is_integer(f.type):
+            df[f.name] = col.astype("Int64") if col.isna().any() \
+                else col.astype(f.type.to_pandas_dtype())
+        elif pa.types.is_boolean(f.type):
+            df[f.name] = col.astype("boolean")
+    return df
+
+
+def _guard_internal_cols(schema_names, internal: list[str], op: str) -> None:
+    overlap = set(schema_names) & set(internal)
+    if overlap:
+        raise ValueError(
+            f"{op}: input already has internal column(s) {sorted(overlap)}; "
+            "rename them first")
+
+
 def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
               right_ts: str, right_payload: list[str],
               suffix: str = "_r") -> Dataset:
@@ -123,6 +148,7 @@ def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
     per-user / per-device event history; salt the key upstream if not)."""
     lschema = _arrow_schema(left)
     lcols = lschema.names
+    _guard_internal_cols(lcols, ["_side", "_ts"], "asof_join")
 
     def tag_left(t: pa.Table) -> pa.Table:
         t = t.append_column("_side", pa.array(["L"] * len(t)))
@@ -142,20 +168,6 @@ def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
         cols = lcols + ["_side", "_ts"] + [c + suffix for c in right_payload]
         return pa.table({c: out[c] for c in cols})
 
-    def restore_left_dtypes(df: pd.DataFrame) -> pd.DataFrame:
-        # The tag/union design fills left columns with nulls on the right
-        # side, so the grouped pandas frame upcasts int64 → float64 (and
-        # bool → object); cast the left columns back to their original
-        # Arrow-schema dtypes before emitting (round-1 q25 hash failure).
-        for f in lschema:
-            col = df[f.name]
-            if pa.types.is_integer(f.type):
-                df[f.name] = col.astype("Int64") if col.isna().any() \
-                    else col.astype(f.type.to_pandas_dtype())
-            elif pa.types.is_boolean(f.type):
-                df[f.name] = col.astype("boolean")
-        return df
-
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == "L"].sort_values("_ts", kind="stable")
         rg = g[g["_side"] == "R"].sort_values("_ts", kind="stable")
@@ -174,7 +186,7 @@ def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
             # nulls (None) so the Arrow block — and the driver's value
             # hash — sees NULL, not the string "nan"
             merged[c] = merged[c].astype(object).where(pd.notna(merged[c]), None)
-        return restore_left_dtypes(merged)
+        return _restore_left_dtypes(merged, lschema)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
@@ -438,9 +450,12 @@ def range_join_count(left: Dataset, right: Dataset, on: str, left_ts: str,
     output is LEFT-SIZED with no pair explosion (the scale-safe form of a
     range join; when the matched rows themselves are needed, compose
     broadcast_join + an interval filter instead). Partitioning assumption:
-    one key's rows fit in one task (salt upstream if not)."""
+    one key's rows fit in one task (salt upstream if not). NULL timestamps
+    match nothing (SQL comparison semantics): a null left_ts counts 0, a
+    null right_ts is never counted."""
     lschema = _arrow_schema(left)
     lcols = lschema.names
+    _guard_internal_cols(lcols, ["_side", "_ts"], "range_join_count")
 
     def tag_left(t: pa.Table) -> pa.Table:
         t = t.append_column("_side", pa.array(["L"] * len(t)))
@@ -460,19 +475,22 @@ def range_join_count(left: Dataset, right: Dataset, on: str, left_ts: str,
             e = lschema.empty_table().to_pandas()
             e[out] = pd.Series(dtype="int64")
             return e
-        rts = np.sort(g.loc[g["_side"] == "R", "_ts"]
-                      .to_numpy(dtype="datetime64[us]").astype(np.int64))
-        lts = lg["_ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        n = (np.searchsorted(rts, lts + upper_us, side="left")
-             - np.searchsorted(rts, lts + lower_us, side="left"))
+        rts_raw = g.loc[g["_side"] == "R", "_ts"] \
+            .to_numpy(dtype="datetime64[us]")
+        rts = np.sort(rts_raw[~np.isnat(rts_raw)].astype(np.int64))
+        lts_raw = lg["_ts"].to_numpy(dtype="datetime64[us]")
+        lvalid = ~np.isnat(lts_raw)
+        lts = np.where(lvalid, lts_raw.astype(np.int64), 0)
+        # NaT would otherwise become INT64_MIN and wrap under the offset
+        # arithmetic, producing negative counts
+        n = np.where(
+            lvalid,
+            np.searchsorted(rts, lts + upper_us, side="left")
+            - np.searchsorted(rts, lts + lower_us, side="left"),
+            0)
         res = lg[lcols].copy()
-        # left rows are never null-filled, so the union's float upcast of
-        # int left columns reverses losslessly
-        for f in lschema:
-            if pa.types.is_integer(f.type):
-                res[f.name] = res[f.name].astype(f.type.to_pandas_dtype())
         res[out] = n.astype(np.int64)
-        return res
+        return _restore_left_dtypes(res, lschema)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))

@@ -33,6 +33,12 @@ def write_partitioned(ds: Dataset, out_dir: str, by: str,
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
         val = g[by].iloc[0]
+        if os.sep in str(val) or str(val).startswith(".."):
+            # a raw '/' (or '..') in the key value would nest or escape the
+            # one-dir-per-value layout; make the caller bucket/encode it
+            raise ValueError(
+                f"write_partitioned: key value {val!r} contains a path "
+                "separator; encode or bucket the key first")
         d = os.path.join(out_dir, f"{by}={val}")
         final = os.path.join(d, "data.parquet")
         if not overwrite and os.path.exists(final):
@@ -42,9 +48,17 @@ def write_partitioned(ds: Dataset, out_dir: str, by: str,
         tmp = final + ".tmp"
         pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp,
                        row_group_size=row_group_size)
+        # fsync before the rename: a final-named file must never hold
+        # partial contents after a crash, or resume would skip it forever
+        # (same discipline as state/manifest.py::_atomic_write)
+        with open(tmp, "rb+") as f:
+            os.fsync(f.fileno())
         os.replace(tmp, final)
         return pd.DataFrame([{"value": str(val), "rows": len(g),
                               "skipped": False}])
 
-    return (ds.groupby(by).map_groups(write_group, batch_format="pandas")
-            .to_pandas().sort_values("value").reset_index(drop=True))
+    rep = ds.groupby(by).map_groups(write_group,
+                                    batch_format="pandas").to_pandas()
+    if rep.empty:
+        return pd.DataFrame(columns=["value", "rows", "skipped"])
+    return rep.sort_values("value").reset_index(drop=True)
