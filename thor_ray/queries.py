@@ -1133,6 +1133,39 @@ GROUP BY p.event_id
 """
 
 
+def q73_percentile_cont(sf: str):
+    """Exact grouped interpolated percentiles. DuckDB's quantile_cont
+    interpolates as lo*(1-frac) + hi*frac (NOT lo + (hi-lo)*frac — the two
+    differ in the last double bit on real data; verified empirically), so
+    the numpy side replicates that formula bitwise. Exact quantiles need
+    the whole group in one task (3 flag groups here); at corpus scale use
+    ops.sketch.approx_quantiles — this is the exact small-group tier."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["l_extendedprice"].to_numpy())
+
+        def cont(q: float) -> float:
+            pos = (len(x) - 1) * q
+            f = int(np.floor(pos))
+            c = min(f + 1, len(x) - 1)
+            frac = pos - f
+            return x[f] * (1 - frac) + x[c] * frac
+
+        return pd.DataFrame([{"l_returnflag": g["l_returnflag"].iloc[0],
+                              "p25": cont(0.25), "p90": cont(0.90)}])
+
+    return ds.groupby("l_returnflag").map_groups(qtile, batch_format="pandas")
+
+
+SQL_Q73 = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.90) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q69_stratified_sample(sf: str):
     """Deterministic per-stratum sampling (hash-threshold, the md5 tier):
     the keep-set is a pure function of (doc_id, seed), so DuckDB replays
@@ -1395,6 +1428,7 @@ QUERIES: dict[str, tuple] = {
     "q70_unpivot": (q70_unpivot, SQL_Q70),
     "q71_cross_join": (q71_cross_join, SQL_Q71),
     "q72_range_join": (q72_range_join, SQL_Q72),
+    "q73_percentile_cont": (q73_percentile_cont, SQL_Q73),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
