@@ -507,3 +507,16 @@ def test_write_partitioned_empty_and_bad_key(ray_session, tmp_path):
     bad = ray.data.from_pandas(pd.DataFrame({"k": ["2024/01"], "v": [1]}))
     with pytest.raises(Exception, match="path"):
         write_partitioned(bad, str(tmp_path / "b"), "k").to_string()
+
+
+def test_chunk_text_boundaries(ray_session):
+    """Chunk windows: overlap, last-partial chunk, unicode codepoints."""
+    from thor_ray.ops.text import chunk_text
+
+    ds = ds_of({"doc_id": [1, 2], "text": ["abcdefghij", "αβγδε"]})
+    got = chunk_text(ds, size=4, stride=3).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    d1 = got[got["doc_id"] == 1]["chunk"].tolist()
+    assert d1 == ["abcd", "defg", "ghij", "j"]  # 10 chars, starts 0,3,6,9
+    d2 = got[got["doc_id"] == 2]["chunk"].tolist()
+    assert d2 == ["αβγδ", "δε"]  # codepoints, not bytes

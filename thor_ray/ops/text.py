@@ -294,3 +294,38 @@ def tfidf_top_terms(ds: Dataset, text_col: str = "text",
                              "tfidf": out["tfidf"].round(6).to_numpy()})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def chunk_text(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+               size: int = 200, stride: int = 150,
+               out: str = "chunk") -> Dataset:
+    """Split documents into fixed-size overlapping character windows — the
+    standard pre-tokenization chunking pass of a training-data pipeline
+    (chunk k covers codepoints [k*stride, k*stride+size); a chunk exists
+    iff k*stride < len). Map-only flat-map: the loop is over CHUNK
+    POSITION within the batch (bounded by the longest doc), each iteration
+    a vectorized utf8_slice_codeunits over the still-long rows — never a
+    per-row Python loop. Codepoint semantics match SQL substr/length."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t[text_col])
+        maxn = pc.max(n).as_py() or 0
+        parts = []
+        k = 0
+        while k * stride < maxn:
+            mask = pc.greater(n, k * stride)
+            sub = t.filter(mask)
+            chunk = pc.utf8_slice_codeunits(
+                sub[text_col], start=k * stride, stop=k * stride + size)
+            parts.append(pa.table({
+                id_col: sub[id_col],
+                "chunk_id": pa.array([k] * len(sub), type=pa.int64()),
+                out: chunk,
+            }))
+            k += 1
+        if not parts:
+            return pa.table({id_col: t[id_col].slice(0, 0),
+                             "chunk_id": pa.array([], type=pa.int64()),
+                             out: pa.array([], type=pa.string())})
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1133,6 +1133,21 @@ GROUP BY p.event_id
 """
 
 
+def q74_chunk_text(sf: str):
+    """Training-data chunking: 200-char windows, stride 150 (map-only
+    flat-map; loop over chunk position, vectorized slice per position)."""
+    return TX.chunk_text(T(sf, "documents", ["doc_id", "text"]),
+                         size=200, stride=150)
+
+
+SQL_Q74 = """
+SELECT d.doc_id, CAST(s.n AS BIGINT) AS chunk_id,
+       substr(d.text, CAST(s.n * 150 + 1 AS BIGINT), 200) AS chunk
+FROM documents d
+JOIN generate_series(0, 100000) s(n) ON s.n * 150 < length(d.text)
+"""
+
+
 def q73_percentile_cont(sf: str):
     """Exact grouped interpolated percentiles. DuckDB's quantile_cont
     interpolates as lo*(1-frac) + hi*frac (NOT lo + (hi-lo)*frac — the two
@@ -1429,6 +1444,7 @@ QUERIES: dict[str, tuple] = {
     "q71_cross_join": (q71_cross_join, SQL_Q71),
     "q72_range_join": (q72_range_join, SQL_Q72),
     "q73_percentile_cont": (q73_percentile_cont, SQL_Q73),
+    "q74_chunk_text": (q74_chunk_text, SQL_Q74),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
