@@ -1148,6 +1148,29 @@ JOIN generate_series(0, 100000) s(n) ON s.n * 150 < length(d.text)
 """
 
 
+def q75_having_scalar_subquery(sf: str):
+    """HAVING against a scalar subquery: customers with more orders than
+    the average customer. The scalar is a driver-side reduction of the
+    SAME (output-sized) grouped aggregate — the broadcast-scalar pattern,
+    no second pass over the data. avg(BIGINT) = double(sum)/double(n),
+    replicated exactly."""
+    per_cust = (T(sf, "orders", ["o_custkey"])
+                .groupby("o_custkey").aggregate(Count(alias_name="n"))
+                ).to_pandas()
+    threshold = float(per_cust["n"].sum()) / len(per_cust)
+    out = per_cust[per_cust["n"] > threshold].reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+SQL_Q75 = """
+SELECT o_custkey, count(*) AS n
+FROM orders GROUP BY o_custkey
+HAVING count(*) > (SELECT avg(cnt) FROM
+                   (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey))
+"""
+
+
 def q73_percentile_cont(sf: str):
     """Exact grouped interpolated percentiles. DuckDB's quantile_cont
     interpolates as lo*(1-frac) + hi*frac (NOT lo + (hi-lo)*frac — the two
@@ -1445,6 +1468,7 @@ QUERIES: dict[str, tuple] = {
     "q72_range_join": (q72_range_join, SQL_Q72),
     "q73_percentile_cont": (q73_percentile_cont, SQL_Q73),
     "q74_chunk_text": (q74_chunk_text, SQL_Q74),
+    "q75_having_scalar_subquery": (q75_having_scalar_subquery, SQL_Q75),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
