@@ -520,3 +520,28 @@ def test_chunk_text_boundaries(ray_session):
     assert d1 == ["abcd", "defg", "ghij", "j"]  # 10 chars, starts 0,3,6,9
     d2 = got[got["doc_id"] == 2]["chunk"].tolist()
     assert d2 == ["αβγδ", "δε"]  # codepoints, not bytes
+
+
+def test_bloom_prefilter_superset_and_fp_bound(ray_session):
+    """Bloom prefilter: NEVER drops a true match (superset property),
+    false-positive rate within ~4x of the analytic bound, and invert=True
+    keeps only definite non-members."""
+    import ray.data
+    from thor_ray.ops.sketch import bloom_build, bloom_prefilter
+
+    right = ray.data.range(10_000).map_batches(
+        lambda b: {"k": b["id"]}, batch_format="numpy")
+    bloom = bloom_build(right, "k", num_bits=1 << 18, k=4)
+    # left: 10k true members + 40k non-members
+    left = ray.data.range(50_000).map_batches(
+        lambda b: {"k": b["id"]}, batch_format="numpy")
+    kept = bloom_prefilter(left, "k", bloom, num_bits=1 << 18,
+                           k=4).to_pandas()["k"].to_numpy()
+    assert (np.sort(kept[kept < 10_000]) == np.arange(10_000)).all()
+    fp = (kept >= 10_000).sum() / 40_000
+    # analytic bound at n=10k, m=2^18, k=4 is ~0.24%
+    assert fp < 0.01, fp
+    anti = bloom_prefilter(left, "k", bloom, num_bits=1 << 18, k=4,
+                           invert=True).to_pandas()["k"].to_numpy()
+    assert (anti >= 10_000).all()          # definite non-members only
+    assert len(anti) + len(kept) == 50_000

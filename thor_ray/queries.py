@@ -1148,6 +1148,34 @@ JOIN generate_series(0, 100000) s(n) ON s.n * 150 < length(d.text)
 """
 
 
+def q76_bloom_semi(sf: str):
+    """Bloom-prefiltered exact semi join: a ~1 MB filter built from the
+    small side drops guaranteed-non-matching rows MAP-SIDE before the
+    exact semi join — the pre-shuffle reducer for a 100-TB big side whose
+    match set is too large to broadcast exactly. Output is exact (the
+    prefilter passes a superset; the native left_semi removes false
+    positives), so it hash-matches SQL IN."""
+    from thor_ray.ops.sketch import bloom_build, bloom_prefilter
+    hot = T(sf, "orders", ["o_orderkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 480000.0") \
+        .select_columns(["o_orderkey"])
+    bloom = bloom_build(hot, "o_orderkey", num_bits=1 << 20)
+    li = bloom_prefilter(T(sf, "lineitem", ["l_orderkey"]),
+                         "l_orderkey", bloom, num_bits=1 << 20)
+    sj = R.hash_join(li, hot, on=("l_orderkey",), right_on=("o_orderkey",),
+                     join_type="left_semi")
+    return sj.groupby("l_orderkey").aggregate(Count(alias_name="n"))
+
+
+SQL_Q76 = """
+SELECT l_orderkey, count(*) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 480000.0)
+GROUP BY l_orderkey
+"""
+
+
 def q75_having_scalar_subquery(sf: str):
     """HAVING against a scalar subquery: customers with more orders than
     the average customer. The scalar is a driver-side reduction of the
@@ -1469,6 +1497,7 @@ QUERIES: dict[str, tuple] = {
     "q73_percentile_cont": (q73_percentile_cont, SQL_Q73),
     "q74_chunk_text": (q74_chunk_text, SQL_Q74),
     "q75_having_scalar_subquery": (q75_having_scalar_subquery, SQL_Q75),
+    "q76_bloom_semi": (q76_bloom_semi, SQL_Q76),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
