@@ -545,3 +545,18 @@ def test_bloom_prefilter_superset_and_fp_bound(ray_session):
                            invert=True).to_pandas()["k"].to_numpy()
     assert (anti >= 10_000).all()          # definite non-members only
     assert len(anti) + len(kept) == 50_000
+
+
+def test_near_dup_dedup_keeps_one_survivor(ray_session):
+    from thor_ray.ops.dedup import near_dup_dedup
+
+    words = [f"tok{i:03d}" for i in range(200)]
+    a = " ".join(words)
+    b = " ".join(words[:-3] + ["x", "y", "z"])   # near-dup of a
+    c = " ".join(f"other{i:03d}" for i in range(200))
+    ds = ds_of({"doc_id": [5, 2, 9], "text": [b, a, c]})
+    got = near_dup_dedup(ds, "text", "doc_id",
+                         jaccard_threshold=0.5).to_pandas()
+    # cluster {2,5}: survivor = min id 2; singleton 9 untouched
+    assert sorted(got["doc_id"]) == [2, 9]
+    assert set(got.columns) == {"doc_id", "text"}

@@ -413,3 +413,26 @@ def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
              .groupby("coarse").map_groups(coarse_pairs, batch_format="pandas"))
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Max("cosine", alias_name="cosine"))
+
+
+def near_dup_dedup(ds: Dataset, text_col: str, id_col: str,
+                   jaccard_threshold: float = 0.5, **lsh_kw) -> Dataset:
+    """One-call near-dup corpus dedup: keep exactly one survivor (the min
+    doc id) per near-dup cluster, drop the rest — the operation a
+    training-data pipeline actually runs.
+
+    Composition: distributed MinHash-LSH pairs → connected components over
+    the output-sized pair list → broadcast the (also output-sized)
+    non-survivor id set → map-side anti filter over the streaming corpus.
+    The corpus itself is touched by exactly two map passes (signatures,
+    final filter) and never materialized."""
+    from thor_ray.ops.relational import semi_join
+
+    clusters = near_dup_clusters(ds, text_col, id_col,
+                                 jaccard_threshold=jaccard_threshold,
+                                 **lsh_kw)
+    drop = set(clusters.loc[clusters[id_col] != clusters["cluster_id"],
+                            id_col].tolist())
+    if not drop:
+        return ds
+    return semi_join(ds, drop, on=id_col, anti=True)
