@@ -560,3 +560,26 @@ def test_near_dup_dedup_keeps_one_survivor(ray_session):
     # cluster {2,5}: survivor = min id 2; singleton 9 untouched
     assert sorted(got["doc_id"]) == [2, 9]
     assert set(got.columns) == {"doc_id", "text"}
+
+
+def test_heavy_hitters_bounded_error(ray_session):
+    """SpaceSaving-style top-k: exact when batch vocab fits capacity;
+    with a tight capacity the true heavy hitters still surface and the
+    undercount bound holds (reported n + max_undercount >= truth)."""
+    import ray.data
+    from thor_ray.ops.sketch import heavy_hitters
+
+    # zipf-ish: value v appears (1000 // (v+1)) times
+    vals = np.concatenate([np.full(1000 // (v + 1), v) for v in range(200)])
+    rng = np.random.default_rng(5)
+    rng.shuffle(vals)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    exact = pd.Series(vals).value_counts()
+    got = heavy_hitters(ds, "v", k=5, capacity=4096)
+    assert got["v"].tolist() == exact.index[:5].tolist()
+    assert got["n"].tolist() == exact.iloc[:5].tolist()   # exact: cap not hit
+    tight = heavy_hitters(ds, "v", k=5, capacity=16)
+    assert set(exact.index[:3]) <= set(tight["v"])        # hitters survive
+    for _, r in tight.iterrows():
+        truth = int(exact.get(r["v"], 0))
+        assert r["n"] <= truth <= r["n"] + r["max_undercount"]

@@ -224,3 +224,41 @@ def bloom_prefilter(ds: Dataset, col: str, bloom: np.ndarray,
         return t.filter(pa.array(~hit if invert else hit))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def heavy_hitters(ds: Dataset, col: str, k: int = 20,
+                  capacity: int = 4096) -> pd.DataFrame:
+    """Approximate top-k heavy hitters (SpaceSaving-style, mergeable):
+    each batch emits its `capacity` highest exact within-batch counts (a
+    C-level arrow group_by — the combiner), the driver sums candidates
+    and returns the top k with an error bound.
+
+    Guarantee: any value with true count > N/capacity is present, and the
+    reported count understates truth by at most its batches' dropped-tail
+    mass (bounded by `max_undercount`, returned per row). Bounded memory:
+    capacity rows per batch through the exchange, never value-cardinality.
+    vocab_topk is the exact tier; this is the bounded-memory one."""
+    import pyarrow.compute as _pc
+
+    cap = capacity
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"v": t[col]}).group_by("v").aggregate([("v", "count")])
+        cnt = g["v_count"].to_numpy(zero_copy_only=False)
+        tail_max = 0
+        if len(cnt) > cap:
+            order = np.argsort(-cnt, kind="stable")
+            tail_max = int(cnt[order[cap]])  # largest DROPPED count
+            g = g.take(pa.array(order[:cap]))
+        return pa.table({
+            "v": g["v"],
+            "n": _pc.cast(g["v_count"], pa.int64()),
+            "tail": pa.array([tail_max] * len(g), type=pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = rows.groupby("v", dropna=False).agg(
+        n=("n", "sum"), max_undercount=("tail", "sum")).reset_index()
+    agg = agg.sort_values(["n", "v"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+    return agg.rename(columns={"v": col})
