@@ -583,3 +583,26 @@ def test_heavy_hitters_bounded_error(ray_session):
     for _, r in tight.iterrows():
         truth = int(exact.get(r["v"], 0))
         assert r["n"] <= truth <= r["n"] + r["max_undercount"]
+
+
+def test_near_dup_clusters_distributed_matches_driver_tier(ray_session):
+    """Min-label propagation == driver-side union-find, including a CHAIN
+    cluster (a~b, b~c but a!~c) that needs >1 propagation round."""
+    from thor_ray.ops.dedup import (near_dup_clusters,
+                                    near_dup_clusters_distributed)
+
+    words = [f"tok{i:03d}" for i in range(300)]
+    a = " ".join(words)
+    b = " ".join(words[60:] + [f"mid{i}" for i in range(60)])   # ~a, chain
+    c = " ".join(words[120:] + [f"mid{i}" for i in range(60)]
+                 + [f"end{i}" for i in range(60)])              # ~b, not a
+    d = " ".join(f"zzz{i:03d}" for i in range(300))
+    ds = ds_of({"doc_id": [7, 3, 11, 20], "text": [a, b, c, d]})
+    kw = dict(jaccard_threshold=0.4)
+    exp = near_dup_clusters(ds, "text", "doc_id", **kw)
+    got = near_dup_clusters_distributed(ds, "text", "doc_id", **kw) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the chain really is transitive: one component, min id 3
+    assert set(got["cluster_id"]) == {3}

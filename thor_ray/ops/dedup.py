@@ -436,3 +436,92 @@ def near_dup_dedup(ds: Dataset, text_col: str, id_col: str,
     if not drop:
         return ds
     return semi_join(ds, drop, on=id_col, anti=True)
+
+
+def near_dup_clusters_distributed(ds: Dataset, text_col: str, id_col: str,
+                                  jaccard_threshold: float = 0.5,
+                                  max_iters: int = 50, fanout: int = 64,
+                                  **lsh_kw) -> Dataset:
+    """Connected components over the near-dup pair graph WITHOUT ever
+    collecting it: iterative min-label propagation on Datasets — the scale
+    tier near_dup_clusters' own docstring promises (its union-find needs
+    the whole pair list on the driver).
+
+    Each round is two salted-key sort-shuffles (the LSH-family cogroup
+    pattern — NO per-round join-actor pools, which stall on small
+    clusters, and no per-node Python: exact keys resolve with C-level
+    pandas merges inside each salt group):
+      1. deliver label(dst) to src along every edge,
+      2. fold each node's incoming labels with its own via grouped min.
+    Labels only decrease, so the label SUM is a strictly-decreasing
+    convergence scalar — the only thing that ever reaches the driver.
+    Converges in O(cluster diameter) rounds (near-dup clusters are
+    shallow). Returns (id, cluster_id = component min id) for every doc
+    in >= 1 pair, identical to the driver-side tier."""
+    pairs = minhash_lsh_pairs(ds, text_col, id_col,
+                              jaccard_threshold=jaccard_threshold, **lsh_kw)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        src_ = pa.concat_arrays([t["id_a"].combine_chunks(),
+                                 t["id_b"].combine_chunks()])
+        dst_ = pa.concat_arrays([t["id_b"].combine_chunks(),
+                                 t["id_a"].combine_chunks()])
+        return pa.table({
+            "key": dst_, "src": src_,
+            "label": pa.nulls(len(src_), pa.int64()),
+            "kind": pa.array(["E"] * len(src_)),
+            "ksalt": pc.cast(pc.bit_wise_and(dst_, fanout - 1), pa.int32()),
+        })
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def as_l_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["node"], "src": pa.nulls(len(t), pa.int64()),
+            "label": t["label"], "kind": pa.array(["L"] * len(t)),
+            "ksalt": pc.cast(pc.bit_wise_and(t["node"], fanout - 1),
+                             pa.int32()),
+        })
+
+    def deliver(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["kind"] == "L", ["key", "label"]]
+        ed = g.loc[g["kind"] == "E", ["key", "src"]]
+        m = ed.merge(lab, on="key")
+        return pd.DataFrame({"node": m["src"].astype("int64"),
+                             "label": m["label"].astype("int64")})
+
+    def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("node", as_index=False)["label"].min()
+        return pd.DataFrame({"node": r["node"].astype("int64"),
+                             "label": r["label"].astype("int64")})
+
+    def salt_node(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "nsalt", pc.cast(pc.bit_wise_and(t["node"], fanout - 1),
+                             pa.int32()))
+
+    labels = (edges
+              .map_batches(lambda t: pa.table({"node": t["src"],
+                                               "label": t["src"]}),
+                           batch_format="pyarrow")
+              .map_batches(salt_node, batch_format="pyarrow")
+              .groupby("nsalt").map_groups(fold_min, batch_format="pandas")
+              .materialize())
+    prev_sum = labels.sum("label")
+    for _ in range(max_iters):
+        msgs = (labels.map_batches(as_l_rows, batch_format="pyarrow")
+                .union(edges)
+                .groupby("ksalt").map_groups(deliver, batch_format="pandas"))
+        labels = (msgs.union(labels)
+                  .map_batches(salt_node, batch_format="pyarrow")
+                  .groupby("nsalt").map_groups(fold_min,
+                                               batch_format="pandas")
+                  .materialize())
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    return labels.map_batches(
+        lambda t: pa.table({id_col: t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow")
