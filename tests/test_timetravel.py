@@ -155,3 +155,44 @@ def test_delta_mode_time_travel(ray_session, fixture, tmp_path):
     pipe.compact()
     for k in pipe.snapshots():
         assert_snapshot_matches(pipe, fixture, k)
+
+
+def test_lake_lookup_partition_pruned(ray_session, fixture, tmp_path):
+    """Point lookups return exactly the oracle's rows for present keys,
+    nothing for absent ones, and read ONLY the owning partitions' files."""
+    import thor_ray.sources.lake as lake_mod
+    from thor_ray.sources.lake import lake_lookup
+    from thor_ray.state import load_manifests
+
+    lake = str(tmp_path / "lake")
+    run_pipe(fixture, lake)
+    exp = oracle_at(fixture, 10**9).sort_values(["repo", "path"])
+    some = exp.iloc[[0, 7, 31]][["repo", "path"]].values.tolist()
+    keys = [tuple(k) for k in some] + [("no-such-repo", "nope.py")]
+
+    read_files = []
+    orig = lake_mod.pq.read_table
+
+    def spy(path, *a, **kw):
+        read_files.append(path)
+        return orig(path, *a, **kw)
+
+    lake_mod.pq.read_table = spy
+    try:
+        got = lake_lookup(lake, keys)
+    finally:
+        lake_mod.pq.read_table = orig
+
+    want = exp.merge(pd.DataFrame(some, columns=["repo", "path"]),
+                     on=["repo", "path"]).reset_index(drop=True)
+    got = normalize(got)
+    want = normalize(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # pruning: only the <=3 owning partitions' file runs were opened
+    ms = load_manifests(lake)
+    all_files = {f for m in ms.values() for f in m.files}
+    assert set(read_files) <= all_files
+    touched_parts = {p.split("part=")[1].split("/")[0] for p in read_files}
+    # at most one partition per lookup key (the absent key's owning
+    # partition must be checked too), strictly fewer than the lake's
+    assert len(touched_parts) <= len(keys) < len(ms)

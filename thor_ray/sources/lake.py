@@ -202,3 +202,38 @@ def read_lineage(lake_dir: str, kind: str | None = None) -> pd.DataFrame:
                 if kind is None or rec.get("type") == kind:
                     rows.append(rec)
     return pd.DataFrame(rows)
+
+
+def lake_lookup(lake_dir: str, keys: "list[tuple[str, str]]") -> pd.DataFrame:
+    """Partition-pruned point reads — the serving path. Each (repo, path)
+    key hashes to its owning partition with the SAME stable hash the
+    ingest router uses (pipelines/cdc.py route: stable_hash % P), so
+    looking up k keys reads at most k partitions' file runs and never
+    scans the lake. Runs driver-side (point reads are answer-sized; a
+    partition's merged state must fit in memory, same assumption as the
+    apply task). Missing keys are simply absent from the result."""
+    from thor_ray.state import load_manifests
+    from thor_ray.stages.smt import stable_hash
+
+    ms = load_manifests(lake_dir)
+    if not ms:
+        return pd.DataFrame()
+    P = len(ms)
+    kt = pa.table({"repo": pa.array([r for r, _ in keys], pa.string()),
+                   "path": pa.array([p for _, p in keys], pa.string())})
+    pids = stable_hash(kt, ["repo", "path"]) % P
+    kdf = pd.DataFrame({"repo": kt["repo"].to_pylist(),
+                        "path": kt["path"].to_pylist(), "pid": pids})
+    outs = []
+    for pid, grp in kdf.groupby("pid"):
+        state = merge_state_frames(
+            [pq.read_table(f).to_pandas() for f in ms[int(pid)].files])
+        if state.empty:
+            continue
+        hit = state.merge(grp[["repo", "path"]], on=["repo", "path"])
+        outs.append(hit.drop(columns=[c for c in INTERNAL_COLS
+                                      if c in hit.columns]))
+    if not outs:
+        return pd.DataFrame()
+    return pd.concat(outs, ignore_index=True) \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
