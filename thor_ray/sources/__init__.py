@@ -1,8 +1,6 @@
-from .binlog import max_lsn, read_ddl_events, read_epoch, safe_frontier, shard_frontiers
-from .lake import merge_state_frames, read_lake, read_lineage, read_partition_state
-
-__all__ = [
-    "max_lsn", "read_ddl_events", "read_epoch", "safe_frontier",
-    "shard_frontiers", "merge_state_frames", "read_lake", "read_lineage",
-    "read_partition_state",
-]
+from .binlog import (max_lsn, read_ddl_events, read_epoch, safe_frontier,
+                     shard_frontiers)
+from .lake import (lake_lookup, maintain_group_counts, merge_state_frames,
+                   read_lake, read_lake_at, read_lineage,
+                   read_partition_state, snapshot_diff)
+from .sink import write_partitioned

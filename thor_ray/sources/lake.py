@@ -237,3 +237,27 @@ def lake_lookup(lake_dir: str, keys: "list[tuple[str, str]]") -> pd.DataFrame:
         return pd.DataFrame()
     return pd.concat(outs, ignore_index=True) \
         .sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def maintain_group_counts(counts: "pd.DataFrame | None",
+                          diff_df: pd.DataFrame,
+                          key: str = "repo") -> pd.DataFrame:
+    """Incremental materialized-view maintenance: per-key live-row counts
+    kept current from the snapshot changefeed ALONE — each epoch folds the
+    (output-sized) diff into the running view, the lake is never
+    rescanned. 'I' adds a row, 'D' removes one, 'U' leaves the count
+    unchanged. Seed with counts=None at the first maintained epoch (fold
+    a diff from epoch 0, or aggregate the snapshot once). The same fold
+    shape extends to sums with a value-carrying diff."""
+    if counts is None:
+        counts = pd.DataFrame({key: pd.Series(dtype="object"),
+                               "n": pd.Series(dtype="int64")})
+    delta = diff_df[diff_df["change"] != "U"].copy()
+    if delta.empty:
+        return counts.reset_index(drop=True)
+    delta["d"] = np.where(delta["change"] == "I", 1, -1)
+    d = delta.groupby(key, as_index=False)["d"].sum()
+    out = counts.merge(d, on=key, how="outer")
+    out["n"] = (out["n"].fillna(0) + out["d"].fillna(0)).astype("int64")
+    out = out[out["n"] > 0][[key, "n"]]
+    return out.sort_values(key).reset_index(drop=True)
