@@ -535,13 +535,13 @@ def test_bloom_prefilter_superset_and_fp_bound(ray_session):
     # left: 10k true members + 40k non-members
     left = ray.data.range(50_000).map_batches(
         lambda b: {"k": b["id"]}, batch_format="numpy")
-    kept = bloom_prefilter(left, "k", bloom, num_bits=1 << 18,
+    kept = bloom_prefilter(left, "k", bloom,
                            k=4).to_pandas()["k"].to_numpy()
     assert (np.sort(kept[kept < 10_000]) == np.arange(10_000)).all()
     fp = (kept >= 10_000).sum() / 40_000
     # analytic bound at n=10k, m=2^18, k=4 is ~0.24%
     assert fp < 0.01, fp
-    anti = bloom_prefilter(left, "k", bloom, num_bits=1 << 18, k=4,
+    anti = bloom_prefilter(left, "k", bloom, k=4,
                            invert=True).to_pandas()["k"].to_numpy()
     assert (anti >= 10_000).all()          # definite non-members only
     assert len(anti) + len(kept) == 50_000
@@ -606,3 +606,29 @@ def test_near_dup_clusters_distributed_matches_driver_tier(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # the chain really is transitive: one component, min id 3
     assert set(got["cluster_id"]) == {3}
+
+
+def test_heavy_hitters_null_key_and_cross_batch_bound(ray_session):
+    """A heavy NULL key must rank correctly, and the undercount bound must
+    hold for a value that is dropped in some batches but reported in
+    others (the failure mode of a sum-over-reported-batches bound)."""
+    import ray.data
+    from thor_ray.ops.sketch import heavy_hitters
+
+    # 8 blocks; value 0 dominates, None is second-heaviest, values 1..400
+    # form a rotating tail so each block's top-4 differs
+    frames = []
+    for b in range(8):
+        tail = [1 + ((b * 50 + i) % 400) for i in range(200)]
+        frames.append(pd.DataFrame(
+            {"v": [0.0] * 100 + [None] * 60 + [float(x) for x in tail]}))
+    df = pd.concat(frames, ignore_index=True)
+    ds = ray.data.from_pandas(frames)  # one block per frame
+    got = heavy_hitters(ds, "v", k=3, capacity=4)
+    assert got.iloc[0]["v"] == 0.0 and got.iloc[0]["n"] == 800
+    assert pd.isna(got.iloc[1]["v"]) and got.iloc[1]["n"] == 480
+    exact = df["v"].value_counts(dropna=False)
+    for _, r in got.iterrows():
+        key = r["v"]
+        truth = int(exact[np.nan] if pd.isna(key) else exact[key])
+        assert r["n"] <= truth <= r["n"] + r["max_undercount"], dict(r)

@@ -508,6 +508,7 @@ def near_dup_clusters_distributed(ds: Dataset, text_col: str, id_col: str,
               .groupby("nsalt").map_groups(fold_min, batch_format="pandas")
               .materialize())
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_iters):
         msgs = (labels.map_batches(as_l_rows, batch_format="pyarrow")
                 .union(edges)
@@ -519,8 +520,16 @@ def near_dup_clusters_distributed(ds: Dataset, text_col: str, id_col: str,
                   .materialize())
         cur = labels.sum("label")
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # returning silently-unconverged labels would disagree with the
+        # driver-side tier; a component with diameter > max_iters needs a
+        # bigger budget, not wrong cluster ids
+        raise RuntimeError(
+            f"near_dup_clusters_distributed: no fixpoint after {max_iters} "
+            "rounds — raise max_iters (component diameter exceeds it)")
 
     return labels.map_batches(
         lambda t: pa.table({id_col: t["node"], "cluster_id": t["label"]}),

@@ -176,9 +176,10 @@ def bloom_build(ds: Dataset, col: str, num_bits: int = 1 << 23,
                 k: int = 4) -> np.ndarray:
     """Mergeable Bloom filter over a key column, as a packed uint64 bit
     array (num_bits=2^23 → 1 MB; false-positive ≈ (1-e^(-kn/m))^k, ~0.24%
-    at n=1M). Same scale shape as the HLL: each batch emits ONE serialized
-    filter row, OR-merged on the driver — kilobyte-to-megabyte exchange
-    regardless of input size."""
+    at n=1M). Each batch emits ONE serialized filter row; rows OR-merge in
+    a DISTRIBUTED tree (fan-in 32 per level) so the driver receives a
+    bounded handful of blobs no matter how many input blocks there are —
+    a linear driver OR at 1 MB/block would itself be O(input)."""
     m = np.uint64(num_bits)
     words = num_bits >> 6
 
@@ -191,26 +192,40 @@ def bloom_build(ds: Dataset, col: str, num_bits: int = 1 << 23,
                              np.uint64(1) << (idx & np.uint64(63)))
         return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
 
+    def or_blobs(t: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for blob in t["bits"].to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], type=pa.binary())})
+
+    blobs = ds.map_batches(sketch, batch_format="pyarrow").materialize()
+    fanin = 32
+    while blobs.count() > fanin:
+        blobs = blobs.repartition(
+            max(1, blobs.count() // fanin)) \
+            .map_batches(or_blobs, batch_format="pyarrow",
+                         batch_size=None).materialize()
     merged = np.zeros(words, dtype=np.uint64)
-    for batch in ds.map_batches(sketch, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
+    for batch in blobs.iter_batches(batch_format="pyarrow"):
         for blob in batch["bits"].to_pylist():
             merged |= np.frombuffer(blob, dtype=np.uint64)
     return merged
 
 
 def bloom_prefilter(ds: Dataset, col: str, bloom: np.ndarray,
-                    num_bits: int = 1 << 23, k: int = 4,
-                    invert: bool = False) -> Dataset:
+                    k: int = 4, invert: bool = False) -> Dataset:
     """Keep rows whose key is PROBABLY in the filter (superset of the true
     matches — false positives pass, never false negatives), so it is safe
     as a pre-shuffle reducer before an exact hash/semi join: broadcast the
     filter once (ray.put, ~1 MB), drop the guaranteed-non-matching rows
     map-side, then join exactly on what remains. invert=True keeps the
-    DEFINITE non-members (exact for anti-join misses)."""
+    DEFINITE non-members (exact for anti-join misses). num_bits is derived
+    from the filter itself (len*64) — a caller-supplied mismatch with the
+    build would silently break the no-false-negative guarantee; k must
+    still match the build's."""
     import ray as _ray
 
-    m = np.uint64(num_bits)
+    m = np.uint64(len(bloom) * 64)
     ref = _ray.put(bloom)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -230,35 +245,38 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 20,
                   capacity: int = 4096) -> pd.DataFrame:
     """Approximate top-k heavy hitters (SpaceSaving-style, mergeable):
     each batch emits its `capacity` highest exact within-batch counts (a
-    C-level arrow group_by — the combiner), the driver sums candidates
-    and returns the top k with an error bound.
+    C-level value_counts — the combiner; dropna=False so a heavy null key
+    counts) PLUS one marker row carrying the batch's dropped-tail bound;
+    the driver sums candidates and returns the top k.
 
-    Guarantee: any value with true count > N/capacity is present, and the
-    reported count understates truth by at most its batches' dropped-tail
-    mass (bounded by `max_undercount`, returned per row). Bounded memory:
-    capacity rows per batch through the exchange, never value-cardinality.
+    Guarantee (per row): n <= true count <= n + max_undercount, where
+    max_undercount = sum of dropped-tail bounds over the batches where the
+    value was NOT reported (a value absent from a batch's top-`capacity`
+    missed at most that batch's largest dropped count). Any value with
+    true count > N/capacity is present. Bounded memory: capacity+1 rows
+    per batch through the exchange, never value-cardinality.
     vocab_topk is the exact tier; this is the bounded-memory one."""
-    import pyarrow.compute as _pc
-
     cap = capacity
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table({"v": t[col]}).group_by("v").aggregate([("v", "count")])
-        cnt = g["v_count"].to_numpy(zero_copy_only=False)
-        tail_max = 0
-        if len(cnt) > cap:
-            order = np.argsort(-cnt, kind="stable")
-            tail_max = int(cnt[order[cap]])  # largest DROPPED count
-            g = g.take(pa.array(order[:cap]))
-        return pa.table({
-            "v": g["v"],
-            "n": _pc.cast(g["v_count"], pa.int64()),
-            "tail": pa.array([tail_max] * len(g), type=pa.int64()),
-        })
+    def partial(t: pa.Table) -> pd.DataFrame:
+        vc = t[col].to_pandas().value_counts(dropna=False)
+        tail_max = int(vc.iloc[cap]) if len(vc) > cap else 0
+        top = vc.iloc[:cap]
+        rows = pd.DataFrame({col: top.index, "n": top.to_numpy("int64"),
+                             "tail": np.int64(tail_max), "kind": "v"})
+        marker = pd.DataFrame([{col: None, "n": np.int64(0),
+                                "tail": np.int64(tail_max), "kind": "t"}])
+        return pd.concat([rows, marker], ignore_index=True)
 
     rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    agg = rows.groupby("v", dropna=False).agg(
-        n=("n", "sum"), max_undercount=("tail", "sum")).reset_index()
-    agg = agg.sort_values(["n", "v"], ascending=[False, True],
-                          kind="stable").head(k).reset_index(drop=True)
-    return agg.rename(columns={"v": col})
+    total_tail = int(rows.loc[rows["kind"] == "t", "tail"].sum())
+    v = rows[rows["kind"] == "v"]
+    agg = v.groupby(col, dropna=False).agg(
+        n=("n", "sum"), seen_tail=("tail", "sum")).reset_index()
+    # tails of batches where the value WAS reported cannot have missed it
+    agg["max_undercount"] = (total_tail - agg["seen_tail"]).astype("int64")
+    agg = agg.drop(columns=["seen_tail"]) \
+        .sort_values(["n", col], ascending=[False, True], kind="stable") \
+        .head(k).reset_index(drop=True)
+    agg["n"] = agg["n"].astype("int64")
+    return agg

@@ -1161,7 +1161,7 @@ def q76_bloom_semi(sf: str):
         .select_columns(["o_orderkey"])
     bloom = bloom_build(hot, "o_orderkey", num_bits=1 << 20)
     li = bloom_prefilter(T(sf, "lineitem", ["l_orderkey"]),
-                         "l_orderkey", bloom, num_bits=1 << 20)
+                         "l_orderkey", bloom)
     sj = R.hash_join(li, hot, on=("l_orderkey",), right_on=("o_orderkey",),
                      join_type="left_semi")
     return sj.groupby("l_orderkey").aggregate(Count(alias_name="n"))

@@ -4,3 +4,9 @@ from .lake import (lake_lookup, maintain_group_counts, merge_state_frames,
                    read_lake, read_lake_at, read_lineage,
                    read_partition_state, snapshot_diff)
 from .sink import write_partitioned
+
+__all__ = ["max_lsn", "read_ddl_events", "read_epoch", "safe_frontier",
+           "shard_frontiers", "lake_lookup", "maintain_group_counts",
+           "merge_state_frames", "read_lake", "read_lake_at",
+           "read_lineage", "read_partition_state", "snapshot_diff",
+           "write_partitioned"]

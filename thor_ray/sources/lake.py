@@ -9,6 +9,7 @@ A1 "LSM-style")."""
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -219,6 +220,22 @@ def lake_lookup(lake_dir: str, keys: "list[tuple[str, str]]") -> pd.DataFrame:
     if not ms:
         return pd.DataFrame()
     P = len(ms)
+    # the SAME guard the pipeline applies on resume: a lake routed under a
+    # different hash impl (e.g. polars there, FNV fallback here) or
+    # partition count would silently send lookups to the wrong partition
+    # and report present keys as absent
+    meta_path = os.path.join(lake_dir, "_schema", "engine.json")
+    if os.path.exists(meta_path):
+        from thor_ray.pipelines.cdc import _hash_impl
+
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("hash_impl") != _hash_impl() \
+                or meta.get("num_partitions") != P:
+            raise RuntimeError(
+                f"lake_lookup routing mismatch: lake wrote {meta}, this "
+                f"process has hash_impl={_hash_impl()!r}, partitions={P} — "
+                "lookups would silently miss; read via read_lake instead")
     kt = pa.table({"repo": pa.array([r for r, _ in keys], pa.string()),
                    "path": pa.array([p for _, p in keys], pa.string())})
     pids = stable_hash(kt, ["repo", "path"]) % P
@@ -226,8 +243,7 @@ def lake_lookup(lake_dir: str, keys: "list[tuple[str, str]]") -> pd.DataFrame:
                         "path": kt["path"].to_pylist(), "pid": pids})
     outs = []
     for pid, grp in kdf.groupby("pid"):
-        state = merge_state_frames(
-            [pq.read_table(f).to_pandas() for f in ms[int(pid)].files])
+        state = read_partition_state(ms[int(pid)].files)
         if state.empty:
             continue
         hit = state.merge(grp[["repo", "path"]], on=["repo", "path"])
