@@ -632,3 +632,16 @@ def test_heavy_hitters_null_key_and_cross_batch_bound(ray_session):
         key = r["v"]
         truth = int(exact[np.nan] if pd.isna(key) else exact[key])
         assert r["n"] <= truth <= r["n"] + r["max_undercount"], dict(r)
+
+
+def test_salted_join_equals_plain_join(ray_session):
+    """Salting + replication must be invisible in the result: salted join
+    of a skewed left side == plain inner join, hot rows included."""
+    left = ds_of({"k": [1] * 50 + [2, 3, 4], "lv": list(range(53))})
+    right = ds_of({"k": [1, 2, 5], "rv": ["a", "b", "c"]})
+    plain = R.hash_join(left, right, on=("k",)).to_pandas() \
+        .sort_values(["k", "lv"]).reset_index(drop=True)
+    salted = R.salted_join(left, right, on="k", hot_keys=[1], salt=4) \
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        salted[plain.columns.tolist()], plain, check_dtype=False)

@@ -495,3 +495,47 @@ def range_join_count(left: Dataset, right: Dataset, on: str, left_ts: str,
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))
     return tagged.groupby(on).map_groups(count_group, batch_format="pandas")
+
+
+def salted_join(left: Dataset, right: Dataset, on: str,
+                hot_keys: "list | None" = None, salt: int = 16,
+                num_partitions: int | None = None) -> Dataset:
+    """Skew-aware inner hash join: rows with a HOT key are salted on the
+    left (spread over `salt` sub-keys) and REPLICATED `salt`x on the
+    right, so one hot key's probe work lands on `salt` shuffle partitions
+    instead of one straggler task (the brief's 'salt hot keys' pattern).
+    Result is exactly the plain inner join.
+
+    hot_keys: the skewed key values (find them with sketch.heavy_hitters —
+    salting everything would multiply the whole right side). Cold keys pay
+    nothing (_salt=0 both sides). The left spread uses a per-batch row
+    counter — any spread works, it never has to be stable across runs."""
+    hot = list(hot_keys or [])
+    if not hot:
+        return hash_join(left, right, on=(on,),
+                         num_partitions=num_partitions)
+    hot_arr = pa.array(hot)
+    ref = ray.put(hot_arr)
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        is_hot = pc.is_in(t[on], value_set=ray.get(ref))
+        sk = np.where(np.asarray(is_hot, dtype=bool),
+                      np.arange(len(t), dtype=np.int64) % salt, 0)
+        return t.append_column("_salt", pa.array(sk, type=pa.int64()))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        is_hot = np.asarray(pc.is_in(t[on], value_set=ray.get(ref)),
+                            dtype=bool)
+        cold = t.filter(pa.array(~is_hot)) \
+            .append_column("_salt", pa.array(
+                np.zeros(int((~is_hot).sum()), dtype=np.int64)))
+        hot_t = t.filter(pa.array(is_hot))
+        reps = [hot_t.append_column(
+                    "_salt", pa.array(np.full(len(hot_t), s, dtype=np.int64)))
+                for s in range(salt)]
+        return pa.concat_tables([cold, *reps])
+
+    l = left.map_batches(salt_left, batch_format="pyarrow")
+    r = right.map_batches(replicate_right, batch_format="pyarrow")
+    return hash_join(l, r, on=(on, "_salt"),
+                     num_partitions=num_partitions).drop_columns(["_salt"])

@@ -1148,6 +1148,46 @@ JOIN generate_series(0, 100000) s(n) ON s.n * 150 < length(d.text)
 """
 
 
+def q77_salted_join(sf: str):
+    """Skew-aware salted join: the hottest order keys (found with the
+    heavy-hitters sketch) are salted/replicated so no shuffle partition
+    owns a whole hot key — result is exactly the plain inner join, so the
+    SQL twin is the unsalted join."""
+    from thor_ray.ops.sketch import heavy_hitters
+    li = T(sf, "lineitem", ["l_orderkey", "l_quantity"])
+    hot = heavy_hitters(li, "l_orderkey", k=5)["l_orderkey"].tolist()
+    orders = T(sf, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"]}),
+            batch_format="pyarrow")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "q": pc.cast(t["l_quantity"], pa.int64())})
+
+    j = R.salted_join(li.map_batches(prep, batch_format="pyarrow"), orders,
+                      on="l_orderkey", hot_keys=hot, salt=8)
+
+    def eq(t: pa.Table) -> pa.Table:
+        # the join key equals o_orderkey on every row; keep one copy
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "q": t["q"]})
+
+    return (j.map_batches(eq, batch_format="pyarrow")
+            .groupby(["l_orderkey", "o_orderpriority"])
+            .aggregate(Count(alias_name="n"), Sum("q", alias_name="sum_qty")))
+
+
+SQL_Q77 = """
+SELECT l_orderkey, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_orderpriority
+"""
+
+
 def q76_bloom_semi(sf: str):
     """Bloom-prefiltered exact semi join: a ~1 MB filter built from the
     small side drops guaranteed-non-matching rows MAP-SIDE before the
@@ -1498,6 +1538,7 @@ QUERIES: dict[str, tuple] = {
     "q74_chunk_text": (q74_chunk_text, SQL_Q74),
     "q75_having_scalar_subquery": (q75_having_scalar_subquery, SQL_Q75),
     "q76_bloom_semi": (q76_bloom_semi, SQL_Q76),
+    "q77_salted_join": (q77_salted_join, SQL_Q77),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
