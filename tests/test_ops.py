@@ -645,3 +645,30 @@ def test_salted_join_equals_plain_join(ray_session):
         .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         salted[plain.columns.tolist()], plain, check_dtype=False)
+
+
+def test_stratified_md5_fraction_boundaries(ray_session):
+    """Threshold hex math at the edges (0, tiny, near-1, exactly 1):
+    Python keep-set == DuckDB keep-set for every fraction."""
+    import duckdb
+    import ray.data
+    from thor_ray.ops.sample import fraction_hex, stratified_sample
+
+    df = pd.DataFrame({"id": np.arange(1_000), "s": ["x"] * 1_000})
+    ds = ray.data.from_pandas(df)
+    for frac in (0.0, 0.001, 0.999, 1.0):
+        gdf = stratified_sample(ds, "s", {"x": frac}, "id", seed=11,
+                                hash_fn="md5").to_pandas()
+        # empty Ray results lose their schema (known gotcha) — an empty
+        # frame IS the correct frac=0 answer
+        got = sorted(gdf["id"]) if "id" in gdf.columns else []
+        thr = fraction_hex(frac)
+        exp = sorted(duckdb.sql(
+            f"""SELECT id FROM df WHERE
+                substr(md5(CAST(id AS VARCHAR) || '_11'), 1, 8) < '{thr}'"""
+        ).fetchdf()["id"])
+        assert got == exp, frac
+    assert len(stratified_sample(ds, "s", {"x": 1.0}, "id",
+                                 hash_fn="md5").to_pandas()) == 1_000
+    assert len(stratified_sample(ds, "s", {"x": 0.0}, "id",
+                                 hash_fn="md5").to_pandas()) == 0
