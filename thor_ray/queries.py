@@ -1352,6 +1352,35 @@ def q67_snapshot_diff(sf: str):
     return snapshot_diff(pipe.cfg.lake_dir, eps[-2], eps[-1])
 
 
+def q78_heavy_hitters(sf: str):
+    """Bounded-memory approximate top tokens (rows-only; the exact tier is
+    q60_vocab_topk; per-row undercount bound unit-tested)."""
+    from thor_ray.ops.sketch import heavy_hitters
+    ds = TX.normalize_text(T(sf, "documents", ["doc_id", "text"]))
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table({"token": pc.list_flatten(
+            pc.split_pattern_regex(t["norm_text"], pattern=r"\s+"))})
+
+    return heavy_hitters(ds.map_batches(toks, batch_format="pyarrow"),
+                         "token", k=25)
+
+
+def q79_near_dup_dedup(sf: str):
+    """Survivor-only corpus after near-dup removal (rows-only; survivor
+    semantics unit-tested — min doc id per cluster kept)."""
+    return DD.near_dup_dedup(T(sf, "documents", ["doc_id", "text"]),
+                             "text", "doc_id", jaccard_threshold=0.5)
+
+
+def q80_dup_clusters_distributed(sf: str):
+    """Distributed min-label-propagation clustering (rows-only; equality
+    with the driver-side union-find tier is unit-tested)."""
+    return DD.near_dup_clusters_distributed(
+        T(sf, "documents", ["doc_id", "text"]), "text", "doc_id",
+        jaccard_threshold=0.5)
+
+
 def q40_minhash_pairs(sf: str):
     return DD.minhash_lsh_pairs(T(sf, "documents", ["doc_id", "text"]),
                                 "text", "doc_id", jaccard_threshold=0.5)
@@ -1560,6 +1589,9 @@ QUERIES: dict[str, tuple] = {
     "q66_approx_distinct_by": (q66_approx_distinct_by, None),
     "q67_snapshot_diff": (q67_snapshot_diff, None),
     "q68_tfidf": (q68_tfidf, None),
+    "q78_heavy_hitters": (q78_heavy_hitters, None),
+    "q79_near_dup_dedup": (q79_near_dup_dedup, None),
+    "q80_dup_clusters_distributed": (q80_dup_clusters_distributed, None),
 }
 
 
