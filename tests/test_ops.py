@@ -643,6 +643,8 @@ def test_salted_join_equals_plain_join(ray_session):
         .sort_values(["k", "lv"]).reset_index(drop=True)
     salted = R.salted_join(left, right, on="k", hot_keys=[1], salt=4) \
         .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    # no leaked _salt / suffix columns — salting is fully invisible
+    assert sorted(salted.columns) == sorted(plain.columns)
     pd.testing.assert_frame_equal(
         salted[plain.columns.tolist()], plain, check_dtype=False)
 

@@ -511,7 +511,9 @@ def salted_join(left: Dataset, right: Dataset, on: str,
     nothing (_salt=0 both sides). The left spread uses a per-batch row
     counter — any spread works, it never has to be stable across runs."""
     hot = list(hot_keys or [])
-    if not hot:
+    # salt<=1 spreads nothing; salt=0 would silently DROP hot rows (numpy
+    # `% 0` yields 0 with only a warning while range(0) makes no replicas)
+    if not hot or salt <= 1:
         return hash_join(left, right, on=(on,),
                          num_partitions=num_partitions)
     hot_arr = pa.array(hot)

@@ -1353,14 +1353,15 @@ def q67_snapshot_diff(sf: str):
 
 
 def q78_heavy_hitters(sf: str):
-    """Bounded-memory approximate top tokens (rows-only; the exact tier is
-    q60_vocab_topk; per-row undercount bound unit-tested)."""
+    """Bounded-memory approximate top tokens (rows-only). Tokenizes the
+    RAW text with the same \\s+ split as q60_vocab_topk so q60 really is
+    this sketch's exact tier; per-row undercount bound unit-tested."""
     from thor_ray.ops.sketch import heavy_hitters
-    ds = TX.normalize_text(T(sf, "documents", ["doc_id", "text"]))
+    ds = T(sf, "documents", ["text"])
 
     def toks(t: pa.Table) -> pa.Table:
         return pa.table({"token": pc.list_flatten(
-            pc.split_pattern_regex(t["norm_text"], pattern=r"\s+"))})
+            pc.split_pattern_regex(t["text"], pattern=r"\s+"))})
 
     return heavy_hitters(ds.map_batches(toks, batch_format="pyarrow"),
                          "token", k=25)
