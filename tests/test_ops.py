@@ -674,3 +674,29 @@ def test_stratified_md5_fraction_boundaries(ray_session):
                                  hash_fn="md5").to_pandas()) == 1_000
     assert len(stratified_sample(ds, "s", {"x": 0.0}, "id",
                                  hash_fn="md5").to_pandas()) == 0
+
+
+def test_chunk_text_property_vs_reference(ray_session):
+    """Property (hypothesis): for arbitrary unicode docs, chunk_text ==
+    the obvious per-string Python slicing reference — same chunk count,
+    ids, and codepoint content, including emoji/astral-plane chars."""
+    from hypothesis import given, settings, strategies as st
+
+    from thor_ray.ops.text import chunk_text
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=12),
+           st.integers(min_value=1, max_value=9),
+           st.integers(min_value=1, max_value=9))
+    def prop(texts, size, stride):
+        ds = ds_of({"doc_id": list(range(len(texts))), "text": texts})
+        got = chunk_text(ds, size=size, stride=stride).to_pandas()
+        exp = [(i, k, s[k * stride:k * stride + size])
+               for i, s in enumerate(texts)
+               for k in range((len(s) + stride - 1) // stride)
+               if k * stride < len(s)]
+        got_t = sorted(zip(got.get("doc_id", []), got.get("chunk_id", []),
+                           got.get("chunk", [])))
+        assert got_t == sorted(exp), (texts, size, stride)
+
+    prop()
