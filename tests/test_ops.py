@@ -700,3 +700,31 @@ def test_chunk_text_property_vs_reference(ray_session):
         assert got_t == sorted(exp), (texts, size, stride)
 
     prop()
+
+
+def test_training_corpus_pipeline(ray_session):
+    """End-to-end corpus build: planted exact + near duplicates are
+    removed, junk is quality-filtered, chunks respect size/stride, and
+    token counts are consistent."""
+    from thor_ray.pipelines.corpus import build_training_corpus
+
+    words = [f"word{i:03d}" for i in range(120)]
+    good = " ".join(words)
+    near = " ".join(words[:-4] + ["tiny", "edit", "here", "now"])
+    junk = "0123456789" * 30  # all digits -> quality ~0
+    other = " ".join(f"item{i:03d}" for i in range(120))
+    ds = ds_of({"doc_id": [1, 2, 3, 4, 5],
+                "text": [good, good, near, junk, other]})
+    out = build_training_corpus(ds, min_quality=0.3, jaccard_threshold=0.5,
+                                chunk_size=100, chunk_stride=80).to_pandas()
+    kept_docs = set(out["doc_id"])
+    assert 1 in kept_docs          # exact-dup survivor (min id of {1,2})
+    assert 2 not in kept_docs      # exact duplicate dropped
+    assert 3 not in kept_docs      # near duplicate of 1 dropped
+    assert 4 not in kept_docs      # junk quality-filtered
+    assert 5 in kept_docs          # distinct doc kept
+    assert (out["chunk"].str.len() <= 100).all()
+    assert (out["n_tokens"] >= 1).all()
+    # chunk 0 of doc 1 is the normalized head of the text
+    c0 = out[(out["doc_id"] == 1) & (out["chunk_id"] == 0)]["chunk"].iloc[0]
+    assert c0 == good[:100]

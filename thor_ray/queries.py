@@ -1352,6 +1352,17 @@ def q67_snapshot_diff(sf: str):
     return snapshot_diff(pipe.cfg.lake_dir, eps[-2], eps[-1])
 
 
+def q81_training_corpus(sf: str):
+    """The end-to-end training-corpus showpiece: normalize → quality
+    filter → exact dedup (fingerprint) → near-dup dedup (LSH) → chunk →
+    token count, entirely from this repo's operators (rows-only; stage
+    semantics are each oracle- or unit-checked individually)."""
+    from thor_ray.pipelines.corpus import build_training_corpus
+    return build_training_corpus(T(sf, "documents", ["doc_id", "text"]),
+                                 min_quality=0.2, chunk_size=300,
+                                 chunk_stride=200)
+
+
 def q78_heavy_hitters(sf: str):
     """Bounded-memory approximate top tokens (rows-only). Tokenizes the
     RAW text with the same \\s+ split as q60_vocab_topk so q60 really is
@@ -1593,6 +1604,7 @@ QUERIES: dict[str, tuple] = {
     "q78_heavy_hitters": (q78_heavy_hitters, None),
     "q79_near_dup_dedup": (q79_near_dup_dedup, None),
     "q80_dup_clusters_distributed": (q80_dup_clusters_distributed, None),
+    "q81_training_corpus": (q81_training_corpus, None),
 }
 
 
