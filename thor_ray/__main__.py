@@ -53,7 +53,8 @@ def cmd_run(a) -> int:
 
     pipe = CdcPipeline(CdcConfig(
         lake_dir=a.lake, binlog_dir=a.binlog, num_partitions=a.partitions,
-        epoch_size=a.epoch_size, shuffle=a.shuffle, write_mode=a.write_mode))
+        epoch_size=a.epoch_size, shuffle=a.shuffle, write_mode=a.write_mode,
+        retain_snapshots=a.retain_snapshots))
     reports = pipe.run(base=a.base, max_epochs=a.max_epochs)
     for r in reports:
         print(json.dumps({"epoch": r.epoch, "events": r.n_events,
@@ -69,7 +70,7 @@ def cmd_follow(a) -> int:
 
     pipe = CdcPipeline(CdcConfig(
         lake_dir=a.lake, binlog_dir=a.binlog, num_partitions=a.partitions,
-        epoch_size=a.epoch_size))
+        epoch_size=a.epoch_size, retain_snapshots=a.retain_snapshots))
     reports = pipe.follow(poll_sec=a.poll_sec, idle_polls=a.idle_polls,
                           base=a.base)
     for r in reports:
@@ -203,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--epoch-size", type=int, default=250_000)
     f.add_argument("--poll-sec", type=float, default=2.0)
     f.add_argument("--idle-polls", type=int, default=5)
+    f.add_argument("--retain-snapshots", type=int, default=0)
     f.add_argument("--num-cpus", type=int)
     f.set_defaults(fn=cmd_follow)
 
@@ -215,6 +217,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--shuffle", choices=["spill", "sort", "hash"], default="spill")
     r.add_argument("--write-mode", choices=["cow", "delta"], default="cow")
     r.add_argument("--max-epochs", type=int)
+    r.add_argument("--retain-snapshots", type=int, default=0,
+                   help="archive this many trailing epochs for time travel "
+                        "(show/diff subcommands read them)")
     r.add_argument("--num-cpus", type=int)
     r.set_defaults(fn=cmd_run)
 
