@@ -1,13 +1,13 @@
 """End-to-end training-corpus pipeline: the composition a pretraining-data
 user actually runs, built entirely from this repo's operators — normalize →
 quality filter → language filter → exact dedup → near-dup dedup → chunk →
-token count (→ optional resumable partitioned write).
+token count. (Persist the result with sources.sink.write_partitioned.)
 
 Scale shape of the whole composition: every stage is a streaming
-map_batches except (a) the exact-dedup key shuffle, (b) the near-dup LSH
-band shuffle, and (c) the final optional write's key groupby — three wide
-steps total over the corpus; nothing corpus-sized ever reaches the driver
-(the near-dup drop-set and clusters are output-sized).
+map_batches except two wide steps — (a) the exact-dedup shuffle, which
+carries only (id, 16-byte fingerprint), and (b) the near-dup LSH band
+shuffle. The corpus TEXT never enters a shuffle, and nothing corpus-sized
+ever reaches the driver (both dedup drop-sets are duplicate-count-sized).
 """
 
 from __future__ import annotations
@@ -51,23 +51,34 @@ def build_training_corpus(ds: Dataset, text_col: str = "text",
             batch_format="pyarrow")
     keep = [id_col, text_col]
     ds = ds.map_batches(lambda t: t.select(keep), batch_format="pyarrow")
-    # exact dedup first: shuffle on a COARSE salt of the md5 fingerprint
-    # (256 groups — fingerprints are near-unique, so grouping on the fp
-    # itself would be one Python call per document), resolve exact dups
-    # with a C-level drop_duplicates inside each group, keep the min id
+    # exact dedup: the shuffle carries ONLY (id, 16-byte fingerprint) —
+    # never the text (dedup.py's own guidance) — grouped on a COARSE salt
+    # of the fp (fingerprints are near-unique; grouping on the fp itself
+    # would be one Python call per document). The non-min-id duplicates
+    # come back as a duplicate-count-sized drop set, broadcast into a
+    # map-side anti filter over the streaming corpus.
+    from thor_ray.ops.relational import semi_join
+
     ds = TX.md5_fingerprint(ds, text_col=text_col, out="_fp")
 
-    def salt_fp(t: pa.Table) -> pa.Table:
-        return t.append_column("_fps",
-                               pc.utf8_slice_codeunits(t["_fp"], 0, 2))
+    def fp_only(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col], "_fp": t["_fp"],
+            "_fps": pc.utf8_slice_codeunits(t["_fp"], 0, 2),
+        })
 
-    def drop_exact_dups(g):
+    def dup_ids(g):
         g = g.sort_values(id_col, kind="stable")
-        return g.drop_duplicates("_fp", keep="first")[keep]
+        return g[g.duplicated("_fp", keep="first")][[id_col]]
 
-    ds = (ds.map_batches(salt_fp, batch_format="pyarrow")
-          .groupby("_fps")
-          .map_groups(drop_exact_dups, batch_format="pandas"))
+    dup_df = (ds.map_batches(fp_only, batch_format="pyarrow")
+              .groupby("_fps").map_groups(dup_ids, batch_format="pandas")
+              .to_pandas())
+    # a dup-free corpus yields an empty result, which loses its schema
+    drops = set(dup_df[id_col]) if id_col in dup_df.columns else set()
+    ds = ds.map_batches(lambda t: t.select(keep), batch_format="pyarrow")
+    if drops:
+        ds = semi_join(ds, drops, on=id_col, anti=True)
     ds = DD.near_dup_dedup(ds, text_col, id_col,
                            jaccard_threshold=jaccard_threshold)
     chunks = TX.chunk_text(ds, text_col=text_col, id_col=id_col,
