@@ -728,3 +728,70 @@ def test_training_corpus_pipeline(ray_session):
     # chunk 0 of doc 1 is the normalized head of the text
     c0 = out[(out["doc_id"] == 1) & (out["chunk_id"] == 0)]["chunk"].iloc[0]
     assert c0 == good[:100]
+
+
+def test_scrub_text_pii_patterns(ray_session):
+    """Default PII set redacts emails/IPs/phones; custom patterns chain
+    in order; non-matching text is byte-identical."""
+    ds = ds_of({"doc_id": [1, 2, 3, 4],
+                "text": ["mail me at bob.smith+x@corp.example.org now",
+                         "server 192.168.001.12 port 80",
+                         "call +1 555-123-4567 today",
+                         "nothing sensitive here"]})
+    out = TX.scrub_text(ds).to_pandas().sort_values("doc_id")
+    assert out["clean"].tolist() == [
+        "mail me at <EMAIL> now",
+        "server <IP> port 80",
+        "call <PHONE> today",
+        "nothing sensitive here"]
+    custom = TX.scrub_text(ds, patterns=[(r"\bnothing\b", "X"),
+                                         (r"\bX sensitive\b", "Y")])
+    assert custom.to_pandas().sort_values("doc_id")["clean"].iloc[3] \
+        == "Y here"
+
+
+def test_contamination_flags_planted_overlap(ray_session):
+    """A doc sharing one 4-gram with the benchmark is flagged; docs with
+    only shorter overlaps are not; rows shorter than n never match; the
+    bench-size cap raises instead of truncating."""
+    bench = ds_of({"doc_id": [100], "text": ["alpha beta gamma delta rest"]})
+    ds = ds_of({"doc_id": [1, 2, 3, 4],
+                "text": ["x y alpha beta gamma delta tail",   # full 4-gram
+                         "alpha beta gamma zz",               # only 3-gram
+                         "alpha beta",                        # shorter than n
+                         "unrelated words entirely here ok"]})
+    got = sorted(TX.contamination_flags(ds, bench, n=4)
+                 .to_pandas()["doc_id"])
+    assert got == [1]
+    with pytest.raises(ValueError, match="exceeds"):
+        TX.contamination_flags(ds, bench, n=4, max_bench_grams=1).to_pandas()
+
+
+def test_type_token_ratio_exact(ray_session):
+    ds = ds_of({"doc_id": [1, 2, 3],
+                "text": ["a b a b a", "x y z", ""]})
+    out = TX.type_token_ratio(ds).to_pandas().sort_values("doc_id")
+    # "" splits to one empty token (matches SQL string_split semantics)
+    assert out["n_tokens"].tolist() == [5, 3, 1]
+    assert out["n_distinct"].tolist() == [2, 3, 1]
+    assert out["ttr"].tolist() == [0.4, 1.0, 1.0]
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    rng = np.random.default_rng(7)
+    n = 4000
+    key = rng.integers(0, 3, n)
+    x = rng.normal(size=n)
+    y = 0.6 * x + rng.normal(scale=0.5, size=n)
+    ds = ds_of({"k": key, "x": x, "y": y}).repartition(8)
+    got = R.grouped_corr(ds, "k", "x", "y", alias="r").to_pandas() \
+        .set_index("k")["r"].sort_index()
+    for k in range(3):
+        m = key == k
+        expect = np.corrcoef(x[m], y[m])[0, 1]
+        assert abs(got.loc[k] - expect) < 1e-9
+    # constant column -> zero variance -> NaN, not a crash
+    const = ds_of({"k": [1, 1, 1], "x": [2.0, 2.0, 2.0],
+                   "y": [1.0, 2.0, 3.0]})
+    r = R.grouped_corr(const, "k", "x", "y").to_pandas()["corr"].iloc[0]
+    assert np.isnan(r)

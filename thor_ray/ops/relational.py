@@ -385,6 +385,54 @@ def partial_then_final_sum(ds: Dataset, key: str, col: str, alias: str,
     return out
 
 
+def grouped_corr(ds: Dataset, key: str, x: str, y: str,
+                 alias: str = "corr") -> Dataset:
+    """Pearson correlation per group via one-pass partial sums: each batch
+    emits per-key (n, Σx, Σy, Σx², Σy², Σxy) — the combiner — so the wide
+    groupby moves O(groups) rows per batch regardless of input size; the
+    closed-form corr runs on the tiny aggregated table. Assumes non-null
+    x/y (DuckDB corr skips null pairs; filter first if inputs can be
+    null). Raw double output — callers round before hashing."""
+    def partial(t: pa.Table) -> pa.Table:
+        xv = pc.cast(t[x], pa.float64())
+        yv = pc.cast(t[y], pa.float64())
+        aug = pa.table({
+            key: t[key], "_x": xv, "_y": yv,
+            "_xx": pc.multiply(xv, xv), "_yy": pc.multiply(yv, yv),
+            "_xy": pc.multiply(xv, yv),
+        })
+        g = aug.group_by(key).aggregate(
+            [("_x", "count"), ("_x", "sum"), ("_y", "sum"),
+             ("_xx", "sum"), ("_yy", "sum"), ("_xy", "sum")])
+        return g.select([key, "_x_count", "_x_sum", "_y_sum",
+                         "_xx_sum", "_yy_sum", "_xy_sum"])
+
+    from ray.data.aggregate import Sum
+
+    sums = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(
+            Sum("_x_count", alias_name="_n"),
+            Sum("_x_sum", alias_name="_sx"), Sum("_y_sum", alias_name="_sy"),
+            Sum("_xx_sum", alias_name="_sxx"),
+            Sum("_yy_sum", alias_name="_syy"),
+            Sum("_xy_sum", alias_name="_sxy"))
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["_sx"].to_numpy(zero_copy_only=False)
+        sy = t["_sy"].to_numpy(zero_copy_only=False)
+        cov = n * t["_sxy"].to_numpy(zero_copy_only=False) - sx * sy
+        vx = n * t["_sxx"].to_numpy(zero_copy_only=False) - sx * sx
+        vy = n * t["_syy"].to_numpy(zero_copy_only=False) - sy * sy
+        denom = np.sqrt(vx * vy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(denom > 0, cov / denom, np.nan)
+        return pa.table({key: t[key],
+                         alias: pa.array(r, type=pa.float64(),
+                                         from_pandas=True)})
+    return sums.map_batches(final, batch_format="pyarrow")
+
+
 def unpivot(ds: Dataset, id_cols: list[str], value_cols: list[str],
             var_name: str = "metric", value_name: str = "val",
             value_type: "pa.DataType | None" = None,

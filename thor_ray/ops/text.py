@@ -227,6 +227,118 @@ def rolling_fingerprint(ds: Dataset, text_col: str = "text", k: int = 16,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # \b can't sit before '+' (both non-word): anchor on '+d' or a worded d
+    (r"(?:\+\d|\b\d)[\d\- ]{7,}\d\b", "<PHONE>"),
+]
+
+
+def scrub_text(ds: Dataset, text_col: str = "text",
+               patterns: "list[tuple[str, str]] | None" = None,
+               out: str = "clean") -> Dataset:
+    """Regex redaction pass (PII masking / entity scrubbing at corpus
+    scale). Map-only — no shuffle; each pattern is one whole-column RE2
+    kernel (pc.replace_substring_regex), applied in order. DuckDB's
+    regexp_replace(..., 'g') is RE2 too, so the oracle matches
+    byte-for-byte. Default patterns: the standard email/IP/phone set."""
+    pats = PII_PATTERNS if patterns is None else patterns
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = t[text_col]
+        for pat, rep in pats:
+            x = pc.replace_substring_regex(x, pattern=pat, replacement=rep)
+        return t.append_column(out, x)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _word_ngrams(t: pa.Table, text_col: str, n: int
+                 ) -> tuple[pa.Array, np.ndarray]:
+    """Flat word n-gram strings + parent row indices, fully vectorized:
+    split(' ') → flatten; gram i joins n SHIFTED SLICES of the flat token
+    array element-wise (one C-level kernel, no per-row loop); a window is
+    valid iff its first and last token share a parent row."""
+    toks = pc.split_pattern(t[text_col], pattern=" ")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    m = len(flat)
+    if m < n:
+        return pa.array([], type=pa.string()), np.array([], dtype=np.int64)
+    k = m - n + 1
+    grams = pc.binary_join_element_wise(
+        *[flat.slice(j, k) for j in range(n)], " ")
+    valid = parent[:k] == parent[n - 1:]
+    return grams.filter(pa.array(valid)), parent[:k][valid]
+
+
+def contamination_flags(ds: Dataset, bench: Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 4,
+                        max_bench_grams: int = 2_000_000) -> Dataset:
+    """Benchmark decontamination: the ids of documents sharing ANY word
+    n-gram with a benchmark set — the standard eval-contamination filter
+    of a pretraining pipeline.
+
+    Scale shape: the benchmark is small BY DEFINITION (it is an eval set),
+    so its distinct grams are collected driver-side (per-batch distinct
+    first) and broadcast ONCE via ray.put; the corpus side is a single
+    map-only pass (pc.is_in against the broadcast set) — no shuffle, no
+    join. Raises if the benchmark exceeds ``max_bench_grams`` rather than
+    silently truncating coverage."""
+    import ray as _ray
+
+    def bgrams(t: pa.Table) -> pa.Table:
+        g, _ = _word_ngrams(t, text_col, n)
+        return pa.table({"g": pc.unique(g)})
+
+    uniq: set = set()
+    for tbl in bench.map_batches(bgrams, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
+        uniq.update(tbl["g"].to_pylist())
+        if len(uniq) > max_bench_grams:
+            raise ValueError(
+                f"benchmark n-gram set exceeds {max_bench_grams}; "
+                "decontamination assumes a small benchmark side")
+    gref = _ray.put(pa.array(sorted(uniq), type=pa.string()))
+
+    def flag(t: pa.Table) -> pa.Table:
+        g, parent = _word_ngrams(t, text_col, n)
+        hit = pc.is_in(g, value_set=_ray.get(gref)) \
+            .to_numpy(zero_copy_only=False)
+        rows = np.unique(parent[hit])
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        return pa.table({id_col: ids.take(pa.array(rows, type=pa.int64()))})
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def type_token_ratio(ds: Dataset, text_col: str = "text",
+                     id_col: str = "doc_id") -> Dataset:
+    """Per-document type-token ratio (distinct/total space-split tokens) —
+    a standard repetition/diversity quality signal. Vectorized: one
+    drop_duplicates over the batch's exploded (row, token) pairs + a
+    bincount; no per-row Python. Raw double `ttr` — callers round."""
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n_tok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dd = pd.DataFrame({"p": parent, "tok": flat.to_pandas()}) \
+            .drop_duplicates()
+        nd = np.bincount(dd["p"].to_numpy(), minlength=len(t)).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tok),
+            "n_distinct": pa.array(nd),
+            "ttr": pa.array(nd / np.maximum(n_tok, 1)),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def tfidf_top_terms(ds: Dataset, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 5,
                     vocab_size: int = 50_000) -> Dataset:

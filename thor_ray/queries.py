@@ -1291,6 +1291,217 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '_7'), 1, 8) <
 """
 
 
+def q82_pii_scrub(sf: str):
+    """Regex redaction / PII masking (map-only RE2 pass — ops/text.py
+    scrub_text). The corpus has no emails, so the query scrubs corpus
+    entity tokens with two patterns AND runs the default email pattern
+    through the same chain — both sides RE2, byte-exact vs the oracle."""
+    ds = TX.scrub_text(
+        T(sf, "documents", ["doc_id", "text"]),
+        patterns=[(r"\b(customer|supplier)\b", "<ENT>"),
+                  (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                   "<EMAIL>")])
+    return ds.select_columns(["doc_id", "clean"])
+
+
+SQL_Q82 = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '\b(customer|supplier)\b', '<ENT>', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+       AS clean
+FROM documents
+"""
+
+
+def q83_decontam(sf: str):
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    deterministic benchmark subset doc_id % 97 == 0 (ops/text.py
+    contamination_flags — broadcast bench grams, map-only corpus pass),
+    benchmark members excluded from the output."""
+    docs = T(sf, "documents", ["doc_id", "text"])
+
+    def _mod_filter(keep_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(m if keep_bench else ~m))
+        return fn
+
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    flagged = TX.contamination_flags(docs, bench, n=4)
+    return flagged.map_batches(_mod_filter(False), batch_format="pyarrow")
+
+
+SQL_Q83 = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, array_to_string(ws[n:n+3], ' ') AS g
+       FROM w JOIN generate_series(1, 100000) t(n) ON n <= len(ws) - 3),
+b AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+SELECT DISTINCT s.doc_id FROM sh s JOIN b ON s.g = b.g
+WHERE s.doc_id % 97 <> 0
+"""
+
+
+def q84_funnel(sf: str):
+    """Sequential funnel (signup → click → purchase, strict event-time
+    order per user): conditional per-stage Min after a map-side column
+    split, one groupby(user) shuffle, then distributed indicator partials
+    summed to a single fixed-size row."""
+    ds = T(sf, "events", ["user_id", "event_type", "ts"])
+    # stage times as int64 µs with an INT64_MAX "absent" sentinel: Ray's
+    # Min aggregate chokes converting all-null timestamp groups back to
+    # Arrow, and the sentinel keeps the shuffle columns null-free
+    absent = np.iinfo(np.int64).max
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        cols = {"user_id": t["user_id"]}
+        for alias, stage in (("t_s", "signup"), ("t_c", "click"),
+                             ("t_p", "purchase")):
+            cols[alias] = pc.if_else(pc.equal(t["event_type"], stage),
+                                     us, pa.scalar(absent, type=pa.int64()))
+        return pa.table(cols)
+
+    m = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Min("t_s", alias_name="t_s"), Min("t_c", alias_name="t_c"),
+            Min("t_p", alias_name="t_p"))
+
+    def ind(df: pd.DataFrame) -> pd.DataFrame:
+        s, c, p = (df[k].to_numpy() for k in ("t_s", "t_c", "t_p"))
+        has = {k: v != absent for k, v in (("s", s), ("c", c), ("p", p))}
+        sc = has["s"] & has["c"] & (s < c)
+        return pd.DataFrame({
+            "n_signup": [np.int64(has["s"].sum())],
+            "n_signup_click": [np.int64(sc.sum())],
+            "n_full_funnel": [np.int64((sc & has["p"] & (c < p)).sum())],
+        })
+
+    tot = m.map_batches(ind, batch_format="pandas") \
+        .sum(["n_signup", "n_signup_click", "n_full_funnel"])
+    return pd.DataFrame({k: pd.array([tot.get(k, tot.get(f"sum({k})"))],
+                                     dtype="int64")
+                         for k in ("n_signup", "n_signup_click",
+                                   "n_full_funnel")})
+
+
+SQL_Q84 = """
+WITH m AS (SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_s,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_c,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_p
+  FROM events GROUP BY user_id)
+SELECT count(CASE WHEN t_s IS NOT NULL THEN 1 END) AS n_signup,
+       count(CASE WHEN t_s < t_c THEN 1 END) AS n_signup_click,
+       count(CASE WHEN t_s < t_c AND t_c < t_p THEN 1 END) AS n_full_funnel
+FROM m
+"""
+
+
+def q85_corr_grouped(sf: str):
+    """Grouped Pearson correlation via one-pass partial sums (combiner
+    before the shuffle — ops/relational.py grouped_corr)."""
+    ds = T(sf, "events", ["event_type", "value", "user_id"])
+    out = R.grouped_corr(ds, "event_type", "value", "user_id", alias="r")
+    return _round_cols(out, {"r": 6})
+
+
+SQL_Q85 = """
+SELECT event_type, round(corr(value, CAST(user_id AS DOUBLE)), 6) AS r
+FROM events GROUP BY event_type
+"""
+
+
+def q86_retention(sf: str):
+    """Cohort retention: users bucketed by first-activity day, distinct
+    active users per (cohort_day, day offset). Shuffle plan: one distinct
+    on (user, day), one per-user min, one hash join back, one final
+    grouped count — all on the same user_id key until the last step."""
+    ds = T(sf, "events", ["user_id", "ts"])
+    ud = R.distinct(
+        ds.map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"],
+                "d": pc.floor_temporal(t["ts"], unit="day")}),
+            batch_format="pyarrow"),
+        ["user_id", "d"])
+    cohort = ud.groupby("user_id").aggregate(Min("d", alias_name="cohort_day"))
+    j = R.hash_join(ud, cohort, on=("user_id",))
+
+    def off(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": t["cohort_day"],
+            "offset_days": pc.cast(pc.days_between(t["cohort_day"], t["d"]),
+                                   pa.int64()),
+        })
+    return j.map_batches(off, batch_format="pyarrow") \
+        .groupby(["cohort_day", "offset_days"]) \
+        .aggregate(Count(alias_name="n_users"))
+
+
+SQL_Q86 = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+c AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id)
+SELECT cohort_day, date_diff('day', cohort_day, d) AS offset_days,
+       count(*) AS n_users
+FROM ud JOIN c USING (user_id) GROUP BY cohort_day, offset_days
+"""
+
+
+def q87_mode_source(sf: str):
+    """Mode per group (most frequent source per lang, ties to the smaller
+    source): grouped count then top-1 per group — the deterministic
+    distributed MODE()."""
+    counts = T(sf, "documents", ["lang", "source"]) \
+        .groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+    return R.topk_per_group(counts, "lang", ["n", "source"],
+                            [True, False], 1)
+
+
+SQL_Q87 = """
+SELECT lang, source, n FROM (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source)
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, source ASC) = 1
+"""
+
+
+def q88_histogram(sf: str):
+    """Fixed-width histogram: map-side bucket assignment (same double
+    arithmetic as the SQL — floor(x/50000) capped at 9), one grouped
+    count."""
+    ds = T(sf, "orders", ["o_totalprice"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.min_element_wise(
+            pc.floor(pc.divide(t["o_totalprice"], 50000.0)), 9.0)
+        return pa.table({"bucket": pc.cast(b, pa.int64())})
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Count(alias_name="n"))
+
+
+SQL_Q88 = """
+SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM orders GROUP BY bucket
+"""
+
+
+def q89_type_token_ratio(sf: str):
+    """Per-document type-token ratio (repetition/diversity quality
+    signal) — vectorized distinct-token count (ops/text.py
+    type_token_ratio)."""
+    out = TX.type_token_ratio(T(sf, "documents", ["doc_id", "text"]))
+    return _round_cols(out, {"ttr": 6})
+
+
+SQL_Q89 = """
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible; driver records a weaker check)
 # ---------------------------------------------------------------------------
@@ -1580,6 +1791,14 @@ QUERIES: dict[str, tuple] = {
     "q75_having_scalar_subquery": (q75_having_scalar_subquery, SQL_Q75),
     "q76_bloom_semi": (q76_bloom_semi, SQL_Q76),
     "q77_salted_join": (q77_salted_join, SQL_Q77),
+    "q82_pii_scrub": (q82_pii_scrub, SQL_Q82),
+    "q83_decontam": (q83_decontam, SQL_Q83),
+    "q84_funnel": (q84_funnel, SQL_Q84),
+    "q85_corr_grouped": (q85_corr_grouped, SQL_Q85),
+    "q86_retention": (q86_retention, SQL_Q86),
+    "q87_mode_source": (q87_mode_source, SQL_Q87),
+    "q88_histogram": (q88_histogram, SQL_Q88),
+    "q89_type_token_ratio": (q89_type_token_ratio, SQL_Q89),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
