@@ -748,6 +748,14 @@ def test_scrub_text_pii_patterns(ray_session):
                                          (r"\bX sensitive\b", "Y")])
     assert custom.to_pandas().sort_values("doc_id")["clean"].iloc[3] \
         == "Y here"
+    # phone pattern must NOT swallow year ranges / spaced number lists
+    # (only single '-'/' ' between digits, 8-15 digits total)
+    benign = ds_of({"doc_id": [1, 2],
+                    "text": ["from 2024 - 2025 the revenue grew",
+                             "rows 12 34 and 56  78 end"]})
+    out2 = TX.scrub_text(benign).to_pandas().sort_values("doc_id")
+    assert out2["clean"].tolist() == ["from 2024 - 2025 the revenue grew",
+                                      "rows 12 34 and 56  78 end"]
 
 
 def test_contamination_flags_planted_overlap(ray_session):
@@ -775,6 +783,12 @@ def test_type_token_ratio_exact(ray_session):
     assert out["n_tokens"].tolist() == [5, 3, 1]
     assert out["n_distinct"].tolist() == [2, 3, 1]
     assert out["ttr"].tolist() == [0.4, 1.0, 1.0]
+    # null text -> NULL outputs (SQL semantics), not INT64_MIN garbage
+    withnull = ds_of({"doc_id": [1, 2], "text": ["a b", None]})
+    nt = TX.type_token_ratio(withnull).to_pandas().sort_values("doc_id")
+    assert nt["n_tokens"].iloc[0] == 2
+    assert pd.isna(nt["n_tokens"].iloc[1])
+    assert pd.isna(nt["ttr"].iloc[1])
 
 
 def test_grouped_corr_matches_numpy(ray_session):
@@ -795,3 +809,16 @@ def test_grouped_corr_matches_numpy(ray_session):
                    "y": [1.0, 2.0, 3.0]})
     r = R.grouped_corr(const, "k", "x", "y").to_pandas()["corr"].iloc[0]
     assert np.isnan(r)
+    # numerical stability: huge mean relative to spread (timestamps as
+    # int64 µs ~1.7e15) — the naive n·Σx²−(Σx)² form returns garbage here
+    # (vx ~ rounding noise); the stable path must match np.corrcoef on
+    # the SAME float64-converted data to near machine precision
+    base = 1_700_000_000_000_000
+    xs = (base + np.arange(2000, dtype=np.int64)).astype(np.float64)
+    ys = xs * 2.0 + rng.normal(scale=100.0, size=2000)
+    big = ds_of({"k": np.zeros(2000, dtype=np.int64),
+                 "x": xs, "y": ys}).repartition(6)
+    rb = R.grouped_corr(big, "k", "x", "y").to_pandas()["corr"].iloc[0]
+    # merge-order effects at this quantization level are ~1e-8; the naive
+    # closed form is NaN here (negative variance from cancellation)
+    assert abs(rb - np.corrcoef(xs, ys)[0, 1]) < 1e-6

@@ -387,50 +387,59 @@ def partial_then_final_sum(ds: Dataset, key: str, col: str, alias: str,
 
 def grouped_corr(ds: Dataset, key: str, x: str, y: str,
                  alias: str = "corr") -> Dataset:
-    """Pearson correlation per group via one-pass partial sums: each batch
-    emits per-key (n, Σx, Σy, Σx², Σy², Σxy) — the combiner — so the wide
-    groupby moves O(groups) rows per batch regardless of input size; the
-    closed-form corr runs on the tiny aggregated table. Assumes non-null
-    x/y (DuckDB corr skips null pairs; filter first if inputs can be
-    null). Raw double output — callers round before hashing."""
-    def partial(t: pa.Table) -> pa.Table:
-        xv = pc.cast(t[x], pa.float64())
-        yv = pc.cast(t[y], pa.float64())
-        aug = pa.table({
-            key: t[key], "_x": xv, "_y": yv,
-            "_xx": pc.multiply(xv, xv), "_yy": pc.multiply(yv, yv),
-            "_xy": pc.multiply(xv, yv),
+    """Pearson correlation per group, numerically stable at scale: each
+    batch emits per-key CENTERED moments (n, mean_x, mean_y, M2x, M2y,
+    Cxy) — the combiner, computed C-level against batch-local group means
+    — and one groupby(key) merges them pairwise with Chan's parallel
+    update (the partials dataset is O(batches × groups) rows, so the
+    Python merge loop is over batch COUNT, never data). The naive
+    n·Σx²−(Σx)² closed form cancels catastrophically for large-mean
+    inputs (timestamps as int64 µs lose all significant digits); centered
+    moments do not. Assumes non-null x/y (DuckDB corr skips null pairs;
+    filter first if inputs can be null). Raw double output — callers
+    round before hashing."""
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            key: t[key].to_pandas(),
+            # safe=False: int64 beyond 2^53 (timestamps as µs) must still
+            # cast — the float64 quantization is inherent to corr(DOUBLE)
+            "_x": pc.cast(t[x], pa.float64(), safe=False)
+            .to_numpy(zero_copy_only=False),
+            "_y": pc.cast(t[y], pa.float64(), safe=False)
+            .to_numpy(zero_copy_only=False),
         })
-        g = aug.group_by(key).aggregate(
-            [("_x", "count"), ("_x", "sum"), ("_y", "sum"),
-             ("_xx", "sum"), ("_yy", "sum"), ("_xy", "sum")])
-        return g.select([key, "_x_count", "_x_sum", "_y_sum",
-                         "_xx_sum", "_yy_sum", "_xy_sum"])
+        g = df.groupby(key, sort=False, dropna=False)
+        mean = g.agg(_n=("_x", "size"), _mx=("_x", "mean"),
+                     _my=("_y", "mean"))
+        m = df.merge(mean, left_on=key, right_index=True, how="left")
+        dx, dy = m["_x"] - m["_mx"], m["_y"] - m["_my"]
+        m["_m2x"], m["_m2y"], m["_cxy"] = dx * dx, dy * dy, dx * dy
+        cent = m.groupby(key, sort=False, dropna=False)[
+            ["_m2x", "_m2y", "_cxy"]].sum()
+        return mean.join(cent).reset_index()
 
-    from ray.data.aggregate import Sum
+    def chan_merge(g: pd.DataFrame) -> pd.DataFrame:
+        n, mx, my, m2x, m2y, cxy = (g[c].to_numpy() for c in
+                                    ("_n", "_mx", "_my", "_m2x", "_m2y",
+                                     "_cxy"))
+        N, MX, MY, X2, Y2, XY = (n[0], mx[0], my[0],
+                                 m2x[0], m2y[0], cxy[0])
+        for i in range(1, len(g)):  # loop over BATCH partials, not rows
+            nb = n[i]
+            tot = N + nb
+            dx_, dy_ = mx[i] - MX, my[i] - MY
+            X2 += m2x[i] + dx_ * dx_ * N * nb / tot
+            Y2 += m2y[i] + dy_ * dy_ * N * nb / tot
+            XY += cxy[i] + dx_ * dy_ * N * nb / tot
+            MX += dx_ * nb / tot
+            MY += dy_ * nb / tot
+            N = tot
+        denom = np.sqrt(X2 * Y2)
+        r = XY / denom if denom > 0 else np.nan
+        return pd.DataFrame({key: [g[key].iloc[0]], alias: [r]})
 
-    sums = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(key).aggregate(
-            Sum("_x_count", alias_name="_n"),
-            Sum("_x_sum", alias_name="_sx"), Sum("_y_sum", alias_name="_sy"),
-            Sum("_xx_sum", alias_name="_sxx"),
-            Sum("_yy_sum", alias_name="_syy"),
-            Sum("_xy_sum", alias_name="_sxy"))
-
-    def final(t: pa.Table) -> pa.Table:
-        n = t["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sx = t["_sx"].to_numpy(zero_copy_only=False)
-        sy = t["_sy"].to_numpy(zero_copy_only=False)
-        cov = n * t["_sxy"].to_numpy(zero_copy_only=False) - sx * sy
-        vx = n * t["_sxx"].to_numpy(zero_copy_only=False) - sx * sx
-        vy = n * t["_syy"].to_numpy(zero_copy_only=False) - sy * sy
-        denom = np.sqrt(vx * vy)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            r = np.where(denom > 0, cov / denom, np.nan)
-        return pa.table({key: t[key],
-                         alias: pa.array(r, type=pa.float64(),
-                                         from_pandas=True)})
-    return sums.map_batches(final, batch_format="pyarrow")
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).map_groups(chan_merge, batch_format="pandas")
 
 
 def unpivot(ds: Dataset, id_cols: list[str], value_cols: list[str],

@@ -230,8 +230,12 @@ def rolling_fingerprint(ds: Dataset, text_col: str = "text", k: int = 16,
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # \b can't sit before '+' (both non-word): anchor on '+d' or a worded d
-    (r"(?:\+\d|\b\d)[\d\- ]{7,}\d\b", "<PHONE>"),
+    # \b can't sit before '+' (both non-word): anchor on '+d' or a worded d.
+    # At most ONE '-'/' ' between digits and 8-15 digits total (E.164 cap):
+    # unbounded [\d- ]{7,} would swallow year ranges ('2024 - 2025') and
+    # spaced number lists. Bare 8-15 digit integers still redact — the
+    # default is conservative-for-privacy; pass custom patterns to narrow.
+    (r"(?:\+|\b)\d(?:[\- ]?\d){7,14}\b", "<PHONE>"),
 ]
 
 
@@ -293,15 +297,19 @@ def contamination_flags(ds: Dataset, bench: Dataset, text_col: str = "text",
         g, _ = _word_ngrams(t, text_col, n)
         return pa.table({"g": pc.unique(g)})
 
-    uniq: set = set()
+    # stay in Arrow: incremental C-level unique-merge, no Python string
+    # objects, no driver-side sort (pc.is_in needs no ordering)
+    acc = pa.array([], type=pa.string())
     for tbl in bench.map_batches(bgrams, batch_format="pyarrow") \
                      .iter_batches(batch_format="pyarrow"):
-        uniq.update(tbl["g"].to_pylist())
-        if len(uniq) > max_bench_grams:
+        batch_g = tbl["g"].combine_chunks() if isinstance(
+            tbl["g"], pa.ChunkedArray) else tbl["g"]
+        acc = pc.unique(pa.concat_arrays([acc, batch_g.cast(pa.string())]))
+        if len(acc) > max_bench_grams:
             raise ValueError(
                 f"benchmark n-gram set exceeds {max_bench_grams}; "
                 "decontamination assumes a small benchmark side")
-    gref = _ray.put(pa.array(sorted(uniq), type=pa.string()))
+    gref = _ray.put(acc)
 
     def flag(t: pa.Table) -> pa.Table:
         g, parent = _word_ngrams(t, text_col, n)
@@ -320,21 +328,25 @@ def type_token_ratio(ds: Dataset, text_col: str = "text",
     """Per-document type-token ratio (distinct/total space-split tokens) —
     a standard repetition/diversity quality signal. Vectorized: one
     drop_duplicates over the batch's exploded (row, token) pairs + a
-    bincount; no per-row Python. Raw double `ttr` — callers round."""
+    bincount; no per-row Python. Null text rows yield NULL outputs (SQL
+    semantics). Raw double `ttr` — callers round."""
     def fn(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t[text_col], pattern=" ")
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        n_tok = pc.list_value_length(toks).to_numpy(
+        lens = pc.list_value_length(toks)
+        null_mask = (pc.is_null(lens).to_numpy(zero_copy_only=False)
+                     if lens.null_count else None)
+        n_tok = pc.fill_null(lens, 1).to_numpy(
             zero_copy_only=False).astype(np.int64)
         dd = pd.DataFrame({"p": parent, "tok": flat.to_pandas()}) \
             .drop_duplicates()
         nd = np.bincount(dd["p"].to_numpy(), minlength=len(t)).astype(np.int64)
         return pa.table({
             id_col: t[id_col],
-            "n_tokens": pa.array(n_tok),
-            "n_distinct": pa.array(nd),
-            "ttr": pa.array(nd / np.maximum(n_tok, 1)),
+            "n_tokens": pa.array(n_tok, mask=null_mask),
+            "n_distinct": pa.array(nd, mask=null_mask),
+            "ttr": pa.array(nd / np.maximum(n_tok, 1), mask=null_mask),
         })
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -1299,8 +1299,7 @@ def q82_pii_scrub(sf: str):
     ds = TX.scrub_text(
         T(sf, "documents", ["doc_id", "text"]),
         patterns=[(r"\b(customer|supplier)\b", "<ENT>"),
-                  (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-                   "<EMAIL>")])
+                  TX.PII_PATTERNS[0]])  # the library's email default
     return ds.select_columns(["doc_id", "clean"])
 
 
