@@ -822,3 +822,110 @@ def test_grouped_corr_matches_numpy(ray_session):
     # merge-order effects at this quantization level are ~1e-8; the naive
     # closed form is NaN here (negative variance from cancellation)
     assert abs(rb - np.corrcoef(xs, ys)[0, 1]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# explode / splits / mixture / sequence packing (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_explode_drops_null_and_empty(ray_session):
+    ds = ds_of({
+        "id": [1, 2, 3, 4],
+        "xs": pa.array([[10, 20], [], None, [30]], type=pa.list_(pa.int32())),
+    })
+    got = R.explode(ds, "xs", out_val="v", out_pos="p").to_pandas() \
+        .sort_values(["id", "p"]).reset_index(drop=True)
+    assert got["id"].tolist() == [1, 1, 4]
+    assert got["p"].tolist() == [0, 1, 0]
+    assert got["v"].tolist() == [10, 20, 30]
+
+
+def test_explode_without_position(ray_session):
+    ds = ds_of({"id": [7], "xs": pa.array([[1.5, 2.5]],
+                                          type=pa.list_(pa.float64()))})
+    got = R.explode(ds, "xs", out_val="v", out_pos=None).to_pandas()
+    assert list(got.columns) == ["id", "v"]
+    assert got["v"].tolist() == [1.5, 2.5]
+
+
+def test_assign_splits_partition_and_determinism(ray_session):
+    from thor_ray.ops.sample import assign_splits
+    ids = list(range(2000))
+    ds = ds_of({"doc_id": ids})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    for hash_fn in ("stable", "md5"):
+        got = assign_splits(ds, "doc_id", fr, seed=3, hash_fn=hash_fn) \
+            .to_pandas()
+        # every row labeled, labels only from the spec
+        assert len(got) == len(ids)
+        assert set(got["split"]) <= set(fr)
+        counts = got["split"].value_counts()
+        assert 0.7 < counts["train"] / len(ids) < 0.9
+        # pure function of (id, seed): identical under a different layout
+        again = assign_splits(ds.repartition(7), "doc_id", fr, seed=3,
+                              hash_fn=hash_fn).to_pandas()
+        merged = got.merge(again, on="doc_id", suffixes=("", "_r"))
+        assert (merged["split"] == merged["split_r"]).all()
+
+
+def test_weighted_mixture_counts_and_reps(ray_session):
+    from thor_ray.ops.sample import weighted_mixture
+    ids = list(range(1000))
+    a = ds_of({"doc_id": ids, "src": ["a"] * len(ids)})
+    b = ds_of({"doc_id": ids, "src": ["b"] * len(ids)})
+    got = weighted_mixture([(a, 2.5), (b, 0.3)], "doc_id", seed=5) \
+        .to_pandas()
+    ga = got[got["src"] == "a"]
+    gb = got[got["src"] == "b"]
+    # two full copies (reps 0,1) + a ~half sample tagged rep 2
+    assert sorted(ga["rep"].unique()) == [0, 1, 2]
+    assert len(ga[ga["rep"] < 2]) == 2 * len(ids)
+    assert 0.4 < len(ga[ga["rep"] == 2]) / len(ids) < 0.6
+    assert sorted(gb["rep"].unique()) == [0]
+    assert 0.2 < len(gb) / len(ids) < 0.4
+    # deterministic: same call → identical multiset
+    again = weighted_mixture([(a, 2.5), (b, 0.3)], "doc_id", seed=5) \
+        .to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "src", "rep"]].to_numpy()))
+    assert key(got) == key(again)
+
+
+def test_pack_sequences_exactly_once_and_capacity(ray_session):
+    from thor_ray.ops.pack import pack_sequences
+    rng = np.random.default_rng(0)
+    n = 500
+    toks = rng.integers(1, 300, size=n)
+    toks[17] = 5000  # oversize doc: must still appear, alone
+    ds = ds_of({"doc_id": list(range(n)),
+                "n_tokens": toks.astype("int64").tolist()})
+    got = pack_sequences(ds, count_col="n_tokens", capacity=512,
+                         n_buckets=8).to_pandas()
+    # every doc exactly once
+    assert sorted(got["doc_id"]) == list(range(n))
+    # capacity respected except single oversize docs
+    per_seq = got.groupby("seq_id").agg(total=("n_tokens", "sum"),
+                                        ndocs=("doc_id", "count"))
+    over = per_seq[per_seq["total"] > 512]
+    assert (over["ndocs"] == 1).all()
+    # the oversize doc sits alone in its sequence
+    seq17 = got.loc[got["doc_id"] == 17, "seq_id"].iloc[0]
+    assert (got["seq_id"] == seq17).sum() == 1
+    # seq_pos is a contiguous 0..m-1 run within each sequence
+    for _, g in got.groupby("seq_id"):
+        assert sorted(g["seq_pos"]) == list(range(len(g)))
+    # deterministic under a different block layout
+    again = pack_sequences(ds.repartition(13), count_col="n_tokens",
+                           capacity=512, n_buckets=8).to_pandas()
+    cols = ["doc_id", "seq_id", "seq_pos"]
+    assert sorted(map(tuple, got[cols].to_numpy())) \
+        == sorted(map(tuple, again[cols].to_numpy()))
+
+
+def test_pack_sequences_from_text(ray_session):
+    from thor_ray.ops.pack import pack_sequences
+    ds = ds_of({"doc_id": [1, 2, 3],
+                "text": ["a b c", "d e", "f g h i j"]})
+    got = pack_sequences(ds, capacity=100, n_buckets=2).to_pandas()
+    assert sorted(got["doc_id"]) == [1, 2, 3]
+    assert got.set_index("doc_id")["n_tokens"].to_dict() == {1: 3, 2: 2, 3: 5}

@@ -598,3 +598,40 @@ def salted_join(left: Dataset, right: Dataset, on: str,
     r = right.map_batches(replicate_right, batch_format="pyarrow")
     return hash_join(l, r, on=(on, "_salt"),
                      num_partitions=num_partitions).drop_columns(["_salt"])
+
+
+def explode(ds: Dataset, list_col: str, out_val: str = "val",
+            out_pos: str | None = "pos",
+            keep: list[str] | None = None) -> Dataset:
+    """UNNEST a list column into one row per element (SQL ``SELECT ...,
+    unnest(list_col) FROM t``), optionally with the element's 0-based
+    position (``WITH ORDINALITY`` / zipped ``unnest(range(len(x)))``).
+
+    Map-only and fully vectorized: elements come out of
+    ``pc.list_flatten`` (zero-copy view of the child array), the scalar
+    columns are replicated with ONE ``take`` on ``list_parent_indices``,
+    and positions are an arange minus each row's repeated start offset.
+    No shuffle, so it streams at any scale; rows whose list is NULL or
+    empty are dropped, exactly like SQL UNNEST.
+    """
+    keep_cols = keep if keep is not None else None
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        parents = pc.list_parent_indices(col)
+        cols = keep_cols if keep_cols is not None \
+            else [c for c in t.column_names if c != list_col]
+        out = t.select(cols).take(parents)
+        if out_pos is not None:
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(col), 0)).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos = np.arange(int(lens.sum()), dtype=np.int64) \
+                - np.repeat(starts, lens)
+            out = out.append_column(out_pos, pa.array(pos, type=pa.int64()))
+        return out.append_column(out_val, flat)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

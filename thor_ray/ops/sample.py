@@ -79,3 +79,107 @@ def stratified_sample(ds: Dataset, strata_col: str,
         return t.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _hash_u01(t: pa.Table, id_col: str, seed_token: str) -> np.ndarray:
+    """Uniform-[0,1) draw per row from stable_hash(id, seed_token).
+    stable_hash is a NON-NEGATIVE int64 (top bit clear) so the full-width
+    quotient is not uniform; the low 32 bits of the mix are."""
+    ht = pa.table({
+        id_col: pc.cast(t[id_col], pa.string()),
+        "_seed": pa.array([seed_token] * len(t)),
+    })
+    h = np.asarray(stable_hash(ht, [id_col, "_seed"])).astype(np.uint64)
+    return (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / float(2**32)
+
+
+def _md5_hex8(ids, seed) -> np.ndarray:
+    """Per-row 8-hex-digit md5 prefix of f"{id}_{seed}" — the SQL-replayable
+    tier (DuckDB: substr(md5(CAST(id AS VARCHAR) || '_seed'), 1, 8))."""
+    out = np.empty(len(ids), dtype="<U8")
+    for i, v in enumerate(ids):
+        out[i] = hashlib.md5(f"{v}_{seed}".encode()).hexdigest()[:8]
+    return out
+
+
+def assign_splits(ds: Dataset, id_col: str, fractions: dict[str, float],
+                  seed: int = 42, out: str = "split",
+                  hash_fn: str = "stable") -> Dataset:
+    """Deterministic train/val/test split labels: each row gets the label
+    whose cumulative-fraction interval its hash falls in. A pure function
+    of (id, seed) — the assignment is identical at any cluster size, block
+    layout, or re-run, and rows never switch splits when the corpus grows
+    (the property shuffle-based splitting loses). Map-only, no shuffle.
+
+    fractions: ordered {label: fraction}; the LAST label absorbs the
+    remainder, so fractions may sum to < 1.0 only if that is intended.
+    hash_fn="stable" is the fast vectorized tier; "md5" is bit-exactly
+    replayable in any SQL engine (the q91 oracle).
+    """
+    labels = list(fractions.keys())
+    if len(labels) < 2:
+        raise ValueError("assign_splits needs >= 2 labels")
+    cum = np.cumsum([float(fractions[l]) for l in labels[:-1]])
+    lab_arr = pa.array(labels, type=pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        if hash_fn == "md5":
+            hexs = _md5_hex8(t[id_col].to_pylist(), seed)
+            thr = np.array([fraction_hex(c) for c in cum])
+            idx = np.searchsorted(thr, hexs, side="right")
+        else:
+            u = _hash_u01(t, id_col, str(seed))
+            idx = np.searchsorted(cum, u, side="right")
+        return t.append_column(
+            out, pc.take(lab_arr, pa.array(idx, type=pa.int64())))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_mixture(sources: "list[tuple[Dataset, float]]", id_col: str,
+                     seed: int = 42, rep_col: str = "rep",
+                     hash_fn: str = "stable") -> Dataset:
+    """Weighted source mixture for training-corpus composition: weight w
+    emits floor(w) full copies of a source plus a deterministic
+    Bernoulli(frac(w)) sample — i.e. w=2.5 oversamples a source 2.5×,
+    w=0.3 downsamples it to 30%. Each copy is tagged with `rep_col` so
+    downstream sharding/packing can keep epochs distinct.
+
+    The fractional draw hashes (id, seed, source_index, rep) so copies are
+    independent of each other and of any other sampler using the same
+    seed. Union of map-only stages: no shuffle, no driver materialization;
+    Ray unions the block lists lazily. Deterministic at any parallelism.
+    """
+    if not sources:
+        raise ValueError("weighted_mixture needs at least one source")
+    parts: list[Dataset] = []
+
+    def _tag(d: Dataset, rep: int) -> Dataset:
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                rep_col, pa.array(np.full(len(t), rep, dtype=np.int64)))
+        return d.map_batches(fn, batch_format="pyarrow")
+
+    for si, (src, w) in enumerate(sources):
+        if w < 0:
+            raise ValueError(f"negative mixture weight {w}")
+        full = int(np.floor(w))
+        frac = float(w) - full
+        for rep in range(full):
+            parts.append(_tag(src, rep))
+        if frac > 0:
+            token = f"{seed}_{si}_{full}"
+
+            def keep(t: pa.Table, _tok=token, _fr=frac) -> pa.Table:
+                if hash_fn == "md5":
+                    hexs = _md5_hex8(t[id_col].to_pylist(), _tok)
+                    mask = hexs < fraction_hex(_fr)
+                else:
+                    mask = _hash_u01(t, id_col, _tok) < _fr
+                return t.filter(pa.array(mask))
+
+            parts.append(_tag(
+                src.map_batches(keep, batch_format="pyarrow"), full))
+    if len(parts) == 1:
+        return parts[0]
+    return parts[0].union(*parts[1:])

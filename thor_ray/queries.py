@@ -1728,6 +1728,144 @@ def q49_multimodal_features(sf: str):
     return out.map_batches(summarize, batch_format="pandas")
 
 
+def q90_explode(sf: str):
+    """UNNEST a list column (ops/relational.py explode): one row per
+    embedding element with its 0-based position. Map-only, zero-copy
+    flatten + one take; values rounded identically on both sides (_rnd
+    is the bitwise DuckDB round)."""
+    ds = T(sf, "embeddings", ["vec_id", "embedding"])
+    ex = R.explode(ds, "embedding", out_val="val", out_pos="pos")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "pos": t["pos"],
+            "val": _rnd(pc.cast(t["val"], pa.float64()), 4),
+        })
+
+    return ex.map_batches(rnd, batch_format="pyarrow")
+
+
+SQL_Q90 = """
+SELECT vec_id,
+       unnest(range(len(embedding))) AS pos,
+       round(CAST(unnest(embedding) AS DOUBLE), 4) AS val
+FROM embeddings
+"""
+
+
+def q91_train_split(sf: str):
+    """Deterministic train/val/test split labels (ops/sample.py
+    assign_splits, md5 tier): the label is a pure function of
+    (doc_id, seed), bit-exactly replayable in DuckDB via the same
+    8-hex-digit md5 prefix against cumulative-fraction thresholds."""
+    from thor_ray.ops.sample import assign_splits
+    return assign_splits(T(sf, "documents", ["doc_id", "lang"]), "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1},
+                         seed=11, hash_fn="md5")
+
+
+SQL_Q91 = """
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '_11'), 1, 8)
+                 < 'cccccccc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR) || '_11'), 1, 8)
+                 < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q92_mixture(sf: str):
+    """Weighted source mixture (ops/sample.py weighted_mixture, md5
+    tier): en docs oversampled 1.5× (one full copy rep=0 plus a
+    deterministic half sample rep=1), de docs downsampled to 0.5×. The
+    fractional draws hash (doc_id, seed, source, rep) so DuckDB replays
+    each copy's keep-set exactly."""
+    from thor_ray.ops.sample import weighted_mixture
+    docs = T(sf, "documents", ["doc_id", "lang"])
+
+    def only(lang: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["lang"], lang))
+        return fn
+
+    en = docs.map_batches(only("en"), batch_format="pyarrow")
+    de = docs.map_batches(only("de"), batch_format="pyarrow")
+    return weighted_mixture([(en, 1.5), (de, 0.5)], "doc_id",
+                            seed=9, hash_fn="md5")
+
+
+SQL_Q92 = """
+SELECT doc_id, lang, CAST(0 AS BIGINT) AS rep FROM documents
+WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang, CAST(1 AS BIGINT) AS rep FROM documents
+WHERE lang = 'en'
+  AND substr(md5(CAST(doc_id AS VARCHAR) || '_9_0_1'), 1, 8) < '80000000'
+UNION ALL
+SELECT doc_id, lang, CAST(0 AS BIGINT) AS rep FROM documents
+WHERE lang = 'de'
+  AND substr(md5(CAST(doc_id AS VARCHAR) || '_9_1_0'), 1, 8) < '80000000'
+"""
+
+
+def q93_pack_sequences(sf: str):
+    """Greedy fixed-capacity sequence packing for training shards
+    (ops/pack.py — rows-only: the per-bucket greedy recursion isn't
+    SQL-expressible; unit tests pin exactly-once coverage, the capacity
+    bound, and block-layout invariance)."""
+    from thor_ray.ops.pack import pack_sequences
+    return pack_sequences(T(sf, "documents", ["doc_id", "text"]),
+                          capacity=512, n_buckets=16)
+
+
+def q94_ntile(sf: str):
+    """Window-function NTILE: quartile of each user's events in
+    (ts, event_id) order. Same shape as q62/q63 — coarse-salt shuffle on
+    the partition key, ONE C-level pandas groupby inside each salt group,
+    SQL's uneven-tile rule (first n%k tiles get the extra row) done with
+    vectorized integer math."""
+    fanout = 64
+    ds = T(sf, "events", ["event_id", "user_id", "ts"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1), pa.int32())
+        return t.append_column("usalt", s)
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy()
+        grp = g.groupby(users, sort=False)
+        idx = grp.cumcount().to_numpy(dtype=np.int64)
+        n = grp["event_id"].transform("size").to_numpy(dtype=np.int64)
+        k = 4
+        size_small = n // k
+        big = n % k
+        size_big = size_small + 1
+        cut = big * size_big
+        tile = np.where(
+            idx < cut,
+            idx // size_big,
+            big + (idx - cut) // np.maximum(size_small, 1),
+        ) + 1
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": users,
+            "tile": tile.astype(np.int64),
+        })
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+            .groupby("usalt").map_groups(tiles, batch_format="pandas"))
+
+
+SQL_Q94 = """
+SELECT event_id, user_id,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1798,6 +1936,10 @@ QUERIES: dict[str, tuple] = {
     "q87_mode_source": (q87_mode_source, SQL_Q87),
     "q88_histogram": (q88_histogram, SQL_Q88),
     "q89_type_token_ratio": (q89_type_token_ratio, SQL_Q89),
+    "q90_explode": (q90_explode, SQL_Q90),
+    "q91_train_split": (q91_train_split, SQL_Q91),
+    "q92_mixture": (q92_mixture, SQL_Q92),
+    "q94_ntile": (q94_ntile, SQL_Q94),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
@@ -1823,6 +1965,7 @@ QUERIES: dict[str, tuple] = {
     "q79_near_dup_dedup": (q79_near_dup_dedup, None),
     "q80_dup_clusters_distributed": (q80_dup_clusters_distributed, None),
     "q81_training_corpus": (q81_training_corpus, None),
+    "q93_pack_sequences": (q93_pack_sequences, None),
 }
 
 
