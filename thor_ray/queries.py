@@ -1866,6 +1866,116 @@ FROM events
 """
 
 
+def q95_lead_first(sf: str):
+    """LEAD and FIRST_VALUE window functions over each user's event
+    stream in (ts, event_id) order — same coarse-salt shuffle shape as
+    q62/q63/q94, C-level shift + transform inside each salt group. The
+    doubles are moved, never recomputed, so the hash is bit-exact."""
+    fanout = 64
+    ds = T(sf, "events", ["event_id", "user_id", "ts", "value"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1), pa.int32())
+        return t.append_column("usalt", s)
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        grp = g.groupby(g["user_id"].to_numpy(), sort=False)["value"]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "next_value": grp.shift(-1).to_numpy(),
+            "first_val": grp.transform("first").to_numpy(),
+        })
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+            .groupby("usalt").map_groups(win, batch_format="pandas"))
+
+
+SQL_Q95 = """
+SELECT event_id, user_id,
+       lead(value) OVER w AS next_value,
+       first_value(value) OVER w AS first_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q96_percent_rank(sf: str):
+    """PERCENT_RANK and CUME_DIST over each user's values: min-rank /
+    max-rank with ties, then the standard (rank-1)/(n-1) and
+    maxrank/n formulas — both sides divide the SAME two integers in
+    IEEE double, so the hash cannot drift. Single-row partitions get
+    percent_rank 0 (the SQL definition)."""
+    fanout = 64
+    ds = T(sf, "events", ["event_id", "user_id", "value"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1), pa.int32())
+        return t.append_column("usalt", s)
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy()
+        grp = g.groupby(users, sort=False)
+        rmin = grp["value"].rank(method="min").to_numpy()
+        rmax = grp["value"].rank(method="max").to_numpy()
+        n = grp["event_id"].transform("size").to_numpy(dtype=np.float64)
+        pr = np.where(n > 1, (rmin - 1.0) / np.maximum(n - 1.0, 1.0), 0.0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": users,
+            "pct_rank": pr,
+            "cume": rmax / n,
+        })
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+            .groupby("usalt").map_groups(win, batch_format="pandas"))
+
+
+SQL_Q96 = """
+SELECT event_id, user_id,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value)
+"""
+
+
+def q97_cube(sf: str):
+    """GROUP BY CUBE (lang, source): the finest (lang, source) grain is
+    the ONE distributed groupby; all three coarser grouping sets derive
+    from its output-sized result on the driver (q64's rollup pattern
+    extended to the full cube lattice)."""
+    ds = T(sf, "documents", ["lang", "source", "n_chars"])
+    fine = (ds.groupby(["lang", "source"])
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="sum_chars"))).to_pandas()
+    by_lang = fine.groupby("lang", as_index=False)[["n_docs", "sum_chars"]] \
+        .sum()
+    by_lang["source"] = "ALL"
+    by_src = fine.groupby("source", as_index=False)[["n_docs", "sum_chars"]] \
+        .sum()
+    by_src["lang"] = "ALL"
+    top = pd.DataFrame([{"lang": "ALL", "source": "ALL",
+                         "n_docs": fine["n_docs"].sum(),
+                         "sum_chars": fine["sum_chars"].sum()}])
+    out = pd.concat([fine, by_lang, by_src, top], ignore_index=True)
+    out = out[["lang", "source", "n_docs", "sum_chars"]]
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
+SQL_Q97 = """
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1940,6 +2050,9 @@ QUERIES: dict[str, tuple] = {
     "q91_train_split": (q91_train_split, SQL_Q91),
     "q92_mixture": (q92_mixture, SQL_Q92),
     "q94_ntile": (q94_ntile, SQL_Q94),
+    "q95_lead_first": (q95_lead_first, SQL_Q95),
+    "q96_percent_rank": (q96_percent_rank, SQL_Q96),
+    "q97_cube": (q97_cube, SQL_Q97),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
