@@ -929,3 +929,20 @@ def test_pack_sequences_from_text(ray_session):
     got = pack_sequences(ds, capacity=100, n_buckets=2).to_pandas()
     assert sorted(got["doc_id"]) == [1, 2, 3]
     assert got.set_index("doc_id")["n_tokens"].to_dict() == {1: 3, 2: 2, 3: 5}
+
+
+def test_split_mixture_explode_input_validation(ray_session):
+    from thor_ray.ops.sample import assign_splits, weighted_mixture
+    ds = ds_of({"doc_id": [1, 2, 3]})
+    with pytest.raises(ValueError, match="negative split fraction"):
+        assign_splits(ds, "doc_id", {"a": 0.8, "b": -0.1, "c": 0.3})
+    with pytest.raises(ValueError, match="sum to"):
+        assign_splits(ds, "doc_id", {"a": 0.8, "b": 0.5, "c": 0.1})
+    with pytest.raises(ValueError, match="weights are zero"):
+        weighted_mixture([(ds, 0.0), (ds, 0.0)], "doc_id")
+    with pytest.raises(ValueError, match="negative mixture weight"):
+        weighted_mixture([(ds, -1.0)], "doc_id")
+    xs = ds_of({"id": [1], "xs": pa.array([[1, 2]], type=pa.list_(pa.int32()))})
+    # the guard fires inside the Ray task, so it arrives wrapped
+    with pytest.raises(Exception, match="collide"):
+        R.explode(xs, "xs", out_val="id").materialize()

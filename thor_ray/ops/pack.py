@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from thor_ray.stages.smt import stable_hash
+from thor_ray.ops.sample import _stable_hash64
 
 
 def _greedy_cuts(tokens: np.ndarray, capacity: int) -> np.ndarray:
@@ -72,11 +72,7 @@ def pack_sequences(ds: Dataset, id_col: str = "doc_id",
         count_col = "n_tokens"
 
     def bucketize(t: pa.Table) -> pa.Table:
-        ht = pa.table({
-            id_col: pc.cast(t[id_col], pa.string()),
-            "_seed": pa.array([str(seed)] * len(t)),
-        })
-        h = np.asarray(stable_hash(ht, [id_col, "_seed"])).astype(np.uint64)
+        h = _stable_hash64(t, id_col, str(seed))
         b = (h % np.uint64(n_buckets)).astype(np.int64)
         return pa.table({
             id_col: t[id_col],

@@ -614,16 +614,18 @@ def explode(ds: Dataset, list_col: str, out_val: str = "val",
     No shuffle, so it streams at any scale; rows whose list is NULL or
     empty are dropped, exactly like SQL UNNEST.
     """
-    keep_cols = keep if keep is not None else None
-
     def fn(t: pa.Table) -> pa.Table:
         col = t[list_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         flat = pc.list_flatten(col)
         parents = pc.list_parent_indices(col)
-        cols = keep_cols if keep_cols is not None \
+        cols = keep if keep is not None \
             else [c for c in t.column_names if c != list_col]
+        clash = {out_val, out_pos} & set(cols)
+        if clash:
+            raise ValueError(f"explode output name(s) {sorted(clash)} "
+                             f"collide with kept column(s)")
         out = t.select(cols).take(parents)
         if out_pos is not None:
             lens = np.asarray(

@@ -21,12 +21,34 @@ from ray.data import Dataset
 from thor_ray.stages.smt import stable_hash
 
 
-def _md5_keep_mask(ids, seed: int, thresholds: np.ndarray) -> np.ndarray:
-    """hex(md5(f"{id}_{seed}"))[:8] < threshold — reproducible in ANY SQL
-    engine (DuckDB: substr(md5(id || '_seed'), 1, 8) < 'xxxxxxxx')."""
-    out = np.empty(len(ids), dtype=bool)
-    for i, (v, thr) in enumerate(zip(ids, thresholds)):
-        out[i] = hashlib.md5(f"{v}_{seed}".encode()).hexdigest()[:8] < thr
+def _stable_hash64(t: pa.Table, id_col: str, seed_token: str) -> np.ndarray:
+    """Vectorized 64-bit stable hash of (id, seed_token) as uint64 — THE
+    single source of hash-derived randomness for every deterministic
+    sampler/bucketer (stratified_sample, assign_splits, weighted_mixture,
+    pack_sequences). Keep it one function: the uniformity subtleties below
+    must not fork."""
+    ht = pa.table({
+        id_col: pc.cast(t[id_col], pa.string()),
+        "_seed": pa.array([seed_token] * len(t)),
+    })
+    return np.asarray(stable_hash(ht, [id_col, "_seed"])).astype(np.uint64)
+
+
+def _hash_u01(t: pa.Table, id_col: str, seed_token: str) -> np.ndarray:
+    """Uniform-[0,1) draw per row from _stable_hash64. stable_hash is a
+    NON-NEGATIVE int64 (top bit clear) so the full-width quotient is not
+    uniform; the low 32 bits of the mix are (verified empirically on 100k
+    keys)."""
+    h = _stable_hash64(t, id_col, seed_token)
+    return (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / float(2**32)
+
+
+def _md5_hex8(ids, seed) -> np.ndarray:
+    """Per-row 8-hex-digit md5 prefix of f"{id}_{seed}" — the SQL-replayable
+    tier (DuckDB: substr(md5(CAST(id AS VARCHAR) || '_seed'), 1, 8))."""
+    out = np.empty(len(ids), dtype="<U8")
+    for i, v in enumerate(ids):
+        out[i] = hashlib.md5(f"{v}_{seed}".encode()).hexdigest()[:8]
     return out
 
 
@@ -64,42 +86,12 @@ def stratified_sample(ds: Dataset, strata_col: str,
             fr = np.full(len(t), frac_scalar)
         if hash_fn == "md5":
             thr = np.array([fraction_hex(f) for f in fr])
-            keep = _md5_keep_mask(t[id_col].to_pylist(), seed, thr)
+            keep = _md5_hex8(t[id_col].to_pylist(), seed) < thr
         else:
-            ht = pa.table({
-                id_col: pc.cast(t[id_col], pa.string()),
-                "_seed": pa.array([str(seed)] * len(t)),
-            })
-            h = np.asarray(stable_hash(ht, [id_col, "_seed"])).astype(np.uint64)
-            # stable_hash is a non-negative int64 (top bit clear), so the
-            # full-width quotient is NOT uniform on [0,1); the low 32 bits
-            # of the 64-bit mix are (verified empirically on 100k keys)
-            u = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / float(2**32)
-            keep = u < fr
+            keep = _hash_u01(t, id_col, str(seed)) < fr
         return t.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
-
-
-def _hash_u01(t: pa.Table, id_col: str, seed_token: str) -> np.ndarray:
-    """Uniform-[0,1) draw per row from stable_hash(id, seed_token).
-    stable_hash is a NON-NEGATIVE int64 (top bit clear) so the full-width
-    quotient is not uniform; the low 32 bits of the mix are."""
-    ht = pa.table({
-        id_col: pc.cast(t[id_col], pa.string()),
-        "_seed": pa.array([seed_token] * len(t)),
-    })
-    h = np.asarray(stable_hash(ht, [id_col, "_seed"])).astype(np.uint64)
-    return (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / float(2**32)
-
-
-def _md5_hex8(ids, seed) -> np.ndarray:
-    """Per-row 8-hex-digit md5 prefix of f"{id}_{seed}" — the SQL-replayable
-    tier (DuckDB: substr(md5(CAST(id AS VARCHAR) || '_seed'), 1, 8))."""
-    out = np.empty(len(ids), dtype="<U8")
-    for i, v in enumerate(ids):
-        out[i] = hashlib.md5(f"{v}_{seed}".encode()).hexdigest()[:8]
-    return out
 
 
 def assign_splits(ds: Dataset, id_col: str, fractions: dict[str, float],
@@ -119,7 +111,15 @@ def assign_splits(ds: Dataset, id_col: str, fractions: dict[str, float],
     labels = list(fractions.keys())
     if len(labels) < 2:
         raise ValueError("assign_splits needs >= 2 labels")
-    cum = np.cumsum([float(fractions[l]) for l in labels[:-1]])
+    fr = [float(fractions[l]) for l in labels]
+    if min(fr) < 0:
+        raise ValueError(f"negative split fraction in {fractions}")
+    if sum(fr[:-1]) > 1.0 + 1e-9:
+        # the last label absorbs the remainder, so everything BEFORE it
+        # must fit in [0, 1] or later labels are silently starved
+        raise ValueError(f"split fractions before the last label sum to "
+                         f"{sum(fr[:-1])} > 1: {fractions}")
+    cum = np.cumsum(fr[:-1])
     lab_arr = pa.array(labels, type=pa.string())
 
     def fn(t: pa.Table) -> pa.Table:
@@ -152,34 +152,39 @@ def weighted_mixture(sources: "list[tuple[Dataset, float]]", id_col: str,
     """
     if not sources:
         raise ValueError("weighted_mixture needs at least one source")
+    if any(w < 0 for _, w in sources):
+        raise ValueError(f"negative mixture weight in "
+                         f"{[w for _, w in sources]}")
+    if all(w == 0 for _, w in sources):
+        raise ValueError("all mixture weights are zero")
     parts: list[Dataset] = []
 
-    def _tag(d: Dataset, rep: int) -> Dataset:
-        def fn(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                rep_col, pa.array(np.full(len(t), rep, dtype=np.int64)))
-        return d.map_batches(fn, batch_format="pyarrow")
-
     for si, (src, w) in enumerate(sources):
-        if w < 0:
-            raise ValueError(f"negative mixture weight {w}")
         full = int(np.floor(w))
         frac = float(w) - full
-        for rep in range(full):
-            parts.append(_tag(src, rep))
-        if frac > 0:
-            token = f"{seed}_{si}_{full}"
+        if full == 0 and frac == 0:
+            continue
+        token = f"{seed}_{si}_{full}"
 
-            def keep(t: pa.Table, _tok=token, _fr=frac) -> pa.Table:
+        def replicate(t: pa.Table, _tok=token, _fr=frac,
+                      _full=full) -> pa.Table:
+            # ALL copies from this one batch — the source is read once,
+            # not once per rep (full corpus scans are the scale cost)
+            out = [t.append_column(rep_col, pa.array(
+                       np.full(len(t), rep, dtype=np.int64)))
+                   for rep in range(_full)]
+            if _fr > 0:
                 if hash_fn == "md5":
-                    hexs = _md5_hex8(t[id_col].to_pylist(), _tok)
-                    mask = hexs < fraction_hex(_fr)
+                    mask = _md5_hex8(t[id_col].to_pylist(), _tok) \
+                        < fraction_hex(_fr)
                 else:
                     mask = _hash_u01(t, id_col, _tok) < _fr
-                return t.filter(pa.array(mask))
+                kept = t.filter(pa.array(mask))
+                out.append(kept.append_column(rep_col, pa.array(
+                    np.full(len(kept), _full, dtype=np.int64))))
+            return pa.concat_tables(out)
 
-            parts.append(_tag(
-                src.map_batches(keep, batch_format="pyarrow"), full))
+        parts.append(src.map_batches(replicate, batch_format="pyarrow"))
     if len(parts) == 1:
         return parts[0]
     return parts[0].union(*parts[1:])

@@ -1820,19 +1820,28 @@ def q93_pack_sequences(sf: str):
                           capacity=512, n_buckets=16)
 
 
+def _salted_user_events(sf: str, cols: list[str],
+                        fanout: int = 64) -> Dataset:
+    """events salted on user_id for per-user window functions (q94–q96):
+    the shuffle key is a coarse salt so the wide step has ~fanout Ray
+    groups at any user count, and each group resolves its users with ONE
+    C-level pandas groupby inside (same pattern as
+    _salted_order_groups)."""
+    ds = T(sf, "events", cols)
+
+    def salt(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1), pa.int32())
+        return t.append_column("usalt", s)
+
+    return ds.map_batches(salt, batch_format="pyarrow")
+
+
 def q94_ntile(sf: str):
     """Window-function NTILE: quartile of each user's events in
     (ts, event_id) order. Same shape as q62/q63 — coarse-salt shuffle on
     the partition key, ONE C-level pandas groupby inside each salt group,
     SQL's uneven-tile rule (first n%k tiles get the extra row) done with
     vectorized integer math."""
-    fanout = 64
-    ds = T(sf, "events", ["event_id", "user_id", "ts"])
-
-    def salt(t: pa.Table) -> pa.Table:
-        s = pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1), pa.int32())
-        return t.append_column("usalt", s)
-
     def tiles(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         users = g["user_id"].to_numpy()
@@ -1855,7 +1864,7 @@ def q94_ntile(sf: str):
             "tile": tile.astype(np.int64),
         })
 
-    return (ds.map_batches(salt, batch_format="pyarrow")
+    return (_salted_user_events(sf, ["event_id", "user_id", "ts"])
             .groupby("usalt").map_groups(tiles, batch_format="pandas"))
 
 
@@ -1871,24 +1880,24 @@ def q95_lead_first(sf: str):
     stream in (ts, event_id) order — same coarse-salt shuffle shape as
     q62/q63/q94, C-level shift + transform inside each salt group. The
     doubles are moved, never recomputed, so the hash is bit-exact."""
-    fanout = 64
-    ds = T(sf, "events", ["event_id", "user_id", "ts", "value"])
-
-    def salt(t: pa.Table) -> pa.Table:
-        s = pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1), pa.int32())
-        return t.append_column("usalt", s)
-
     def win(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        grp = g.groupby(g["user_id"].to_numpy(), sort=False)["value"]
+        users = g["user_id"].to_numpy()
+        vals = g["value"].to_numpy()
+        # group-start broadcast, NOT transform('first'): pandas 'first'
+        # skips NaN, but SQL FIRST_VALUE returns the first ROW's value
+        # even when it is NULL
+        starts = np.r_[0, np.flatnonzero(users[1:] != users[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(users)])
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
-            "user_id": g["user_id"].to_numpy(),
-            "next_value": grp.shift(-1).to_numpy(),
-            "first_val": grp.transform("first").to_numpy(),
+            "user_id": users,
+            "next_value": g.groupby(users, sort=False)["value"]
+                .shift(-1).to_numpy(),
+            "first_val": np.repeat(vals[starts], counts),
         })
 
-    return (ds.map_batches(salt, batch_format="pyarrow")
+    return (_salted_user_events(sf, ["event_id", "user_id", "ts", "value"])
             .groupby("usalt").map_groups(win, batch_format="pandas"))
 
 
@@ -1907,13 +1916,6 @@ def q96_percent_rank(sf: str):
     maxrank/n formulas — both sides divide the SAME two integers in
     IEEE double, so the hash cannot drift. Single-row partitions get
     percent_rank 0 (the SQL definition)."""
-    fanout = 64
-    ds = T(sf, "events", ["event_id", "user_id", "value"])
-
-    def salt(t: pa.Table) -> pa.Table:
-        s = pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1), pa.int32())
-        return t.append_column("usalt", s)
-
     def win(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "value", "event_id"], kind="stable")
         users = g["user_id"].to_numpy()
@@ -1929,7 +1931,7 @@ def q96_percent_rank(sf: str):
             "cume": rmax / n,
         })
 
-    return (ds.map_batches(salt, batch_format="pyarrow")
+    return (_salted_user_events(sf, ["event_id", "user_id", "value"])
             .groupby("usalt").map_groups(win, batch_format="pandas"))
 
 
