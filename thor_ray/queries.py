@@ -1978,6 +1978,88 @@ FROM documents GROUP BY CUBE (lang, source)
 """
 
 
+def q98_zscore(sf: str):
+    """Per-group z-score feature normalization: ONE distributed grouped
+    aggregate (sum, sumsq, count partials — output-sized), the tiny
+    stats table broadcast into a map-only second pass. Same two-pass
+    broadcast-stats shape as q75; both sides round to 4 decimals so the
+    summation-order low bits cannot flip the hash."""
+    ds = T(sf, "events", ["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "v": v, "v2": v * v})
+        g = df.groupby("event_type", sort=False) \
+            .agg(s=("v", "sum"), n=("v", "count"), ss=("v2", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"),
+                        Sum("ss", alias_name="ss"))).to_pandas()
+    stats["mean"] = stats["s"] / stats["n"]
+    stats["std"] = np.sqrt((stats["ss"] - stats["s"] ** 2 / stats["n"])
+                           / (stats["n"] - 1))
+    lut = stats.set_index("event_type")[["mean", "std"]]
+    ref = ray.put(lut)
+
+    def z(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        et = t["event_type"].to_pandas()
+        mean = et.map(m["mean"]).to_numpy(dtype=np.float64)
+        std = et.map(m["std"]).to_numpy(dtype=np.float64)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "z": _rnd(pa.array((v - mean) / std, type=pa.float64()), 4),
+        })
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+SQL_Q98 = """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+FROM events
+"""
+
+
+def q99_sample_per_group(sf: str):
+    """Deterministic fixed-N-per-group sample (eval-set selection): order
+    each lang's docs by an md5 draw and keep the first 20 — exactly
+    row_number() OVER (ORDER BY md5(...)) <= 20, replayable in SQL. One
+    shuffle on the group key, vectorized head inside. Orders on the FULL
+    32-hex digest: an 8-hex prefix would tie-break differently from the
+    oracle when two digests share a prefix."""
+    import hashlib as _hl
+    ds = T(sf, "documents", ["doc_id", "lang"])
+
+    def draw(t: pa.Table) -> pa.Table:
+        h = [_hl.md5(f"{v}_13".encode()).hexdigest()
+             for v in t["doc_id"].to_pylist()]
+        return t.append_column("h", pa.array(h, type=pa.string()))
+
+    got = R.topk_per_group(ds.map_batches(draw, batch_format="pyarrow"),
+                           "lang", ["h", "doc_id"], [False, False], 20)
+    return got.drop_columns(["h"])
+
+
+SQL_Q99 = """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '_13'), doc_id
+             ) AS rn
+      FROM documents)
+WHERE rn <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2055,6 +2137,8 @@ QUERIES: dict[str, tuple] = {
     "q95_lead_first": (q95_lead_first, SQL_Q95),
     "q96_percent_rank": (q96_percent_rank, SQL_Q96),
     "q97_cube": (q97_cube, SQL_Q97),
+    "q98_zscore": (q98_zscore, SQL_Q98),
+    "q99_sample_per_group": (q99_sample_per_group, SQL_Q99),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
