@@ -288,6 +288,33 @@ def test_approx_quantiles_error_bound(ray_session):
         assert abs(v - exact) / abs(exact) < 0.01, (q, v, exact)
 
 
+def test_approx_quantiles_by_error_bound(ray_session):
+    import ray
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from thor_ray.ops.sketch import approx_quantiles_by
+
+    SF = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    got = approx_quantiles_by(ds, "lang", "n_chars", [0.5, 0.95]) \
+        .to_pandas().set_index("lang")
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["lang", "n_chars"]).to_pandas()
+    assert set(got.index) == set(df["lang"].unique())
+    for lang, g in df.groupby("lang"):
+        x = g["n_chars"].to_numpy(dtype=float)
+        for q, col in [(0.5, "p50"), (0.95, "p95")]:
+            est = got.loc[lang, col]
+            # RANK error is the sketch's contract (value error is
+            # convention-dominated at ~100 rows/group): the estimate must
+            # land between the exact q±5-rank-point order statistics
+            lo = np.quantile(x, max(q - 0.05, 0.0))
+            hi = np.quantile(x, min(q + 0.05, 1.0))
+            assert lo <= est <= hi, (lang, q, est, lo, hi)
+
+
 def test_multimodal_resize_and_audio(ray_session):
     import numpy as np
     import thor_ray.ops.multimodal as MM

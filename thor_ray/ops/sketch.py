@@ -143,13 +143,80 @@ def approx_quantiles(ds: Dataset, col: str, qs: list[float],
             weights.append(np.full(len(v), n / len(v)))
     if not cents:
         return {q: float("nan") for q in qs}
-    v = np.concatenate(cents)
-    w = np.concatenate(weights)
+    est = _merge_centroids(np.concatenate(cents), np.concatenate(weights), qs)
+    return dict(zip(qs, est))
+
+
+def _merge_centroids(v: np.ndarray, w: np.ndarray,
+                     qs: list[float]) -> list[float]:
+    """Weighted mid-point quantile over merged centroid samples (the
+    associative reduce shared by the global and grouped sketches)."""
     order = np.argsort(v, kind="stable")
     v, w = v[order], w[order]
     cum = np.cumsum(w) - w / 2.0
     cum /= cum[-1] + w[-1] / 2.0
-    return {q: float(np.interp(q, cum, v)) for q in qs}
+    return [float(np.interp(q, cum, v)) for q in qs]
+
+
+def approx_quantiles_by(ds: Dataset, key: str, col: str, qs: list[float],
+                        n_centroids: int = 64, fanout: int = 64) -> Dataset:
+    """Grouped mergeable quantile sketch — the per-key companion of
+    approx_quantiles (as approx_distinct_by is to approx_distinct).
+
+    Scale shape: each batch emits one `n_centroids`-double centroid row
+    PER KEY IT CONTAINS (one sort + segmented interp; the Python loop is
+    over keys-in-batch, sketch-space, never rows). The shuffle groups on
+    a coarse salt of the key so task count stays ∝ fanout at any key
+    count; exact keys merge inside with the weighted-quantile reduce.
+    The exchange carries n_centroids×8 B per (batch, key) — kilobytes —
+    regardless of input size. Output: one row per key with one float64
+    column per requested quantile, named `p{100q:g}` (e.g. p50, p99).
+    Accuracy bounded by within-batch interpolation (~1/n_centroids of a
+    batch's per-key mass); unit test pins the error vs exact."""
+    import pyarrow.compute as pc
+
+    nc = n_centroids
+    out_cols = [f"p{100 * q:g}" for q in qs]
+
+    def sketch(t: pa.Table) -> pa.Table:
+        df = pa.table({key: t[key],
+                       col: pc.cast(t[col], pa.float64())}).to_pandas()
+        df = df.dropna(subset=[col]).sort_values([key, col], kind="stable")
+        ks = df[key].to_numpy()
+        xs = df[col].to_numpy()
+        if not len(ks):
+            return pa.table({key: pa.array([], type=t.schema.field(key).type),
+                             "ksalt": pa.array([], type=pa.int32()),
+                             "vals": pa.array([], type=pa.binary()),
+                             "n": pa.array([], type=pa.int64())})
+        starts = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(ks)])
+        blobs = []
+        for s, c in zip(starts, counts):
+            x = xs[s:s + c]
+            pos = np.linspace(0, c - 1, nc)
+            blobs.append(np.interp(pos, np.arange(c), x).tobytes())
+        ku = pa.array(ks[starts])
+        kh = stable_hash(pa.table({key: pc.cast(ku, pa.string())}), [key])
+        return pa.table({
+            key: ku,
+            "ksalt": pa.array((kh % np.uint64(fanout)).astype(np.int32)),
+            "vals": pa.array(blobs, type=pa.binary()),
+            "n": pa.array(counts, type=pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, gg in g.groupby(key, sort=False, dropna=False):
+            v = np.frombuffer(b"".join(gg["vals"]), dtype=np.float64)
+            n = gg["n"].to_numpy(dtype=np.float64)
+            w = np.repeat(n / nc, nc)
+            est = _merge_centroids(v, w, qs)
+            rows.append({key: k, **dict(zip(out_cols, est))})
+        return pd.DataFrame(rows)
+
+    return (ds.map_batches(sketch, batch_format="pyarrow")
+            .groupby("ksalt").map_groups(merge, batch_format="pandas"))
 
 
 # --- Bloom filter (join prefilter) ----------------------------------------

@@ -1548,6 +1548,15 @@ def q66_approx_distinct_by(sf: str):
                               "event_type", ["user_id"])
 
 
+def q101_quantiles_by_lang(sf: str):
+    """G4 grouped quantile sketch: per-language p50/p95 document length
+    (rows-only — estimates have no exact SQL twin; per-key accuracy is
+    pinned in test_ops against exact quantiles)."""
+    from thor_ray.ops.sketch import approx_quantiles_by
+    return approx_quantiles_by(T(sf, "documents", ["lang", "n_chars"]),
+                               "lang", "n_chars", [0.5, 0.95])
+
+
 def q67_snapshot_diff(sf: str):
     """Changefeed between the last two retained lake snapshots (rows-only;
     the diff-vs-oracle equivalence is pinned in test_timetravel)."""
@@ -2060,6 +2069,45 @@ WHERE rn <= 20
 """
 
 
+def q100_dense_rank(sf: str):
+    """DENSE_RANK (ties collapse to one rank step) and full-frame
+    NTH_VALUE(value, 2) over each user's events — same coarse-salt
+    shuffle shape as q94–q96, C-level rank/repeat inside each salt
+    group. The second value is taken under (value, event_id) order so
+    it is unique even with duplicate values; it is broadcast to every
+    row of the user (ROWS UNBOUNDED frame), NULL for single-row users."""
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy()
+        vals = g["value"].to_numpy()
+        grp = g.groupby(users, sort=False)
+        drank = grp["value"].rank(method="dense").to_numpy(dtype=np.int64)
+        starts = np.r_[0, np.flatnonzero(users[1:] != users[:-1]) + 1]
+        counts = np.diff(np.r_[starts, len(users)])
+        second = np.where(
+            counts > 1, vals[np.minimum(starts + 1, len(vals) - 1)], np.nan)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": users,
+            "drank": drank,
+            "second_val": np.repeat(second, counts),
+        })
+
+    return (_salted_user_events(sf, ["event_id", "user_id", "value"])
+            .groupby("usalt").map_groups(win, batch_format="pandas"))
+
+
+SQL_Q100 = """
+SELECT event_id, user_id,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS drank,
+       nth_value(value, 2) OVER (
+           PARTITION BY user_id ORDER BY value, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_val
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2139,6 +2187,7 @@ QUERIES: dict[str, tuple] = {
     "q97_cube": (q97_cube, SQL_Q97),
     "q98_zscore": (q98_zscore, SQL_Q98),
     "q99_sample_per_group": (q99_sample_per_group, SQL_Q99),
+    "q100_dense_rank": (q100_dense_rank, SQL_Q100),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
@@ -2165,6 +2214,7 @@ QUERIES: dict[str, tuple] = {
     "q80_dup_clusters_distributed": (q80_dup_clusters_distributed, None),
     "q81_training_corpus": (q81_training_corpus, None),
     "q93_pack_sequences": (q93_pack_sequences, None),
+    "q101_quantiles_by_lang": (q101_quantiles_by_lang, None),
 }
 
 
