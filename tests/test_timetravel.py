@@ -198,6 +198,42 @@ def test_lake_lookup_partition_pruned(ray_session, fixture, tmp_path):
     assert len(touched_parts) <= len(keys) < len(ms)
 
 
+def test_enrich_with_lake_matches_broadcast(ray_session, fixture, tmp_path):
+    """Actor-pool stream-table enrichment == a plain left merge against
+    the FULL lake state: same rows, lake_ cols attached, absent keys
+    NULL, stream row count preserved (dup keys in the stream stay dups)."""
+    import ray
+    from thor_ray.sources.lake import enrich_with_lake, read_lake
+
+    lake = str(tmp_path / "lake")
+    run_pipe(fixture, lake)
+
+    ev = fixture["events"].select(["lsn", "repo", "path"]).slice(0, 800)
+    absent = pa.table({"lsn": pa.array([10**9, 10**9 + 1], pa.int64()),
+                       "repo": pa.array(["no-such", "no-such2"]),
+                       "path": pa.array(["x.py", "y.py"])})
+    stream = pa.concat_tables([ev, absent])
+
+    ds = ray.data.from_arrow(stream)
+    got = enrich_with_lake(ds, lake, ["lang", "content"],
+                           concurrency=2, batch_size=256).to_pandas()
+
+    full = read_lake(lake).to_pandas()[["repo", "path", "lang", "content"]]
+    want = stream.to_pandas().merge(
+        full.rename(columns={"lang": "lake_lang",
+                             "content": "lake_content"}),
+        on=["repo", "path"], how="left")
+
+    assert len(got) == len(stream)
+    key = ["lsn", "repo", "path"]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # absent keys survive with NULL enrichment
+    miss = got[got["repo"] == "no-such"]
+    assert len(miss) == 1 and miss["lake_lang"].isna().all()
+
+
 def test_maintained_counts_match_recount(ray_session, fixture, tmp_path):
     """Materialized-view maintenance: per-repo counts folded from the
     changefeed alone equal a fresh recount of every snapshot."""

@@ -205,6 +205,111 @@ def read_lineage(lake_dir: str, kind: str | None = None) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _routing_guard(lake_dir: str, P: int, who: str) -> None:
+    """The SAME guard the pipeline applies on resume: a lake routed under
+    a different hash impl (e.g. polars there, FNV fallback here) or
+    partition count would silently send lookups to the wrong partition
+    and report present keys as absent."""
+    meta_path = os.path.join(lake_dir, "_schema", "engine.json")
+    if os.path.exists(meta_path):
+        from thor_ray.pipelines.cdc import _hash_impl
+
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("hash_impl") != _hash_impl() \
+                or meta.get("num_partitions") != P:
+            raise RuntimeError(
+                f"{who} routing mismatch: lake wrote {meta}, this "
+                f"process has hash_impl={_hash_impl()!r}, partitions={P} — "
+                "lookups would silently miss; read via read_lake instead")
+
+
+class LakeEnricher:
+    """Stream-table lookup join (actor-pool stage): attach the lake's
+    CURRENT row for each (repo, path) key to a keyed stream batch — the
+    enrichment pattern a CDC consumer uses to decorate a change stream
+    with base-table attributes without shuffling the (big) lake.
+
+    Scale shape: manifests + the routing guard load ONCE per actor in
+    __init__; per batch, keys group by owning partition (same stable_hash
+    % P as the ingest router) and merge against an LRU-cached partition
+    state, so a key-local stream reads each partition's file run once per
+    actor, not once per batch. The lake side never moves: only the
+    stream flows, and only `cols` columns are attached (`lake_`-prefixed,
+    NULL for absent keys). A partition's merged state must fit in actor
+    memory — the apply task's own assumption.
+
+    Use via enrich_with_lake(); pass cache_partitions ≈ P/concurrency
+    so the pool collectively holds the lake's hot set.
+    """
+
+    def __init__(self, lake_dir: str, cols: list[str],
+                 cache_partitions: int = 8):
+        from collections import OrderedDict
+
+        from thor_ray.state import load_manifests
+
+        self.ms = load_manifests(lake_dir)
+        if not self.ms:
+            raise RuntimeError(f"no committed lake at {lake_dir}")
+        self.P = len(self.ms)
+        _routing_guard(lake_dir, self.P, "enrich_with_lake")
+        self.cols = list(cols)
+        self.cache_partitions = cache_partitions
+        self._cache: "OrderedDict[int, pd.DataFrame]" = OrderedDict()
+
+    def _state(self, pid: int) -> pd.DataFrame:
+        st = self._cache.get(pid)
+        if st is not None:
+            self._cache.move_to_end(pid)
+            return st
+        st = read_partition_state(self.ms[pid].files)
+        if st.empty:
+            st = pd.DataFrame(columns=["repo", "path", *self.cols])
+        for c in self.cols:        # schema evolution: column not yet added
+            if c not in st.columns:
+                st[c] = None
+        st = st[["repo", "path", *self.cols]]
+        self._cache[pid] = st
+        while len(self._cache) > self.cache_partitions:
+            self._cache.popitem(last=False)
+        return st
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from thor_ray.stages.smt import stable_hash
+
+        df = t.to_pandas()
+        if not len(df):
+            for c in self.cols:
+                df[f"lake_{c}"] = pd.Series([], dtype=object)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        pids = stable_hash(t, ["repo", "path"]) % self.P
+        df["_ord"] = np.arange(len(df))
+        outs = []
+        for pid, grp in df.groupby(pids, sort=False):
+            st = self._state(int(pid))
+            hit = grp.merge(
+                st.rename(columns={c: f"lake_{c}" for c in self.cols}),
+                on=["repo", "path"], how="left")
+            outs.append(hit)
+        out = pd.concat(outs, ignore_index=True) \
+            .sort_values("_ord", kind="stable") \
+            .drop(columns=["_ord"]).reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def enrich_with_lake(ds: "ray.data.Dataset", lake_dir: str,
+                     cols: list[str], concurrency: int = 4,
+                     batch_size: int = 4096,
+                     cache_partitions: int = 8) -> "ray.data.Dataset":
+    """Enrich a (repo, path)-keyed stream with lake columns — see
+    LakeEnricher. Stateful stage → actor pool (setup once per actor)."""
+    return ds.map_batches(
+        LakeEnricher, batch_format="pyarrow",
+        fn_constructor_args=(lake_dir, cols, cache_partitions),
+        concurrency=concurrency, batch_size=batch_size)
+
+
 def lake_lookup(lake_dir: str, keys: "list[tuple[str, str]]") -> pd.DataFrame:
     """Partition-pruned point reads — the serving path. Each (repo, path)
     key hashes to its owning partition with the SAME stable hash the
@@ -220,22 +325,7 @@ def lake_lookup(lake_dir: str, keys: "list[tuple[str, str]]") -> pd.DataFrame:
     if not ms:
         return pd.DataFrame()
     P = len(ms)
-    # the SAME guard the pipeline applies on resume: a lake routed under a
-    # different hash impl (e.g. polars there, FNV fallback here) or
-    # partition count would silently send lookups to the wrong partition
-    # and report present keys as absent
-    meta_path = os.path.join(lake_dir, "_schema", "engine.json")
-    if os.path.exists(meta_path):
-        from thor_ray.pipelines.cdc import _hash_impl
-
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if meta.get("hash_impl") != _hash_impl() \
-                or meta.get("num_partitions") != P:
-            raise RuntimeError(
-                f"lake_lookup routing mismatch: lake wrote {meta}, this "
-                f"process has hash_impl={_hash_impl()!r}, partitions={P} — "
-                "lookups would silently miss; read via read_lake instead")
+    _routing_guard(lake_dir, P, "lake_lookup")
     kt = pa.table({"repo": pa.array([r for r, _ in keys], pa.string()),
                    "path": pa.array([p for _, p in keys], pa.string())})
     pids = stable_hash(kt, ["repo", "path"]) % P
