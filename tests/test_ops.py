@@ -288,6 +288,29 @@ def test_approx_quantiles_error_bound(ray_session):
         assert abs(v - exact) / abs(exact) < 0.01, (q, v, exact)
 
 
+def test_best_survivor_dedup_fanout_invariant(ray_session):
+    """Argmax survivor dedup is EXACT at any salt fanout and matches the
+    driver-side argmax oracle (longest wins, doc_id breaks ties)."""
+    import ray
+    import pandas as pd
+    from thor_ray.ops.dedup import best_survivor_dedup
+
+    df = pd.DataFrame({
+        "id": range(12),
+        "k": ["a", "a", "b", "b", "b", "c", "d", "d", "a", "c", "e", "e"],
+        "score": [5, 9, 3, 3, 1, 7, 2, 2, 9, 7, 0, 4],
+    })
+    want = df.sort_values(["score", "id"], ascending=[False, True],
+                          kind="stable").drop_duplicates("k") \
+        .sort_values("k").reset_index(drop=True)
+    for fanout in (1, 2, 64):
+        got = best_survivor_dedup(ray.data.from_pandas(df), "k",
+                                  ["score"], [True], fanout=fanout) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["id", "k", "score"]],
+                                      want[["id", "k", "score"]])
+
+
 def test_approx_quantiles_by_error_bound(ray_session):
     import ray
     import numpy as np

@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
+from thor_ray.stages.smt import stable_hash
+
 MERSENNE = np.uint64((1 << 61) - 1)
 MAX_BUCKET = 1000  # cap pairs per LSH bucket; a bigger bucket is pathological
 
@@ -41,6 +43,43 @@ def exact_dedup(ds: Dataset, key_col: str, id_col: str) -> Dataset:
     (md5_fingerprint) so the shuffle moves 16 bytes per row, not the text."""
     return ds.groupby(key_col).aggregate(Min(id_col, alias_name=id_col)) \
              .select_columns([id_col, key_col])
+
+
+def best_survivor_dedup(ds: Dataset, key_col: str, order_cols: list[str],
+                        descending: list[bool],
+                        fanout: int | None = None) -> Dataset:
+    """One row per distinct key, keeping the FIRST row under
+    (order_cols, descending) order — argmax survivor selection (e.g. keep
+    the longest / highest-quality duplicate, the usual corpus-dedup rule,
+    vs exact_dedup's keep-smallest-id).
+
+    Scale shape: ONE shuffle on a coarse salt of the key (task count ∝
+    fanout ∝ cluster CPUs, never the key count — grouping on the raw key
+    would make a Python map_groups call per key); inside each salt group
+    a single C-level sort + drop_duplicates resolves every key at once.
+    Exact at any fanout: a key's rows always share a salt group. Ties
+    beyond order_cols break deterministically — rows are pre-ordered by
+    ALL remaining columns ascending before the keep-first."""
+    if fanout is None:
+        fanout = _lsh_fanout()
+
+    def salt(t: pa.Table) -> pa.Table:
+        h = stable_hash(t, [key_col])
+        return t.append_column(
+            "_dsalt", pa.array((h % np.uint64(fanout)).astype(np.int32)))
+
+    asc = [not d for d in descending]
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_dsalt"])
+        rest = [c for c in g.columns
+                if c != key_col and c not in order_cols]
+        g = g.sort_values(order_cols + rest,
+                          ascending=asc + [True] * len(rest), kind="stable")
+        return g.drop_duplicates([key_col], keep="first")
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+            .groupby("_dsalt").map_groups(pick, batch_format="pandas"))
 
 
 def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:

@@ -2069,6 +2069,76 @@ WHERE rn <= 20
 """
 
 
+def q102_prefix_dedup(sf: str):
+    """Boilerplate-prefix dedup with argmax survivor selection: one row
+    per 12-char text prefix, keeping the LONGEST duplicate (tie → smaller
+    doc_id) — the corpus-dedup rule where the best copy survives, not the
+    first seen. ONE salted shuffle (best_survivor_dedup); the text itself
+    never enters the exchange, only (doc_id, fp, n_chars)."""
+    ds = T(sf, "documents", ["doc_id", "text", "n_chars"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fp": pc.utf8_slice_codeunits(t["text"], 0, 12),
+            "n_chars": t["n_chars"],
+        })
+
+    return DD.best_survivor_dedup(ds.map_batches(fp, batch_format="pyarrow"),
+                                  "fp", ["n_chars"], [True])
+
+
+SQL_Q102 = """
+SELECT doc_id, fp, n_chars
+FROM (SELECT doc_id, substr(text, 1, 12) AS fp, n_chars,
+             row_number() OVER (
+                 PARTITION BY substr(text, 1, 12)
+                 ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents)
+WHERE rn = 1
+"""
+
+
+def q103_median_filter(sf: str):
+    """Per-group-threshold quality filter: keep documents longer than
+    their language's median length — the per-group generalization of
+    q75's broadcast-scalar HAVING. Pass 1 computes the tiny per-lang
+    median table (exact quantile_cont, q73's bitwise DuckDB formula);
+    pass 2 is a map-only filter against the broadcast thresholds — the
+    corpus never shuffles."""
+    ds = T(sf, "documents", ["doc_id", "lang", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["n_chars"].to_numpy(dtype=np.float64))
+        pos = (len(x) - 1) * 0.5
+        f = int(np.floor(pos))
+        c = min(f + 1, len(x) - 1)
+        frac = pos - f
+        return pd.DataFrame([{"lang": g["lang"].iloc[0],
+                              "med": x[f] * (1 - frac) + x[c] * frac}])
+
+    meds = (ds.groupby("lang").map_groups(med, batch_format="pandas")
+            .to_pandas())
+    lut = dict(zip(meds["lang"], meds["med"]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        thr = np.array([lut[v] for v in t["lang"].to_pylist()])
+        mask = t["n_chars"].to_numpy(zero_copy_only=False) > thr
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_Q103 = """
+SELECT doc_id, lang, n_chars
+FROM (SELECT doc_id, lang, n_chars,
+             median(n_chars) OVER (PARTITION BY lang) AS med
+      FROM documents)
+WHERE n_chars > med
+"""
+
+
 def q100_dense_rank(sf: str):
     """DENSE_RANK (ties collapse to one rank step) and full-frame
     NTH_VALUE(value, 2) over each user's events — same coarse-salt
@@ -2188,6 +2258,8 @@ QUERIES: dict[str, tuple] = {
     "q98_zscore": (q98_zscore, SQL_Q98),
     "q99_sample_per_group": (q99_sample_per_group, SQL_Q99),
     "q100_dense_rank": (q100_dense_rank, SQL_Q100),
+    "q102_prefix_dedup": (q102_prefix_dedup, SQL_Q102),
+    "q103_median_filter": (q103_median_filter, SQL_Q103),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
