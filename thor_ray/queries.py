@@ -2123,7 +2123,7 @@ def q103_median_filter(sf: str):
     lut = dict(zip(meds["lang"], meds["med"]))
 
     def keep(t: pa.Table) -> pa.Table:
-        thr = np.array([lut[v] for v in t["lang"].to_pylist()])
+        thr = t["lang"].to_pandas().map(lut).to_numpy(dtype=np.float64)
         mask = t["n_chars"].to_numpy(zero_copy_only=False) > thr
         return t.filter(pa.array(mask))
 

@@ -278,6 +278,12 @@ class LakeEnricher:
     def __call__(self, t: pa.Table) -> pa.Table:
         from thor_ray.stages.smt import stable_hash
 
+        clash = {f"lake_{c}" for c in self.cols} | {"_ord"}
+        clash &= set(t.column_names)
+        if clash:
+            raise ValueError(
+                f"enrich_with_lake output columns {sorted(clash)} already "
+                "exist in the stream — rename them first")
         df = t.to_pandas()
         if not len(df):
             for c in self.cols:
