@@ -68,6 +68,53 @@ def brute_topk(ds: Dataset, query: np.ndarray, k: int, vec_col: str = "embedding
             .sort(["cos", id_col], descending=[True, False]).limit(k))
 
 
+def brute_topk_multi(ds: Dataset, queries: np.ndarray, query_ids: list,
+                     k: int, vec_col: str = "embedding",
+                     id_col: str = "vec_id", round_to: int = 4) -> Dataset:
+    """Exact cosine top-k for a BATCH of query vectors at once — the real
+    similarity-search workload shape (candidate retrieval fans out many
+    probes; issuing them one brute_topk at a time re-reads the table m
+    times).
+
+    The (m, d) query matrix is broadcast ONCE via ray.put; each batch does
+    a single (b, d) @ (d, m) matmul and keeps its local top-k PER QUERY
+    via one argpartition over the score matrix, so the reduce sees
+    m × k × num_blocks rows. Final per-query resolution groups on
+    query_id — m groups, answer-sized, never data-sized. Output:
+    (query_id, id_col, cos), exactly k rows per query."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids)
+    if len(qids) != len(Q):
+        raise ValueError("query_ids must match queries' row count")
+    qref = ray.put(Q)
+
+    def score(t: pa.Table) -> pa.Table:
+        Qm = ray.get(qref)
+        m = len(Qm)
+        vecs = vec_matrix(t[vec_col])
+        cos = np.round(_normalize(vecs) @ Qm.T, round_to)     # (b, m)
+        ids = t[id_col].to_numpy()
+        kk = min(k, len(ids))
+        # per-query local top-k in one shot: column-wise lexsort on
+        # (rounded cos desc, id asc) — the oracle's exact order
+        order = np.lexsort((np.broadcast_to(ids[:, None], cos.shape),
+                            -cos), axis=0)[:kk]               # (kk, m)
+        qid_out = np.repeat(qids, kk)
+        row = order.T.ravel()                                 # query-major
+        return pa.table({
+            "query_id": pa.array(qid_out),
+            id_col: t[id_col].take(pa.array(row)),
+            "cos": pa.array(cos[row, np.repeat(np.arange(m), kk)]),
+        })
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos", id_col], ascending=[False, True],
+                             kind="stable").head(k)
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+            .groupby("query_id").map_groups(head, batch_format="pandas"))
+
+
 def ivf_build(ds: Dataset, index_dir: str, n_cells: int = 16,
               vec_col: str = "embedding", id_col: str = "vec_id",
               sample_limit: int = 10_000, seed: int = 42) -> dict:

@@ -2139,6 +2139,38 @@ WHERE n_chars > med
 """
 
 
+def q104_ann_multi(sf: str):
+    """Batched similarity search: exact cosine top-5 for THREE query
+    vectors in one pass — one (b, d) @ (d, 3) matmul per batch against
+    the broadcast query matrix instead of three separate table scans
+    (ops/ann.py::brute_topk_multi)."""
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_numpy())
+    sel = np.flatnonzero(np.isin(ids, [0, 1, 2]))
+    from thor_ray.ops.ann import vec_matrix
+    Q = vec_matrix(t["embedding"].combine_chunks().take(pa.array(sel)))
+    return ANN.brute_topk_multi(T(sf, "embeddings", ["vec_id", "embedding"]),
+                                Q, list(ids[sel]), k=5)
+
+
+SQL_Q104 = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2))
+SELECT query_id, vec_id, cos
+FROM (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cos,
+             row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qe), 4) DESC, e.vec_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN q)
+WHERE rn <= 5
+"""
+
+
 def q100_dense_rank(sf: str):
     """DENSE_RANK (ties collapse to one rank step) and full-frame
     NTH_VALUE(value, 2) over each user's events — same coarse-salt
@@ -2260,6 +2292,7 @@ QUERIES: dict[str, tuple] = {
     "q100_dense_rank": (q100_dense_rank, SQL_Q100),
     "q102_prefix_dedup": (q102_prefix_dedup, SQL_Q102),
     "q103_median_filter": (q103_median_filter, SQL_Q103),
+    "q104_ann_multi": (q104_ann_multi, SQL_Q104),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
