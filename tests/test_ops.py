@@ -752,6 +752,90 @@ def test_chunk_text_property_vs_reference(ray_session):
     prop()
 
 
+def test_best_survivor_dedup_property_vs_reference(ray_session):
+    """Property (hypothesis): for arbitrary (key, score, id) rows and any
+    fanout, best_survivor_dedup == the pandas argmax-with-tiebreak
+    reference (score desc, then remaining columns asc)."""
+    from hypothesis import given, settings, strategies as st
+
+    from thor_ray.ops.dedup import best_survivor_dedup
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 6), st.integers(-5, 5)),
+                    min_size=1, max_size=40),
+           st.sampled_from([1, 3, 32]))
+    def prop(rows, fanout):
+        df = pd.DataFrame({"id": range(len(rows)),
+                           "k": [f"k{a}" for a, _ in rows],
+                           "score": [b for _, b in rows]})
+        want = df.sort_values(["score", "id"], ascending=[False, True],
+                              kind="stable").drop_duplicates("k") \
+            .sort_values("k").reset_index(drop=True)
+        got = best_survivor_dedup(ds_of(df.to_dict("list")), "k",
+                                  ["score"], [True], fanout=fanout) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["id", "k", "score"]].astype({"id": "int64"}),
+            want[["id", "k", "score"]].astype({"id": "int64"}))
+
+    prop()
+
+
+def test_approx_quantiles_by_split_invariant(ray_session):
+    """The grouped quantile sketch's merge is associative: one block vs
+    many blocks of the same rows give estimates within the sketch's own
+    interpolation tolerance (and exactly equal per-key row counts are
+    honored — every key appears exactly once)."""
+    import ray
+    from thor_ray.ops.sketch import approx_quantiles_by
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({"k": rng.integers(0, 5, n).astype(str),
+                       "x": rng.normal(100.0, 15.0, n)})
+
+    def run(nblocks):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = approx_quantiles_by(ds, "k", "x", [0.5, 0.9]) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        return out
+
+    one, many = run(1), run(8)
+    assert list(one["k"]) == list(many["k"]) == sorted(df["k"].unique())
+    for col in ("p50", "p90"):
+        # both estimates must sit within 2 rank points of each other's
+        # position in the true per-key distribution
+        for k in one["k"]:
+            x = df.loc[df["k"] == k, "x"].to_numpy()
+            r1 = np.mean(x <= float(one.loc[one["k"] == k, col].iloc[0]))
+            r2 = np.mean(x <= float(many.loc[many["k"] == k, col].iloc[0]))
+            assert abs(r1 - r2) <= 0.02, (k, col, r1, r2)
+
+
+def test_brute_topk_multi_matches_single(ray_session):
+    """Multi-query ANN == m independent brute_topk runs, per query."""
+    import ray
+    from thor_ray.ops.ann import brute_topk, brute_topk_multi
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(200, 16))
+    ds_tbl = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                       "embedding": pa.array(list(vecs),
+                                             pa.list_(pa.float32()))})
+    Q = vecs[[5, 17]]
+    ds = ray.data.from_arrow(ds_tbl).repartition(4)
+    multi = brute_topk_multi(ds, Q, [5, 17], k=7).to_pandas()
+    assert len(multi) == 14
+    for qid, qv in [(5, Q[0]), (17, Q[1])]:
+        single = brute_topk(ray.data.from_arrow(ds_tbl).repartition(4),
+                            qv, k=7).to_pandas()
+        part = multi[multi["query_id"] == qid] \
+            .sort_values(["cos", "vec_id"], ascending=[False, True]) \
+            .reset_index(drop=True)[["vec_id", "cos"]]
+        pd.testing.assert_frame_equal(
+            part, single[["vec_id", "cos"]], check_dtype=False)
+
+
 def test_training_corpus_pipeline(ray_session):
     """End-to-end corpus build: planted exact + near duplicates are
     removed, junk is quality-filtered, chunks respect size/stride, and
