@@ -836,6 +836,25 @@ def test_brute_topk_multi_matches_single(ray_session):
             part, single[["vec_id", "cos"]], check_dtype=False)
 
 
+def test_repetition_signals(ray_session):
+    """Hand-computed Gopher repetition fractions, incl. <n-token and
+    empty-text edge rows (n_grams=0, fractions 0.0)."""
+    from thor_ray.ops.text import repetition_signals
+
+    ds = ds_of({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b a",      # grams: ab,ba,ab,ba -> top 2/4, dup 4/4
+                 "x y z",          # grams: xy,yz -> top 1/2, dup 0
+                 "solo",           # 1 token -> 0 grams
+                 ""],              # empty -> 0 grams
+    })
+    out = repetition_signals(ds, "text", "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_grams"]) == [4, 2, 0, 0]
+    assert list(out["top_gram_frac"]) == [0.5, 0.5, 0.0, 0.0]
+    assert list(out["dup_gram_frac"]) == [1.0, 0.0, 0.0, 0.0]
+
+
 def test_training_corpus_pipeline(ray_session):
     """End-to-end corpus build: planted exact + near duplicates are
     removed, junk is quality-filtered, chunks respect size/stride, and

@@ -420,6 +420,43 @@ def tfidf_top_terms(ds: Dataset, text_col: str = "text",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def repetition_signals(ds: Dataset, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 2) -> Dataset:
+    """Gopher-style word-n-gram repetition quality signals per document:
+    ``top_gram_frac`` = occurrences of the single most frequent n-gram /
+    total n-grams, ``dup_gram_frac`` = occurrences of n-grams appearing
+    more than once / total n-grams. High values flag boilerplate / spam /
+    generated loops — the standard pretraining repetition filter (Gopher
+    §A.1.1 heuristics, re-expressed over space-split word n-grams because
+    the fixture corpus is single-line).
+
+    Map-only, no shuffle: grams come from the vectorized shifted-slice
+    join (`_word_ngrams`), per-(doc, gram) counts from one C-level pandas
+    groupby over the batch's exploded pairs; docs with < n tokens emit
+    n_grams=0 and 0.0 fractions (matching the SQL LEFT JOIN + coalesce).
+    Raw double fractions — callers round."""
+    def fn(t: pa.Table) -> pa.Table:
+        g, parent = _word_ngrams(t, text_col, n)
+        total = np.bincount(parent, minlength=len(t)).astype(np.int64)
+        top = np.zeros(len(t), dtype=np.int64)
+        dup = np.zeros(len(t), dtype=np.int64)
+        if len(g):
+            cnt = pd.DataFrame({"p": parent, "g": g.to_pandas()}) \
+                .groupby(["p", "g"], sort=False).size().reset_index(name="c")
+            tops = cnt.groupby("p", sort=False)["c"].max()
+            top[tops.index.to_numpy()] = tops.to_numpy()
+            d = cnt[cnt["c"] > 1].groupby("p", sort=False)["c"].sum()
+            dup[d.index.to_numpy()] = d.to_numpy()
+        safe = np.maximum(total, 1).astype(np.float64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams": pa.array(total, type=pa.int64()),
+            "top_gram_frac": pa.array(top / safe, type=pa.float64()),
+            "dup_gram_frac": pa.array(dup / safe, type=pa.float64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def chunk_text(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
                size: int = 200, stride: int = 150,
                out: str = "chunk") -> Dataset:

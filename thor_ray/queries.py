@@ -1501,6 +1501,37 @@ FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 """
 
 
+def q105_repetition(sf: str):
+    """Gopher-style word-2-gram repetition signals (top-gram fraction,
+    duplicated-gram fraction) — the standard pretraining repetition
+    filter (ops/text.py repetition_signals)."""
+    out = TX.repetition_signals(T(sf, "documents", ["doc_id", "text"]))
+    return _round_cols(out, {"top_gram_frac": 4, "dup_gram_frac": 4})
+
+
+SQL_Q105 = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS gram
+  FROM tok QUALIFY gram IS NOT NULL),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+per AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_c,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+        FROM cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       round(coalesce(CAST(p.top_c AS DOUBLE) / p.n_grams, 0.0), 4)
+         AS top_gram_frac,
+       round(coalesce(CAST(p.dup_c AS DOUBLE) / p.n_grams, 0.0), 4)
+         AS dup_gram_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not SQL-expressible; driver records a weaker check)
 # ---------------------------------------------------------------------------
@@ -2293,6 +2324,7 @@ QUERIES: dict[str, tuple] = {
     "q102_prefix_dedup": (q102_prefix_dedup, SQL_Q102),
     "q103_median_filter": (q103_median_filter, SQL_Q103),
     "q104_ann_multi": (q104_ann_multi, SQL_Q104),
+    "q105_repetition": (q105_repetition, SQL_Q105),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
