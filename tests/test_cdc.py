@@ -255,3 +255,38 @@ def test_standalone_compaction(ray_session, fixture, tmp_path):
     pipe2 = CdcPipeline(cfg)
     pipe2.run()
     assert_matches_oracle(pipe2, fixture)
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "delta"])
+def test_drop_column_ddl_replay(ray_session, tmp_path, write_mode):
+    """Mid-stream drop_column DDL: the engine reproduces the oracle exactly
+    in both write modes — dropped values never resurface, final schema
+    excludes the dropped column, and an event written under the pre-drop
+    version whose winner lands after the drop discards the value."""
+    d = str(tmp_path)
+    base = gen.gen_base_table(n_repos=20, paths_per_repo=15, seed=11)
+    cfg = gen.BinlogConfig(n_events=9_000, n_shards=4, dup_rate=0.05,
+                           shuffle_window=128, ddl_every=1_500,
+                           ddl_drops=True, delete_rate=0.06,
+                           update_rate=0.55, seed=11)
+    log = gen.gen_binlog(base, cfg)
+    # the timeline must actually contain a drop for this test to mean anything
+    actions = [d_["action"] for _, d_ in
+               gen._ddl_timeline(cfg.n_events, cfg.ddl_every, drops=True)]
+    assert "drop_column" in actions, actions
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    expected, _ = oracle.apply_events(pa.concat_tables(log.shards),
+                                      initial=base)
+    import pyarrow.parquet as pq
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    lake = os.path.join(d, f"lake_{write_mode}")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake, binlog_dir=binlog_dir, num_partitions=8,
+        epoch_size=2_000, write_mode=write_mode))
+    pipe.run(base=base_path)
+    got = normalize(pipe.final_table().to_pandas())
+    exp = normalize(expected)
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

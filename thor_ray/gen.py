@@ -119,6 +119,7 @@ class BinlogConfig:
     dup_rate: float = 0.05
     shuffle_window: int = 512
     ddl_every: int = 25_000          # 0 disables DDL injection
+    ddl_drops: bool = False          # include drop_column in the DDL cycle
     delete_rate: float = 0.05
     update_rate: float = 0.60        # remainder after delete/ddl = inserts
     new_key_rate: float = 0.30       # fraction of I events that mint a new key
@@ -217,18 +218,26 @@ class Binlog:
         return paths
 
 
-def _ddl_timeline(n_events: int, ddl_every: int) -> list[tuple[int, dict]]:
+def _ddl_timeline(n_events: int, ddl_every: int,
+                  drops: bool = False) -> list[tuple[int, dict]]:
     """Positions (1-based lsn) and payloads of DDL events, deterministic.
 
-    Alternates add_column / rename_column (renames only once a column exists).
-    """
+    Alternates add_column / rename_column (renames only once a column
+    exists); with ``drops`` the cycle is add / rename / drop (drops only
+    while ≥2 columns exist, so a rename victim always remains). Column
+    names are never reused — a dropped name stays dead."""
     if not ddl_every:
         return []
     out: list[tuple[int, dict]] = []
     cols: list[str] = []
     k = 0
     for pos in range(ddl_every, n_events + 1, ddl_every):
-        if cols and k % 2 == 1:
+        phase = k % 3 if drops else k % 2
+        if drops and phase == 2 and len(cols) >= 2:
+            victim = cols[k // 3 % len(cols)]
+            out.append((pos, {"action": "drop_column", "name": victim}))
+            cols.remove(victim)
+        elif cols and phase == 1:
             victim = cols[k // 2 % len(cols)]
             new = f"{victim}_r{k}"
             out.append((pos, {"action": "rename_column", "name": victim, "new_name": new}))
@@ -247,6 +256,8 @@ def columns_at_version(ddls: list[dict], version: int) -> list[str]:
     for d in ddls[:version]:
         if d["action"] == "add_column":
             cols.append(d["name"])
+        elif d["action"] == "drop_column":
+            cols.remove(d["name"])
         else:
             cols[cols.index(d["name"])] = d["new_name"]
     return cols
@@ -268,7 +279,7 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
     key_repo: list[str] = list(base_repo)
     key_path: list[str] = list(base_path)
 
-    ddl_at = dict(_ddl_timeline(n, cfg.ddl_every))
+    ddl_at = dict(_ddl_timeline(n, cfg.ddl_every, drops=cfg.ddl_drops))
     ddls = [ddl_at[p] for p in sorted(ddl_at)]
 
     # pre-draw randomness in bulk
@@ -309,6 +320,8 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
             ap["ts"](ts); ap["schema_ver"](ver); ap["shard"](0)
             if ddl["action"] == "add_column":
                 evolved.append(ddl["name"])
+            elif ddl["action"] == "drop_column":
+                evolved.remove(ddl["name"])
             else:
                 evolved[evolved.index(ddl["name"])] = ddl["new_name"]
             ver += 1

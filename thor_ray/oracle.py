@@ -8,8 +8,9 @@ Semantics (FIXTURES.md §2 oracle contract):
           replacement* of every evolved column existing at the event's
           schema version (missing later-added columns become null).
   D    -> delete the key if present (no-op otherwise).
-  DDL  -> bump registry: add_column (existing rows -> null) or
-          rename_column (values carry over under the new name).
+  DDL  -> bump registry: add_column (existing rows -> null),
+          rename_column (values carry over under the new name), or
+          drop_column (values discarded; a later same-named add starts null).
 
 The engine's distributed apply (thor_ray.pipelines.cdc) must reproduce this
 state exactly; tests compare per-row sha256(content) plus full equality on
@@ -62,6 +63,10 @@ def apply_events(
                 evolved.append(d["name"])
                 for r in state.values():
                     r[d["name"]] = None
+            elif d["action"] == "drop_column":
+                evolved.remove(d["name"])
+                for r in state.values():
+                    r.pop(d["name"], None)
             else:
                 evolved[evolved.index(d["name"])] = d["new_name"]
                 for r in state.values():

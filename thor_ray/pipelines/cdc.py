@@ -451,6 +451,8 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
                 a = d["ddl"]
                 if a["action"] == "add_column":
                     state[a["name"]] = None
+                elif a["action"] == "drop_column":
+                    state = state.drop(columns=[a["name"]], errors="ignore")
                 else:
                     state = state.rename(columns={a["name"]: a["new_name"]})
             merged = pd.concat(
@@ -532,7 +534,9 @@ def _materialize_evolved(winners: pd.DataFrame, registry: SchemaRegistry,
             m = registry.rename_into(ver)
             rename_cache[ver] = m
         vals = json.loads(extra)
-        row = {m.get(k, k): v for k, v in vals.items()}
+        # strict mapping: a key absent from m was DROPPED after this event's
+        # version — its value must not leak into a later same-named column
+        row = {m[k]: v for k, v in vals.items() if k in m}
         for c in evolved_final:
             out[c].append(row.get(c))
     return out

@@ -38,18 +38,26 @@ class SchemaRegistry:
         for d in self.ddls[:version]:
             if d["action"] == "add_column":
                 cols.append(d["name"])
+            elif d["action"] == "drop_column":
+                cols.remove(d["name"])
             else:
                 cols[cols.index(d["name"])] = d["new_name"]
         return cols
 
     def rename_into(self, from_version: int) -> dict[str, str]:
-        """Map evolved-column names valid at `from_version` to current names."""
+        """Map evolved-column names valid at `from_version` to current names.
+        Columns dropped after `from_version` vanish from the mapping — their
+        values must be discarded, never resurrected into a later same-named
+        column."""
         mapping = {c: c for c in self.columns_at(from_version)}
         for d in self.ddls[from_version:]:
             if d["action"] == "rename_column":
                 for k, cur in mapping.items():
                     if cur == d["name"]:
                         mapping[k] = d["new_name"]
+            elif d["action"] == "drop_column":
+                mapping = {k: cur for k, cur in mapping.items()
+                           if cur != d["name"]}
         return mapping
 
     # --- persistence -----------------------------------------------------
