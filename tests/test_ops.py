@@ -836,6 +836,32 @@ def test_brute_topk_multi_matches_single(ray_session):
             part, single[["vec_id", "cos"]], check_dtype=False)
 
 
+def test_time_range_agg(ray_session):
+    """Hand-computed trailing RANGE frame: equal-ts peers all share the
+    full peer frame (SQL RANGE CURRENT ROW = last peer); null values drop
+    from avg but count(*) keeps the row."""
+    from thor_ray.ops.window import time_range_agg
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "ts": [t0, t0 + pd.Timedelta(minutes=30),
+               t0 + pd.Timedelta(minutes=30),          # equal-ts peer
+               t0 + pd.Timedelta(minutes=90), t0],
+        "v": [10.0, 20.0, np.nan, 40.0, 7.0],
+        "rid": [0, 1, 2, 3, 4],
+    })
+    out = time_range_agg(ray.data.from_pandas(df), "k", "ts", "v",
+                         pd.Timedelta(hours=1)) \
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    # row0: frame {10} -> avg 10, n 1
+    # rows1+2 (peers): frame {10,20,nan} -> avg 15, n 3
+    # row3: frame ts in [00:30, 01:30] -> {20,nan,40} -> avg 30, n 3
+    # row4 (k=2): {7}
+    assert list(out["range_n"]) == [1, 3, 3, 3, 1]
+    assert list(out["range_avg"]) == [10.0, 15.0, 15.0, 30.0, 7.0]
+
+
 def test_repetition_signals(ray_session):
     """Hand-computed Gopher repetition fractions, incl. <n-token and
     empty-text edge rows (n_grams=0, fractions 0.0)."""

@@ -41,6 +41,39 @@ def sessionize(ds: Dataset, key: str, ts_col: str, gap: pd.Timedelta,
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def time_range_agg(ds: Dataset, key: str, ts_col: str, val_col: str,
+                   interval: pd.Timedelta) -> Dataset:
+    """Per-row trailing time-RANGE aggregate: for every event, the avg and
+    count of `val_col` over the same key's events with
+    ``ts ∈ [ts_row - interval, ts_row]`` — SQL's
+    ``RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW`` frame,
+    including equal-ts peers (the RANGE-mode CURRENT ROW = last-peer rule).
+
+    Vectorized per key: one sort by ts, cumulative sums, then two
+    np.searchsorted calls give every row's frame bounds — O(n log n) per
+    key, no per-row Python. Same partitioning assumption as sessionize:
+    one key's history fits one task."""
+    iv_ns = np.int64(interval // pd.Timedelta(nanoseconds=1))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        ts = g[ts_col].to_numpy().astype("datetime64[ns]").view("int64")
+        v = g[val_col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        csum = np.concatenate([[0.0], np.cumsum(np.where(ok, v, 0.0))])
+        cnt = np.concatenate([[0], np.cumsum(ok.astype(np.int64))])
+        lo = np.searchsorted(ts, ts - iv_ns, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        n_nonnull = cnt[hi] - cnt[lo]
+        avg = np.divide(csum[hi] - csum[lo],
+                        np.maximum(n_nonnull, 1), dtype=np.float64)
+        return g.assign(
+            range_avg=np.where(n_nonnull > 0, avg, np.nan),
+            range_n=(hi - lo).astype("int64"))
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def hopping_window(ds: Dataset, ts_col: str, size_us: int, hop_us: int,
                    out: str = "win_start") -> Dataset:
     """Hopping (sliding) event-time windows: replicate each row into every

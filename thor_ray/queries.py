@@ -1501,6 +1501,32 @@ FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 """
 
 
+def q106_time_range_avg(sf: str):
+    """Trailing 1-hour time-RANGE window per user (avg + frame count) —
+    the RANGE-frame twin of q65's ROWS frame, incl. equal-ts peer
+    semantics (ops/window.py time_range_agg)."""
+    from thor_ray.ops.window import time_range_agg
+    ds = T(sf, "events", ["event_id", "user_id", "ts", "value"])
+    out = time_range_agg(ds, "user_id", "ts", "value",
+                         pd.Timedelta(hours=1))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "user_id", "range_avg", "range_n"])
+
+    return _round_cols(out.map_batches(proj, batch_format="pyarrow"),
+                       {"range_avg": 4})
+
+
+SQL_Q106 = """
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 4) AS range_avg,
+       count(*) OVER w AS range_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def q105_repetition(sf: str):
     """Gopher-style word-2-gram repetition signals (top-gram fraction,
     duplicated-gram fraction) — the standard pretraining repetition
@@ -2325,6 +2351,7 @@ QUERIES: dict[str, tuple] = {
     "q103_median_filter": (q103_median_filter, SQL_Q103),
     "q104_ann_multi": (q104_ann_multi, SQL_Q104),
     "q105_repetition": (q105_repetition, SQL_Q105),
+    "q106_time_range_avg": (q106_time_range_avg, SQL_Q106),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
