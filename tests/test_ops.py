@@ -836,6 +836,29 @@ def test_brute_topk_multi_matches_single(ray_session):
             part, single[["vec_id", "cos"]], check_dtype=False)
 
 
+def test_asof_join_directions(ray_session):
+    """forward picks the earliest right row with ts >= left ts; nearest
+    picks the closer side; unmatched rows stay NULL."""
+    t0 = pd.Timestamp("2026-01-01")
+    mins = lambda m: t0 + pd.Timedelta(minutes=m)
+    left = ds_of({"k": [1, 1, 2], "ts": pa.array([mins(10), mins(50), mins(10)],
+                                                 pa.timestamp("us")),
+                  "lid": [0, 1, 2]})
+    right = ds_of({"k": [1, 1, 2], "ts": pa.array([mins(20), mins(40), mins(5)],
+                                                  pa.timestamp("us")),
+                  "rid": [100, 101, 102]})
+    fwd = R.asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                      right_payload=["rid"], direction="forward") \
+        .to_pandas().sort_values("lid")
+    # lid0 -> rid100 (20 >= 10); lid1 -> none (no right >= 50); lid2 -> none
+    assert list(fwd["rid_r"]) == ["100", None, None]
+    near = R.asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                       right_payload=["rid"], direction="nearest") \
+        .to_pandas().sort_values("lid")
+    # lid1: |50-40|=10 < |50-20|=30 -> rid101; lid2: only rid102
+    assert list(near["rid_r"]) == ["100", "101", "102"]
+
+
 def test_time_range_agg(ray_session):
     """Hand-computed trailing RANGE frame: equal-ts peers all share the
     full peer frame (SQL RANGE CURRENT ROW = last peer); null values drop

@@ -138,9 +138,12 @@ def _guard_internal_cols(schema_names, internal: list[str], op: str) -> None:
 
 def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
               right_ts: str, right_payload: list[str],
-              suffix: str = "_r") -> Dataset:
+              suffix: str = "_r", direction: str = "backward") -> Dataset:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts for the same key (SURVEY.md §2.4 J4).
+    ``direction="forward"`` flips the inequality (earliest right row with
+    right_ts >= left_ts — DuckDB ``ASOF ... ON r.ts >= l.ts``);
+    ``"nearest"`` picks the closer of the two.
 
     Composition, not a new primitive: tag each side, align schemas, union,
     shuffle ONCE on the key, then pd.merge_asof inside each group.
@@ -179,7 +182,7 @@ def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
                 empty[c] = pd.Series(dtype="object")
             return empty
         merged = pd.merge_asof(
-            lg, rg[["_ts"] + rcols], on="_ts", direction="backward")
+            lg, rg[["_ts"] + rcols], on="_ts", direction=direction)
         merged = merged[lcols + rcols]
         for c in rcols:
             # unmatched rows get float NaN from merge_asof; emit proper

@@ -1501,6 +1501,26 @@ FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 """
 
 
+def q107_asof_forward(sf: str):
+    """J4 forward as-of join: each signup matched to the user's NEXT
+    purchase (earliest purchase with ts >= signup ts)."""
+    ev = T(sf, "events", ["event_id", "user_id", "event_type", "ts"])
+    s = ev.filter(expr="event_type == 'signup'")
+    p = ev.filter(expr="event_type == 'purchase'")
+    out = R.asof_join(s, p, on="user_id", left_ts="ts", right_ts="ts",
+                      right_payload=["event_id"], suffix="_r",
+                      direction="forward")
+    return out.select_columns(["event_id", "event_id_r"])
+
+
+SQL_Q107 = """
+SELECT s.event_id AS event_id, CAST(p.event_id AS VARCHAR) AS event_id_r
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id AND p.ts >= s.ts
+"""
+
+
 def q106_time_range_avg(sf: str):
     """Trailing 1-hour time-RANGE window per user (avg + frame count) —
     the RANGE-frame twin of q65's ROWS frame, incl. equal-ts peer
@@ -2352,6 +2372,7 @@ QUERIES: dict[str, tuple] = {
     "q104_ann_multi": (q104_ann_multi, SQL_Q104),
     "q105_repetition": (q105_repetition, SQL_Q105),
     "q106_time_range_avg": (q106_time_range_avg, SQL_Q106),
+    "q107_asof_forward": (q107_asof_forward, SQL_Q107),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
