@@ -836,6 +836,19 @@ def test_brute_topk_multi_matches_single(ray_session):
             part, single[["vec_id", "cos"]], check_dtype=False)
 
 
+def test_token_entropy(ray_session):
+    """Hand-computed entropies: uniform 4 tokens = ln 4; single repeated
+    token = 0; 3:1 mix = -(0.75 ln 0.75 + 0.25 ln 0.25)."""
+    from thor_ray.ops.text import token_entropy
+
+    ds = ds_of({"doc_id": [0, 1, 2],
+                "text": ["a b c d", "x x x", "y y y z"]})
+    out = token_entropy(ds, "text", "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = [np.log(4), 0.0, -(0.75 * np.log(0.75) + 0.25 * np.log(0.25))]
+    assert np.allclose(out["token_entropy"], exp)
+
+
 def test_asof_join_directions(ray_session):
     """forward picks the earliest right row with ts >= left ts; nearest
     picks the closer side; unmatched rows stay NULL."""

@@ -457,6 +457,34 @@ def repetition_signals(ds: Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def token_entropy(ds: Dataset, text_col: str = "text",
+                  id_col: str = "doc_id") -> Dataset:
+    """Shannon entropy of the per-document token distribution (nats) — a
+    diversity quality signal: near-zero entropy flags degenerate repeated
+    text; natural prose sits well above. Map-only: one C-level pandas
+    groupby over the batch's exploded (row, token) pairs, then a vectorized
+    -Σ p·ln(p) via np.add.reduceat per row. Raw double — callers round."""
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col], pattern=" ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ent = np.zeros(len(t), dtype=np.float64)
+        if len(flat):
+            cnt = pd.DataFrame({"p": parent, "w": flat.to_pandas()}) \
+                .groupby(["p", "w"], sort=False).size().reset_index(name="c")
+            rows = cnt["p"].to_numpy()
+            c = cnt["c"].to_numpy(dtype=np.float64)
+            n = np.bincount(parent, minlength=len(t)).astype(np.float64)
+            p_frac = c / n[rows]
+            terms = p_frac * np.log(p_frac)
+            ent = -np.bincount(rows, weights=terms, minlength=len(t))
+        return pa.table({
+            id_col: t[id_col],
+            "token_entropy": pa.array(ent, type=pa.float64()),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def chunk_text(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
                size: int = 200, stride: int = 150,
                out: str = "chunk") -> Dataset:

@@ -1501,6 +1501,25 @@ FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 """
 
 
+def q108_token_entropy(sf: str):
+    """Per-document token-distribution Shannon entropy (quality signal)
+    — ops/text.py token_entropy."""
+    out = TX.token_entropy(T(sf, "documents", ["doc_id", "text"]))
+    return _round_cols(out, {"token_entropy": 4})
+
+
+SQL_Q108 = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+SELECT c.doc_id,
+       round(-sum((CAST(c.c AS DOUBLE)/t.n) * ln(CAST(c.c AS DOUBLE)/t.n)),
+             4) AS token_entropy
+FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+"""
+
+
 def q107_asof_forward(sf: str):
     """J4 forward as-of join: each signup matched to the user's NEXT
     purchase (earliest purchase with ts >= signup ts)."""
@@ -2373,6 +2392,7 @@ QUERIES: dict[str, tuple] = {
     "q105_repetition": (q105_repetition, SQL_Q105),
     "q106_time_range_avg": (q106_time_range_avg, SQL_Q106),
     "q107_asof_forward": (q107_asof_forward, SQL_Q107),
+    "q108_token_entropy": (q108_token_entropy, SQL_Q108),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
