@@ -257,36 +257,71 @@ def test_standalone_compaction(ray_session, fixture, tmp_path):
     assert_matches_oracle(pipe2, fixture)
 
 
-@pytest.mark.parametrize("write_mode", ["cow", "delta"])
-def test_drop_column_ddl_replay(ray_session, tmp_path, write_mode):
-    """Mid-stream drop_column DDL: the engine reproduces the oracle exactly
-    in both write modes — dropped values never resurface, final schema
-    excludes the dropped column, and an event written under the pre-drop
-    version whose winner lands after the drop discards the value."""
-    d = str(tmp_path)
+@pytest.fixture(scope="module")
+def drop_fixture(tmp_path_factory):
+    """Binlog with mid-stream drop_column DDL (ddl_drops=True)."""
+    d = str(tmp_path_factory.mktemp("dropfix"))
     base = gen.gen_base_table(n_repos=20, paths_per_repo=15, seed=11)
     cfg = gen.BinlogConfig(n_events=9_000, n_shards=4, dup_rate=0.05,
                            shuffle_window=128, ddl_every=1_500,
                            ddl_drops=True, delete_rate=0.06,
                            update_rate=0.55, seed=11)
     log = gen.gen_binlog(base, cfg)
-    # the timeline must actually contain a drop for this test to mean anything
+    # the timeline must actually contain a drop for these tests to mean anything
     actions = [d_["action"] for _, d_ in
                gen._ddl_timeline(cfg.n_events, cfg.ddl_every, drops=True)]
     assert "drop_column" in actions, actions
     binlog_dir = os.path.join(d, "binlog")
     log.write(binlog_dir)
-    expected, _ = oracle.apply_events(pa.concat_tables(log.shards),
-                                      initial=base)
+    expected, ddls = oracle.apply_events(pa.concat_tables(log.shards),
+                                         initial=base)
     import pyarrow.parquet as pq
     base_path = os.path.join(d, "base.parquet")
     pq.write_table(base, base_path)
-    lake = os.path.join(d, f"lake_{write_mode}")
+    return {"dir": d, "base": base, "base_path": base_path,
+            "binlog_dir": binlog_dir, "expected": expected, "ddls": ddls,
+            "max_lsn": log.max_lsn}
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "delta"])
+def test_drop_column_ddl_replay(ray_session, drop_fixture, tmp_path, write_mode):
+    """Mid-stream drop_column DDL: the engine reproduces the oracle exactly
+    in both write modes — dropped values never resurface, final schema
+    excludes the dropped column, and an event written under the pre-drop
+    version whose winner lands after the drop discards the value."""
+    lake = str(tmp_path / f"lake_{write_mode}")
     pipe = CdcPipeline(CdcConfig(
-        lake_dir=lake, binlog_dir=binlog_dir, num_partitions=8,
-        epoch_size=2_000, write_mode=write_mode))
-    pipe.run(base=base_path)
-    got = normalize(pipe.final_table().to_pandas())
-    exp = normalize(expected)
-    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
-    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        lake_dir=lake, binlog_dir=drop_fixture["binlog_dir"],
+        num_partitions=8, epoch_size=2_000, write_mode=write_mode))
+    pipe.run(base=drop_fixture["base_path"])
+    assert_matches_oracle(pipe, drop_fixture)
+
+
+def test_drop_column_restore_and_rerun(ray_session, drop_fixture, tmp_path):
+    """Drop DDL × recovery: crash after 2 epochs, torn-commit rewind of half
+    the partitions, resume, then re-run the final (committed) epoch — a drop
+    must never double-apply, and a dropped column must never resurrect
+    across restores (guards cdc.py's schema_ver >= ver_start re-apply gate
+    on the drop branch)."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(lake_dir=lake, binlog_dir=drop_fixture["binlog_dir"],
+                    num_partitions=8, epoch_size=2_000)
+    CdcPipeline(cfg).run(base=drop_fixture["base_path"], max_epochs=2)
+    # torn commit: rewind half the partitions to epoch 1
+    ms = load_manifests(lake)
+    import thor_ray.state.manifest as mmod
+    for pid in list(ms)[::2]:
+        m = ms[pid]
+        m.epoch = 1
+        m.upto_lsn = 1 * 2_000
+        mmod.write_manifest(lake, m)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=drop_fixture["base_path"])  # resume to the end
+    before = {p: m.to_json() for p, m in load_manifests(lake).items()}
+    pipe.run_epoch(pipe.reports[-1].epoch)    # committed-epoch re-run: no-op
+    after = {p: json.loads(m.to_json()) for p, m in load_manifests(lake).items()}
+    for p, s in before.items():
+        b = json.loads(s)
+        for k in ("upto_lsn", "schema_ver", "row_count", "content_hash", "files"):
+            assert after[p][k] == b[k], (p, k)
+    assert_matches_oracle(pipe, drop_fixture)

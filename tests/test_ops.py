@@ -836,6 +836,25 @@ def test_brute_topk_multi_matches_single(ray_session):
             part, single[["vec_id", "cos"]], check_dtype=False)
 
 
+def test_brute_topk_empty_blocks(ray_session):
+    """An upstream filter that empties some blocks must not crash the
+    matmul stage (a (0,0) vec matrix can't multiply a (d,m) query)."""
+    import ray
+    from thor_ray.ops.ann import brute_topk, brute_topk_multi
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(40, 8))
+    tbl = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    # ids 0..19 survive; repartition(8) leaves several fully-empty blocks
+    ds = ray.data.from_arrow(tbl).repartition(8).filter(expr="vec_id < 20")
+    got = brute_topk(ds, vecs[3], k=5).to_pandas()
+    assert len(got) == 5 and got["vec_id"].iloc[0] == 3
+    multi = brute_topk_multi(ds, vecs[[3, 7]], [3, 7], k=5).to_pandas()
+    assert len(multi) == 10
+    assert set(multi["query_id"]) == {3, 7}
+
+
 def test_token_entropy(ray_session):
     """Hand-computed entropies: uniform 4 tokens = ln 4; single repeated
     token = 0; 3:1 mix = -(0.75 ln 0.75 + 0.25 ln 0.25)."""

@@ -52,6 +52,9 @@ def brute_topk(ds: Dataset, query: np.ndarray, k: int, vec_col: str = "embedding
     qref = ray.put(q)
 
     def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:           # empty block: (0,0) matrix can't matmul
+            return pa.table({id_col: t[id_col],
+                             "cos": pa.array([], type=pa.float64())})
         qv = ray.get(qref)
         vecs = vec_matrix(t[vec_col])
         cos = np.round(_normalize(vecs) @ qv, round_to)
@@ -78,8 +81,9 @@ def brute_topk_multi(ds: Dataset, queries: np.ndarray, query_ids: list,
 
     The (m, d) query matrix is broadcast ONCE via ray.put; each batch does
     a single (b, d) @ (d, m) matmul and keeps its local top-k PER QUERY
-    via one argpartition over the score matrix, so the reduce sees
-    m × k × num_blocks rows. Final per-query resolution groups on
+    via one column-wise lexsort on (rounded cos desc, id asc) over the
+    score matrix — the oracle's exact order, tie-safe at the k boundary —
+    so the reduce sees m × k × num_blocks rows. Final per-query resolution groups on
     query_id — m groups, answer-sized, never data-sized. Output:
     (query_id, id_col, cos), exactly k rows per query."""
     Q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -89,6 +93,10 @@ def brute_topk_multi(ds: Dataset, queries: np.ndarray, query_ids: list,
     qref = ray.put(Q)
 
     def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:           # empty block: (0,0) matrix can't matmul
+            return pa.table({"query_id": pa.array(qids[:0]),
+                             id_col: t[id_col],
+                             "cos": pa.array([], type=pa.float64())})
         Qm = ray.get(qref)
         m = len(Qm)
         vecs = vec_matrix(t[vec_col])

@@ -461,27 +461,28 @@ def token_entropy(ds: Dataset, text_col: str = "text",
                   id_col: str = "doc_id") -> Dataset:
     """Shannon entropy of the per-document token distribution (nats) — a
     diversity quality signal: near-zero entropy flags degenerate repeated
-    text; natural prose sits well above. Map-only: one C-level pandas
-    groupby over the batch's exploded (row, token) pairs, then a vectorized
-    -Σ p·ln(p) via np.add.reduceat per row. Raw double — callers round."""
+    text; natural prose sits well above. Map-only: tokenization shares
+    `_word_ngrams` (n=1), then one C-level pandas groupby over the exploded
+    (row, token) pairs and a weighted np.bincount for -Σ p·ln(p) per row.
+    Null-text docs are OMITTED (the SQL twin's unnest + inner joins drop
+    them). Raw double — callers round."""
     def fn(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t[text_col], pattern=" ")
-        flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat, parent = _word_ngrams(t, text_col, 1)
         ent = np.zeros(len(t), dtype=np.float64)
+        n = np.bincount(parent, minlength=len(t)).astype(np.float64)
         if len(flat):
             cnt = pd.DataFrame({"p": parent, "w": flat.to_pandas()}) \
                 .groupby(["p", "w"], sort=False).size().reset_index(name="c")
             rows = cnt["p"].to_numpy()
             c = cnt["c"].to_numpy(dtype=np.float64)
-            n = np.bincount(parent, minlength=len(t)).astype(np.float64)
             p_frac = c / n[rows]
             terms = p_frac * np.log(p_frac)
             ent = -np.bincount(rows, weights=terms, minlength=len(t))
-        return pa.table({
+        out = pa.table({
             id_col: t[id_col],
             "token_entropy": pa.array(ent, type=pa.float64()),
         })
+        return out.filter(pa.array(n > 0))
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
