@@ -1180,3 +1180,36 @@ def test_split_mixture_explode_input_validation(ray_session):
     # the guard fires inside the Ray task, so it arrives wrapped
     with pytest.raises(Exception, match="collide"):
         R.explode(xs, "xs", out_val="id").materialize()
+
+
+def test_pivot_null_semantics(ray_session):
+    """A (key, category) pair with no rows is NULL (SQL sum over empty
+    set), a present pair aggregates, and unlisted categories are ignored."""
+    ds = ds_of({"k": ["a", "a", "b", "b", "b"],
+                "p": ["x", "y", "x", "x", "z"],
+                "v": pa.array([1, 2, 3, 4, 100], type=pa.int64())})
+    got = R.pivot(ds, "k", "p", "v", ["x", "y"], names=["sx", "sy"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["sx"].tolist() == [1, 7]
+    assert got["sy"][0] == 2 and pd.isna(got["sy"][1])  # b never ships 'y'
+
+
+def test_asof_tolerance(ray_session):
+    """Backward as-of with tolerance: a match exactly AT the bound counts
+    (inclusive), one past it is NULL."""
+    left = ds_of({"k": [1, 1, 1],
+                  "lid": [10, 11, 12],
+                  "ts": pa.array(pd.to_datetime(
+                      ["2024-01-10", "2024-01-20", "2024-01-30"]))})
+    right = ds_of({"k": [1, 1],
+                   "rid": ["r1", "r2"],
+                   "ts": pa.array(pd.to_datetime(
+                       ["2024-01-05", "2024-01-13"]))})
+    got = R.asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                      right_payload=["rid"], tolerance=pd.Timedelta(days=5)) \
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    # lid=10: r1 is 5 days back — exactly at the bound, inclusive
+    # lid=20: r2 is 7 days back — outside tolerance -> NULL
+    # lid=30: r2 is 17 days back -> NULL
+    assert got["rid_r"].tolist()[0] == "r1"
+    assert got["rid_r"].isna().tolist() == [False, True, True]

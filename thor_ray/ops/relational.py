@@ -138,12 +138,15 @@ def _guard_internal_cols(schema_names, internal: list[str], op: str) -> None:
 
 def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
               right_ts: str, right_payload: list[str],
-              suffix: str = "_r", direction: str = "backward") -> Dataset:
+              suffix: str = "_r", direction: str = "backward",
+              tolerance: "pd.Timedelta | None" = None) -> Dataset:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts for the same key (SURVEY.md §2.4 J4).
     ``direction="forward"`` flips the inequality (earliest right row with
     right_ts >= left_ts — DuckDB ``ASOF ... ON r.ts >= l.ts``);
-    ``"nearest"`` picks the closer of the two.
+    ``"nearest"`` picks the closer of the two. ``tolerance`` bounds the
+    match gap (inclusive): a candidate farther than it yields NULL — the
+    SQL twin is ASOF LEFT JOIN + a CASE on the ts distance.
 
     Composition, not a new primitive: tag each side, align schemas, union,
     shuffle ONCE on the key, then pd.merge_asof inside each group.
@@ -182,7 +185,8 @@ def asof_join(left: Dataset, right: Dataset, on: str, left_ts: str,
                 empty[c] = pd.Series(dtype="object")
             return empty
         merged = pd.merge_asof(
-            lg, rg[["_ts"] + rcols], on="_ts", direction=direction)
+            lg, rg[["_ts"] + rcols], on="_ts", direction=direction,
+            tolerance=tolerance)
         merged = merged[lcols + rcols]
         for c in rcols:
             # unmatched rows get float NaN from merge_asof; emit proper
@@ -469,6 +473,66 @@ def unpivot(ds: Dataset, id_cols: list[str], value_cols: list[str],
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pivot(ds: Dataset, key: str, pivot_col: str, value_col: str,
+          categories: list, names: list[str] | None = None) -> Dataset:
+    """Long-to-wide PIVOT via grouped conditional aggregation (SQL
+    ``sum(CASE WHEN pivot_col = cat THEN value END)`` per category).
+
+    Scale shape: each batch emits a per-key PARTIAL (sum, count) pair per
+    category — the combiner — so the one wide exchange carries one row per
+    (key, batch), never per input row; a tiny finalize pass maps count==0
+    to NULL (SQL's sum over an empty set), not 0. Value column should be
+    integer-typed by the caller when the oracle hash must be exact."""
+    from ray.data.aggregate import Sum
+
+    names = names or [str(c) for c in categories]
+    if len(names) != len(categories):
+        raise ValueError("names must match categories")
+    scols = [f"_pv{i}_sum" for i in range(len(categories))]
+    ccols = [f"_pv{i}_cnt" for i in range(len(categories))]
+    _guard_internal_cols([key], scols + ccols, "pivot")
+
+    def partial(t: pa.Table) -> pa.Table:
+        vt = t.schema.field(value_col).type
+        df = pd.DataFrame({"k": t[key].to_pandas(),
+                           "p": t[pivot_col].to_pandas(),
+                           "v": t[value_col].to_pandas()})
+        df = df[df["p"].isin(categories)]
+        if not len(df):
+            out = {key: pa.array([], type=t.schema.field(key).type)}
+            for sc in scols:
+                out[sc] = pa.array([], type=vt)
+            for cc in ccols:
+                out[cc] = pa.array([], type=pa.int64())
+            return pa.table(out)
+        pt = df.pivot_table(index="k", columns="p", values="v",
+                            aggfunc=["sum", "count"], fill_value=0)
+        sums = pt["sum"].reindex(columns=categories, fill_value=0)
+        cnts = pt["count"].reindex(columns=categories, fill_value=0)
+        out = {key: pa.array(pt.index.to_numpy()).cast(
+            t.schema.field(key).type)}
+        for i, c in enumerate(categories):
+            out[scols[i]] = pa.array(sums[c].to_numpy()).cast(vt)
+            out[ccols[i]] = pa.array(cnts[c].to_numpy(), type=pa.int64())
+        return pa.table(out)
+
+    aggs = ([Sum(sc, alias_name=sc) for sc in scols]
+            + [Sum(cc, alias_name=cc) for cc in ccols])
+    g = ds.map_batches(partial, batch_format="pyarrow") \
+          .groupby(key).aggregate(*aggs)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {key: t[key]}
+        for i, name in enumerate(names):
+            s = t[scols[i]]
+            vt = t.schema.field(scols[i]).type
+            cols[name] = pc.if_else(pc.greater(t[ccols[i]], 0), s,
+                                    pa.nulls(len(t), type=vt))
+        return pa.table(cols)
+
+    return g.map_batches(finalize, batch_format="pyarrow")
 
 
 def cross_join(left: Dataset, right: "pa.Table") -> Dataset:

@@ -1520,6 +1520,203 @@ FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id
 """
 
 
+def q109_pivot(sf: str):
+    """PIVOT (long→wide grouped conditional aggregation) — ops/relational
+    pivot: per-batch partial sums+counts (combiner), ONE small shuffle; a
+    (key, category) pair with no rows is NULL exactly like SQL's
+    sum(CASE WHEN ...) over an empty set (R/A returnflags never ship 'O'
+    lines in the TPC-H-ish fixture, so real NULLs are exercised)."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"],
+                         "q": pc.cast(t["l_quantity"], pa.int64())})
+
+    return R.pivot(ds.map_batches(prep, batch_format="pyarrow"),
+                   "l_returnflag", "l_linestatus", "q", ["O", "F"],
+                   names=["qty_O", "qty_F"])
+
+
+SQL_Q109 = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_O,
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_F
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q110_grouping_sets(sf: str):
+    """GROUP BY GROUPING SETS ((a),(b)): ONE distributed groupby at the
+    finest grain, both sets derived from its output-sized result on the
+    driver — the same one-shuffle derivation as rollup (q64) / cube (q97)."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"],
+                         "q": pc.cast(t["l_quantity"], pa.int64())})
+
+    g2 = (ds.map_batches(prep, batch_format="pyarrow")
+          .groupby(["l_returnflag", "l_linestatus"])
+          .aggregate(Count(alias_name="n"), Sum("q", alias_name="sum_qty"))
+          ).to_pandas()
+    s1 = g2.groupby("l_returnflag", as_index=False)[["n", "sum_qty"]].sum()
+    s1["l_linestatus"] = "ALL"
+    s2 = g2.groupby("l_linestatus", as_index=False)[["n", "sum_qty"]].sum()
+    s2["l_returnflag"] = "ALL"
+    out = pd.concat([s1, s2], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "n", "sum_qty"]]
+    out["n"] = out["n"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out
+
+
+SQL_Q110 = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def q111_filtered_agg(sf: str):
+    """Aggregate FILTER clauses (count_if + conditional sum): each batch
+    emits per-key conditional PARTIALS (the combiner) so the exchange
+    carries one row per (key, batch); count FILTER of an empty set is 0,
+    sum FILTER of an empty set is NULL (tracked by a match count)."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64())
+        big = pc.cast(pc.greater(q, 25), pa.int64())
+        dm = pc.greater(t["l_discount"], 0.05)
+        dq = pc.if_else(dm, q, pa.scalar(0, pa.int64()))
+        dn = pc.cast(dm, pa.int64())
+        tt = pa.table({"k": t["l_returnflag"], "big": big,
+                       "dq": dq, "dn": dn})
+        g = tt.group_by("k").aggregate(
+            [("big", "sum"), ("dq", "sum"), ("dn", "sum")])
+        return g.select(["k", "big_sum", "dq_sum", "dn_sum"])
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("k")
+         .aggregate(Sum("big_sum", alias_name="n_big"),
+                    Sum("dq_sum", alias_name="disc_qty"),
+                    Sum("dn_sum", alias_name="dn")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["k"],
+            "n_big": t["n_big"],
+            "disc_qty": pc.if_else(pc.greater(t["dn"], 0), t["disc_qty"],
+                                   pa.nulls(len(t), type=pa.int64())),
+        })
+
+    return g.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_Q111 = """
+SELECT l_returnflag,
+       CAST(count(*) FILTER (WHERE CAST(l_quantity AS BIGINT) > 25)
+            AS BIGINT) AS n_big,
+       CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05)
+            AS BIGINT) AS disc_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q112_percentile_disc(sf: str):
+    """Exact grouped DISCRETE percentiles — DuckDB quantile_disc picks the
+    element at ceil-rank ``xs[ceil(q*n)-1]`` (verified empirically on odd
+    and even n), so the numpy side replicates that index exactly; no
+    interpolation, so the hash cannot drift on float math. Same exact-tier
+    caveat as q73: the whole group sits in one task (3 flag groups)."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["l_extendedprice"].to_numpy())
+
+        def disc(q: float) -> float:
+            return x[max(int(np.ceil(q * len(x))) - 1, 0)]
+
+        return pd.DataFrame([{"l_returnflag": g["l_returnflag"].iloc[0],
+                              "p50": disc(0.50), "p95": disc(0.95)}])
+
+    return ds.groupby("l_returnflag").map_groups(qtile, batch_format="pandas")
+
+
+SQL_Q112 = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.50) AS p50,
+       quantile_disc(l_extendedprice, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q113_lag_delta(sf: str):
+    """LAG window function: per-user inter-event gap in microseconds (NULL
+    for each user's first event) — the standard telemetry cadence signal.
+    Shuffle on a coarse salt of user_id (64 Ray groups at any user count);
+    inside each group ONE pandas sort + C-level groupby shift, microsecond
+    integer math (exactly representable in float64 far beyond this range).
+    Emitted as float64: the LAG column is nullable, and the driver fetches
+    DuckDB's nullable BIGINT as float64 — int64 here would value-match but
+    hash-mismatch (the round-1 q18 lesson)."""
+    ds = T(sf, "events", ["event_id", "user_id", "ts"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32())
+        return t.append_column("usalt", s)
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        prev = us.groupby(g["user_id"].to_numpy(), sort=False).shift(1)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "delta_us": (us - prev).astype("float64"),
+        })
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+            .groupby("usalt").map_groups(lag, batch_format="pandas"))
+
+
+SQL_Q113 = """
+SELECT event_id,
+       date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS delta_us
+FROM events
+"""
+
+
+def q114_asof_tolerance(sf: str):
+    """J4 as-of join with a bounded match gap: each signup matched to the
+    user's most recent purchase only if it happened within the last 7 days
+    (merge_asof tolerance; SQL twin = ASOF LEFT JOIN + CASE on distance)."""
+    ev = T(sf, "events", ["event_id", "user_id", "event_type", "ts"])
+    s = ev.filter(expr="event_type == 'signup'")
+    p = ev.filter(expr="event_type == 'purchase'")
+    out = R.asof_join(s, p, on="user_id", left_ts="ts", right_ts="ts",
+                      right_payload=["event_id"], suffix="_r",
+                      tolerance=pd.Timedelta(days=7))
+    return out.select_columns(["event_id", "event_id_r"])
+
+
+SQL_Q114 = """
+SELECT s.event_id AS event_id,
+       CASE WHEN p.ts >= s.ts - INTERVAL 7 DAY
+            THEN CAST(p.event_id AS VARCHAR) END AS event_id_r
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id AND p.ts <= s.ts
+"""
+
+
 def q107_asof_forward(sf: str):
     """J4 forward as-of join: each signup matched to the user's NEXT
     purchase (earliest purchase with ts >= signup ts)."""
@@ -2393,6 +2590,12 @@ QUERIES: dict[str, tuple] = {
     "q106_time_range_avg": (q106_time_range_avg, SQL_Q106),
     "q107_asof_forward": (q107_asof_forward, SQL_Q107),
     "q108_token_entropy": (q108_token_entropy, SQL_Q108),
+    "q109_pivot": (q109_pivot, SQL_Q109),
+    "q110_grouping_sets": (q110_grouping_sets, SQL_Q110),
+    "q111_filtered_agg": (q111_filtered_agg, SQL_Q111),
+    "q112_percentile_disc": (q112_percentile_disc, SQL_Q112),
+    "q113_lag_delta": (q113_lag_delta, SQL_Q113),
+    "q114_asof_tolerance": (q114_asof_tolerance, SQL_Q114),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
