@@ -8,6 +8,7 @@ import json
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -325,3 +326,70 @@ def test_drop_column_restore_and_rerun(ray_session, drop_fixture, tmp_path):
         for k in ("upto_lsn", "schema_ver", "row_count", "content_hash", "files"):
             assert after[p][k] == b[k], (p, k)
     assert_matches_oracle(pipe, drop_fixture)
+
+
+@pytest.fixture(scope="module")
+def widen_fixture(tmp_path_factory):
+    """Binlog with alter_type widening DDL (int64 -> double) mid-stream."""
+    d = str(tmp_path_factory.mktemp("widenfix"))
+    base = gen.gen_base_table(n_repos=20, paths_per_repo=15, seed=13)
+    cfg = gen.BinlogConfig(n_events=9_000, n_shards=4, dup_rate=0.05,
+                           shuffle_window=128, ddl_every=1_500,
+                           ddl_widens=True, delete_rate=0.06,
+                           update_rate=0.55, seed=13)
+    log = gen.gen_binlog(base, cfg)
+    actions = [d_["action"] for _, d_ in
+               gen._ddl_timeline(cfg.n_events, cfg.ddl_every, widens=True)]
+    assert "alter_type" in actions, actions
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    expected, ddls = oracle.apply_events(pa.concat_tables(log.shards),
+                                         initial=base)
+    import pyarrow.parquet as pq
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    return {"dir": d, "base": base, "base_path": base_path,
+            "binlog_dir": binlog_dir, "expected": expected, "ddls": ddls,
+            "max_lsn": log.max_lsn}
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "delta"])
+def test_alter_type_widening_replay(ray_session, widen_fixture, tmp_path,
+                                    write_mode):
+    """alter_type (int64 -> double) through the full path: values written
+    under the narrow type survive the widen as integral doubles, post-widen
+    events carry FRACTIONAL values (an engine that silently truncates to
+    the old type cannot match), and the lake column's Arrow type is the
+    widened one in both write modes."""
+    lake = str(tmp_path / f"lake_{write_mode}")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake, binlog_dir=widen_fixture["binlog_dir"],
+        num_partitions=8, epoch_size=2_000, write_mode=write_mode))
+    pipe.run(base=widen_fixture["base_path"])
+    assert_matches_oracle(pipe, widen_fixture)
+    # the widened column must be float64 on disk, with real fractions
+    got = pipe.final_table().to_pandas()
+    widened = [d["name"] for d in widen_fixture["ddls"]
+               if d["action"] == "alter_type"]
+    assert widened
+    from thor_ray.state import SchemaRegistry
+    reg = SchemaRegistry.load(lake)
+    tys = reg.types_at(reg.version)
+    cur = [c for c, t in tys.items() if t == "double"]
+    assert cur, tys
+    col = got[cur[0]].dropna()
+    assert col.dtype == "float64" and len(col)
+    assert (np.mod(col.to_numpy(), 1) == 0.5).any(), \
+        "no fractional post-widen values reached the lake"
+
+
+def test_alter_type_restore(ray_session, widen_fixture, tmp_path):
+    """Widen DDL x recovery: crash after 2 epochs and resume — the widen
+    must not double-apply and narrow-typed delta state must still fold."""
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(lake_dir=lake, binlog_dir=widen_fixture["binlog_dir"],
+                    num_partitions=8, epoch_size=2_000)
+    CdcPipeline(cfg).run(base=widen_fixture["base_path"], max_epochs=2)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=widen_fixture["base_path"])
+    assert_matches_oracle(pipe, widen_fixture)

@@ -146,3 +146,53 @@ def test_columns_at_version_matches_generator():
     df = concat_shards(log).to_pandas().drop_duplicates("lsn").sort_values("lsn")
     ddls = [json.loads(d) for d in df[df.op == "DDL"]["ddl"]]
     assert gen.columns_at_version(ddls, len(ddls)) == log.evolved_schema
+
+
+def test_registry_types_at():
+    """types_at folds add/rename/widen/drop; rename carries the type,
+    alter_type widens in place, drop removes it."""
+    from thor_ray.state import SchemaRegistry
+    ddls = [
+        {"action": "add_column", "name": "a", "type": "int64"},
+        {"action": "add_column", "name": "b"},            # default string
+        {"action": "rename_column", "name": "a", "new_name": "a2"},
+        {"action": "alter_type", "name": "a2", "new_type": "double"},
+        {"action": "drop_column", "name": "b"},
+    ]
+    reg = SchemaRegistry([{"lsn": i + 1, "schema_ver": i, "ddl": d}
+                          for i, d in enumerate(ddls)])
+    assert reg.types_at(1) == {"a": "int64"}
+    assert reg.types_at(2) == {"a": "int64", "b": "string"}
+    assert reg.types_at(3) == {"a2": "int64", "b": "string"}
+    assert reg.types_at(4) == {"a2": "double", "b": "string"}
+    assert reg.types_at(5) == {"a2": "double"}
+    assert reg.columns_at(5) == ["a2"]
+
+
+def test_oracle_widen_casts_existing_values():
+    """alter_type must cast already-stored narrow values at the DDL point
+    (a pre-widen winner reads back as an integral double)."""
+    import pyarrow as pa
+    from thor_ray import oracle
+    ev = pa.table({
+        "lsn": [1, 2, 3, 4],
+        "txn": [1, 1, 2, 3],
+        "op": ["DDL", "I", "DDL", "I"],
+        "repo": [None, "r", None, "r2"],
+        "path": [None, "p", None, "p2"],
+        "commit": [None, "c" * 40, None, "c" * 40],
+        "lang": [None, "py", None, "py"],
+        "content": [None, "x", None, "y"],
+        "extra": [None, '{"n": 2}', None, '{"n": 4.5}'],
+        "ddl": ['{"action": "add_column", "name": "n", "type": "int64"}',
+                None,
+                '{"action": "alter_type", "name": "n", "new_type": "double"}',
+                None],
+        "ts": [1, 2, 3, 4],
+        "schema_ver": [0, 1, 1, 2],
+        "shard": [0, 0, 0, 0],
+    })
+    out, ddls = oracle.apply_events(ev)
+    vals = out.set_index("repo")["n"].to_dict()
+    assert vals == {"r": 2.0, "r2": 4.5}
+    assert all(isinstance(v, float) for v in vals.values())

@@ -120,6 +120,7 @@ class BinlogConfig:
     shuffle_window: int = 512
     ddl_every: int = 25_000          # 0 disables DDL injection
     ddl_drops: bool = False          # include drop_column in the DDL cycle
+    ddl_widens: bool = False         # include alter_type (int64→double) widening
     delete_rate: float = 0.05
     update_rate: float = 0.60        # remainder after delete/ddl = inserts
     new_key_rate: float = 0.30       # fraction of I events that mint a new key
@@ -218,34 +219,54 @@ class Binlog:
         return paths
 
 
-def _ddl_timeline(n_events: int, ddl_every: int,
-                  drops: bool = False) -> list[tuple[int, dict]]:
+def _ddl_timeline(n_events: int, ddl_every: int, drops: bool = False,
+                  widens: bool = False) -> list[tuple[int, dict]]:
     """Positions (1-based lsn) and payloads of DDL events, deterministic.
 
     Alternates add_column / rename_column (renames only once a column
-    exists); with ``drops`` the cycle is add / rename / drop (drops only
-    while ≥2 columns exist, so a rename victim always remains). Column
-    names are never reused — a dropped name stays dead."""
+    exists); with ``drops`` the cycle gains drop_column (drops only while
+    ≥2 columns exist, so a rename victim always remains); with ``widens``
+    it gains alter_type, widening the oldest still-int64 column to double
+    (adds alternate string/int64 types so a widening victim exists).
+    Column names are never reused — a dropped name stays dead."""
     if not ddl_every:
         return []
     out: list[tuple[int, dict]] = []
     cols: list[str] = []
+    tys: dict[str, str] = {}
+    ncycle = 2 + int(drops) + int(widens)
+    widen_phase = 2 if widens else -1
+    drop_phase = (3 if widens else 2) if drops else -1
     k = 0
+
+    def add() -> None:
+        name = f"c{k}"
+        ty = "int64" if (widens and k % 2 == 0) else "string"
+        out.append((pos, {"action": "add_column", "name": name, "type": ty}))
+        cols.append(name)
+        tys[name] = ty
+
     for pos in range(ddl_every, n_events + 1, ddl_every):
-        phase = k % 3 if drops else k % 2
-        if drops and phase == 2 and len(cols) >= 2:
-            victim = cols[k // 3 % len(cols)]
+        phase = k % ncycle
+        int_cols = [c for c in cols if tys[c] == "int64"]
+        if phase == drop_phase and len(cols) >= 2:
+            victim = cols[k // ncycle % len(cols)]
             out.append((pos, {"action": "drop_column", "name": victim}))
             cols.remove(victim)
+            tys.pop(victim)
+        elif phase == widen_phase and int_cols:
+            victim = int_cols[0]
+            out.append((pos, {"action": "alter_type", "name": victim,
+                              "new_type": "double"}))
+            tys[victim] = "double"
         elif cols and phase == 1:
             victim = cols[k // 2 % len(cols)]
             new = f"{victim}_r{k}"
             out.append((pos, {"action": "rename_column", "name": victim, "new_name": new}))
             cols[cols.index(victim)] = new
+            tys[new] = tys.pop(victim)
         else:
-            name = f"c{k}"
-            out.append((pos, {"action": "add_column", "name": name, "type": "string"}))
-            cols.append(name)
+            add()
         k += 1
     return out
 
@@ -258,8 +279,9 @@ def columns_at_version(ddls: list[dict], version: int) -> list[str]:
             cols.append(d["name"])
         elif d["action"] == "drop_column":
             cols.remove(d["name"])
-        else:
+        elif d["action"] == "rename_column":
             cols[cols.index(d["name"])] = d["new_name"]
+        # alter_type changes no names
     return cols
 
 
@@ -279,7 +301,8 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
     key_repo: list[str] = list(base_repo)
     key_path: list[str] = list(base_path)
 
-    ddl_at = dict(_ddl_timeline(n, cfg.ddl_every, drops=cfg.ddl_drops))
+    ddl_at = dict(_ddl_timeline(n, cfg.ddl_every, drops=cfg.ddl_drops,
+                                widens=cfg.ddl_widens))
     ddls = [ddl_at[p] for p in sorted(ddl_at)]
 
     # pre-draw randomness in bulk
@@ -301,6 +324,20 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
 
     ver = 0
     evolved: list[str] = []
+    etypes: dict[str, str] = {}
+
+    def _eval(c: str, lsn: int):
+        """Typed evolved value at the event's schema version: string cols
+        carry "col:lsn", int64 cols the lsn, widened (double) cols lsn+0.5
+        — a FRACTIONAL value, so an engine that silently truncates to the
+        pre-widen int type cannot match the oracle."""
+        t = etypes[c]
+        if t == "string":
+            return f"{c}:{lsn}"
+        if t == "int64":
+            return int(lsn)
+        return lsn + 0.5
+
     txn = 0
     new_key_counter = 0
     d_thresh = cfg.delete_rate
@@ -320,10 +357,15 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
             ap["ts"](ts); ap["schema_ver"](ver); ap["shard"](0)
             if ddl["action"] == "add_column":
                 evolved.append(ddl["name"])
+                etypes[ddl["name"]] = ddl.get("type", "string")
             elif ddl["action"] == "drop_column":
                 evolved.remove(ddl["name"])
-            else:
+                etypes.pop(ddl["name"])
+            elif ddl["action"] == "rename_column":
                 evolved[evolved.index(ddl["name"])] = ddl["new_name"]
+                etypes[ddl["new_name"]] = etypes.pop(ddl["name"])
+            elif ddl["action"] == "alter_type":
+                etypes[ddl["name"]] = ddl["new_type"]
             ver += 1
             continue
         d = op_draw[i]
@@ -370,7 +412,7 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
             ap["content"](f"// {repo}/{path}@{lsn}\n{pool[o : o + ln]}")
         # full-replacement evolved values at this event's schema version
         ap["extra"](
-            json.dumps({c: f"{c}:{lsn}" for c in evolved}, sort_keys=True)
+            json.dumps({c: _eval(c, lsn) for c in evolved}, sort_keys=True)
             if evolved else "{}"
         )
         ap["ddl"](None); ap["ts"](ts); ap["schema_ver"](ver)

@@ -67,10 +67,17 @@ def apply_events(
                 evolved.remove(d["name"])
                 for r in state.values():
                     r.pop(d["name"], None)
-            else:
+            elif d["action"] == "rename_column":
                 evolved[evolved.index(d["name"])] = d["new_name"]
                 for r in state.values():
                     r[d["new_name"]] = r.pop(d["name"], None)
+            elif d["action"] == "alter_type":
+                # widening cast: values stored under the narrow type
+                # re-read as the wide one (int64 -> double is lossless)
+                c = d["name"]
+                for r in state.values():
+                    if r.get(c) is not None:
+                        r[c] = float(r[c])
             continue
         if row.op not in ("I", "U", "D") or row.repo is None or row.path is None \
                 or (row.op in ("I", "U") and row.content is None):

@@ -53,10 +53,19 @@ APPLY_COLS = ["lsn", "op", "repo", "path", "commit", "lang", "content",
               "extra", "schema_ver", "shard"]
 
 
-def _state_schema(evolved: list[str]) -> pa.Schema:
+_EVOLVED_TYPES = {"string": pa.string(), "int64": pa.int64(),
+                  "double": pa.float64()}
+
+
+def _state_schema(evolved: list[str],
+                  types: dict[str, str] | None = None) -> pa.Schema:
+    """State-file schema. Evolved columns carry their registry type
+    (alter_type widening changes it; values written under the narrower
+    type cast losslessly at the next compact's write)."""
+    tys = types or {}
     return pa.schema(
         [(c, pa.string()) for c in BASE_COLS]
-        + [(c, pa.string()) for c in evolved]
+        + [(c, _EVOLVED_TYPES[tys.get(c, "string")]) for c in evolved]
         + [("_lsn", pa.int64()), ("_sha", pa.string()), ("_op", pa.string())]
     )
 
@@ -410,6 +419,7 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
     registry = SchemaRegistry(ctx["all_entries"])
     ver_end = registry.version
     evolved_final = registry.columns_at(ver_end)
+    types_final = registry.types_at(ver_end)
 
     # Guard by ver_start: on an epoch re-run (restore path) a partition that
     # already committed this epoch is at ver_end — re-applying add_column
@@ -453,8 +463,10 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
                     state[a["name"]] = None
                 elif a["action"] == "drop_column":
                     state = state.drop(columns=[a["name"]], errors="ignore")
-                else:
+                elif a["action"] == "rename_column":
                     state = state.rename(columns={a["name"]: a["new_name"]})
+                # alter_type: values cast at the write below (the output
+                # schema carries the widened type); nothing to do in-frame
             merged = pd.concat(
                 [state[BASE_COLS + evolved_final + ["_lsn", "_sha", "_op"]],
                  winners],
@@ -465,12 +477,12 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
             merged = merged[merged["_op"] != "D"]
             merged = merged.assign(_op="U").sort_values(
                 ["repo", "path"], kind="stable")
-            _write_state_file(merged, final_path, evolved_final)
+            _write_state_file(merged, final_path, evolved_final, types_final)
             new_files, row_count = [final_path], len(merged)
             chash = _content_hash(merged["_sha"]) if ctx["compute_content_hash"] else ""
         else:
             delta = winners.sort_values(["repo", "path"], kind="stable")
-            _write_state_file(delta, final_path, evolved_final)
+            _write_state_file(delta, final_path, evolved_final, types_final)
             new_files, row_count, chash = prior_files + [final_path], -1, ""
 
     return pd.DataFrame(
@@ -486,12 +498,12 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
     )
 
 
-def _write_state_file(df: pd.DataFrame, final_path: str,
-                      evolved: list[str]) -> None:
+def _write_state_file(df: pd.DataFrame, final_path: str, evolved: list[str],
+                      types: dict[str, str] | None = None) -> None:
     tmp = final_path + f".tmp-{os.getpid()}"
     tbl = pa.Table.from_pandas(
         df.astype({c: "object" for c in BASE_COLS + evolved}),
-        schema=_state_schema(evolved), preserve_index=False)
+        schema=_state_schema(evolved, types), preserve_index=False)
     pq.write_table(tbl, tmp)
     os.replace(tmp, final_path)         # retried task overwrites, never dups
 

@@ -40,9 +40,27 @@ class SchemaRegistry:
                 cols.append(d["name"])
             elif d["action"] == "drop_column":
                 cols.remove(d["name"])
-            else:
+            elif d["action"] == "rename_column":
                 cols[cols.index(d["name"])] = d["new_name"]
+            # alter_type changes no names
         return cols
+
+    def types_at(self, version: int) -> dict[str, str]:
+        """Logical type of each evolved column live at `version` —
+        "string" | "int64" | "double". add_column carries an optional
+        "type" (default string); alter_type WIDENS it in place (values
+        written under the old type cast losslessly on the next compact)."""
+        tys: dict[str, str] = {}
+        for d in self.ddls[:version]:
+            if d["action"] == "add_column":
+                tys[d["name"]] = d.get("type", "string")
+            elif d["action"] == "drop_column":
+                tys.pop(d["name"], None)
+            elif d["action"] == "rename_column":
+                tys[d["new_name"]] = tys.pop(d["name"])
+            elif d["action"] == "alter_type":
+                tys[d["name"]] = d["new_type"]
+        return tys
 
     def rename_into(self, from_version: int) -> dict[str, str]:
         """Map evolved-column names valid at `from_version` to current names.
