@@ -393,3 +393,45 @@ def test_alter_type_restore(ray_session, widen_fixture, tmp_path):
     pipe = CdcPipeline(cfg)
     pipe.run(base=widen_fixture["base_path"])
     assert_matches_oracle(pipe, widen_fixture)
+
+
+def test_demux_routes_union_to_oracle(ray_session, fixture, tmp_path):
+    """Demux tier: one binlog fanned out into 3 independent exactly-once
+    lakes (Kafka-Connect topic-routing analogue). Each lake bootstraps and
+    applies ONLY its key-hash route; DDL folds into every lake. Union of
+    the lakes == oracle; each lake == oracle filtered by the same route
+    function; routes are disjoint and non-trivial."""
+    from thor_ray.pipelines.cdc import route_of
+    from thor_ray.stages.smt import stable_hash
+
+    N = 3
+    finals = []
+    for r in range(N):
+        cfg = CdcConfig(lake_dir=str(tmp_path / f"lake_r{r}"),
+                        binlog_dir=fixture["binlog_dir"],
+                        num_partitions=4, epoch_size=3_000, route=(r, N))
+        pipe = CdcPipeline(cfg)
+        pipe.run(base=fixture["base_path"])
+        finals.append(pipe.final_table().to_pandas())
+    got = normalize(pd.concat(finals, ignore_index=True))
+    exp = normalize(fixture["expected"])
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert oracle.content_sha(got).tolist() == oracle.content_sha(exp).tolist()
+    # each lake holds exactly the oracle rows whose key hashes to its route
+    keys = pa.table({"repo": pa.array(exp["repo"], type=pa.string()),
+                     "path": pa.array(exp["path"], type=pa.string())})
+    rts = route_of(stable_hash(keys, ["repo", "path"]), N)
+    sizes = []
+    for r in range(N):
+        sub = normalize(exp[rts == r]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            normalize(finals[r]).reset_index(drop=True), sub,
+            check_dtype=False)
+        sizes.append(len(sub))
+    assert all(s > 0 for s in sizes) and sum(sizes) == len(exp)
+
+
+def test_demux_route_validation():
+    with pytest.raises(ValueError, match="route must be"):
+        CdcConfig(lake_dir="/tmp/x", binlog_dir="/tmp/y", route=(3, 3))

@@ -33,6 +33,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -68,6 +69,19 @@ def _state_schema(evolved: list[str],
         + [(c, _EVOLVED_TYPES[tys.get(c, "string")]) for c in evolved]
         + [("_lsn", pa.int64()), ("_sha", pa.string()), ("_op", pa.string())]
     )
+
+
+_ROUTE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def route_of(h: "np.ndarray", n_routes: int) -> "np.ndarray":
+    """Demux route id from the stable key hash — an INDEPENDENT mix of the
+    pid hash. Plain ``h % n_routes`` would correlate with ``pid = h % P``:
+    whenever gcd(P, n_routes) > 1, every pid not ≡ route (mod gcd) would be
+    permanently empty in that route's lake."""
+    x = h.astype(np.uint64) * _ROUTE_MIX
+    x ^= x >> np.uint64(31)
+    return (x % np.uint64(n_routes)).astype(np.int64)
 
 
 def _sha256_series(s: pd.Series) -> pd.Series:
@@ -141,6 +155,20 @@ class CdcConfig:
     # (stage 2): the two-stage barrier per epoch was the measured fixed
     # cost capping scaling efficiency (BASELINE.md §3). Spill mode only.
     pipeline_epochs: bool = True
+    # (route_id, n_routes): demux tier — this pipeline applies ONLY events
+    # whose key hashes to route_id (Kafka-Connect topic-routing analogue:
+    # one binlog fans out into n_routes independent exactly-once lakes; run
+    # one CdcPipeline per route). DDL events fold into EVERY route's
+    # registry; watermarks stay whole-log (skipping another route's events
+    # is intentional, not loss). None = single-lake (all keys).
+    route: "tuple[int, int] | None" = None
+
+    def __post_init__(self) -> None:
+        if self.route is not None:
+            rid, nr = self.route
+            if not (nr >= 1 and 0 <= rid < nr):
+                raise ValueError(f"route must be (route_id, n_routes) with "
+                                 f"0 <= route_id < n_routes, got {self.route}")
 
     def exchange_root(self) -> str:
         return self.exchange_dir or os.path.join(self.lake_dir, "_exchange")
@@ -601,7 +629,8 @@ class CdcPipeline:
         """Routing is hash-based; a lake written under one hash impl must
         not be resumed under another (keys would re-route and duplicate)."""
         p = os.path.join(self.cfg.lake_dir, "_schema", "engine.json")
-        meta = {"hash_impl": _hash_impl(), "num_partitions": self.cfg.num_partitions}
+        meta = {"hash_impl": _hash_impl(), "num_partitions": self.cfg.num_partitions,
+                "route": list(self.cfg.route) if self.cfg.route else None}
         if os.path.exists(p):
             with open(p) as f:
                 prev = json.load(f)
@@ -636,8 +665,15 @@ class CdcPipeline:
 
         lake_dir, compute_hash = cfg.lake_dir, cfg.compute_content_hash
 
+        rt = cfg.route
+
         def route(t: pa.Table) -> pa.Table:
-            pid = stable_hash(t, ["repo", "path"]) % P
+            h = stable_hash(t, ["repo", "path"])
+            if rt is not None:   # demux: bootstrap only this route's keys
+                keep = route_of(h, rt[1]) == rt[0]
+                t = t.filter(pa.array(keep))
+                h = h[keep]
+            pid = h % P
             return t.append_column("pid", pa.array(pid, type=pa.int64()))
 
         def init_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -782,7 +818,14 @@ class CdcPipeline:
                 tag=f"e{epoch}-",
             ))
 
+        rt = cfg.route
+
         def route(t: pa.Table) -> pa.Table:
+            if rt is not None:
+                # demux filter FIRST, so a corrupt event lands in exactly
+                # one route's DLQ (null keys hash via fill_null → one route)
+                keep = route_of(stable_hash(t, ["repo", "path"]), rt[1]) == rt[0]
+                t = t.filter(pa.array(keep))
             for s in stages:
                 t = s(t)
             pid = stable_hash(t, ["repo", "path"]) % P
