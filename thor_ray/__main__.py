@@ -51,10 +51,14 @@ def cmd_run(a) -> int:
     ray = _ray_init(a.num_cpus)
     from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
 
+    route = None
+    if a.route:
+        rid, nr = a.route.split("/")
+        route = (int(rid), int(nr))
     pipe = CdcPipeline(CdcConfig(
         lake_dir=a.lake, binlog_dir=a.binlog, num_partitions=a.partitions,
         epoch_size=a.epoch_size, shuffle=a.shuffle, write_mode=a.write_mode,
-        retain_snapshots=a.retain_snapshots))
+        retain_snapshots=a.retain_snapshots, route=route))
     reports = pipe.run(base=a.base, max_epochs=a.max_epochs)
     for r in reports:
         print(json.dumps({"epoch": r.epoch, "events": r.n_events,
@@ -221,6 +225,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="archive this many trailing epochs for time travel "
                         "(show/diff subcommands read them)")
     r.add_argument("--num-cpus", type=int)
+    r.add_argument("--route", metavar="ID/N",
+                   help="demux tier: apply only keys hashing to route ID of "
+                        "N (run one process per route into its own lake)")
     r.set_defaults(fn=cmd_run)
 
     c = sub.add_parser("compact", help="merge delta runs into single state files")

@@ -1717,6 +1717,58 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def q115_skew_kurt(sf: str):
+    """Distributed higher-moment aggregates: sample skewness + excess
+    kurtosis per group in one pass (ops/relational.py grouped_moments —
+    per-batch centered-moment partials, Pébay pairwise merge, DuckDB's
+    bias-corrected G1/G2 finalizers)."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = R.grouped_moments(ds, "l_returnflag", "l_extendedprice")
+    return _round_cols(out, {"skew": 6, "kurt": 6})
+
+
+SQL_Q115 = """
+SELECT l_returnflag,
+       round(skewness(l_extendedprice), 6) AS skew,
+       round(kurtosis(l_extendedprice), 6) AS kurt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q116_intersect_all(sf: str):
+    """Bag INTERSECT ALL (multiset semantics): quantities common to the
+    R- and A-flag line items, each kept min(count_R, count_A) times —
+    ops/relational.py intersect_all (partial-count combiner, one shuffle,
+    output-sized copy emission)."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_quantity"])
+    a = ds.filter(expr="l_returnflag == 'R'").select_columns(["l_quantity"])
+    b = ds.filter(expr="l_returnflag == 'A'").select_columns(["l_quantity"])
+    return R.intersect_all(a, b, ["l_quantity"])
+
+
+SQL_Q116 = """
+SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
+def q117_except_all(sf: str):
+    """Bag EXCEPT ALL: R-flag quantities surviving multiset subtraction of
+    the A-flag ones (max(count_R - count_A, 0) copies per value)."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_quantity"])
+    a = ds.filter(expr="l_returnflag == 'R'").select_columns(["l_quantity"])
+    b = ds.filter(expr="l_returnflag == 'A'").select_columns(["l_quantity"])
+    return R.except_all(a, b, ["l_quantity"])
+
+
+SQL_Q117 = """
+SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT ALL
+SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
 def q107_asof_forward(sf: str):
     """J4 forward as-of join: each signup matched to the user's NEXT
     purchase (earliest purchase with ts >= signup ts)."""
@@ -2596,6 +2648,9 @@ QUERIES: dict[str, tuple] = {
     "q112_percentile_disc": (q112_percentile_disc, SQL_Q112),
     "q113_lag_delta": (q113_lag_delta, SQL_Q113),
     "q114_asof_tolerance": (q114_asof_tolerance, SQL_Q114),
+    "q115_skew_kurt": (q115_skew_kurt, SQL_Q115),
+    "q116_intersect_all": (q116_intersect_all, SQL_Q116),
+    "q117_except_all": (q117_except_all, SQL_Q117),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
