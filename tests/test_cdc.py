@@ -435,3 +435,33 @@ def test_demux_routes_union_to_oracle(ray_session, fixture, tmp_path):
 def test_demux_route_validation():
     with pytest.raises(ValueError, match="route must be"):
         CdcConfig(lake_dir="/tmp/x", binlog_dir="/tmp/y", route=(3, 3))
+
+
+def test_delete_where_retention(ray_session, fixture, tmp_path):
+    """GDPR/retention tier: delete_where appends tombstones to the BINLOG
+    (never mutates the lake out-of-band); the next run() applies them
+    through the normal exactly-once path. Final state == oracle minus the
+    matching keys; re-running the same run() is still idempotent."""
+    d = str(tmp_path)
+    binlog = os.path.join(d, "binlog")
+    shutil.copytree(fixture["binlog_dir"], binlog)
+    cfg = CdcConfig(lake_dir=os.path.join(d, "lake"), binlog_dir=binlog,
+                    num_partitions=8, epoch_size=2_500)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=fixture["base_path"])
+    exp = fixture["expected"]
+    n_py = int((exp["lang"] == "py").sum())
+    assert n_py > 0
+    n_del = pipe.delete_where("lang == 'py'")
+    assert n_del == n_py
+    pipe.run()  # tombstones flow through the normal apply path
+    got = normalize(pipe.final_table().to_pandas())
+    want = normalize(exp[exp["lang"] != "py"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert not (got["lang"] == "py").any()
+    # re-issuing the same delete on the (now changed) log is a no-op fold
+    n2 = pipe.delete_where("lang == 'py'")
+    assert n2 == 0
+    pipe.run()
+    got2 = normalize(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)

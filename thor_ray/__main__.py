@@ -97,6 +97,21 @@ def cmd_compact(a) -> int:
     return 0
 
 
+def cmd_delete(a) -> int:
+    """Append retention tombstones (op='D') for lake keys matching a
+    filter expression; apply with a subsequent `run`."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    pipe = CdcPipeline(CdcConfig(lake_dir=a.lake, binlog_dir=a.binlog,
+                                 num_partitions=a.partitions))
+    n = pipe.delete_where(a.expr)
+    print(json.dumps({"tombstones_written": n,
+                      "hint": "run `python -m thor_ray run ...` to apply"}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_diff(a) -> int:
     """Changefeed between two retained snapshots (time travel)."""
     ray = _ray_init(a.num_cpus)
@@ -235,6 +250,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--binlog")
     c.add_argument("--num-cpus", type=int)
     c.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser("delete",
+                        help="append retention tombstones for keys matching "
+                             "a filter (GDPR tier); apply with `run`")
+    dl.add_argument("--lake", required=True)
+    dl.add_argument("--binlog", required=True)
+    dl.add_argument("--expr", required=True,
+                    help="Ray Dataset filter expr over final-table columns, "
+                         "e.g. \"lang == 'py'\"")
+    dl.add_argument("--partitions", type=int, default=64)
+    dl.add_argument("--num-cpus", type=int)
+    dl.set_defaults(fn=cmd_delete)
 
     v = sub.add_parser("verify", help="lake state vs single-process oracle")
     v.add_argument("--lake", required=True)

@@ -1114,6 +1114,90 @@ class CdcPipeline:
         gc_lake(cfg.lake_dir, load_manifests(cfg.lake_dir))
         return len(todo)
 
+    def delete_where(self, expr: str) -> int:
+        """Retention / right-to-be-forgotten: append tombstone (op='D')
+        events for every live lake key matching `expr` (a Ray Dataset
+        filter expression over the final-table columns) to the BINLOG at
+        fresh lsns — the lake is never mutated out-of-band; the deletes
+        flow through the normal exactly-once apply path (watermarks,
+        dedup, crash-restore) on the next run().
+
+        Scale shape: the matching keys never land on the driver — one
+        distributed filter+project over the lake, a shard-salted groupby,
+        and one segment file written per shard group. Unique lsns without
+        global coordination: shard s's k-th tombstone gets
+        base + 1 + s + k*n_shards (interleaved, all > the observed log
+        end). Batch semantics: issue while the log is quiescent, then
+        run(); in follow mode a lagging shard with no tombstones keeps
+        safe_frontier below the new lsns until its next data segment.
+        Returns the number of tombstones written."""
+        cfg = self.cfg
+        base_lsn = binlog_src.max_lsn(cfg.binlog_dir)
+        fmt = binlog_src.binlog_format(cfg.binlog_dir)
+        exp = binlog_src.expected_shards(cfg.binlog_dir)
+        n_shards = len(exp) if exp else max(
+            1, len({os.path.basename(p)[:10]
+                    for p in binlog_src.shard_files(cfg.binlog_dir)}))
+        from thor_ray.gen import EVENT_SCHEMA, _EPOCH_TS_US
+
+        keys = (self.final_table()
+                .filter(expr=expr)
+                .select_columns(["repo", "path"]))
+
+        def tag(t: pa.Table) -> pa.Table:
+            s = stable_hash(t, ["repo", "path"]) % n_shards
+            return t.append_column("shard", pa.array(s, type=pa.int32()))
+
+        binlog_dir, registry_ver = cfg.binlog_dir, \
+            SchemaRegistry.load(cfg.lake_dir).version
+
+        def write_segment(g: pd.DataFrame) -> pd.DataFrame:
+            s = int(g["shard"].iloc[0])
+            k = len(g)
+            lsn = base_lsn + 1 + s + np.arange(k, dtype=np.int64) * n_shards
+            t = pa.table({
+                "lsn": pa.array(lsn),
+                "txn": pa.array(np.zeros(k, dtype=np.int64)),
+                "op": pa.array(["D"] * k),
+                "repo": pa.array(g["repo"], type=pa.string()),
+                "path": pa.array(g["path"], type=pa.string()),
+                "commit": pa.nulls(k, type=pa.string()),
+                "lang": pa.nulls(k, type=pa.string()),
+                "content": pa.nulls(k, type=pa.large_string()),
+                "extra": pa.array(["{}"] * k, type=pa.large_string()),
+                "ddl": pa.nulls(k, type=pa.string()),
+                "ts": pa.array(_EPOCH_TS_US + lsn * 1000).cast(
+                    pa.timestamp("us")),
+                "schema_ver": pa.array(
+                    np.full(k, registry_ver, dtype=np.int32)),
+                "shard": pa.array(np.full(k, s, dtype=np.int32)),
+            }, schema=EVENT_SCHEMA)
+            # deterministic per (shard, base_lsn): a retried task or a
+            # re-issued delete_where on an unchanged log overwrites, never
+            # duplicates
+            name = f"shard-{s:04d}-del{base_lsn:010d}.{fmt}"
+            p = os.path.join(binlog_dir, name)
+            tmp = p + f".tmp-{os.getpid()}"
+            if fmt == "parquet":
+                pq.write_table(t, tmp, row_group_size=16 * 1024)
+            elif fmt == "jsonl":
+                df = t.to_pandas()
+                df["ts"] = df["ts"].astype("int64")
+                df.to_json(tmp, orient="records", lines=True)
+            else:  # csv
+                import pyarrow.csv as pacsv
+                t2 = t.set_column(t.schema.get_field_index("ts"), "ts",
+                                  t["ts"].cast(pa.int64()))
+                pacsv.write_csv(t2, tmp)
+            os.replace(tmp, p)
+            return pd.DataFrame([{"shard": s, "n": k}])
+
+        out = (keys.map_batches(tag, batch_format="pyarrow")
+               .groupby("shard")
+               .map_groups(write_segment, batch_format="pandas")
+               .to_pandas())
+        return int(out["n"].sum()) if len(out) else 0
+
     # ---- results ---------------------------------------------------------
     def final_table(self, keep_internal: bool = False) -> "ray.data.Dataset":
         from thor_ray.sources.lake import read_lake
