@@ -1769,6 +1769,52 @@ SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
 """
 
 
+def q118_join_chain(sf: str):
+    """TPC-H-Q5-shaped 4-way chain in one streaming plan: orders ⨝
+    customer through the ONE distributed hash join, then nation and
+    region as broadcast dims (no second shuffle), region filter pushed
+    before the aggregate. Money in integer cents end-to-end, so the
+    distributed sum order cannot drift the value hash."""
+    orders = T(sf, "orders", ["o_custkey", "o_totalprice"])
+    cust = T(sf, "customer", ["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    j = R.hash_join(orders, cust, on=("o_custkey",), right_on=("c_custkey",))
+    j = R.broadcast_join(j, nation, on=["c_nationkey"],
+                         right_on=["n_nationkey"])
+    j = R.broadcast_join(j, region, on=["n_regionkey"],
+                         right_on=["r_regionkey"])
+    j = j.filter(expr="r_name == 'ASIA'")
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                             pa.int64()),
+        })
+
+    out = (j.map_batches(cents, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("cents", alias_name="revenue_cents")))
+    return out
+
+
+SQL_Q118 = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 def q107_asof_forward(sf: str):
     """J4 forward as-of join: each signup matched to the user's NEXT
     purchase (earliest purchase with ts >= signup ts)."""
@@ -2651,6 +2697,7 @@ QUERIES: dict[str, tuple] = {
     "q115_skew_kurt": (q115_skew_kurt, SQL_Q115),
     "q116_intersect_all": (q116_intersect_all, SQL_Q116),
     "q117_except_all": (q117_except_all, SQL_Q117),
+    "q118_join_chain": (q118_join_chain, SQL_Q118),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
