@@ -465,3 +465,21 @@ def test_delete_where_retention(ray_session, fixture, tmp_path):
     pipe.run()
     got2 = normalize(pipe.final_table().to_pandas())
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+
+def test_lake_stats(ray_session, fixture, tmp_path):
+    """ANALYZE pass: exact rows/bytes/null counts, HLL ndv within the
+    sketch's error bound, against the oracle state."""
+    lake = str(tmp_path / "lake")
+    run_pipeline(fixture, lake)
+    from thor_ray.sources import lake_stats
+    s = lake_stats(lake, ndv_cols=("repo", "lang"))
+    exp = fixture["expected"]
+    assert s["rows"] == len(exp)
+    assert s["content_bytes"] == int(
+        exp["content"].map(lambda x: len(x.encode())).sum())
+    for c in exp.columns:
+        assert s["columns"][c]["nulls"] == int(exp[c].isna().sum()), c
+    for c in ("repo", "lang"):
+        exact = exp[c].nunique()
+        assert abs(s["columns"][c]["ndv"] - exact) <= max(1, 0.05 * exact), c

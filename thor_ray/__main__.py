@@ -97,6 +97,18 @@ def cmd_compact(a) -> int:
     return 0
 
 
+def cmd_stats(a) -> int:
+    """ANALYZE: one streaming pass — rows, content bytes, per-column null
+    counts, HLL ndv for requested columns."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.sources import lake_stats
+
+    s = lake_stats(a.lake, ndv_cols=tuple(a.ndv_cols.split(",")))
+    print(json.dumps(s))
+    ray.shutdown()
+    return 0
+
+
 def cmd_delete(a) -> int:
     """Append retention tombstones (op='D') for lake keys matching a
     filter expression; apply with a subsequent `run`."""
@@ -250,6 +262,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--binlog")
     c.add_argument("--num-cpus", type=int)
     c.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser("stats", help="ANALYZE the lake: rows, bytes, "
+                                      "null counts, approx distinct")
+    st.add_argument("--lake", required=True)
+    st.add_argument("--ndv-cols", default="repo,lang",
+                    help="comma-separated columns for HLL distinct counts")
+    st.add_argument("--num-cpus", type=int)
+    st.set_defaults(fn=cmd_stats)
 
     dl = sub.add_parser("delete",
                         help="append retention tombstones for keys matching "

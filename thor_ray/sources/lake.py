@@ -373,3 +373,59 @@ def maintain_group_counts(counts: "pd.DataFrame | None",
     out["n"] = (out["n"].fillna(0) + out["d"].fillna(0)).astype("int64")
     out = out[out["n"] > 0][[key, "n"]]
     return out.sort_values(key).reset_index(drop=True)
+
+
+def lake_stats(lake_dir: str, ndv_cols: "tuple[str, ...]" = ("repo", "lang"),
+               precision: int = 12) -> dict:
+    """ANALYZE: table statistics in ONE streaming pass over the lake —
+    row count, total content bytes, per-column null counts, and an
+    HLL-approximate distinct count per requested column (±1.04/√2^p).
+
+    Scale shape: each batch emits ONE partial row (counts + kilobyte HLL
+    register blobs); the driver folds one small row per batch, never
+    data. Returns {"rows", "content_bytes", "columns": {col: {"nulls",
+    "ndv"?}}} — the planning/observability input (skew checks, join-side
+    sizing, retention audits)."""
+    import pyarrow.compute as pc
+
+    from thor_ray.ops.sketch import _hll_estimate, _hll_registers
+    from thor_ray.stages.smt import stable_hash
+
+    ds = read_lake(lake_dir)
+    names = [n for n in ds.schema().names]
+    nd = [c for c in ndv_cols if c in names]
+
+    def partial(t: pa.Table) -> pa.Table:
+        row: dict = {
+            "_n": pa.array([len(t)], type=pa.int64()),
+            "_bytes": pa.array([int(pc.sum(pc.binary_length(
+                t["content"])).as_py() or 0)], type=pa.int64()),
+        }
+        for c in names:
+            row[f"nulls_{c}"] = pa.array([t[c].null_count], type=pa.int64())
+        for c in nd:
+            arr = t[c].combine_chunks().drop_null()  # NDV excludes nulls
+            st = pa.table({c: pc.cast(arr, pa.string())})
+            h = stable_hash(st, [c]).astype(np.uint64)
+            row[f"hll_{c}"] = pa.array([_hll_registers(h, precision).tobytes()],
+                                       type=pa.binary())
+        return pa.table(row)
+
+    rows = 0
+    nbytes = 0
+    nulls = {c: 0 for c in names}
+    regs = {c: np.zeros(1 << precision, dtype=np.int8) for c in nd}
+    for batch in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        rows += int(pc.sum(batch["_n"]).as_py() or 0)
+        nbytes += int(pc.sum(batch["_bytes"]).as_py() or 0)
+        for c in names:
+            nulls[c] += int(pc.sum(batch[f"nulls_{c}"]).as_py() or 0)
+        for c in nd:
+            for blob in batch[f"hll_{c}"].to_pylist():
+                regs[c] = np.maximum(regs[c],
+                                     np.frombuffer(blob, dtype=np.int8))
+    cols = {c: {"nulls": nulls[c]} for c in names}
+    for c in nd:
+        cols[c]["ndv"] = int(round(_hll_estimate(regs[c])))
+    return {"rows": rows, "content_bytes": nbytes, "columns": cols}
