@@ -188,3 +188,22 @@ def weighted_mixture(sources: "list[tuple[Dataset, float]]", id_col: str,
     if len(parts) == 1:
         return parts[0]
     return parts[0].union(*parts[1:])
+
+
+def sample_fixed_k(ds: Dataset, id_col: str = "doc_id", k: int = 20,
+                   seed: int = 5) -> Dataset:
+    """Deterministic uniform k-sample (reservoir-sample semantics, exactly
+    SQL-replayable): rank every row by the md5 hex of its id and keep the
+    global k smallest, tie-broken by id. Per-block local top-k first, so
+    the final sort sees k × num_blocks rows — never the corpus. The md5
+    tier is the bit-exact DuckDB twin
+    (ORDER BY substr(md5(id || '_seed'), 1, 8), id LIMIT k)."""
+    def local(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        hexs = _md5_hex8(ids, seed)
+        order = np.lexsort((np.asarray(ids), hexs))[: min(k, len(hexs))]
+        return pa.table({id_col: t[id_col].take(pa.array(order)),
+                         "_rk": pa.array(hexs[order])})
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .sort(["_rk", id_col]).limit(k).select_columns([id_col]))

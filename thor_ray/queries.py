@@ -1815,6 +1815,62 @@ GROUP BY n_name
 """
 
 
+def q119_fixed_k_sample(sf: str):
+    """Deterministic uniform k-sample with a FULL value-hash oracle —
+    ops/sample.py sample_fixed_k (md5 rank, per-block top-k, tiny final
+    sort)."""
+    from thor_ray.ops.sample import sample_fixed_k
+    return sample_fixed_k(T(sf, "documents", ["doc_id"]), "doc_id",
+                          k=25, seed=5)
+
+
+SQL_Q119 = """
+SELECT doc_id FROM documents
+ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '_5'), 1, 8), doc_id
+LIMIT 25
+"""
+
+
+def q120_ratio_to_report(sf: str):
+    """Ratio-to-report window aggregate (x / sum(x) OVER (PARTITION BY g))
+    as a BROADCAST, not a shuffle: one tiny distributed grouped sum,
+    collected (group-count-sized), broadcast into a map-only second pass.
+    Integer quantities divided in float64 — bit-identical to DuckDB's
+    double division, so the raw doubles hash exactly."""
+    ds = T(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag",
+                            "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "k": t["l_returnflag"],
+                         "q": pc.cast(t["l_quantity"], pa.int64())})
+
+    pds = ds.map_batches(prep, batch_format="pyarrow")
+    totals = dict(R.partial_then_final_sum(pds, "k", "q", "tot")
+                  .to_pandas().itertuples(index=False, name=None))
+    tref = ray.put(totals)
+
+    def share(t: pa.Table) -> pa.Table:
+        tot = ray.get(tref)
+        div = pd.Series(t["k"].to_pandas()).map(tot).to_numpy(dtype=np.float64)
+        q = t["q"].to_numpy().astype(np.float64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "share": pa.array(q / div)})
+
+    return pds.map_batches(share, batch_format="pyarrow")
+
+
+SQL_Q120 = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS DOUBLE) /
+       sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag)
+           AS share
+FROM lineitem
+"""
+
+
 def q107_asof_forward(sf: str):
     """J4 forward as-of join: each signup matched to the user's NEXT
     purchase (earliest purchase with ts >= signup ts)."""
@@ -2698,6 +2754,8 @@ QUERIES: dict[str, tuple] = {
     "q116_intersect_all": (q116_intersect_all, SQL_Q116),
     "q117_except_all": (q117_except_all, SQL_Q117),
     "q118_join_chain": (q118_join_chain, SQL_Q118),
+    "q119_fixed_k_sample": (q119_fixed_k_sample, SQL_Q119),
+    "q120_ratio_to_report": (q120_ratio_to_report, SQL_Q120),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
