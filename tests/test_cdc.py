@@ -454,6 +454,9 @@ def test_delete_where_retention(ray_session, fixture, tmp_path):
     assert n_py > 0
     n_del = pipe.delete_where("lang == 'py'")
     assert n_del == n_py
+    # re-issue BEFORE the next run(): the pending-tombstone anti-join
+    # suppresses every already-tombstoned key — no duplicates, count 0
+    assert pipe.delete_where("lang == 'py'") == 0
     pipe.run()  # tombstones flow through the normal apply path
     got = normalize(pipe.final_table().to_pandas())
     want = normalize(exp[exp["lang"] != "py"])
@@ -465,6 +468,26 @@ def test_delete_where_retention(ray_session, fixture, tmp_path):
     pipe.run()
     got2 = normalize(pipe.final_table().to_pandas())
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+
+def test_engine_meta_back_compat(ray_session, fixture, tmp_path):
+    """A lake written before the demux tier has no "route" key in
+    engine.json; resuming it must not raise a meta mismatch."""
+    lake = str(tmp_path / "lake")
+    run_pipeline(fixture, lake)
+    p = os.path.join(lake, "_schema", "engine.json")
+    with open(p) as f:
+        meta = json.load(f)
+    meta.pop("route")
+    with open(p, "w") as f:
+        json.dump(meta, f)
+    pipe = CdcPipeline(CdcConfig(lake_dir=lake,
+                                 binlog_dir=fixture["binlog_dir"],
+                                 num_partitions=8, epoch_size=2_500))
+    pipe.run()  # no-op resume; raises on meta mismatch
+    got = normalize(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got, normalize(fixture["expected"]),
+                                  check_dtype=False)
 
 
 def test_lake_stats(ray_session, fixture, tmp_path):

@@ -1194,6 +1194,23 @@ def test_pivot_null_semantics(ray_session):
     assert got["sy"][0] == 2 and pd.isna(got["sy"][1])  # b never ships 'y'
 
 
+def test_pivot_keeps_outside_and_null_keys(ray_session):
+    """SQL-twin parity: a key whose rows ALL fall outside the listed
+    categories still emits a row (all-NULL cells), and a NULL group key is
+    kept — sum(CASE WHEN ...) GROUP BY key does both."""
+    ds = ds_of({"k": ["a", "c", "c", None],
+                "p": ["x", "z", "z", "x"],
+                "v": pa.array([1, 8, 9, 5], type=pa.int64())})
+    got = R.pivot(ds, "k", "p", "v", ["x", "y"]) \
+        .to_pandas().sort_values("k", na_position="last") \
+        .reset_index(drop=True)
+    assert len(got) == 3  # a, c, NULL — c is not dropped
+    c = got[got["k"] == "c"]
+    assert c["x"].isna().all() and c["y"].isna().all()
+    nul = got[got["k"].isna()]
+    assert len(nul) == 1 and nul["x"].iloc[0] == 5
+
+
 def test_asof_tolerance(ray_session):
     """Backward as-of with tolerance: a match exactly AT the bound counts
     (inclusive), one past it is NULL."""

@@ -47,14 +47,18 @@ def cmd_gen(a) -> int:
     return 0
 
 
+def _parse_route(spec: str | None) -> tuple[int, int] | None:
+    if not spec:
+        return None
+    rid, nr = spec.split("/")
+    return (int(rid), int(nr))
+
+
 def cmd_run(a) -> int:
     ray = _ray_init(a.num_cpus)
     from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
 
-    route = None
-    if a.route:
-        rid, nr = a.route.split("/")
-        route = (int(rid), int(nr))
+    route = _parse_route(a.route)
     pipe = CdcPipeline(CdcConfig(
         lake_dir=a.lake, binlog_dir=a.binlog, num_partitions=a.partitions,
         epoch_size=a.epoch_size, shuffle=a.shuffle, write_mode=a.write_mode,
@@ -74,7 +78,8 @@ def cmd_follow(a) -> int:
 
     pipe = CdcPipeline(CdcConfig(
         lake_dir=a.lake, binlog_dir=a.binlog, num_partitions=a.partitions,
-        epoch_size=a.epoch_size, retain_snapshots=a.retain_snapshots))
+        epoch_size=a.epoch_size, retain_snapshots=a.retain_snapshots,
+        route=_parse_route(a.route)))
     reports = pipe.follow(poll_sec=a.poll_sec, idle_polls=a.idle_polls,
                           base=a.base)
     for r in reports:
@@ -103,7 +108,8 @@ def cmd_stats(a) -> int:
     ray = _ray_init(a.num_cpus)
     from thor_ray.sources import lake_stats
 
-    s = lake_stats(a.lake, ndv_cols=tuple(a.ndv_cols.split(",")))
+    s = lake_stats(a.lake, ndv_cols=tuple(
+        c.strip() for c in a.ndv_cols.split(",") if c.strip()))
     print(json.dumps(s))
     ray.shutdown()
     return 0
@@ -237,6 +243,9 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--idle-polls", type=int, default=5)
     f.add_argument("--retain-snapshots", type=int, default=0)
     f.add_argument("--num-cpus", type=int)
+    f.add_argument("--route", metavar="ID/N",
+                   help="demux tier: tail only keys hashing to route ID of "
+                        "N (must match the lake's engine meta)")
     f.set_defaults(fn=cmd_follow)
 
     r = sub.add_parser("run", help="bootstrap + replay the binlog (resumable)")

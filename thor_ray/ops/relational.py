@@ -327,6 +327,8 @@ def _bag_counts(a: Dataset, b: Dataset, cols: list[str]) -> Dataset:
     """Per-value multiplicity on each side: per-batch partial counts (the
     combiner — the exchange carries one row per (value, batch), never per
     input row), then one groupby-sum. Shared by the ALL set ops."""
+    _guard_internal_cols(cols, ["_ca", "_cb"], "intersect_all/except_all")
+
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
             g = t.select(cols).group_by(cols).aggregate([([], "count_all")])
@@ -400,7 +402,9 @@ def grouped_moments(ds: Dataset, key: str, x: str,
         return mean.join(cent).reset_index()
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        n, mu, m2, m3, m4 = (g[c].to_numpy() for c in
+        # float64 throughout: int64 n would overflow tot**3 at ~2.1M
+        # rows/group (numpy wraps silently), corrupting M3/M4
+        n, mu, m2, m3, m4 = (g[c].to_numpy().astype(np.float64) for c in
                              ("_n", "_mu", "_m2", "_m3", "_m4"))
         N, MU, M2, M3, M4 = n[0], mu[0], m2[0], m3[0], m4[0]
         for i in range(1, len(g)):  # loop over BATCH partials, not rows
@@ -604,26 +608,32 @@ def pivot(ds: Dataset, key: str, pivot_col: str, value_col: str,
 
     def partial(t: pa.Table) -> pa.Table:
         vt = t.schema.field(value_col).type
-        df = pd.DataFrame({"k": t[key].to_pandas(),
-                           "p": t[pivot_col].to_pandas(),
-                           "v": t[value_col].to_pandas()})
-        df = df[df["p"].isin(categories)]
-        if not len(df):
-            out = {key: pa.array([], type=t.schema.field(key).type)}
+        kt = t.schema.field(key).type
+        if not len(t):
+            out = {key: pa.array([], type=kt)}
             for sc in scols:
                 out[sc] = pa.array([], type=vt)
             for cc in ccols:
                 out[cc] = pa.array([], type=pa.int64())
             return pa.table(out)
-        pt = df.pivot_table(index="k", columns="p", values="v",
-                            aggfunc=["sum", "count"], fill_value=0)
-        sums = pt["sum"].reindex(columns=categories, fill_value=0)
-        cnts = pt["count"].reindex(columns=categories, fill_value=0)
-        out = {key: pa.array(pt.index.to_numpy()).cast(
-            t.schema.field(key).type)}
+        df = pd.DataFrame({"k": t[key].to_pandas(),
+                           "p": t[pivot_col].to_pandas(),
+                           "v": t[value_col].to_pandas()})
+        # per-category masked sum/count (not a row prefilter): a key whose
+        # rows all fall OUTSIDE the listed categories — and the NULL key
+        # group — still emits a row, matching the SQL twin
+        # sum(CASE WHEN p=c THEN v END) GROUP BY key
+        cols = {}
         for i, c in enumerate(categories):
-            out[scols[i]] = pa.array(sums[c].to_numpy()).cast(vt)
-            out[ccols[i]] = pa.array(cnts[c].to_numpy(), type=pa.int64())
+            m = df["p"] == c
+            cols[scols[i]] = df["v"].where(m, 0)
+            cols[ccols[i]] = (m & df["v"].notna()).astype("int64")
+        g = (pd.DataFrame({"k": df["k"], **cols})
+             .groupby("k", dropna=False, sort=False).sum())
+        out = {key: pa.array(pd.Series(g.index), from_pandas=True).cast(kt)}
+        for i in range(len(categories)):
+            out[scols[i]] = pa.array(g[scols[i]].to_numpy()).cast(vt)
+            out[ccols[i]] = pa.array(g[ccols[i]].to_numpy(), type=pa.int64())
         return pa.table(out)
 
     aggs = ([Sum(sc, alias_name=sc) for sc in scols]

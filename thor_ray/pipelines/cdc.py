@@ -634,6 +634,9 @@ class CdcPipeline:
         if os.path.exists(p):
             with open(p) as f:
                 prev = json.load(f)
+            # lakes written before the demux tier carry no "route" key;
+            # absent == None (unrouted), not a mismatch
+            prev.setdefault("route", None)
             if prev != meta:
                 raise RuntimeError(
                     f"lake engine meta mismatch: lake={prev}, runtime={meta}")
@@ -821,14 +824,21 @@ class CdcPipeline:
         rt = cfg.route
 
         def route(t: pa.Table) -> pa.Table:
+            h = None
             if rt is not None:
                 # demux filter FIRST, so a corrupt event lands in exactly
                 # one route's DLQ (null keys hash via fill_null → one route)
-                keep = route_of(stable_hash(t, ["repo", "path"]), rt[1]) == rt[0]
+                h = stable_hash(t, ["repo", "path"])
+                keep = route_of(h, rt[1]) == rt[0]
                 t = t.filter(pa.array(keep))
+                # DLQ stages drop rows without exposing the mask, so the
+                # hash can only be reused when no stage runs
+                h = h[keep] if not stages else None
             for s in stages:
                 t = s(t)
-            pid = stable_hash(t, ["repo", "path"]) % P
+            if h is None:
+                h = stable_hash(t, ["repo", "path"])
+            pid = h % P
             return t.append_column("pid", pa.array(pid, type=pa.int64()))
 
         return route
@@ -1144,6 +1154,29 @@ class CdcPipeline:
                 .filter(expr=expr)
                 .select_columns(["repo", "path"]))
 
+        # Idempotence across calls: a re-issued delete before the next
+        # run() would otherwise re-tombstone every key at fresh lsns (the
+        # first call raised max_lsn, so the segment names differ). Suppress
+        # keys that already hold a TRAILING pending tombstone — lsn above
+        # both the commit watermark and the last data event, so no pending
+        # insert can resurrect them — via a distributed anti-join.
+        wm = min((m.upto_lsn for m in
+                  load_manifests(cfg.lake_dir).values()), default=0)
+        data_max = max(
+            (binlog_src._file_max_lsn(p)
+             for p in binlog_src.shard_files(cfg.binlog_dir)
+             if "-del" not in os.path.basename(p)), default=0)
+        pend_lo = max(wm, data_max)
+        if pend_lo < base_lsn:
+            pending = (binlog_src.read_epoch(
+                cfg.binlog_dir, pend_lo, base_lsn,
+                columns=["lsn", "op", "repo", "path"])
+                .filter(expr="op == 'D'")
+                .select_columns(["repo", "path"]))
+            from thor_ray.ops.relational import hash_join
+            keys = hash_join(keys, pending, on=("repo", "path"),
+                             join_type="left_anti")
+
         def tag(t: pa.Table) -> pa.Table:
             s = stable_hash(t, ["repo", "path"]) % n_shards
             return t.append_column("shard", pa.array(s, type=pa.int32()))
@@ -1172,9 +1205,9 @@ class CdcPipeline:
                     np.full(k, registry_ver, dtype=np.int32)),
                 "shard": pa.array(np.full(k, s, dtype=np.int32)),
             }, schema=EVENT_SCHEMA)
-            # deterministic per (shard, base_lsn): a retried task or a
-            # re-issued delete_where on an unchanged log overwrites, never
-            # duplicates
+            # deterministic per (shard, base_lsn): a retried task on the
+            # same call overwrites; a re-issued call is deduped upstream
+            # by the pending-tombstone anti-join
             name = f"shard-{s:04d}-del{base_lsn:010d}.{fmt}"
             p = os.path.join(binlog_dir, name)
             tmp = p + f".tmp-{os.getpid()}"

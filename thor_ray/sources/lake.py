@@ -393,7 +393,11 @@ def lake_stats(lake_dir: str, ndv_cols: "tuple[str, ...]" = ("repo", "lang"),
 
     ds = read_lake(lake_dir)
     names = [n for n in ds.schema().names]
-    nd = [c for c in ndv_cols if c in names]
+    unknown = [c for c in ndv_cols if c not in names]
+    if unknown:
+        raise ValueError(f"lake_stats: ndv columns not in lake schema: "
+                         f"{unknown} (have {names})")
+    nd = list(ndv_cols)
 
     def partial(t: pa.Table) -> pa.Table:
         row: dict = {
