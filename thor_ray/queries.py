@@ -1417,11 +1417,20 @@ def q86_retention(sf: str):
     on (user, day), one per-user min, one hash join back, one final
     grouped count — all on the same user_id key until the last step."""
     ds = T(sf, "events", ["user_id", "ts"])
+    # days as int64 through the whole plan: a timestamp column fed to Ray's
+    # Min/groupby shuffle round-trips through numpy datetime64 and can come
+    # back at a DIFFERENT precision ('D'→'s') in some partitions than
+    # others, making HashShuffleAggregator.finalize raise ArrowInvalid on
+    # the schema mismatch (load-dependent flake; same Ray defect q84 works
+    # around). Cast back to timestamp[us] only in the final map.
     ud = R.distinct(
         ds.map_batches(
             lambda t: pa.table({
                 "user_id": t["user_id"],
-                "d": pc.floor_temporal(t["ts"], unit="day")}),
+                "d": pc.divide(
+                    pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                            pa.int64()),
+                    pa.scalar(86_400_000_000, type=pa.int64()))}),
             batch_format="pyarrow"),
         ["user_id", "d"])
     cohort = ud.groupby("user_id").aggregate(Min("d", alias_name="cohort_day"))
@@ -1430,12 +1439,21 @@ def q86_retention(sf: str):
     def off(t: pa.Table) -> pa.Table:
         return pa.table({
             "cohort_day": t["cohort_day"],
-            "offset_days": pc.cast(pc.days_between(t["cohort_day"], t["d"]),
+            "offset_days": pc.cast(pc.subtract(t["d"], t["cohort_day"]),
                                    pa.int64()),
         })
-    return j.map_batches(off, batch_format="pyarrow") \
-        .groupby(["cohort_day", "offset_days"]) \
-        .aggregate(Count(alias_name="n_users"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("cohort_day"), "cohort_day",
+            pc.cast(pc.multiply(t["cohort_day"],
+                                pa.scalar(86_400_000_000, type=pa.int64())),
+                    pa.timestamp("us")))
+
+    return (j.map_batches(off, batch_format="pyarrow")
+            .groupby(["cohort_day", "offset_days"])
+            .aggregate(Count(alias_name="n_users"))
+            .map_batches(finish, batch_format="pyarrow"))
 
 
 SQL_Q86 = """
@@ -2657,6 +2675,208 @@ FROM events
 """
 
 
+def q121_topk_with_ties(sf: str):
+    """Top-k per group with RANK ties kept (rank() <= k, not row_number):
+    a per-block candidate prune — keep each block's rows at block-local
+    rank <= k INCLUDING ties at the cutoff (sound: a row with global rank
+    <= k has <= k-1 rows above it in any block) — so the one shuffle moves
+    only ~k rows per (group, block); exact rank computed on that small
+    candidate set."""
+    k = 3
+    ds = T(sf, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["o_orderpriority", "o_totalprice"], ascending=[True, False],
+            kind="stable")
+        pos = df.groupby("o_orderpriority").cumcount()
+        # k-th largest value per group within the block (groups smaller
+        # than k have no cutoff — keep everything)
+        kth = (df["o_totalprice"].where(pos == k - 1)
+               .groupby(df["o_orderpriority"].to_numpy()).transform("max"))
+        keep = kth.isna() | (df["o_totalprice"] >= kth)
+        return pa.Table.from_pandas(df[keep], preserve_index=False,
+                                    schema=t.schema)
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_totalprice", ascending=False, kind="stable")
+        v = g["o_totalprice"].to_numpy()
+        # rank with ties = 1 + count of rows strictly greater
+        rnk = np.searchsorted(-v, -v, side="left") + 1
+        g = g.assign(rnk=rnk.astype(np.int64))
+        return g[g["rnk"] <= k]
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("o_orderpriority").map_groups(fin,
+                                                   batch_format="pandas"))
+
+
+SQL_Q121 = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q122_date_bucket(sf: str):
+    """Date arithmetic + bucketed aggregate: orders grouped by 30-day
+    epoch-day bucket (map-side int math, one small groupby; money in
+    integer cents so the distributed sum order cannot drift the hash)."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"), pa.int64()),
+                        pa.scalar(86_400_000_000, type=pa.int64()))
+        return pa.table({
+            "bucket": pc.divide(day, pa.scalar(30, type=pa.int64())),
+            "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                             pa.int64()),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("cents", alias_name="total_cents")))
+
+
+SQL_Q122 = """
+SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 30
+           AS bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders GROUP BY bucket
+"""
+
+
+def q123_null_scalars(sf: str):
+    """SQL null-handling scalar family in one map-only pass:
+    COALESCE(NULLIF(..)..) as a vectorized if_else, GREATEST/LEAST as
+    pc.max/min_element_wise."""
+    ds = T(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag",
+                            "l_linestatus", "l_discount", "l_tax",
+                            "l_quantity"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        # coalesce(nullif(rf,'N'), ls) == if rf=='N' then ls else rf
+        flag = pc.if_else(pc.equal(t["l_returnflag"], "N"),
+                          t["l_linestatus"], t["l_returnflag"])
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "flag": flag,
+            "hi": pc.max_element_wise(t["l_discount"], t["l_tax"]),
+            "qcap": pc.min_element_wise(
+                pc.cast(t["l_quantity"], pa.int64()),
+                pa.scalar(25, type=pa.int64())),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q123 = """
+SELECT l_orderkey, l_linenumber,
+       coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS flag,
+       greatest(l_discount, l_tax) AS hi,
+       least(CAST(l_quantity AS BIGINT), 25) AS qcap
+FROM lineitem
+"""
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic DP edit distance (driver-side, distinct pairs only)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q124_levenshtein(sf: str):
+    """Expensive scalar function over a LOW-CARDINALITY column pair,
+    dictionary-encoded: one distributed distinct over (lang, source)
+    (dozens of rows), the O(len²) edit-distance DP runs once per DISTINCT
+    pair on the driver, and the result is broadcast back into a map-only
+    pass — the standard way to run a costly UDF at 100 TB without paying
+    it per row."""
+    SEP = "\x00"
+    pairs = R.distinct(T(sf, "documents", ["lang", "source"]),
+                       ["lang", "source"]).to_pandas()
+    lut = {f"{l}{SEP}{s}": _levenshtein(l, s)
+           for l, s in pairs.itertuples(index=False, name=None)}
+    lref = ray.put(lut)
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = ray.get(lref)
+        key = pc.binary_join_element_wise(t["lang"], t["source"], SEP)
+        lev = pd.Series(key.to_pandas()).map(m).to_numpy(dtype=np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "lev": pa.array(lev, type=pa.int64())})
+
+    return T(sf, "documents", ["doc_id", "lang", "source"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q124 = """
+SELECT doc_id, CAST(levenshtein(lang, source) AS BIGINT) AS lev
+FROM documents
+"""
+
+
+def q125_weighted_avg(sf: str):
+    """Grouped weighted average (sum(x*w)/sum(w)) with an explicit
+    per-batch combiner: each batch emits ONE partial row per key carrying
+    both integer sums, the tiny groupby folds them, and the ratio is one
+    float division on the output-sized result — exact integer arithmetic
+    until the final divide, so the hash cannot drift with summation
+    order."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_extendedprice",
+                            "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        g = (pa.table({"l_returnflag": t["l_returnflag"],
+                       "_wx": pc.multiply(cents, qty), "_w": qty})
+             .group_by(["l_returnflag"])
+             .aggregate([("_wx", "sum"), ("_w", "sum")]))
+        # select by NAME — aggregate output column order differs across
+        # pyarrow versions (see partial_then_final_sum)
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "_wx": g["_wx_sum"], "_w": g["_w_sum"]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        wx = t["_wx"].to_numpy().astype(np.float64)
+        w = t["_w"].to_numpy().astype(np.float64)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "wavg_price": pa.array(wx / w / 100.0)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("_wx", alias_name="_wx"),
+                       Sum("_w", alias_name="_w"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+SQL_Q125 = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+       / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
+           AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2756,6 +2976,11 @@ QUERIES: dict[str, tuple] = {
     "q118_join_chain": (q118_join_chain, SQL_Q118),
     "q119_fixed_k_sample": (q119_fixed_k_sample, SQL_Q119),
     "q120_ratio_to_report": (q120_ratio_to_report, SQL_Q120),
+    "q121_topk_with_ties": (q121_topk_with_ties, SQL_Q121),
+    "q122_date_bucket": (q122_date_bucket, SQL_Q122),
+    "q123_null_scalars": (q123_null_scalars, SQL_Q123),
+    "q124_levenshtein": (q124_levenshtein, SQL_Q124),
+    "q125_weighted_avg": (q125_weighted_avg, SQL_Q125),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
