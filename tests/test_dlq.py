@@ -55,3 +55,79 @@ def test_corrupt_events_hit_dlq_not_lake(ray_session, tmp_path):
         or (r["op"] in ("I", "U") and r["content"] is None)
     }
     assert set(dlq["lsn"]) == corrupt_lsns
+
+
+def test_replay_dlq_reinjects_repaired(ray_session, tmp_path):
+    """DLQ reprocessing: a repair transform re-validates dead-lettered
+    events and re-injects them into the binlog at fresh lsns; the next
+    run() folds them through the normal exactly-once apply path. Final
+    state == oracle fold of (clean log + repaired events appended in
+    original-lsn order)."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    base = gen.gen_base_table(n_repos=10, paths_per_repo=10, seed=11)
+    cfg = gen.BinlogConfig(n_events=5_000, n_shards=4, dup_rate=0.03,
+                           shuffle_window=64, ddl_every=0,
+                           corrupt_rate=0.02, seed=11)
+    log = gen.gen_binlog(base, cfg)
+    binlog_dir = str(tmp_path / "binlog")
+    log.write(binlog_dir)
+    events = pa.concat_tables(log.shards)
+    ev = events.to_pandas()
+    bad = (~ev["op"].isin(["I", "U", "D", "DDL"])
+           | ((ev["op"] != "DDL") & ev["repo"].isna())
+           | (ev["op"].isin(["I", "U"]) & ev["content"].isna()))
+    assert bad.any()
+
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    lake = str(tmp_path / "lake")
+    pipe = CdcPipeline(CdcConfig(lake_dir=lake, binlog_dir=binlog_dir,
+                                 num_partitions=8, epoch_size=1_250))
+    pipe.run(base=base_path)
+
+    # a replay with NO fix repairs nothing: everything stays dead-lettered
+    assert pipe.replay_dlq() == 0
+    assert glob.glob(os.path.join(lake, "_dlq", "dlq-*.parquet"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index
+        t = t.set_column(idx("op"), "op",
+                         pc.if_else(pc.equal(t["op"], "X"),
+                                    pa.scalar("I"), t["op"]))
+        t = t.set_column(idx("repo"), "repo",
+                         pc.fill_null(t["repo"], "fixed/repo"))
+        t = t.set_column(idx("path"), "path", pc.fill_null(t["path"], "fp"))
+        t = t.set_column(idx("content"), "content",
+                         pc.fill_null(t["content"], "fixed-content"))
+        return t
+
+    n_bad = int(ev.loc[bad].drop_duplicates("lsn").shape[0])
+    assert pipe.replay_dlq(fix) == n_bad
+    # consumed originals archived, nothing left pending, re-issue a no-op
+    assert not glob.glob(os.path.join(lake, "_dlq", "dlq-*.parquet"))
+    assert glob.glob(os.path.join(lake, "_dlq", "replayed", "*.parquet"))
+    assert pipe.replay_dlq(fix) == 0
+
+    pipe.run()  # rpl segments ride the normal apply path
+
+    rep = ev.loc[bad].drop_duplicates("lsn").sort_values("lsn").copy()
+    rep["op"] = rep["op"].where(rep["op"] != "X", "I")
+    rep["repo"] = rep["repo"].fillna("fixed/repo")
+    rep["path"] = rep["path"].fillna("fp")
+    rep["content"] = rep["content"].fillna("fixed-content")
+    rep["lsn"] = ev["lsn"].max() + 1 + np.arange(len(rep), dtype=np.int64)
+    clean_t = events.filter(pa.array((~bad).to_numpy()))
+    rep_t = pa.Table.from_pandas(rep, schema=gen.EVENT_SCHEMA,
+                                 preserve_index=False)
+    expected, _ = oracle.apply_events(
+        pa.concat_tables([clean_t, rep_t]), initial=base)
+
+    got = pipe.final_table().to_pandas()
+    got = got.where(pd.notna(got), None).sort_values(["repo", "path"]) \
+        .reset_index(drop=True)[sorted(got.columns)]
+    exp = expected.where(pd.notna(expected), None) \
+        .sort_values(["repo", "path"]).reset_index(drop=True)[sorted(expected.columns)]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

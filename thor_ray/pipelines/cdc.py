@@ -84,6 +84,35 @@ def route_of(h: "np.ndarray", n_routes: int) -> "np.ndarray":
     return (x % np.uint64(n_routes)).astype(np.int64)
 
 
+def _dlq_rules() -> list:
+    """Event-validity rules shared by the ingest router's dead-letter
+    split and replay_dlq's re-validation: a known DML verb, a present
+    key, and content on I/U events."""
+    return [
+        lambda t: pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"])),
+        lambda t: pc.and_(pc.is_valid(t["repo"]), pc.is_valid(t["path"])),
+        lambda t: pc.or_(pc.equal(t["op"], "D"), pc.is_valid(t["content"])),
+    ]
+
+
+def _write_binlog_segment(t: pa.Table, path: str, fmt: str) -> None:
+    """Atomically write one binlog segment in the log's wire format
+    (shared by delete_where tombstones and replay_dlq re-injection)."""
+    tmp = path + f".tmp-{os.getpid()}"
+    if fmt == "parquet":
+        pq.write_table(t, tmp, row_group_size=16 * 1024)
+    elif fmt == "jsonl":
+        df = t.to_pandas()
+        df["ts"] = df["ts"].astype("int64")
+        df.to_json(tmp, orient="records", lines=True)
+    else:  # csv
+        import pyarrow.csv as pacsv
+        t2 = t.set_column(t.schema.get_field_index("ts"), "ts",
+                          t["ts"].cast(pa.int64()))
+        pacsv.write_csv(t2, tmp)
+    os.replace(tmp, path)
+
+
 def _sha256_series(s: pd.Series) -> pd.Series:
     """Per-row sha256 hex of string content. hashlib is the floor (there is
     no batch sha256 kernel); the wins over the old ``.map(lambda ...)`` are
@@ -813,11 +842,7 @@ class CdcPipeline:
         if cfg.dlq:
             stages.append(chain_mod.dlq_stage(
                 os.path.join(cfg.lake_dir, "_dlq"),
-                rules=[
-                    lambda t: pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"])),
-                    lambda t: pc.and_(pc.is_valid(t["repo"]), pc.is_valid(t["path"])),
-                    lambda t: pc.or_(pc.equal(t["op"], "D"), pc.is_valid(t["content"])),
-                ],
+                rules=_dlq_rules(),
                 tag=f"e{epoch}-",
             ))
 
@@ -1142,12 +1167,7 @@ class CdcPipeline:
         safe_frontier below the new lsns until its next data segment.
         Returns the number of tombstones written."""
         cfg = self.cfg
-        base_lsn = binlog_src.max_lsn(cfg.binlog_dir)
-        fmt = binlog_src.binlog_format(cfg.binlog_dir)
-        exp = binlog_src.expected_shards(cfg.binlog_dir)
-        n_shards = len(exp) if exp else max(
-            1, len({os.path.basename(p)[:10]
-                    for p in binlog_src.shard_files(cfg.binlog_dir)}))
+        base_lsn, fmt, n_shards = self._binlog_layout()
         from thor_ray.gen import EVENT_SCHEMA, _EPOCH_TS_US
 
         keys = (self.final_table()
@@ -1209,20 +1229,7 @@ class CdcPipeline:
             # same call overwrites; a re-issued call is deduped upstream
             # by the pending-tombstone anti-join
             name = f"shard-{s:04d}-del{base_lsn:010d}.{fmt}"
-            p = os.path.join(binlog_dir, name)
-            tmp = p + f".tmp-{os.getpid()}"
-            if fmt == "parquet":
-                pq.write_table(t, tmp, row_group_size=16 * 1024)
-            elif fmt == "jsonl":
-                df = t.to_pandas()
-                df["ts"] = df["ts"].astype("int64")
-                df.to_json(tmp, orient="records", lines=True)
-            else:  # csv
-                import pyarrow.csv as pacsv
-                t2 = t.set_column(t.schema.get_field_index("ts"), "ts",
-                                  t["ts"].cast(pa.int64()))
-                pacsv.write_csv(t2, tmp)
-            os.replace(tmp, p)
+            _write_binlog_segment(t, os.path.join(binlog_dir, name), fmt)
             return pd.DataFrame([{"shard": s, "n": k}])
 
         out = (keys.map_batches(tag, batch_format="pyarrow")
@@ -1230,6 +1237,117 @@ class CdcPipeline:
                .map_groups(write_segment, batch_format="pandas")
                .to_pandas())
         return int(out["n"].sum()) if len(out) else 0
+
+    def _binlog_layout(self) -> "tuple[int, str, int]":
+        """(max lsn, wire format, shard count) of the binlog — the shape
+        facts every out-of-band segment writer needs."""
+        cfg = self.cfg
+        base_lsn = binlog_src.max_lsn(cfg.binlog_dir)
+        fmt = binlog_src.binlog_format(cfg.binlog_dir)
+        exp = binlog_src.expected_shards(cfg.binlog_dir)
+        n_shards = len(exp) if exp else max(
+            1, len({os.path.basename(p)[:10]
+                    for p in binlog_src.shard_files(cfg.binlog_dir)}))
+        return base_lsn, fmt, n_shards
+
+    def replay_dlq(self, fix: "object | None" = None) -> int:
+        """Kafka-Connect-style DLQ reprocessing: run the dead-lettered
+        events through a repair transform (`fix`: a
+        ``Callable[[pa.Table], pa.Table]``), re-validate, and re-inject
+        the now-valid ones into the BINLOG at fresh lsns so they ride the
+        normal exactly-once apply path on the next run(). Rows the fix
+        does not repair stay dead-lettered (consolidated back into the
+        DLQ); consumed originals are archived under ``_dlq/replayed/``.
+
+        Semantics match Kafka DLQ re-produce: a repaired event becomes
+        the LATEST version of its key (last-writer-wins at replay time),
+        even if a newer legitimate update landed while it sat in the DLQ.
+        Within one replay, same-key events keep their original relative
+        order (fresh lsns are assigned in original-lsn order per shard).
+
+        Crash window: dying between the segment write and the archive
+        step makes a re-issued replay write the same repaired payloads
+        again at higher lsns — duplicates with identical content that the
+        upsert folds to the same final row (benign, documented).
+
+        Returns the number of events re-injected."""
+        import glob as _glob
+
+        from thor_ray.ops.relational import dedup_by_key
+
+        cfg = self.cfg
+        dlq_dir = os.path.join(cfg.lake_dir, "_dlq")
+        files = sorted(_glob.glob(os.path.join(dlq_dir, "dlq-*.parquet")))
+        if not files:
+            return 0
+        base_lsn, fmt, n_shards = self._binlog_layout()
+        from thor_ray.gen import EVENT_SCHEMA
+
+        ds = ray.data.read_parquet(files)
+        # at-least-once delivery can dead-letter one event several times
+        # (and across epochs): one replay per original lsn. DLQ rows carry
+        # the APPLY_COLS projection (no txn/ddl/ts), so order on lsn itself
+        ds = dedup_by_key(ds, ["lsn"], "lsn")
+        if fix is not None:
+            ds = ds.map_batches(fix, batch_format="pyarrow")
+        # still-invalid rows after the fix go to a side dir (so the glob
+        # above never races its own output), merged back into the DLQ at
+        # the end
+        pend = dlq_dir + ".pending"
+        ds = ds.map_batches(
+            chain_mod.dlq_stage(pend, _dlq_rules(), tag=f"rpl{base_lsn}-"),
+            batch_format="pyarrow")
+
+        binlog_dir = cfg.binlog_dir
+
+        def tag(t: pa.Table) -> pa.Table:
+            s = stable_hash(t, ["repo", "path"]) % n_shards
+            return t.append_column("_rs", pa.array(s, type=pa.int64()))
+
+        def write_segment(g: pd.DataFrame) -> pd.DataFrame:
+            # original-lsn order within the shard → same-key events keep
+            # their original relative order under the fresh lsns
+            g = g.sort_values("lsn", kind="stable")
+            s = int(g["_rs"].iloc[0])
+            k = len(g)
+            lsn = base_lsn + 1 + s + np.arange(k, dtype=np.int64) * n_shards
+            from thor_ray.gen import _EPOCH_TS_US
+            # DLQ rows carry the APPLY_COLS projection; synthesize the
+            # wire-only fields (txn/ddl/ts) like delete_where does
+            synth = {
+                "lsn": pa.array(lsn),
+                "txn": pa.array(np.zeros(k, dtype=np.int64)),
+                "ddl": pa.nulls(k, type=pa.string()),
+                "ts": pa.array(_EPOCH_TS_US + lsn * 1000).cast(
+                    pa.timestamp("us")),
+                "shard": pa.array(np.full(k, s, dtype=np.int32)),
+            }
+            cols = {f.name: synth[f.name] if f.name in synth else
+                    pa.array(g[f.name], type=f.type, from_pandas=True)
+                    for f in EVENT_SCHEMA}
+            t = pa.table(cols, schema=EVENT_SCHEMA)
+            # deterministic per (shard, base_lsn): a retried task on the
+            # same call overwrites, never duplicates
+            name = f"shard-{s:04d}-rpl{base_lsn:010d}.{fmt}"
+            _write_binlog_segment(t, os.path.join(binlog_dir, name), fmt)
+            return pd.DataFrame([{"shard": s, "n": k}])
+
+        out = (ds.map_batches(tag, batch_format="pyarrow")
+               .groupby("_rs")
+               .map_groups(write_segment, batch_format="pandas")
+               .to_pandas())
+        n = int(out["n"].sum()) if len(out) else 0
+
+        # commit the consumption: archive originals, surface the remainder
+        arch = os.path.join(dlq_dir, "replayed")
+        os.makedirs(arch, exist_ok=True)
+        for f in files:
+            os.replace(f, os.path.join(arch, os.path.basename(f)))
+        for f in _glob.glob(os.path.join(pend, "dlq-*.parquet")):
+            os.replace(f, os.path.join(dlq_dir, os.path.basename(f)))
+        if os.path.isdir(pend) and not os.listdir(pend):
+            os.rmdir(pend)
+        return n
 
     # ---- results ---------------------------------------------------------
     def final_table(self, keep_internal: bool = False) -> "ray.data.Dataset":
