@@ -1230,3 +1230,36 @@ def test_asof_tolerance(ray_session):
     # lid=30: r2 is 17 days back -> NULL
     assert got["rid_r"].tolist()[0] == "r1"
     assert got["rid_r"].isna().tolist() == [False, True, True]
+
+
+def test_heavy_hitters_by_bounded_error(ray_session):
+    """Grouped SpaceSaving: exact per key when capacity fits; with a tight
+    capacity each key's bound holds (n <= truth <= n + max_undercount) and
+    each key's true heavy hitters still surface."""
+    import ray.data
+    from thor_ray.ops.sketch import heavy_hitters_by
+
+    parts = []
+    for key, skew in (("a", 1), ("b", 2)):
+        vals = np.concatenate(
+            [np.full(1200 // (v * skew + 1), v) for v in range(150)])
+        parts.append(pd.DataFrame({"k": key, "v": vals}))
+    df = pd.concat(parts, ignore_index=True)
+    df = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    exact = {k: g["v"].value_counts() for k, g in df.groupby("k")}
+
+    wide = heavy_hitters_by(ds, "k", "v", k=5, capacity=4096) \
+        .to_pandas().sort_values(["k", "n"], ascending=[True, False])
+    for k, g in wide.groupby("k"):
+        assert g["v"].tolist() == exact[k].index[:5].tolist()
+        assert g["n"].tolist() == exact[k].iloc[:5].tolist()  # cap not hit
+        assert (g["max_undercount"] == 0).all()
+
+    tight = heavy_hitters_by(ds, "k", "v", k=5, capacity=16).to_pandas()
+    for k, g in tight.groupby("k"):
+        assert set(exact[k].index[:3]) <= set(g["v"])  # hitters survive
+        for _, r in g.iterrows():
+            truth = int(exact[k].get(r["v"], 0))
+            assert r["n"] <= truth <= r["n"] + r["max_undercount"]

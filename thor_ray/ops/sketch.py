@@ -347,3 +347,64 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 20,
         .head(k).reset_index(drop=True)
     agg["n"] = agg["n"].astype("int64")
     return agg
+
+
+def heavy_hitters_by(ds: Dataset, key: str, col: str, k: int = 10,
+                     capacity: int = 1024) -> Dataset:
+    """Per-GROUP approximate top-k heavy hitters — the grouped tier of
+    heavy_hitters, same SpaceSaving-style bound per key: for each reported
+    row, n <= true count <= n + max_undercount, and any value whose true
+    count within its key exceeds N_key/capacity is present.
+
+    Scale shape: each batch emits at most (capacity + 1) combiner rows per
+    key it contains (exact within-batch counts plus one dropped-tail
+    marker per key that overflowed), so the one shuffle moves
+    combiner-sized partials — never value cardinality — and the merge runs
+    DISTRIBUTED in groupby(key).map_groups on those candidates (nothing
+    lands on the driver, unlike the global sketch's tiny final fold)."""
+    cap = capacity
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({key: t[key].to_pandas(),
+                           col: t[col].to_pandas()})
+        vc = (df.groupby([key, col], dropna=False, sort=False)
+              .size().rename("n").reset_index())
+        vc = vc.sort_values([key, "n"], ascending=[True, False],
+                            kind="stable")
+        r = vc.groupby(key, dropna=False).cumcount()
+        kept = vc[(r < cap).to_numpy()].copy()
+        dropped = vc[(r >= cap).to_numpy()]
+        tails = (dropped.groupby(key, dropna=False)["n"].max()
+                 .rename("tail").reset_index())
+        kept = kept.merge(tails, on=key, how="left")
+        kept["tail"] = kept["tail"].fillna(0).astype("int64")
+        kept["kind"] = "v"
+        if len(tails):
+            markers = tails.copy()
+            markers[col] = None
+            markers["n"] = np.int64(0)
+            markers["kind"] = "t"
+            kept = pd.concat(
+                [kept, markers[[key, col, "n", "tail", "kind"]]],
+                ignore_index=True)
+        kept["n"] = kept["n"].astype("int64")
+        return kept
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        total_tail = int(g.loc[g["kind"] == "t", "tail"].sum())
+        v = g[g["kind"] == "v"]
+        agg = v.groupby(col, dropna=False).agg(
+            n=("n", "sum"), seen_tail=("tail", "sum")).reset_index()
+        # tails of batches where the value WAS reported cannot have
+        # missed it (mirrors the global sketch's bound)
+        agg["max_undercount"] = (total_tail - agg["seen_tail"]) \
+            .astype("int64")
+        agg = agg.drop(columns=["seen_tail"]) \
+            .sort_values(["n", col], ascending=[False, True],
+                         kind="stable").head(k).reset_index(drop=True)
+        agg.insert(0, key, g[key].iloc[0])
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key).map_groups(merge, batch_format="pandas"))

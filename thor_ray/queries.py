@@ -2062,6 +2062,25 @@ def q78_heavy_hitters(sf: str):
                          "token", k=25)
 
 
+def q130_heavy_hitters_by(sf: str):
+    """Per-language approximate top tokens (rows-only): the grouped tier
+    of q78's SpaceSaving sketch — combiner partials per (batch, lang),
+    DISTRIBUTED merge in groupby(lang), per-key undercount bound
+    unit-tested."""
+    from thor_ray.ops.sketch import heavy_hitters_by
+    ds = T(sf, "documents", ["lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        tk = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        n = pc.list_value_length(tk).to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        return pa.table({"lang": pa.array(np.repeat(lang, n)),
+                         "token": pc.list_flatten(tk)})
+
+    return heavy_hitters_by(ds.map_batches(toks, batch_format="pyarrow"),
+                            "lang", "token", k=5)
+
+
 def q79_near_dup_dedup(sf: str):
     """Survivor-only corpus after near-dup removal (rows-only; survivor
     semantics unit-tested — min doc id per cluster kept)."""
@@ -2877,6 +2896,116 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q126_regex_extract(sf: str):
+    """Multi-group regex extraction to columns: one pc.extract_regex pass
+    yields a struct whose named groups become output columns (RE2 on the
+    Ray side, same class of engine as DuckDB's regex — map-only)."""
+    ds = T(sf, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        nm = pc.extract_regex(t["p_name"], r"^(?P<color>\w+) (?P<item>\w+)$")
+        br = pc.extract_regex(t["p_brand"], r"#(?P<n>\d+)")
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "color": pc.struct_field(nm, "color"),
+            "item": pc.struct_field(nm, "item"),
+            "brand_num": pc.cast(pc.struct_field(br, "n"), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q126 = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+) (\\w+)$', 1) AS color,
+       regexp_extract(p_name, '^(\\w+) (\\w+)$', 2) AS item,
+       CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS BIGINT) AS brand_num
+FROM part
+"""
+
+
+def q127_math_fns(sf: str):
+    """Math scalar family (ln/sqrt/pow/ceil) — pyarrow.compute kernels are
+    bit-identical to DuckDB's libm calls on this host (verified), so raw
+    doubles hash exactly with no rounding bridge."""
+    ds = T(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice",
+                            "l_quantity", "l_tax"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "lnp": pc.ln(t["l_extendedprice"]),
+            "sq": pc.sqrt(t["l_quantity"]),
+            "pw": pc.power(pc.add(t["l_tax"], 1.0), 1.5),
+            "cl": pc.ceil(pc.divide(t["l_extendedprice"], 1000.0)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q127 = """
+SELECT l_orderkey, l_linenumber,
+       ln(l_extendedprice) AS lnp,
+       sqrt(l_quantity) AS sq,
+       pow(l_tax + 1.0, 1.5) AS pw,
+       ceil(l_extendedprice / 1000.0) AS cl
+FROM lineitem
+"""
+
+
+def q128_bitwise(sf: str):
+    """Bitwise scalar ops (AND/OR/XOR/shift) — map-only pc kernels."""
+    ds = T(sf, "orders", ["o_orderkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"]
+        return pa.table({
+            "o_orderkey": k,
+            "band": pc.bit_wise_and(k, 255),
+            "bor": pc.bit_wise_or(k, 4096),
+            "bxor": pc.bit_wise_xor(k, 1365),
+            "shl": pc.shift_left(k, 3),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q128 = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 4096 AS bor,
+       xor(o_orderkey, 1365) AS bxor,
+       o_orderkey << 3 AS shl
+FROM orders
+"""
+
+
+def q129_string_pad(sf: str):
+    """String formatting family (LPAD / REVERSE / REPLACE) — map-only
+    utf8 kernels."""
+    ds = T(sf, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "lp": pc.utf8_lpad(pc.cast(t["c_custkey"], pa.string()), 10, "0"),
+            "rv": pc.utf8_reverse(t["c_mktsegment"]),
+            "rp": pc.replace_substring(t["c_name"], "Customer#", "C-"),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q129 = """
+SELECT c_custkey,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS lp,
+       reverse(c_mktsegment) AS rv,
+       replace(c_name, 'Customer#', 'C-') AS rp
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2981,6 +3110,10 @@ QUERIES: dict[str, tuple] = {
     "q123_null_scalars": (q123_null_scalars, SQL_Q123),
     "q124_levenshtein": (q124_levenshtein, SQL_Q124),
     "q125_weighted_avg": (q125_weighted_avg, SQL_Q125),
+    "q126_regex_extract": (q126_regex_extract, SQL_Q126),
+    "q127_math_fns": (q127_math_fns, SQL_Q127),
+    "q128_bitwise": (q128_bitwise, SQL_Q128),
+    "q129_string_pad": (q129_string_pad, SQL_Q129),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
@@ -3008,6 +3141,7 @@ QUERIES: dict[str, tuple] = {
     "q81_training_corpus": (q81_training_corpus, None),
     "q93_pack_sequences": (q93_pack_sequences, None),
     "q101_quantiles_by_lang": (q101_quantiles_by_lang, None),
+    "q130_heavy_hitters_by": (q130_heavy_hitters_by, None),
 }
 
 
