@@ -506,3 +506,44 @@ def test_lake_stats(ray_session, fixture, tmp_path):
     for c in ("repo", "lang"):
         exact = exp[c].nunique()
         assert abs(s["columns"][c]["ndv"] - exact) <= max(1, 0.05 * exact), c
+
+
+def test_archive_binlog_retires_consumed_segments(ray_session, fixture,
+                                                  tmp_path):
+    """Binlog retention: after a delete_where + run cycle each shard holds
+    its original data segment plus a tombstone segment; archiving moves
+    the fully-consumed older segments aside (keeping each shard's newest
+    so safe_frontier still sees every declared shard), and resume /
+    delete_where / state reads are unaffected."""
+    from thor_ray.sources import binlog as binlog_src
+
+    lake = str(tmp_path / "lake")
+    pipe = run_pipeline(fixture, lake)
+    n_del = pipe.delete_where("lang == 'py'")
+    assert n_del > 0
+    pipe.run()
+    want = normalize(pipe.final_table().to_pandas())
+
+    before = binlog_src.shard_files(fixture["binlog_dir"])
+    pre_frontier = binlog_src.safe_frontier(fixture["binlog_dir"])
+    n = pipe.archive_binlog()
+    assert n > 0
+    after = binlog_src.shard_files(fixture["binlog_dir"])
+    assert len(after) == len(before) - n
+    # each declared shard still visible, frontier unchanged (newest kept)
+    assert binlog_src.safe_frontier(fixture["binlog_dir"]) == pre_frontier
+    shards_after = {os.path.basename(p)[:10] for p in after}
+    shards_before = {os.path.basename(p)[:10] for p in before}
+    assert shards_after == shards_before
+
+    # resume is a no-op and the state is unchanged
+    pipe2 = CdcPipeline(CdcConfig(lake_dir=lake,
+                                  binlog_dir=fixture["binlog_dir"],
+                                  num_partitions=8, epoch_size=2_500))
+    pipe2.run()
+    got = normalize(pipe2.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # a fresh delete still dedups correctly against the remaining log
+    assert pipe2.delete_where("lang == 'py'") == 0
+    # second archive is a no-op (nothing old left below the watermark)
+    assert pipe2.archive_binlog() == 0

@@ -115,6 +115,18 @@ def cmd_stats(a) -> int:
     return 0
 
 
+def cmd_archive(a) -> int:
+    """Retire fully-consumed binlog segments (metadata-only; no Ray)."""
+    from thor_ray.sources import binlog as binlog_src
+    from thor_ray.state import load_manifests
+
+    ms = load_manifests(a.lake)
+    wm = min((m.upto_lsn for m in ms.values()), default=0)
+    n = binlog_src.archive_binlog(a.binlog, wm) if ms else 0
+    print(json.dumps({"archived_segments": n, "below_lsn": wm}))
+    return 0
+
+
 def cmd_delete(a) -> int:
     """Append retention tombstones (op='D') for lake keys matching a
     filter expression; apply with a subsequent `run`."""
@@ -291,6 +303,14 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--partitions", type=int, default=64)
     dl.add_argument("--num-cpus", type=int)
     dl.set_defaults(fn=cmd_delete)
+
+    ar = sub.add_parser("archive",
+                        help="retire binlog segments below the lake's "
+                             "slowest-partition watermark (keeps each "
+                             "shard's newest segment)")
+    ar.add_argument("--lake", required=True)
+    ar.add_argument("--binlog", required=True)
+    ar.set_defaults(fn=cmd_archive)
 
     v = sub.add_parser("verify", help="lake state vs single-process oracle")
     v.add_argument("--lake", required=True)

@@ -1238,6 +1238,19 @@ class CdcPipeline:
                .to_pandas())
         return int(out["n"].sum()) if len(out) else 0
 
+    def archive_binlog(self) -> int:
+        """Retire binlog segments every partition has committed past (max
+        lsn <= the lake's slowest-partition watermark) into
+        ``binlog/_archive/``, keeping each shard's newest segment so the
+        shard stays visible to safe_frontier. Pure metadata operation —
+        no Ray tasks, no data read beyond parquet footers (text tiers:
+        one lsn-column parse per candidate file)."""
+        ms = load_manifests(self.cfg.lake_dir)
+        if not ms:
+            return 0
+        wm = min(m.upto_lsn for m in ms.values())
+        return binlog_src.archive_binlog(self.cfg.binlog_dir, wm)
+
     def _binlog_layout(self) -> "tuple[int, str, int]":
         """(max lsn, wire format, shard count) of the binlog — the shape
         facts every out-of-band segment writer needs."""

@@ -224,3 +224,31 @@ def read_ddl_events(binlog_dir: str, lo: int, hi: int) -> list[dict]:
         {"lsn": r["lsn"], "schema_ver": r["schema_ver"], "ddl": json.loads(r["ddl"])}
         for r in rows
     ]
+
+
+def archive_binlog(binlog_dir: str, below_lsn: int) -> int:
+    """Retire fully-consumed shard segments: move every shard file whose
+    max lsn <= `below_lsn` into ``binlog_dir/_archive/``, EXCEPT each
+    shard's newest segment — kept so shard_frontiers / safe_frontier
+    still see every declared shard (the Kafka active-segment rule; an
+    archived-empty shard would pin safe_frontier to 0 and stall follow).
+
+    `below_lsn` must be an lsn every consumer has committed past (the
+    lake's min partition watermark): files at or below it can never be
+    read again by read_epoch (which reads lsn > watermark), delete_where's
+    pending scan, or replay_dlq. Returns the number of files archived."""
+    files = shard_files(binlog_dir)
+    by_shard: dict[str, list[str]] = {}
+    for p in files:
+        by_shard.setdefault(os.path.basename(p)[:10], []).append(p)
+    arch = os.path.join(binlog_dir, "_archive")
+    n = 0
+    for ps in by_shard.values():
+        lsns = {p: _file_max_lsn(p) for p in ps}
+        newest = max(ps, key=lambda p: (lsns[p], p))
+        for p in ps:
+            if p != newest and lsns[p] <= below_lsn:
+                os.makedirs(arch, exist_ok=True)
+                os.replace(p, os.path.join(arch, os.path.basename(p)))
+                n += 1
+    return n
