@@ -1263,3 +1263,47 @@ def test_heavy_hitters_by_bounded_error(ray_session):
         for _, r in g.iterrows():
             truth = int(exact[k].get(r["v"], 0))
             assert r["n"] <= truth <= r["n"] + r["max_undercount"]
+
+
+def test_clustered_write_zone_map_pruning(ray_session, tmp_path):
+    """cluster_by sorts each partition before the write so row-group
+    min/max stats become tight: a narrow range read prunes most row groups
+    of the clustered layout, none of the unclustered one — and both return
+    exactly the full-scan-filter rows."""
+    import ray.data
+    from thor_ray.sources import pruned_fragments, read_range, \
+        write_partitioned
+
+    rng = np.random.default_rng(13)
+    n = 40_000
+    df = pd.DataFrame({
+        "bucket": (np.arange(n) % 4).astype("int64"),
+        "v": rng.permutation(n).astype("int64"),
+        "payload": [f"p{i}" for i in range(n)],
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    d_plain = str(tmp_path / "plain")
+    d_clust = str(tmp_path / "clust")
+    write_partitioned(ds, d_plain, "bucket", row_group_size=1024)
+    write_partitioned(ds, d_clust, "bucket", row_group_size=1024,
+                      cluster_by=["v"])
+
+    lo, hi = 1000, 3000
+    plain = pruned_fragments(d_plain, "v", lo, hi)
+    clust = pruned_fragments(d_clust, "v", lo, hi)
+    assert plain["row_groups_total"] == clust["row_groups_total"]
+    # random layout: stats span everything, nothing prunes
+    assert plain["row_groups_kept"] == plain["row_groups_total"]
+    # clustered: only the row groups actually covering [lo, hi] survive
+    assert clust["row_groups_kept"] < clust["row_groups_total"] // 3
+
+    want = df[(df["v"] >= lo) & (df["v"] <= hi)] \
+        .sort_values("v").reset_index(drop=True)
+    for d in (d_plain, d_clust):
+        got = read_range(d, "v", lo, hi).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["bucket", "v", "payload"]],
+                                      want[["bucket", "v", "payload"]])
+    # empty range: schema-typed empty result, no error
+    assert read_range(d_clust, "v", n + 10, n + 20).count() == 0

@@ -2896,6 +2896,70 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q131_running_extremes(sf: str):
+    """Window-function running MAX + MIN within each order (MAX/MIN OVER
+    PARTITION BY ... ORDER BY ..., default RANGE frame): cummax/cummin are
+    monotone, so taking the LAST value within each ORDER-BY peer group
+    gives exact RANGE-peer semantics, order-independently (same coarse-salt
+    shuffle + C-level grouped scan as q62)."""
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_linenumber"], kind="stable")
+        keys = g["l_orderkey"].to_numpy()
+        ln = g["l_linenumber"].to_numpy()
+        cmax = g["qty"].groupby(keys).cummax()
+        cmin = g["qty"].groupby(keys).cummin()
+        peer = [keys, ln]
+        return pd.DataFrame({
+            "l_orderkey": keys,
+            "l_linenumber": ln,
+            "run_max": cmax.groupby(peer).transform("last").to_numpy(),
+            "run_min": cmin.groupby(peer).transform("last").to_numpy(),
+        })
+
+    return (_salted_order_groups(sf).groupby("osalt")
+            .map_groups(cum, batch_format="pandas"))
+
+
+SQL_Q131 = """
+SELECT l_orderkey, l_linenumber,
+       MAX(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS run_max,
+       MIN(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS run_min
+FROM lineitem
+"""
+
+
+def q132_running_distinct(sf: str):
+    """Running COUNT(DISTINCT) window — per user, how many distinct event
+    types seen up to each event (RANGE-peer semantics: equal-ts rows share
+    the frame). Cumsum of a first-occurrence indicator per (user, type),
+    then peer-last — all C-level inside the coarse-salt shuffle."""
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        first = (~g.duplicated(["user_id", "event_type"])).to_numpy()
+        nd = pd.Series(first.astype("int64")).groupby(u).cumsum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": u,
+            "nd": nd.groupby([u, ts]).transform("last").to_numpy(),
+        })
+
+    return (_salted_user_events(sf, ["event_id", "user_id", "event_type",
+                                     "ts"])
+            .groupby("usalt").map_groups(win, batch_format="pandas"))
+
+
+SQL_Q132 = """
+SELECT event_id, user_id,
+       count(DISTINCT event_type)
+           OVER (PARTITION BY user_id ORDER BY ts) AS nd
+FROM events
+"""
+
+
 def q126_regex_extract(sf: str):
     """Multi-group regex extraction to columns: one pc.extract_regex pass
     yields a struct whose named groups become output columns (RE2 on the
@@ -3114,6 +3178,8 @@ QUERIES: dict[str, tuple] = {
     "q127_math_fns": (q127_math_fns, SQL_Q127),
     "q128_bitwise": (q128_bitwise, SQL_Q128),
     "q129_string_pad": (q129_string_pad, SQL_Q129),
+    "q131_running_extremes": (q131_running_extremes, SQL_Q131),
+    "q132_running_distinct": (q132_running_distinct, SQL_Q132),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),

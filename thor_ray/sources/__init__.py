@@ -4,11 +4,11 @@ from .lake import (LakeEnricher, enrich_with_lake, lake_lookup, lake_stats,
                    maintain_group_counts, merge_state_frames, read_lake,
                    read_lake_at, read_lineage, read_partition_state,
                    snapshot_diff)
-from .sink import write_partitioned
+from .sink import pruned_fragments, read_range, write_partitioned
 
 __all__ = ["LakeEnricher", "enrich_with_lake", "max_lsn", "read_ddl_events", "read_epoch", "safe_frontier",
            "shard_frontiers", "lake_lookup", "lake_stats",
            "maintain_group_counts",
-           "merge_state_frames", "read_lake", "read_lake_at",
-           "read_lineage", "read_partition_state", "snapshot_diff",
-           "write_partitioned"]
+           "merge_state_frames", "pruned_fragments", "read_lake",
+           "read_lake_at", "read_lineage", "read_partition_state",
+           "read_range", "snapshot_diff", "write_partitioned"]

@@ -22,16 +22,25 @@ from ray.data import Dataset
 
 def write_partitioned(ds: Dataset, out_dir: str, by: str,
                       overwrite: bool = False,
-                      row_group_size: int = 16_384) -> pd.DataFrame:
+                      row_group_size: int = 16_384,
+                      cluster_by: "list[str] | None" = None) -> pd.DataFrame:
     """Write one `<by>=<value>/data.parquet` per distinct key value; returns
     a per-partition report (value, rows, skipped). Use a COARSE key (date
     bucket, shard id, hash range) — one directory per distinct value; salt
     or bucket a fine key upstream. The groupby is the one wide step; each
     group writes independently, so a re-run after a crash rewrites only the
-    partitions whose final file is missing."""
+    partitions whose final file is missing.
+
+    `cluster_by`: sort each partition's rows by these columns before the
+    write, so per-row-group min/max statistics become TIGHT on them —
+    a later range read prunes whole row groups / files via footer stats
+    (`pruned_fragments` / `read_range`) instead of scanning. The sort is
+    per-partition-group (inside the task), never a global shuffle."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        if cluster_by:
+            g = g.sort_values(list(cluster_by), kind="stable")
         val = g[by].iloc[0]
         if os.sep in str(val) or str(val).startswith(".."):
             # a raw '/' (or '..') in the key value would nest or escape the
@@ -62,3 +71,54 @@ def write_partitioned(ds: Dataset, out_dir: str, by: str,
     if rep.empty:
         return pd.DataFrame(columns=["value", "rows", "skipped"])
     return rep.sort_values("value").reset_index(drop=True)
+
+
+def pruned_fragments(out_dir: str, col: str, lo, hi) -> dict:
+    """Zone-map pruning over a write_partitioned layout: which files (and
+    how many row groups) can contain rows with `col` in [lo, hi], decided
+    from parquet FOOTER statistics only — no data read. Selective when the
+    layout was written with cluster_by=[col] (tight per-row-group min/max);
+    a fragment with no statistics is conservatively kept."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "*", "data.parquet")))
+    keep: list[str] = []
+    rg_total = rg_kept = 0
+    for p in files:
+        md = pq.read_metadata(p)
+        idx = md.schema.names.index(col)
+        any_keep = False
+        for rg in range(md.num_row_groups):
+            rg_total += 1
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max or \
+                    (st.min <= hi and st.max >= lo):
+                rg_kept += 1
+                any_keep = True
+        if any_keep:
+            keep.append(p)
+    return {"files": keep, "files_total": len(files),
+            "row_groups_kept": rg_kept, "row_groups_total": rg_total}
+
+
+def read_range(out_dir: str, col: str, lo, hi) -> Dataset:
+    """Range read over a write_partitioned layout with file-level zone-map
+    pruning on top of Parquet's native row-group pushdown: only files whose
+    stats overlap [lo, hi] are even opened, then the filter prunes row
+    groups inside them."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    info = pruned_fragments(out_dir, col, lo, hi)
+    files = info["files"]
+    if not files:
+        all_files = sorted(_glob.glob(os.path.join(out_dir, "*",
+                                                   "data.parquet")))
+        if not all_files:
+            raise FileNotFoundError(f"no partitions under {out_dir}")
+        files = all_files[:1]  # schema-typed empty result
+    flt = (pc.field(col) >= lo) & (pc.field(col) <= hi)
+    return ray.data.read_parquet(files, filter=flt)
