@@ -259,3 +259,66 @@ def test_maintained_counts_match_recount(ray_session, fixture, tmp_path):
         truth = truth.sort_values("repo").reset_index(drop=True)
         pd.testing.assert_frame_equal(view.reset_index(drop=True), truth,
                                       check_dtype=False)
+
+
+def test_read_changefeed_matches_delta_semantics(ray_session, fixture,
+                                                 tmp_path):
+    """CDC-out from the LSM runs: folding the changefeed rows last-wins
+    per key over the full epoch range reproduces the lake's live state;
+    every row's lsn sits inside its epoch's bounds; DDL/compacted epochs
+    and cow lakes are refused loudly."""
+    from thor_ray.sources import read_changefeed
+
+    # no-DDL log so no epoch is force-compacted
+    base = gen.gen_base_table(n_repos=15, paths_per_repo=10, seed=33)
+    cfg = gen.BinlogConfig(n_events=6_000, n_shards=3, dup_rate=0.05,
+                           shuffle_window=96, ddl_every=0,
+                           delete_rate=0.1, update_rate=0.5, seed=33)
+    log = gen.gen_binlog(base, cfg)
+    d = str(tmp_path / "nd")
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    lake = os.path.join(d, "lake")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake, binlog_dir=binlog_dir, num_partitions=6,
+        epoch_size=EPOCH, write_mode="delta", compact_every=1_000_000))
+    pipe.run(base=base_path)
+    n_epochs = -(-log.max_lsn // EPOCH)
+
+    cf = read_changefeed(lake, 0).to_pandas()
+    assert set(cf["op"]) <= {"I", "U", "D"}
+    # every change row inside its epoch's lsn slice
+    assert ((cf["lsn"] > (cf["epoch"] - 1) * EPOCH)
+            & (cf["lsn"] <= cf["epoch"] * EPOCH)).all()
+    # folding the feed last-wins per key == the lake's live state
+    fold = cf.sort_values("lsn", kind="stable") \
+        .drop_duplicates(["repo", "path"], keep="last")
+    fold = fold[fold["op"] != "D"].drop(columns=["op", "lsn", "epoch"])
+    got = normalize(fold)
+    want = normalize(
+        pipe.final_table().to_pandas()[sorted(fold.columns)]
+    )
+    # bootstrap rows never touched by any event aren't in the feed
+    touched = got.merge(want, how="inner")
+    assert len(touched) == len(got)  # every folded row is a live lake row
+    # and a tail slice works standalone
+    tail = read_changefeed(lake, n_epochs - 2).to_pandas()
+    assert set(tail["epoch"]) <= {n_epochs - 1, n_epochs}
+    # bad ranges are refused
+    with pytest.raises(ValueError):
+        read_changefeed(lake, n_epochs)      # empty range
+    # compaction folds the runs -> the feed refuses (full-state marker)
+    pipe.compact()
+    with pytest.raises(ValueError):
+        read_changefeed(lake, 0)
+
+    # a cow lake holds full-state files only -> refused
+    lake2 = os.path.join(d, "lake_cow")
+    pipe2 = CdcPipeline(CdcConfig(
+        lake_dir=lake2, binlog_dir=binlog_dir, num_partitions=6,
+        epoch_size=EPOCH, write_mode="cow"))
+    pipe2.run(base=base_path)
+    with pytest.raises(ValueError):
+        read_changefeed(lake2, 0)

@@ -539,7 +539,8 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
             chash = _content_hash(merged["_sha"]) if ctx["compute_content_hash"] else ""
         else:
             delta = winners.sort_values(["repo", "path"], kind="stable")
-            _write_state_file(delta, final_path, evolved_final, types_final)
+            _write_state_file(delta, final_path, evolved_final, types_final,
+                              kind="delta")
             new_files, row_count, chash = prior_files + [final_path], -1, ""
 
     return pd.DataFrame(
@@ -556,11 +557,16 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
 
 
 def _write_state_file(df: pd.DataFrame, final_path: str, evolved: list[str],
-                      types: dict[str, str] | None = None) -> None:
+                      types: dict[str, str] | None = None,
+                      kind: str = "full") -> None:
     tmp = final_path + f".tmp-{os.getpid()}"
     tbl = pa.Table.from_pandas(
         df.astype({c: "object" for c in BASE_COLS + evolved}),
         schema=_state_schema(evolved, types), preserve_index=False)
+    # footer marker: "delta" = one epoch's change rows (a changefeed
+    # segment, read by sources.lake.read_changefeed); "full" = a merged
+    # compaction product (whole-state, NOT changes)
+    tbl = tbl.replace_schema_metadata({b"thor_kind": kind.encode()})
     pq.write_table(tbl, tmp)
     os.replace(tmp, final_path)         # retried task overwrites, never dups
 

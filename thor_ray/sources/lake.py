@@ -433,3 +433,69 @@ def lake_stats(lake_dir: str, ndv_cols: "tuple[str, ...]" = ("repo", "lang"),
     for c in nd:
         cols[c]["ndv"] = int(round(_hll_estimate(regs[c])))
     return {"rows": rows, "content_bytes": nbytes, "columns": cols}
+
+
+def read_changefeed(lake_dir: str, after_epoch: int,
+                    upto_epoch: int | None = None) -> "ray.data.Dataset":
+    """CDC-out: the per-epoch change rows — I/U winners and D tombstones,
+    exactly what the apply folded — for epochs in (after_epoch,
+    upto_epoch], read STRAIGHT from the delta-mode LSM run files.
+    Partition-aligned, no shuffle, nothing recomputed: a downstream
+    consumer tails the lake like a log (Debezium-outbox shape), folding
+    rows last-lsn-wins per key reproduces the lake state over that range.
+
+    Requires ``write_mode='delta'`` and the runs to still be level-0: a
+    compaction (forced by a DDL epoch, compact_every, or compact()) folds
+    change rows into a full-state file, and a range touching one raises —
+    use snapshot_diff (retained snapshots) for further-back history.
+    Output columns: key + payload + ``op`` ('I'/'U'/'D'), ``lsn``,
+    ``epoch``."""
+    import glob as _glob
+
+    from thor_ray.state import load_manifests
+
+    ms = load_manifests(lake_dir)
+    if not ms:
+        raise ValueError(f"no manifests under {lake_dir}")
+    cur = min(m.epoch for m in ms.values())
+    upto = cur if upto_epoch is None else upto_epoch
+    if not after_epoch < upto <= cur:
+        raise ValueError(f"bad epoch range ({after_epoch}, {upto}] "
+                         f"(lake is at epoch {cur})")
+    parts = sorted(_glob.glob(os.path.join(lake_dir, "part=*")))
+
+    per_epoch = []
+    for e in range(after_epoch + 1, upto + 1):
+        files = []
+        for d in parts:
+            p = os.path.join(d, f"state-e{e:06d}.parquet")
+            if not os.path.exists(p):
+                raise ValueError(
+                    f"epoch {e}: delta run missing under {d} (compacted "
+                    "away, or lake not in write_mode='delta'); use "
+                    "snapshot_diff for folded history")
+            meta = pq.read_schema(p).metadata or {}
+            if meta.get(b"thor_kind") != b"delta":
+                raise ValueError(
+                    f"epoch {e}: {p} is a compaction product (full state, "
+                    "not changes) — a DDL or compaction folded this epoch")
+            files.append(p)
+        ee = e
+
+        def tag(t: pa.Table, ee: int = ee) -> pa.Table:
+            # "part" is hive-inferred from the part=NNNNN dir names; "_sha"
+            # is the audit column — neither is a change-row field
+            t = t.drop_columns([c for c in ("_sha", "part")
+                                if c in t.column_names])
+            t = t.rename_columns(
+                [{"_op": "op", "_lsn": "lsn"}.get(c, c)
+                 for c in t.column_names])
+            return t.append_column(
+                "epoch", pa.array(np.full(len(t), ee, dtype=np.int64)))
+
+        per_epoch.append(ray.data.read_parquet(files)
+                         .map_batches(tag, batch_format="pyarrow"))
+    out = per_epoch[0]
+    for d in per_epoch[1:]:
+        out = out.union(d)
+    return out
