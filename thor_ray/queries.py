@@ -2005,6 +2005,50 @@ def cdc_replay(sf: str):
     return pipe.final_table()
 
 
+def q133_changefeed(sf: str):
+    """CDC-out (rows-only): per-epoch I/U/D change rows read straight from
+    the delta-mode LSM runs of a small flagship replay — no recompute, no
+    shuffle (fold-equals-state equivalence pinned in test_timetravel)."""
+    from thor_ray.pipelines.flagship import run_flagship
+    from thor_ray.sources.lake import read_changefeed
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    pipe = run_flagship(f"/tmp/thor_ray_q_cf_{tag}", n_keys=1_500,
+                        n_events=12_000, n_shards=3, num_partitions=8,
+                        epoch_size=3_000, ddl_every=0,
+                        write_mode="delta", compact_every=1_000_000)
+    return read_changefeed(pipe.cfg.lake_dir, 0)
+
+
+def q134_month_quarter(sf: str):
+    """Calendar truncation (month + quarter) grouped aggregate — the
+    coarser-calendar companions of q19's day windows; integer cents keep
+    the distributed sum order out of the hash."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(t["o_orderdate"], unit="month"),
+            "quarter": pc.floor_temporal(t["o_orderdate"], unit="quarter"),
+            "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                             pa.int64()),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby(["month", "quarter"])
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("cents", alias_name="total_cents")))
+
+
+SQL_Q134 = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       date_trunc('quarter', o_orderdate) AS quarter,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders GROUP BY month, quarter
+"""
+
+
 def q66_approx_distinct_by(sf: str):
     """G4 grouped HLL: approx distinct users per event type (rows-only —
     estimates have no exact SQL twin; accuracy pinned in test_ops)."""
@@ -3180,6 +3224,7 @@ QUERIES: dict[str, tuple] = {
     "q129_string_pad": (q129_string_pad, SQL_Q129),
     "q131_running_extremes": (q131_running_extremes, SQL_Q131),
     "q132_running_distinct": (q132_running_distinct, SQL_Q132),
+    "q134_month_quarter": (q134_month_quarter, SQL_Q134),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
@@ -3208,6 +3253,7 @@ QUERIES: dict[str, tuple] = {
     "q93_pack_sequences": (q93_pack_sequences, None),
     "q101_quantiles_by_lang": (q101_quantiles_by_lang, None),
     "q130_heavy_hitters_by": (q130_heavy_hitters_by, None),
+    "q133_changefeed": (q133_changefeed, None),
 }
 
 
