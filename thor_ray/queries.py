@@ -3114,6 +3114,87 @@ FROM customer
 """
 
 
+def q135_mad_outliers(sf: str):
+    """Robust outlier flag per group: |x - median| > 3 * MAD (median
+    absolute deviation). Both medians use the bitwise DuckDB quantile_cont
+    formula (lo*(1-frac) + hi*frac — see q73) so the boolean threshold
+    compare cannot flip on a last-bit difference. Exact medians need the
+    group in one task (5 event types); the approx-sketch tier is the
+    corpus-scale path."""
+    ds = T(sf, "events", ["event_id", "event_type", "value"])
+
+    def _cont_median(x: np.ndarray) -> float:
+        x = np.sort(x)
+        pos = (len(x) - 1) * 0.5
+        f = int(np.floor(pos))
+        c = min(f + 1, len(x) - 1)
+        frac = pos - f
+        return x[f] * (1 - frac) + x[c] * frac
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        med = _cont_median(v)
+        dev = np.abs(v - med)
+        mad = _cont_median(dev)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "event_type": g["event_type"].to_numpy(),
+            "is_out": dev > 3.0 * mad,
+        })
+
+    return ds.groupby("event_type").map_groups(flag, batch_format="pandas")
+
+
+SQL_Q135 = """
+SELECT event_id, event_type, (abs(value - med) > 3.0 * mad) AS is_out
+FROM (
+  SELECT event_id, event_type, value, med,
+         median(abs(value - med)) OVER (PARTITION BY event_type) AS mad
+  FROM (SELECT event_id, event_type, value,
+               median(value) OVER (PARTITION BY event_type) AS med
+        FROM events))
+"""
+
+
+def q136_multikey_join(sf: str):
+    """Composite-key distributed hash join — (l_orderkey, l_linenumber)
+    tuples on both sides through the one wide exchange; the probe side is
+    a pushed-down date filter of the same table (self-join shape)."""
+    left = T(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    cutoff = pa.scalar(pd.Timestamp("1995-06-01"), type=pa.timestamp("us"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_shipdate"], cutoff)) \
+            .drop_columns(["l_shipdate"])
+
+    right = (T(sf, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate",
+                                "l_extendedprice"])
+             .map_batches(keep, batch_format="pyarrow"))
+    j = R.hash_join(left, right, on=("l_orderkey", "l_linenumber"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64()),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_Q136 = """
+SELECT a.l_orderkey, a.l_linenumber,
+       CAST(a.l_quantity AS BIGINT) AS qty,
+       CAST(round(b.l_extendedprice * 100.0) AS BIGINT) AS price_cents
+FROM lineitem a
+JOIN (SELECT * FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01') b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3225,6 +3306,8 @@ QUERIES: dict[str, tuple] = {
     "q131_running_extremes": (q131_running_extremes, SQL_Q131),
     "q132_running_distinct": (q132_running_distinct, SQL_Q132),
     "q134_month_quarter": (q134_month_quarter, SQL_Q134),
+    "q135_mad_outliers": (q135_mad_outliers, SQL_Q135),
+    "q136_multikey_join": (q136_multikey_join, SQL_Q136),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
