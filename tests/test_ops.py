@@ -1307,3 +1307,39 @@ def test_clustered_write_zone_map_pruning(ray_session, tmp_path):
                                       want[["bucket", "v", "payload"]])
     # empty range: schema-typed empty result, no error
     assert read_range(d_clust, "v", n + 10, n + 20).count() == 0
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    """Distributed spherical k-means: three well-separated planted
+    directions are recovered (every point's nearest final centroid is its
+    own cluster's), and the objective improves over iterations."""
+    import ray.data
+    from thor_ray.ops.ann import _normalize, kmeans
+
+    rng = np.random.default_rng(17)
+    dirs = np.eye(3)
+    pts, labels = [], []
+    for i, dvec in enumerate(dirs):
+        p = dvec + rng.normal(0, 0.05, size=(400, 3))
+        pts.append(p)
+        labels.append(np.full(400, i))
+    x = np.concatenate(pts)
+    lab = np.concatenate(labels)
+    perm = rng.permutation(len(x))
+    x, lab = x[perm], lab[perm]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"embedding": [row.tolist() for row in x]})) \
+        .repartition(6)
+
+    out = kmeans(ds, "embedding", k=3, iters=8, seed=5)
+    cent = out["centroids"]
+    assert cent.shape == (3, 3)
+    assert out["inertia"][-1] <= out["inertia"][0]
+    assert out["inertia"][-1] < 0.01  # tight clusters -> tiny cosine dist
+    # every point lands with its own cluster's centroid
+    a = np.argmax(_normalize(x) @ cent.T, axis=1)
+    # cluster->centroid mapping must be a bijection and consistent
+    for i in range(3):
+        cells = a[lab == i]
+        assert (cells == cells[0]).all()
+    assert len({a[lab == i][0] for i in range(3)}) == 3

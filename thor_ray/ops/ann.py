@@ -244,3 +244,72 @@ def ivf_topk(ds: Dataset, query: np.ndarray, k: int, n_cells: int = 16,
 
     return (ds.map_batches(score, batch_format="pyarrow")
             .sort(["cos", id_col], descending=[True, False]).limit(k))
+
+
+def kmeans(ds: Dataset, vec_col: str, k: int, iters: int = 10,
+           seed: int = 42, init_sample: int = 4_096) -> dict:
+    """Distributed spherical (cosine) k-means over the WHOLE dataset —
+    the scale tier of IvfIndex.train's driver-sample trainer.
+
+    Each Lloyd iteration is ONE streaming map_batches pass: a batch
+    assigns its rows to the nearest centroid with a single (b,d)@(d,k)
+    matmul and emits k partial rows (vector sum + count + similarity sum
+    — the combiner), so the driver folds k×num_batches tiny rows per
+    iteration and broadcasts the next centroids via ray.put. Nothing
+    row-sized ever reaches the driver; empty cells keep their previous
+    centroid. Returns {"centroids" (k, d) unit-norm, "inertia": [per-iter
+    mean cosine distance, nonincreasing on a fixed assignment metric]}."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(vec_matrix(
+        ds.limit(init_sample).to_pandas()[vec_col].pipe(
+            lambda s: pa.array(s.tolist()))))
+    # farthest-point seeding (k-means++ shape, deterministic): random init
+    # can drop two seeds in one cluster and Lloyd's never escapes the
+    # merged-cluster local optimum
+    first = int(rng.integers(len(sample)))
+    chosen = [sample[first]]
+    best = sample @ chosen[0]
+    for _ in range(min(k, len(sample)) - 1):
+        nxt = int(np.argmin(best))
+        chosen.append(sample[nxt])
+        best = np.maximum(best, sample @ chosen[-1])
+    cent = np.stack(chosen)
+    d = cent.shape[1]
+    inertia: list[float] = []
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def part(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            v = _normalize(vec_matrix(t[vec_col]))
+            sims = v @ c.T
+            a = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(v)), a]
+            sums = np.zeros((len(c), v.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, v)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "cell": pa.array(np.arange(len(c), dtype=np.int64)),
+                "n": pa.array(counts),
+                "sim": pa.array(np.bincount(a, weights=best,
+                                            minlength=len(c))),
+                "vsum": pa.array([row.tobytes() for row in sums],
+                                 type=pa.binary()),
+            })
+
+        rows = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        g = rows.groupby("cell", sort=True)
+        n = g["n"].sum().to_numpy()
+        stot = g["sim"].sum().to_numpy()
+        vs = np.zeros((len(cent), d), dtype=np.float64)
+        for cell, gg in g:
+            vs[int(cell)] = np.frombuffer(
+                b"".join(gg["vsum"]), dtype=np.float64
+            ).reshape(len(gg), d).sum(axis=0)
+        live = n > 0
+        cent = cent.copy()
+        cent[live] = _normalize(vs[live] / n[live, None])
+        inertia.append(float(1.0 - stot.sum() / max(n.sum(), 1)))
+
+    return {"centroids": cent, "inertia": inertia}

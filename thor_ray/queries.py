@@ -2049,6 +2049,25 @@ FROM orders GROUP BY month, quarter
 """
 
 
+def q137_kmeans(sf: str):
+    """Distributed spherical k-means over the embeddings table (rows-only:
+    planted-cluster recovery and objective descent are unit-tested). Each
+    Lloyd iteration is one streaming pass emitting k combiner rows per
+    batch; output is the per-cell size histogram of the final model."""
+    from thor_ray.ops.ann import _normalize, kmeans, vec_matrix
+    ds = T(sf, "embeddings", ["vec_id", "embedding"])
+    out = kmeans(ds, "embedding", k=8, iters=5, seed=7)
+    cref = ray.put(out["centroids"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = _normalize(vec_matrix(t["embedding"]))
+        a = np.argmax(v @ ray.get(cref).T, axis=1).astype(np.int64)
+        return pa.table({"cell": pa.array(a)})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cell").aggregate(Count(alias_name="n")))
+
+
 def q66_approx_distinct_by(sf: str):
     """G4 grouped HLL: approx distinct users per event type (rows-only —
     estimates have no exact SQL twin; accuracy pinned in test_ops)."""
@@ -3337,6 +3356,7 @@ QUERIES: dict[str, tuple] = {
     "q101_quantiles_by_lang": (q101_quantiles_by_lang, None),
     "q130_heavy_hitters_by": (q130_heavy_hitters_by, None),
     "q133_changefeed": (q133_changefeed, None),
+    "q137_kmeans": (q137_kmeans, None),
 }
 
 
