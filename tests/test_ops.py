@@ -1343,3 +1343,43 @@ def test_kmeans_recovers_planted_clusters(ray_session):
         cells = a[lab == i]
         assert (cells == cells[0]).all()
     assert len({a[lab == i][0] for i in range(3)}) == 3
+
+
+def test_bigram_logprob_score(ray_session):
+    """Corpus-trained byte-bigram scoring: in-distribution text outranks
+    random gibberish; per-doc exact value matches a pure-Python fold;
+    empty/1-byte docs are NaN."""
+    import math
+
+    import ray.data
+    from thor_ray.ops.text import bigram_logprob_score
+
+    rng = np.random.default_rng(21)
+    english = ["the quick brown fox jumps over the lazy dog " * 6
+               for _ in range(30)]
+    gibberish = ["".join(chr(c) for c in rng.integers(33, 126, 200))
+                 for _ in range(5)]
+    docs = english + gibberish + ["", "x"]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": docs})).repartition(4)
+    got = bigram_logprob_score(ds, "text", "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    en = got.loc[: len(english) - 1, "lm_score"]
+    gb = got.loc[len(english): len(english) + len(gibberish) - 1, "lm_score"]
+    assert en.min() > gb.max()  # typical text scores strictly higher
+    assert got["lm_score"].iloc[-2:].isna().all()  # "", "x" -> NaN
+
+    # exact-value oracle: pure-Python bigram fold of the same corpus
+    cnt = np.zeros((256, 256), dtype=np.int64)
+    for d in docs:
+        b = d.encode()
+        for i in range(len(b) - 1):
+            cnt[b[i], b[i + 1]] += 1
+    row = cnt.sum(axis=1, keepdims=True)
+    logp = np.log2((cnt + 0.5) / (row + 0.5 * 256))
+    for j in (0, len(english)):  # one english, one gibberish doc
+        b = docs[j].encode()
+        want = sum(logp[b[i], b[i + 1]] for i in range(len(b) - 1)) / (
+            len(b) - 1)
+        assert math.isclose(got["lm_score"].iloc[j], want, rel_tol=1e-12)

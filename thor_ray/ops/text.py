@@ -14,6 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 from ray.data import Dataset
 
 TOKEN_RE = r"\s+"
@@ -519,3 +520,73 @@ def chunk_text(ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_logprob_score(ds: Dataset, text_col: str = "text",
+                         id_col: str = "doc_id", out: str = "lm_score",
+                         alpha: float = 0.5) -> Dataset:
+    """Perplexity-proxy quality signal from a corpus-trained byte-bigram
+    model — the classic two-pass "train then apply" shape at scale:
+
+    pass 1 (train): each batch folds its UTF-8 byte bigrams into ONE 64 Ki
+    count row with np.add.at (the combiner — the exchange carries one
+    256 KiB vector per batch, never tokens); the driver sums batch rows
+    into Laplace-smoothed conditional log-probs p(b2 | b1).
+    pass 2 (score): the 512 KiB table is ray.put-broadcast and each doc
+    gets its mean log2 p per bigram via np.add.reduceat over the batch's
+    concatenated byte buffer — no per-row Python.
+
+    Natural text from the corpus's distribution scores high; random bytes
+    and out-of-distribution text score low. Deterministic; docs shorter
+    than 2 bytes get NaN."""
+    SEP = 0  # joiner byte; bigrams touching it are masked out
+
+    def _bigram_ids(texts: list[str]) -> "tuple[np.ndarray, np.ndarray]":
+        b = np.frombuffer(("\x00".join(texts)).encode("utf-8"),
+                          dtype=np.uint8)
+        if len(b) < 2:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=bool))
+        ids = b[:-1].astype(np.int64) * 256 + b[1:]
+        ok = (b[:-1] != SEP) & (b[1:] != SEP)
+        return ids, ok
+
+    def train(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids, ok = _bigram_ids([x or "" for x in texts])
+        counts = np.bincount(ids[ok], minlength=65536).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()],
+                                            type=pa.binary())})
+
+    total = np.zeros(65536, dtype=np.int64)
+    for batch in ds.map_batches(train, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for blob in batch["counts"].to_pylist():
+            total += np.frombuffer(blob, dtype=np.int64)
+    cnt = total.reshape(256, 256).astype(np.float64)
+    row = cnt.sum(axis=1, keepdims=True)
+    logp = np.log2((cnt + alpha) / (row + alpha * 256)).reshape(-1)
+    lref = ray.put(logp)
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = ray.get(lref)
+        texts = [x or "" for x in t[text_col].to_pylist()]
+        lens = np.array([len(x.encode("utf-8")) for x in texts],
+                        dtype=np.int64)
+        ids, ok = _bigram_ids(texts)
+        vals = np.where(ok, lp[ids], 0.0) if len(ids) else np.empty(0)
+        # doc d's bigrams start at offset sum(lens[:d]) + d (the joiners)
+        starts = np.concatenate([[0], np.cumsum(lens + 1)[:-1]])
+        # clamp: a trailing empty doc's start can land one past the last
+        # bigram; the displaced element is always a masked joiner zero
+        starts = np.minimum(starts, max(len(vals) - 1, 0))
+        sums = np.add.reduceat(vals, starts) if len(vals) else \
+            np.zeros(len(texts))
+        # empty/short docs: reduceat can grab a foreign segment — zero it
+        n_bg = np.maximum(lens - 1, 0).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sc = np.where(n_bg > 0, sums / n_bg, np.nan)
+        return pa.table({id_col: t[id_col],
+                         out: pa.array(sc, type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2068,6 +2068,15 @@ def q137_kmeans(sf: str):
             .groupby("cell").aggregate(Count(alias_name="n")))
 
 
+def q138_lm_score(sf: str):
+    """Corpus-trained byte-bigram LM quality signal (rows-only: exact
+    per-doc values and in/out-of-distribution ordering unit-tested).
+    Two streaming passes: one 256 KiB count row per batch trains the
+    model, a broadcast table scores every doc vectorized."""
+    return TX.bigram_logprob_score(
+        T(sf, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
 def q66_approx_distinct_by(sf: str):
     """G4 grouped HLL: approx distinct users per event type (rows-only —
     estimates have no exact SQL twin; accuracy pinned in test_ops)."""
@@ -3357,6 +3366,7 @@ QUERIES: dict[str, tuple] = {
     "q130_heavy_hitters_by": (q130_heavy_hitters_by, None),
     "q133_changefeed": (q133_changefeed, None),
     "q137_kmeans": (q137_kmeans, None),
+    "q138_lm_score": (q138_lm_score, None),
 }
 
 
