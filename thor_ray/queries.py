@@ -3223,6 +3223,46 @@ JOIN (SELECT * FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01') b
 """
 
 
+def q139_union_distinct(sf: str):
+    """SQL UNION (distinct): union-all of two projections, then one
+    hash-shuffle dedup — D1 + D3 composed."""
+    a = T(sf, "customer", ["c_nationkey"]).map_batches(
+        lambda t: pa.table({"nk": t["c_nationkey"]}),
+        batch_format="pyarrow")
+    b = T(sf, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nk": t["s_nationkey"]}),
+        batch_format="pyarrow")
+    return R.distinct(a.union(b), ["nk"])
+
+
+SQL_Q139 = """
+SELECT c_nationkey AS nk FROM customer
+UNION
+SELECT s_nationkey AS nk FROM supplier
+"""
+
+
+def q140_having_semi(sf: str):
+    """IN-subquery with a HAVING aggregate threshold: per-customer MAX
+    (grouped aggregate, output-sized), filtered, then a semi join back to
+    the dimension — the aggregate side is the small build side."""
+    big = (T(sf, "orders", ["o_custkey", "o_totalprice"])
+           .groupby("o_custkey")
+           .aggregate(Max("o_totalprice", alias_name="mx")))
+    keys = big.filter(expr="mx > 450000.0").select_columns(["o_custkey"])
+    cust = T(sf, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    out = R.hash_join(cust, keys, on=("c_custkey",),
+                      right_on=("o_custkey",), join_type="left_semi")
+    return out
+
+
+SQL_Q140 = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    GROUP BY o_custkey HAVING max(o_totalprice) > 450000.0)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3336,6 +3376,8 @@ QUERIES: dict[str, tuple] = {
     "q134_month_quarter": (q134_month_quarter, SQL_Q134),
     "q135_mad_outliers": (q135_mad_outliers, SQL_Q135),
     "q136_multikey_join": (q136_multikey_join, SQL_Q136),
+    "q139_union_distinct": (q139_union_distinct, SQL_Q139),
+    "q140_having_semi": (q140_having_semi, SQL_Q140),
     # rows-only
     "cdc_replay": (cdc_replay, None),
     "q34_approx_distinct": (q34_approx_distinct, None),
