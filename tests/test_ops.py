@@ -1383,3 +1383,53 @@ def test_bigram_logprob_score(ray_session):
         want = sum(logp[b[i], b[i + 1]] for i in range(len(b) - 1)) / (
             len(b) - 1)
         assert math.isclose(got["lm_score"].iloc[j], want, rel_tol=1e-12)
+
+
+def test_paragraph_dedup(ray_session):
+    """Repeated-paragraph strip: paragraphs occurring >max_freq times
+    vanish from EVERY doc, survivors keep their order, all-boilerplate
+    docs drop out, and text never determines anything but itself (oracle
+    = pure-Python fold)."""
+    from thor_ray.ops.text import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = {
+        1: ["alpha one", boiler, "beta two"],
+        2: [boiler, "gamma three"],
+        3: ["delta four", "epsilon five"],
+        4: [boiler],                       # all boilerplate -> dropped
+        5: ["zeta six", "alpha one"],      # "alpha one" now appears twice
+    }
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": list(docs),
+        "text": ["\n".join(v) for v in docs.values()],
+    })).repartition(3)
+    got = paragraph_dedup(ds, "text", "doc_id", max_freq=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # oracle fold
+    from collections import Counter
+    freq = Counter(p for v in docs.values() for p in v)
+    want = {k: "\n".join(p for p in v if freq[p] <= 1)
+            for k, v in docs.items()}
+    want = {k: v for k, v in want.items() if v}
+    assert got["doc_id"].tolist() == sorted(want)
+    assert dict(zip(got["doc_id"], got["text"])) == want
+
+
+def test_islands_and_interval_concurrency(ray_session):
+    """q142/q143 semantics on tiny hand-checked input via the sf0.001
+    fixtures' own DuckDB twins (exercised at sf0.01 by the driver); here
+    just check determinism across runs."""
+    from thor_ray.queries import (q142_islands, q143_interval_concurrency)
+    sf = "/root/testdata/sf0.001"
+    a = q142_islands(sf).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    b = q142_islands(sf).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_islands"] >= 1).all()
+    c1 = q143_interval_concurrency(sf)
+    c2 = q143_interval_concurrency(sf)
+    pd.testing.assert_frame_equal(c1, c2)
+    assert int(c1["open_cnt"].iloc[0]) >= 1

@@ -590,3 +590,68 @@ def bigram_logprob_score(ds: Dataset, text_col: str = "text",
                          out: pa.array(sc, type=pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _para_hash(flat: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash per paragraph (pandas siphash with the
+    library's fixed default key — stable across processes/runs)."""
+    s = pd.Series(flat.to_pandas() if not isinstance(flat, pd.Series) else flat)
+    return pd.util.hash_pandas_object(s, index=False).to_numpy()
+
+
+def paragraph_dedup(ds: Dataset, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n",
+                    max_freq: int = 1) -> Dataset:
+    """Corpus-level repeated-paragraph removal (RefinedWeb-style
+    boilerplate strip): drop every paragraph whose exact text occurs more
+    than ``max_freq`` times across the corpus, then reassemble each doc
+    from its surviving paragraphs. Docs left with zero paragraphs drop out.
+
+    Scale shape — the document text NEVER enters a shuffle:
+    pass 1 ships only per-batch pre-aggregated (hash, count) partials
+    (8 bytes/paragraph, combined before the exchange) through ONE groupby;
+    the frequent set is boilerplate and therefore small — it is collected
+    output-sized and broadcast once via ray.put. Pass 2 is map-only:
+    split → mask (np.isin against the broadcast set) → rejoin inside each
+    row. 64-bit hashing makes a false drop ~2^-64·pairs — negligible, and
+    biased only toward removing one extra paragraph.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[text_col].combine_chunks() if isinstance(
+            t[text_col], pa.ChunkedArray) else t[text_col]
+        arr = pc.fill_null(arr, "")
+        flat = pc.list_flatten(pc.split_pattern(arr, pattern=sep))
+        h = _para_hash(flat)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table({"phash": uh.view(np.int64),
+                         "n": cnt.astype(np.int64)})
+
+    freq = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("phash").aggregate(Sum("n", alias_name="n")))
+    # boilerplate set: output-sized by construction (count > max_freq)
+    drop_tbl = freq.filter(expr=f"n > {max_freq}").select_columns(
+        ["phash"]).take_all()
+    drop = np.sort(np.array([r["phash"] for r in drop_tbl],
+                            dtype=np.int64).view(np.uint64))
+    dref = ray.put(drop)
+
+    def strip(t: pa.Table) -> pa.Table:
+        dset = ray.get(dref)
+        arr = t[text_col].combine_chunks() if isinstance(
+            t[text_col], pa.ChunkedArray) else t[text_col]
+        lists = pc.split_pattern(pc.fill_null(arr, ""), pattern=sep)
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        keep = ~np.isin(_para_hash(flat), dset)
+        row_ids = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        paras = np.asarray(flat.to_pandas(), dtype=object)
+        joined = (pd.Series(paras[keep])
+                  .groupby(row_ids[keep]).agg(sep.join))
+        ids = t[id_col].to_pandas().iloc[joined.index]
+        return pa.table({id_col: pa.array(ids.to_numpy()),
+                         text_col: pa.array(joined.to_numpy(),
+                                            type=pa.string())})
+
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -2210,9 +2210,64 @@ def q44_quality_score(sf: str):
                                "stop_ratio", "quality"])
 
 
+SQL_Q44 = r"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+    CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(regexp_extract_all(text,
+      '\b(the|and|of|to|in|is|for|with|data|value)\b')) AS DOUBLE) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+    n_digit / greatest(n_chars, 1.0) AS digit_ratio,
+    n_stop / greatest(n_tok, 1.0) AS stop_ratio,
+    CASE WHEN n_chars >= 100.0 AND n_chars < 20000.0
+         THEN 1.0 ELSE 0.3 END AS len_band
+  FROM f
+)
+SELECT doc_id,
+  round_even(alpha_ratio, 4) AS alpha_ratio,
+  round_even(digit_ratio, 4) AS digit_ratio,
+  round_even(stop_ratio, 4) AS stop_ratio,
+  round_even(len_band * ((alpha_ratio * 0.5)
+    + ((least(stop_ratio * 4.0, 1.0) * 0.4)
+       + ((1.0 - least(digit_ratio, 1.0)) * 0.1))), 4) AS quality
+FROM r
+"""
+
+
 def q45_langid(sf: str):
     out = TX.lang_id(T(sf, "documents", ["doc_id", "text"]))
     return out.select_columns(["doc_id", "pred_lang"])
+
+
+# Replicates lang_id's argmax-first-wins tie order (en, de, fr, es); text is
+# ASCII so Python-re \b == RE2 \b and pandas lower == SQL lower.
+SQL_Q45 = r"""
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text),
+      '\b(the|and|of|to|in|is|for|with|data|value)\b')) AS c_en,
+    len(regexp_extract_all(lower(text),
+      '\b(der|die|das|und|nicht|ist|mit|für)\b')) AS c_de,
+    len(regexp_extract_all(lower(text),
+      '\b(le|la|les|et|est|pour|dans|une)\b')) AS c_fr,
+    len(regexp_extract_all(lower(text),
+      '\b(el|la|los|y|es|para|con|una)\b')) AS c_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'unk'
+       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       WHEN c_fr >= c_es THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM c
+"""
 
 
 def q46_ivf_topk(sf: str):
@@ -3263,6 +3318,145 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders
 """
 
 
+def q141_paragraph_dedup(sf: str):
+    """Corpus boilerplate strip (RefinedWeb-style repeated-paragraph
+    removal). The fixture has no newlines, so both sides first assemble a
+    multi-paragraph corpus deterministically: synth doc ``doc_id // 5``
+    holds its five texts as paragraphs (ordered by ``doc_id % 5``), and
+    every 10th text is ALSO appended to the next synth doc — those texts
+    then occur twice corpus-wide and must be stripped from both docs.
+    The operator itself never shuffles text (see paragraph_dedup)."""
+    ds = T(sf, "documents", ["doc_id", "text"])
+
+    def to_paras(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        base = pa.table({
+            "sdoc": pc.divide(did, 5),
+            "ord": pc.cast(pc.subtract(did, pc.multiply(
+                pc.divide(did, 5), 5)), pa.int64()),
+            "para": t["text"],
+        })
+        dup_mask = pc.equal(pc.subtract(did, pc.multiply(
+            pc.divide(did, 10), 10)), 0)
+        extra_src = t.filter(dup_mask)
+        extra = pa.table({
+            "sdoc": pc.add(pc.divide(extra_src["doc_id"], 5), 1),
+            "ord": pa.array([99] * len(extra_src), type=pa.int64()),
+            "para": extra_src["text"],
+        })
+        return pa.concat_tables([base, extra])
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sdoc", "ord"], kind="stable")
+        j = g.groupby("sdoc", sort=True)["para"].agg("\n".join)
+        return pd.DataFrame({"doc_id": j.index.astype("int64"),
+                             "text": j.to_numpy()})
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column("ssalt", pc.cast(
+            pc.bit_wise_and(t["sdoc"], 63), pa.int32()))
+
+    synth = (ds.map_batches(to_paras, batch_format="pyarrow")
+               .map_batches(salt, batch_format="pyarrow")
+               .groupby("ssalt").map_groups(assemble, batch_format="pandas"))
+    return TX.paragraph_dedup(synth, "text", "doc_id", sep="\n", max_freq=1)
+
+
+SQL_Q141 = """
+WITH paras AS (
+  SELECT doc_id // 5 AS sdoc, doc_id % 5 AS ord, text AS para FROM documents
+  UNION ALL
+  SELECT doc_id // 5 + 1 AS sdoc, 99 AS ord, text AS para FROM documents
+  WHERE doc_id % 10 = 0
+),
+freq AS (SELECT para FROM paras GROUP BY para HAVING count(*) > 1)
+SELECT sdoc AS doc_id, string_agg(para, chr(10) ORDER BY ord) AS text
+FROM paras WHERE para NOT IN (SELECT para FROM freq)
+GROUP BY sdoc
+"""
+
+
+def q142_islands(sf: str):
+    """Gaps-and-islands: number of consecutive same-event_type runs per
+    user (ORDER BY ts, event_id). One coarse-salt shuffle; run detection
+    is a vectorized shift-compare inside each group."""
+    ds = T(sf, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column("usalt", pc.cast(
+            pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        brk = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = ((u[1:] != u[:-1]) | (et[1:] != et[:-1])).astype(np.int64)
+        s = pd.Series(brk).groupby(u).sum()
+        return pd.DataFrame({"user_id": s.index.to_numpy().astype("int64"),
+                             "n_islands": s.to_numpy()})
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+              .groupby("usalt").map_groups(islands, batch_format="pandas"))
+
+
+SQL_Q142 = """
+SELECT user_id, count(*) AS n_islands FROM (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+WHERE prev IS NULL OR prev <> event_type
+GROUP BY user_id
+"""
+
+
+def q143_interval_concurrency(sf: str):
+    """Interval sweep-line: peak number of concurrently open shipments
+    (each lineitem is open [shipdate, shipdate + 7 days)). Per-batch
+    pre-aggregated (day, ±1) partials through ONE small groupby; the
+    cumulative sweep runs on the output-sized daily aggregate (a few
+    thousand rows), never on the data."""
+    import datetime
+    ds = T(sf, "lineitem", ["l_shipdate"])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["l_shipdate"], pa.date32()).to_numpy(
+            zero_copy_only=False)
+        days = d.astype("datetime64[D]").astype(np.int64)
+        op = np.concatenate([days, days + 7])
+        sign = np.concatenate([np.ones(len(days), dtype=np.int64),
+                               -np.ones(len(days), dtype=np.int64)])
+        ud, inv = np.unique(op, return_inverse=True)
+        dd = np.bincount(inv, weights=sign).astype(np.int64)
+        return pa.table({"day": ud, "dd": dd})
+
+    from ray.data.aggregate import Sum
+    daily = (ds.map_batches(deltas, batch_format="pyarrow")
+               .groupby("day").aggregate(Sum("dd", alias_name="dd"))
+               .to_pandas())  # output-sized: one row per distinct day
+    daily = daily.sort_values("day", kind="stable")
+    cum = daily["dd"].cumsum().to_numpy()
+    i = int(np.argmax(cum))  # first occurrence == earliest day on ties
+    day = datetime.date(1970, 1, 1) + datetime.timedelta(
+        days=int(daily["day"].to_numpy()[i]))
+    return pd.DataFrame({"d": [day.isoformat()], "open_cnt": [int(cum[i])]})
+
+
+SQL_Q143 = """
+WITH deltas AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, 1 AS dd FROM lineitem
+  UNION ALL
+  SELECT CAST(l_shipdate AS DATE) + 7 AS d, -1 AS dd FROM lineitem
+),
+daily AS (SELECT d, sum(dd) AS dd FROM deltas GROUP BY d),
+cum AS (SELECT d, sum(dd) OVER (ORDER BY d) AS open_cnt FROM daily)
+SELECT CAST(d AS VARCHAR) AS d, CAST(open_cnt AS BIGINT) AS open_cnt
+FROM cum ORDER BY open_cnt DESC, d LIMIT 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3386,8 +3580,8 @@ QUERIES: dict[str, tuple] = {
     "q41_simhash_pairs": (q41_simhash_pairs, None),
     "q42_ngram_jaccard": (q42_ngram_jaccard, None),
     "q43_embedding_neardup": (q43_embedding_neardup, None),
-    "q44_quality_score": (q44_quality_score, None),
-    "q45_langid": (q45_langid, None),
+    "q44_quality_score": (q44_quality_score, SQL_Q44),
+    "q45_langid": (q45_langid, SQL_Q45),
     "q46_ivf_topk": (q46_ivf_topk, None),
     "q47_rolling_fingerprint": (q47_rolling_fingerprint, None),
     "q48_sample": (q48_sample, None),
@@ -3409,6 +3603,9 @@ QUERIES: dict[str, tuple] = {
     "q133_changefeed": (q133_changefeed, None),
     "q137_kmeans": (q137_kmeans, None),
     "q138_lm_score": (q138_lm_score, None),
+    "q141_paragraph_dedup": (q141_paragraph_dedup, SQL_Q141),
+    "q142_islands": (q142_islands, SQL_Q142),
+    "q143_interval_concurrency": (q143_interval_concurrency, SQL_Q143),
 }
 
 
