@@ -1433,3 +1433,22 @@ def test_islands_and_interval_concurrency(ray_session):
     c2 = q143_interval_concurrency(sf)
     pd.testing.assert_frame_equal(c1, c2)
     assert int(c1["open_cnt"].iloc[0]) >= 1
+
+
+def test_equidepth_binning_boundaries(ray_session):
+    """q144's histogram→quantile fold equals numpy quantile (linear
+    interpolation) on the raw column, and bucket counts partition the
+    table."""
+    from thor_ray.queries import q144_equidepth_bins
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = q144_equidepth_bins(sf).to_pandas().sort_values("bucket")
+    qty = pq.read_table(f"{sf}/lineitem.parquet",
+                        columns=["l_quantity"])["l_quantity"].to_numpy(
+                            zero_copy_only=False)
+    b = np.quantile(qty, [0.25, 0.5, 0.75])  # same linear interpolation
+    want = np.bincount((qty > b[0]).astype(int) + (qty > b[1]).astype(int)
+                       + (qty > b[2]).astype(int), minlength=4)
+    assert got["n"].to_numpy().tolist() == [x for x in want.tolist() if x]
+    assert int(got["n"].sum()) == len(qty)

@@ -1972,9 +1972,37 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 
 
 def q68_tfidf(sf: str):
-    """Top-3 TF-IDF terms per document (rows-only; exact-value unit test
-    in test_ops pins the math on a hand-computed corpus)."""
+    """Top-3 TF-IDF terms per document. SQL-checked: the twin is exact
+    whenever the engine's vocab_size cap does not bind (true at every
+    driver SF — the fixture vocabulary is far under 50k terms); an
+    exact-value unit test additionally pins the math on a hand-computed
+    corpus."""
     return TX.tfidf_top_terms(T(sf, "documents", ["doc_id", "text"]), k=3)
+
+
+SQL_Q68 = r"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok AS token,
+         (CAST(tf.tf AS DOUBLE) / dlen.dl) * ln(nd.n / dfreq.df) AS s
+  FROM tf JOIN dlen USING (doc_id) JOIN dfreq ON tf.tok = dfreq.tok, nd
+),
+ranked AS (
+  SELECT doc_id, token, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, token ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, token, round_even(s, 6) AS tfidf FROM ranked WHERE rn <= 3
+"""
 
 
 def q37_approx_quantiles(sf: str):
@@ -3457,6 +3485,132 @@ FROM cum ORDER BY open_cnt DESC, d LIMIT 1
 """
 
 
+def q144_equidepth_bins(sf: str):
+    """Feature binning (ML preprocessing): exact global quartile
+    boundaries of l_quantity from a bounded-cardinality value-count
+    histogram — one TINY groupby, never a global sort — broadcast into a
+    map-side bucket assignment with per-batch (bucket, n, cents) combiner
+    partials. The histogram→quantile fold replicates DuckDB quantile_cont
+    bitwise (lo*(1-frac) + hi*frac, as q73 established)."""
+    from ray.data.aggregate import Sum
+    ds = T(sf, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def vc(t: pa.Table) -> pa.Table:
+        uv, cnt = np.unique(
+            t["l_quantity"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"v": uv, "n": cnt.astype(np.int64)})
+
+    hist = (ds.map_batches(vc, batch_format="pyarrow")
+              .groupby("v").aggregate(Sum("n", alias_name="n"))
+              .to_pandas().sort_values("v"))  # output-sized: |distinct qty|
+    vals = hist["v"].to_numpy()
+    cum = np.cumsum(hist["n"].to_numpy())
+    n_total = int(cum[-1])
+
+    def cont(q: float) -> float:
+        pos = (n_total - 1) * q
+        f = int(np.floor(pos))
+        c = min(f + 1, n_total - 1)
+        frac = pos - f
+        lo = vals[np.searchsorted(cum, f, side="right")]
+        hi = vals[np.searchsorted(cum, c, side="right")]
+        return lo * (1 - frac) + hi * frac
+
+    b1, b2, b3 = cont(0.25), cont(0.50), cont(0.75)
+
+    def assign(t: pa.Table) -> pa.Table:
+        qv = t["l_quantity"].to_numpy(zero_copy_only=False)
+        bkt = ((qv > b1).astype(np.int64) + (qv > b2).astype(np.int64)
+               + (qv > b3).astype(np.int64))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()).to_numpy()
+        n = np.bincount(bkt, minlength=4)
+        rev = np.bincount(bkt, weights=cents.astype(np.float64),
+                          minlength=4)  # batch sums < 2^53: exact
+        return pa.table({"bucket": np.arange(4, dtype=np.int64),
+                         "n": n.astype(np.int64),
+                         "revenue_cents": rev.astype(np.int64)})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("bucket")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("revenue_cents", alias_name="revenue_cents"))
+              .filter(expr="n > 0"))
+
+
+SQL_Q144 = """
+WITH b AS (
+  SELECT quantile_cont(l_quantity, 0.25) AS q1,
+         quantile_cont(l_quantity, 0.50) AS q2,
+         quantile_cont(l_quantity, 0.75) AS q3
+  FROM lineitem
+)
+SELECT ((CASE WHEN l_quantity > q1 THEN 1 ELSE 0 END)
+      + (CASE WHEN l_quantity > q2 THEN 1 ELSE 0 END)
+      + (CASE WHEN l_quantity > q3 THEN 1 ELSE 0 END)) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem, b
+GROUP BY bucket
+"""
+
+
+def q145_fuzzy_name_join(sf: str):
+    """Fuzzy string self-join with blocking: candidate pairs must share
+    an 8-char name prefix (the block key), exact edit distance verifies
+    inside the block. The standard scale shape for string-similarity
+    joins — blocking bounds the pair space so the DP never sees
+    cross-block pairs; the shuffle key is a coarse salt of the block (64
+    groups at any data size), blocks resolve C-level inside; the DP runs
+    once per distinct in-block name pair."""
+    ds = T(sf, "part", ["p_partkey", "p_name"])
+
+    def block(t: pa.Table) -> pa.Table:
+        blk = pc.utf8_slice_codeunits(t["p_name"], 0, 8)
+        t = t.append_column("blk", blk)
+        salt = pd.util.hash_pandas_object(
+            pd.Series(blk.to_pandas()), index=False).to_numpy() % 64
+        return t.append_column("bsalt", pa.array(salt.astype(np.int32)))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        k1, k2, dd = [], [], []
+        memo: dict[tuple, int] = {}
+        for _, g in df.groupby("blk", sort=False):
+            g = g.sort_values("p_partkey", kind="stable")
+            keys = g["p_partkey"].to_numpy()
+            names = g["p_name"].to_numpy()
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    a, b = names[i], names[j]
+                    key = (a, b) if a <= b else (b, a)
+                    d = memo.get(key)
+                    if d is None:
+                        d = _levenshtein(key[0], key[1])
+                        memo[key] = d
+                    if d <= 12:
+                        k1.append(keys[i])
+                        k2.append(keys[j])
+                        dd.append(d)
+        return pd.DataFrame({"k1": np.array(k1, dtype=np.int64),
+                             "k2": np.array(k2, dtype=np.int64),
+                             "dist": np.array(dd, dtype=np.int64)})
+
+    return (ds.map_batches(block, batch_format="pyarrow")
+              .groupby("bsalt").map_groups(pairs, batch_format="pandas"))
+
+
+SQL_Q145 = """
+SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON substr(a.p_name, 1, 8) = substr(b.p_name, 1, 8)
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 12
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3592,7 +3746,7 @@ QUERIES: dict[str, tuple] = {
     "q61_dup_clusters": (q61_dup_clusters, None),
     "q66_approx_distinct_by": (q66_approx_distinct_by, None),
     "q67_snapshot_diff": (q67_snapshot_diff, None),
-    "q68_tfidf": (q68_tfidf, None),
+    "q68_tfidf": (q68_tfidf, SQL_Q68),
     "q78_heavy_hitters": (q78_heavy_hitters, None),
     "q79_near_dup_dedup": (q79_near_dup_dedup, None),
     "q80_dup_clusters_distributed": (q80_dup_clusters_distributed, None),
@@ -3606,6 +3760,8 @@ QUERIES: dict[str, tuple] = {
     "q141_paragraph_dedup": (q141_paragraph_dedup, SQL_Q141),
     "q142_islands": (q142_islands, SQL_Q142),
     "q143_interval_concurrency": (q143_interval_concurrency, SQL_Q143),
+    "q144_equidepth_bins": (q144_equidepth_bins, SQL_Q144),
+    "q145_fuzzy_name_join": (q145_fuzzy_name_join, SQL_Q145),
 }
 
 
