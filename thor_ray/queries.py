@@ -3611,6 +3611,106 @@ WHERE levenshtein(a.p_name, b.p_name) <= 12
 """
 
 
+def q146_collect_list(sf: str):
+    """Ordered array aggregation (collect_list): per order, the quantity
+    sequence ordered by line number (qty tie-break — the fixture has
+    duplicate (orderkey, linenumber) pairs, so the order must be pinned).
+    One coarse-salt shuffle; list assembly is a C-grouped pandas agg."""
+    def lists(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_linenumber", "qty"],
+                          kind="stable")
+        j = g.groupby("l_orderkey", sort=True)["qty"].agg(list)
+        return pd.DataFrame({"l_orderkey": j.index.to_numpy(),
+                             "qtys": j.to_numpy()})
+
+    return (_salted_order_groups(sf).groupby("osalt")
+            .map_groups(lists, batch_format="pandas"))
+
+
+SQL_Q146 = """
+SELECT l_orderkey,
+       list(CAST(l_quantity AS BIGINT)
+            ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qtys
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q147_throttle_dedup(sf: str):
+    """Time-window duplicate drop (telemetry throttle): keep an event iff
+    the previous event of the same (user, type) — by (ts, event_id) — is
+    absent or more than 300 s older. LAG semantics, so it twins exactly;
+    one coarse-salt shuffle, the shift-compare is vectorized per group."""
+    ds = T(sf, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column("usalt", pc.cast(
+            pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ok = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+            ok[1:] = ~same | (ts[1:] - ts[:-1] > 300_000_000)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[ok]})
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+              .groupby("usalt").map_groups(keep, batch_format="pandas"))
+
+
+SQL_Q147 = """
+SELECT event_id FROM (
+  SELECT event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events)
+WHERE prev IS NULL OR ts - prev > INTERVAL 300 SECOND
+"""
+
+
+def q148_scd2(sf: str):
+    """SCD-type-2 attribute history (the classic CDC-downstream build):
+    each event opens a version valid until the user's next event
+    (valid_to NULL on the open version). LEAD over (ts, event_id) inside
+    one coarse-salt shuffle."""
+    ds = T(sf, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column("usalt", pc.cast(
+            pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def versions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        vt = np.empty(len(g), dtype=ts.dtype)
+        if len(g):
+            vt[:-1] = ts[1:]
+            vt[-1] = np.datetime64("NaT")
+            vt[np.concatenate([u[1:] != u[:-1], [True]])] = \
+                np.datetime64("NaT")
+        return pd.DataFrame({
+            "user_id": u, "attr": g["event_type"].to_numpy(),
+            "valid_from": ts, "valid_to": vt,
+            "event_id": g["event_id"].to_numpy()})
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+              .groupby("usalt").map_groups(versions, batch_format="pandas"))
+
+
+SQL_Q148 = """
+SELECT user_id, event_type AS attr, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+       event_id
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3762,6 +3862,9 @@ QUERIES: dict[str, tuple] = {
     "q143_interval_concurrency": (q143_interval_concurrency, SQL_Q143),
     "q144_equidepth_bins": (q144_equidepth_bins, SQL_Q144),
     "q145_fuzzy_name_join": (q145_fuzzy_name_join, SQL_Q145),
+    "q146_collect_list": (q146_collect_list, SQL_Q146),
+    "q147_throttle_dedup": (q147_throttle_dedup, SQL_Q147),
+    "q148_scd2": (q148_scd2, SQL_Q148),
 }
 
 
