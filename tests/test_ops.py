@@ -1452,3 +1452,38 @@ def test_equidepth_binning_boundaries(ray_session):
                        + (qty > b[2]).astype(int), minlength=4)
     assert got["n"].to_numpy().tolist() == [x for x in want.tolist() if x]
     assert int(got["n"].sum()) == len(qty)
+
+
+def test_repeated_span_stats(ray_session):
+    """Planted-span oracle: only docs sharing an exact 16-char span with
+    another doc are flagged, with position counts matching a brute-force
+    fold; within-doc repeats alone don't trigger (distinct-doc rule)."""
+    from thor_ray.ops.text import repeated_span_stats
+
+    shared = "ABCDEFGHIJKLMNOP"          # 16 chars, planted in docs 1+2
+    docs = {
+        1: "xx" + shared + "yy",
+        2: "zz" + shared,
+        3: "unique text that is long enough to window over",
+        4: shared[:8] + "-" + shared[:8],  # only partial overlap: clean
+        5: "qqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqq",  # self-repeats only
+    }
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())})).repartition(3)
+    got = repeated_span_stats(ds, "text", "doc_id", k=16, min_docs=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # brute-force oracle
+    from collections import Counter, defaultdict
+    span_docs = defaultdict(set)
+    for d, txt in docs.items():
+        for i in range(len(txt) - 15):
+            span_docs[txt[i:i + 16]].add(d)
+    rep = {s for s, ds_ in span_docs.items() if len(ds_) >= 2}
+    want = Counter()
+    for d, txt in docs.items():
+        for i in range(len(txt) - 15):
+            if txt[i:i + 16] in rep:
+                want[d] += 1
+    assert dict(zip(got["doc_id"], got["n_dup_spans"])) == dict(want)
+    assert set(got["doc_id"]) == {1, 2}

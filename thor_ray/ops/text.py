@@ -655,3 +655,98 @@ def paragraph_dedup(ds: Dataset, text_col: str = "text",
                                             type=pa.string())})
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def _span_hashes(arr: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """62-bit Rabin-Karp hash (two independent 31-bit lanes combined) at
+    every k-byte window position of each row; windows crossing row
+    boundaries are masked out. Vectorized: 2k passes over the batch's
+    whole concatenated byte buffer (the loop is over window position,
+    never rows/bytes — same shape as rolling_fingerprint). Returns
+    (hashes uint64, parent_row int64) for valid positions only."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8).astype(np.uint64)
+    m = int(offs[-1])
+    data = data[:m]
+    if m < k:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    nh = m - k + 1
+    B1, M1 = np.uint64(257), np.uint64((1 << 31) - 1)
+    B2, M2 = np.uint64(263), np.uint64((1 << 31) - 19)
+    h1 = np.zeros(nh, dtype=np.uint64)
+    h2 = np.zeros(nh, dtype=np.uint64)
+    for j in range(k):
+        d = data[j: j + nh]
+        h1 = (h1 * B1 + d) % M1
+        h2 = (h2 * B2 + d) % M2
+    h = (h1 << np.uint64(31)) ^ h2
+    pos = np.arange(nh, dtype=np.int64)
+    parent = np.searchsorted(offs, pos, side="right") - 1
+    valid = pos + k <= offs[parent + 1]
+    return h[valid], parent[valid]
+
+
+def repeated_span_stats(ds: Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 64,
+                        min_docs: int = 2) -> Dataset:
+    """Exact-substring dedup signal (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): for each doc, the
+    number of k-char window positions whose exact span also occurs in at
+    least ``min_docs`` distinct docs corpus-wide.
+
+    Scale shape — text never enters a shuffle: pass 1 ships per-batch
+    pre-aggregated (span-hash, distinct-doc-count) partials (8 B/span)
+    through ONE groupby; the repeated-span set is boilerplate-sized and
+    broadcast once via ray.put; pass 2 is map-only (isin + bincount).
+    62-bit double Rabin-Karp hashing: a cross-span collision is ~2^-62
+    per pair; the DuckDB twin is exact over the same fixture and a
+    planted-span unit test pins the semantics. Byte-based windows ==
+    the twin's char-based substr on ASCII corpora."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        h, parent = _span_hashes(pc.fill_null(t[text_col], ""), k)
+        if not len(h):
+            return pa.table({"shash": pa.array([], type=pa.int64()),
+                             "nd": pa.array([], type=pa.int64())})
+        order = np.lexsort((parent, h))
+        hs, ps = h[order], parent[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+        hd = hs[first]                      # distinct (doc, span) pairs
+        edge = np.ones(len(hd), dtype=bool)
+        edge[1:] = hd[1:] != hd[:-1]
+        starts = np.nonzero(edge)[0]
+        cnt = np.diff(np.append(starts, len(hd)))
+        return pa.table({"shash": hd[edge].view(np.int64),
+                         "nd": cnt.astype(np.int64)})
+
+    freq = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("shash").aggregate(Sum("nd", alias_name="nd")))
+    rep_rows = freq.filter(expr=f"nd >= {min_docs}") \
+        .select_columns(["shash"]).take_all()   # boilerplate-sized
+    rset = np.sort(np.array([r["shash"] for r in rep_rows],
+                            dtype=np.int64).view(np.uint64))
+    rref = ray.put(rset)
+
+    def count(t: pa.Table) -> pa.Table:
+        rs = ray.get(rref)
+        h, parent = _span_hashes(pc.fill_null(t[text_col], ""), k)
+        c = np.zeros(len(t), dtype=np.int64)
+        if len(h):
+            hit = np.isin(h, rs)
+            c += np.bincount(parent[hit], minlength=len(t)).astype(np.int64)
+        mask = c > 0
+        ids = t[id_col].to_numpy(zero_copy_only=False)[mask]
+        return pa.table({id_col: pa.array(ids),
+                         "n_dup_spans": pa.array(c[mask], type=pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")

@@ -3711,6 +3711,28 @@ FROM events
 """
 
 
+def q149_span_dedup(sf: str):
+    """Exact-substring dedup signal (Lee et al. 2022): per doc, the count
+    of 64-char window positions whose exact span recurs in ≥2 distinct
+    docs. Hash-only shuffle + broadcast repeated-span set; the twin is
+    exact-span SQL (byte windows == char windows on this ASCII corpus)."""
+    return TX.repeated_span_stats(T(sf, "documents", ["doc_id", "text"]),
+                                  k=64, min_docs=2)
+
+
+SQL_Q149 = """
+WITH spans AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 64) AS s
+  FROM documents, unnest(generate_series(1, length(text) - 63)) AS t(i)
+  WHERE length(text) >= 64
+),
+rep AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c
+                       FROM spans GROUP BY s) WHERE c >= 2)
+SELECT doc_id, count(*) AS n_dup_spans FROM spans
+WHERE s IN (SELECT s FROM rep) GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3865,6 +3887,7 @@ QUERIES: dict[str, tuple] = {
     "q146_collect_list": (q146_collect_list, SQL_Q146),
     "q147_throttle_dedup": (q147_throttle_dedup, SQL_Q147),
     "q148_scd2": (q148_scd2, SQL_Q148),
+    "q149_span_dedup": (q149_span_dedup, SQL_Q149),
 }
 
 
