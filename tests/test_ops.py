@@ -1487,3 +1487,71 @@ def test_repeated_span_stats(ray_session):
                 want[d] += 1
     assert dict(zip(got["doc_id"], got["n_dup_spans"])) == dict(want)
     assert set(got["doc_id"]) == {1, 2}
+
+
+def test_paragraph_dedup_property_vs_reference(ray_session):
+    """Property (hypothesis): paragraph_dedup == the obvious Python fold
+    for arbitrary corpora (including empty paragraphs, repeated texts,
+    and docs that lose everything)."""
+    from hypothesis import given, settings, strategies as st
+
+    from thor_ray.ops.text import paragraph_dedup
+
+    para = st.text(alphabet=st.characters(blacklist_characters="\n"),
+                   max_size=8)
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.lists(para, min_size=1, max_size=5),
+                    min_size=1, max_size=10),
+           st.integers(min_value=1, max_value=3))
+    def prop(doc_paras, max_freq):
+        texts = ["\n".join(ps) for ps in doc_paras]
+        ds = ds_of({"doc_id": list(range(len(texts))), "text": texts})
+        got = paragraph_dedup(ds, "text", "doc_id",
+                              max_freq=max_freq).to_pandas()
+        from collections import Counter
+        freq = Counter(p for ps in doc_paras for p in ps)
+        want = {i: "\n".join(p for p in ps if freq[p] <= max_freq)
+                for i, ps in enumerate(doc_paras)}
+        want = {i: v for i, v in want.items()
+                if any(freq[p] <= max_freq for p in doc_paras[i])}
+        if got.empty:   # Ray's to_pandas drops columns on 0-row datasets
+            assert want == {}, doc_paras
+        else:
+            assert dict(zip(got["doc_id"], got["text"])) == want, doc_paras
+
+    prop()
+
+
+def test_repeated_span_stats_property_vs_reference(ray_session):
+    """Property (hypothesis): repeated_span_stats == a brute-force fold
+    over byte windows for arbitrary ASCII docs and window sizes."""
+    from hypothesis import given, settings, strategies as st
+
+    from thor_ray.ops.text import repeated_span_stats
+
+    doc = st.text(alphabet="abc ", max_size=20)
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8),
+           st.integers(min_value=2, max_value=6))
+    def prop(texts, k):
+        ds = ds_of({"doc_id": list(range(len(texts))), "text": texts})
+        got = repeated_span_stats(ds, "text", "doc_id", k=k,
+                                  min_docs=2).to_pandas()
+        from collections import Counter, defaultdict
+        span_docs = defaultdict(set)
+        for i, s in enumerate(texts):
+            for p in range(len(s) - k + 1):
+                span_docs[s[p:p + k]].add(i)
+        rep = {s for s, d in span_docs.items() if len(d) >= 2}
+        want = Counter()
+        for i, s in enumerate(texts):
+            for p in range(len(s) - k + 1):
+                if s[p:p + k] in rep:
+                    want[i] += 1
+        if got.empty:   # Ray's to_pandas drops columns on 0-row datasets
+            assert dict(want) == {}, (texts, k)
+        else:
+            assert dict(zip(got["doc_id"], got["n_dup_spans"])) \
+                == dict(want), (texts, k)
+
+    prop()

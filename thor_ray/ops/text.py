@@ -593,10 +593,14 @@ def bigram_logprob_score(ds: Dataset, text_col: str = "text",
 
 
 def _para_hash(flat: pa.Array) -> np.ndarray:
-    """Deterministic 64-bit hash per paragraph (pandas siphash with the
-    library's fixed default key — stable across processes/runs)."""
-    s = pd.Series(flat.to_pandas() if not isinstance(flat, pd.Series) else flat)
-    return pd.util.hash_pandas_object(s, index=False).to_numpy()
+    """Value-pure 64-bit hash per paragraph via stages.smt.stable_hash
+    (polars xxhash, C-vectorized, length-aware). NOT pandas'
+    hash_pandas_object — that hasher truncates at embedded NUL bytes
+    ('' and '\\x00' collide), which a property test caught."""
+    from thor_ray.stages.smt import stable_hash
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return stable_hash(pa.table({"p": flat}), ["p"]).view(np.uint64)
 
 
 def paragraph_dedup(ds: Dataset, text_col: str = "text",
@@ -649,8 +653,11 @@ def paragraph_dedup(ds: Dataset, text_col: str = "text",
         paras = np.asarray(flat.to_pandas(), dtype=object)
         joined = (pd.Series(paras[keep])
                   .groupby(row_ids[keep]).agg(sep.join))
-        ids = t[id_col].to_pandas().iloc[joined.index]
-        return pa.table({id_col: pa.array(ids.to_numpy()),
+        ids_col = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        ids = ids_col.take(pa.array(joined.index.to_numpy(),
+                                    type=pa.int64()))  # keeps id dtype
+        return pa.table({id_col: ids,
                          text_col: pa.array(joined.to_numpy(),
                                             type=pa.string())})
 
