@@ -1555,3 +1555,71 @@ def test_repeated_span_stats_property_vs_reference(ray_session):
                 == dict(want), (texts, k)
 
     prop()
+
+
+def test_image_near_dup_ahash(ray_session):
+    """Perceptual near-dup: identical pixels pair at hamming 0, a few
+    flipped 8x8 cells pair within the banding bound, unrelated images
+    don't; recall for hamming<=3 is exact (pigeonhole over 4 bands)."""
+    from thor_ray.ops.multimodal import AverageHash, image_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0:8, 0:8] = 255          # flips at most a few aHash bits
+    other = [rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+             for _ in range(6)]
+    pixels = [base, base.copy(), near] + other
+    df = pd.DataFrame({"media_id": np.arange(len(pixels), dtype=np.int64),
+                       "pixels": pixels})
+    hashed = ray.data.from_pandas(df).repartition(3) \
+        .map_batches(AverageHash, batch_format="pandas", concurrency=2) \
+        .materialize()
+    got = image_near_dup_pairs(hashed, "media_id", "ahash",
+                               max_hamming=3).to_pandas()
+    got_pairs = set(zip(got["id1"], got["id2"]))
+
+    # brute-force oracle over the same hashes
+    hs = hashed.to_pandas().sort_values("media_id")["ahash"].to_numpy() \
+        .view(np.uint64)
+    want = {(i, j) for i in range(len(hs)) for j in range(i + 1, len(hs))
+            if bin(int(hs[i] ^ hs[j])).count("1") <= 3}
+    assert got_pairs == want
+    assert (0, 1) in got_pairs    # identical pixels -> hamming 0
+    d01 = got.set_index(["id1", "id2"])["hamming"].get((0, 1))
+    assert d01 == 0
+
+
+def test_strip_repeated_spans_property_vs_reference(ray_session):
+    """Property (hypothesis): strip_repeated_spans == brute-force
+    union-of-windows removal for arbitrary ASCII corpora; unaffected docs
+    pass through byte-identical."""
+    from hypothesis import given, settings, strategies as st
+
+    from thor_ray.ops.text import strip_repeated_spans
+
+    doc = st.text(alphabet="ab ", max_size=18)
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8),
+           st.integers(min_value=2, max_value=5))
+    def prop(texts, k):
+        ds = ds_of({"doc_id": list(range(len(texts))), "text": texts})
+        got = strip_repeated_spans(ds, "text", "doc_id", k=k, min_docs=2) \
+            .to_pandas().sort_values("doc_id")
+        from collections import defaultdict
+        span_docs = defaultdict(set)
+        for i, s in enumerate(texts):
+            for p in range(len(s) - k + 1):
+                span_docs[s[p:p + k]].add(i)
+        rep = {s for s, d in span_docs.items() if len(d) >= 2}
+        want = []
+        for i, s in enumerate(texts):
+            cov = [False] * len(s)
+            for p in range(len(s) - k + 1):
+                if s[p:p + k] in rep:
+                    for q in range(p, p + k):
+                        cov[q] = True
+            want.append("".join(c for c, v in zip(s, cov) if not v))
+        assert got["text"].tolist() == want, (texts, k)
+
+    prop()

@@ -208,3 +208,99 @@ def decode_and_featurize(ds: Dataset, concurrency: int = 4,
         batch_format="pandas", batch_size=batch_size, concurrency=concurrency)
     return decoded.map_batches(ImageFeatures, batch_format="pandas",
                                batch_size=batch_size, concurrency=concurrency)
+
+
+class AverageHash:
+    """Actor-pool stage: 64-bit perceptual aHash from decoded pixels —
+    ITU-R 601 luma, nearest-neighbor 8×8 downsample, mean threshold.
+    REAL math end-to-end (PIL-decoded or fake pixels alike); only the
+    upstream codec is a stand-in in this container."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hs = np.empty(len(batch), dtype=np.uint64)
+        for i, px in enumerate(batch["pixels"]):
+            px = np.asarray(px, dtype=np.float64)
+            gray = (px[..., 0] * 0.299 + px[..., 1] * 0.587
+                    + px[..., 2] * 0.114)
+            h, w = gray.shape
+            g = gray[np.arange(8) * h // 8][:, np.arange(8) * w // 8]
+            bits = (g > g.mean()).reshape(-1)
+            hs[i] = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        batch = batch.drop(columns=["pixels"])
+        batch["ahash"] = hs.view(np.int64)
+        return batch
+
+
+def image_near_dup_pairs(ds: Dataset, id_col: str = "media_id",
+                         hash_col: str = "ahash", max_hamming: int = 3,
+                         salt_groups: int = 64) -> Dataset:
+    """Perceptual near-duplicate image pairs by banded aHash.
+
+    Scale shape (the LSH-family pattern): the 64-bit hash splits into 4
+    16-bit bands — Hamming distance ≤ 3 guarantees at least one equal
+    band (pigeonhole) — each row ships 4 (band, id, hash) rows (~24 B)
+    through ONE groupby on a SALTED key (`(band_id, band_val) % salt
+    groups` — fanout scales with `salt_groups`, never a fixed 4); bucket
+    resolution is a C-level pandas groupby inside; exact Hamming verify
+    via uint64 XOR + unpackbits popcount on the (small) bucket; pairs
+    dedup across bands with one distinct pass over the pair ids."""
+    def band_rows(t: pa.Table) -> pa.Table:
+        h = t[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = len(h)
+        bands, vals, rid, rh = [], [], [], []
+        for b in range(4):
+            bands.append(np.full(n, b, dtype=np.int64))
+            vals.append((h >> np.uint64(16 * b)
+                         & np.uint64(0xFFFF)).astype(np.int64))
+            rid.append(ids)
+            rh.append(h.view(np.int64))
+        key = (np.concatenate(bands) << np.int64(16)) | np.concatenate(vals)
+        return pa.table({"bkey": key,
+                         "gsalt": (key % salt_groups).astype(np.int32),
+                         "id": np.concatenate(rid),
+                         "h": np.concatenate(rh)})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        p1, p2, dd = [], [], []
+        for _, g in df.groupby("bkey", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["id"].to_numpy()
+            hs = g["h"].to_numpy().view(np.uint64)
+            order = np.argsort(ids, kind="stable")
+            ids, hs = ids[order], hs[order]
+            x = hs[:, None] ^ hs[None, :]
+            dist = np.unpackbits(
+                x.view(np.uint8).reshape(len(ids), len(ids), 8),
+                axis=2).sum(axis=2)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ok = dist[iu, ju] <= max_hamming
+            p1.append(ids[iu[ok]])
+            p2.append(ids[ju[ok]])
+            dd.append(dist[iu, ju][ok])
+        if not p1:
+            return pd.DataFrame({"id1": pd.Series([], dtype="int64"),
+                                 "id2": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id1": np.concatenate(p1).astype(np.int64),
+                             "id2": np.concatenate(p2).astype(np.int64),
+                             "hamming": np.concatenate(dd).astype(np.int64)})
+
+    pairs = (ds.map_batches(band_rows, batch_format="pyarrow")
+               .groupby("gsalt").map_groups(bucket_pairs,
+                                            batch_format="pandas"))
+    # a pair can surface from several bands (identical hamming each
+    # time): one C-level distinct aggregate removes the dups
+    from thor_ray.ops.relational import distinct
+    return distinct(pairs, ["id1", "id2", "hamming"])
+
+
+def ahash_pipeline(ds: Dataset, concurrency: "int | tuple[int, int]" = 4,
+                   batch_size: int = 32, strict: bool = False) -> Dataset:
+    """decode → aHash as actor pools with small (binary-payload) batches."""
+    decoded = ds.map_batches(
+        DecodeImage, fn_constructor_kwargs={"strict": strict},
+        batch_format="pandas", batch_size=batch_size, concurrency=concurrency)
+    return decoded.map_batches(AverageHash, batch_format="pandas",
+                               batch_size=batch_size, concurrency=concurrency)

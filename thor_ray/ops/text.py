@@ -670,21 +670,24 @@ def _span_hashes(arr: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
     boundaries are masked out. Vectorized: 2k passes over the batch's
     whole concatenated byte buffer (the loop is over window position,
     never rows/bytes — same shape as rolling_fingerprint). Returns
-    (hashes uint64, parent_row int64) for valid positions only."""
+    (hashes uint64, parent_row int64, rel_pos int64 — the window's byte
+    offset within its row) for valid positions only."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_large_string(arr.type):
         arr = pc.cast(arr, pa.string())
     n = len(arr)
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
+             np.empty(0, np.int64))
     if n == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
+        return empty
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset: arr.offset + n + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8).astype(np.uint64)
     m = int(offs[-1])
     data = data[:m]
     if m < k:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
+        return empty
     nh = m - k + 1
     B1, M1 = np.uint64(257), np.uint64((1 << 31) - 1)
     B2, M2 = np.uint64(263), np.uint64((1 << 31) - 19)
@@ -698,7 +701,8 @@ def _span_hashes(arr: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
     pos = np.arange(nh, dtype=np.int64)
     parent = np.searchsorted(offs, pos, side="right") - 1
     valid = pos + k <= offs[parent + 1]
-    return h[valid], parent[valid]
+    parent = parent[valid]
+    return h[valid], parent, pos[valid] - offs[parent]
 
 
 def repeated_span_stats(ds: Dataset, text_col: str = "text",
@@ -717,10 +721,32 @@ def repeated_span_stats(ds: Dataset, text_col: str = "text",
     per pair; the DuckDB twin is exact over the same fixture and a
     planted-span unit test pins the semantics. Byte-based windows ==
     the twin's char-based substr on ASCII corpora."""
+    rref = _repeated_span_ref(ds, text_col, k, min_docs)
+
+    def count(t: pa.Table) -> pa.Table:
+        rs = ray.get(rref)
+        h, parent, _ = _span_hashes(pc.fill_null(t[text_col], ""), k)
+        c = np.zeros(len(t), dtype=np.int64)
+        if len(h):
+            hit = np.isin(h, rs)
+            c += np.bincount(parent[hit], minlength=len(t)).astype(np.int64)
+        mask = c > 0
+        ids = t[id_col].to_numpy(zero_copy_only=False)[mask]
+        return pa.table({id_col: pa.array(ids),
+                         "n_dup_spans": pa.array(c[mask], type=pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def _repeated_span_ref(ds: Dataset, text_col: str, k: int, min_docs: int):
+    """Pass 1 of the exact-substring family: broadcast set (sorted uint64,
+    via ray.put) of span hashes occurring in ≥ min_docs distinct docs.
+    Hash-only shuffle: per-batch pre-aggregated distinct-doc partials,
+    ONE groupby, output-sized collect."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        h, parent = _span_hashes(pc.fill_null(t[text_col], ""), k)
+        h, parent, _ = _span_hashes(pc.fill_null(t[text_col], ""), k)
         if not len(h):
             return pa.table({"shash": pa.array([], type=pa.int64()),
                              "nd": pa.array([], type=pa.int64())})
@@ -742,18 +768,44 @@ def repeated_span_stats(ds: Dataset, text_col: str = "text",
         .select_columns(["shash"]).take_all()   # boilerplate-sized
     rset = np.sort(np.array([r["shash"] for r in rep_rows],
                             dtype=np.int64).view(np.uint64))
-    rref = ray.put(rset)
+    return ray.put(rset)
 
-    def count(t: pa.Table) -> pa.Table:
+
+def strip_repeated_spans(ds: Dataset, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 64,
+                         min_docs: int = 2) -> Dataset:
+    """Removal tier of exact-substring dedup (Lee et al. 2022): delete
+    every byte covered by ANY corpus-repeated k-byte span (union of hit
+    windows per doc), keep the remainder. Same two-pass scale shape as
+    repeated_span_stats; the strip pass is map-only — hit windows merge
+    into covered-byte masks with one vectorized prefix-sum per affected
+    row (unaffected rows pass through untouched). Byte == char on ASCII
+    corpora (the fixture); multibyte text would need char-aligned cuts."""
+    rref = _repeated_span_ref(ds, text_col, k, min_docs)
+
+    def strip(t: pa.Table) -> pa.Table:
         rs = ray.get(rref)
-        h, parent = _span_hashes(pc.fill_null(t[text_col], ""), k)
-        c = np.zeros(len(t), dtype=np.int64)
+        arr = pc.fill_null(t[text_col], "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        h, parent, rel = _span_hashes(arr, k)
+        texts = arr.to_pylist()
         if len(h):
             hit = np.isin(h, rs)
-            c += np.bincount(parent[hit], minlength=len(t)).astype(np.int64)
-        mask = c > 0
-        ids = t[id_col].to_numpy(zero_copy_only=False)[mask]
-        return pa.table({id_col: pa.array(ids),
-                         "n_dup_spans": pa.array(c[mask], type=pa.int64())})
+            hp, hr = parent[hit], rel[hit]
+            order = np.argsort(hp, kind="stable")
+            hp, hr = hp[order], hr[order]
+            bounds = np.searchsorted(hp, np.arange(len(t) + 1))
+            for i in np.unique(hp):
+                rels = hr[bounds[i]:bounds[i + 1]]
+                b = texts[i].encode()
+                cov = np.zeros(len(b) + k + 1, dtype=np.int64)
+                np.add.at(cov, rels, 1)
+                np.add.at(cov, rels + k, -1)
+                keep = np.cumsum(cov[:len(b)]) == 0
+                texts[i] = bytes(np.frombuffer(b, np.uint8)[keep]).decode()
+        out = pa.table({id_col: t[id_col],
+                        text_col: pa.array(texts, type=pa.string())})
+        return out
 
-    return ds.map_batches(count, batch_format="pyarrow")
+    return ds.map_batches(strip, batch_format="pyarrow")

@@ -3733,6 +3733,60 @@ WHERE s IN (SELECT s FROM rep) GROUP BY doc_id
 """
 
 
+def q150_image_neardup(sf: str):
+    """Perceptual image near-dup (rows-only — no SQL for pixels): fake
+    media table with 8 planted duplicate payloads under new ids; decode →
+    aHash (actor pools, small binary batches) → banded-hamming pairs.
+    The aHash + banding math is real; only the codec is a stand-in
+    (identical payloads decode identically, so the planted pairs land at
+    hamming 0). Semantics pinned by test_image_near_dup_ahash."""
+    base = MM.make_fake_media_table(48, kind="image")
+    dup = base.slice(0, 8).set_column(
+        0, "media_id", pa.array(np.arange(1000, 1008, dtype=np.int64)))
+    ds = ray.data.from_arrow(pa.concat_tables([base, dup]))
+    hashed = MM.ahash_pipeline(ds, concurrency=2, batch_size=16)
+    return MM.image_near_dup_pairs(hashed, "media_id", "ahash",
+                                   max_hamming=3)
+
+
+def q151_span_strip(sf: str):
+    """Exact-substring dedup, removal tier: cut every byte covered by a
+    corpus-repeated 64-char span; docs emit with the remainder (possibly
+    ''). SQL-checked against a char-level union-of-windows twin."""
+    return TX.strip_repeated_spans(T(sf, "documents", ["doc_id", "text"]),
+                                   k=64, min_docs=2)
+
+
+SQL_Q151 = """
+WITH spans AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, substr(text, CAST(i AS INT), 64) AS s
+  FROM documents, unnest(generate_series(1, length(text) - 63)) AS t(i)
+  WHERE length(text) >= 64
+),
+rep AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c
+                       FROM spans GROUP BY s) WHERE c >= 2),
+hits AS (SELECT doc_id, i FROM spans WHERE s IN (SELECT s FROM rep)),
+covered AS (
+  SELECT DISTINCT doc_id, i + o AS p
+  FROM hits, unnest(generate_series(0, 63)) AS g(o)
+),
+chars AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, CAST(p AS INT), 1) AS ch
+  FROM documents, unnest(generate_series(1, length(text))) AS t(p)
+),
+kept AS (
+  SELECT c.doc_id, c.p, c.ch FROM chars c
+  LEFT JOIN covered v ON c.doc_id = v.doc_id AND c.p = v.p
+  WHERE v.doc_id IS NULL
+)
+SELECT d.doc_id, coalesce(a.text, '') AS text
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(ch, '' ORDER BY p) AS text
+  FROM kept GROUP BY doc_id
+) a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3888,6 +3942,8 @@ QUERIES: dict[str, tuple] = {
     "q147_throttle_dedup": (q147_throttle_dedup, SQL_Q147),
     "q148_scd2": (q148_scd2, SQL_Q148),
     "q149_span_dedup": (q149_span_dedup, SQL_Q149),
+    "q150_image_neardup": (q150_image_neardup, None),
+    "q151_span_strip": (q151_span_strip, SQL_Q151),
 }
 
 
