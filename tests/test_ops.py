@@ -1623,3 +1623,17 @@ def test_strip_repeated_spans_property_vs_reference(ray_session):
         assert got["text"].tolist() == want, (texts, k)
 
     prop()
+
+
+def test_tokenize_to_ids(ray_session):
+    """Vocab-ranked token ids: hand corpus where ranks and OOV are
+    known; list order == token order; empty vocab edge is defined."""
+    from thor_ray.ops.text import tokenize_to_ids
+
+    docs = ["b a a", "a b c", "a"]
+    ds = ds_of({"doc_id": [0, 1, 2], "text": docs})
+    got = tokenize_to_ids(ds, vocab_size=2).to_pandas() \
+        .sort_values("doc_id")
+    # counts: a=4, b=2, c=1 → vocab a=1, b=2; c → OOV 0
+    assert [list(x) for x in got["token_ids"]] == \
+        [[2, 1, 1], [1, 2, 0], [1]]

@@ -809,3 +809,45 @@ def strip_repeated_spans(ds: Dataset, text_col: str = "text",
         return out
 
     return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def tokenize_to_ids(ds: Dataset, text_col: str = "text",
+                    id_col: str = "doc_id", vocab_size: int = 100,
+                    oov_id: int = 0, out: str = "token_ids") -> Dataset:
+    """Vocabulary-mapped token ids (the training-shard tokenize step):
+    vocabulary = top ``vocab_size`` corpus tokens by (count desc, token
+    asc), token id = 1-based frequency rank, everything else ``oov_id``.
+
+    Two passes: the vocabulary is the q60 combiner-pre-aggregated top-k
+    (output-sized, broadcast once via ray.put); the mapping pass is
+    map-only — sorted-vocab searchsorted over the batch's flattened
+    tokens, list column rebuilt from Arrow offsets. No per-row Python."""
+    vocab_pd = vocab_topk(ds, text_col, k=vocab_size).to_pandas()
+    vocab_pd = vocab_pd.sort_values(["n", "token"],
+                                    ascending=[False, True],
+                                    kind="stable").reset_index(drop=True)
+    toks_u = vocab_pd["token"].to_numpy(dtype="U")
+    ids = np.arange(1, len(toks_u) + 1, dtype=np.int64)
+    order = np.argsort(toks_u)
+    vref = ray.put((toks_u[order], ids[order]))
+
+    def fn(t: pa.Table) -> pa.Table:
+        st_, si = ray.get(vref)
+        lists = pc.split_pattern_regex(pc.fill_null(t[text_col], ""),
+                                       pattern=TOKEN_RE)
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        arr = flat.to_numpy(zero_copy_only=False).astype("U")
+        if len(st_) and len(arr):
+            pos = np.minimum(np.searchsorted(st_, arr), len(st_) - 1)
+            tid = np.where(st_[pos] == arr, si[pos], oov_id)
+        else:
+            tid = np.full(len(arr), oov_id, dtype=np.int64)
+        offsets = np.concatenate(
+            [[0], np.cumsum(lens)]).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(tid.astype(np.int64), type=pa.int64()))
+        return pa.table({id_col: t[id_col], out: la})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -3787,6 +3787,36 @@ FROM documents d LEFT JOIN (
 """
 
 
+def q152_token_ids(sf: str):
+    """Vocabulary-mapped token ids (tokenize step of a training-shard
+    pipeline): top-100 corpus tokens by (count desc, token asc) get ids
+    1..100 by rank, everything else id 0. SQL-checked: the twin rebuilds
+    the same vocabulary with row_number() and re-aggregates the id list
+    ordered by token position."""
+    return TX.tokenize_to_ids(T(sf, "documents", ["doc_id", "text"]),
+                              vocab_size=100)
+
+
+SQL_Q152 = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS ord, a[CAST(i AS INT)] AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS a
+        FROM documents),
+       unnest(generate_series(1, len(a))) AS t(i)
+),
+vocab AS (
+  SELECT tok, tid FROM (
+    SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok ASC)
+                     AS BIGINT) AS tid
+    FROM (SELECT tok, count(*) AS n FROM toks GROUP BY tok))
+  WHERE tid <= 100
+)
+SELECT t.doc_id, list(coalesce(v.tid, 0) ORDER BY t.ord) AS token_ids
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3944,6 +3974,7 @@ QUERIES: dict[str, tuple] = {
     "q149_span_dedup": (q149_span_dedup, SQL_Q149),
     "q150_image_neardup": (q150_image_neardup, None),
     "q151_span_strip": (q151_span_strip, SQL_Q151),
+    "q152_token_ids": (q152_token_ids, SQL_Q152),
 }
 
 
