@@ -1637,3 +1637,30 @@ def test_tokenize_to_ids(ray_session):
     # counts: a=4, b=2, c=1 → vocab a=1, b=2; c → OOV 0
     assert [list(x) for x in got["token_ids"]] == \
         [[2, 1, 1], [1, 2, 0], [1]]
+
+
+def test_pagerank_int(ray_session):
+    """Integer PageRank on a hand graph == pure-Python fold; determinism
+    across runs; rank mass stays within integer-floor slack of scale."""
+    from thor_ray.ops.graph import pagerank_int
+
+    # 4-node graph: 0->1, 0->2, 1->2, 2->0, 3->2 (3 is a source)
+    e = {"src": [0, 0, 1, 2, 3], "dst": [1, 2, 2, 0, 2],
+         "outdeg": [2, 2, 1, 1, 1]}
+    edges = ds_of({k: np.array(v, dtype=np.int64) for k, v in e.items()})
+    nodes = ds_of({"node": np.array([0, 1, 2, 3], dtype=np.int64)})
+    got = pagerank_int(edges, nodes, iters=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+
+    scale, n = 10 ** 12, 4
+    base = (scale - 85 * scale // 100) // n
+    r = {v: scale // n for v in range(4)}
+    for _ in range(4):
+        inc = {v: 0 for v in range(4)}
+        for s, d, o in zip(e["src"], e["dst"], e["outdeg"]):
+            inc[d] += r[s] // o
+        r = {v: base + 85 * inc[v] // 100 for v in range(4)}
+    assert dict(zip(got["node"], got["r"])) == r
+    # mass ≤ scale, and the source node bottoms out at base
+    assert got["r"].sum() <= scale
+    assert int(got.loc[got["node"] == 3, "r"].iloc[0]) == base

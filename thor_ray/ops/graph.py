@@ -1,0 +1,85 @@
+"""Iterative graph computation over edge Datasets.
+
+Fixed-point integer PageRank: each Lloyd-style iteration is one
+distributed hash join (edges ⋈ ranks on src) + one grouped integer sum
+(contributions by dst) — ranks and edges stay distributed Datasets
+throughout, nothing graph-sized touches the driver. Integer arithmetic
+end-to-end makes every grouped sum order-independent, so results are
+bit-identical across engines, shuffle orders, and cluster sizes (and
+therefore SQL-twinnable — float PageRank would hash-drift on summation
+order)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def pagerank_int(edges: Dataset, nodes: Dataset, iters: int = 5,
+                 scale: int = 10 ** 12, damp_num: int = 85) -> Dataset:
+    """Integer fixed-point PageRank.
+
+    ``edges``: columns (src, dst, outdeg) — outdeg is the src's total
+    out-degree (replicated per edge so no extra degree join is needed).
+    ``nodes``: column (node), one row per vertex; must be materializable
+    per-iteration output-size (one int64 per vertex).
+
+    Iteration (all int64): r0 = scale // n;
+    r_{t+1} = (scale - damp) // n + damp_num * Σ_in (r_t // outdeg) // 100
+    where damp = damp_num * scale // 100. Dangling mass is dropped (the
+    standard simplification); floor divisions make the fold exact."""
+    from thor_ray.ops.relational import hash_join
+
+    nodes = nodes.materialize()   # bounded: one int64 per vertex; reused
+    n = nodes.count()             # every iteration as the left join side
+    base = (scale - damp_num * scale // 100) // n
+
+    def contrib_partial(t: pa.Table) -> pa.Table:
+        c = pc.divide(t["r"], t["outdeg"])    # int64 floor division
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        cv = c.to_numpy() if not isinstance(c, pa.ChunkedArray) \
+            else c.combine_chunks().to_numpy()
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(s, inv, cv.astype(np.int64))   # exact int64 accumulate
+        return pa.table({"node": ud, "s": s})
+
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("r", pa.array(
+            np.full(len(t), scale // n, dtype=np.int64))),
+        batch_format="pyarrow")
+
+    # zero contribution for EVERY vertex, unioned into the grouped sum:
+    # this keeps no-inbound vertices present WITHOUT a second hash join
+    # per iteration (two join aggregator pools + a groupby in one plan
+    # starve each other on small clusters — observed hang at 8 CPUs)
+    zeros = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "s": np.zeros(len(t), dtype=np.int64)}),
+        batch_format="pyarrow")
+
+    def fold(t: pa.Table) -> pa.Table:
+        r = pc.add(base, pc.divide(pc.multiply(damp_num, t["s"]), 100))
+        return pa.table({"node": t["node"], "r": pc.cast(r, pa.int64())})
+
+    for _ in range(iters):
+        inc = (hash_join(edges, ranks.select_columns(["node", "r"]),
+                         on=("src",), right_on=("node",))
+               .map_batches(contrib_partial, batch_format="pyarrow")
+               .union(zeros)
+               .groupby("node").aggregate(Sum("s", alias_name="s")))
+        # materialize each iteration: ranks are one int64 per vertex
+        # (bounded); without this the lazy plan grows into an
+        # iters-deep join chain that re-executes upstream stages.
+        # repartition first: hash partitions with no keys yield EMPTY
+        # schema-less blocks that crash the next iteration's acero join
+        # (the Ray 2.49 wart also worked around in full_outer_join)
+        import ray as _ray
+        nblk = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+        ranks = inc.map_batches(fold, batch_format="pyarrow") \
+            .repartition(nblk).materialize()
+    return ranks

@@ -3817,6 +3817,54 @@ GROUP BY t.doc_id
 """
 
 
+def q153_pagerank(sf: str):
+    """Distributed iterative PageRank (5 iterations, integer fixed-point
+    so grouped sums are order-independent and the SQL twin matches
+    bit-for-bit) over a deterministic 2-out expander on the customer
+    keys (contiguous 0..n-1): c → (3c+1) % n and (7c+5) % n. One hash
+    join + one grouped sum per iteration; ranks stay distributed."""
+    from thor_ray.ops.graph import pagerank_int
+    nodes = T(sf, "customer", ["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
+    n = nodes.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        c = t["node"].to_numpy(zero_copy_only=False)
+        src = np.concatenate([c, c])
+        # custkeys are contiguous 0..n-1, so % n lands on real vertices
+        dst = np.concatenate([(3 * c + 1) % n, (7 * c + 5) % n])
+        return pa.table({"src": src, "dst": dst,
+                         "outdeg": np.full(len(src), 2, dtype=np.int64)})
+
+    edges = nodes.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank_int(edges, nodes, iters=5)
+
+
+def _sql_pagerank(iters: int = 5) -> str:
+    body = """
+WITH nodes AS (SELECT c_custkey AS node FROM customer),
+p AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT node AS src, (3 * node + 1) % n AS dst, 2 AS outdeg
+  FROM nodes, p
+  UNION ALL
+  SELECT node, (7 * node + 5) % n, 2 FROM nodes, p
+),
+r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, p)"""
+    for t in range(1, iters + 1):
+        body += f""",
+i{t} AS (SELECT e.dst AS node, sum(r.r // e.outdeg) AS s
+        FROM edges e JOIN r{t-1} r ON e.src = r.node GROUP BY e.dst),
+r{t} AS (SELECT nodes.node,
+               CAST(150000000000 // n + (85 * coalesce(i{t}.s, 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes CROSS JOIN p LEFT JOIN i{t} ON nodes.node = i{t}.node)"""
+    return body + f"\nSELECT node, r FROM r{iters}"
+
+
+SQL_Q153 = _sql_pagerank(5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3975,6 +4023,7 @@ QUERIES: dict[str, tuple] = {
     "q150_image_neardup": (q150_image_neardup, None),
     "q151_span_strip": (q151_span_strip, SQL_Q151),
     "q152_token_ids": (q152_token_ids, SQL_Q152),
+    "q153_pagerank": (q153_pagerank, SQL_Q153),
 }
 
 
