@@ -1664,3 +1664,30 @@ def test_pagerank_int(ray_session):
     # mass ≤ scale, and the source node bottoms out at base
     assert got["r"].sum() <= scale
     assert int(got.loc[got["node"] == 3, "r"].iloc[0]) == base
+
+
+def test_inverted_index_search(ray_session, tmp_path):
+    """Index-backed AND/OR search == brute force; the probe opens only
+    the terms' buckets (not the whole index); rebuild is a resumable
+    no-op (all partitions skipped)."""
+    from thor_ray.ops.text import build_inverted_index, search_inverted_index
+    from thor_ray.stages.smt import stable_hash
+
+    docs = ["red fox", "red dog", "blue fox red", "green", "fox"]
+    ds = ds_of({"doc_id": list(range(5)), "text": docs})
+    idx = str(tmp_path / "idx")
+    rep = build_inverted_index(ds, idx, n_buckets=8)
+    assert (rep["skipped"] == False).all()  # noqa: E712
+
+    got = sorted(search_inverted_index(idx, ["red", "fox"], n_buckets=8)
+                 .to_pandas()["doc"])
+    want = [i for i, d in enumerate(docs)
+            if "red" in d.split() and "fox" in d.split()]
+    assert got == want
+
+    probe = pa.table({"token": pa.array(["red", "fox"])})
+    n_probe = len({int(x) % 8 for x in stable_hash(probe, ["token"])})
+    assert n_probe <= 2          # reads at most 2 of the 8 buckets
+
+    rep2 = build_inverted_index(ds, idx, n_buckets=8)   # resumable re-run
+    assert (rep2["skipped"] == True).all()  # noqa: E712

@@ -851,3 +851,60 @@ def tokenize_to_ids(ds: Dataset, text_col: str = "text",
         return pa.table({id_col: t[id_col], out: la})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def build_inverted_index(ds: Dataset, index_dir: str, text_col: str = "text",
+                         id_col: str = "doc_id", n_buckets: int = 64,
+                         overwrite: bool = False):
+    """Inverted token index over the corpus: distinct (doc, token) pairs,
+    bucketed by token hash, one resumable parquet dir per bucket
+    (sources.sink.write_partitioned — re-runs skip finished buckets).
+    Build is one map-side explode+dedup and ONE wide write; search
+    (`search_inverted_index`) then reads ONLY the probe tokens' buckets —
+    an index-backed serving read, never a corpus scan."""
+    from thor_ray.sources.sink import write_partitioned
+    from thor_ray.stages.smt import stable_hash
+
+    def pairs(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col], "")
+        lists = pc.split_pattern_regex(arr, pattern=TOKEN_RE)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        ids = t[id_col].combine_chunks() if isinstance(
+            t[id_col], pa.ChunkedArray) else t[id_col]
+        tbl = pa.table({"doc": ids.take(parent), "token": flat}) \
+            .group_by(["doc", "token"]).aggregate([])  # distinct pairs
+        b = stable_hash(tbl, ["token"]) % n_buckets
+        return tbl.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    return write_partitioned(ds.map_batches(pairs, batch_format="pyarrow"),
+                             index_dir, by="bucket", overwrite=overwrite)
+
+
+def search_inverted_index(index_dir: str, terms: list[str],
+                          n_buckets: int = 64, mode: str = "and") -> Dataset:
+    """Term lookup against `build_inverted_index` output: opens ONLY the
+    buckets owning the probe terms (|terms| files out of n_buckets), then
+    one tiny groupby — AND = per-doc distinct-term count equal to
+    len(terms), OR = any match."""
+    import os
+
+    from ray.data.aggregate import Count
+    from thor_ray.stages.smt import stable_hash
+
+    probe = pa.table({"token": pa.array(terms, type=pa.string())})
+    buckets = sorted({int(x) % n_buckets
+                      for x in stable_hash(probe, ["token"])})
+    paths = [os.path.join(index_dir, f"bucket={b}", "data.parquet")
+             for b in buckets]
+    ds = ray.data.read_parquet(paths, columns=["doc", "token"])
+    tset = pa.array(terms, type=pa.string())
+
+    def match(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["token"], value_set=tset))
+
+    hits = ds.map_batches(match, batch_format="pyarrow") \
+        .groupby("doc").aggregate(Count(alias_name="n_terms"))
+    if mode == "and":
+        hits = hits.filter(expr=f"n_terms >= {len(terms)}")
+    return hits.select_columns(["doc"])

@@ -3865,6 +3865,26 @@ r{t} AS (SELECT nodes.node,
 SQL_Q153 = _sql_pagerank(5)
 
 
+def q154_inverted_search(sf: str):
+    """Index-backed term search: build a bucketed inverted token index
+    once (resumable partitioned write under /tmp), then answer an AND
+    query by reading ONLY the probe terms' buckets + one tiny groupby —
+    a serving read, not a corpus scan. SQL-checked vs list_contains."""
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    idx = f"/tmp/thor_ray_q_invidx_{tag}"
+    TX.build_inverted_index(T(sf, "documents", ["doc_id", "text"]), idx)
+    out = TX.search_inverted_index(idx, ["spark", "merge"], mode="and")
+    return out.map_batches(lambda t: t.rename_columns(["doc_id"]),
+                           batch_format="pyarrow")
+
+
+SQL_Q154 = r"""
+SELECT doc_id FROM documents
+WHERE list_contains(regexp_split_to_array(text, '\s+'), 'spark')
+  AND list_contains(regexp_split_to_array(text, '\s+'), 'merge')
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4024,6 +4044,7 @@ QUERIES: dict[str, tuple] = {
     "q151_span_strip": (q151_span_strip, SQL_Q151),
     "q152_token_ids": (q152_token_ids, SQL_Q152),
     "q153_pagerank": (q153_pagerank, SQL_Q153),
+    "q154_inverted_search": (q154_inverted_search, SQL_Q154),
 }
 
 
