@@ -1691,3 +1691,36 @@ def test_inverted_index_search(ray_session, tmp_path):
 
     rep2 = build_inverted_index(ds, idx, n_buckets=8)   # resumable re-run
     assert (rep2["skipped"] == True).all()  # noqa: E712
+
+
+def test_zorder_write_prunes_both_columns(ray_session, tmp_path):
+    """Morton-clustered layout: zone-map pruning is selective on BOTH
+    interleaved columns; single-column clustering only serves one. Range
+    reads return exactly the brute-force filter result either way."""
+    from thor_ray.sources.sink import (add_zorder_key, pruned_fragments,
+                                       read_range, write_partitioned)
+
+    n = 8192
+    a = (np.arange(n, dtype=np.int64) * 2654435761) % n   # shuffled
+    b = (np.arange(n, dtype=np.int64) * 7919) % n
+    df = pd.DataFrame({"a": a, "b": b,
+                       "shard": (np.arange(n) % 2).astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    zdir, adir = str(tmp_path / "z"), str(tmp_path / "a")
+    write_partitioned(add_zorder_key(ds, ("a", "b")), zdir, by="shard",
+                      cluster_by=["zval"], row_group_size=512)
+    write_partitioned(ds, adir, by="shard", cluster_by=["a"],
+                      row_group_size=512)
+
+    lo, hi = 1000, 1500
+    for col in ("a", "b"):
+        z = pruned_fragments(zdir, col, lo, hi)
+        assert z["row_groups_kept"] < z["row_groups_total"] * 0.75, (col, z)
+        got = sorted(read_range(zdir, col, lo, hi).to_pandas()[col])
+        want = sorted(x for x in df[col] if lo <= x <= hi)
+        assert got == want
+    pa_ = pruned_fragments(adir, "a", lo, hi)
+    pb_ = pruned_fragments(adir, "b", lo, hi)
+    assert pa_["row_groups_kept"] <= pa_["row_groups_total"] * 0.25
+    assert pb_["row_groups_kept"] == pb_["row_groups_total"]  # no help on b

@@ -3885,6 +3885,48 @@ WHERE list_contains(regexp_split_to_array(text, '\s+'), 'spark')
 """
 
 
+def q155_zorder_range(sf: str):
+    """Multi-dimension layout optimization: lineitem rewritten once into
+    a Morton-clustered partitioned layout (z-order on orderkey ×
+    suppkey; resumable — re-runs skip built partitions), then a range
+    read on l_suppkey that prunes row groups via footer stats on a
+    column that ISN'T the partition key. SQL-checked vs a plain scan."""
+    from thor_ray.sources.sink import (add_zorder_key, read_range,
+                                       write_partitioned)
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    zdir = f"/tmp/thor_ray_q_zorder_{tag}"
+    ds = T(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
+
+    def shard(t: pa.Table) -> pa.Table:
+        return t.append_column("shard", pc.cast(
+            pc.bit_wise_and(t["l_orderkey"], 7), pa.int64()))
+
+    write_partitioned(
+        add_zorder_key(ds.map_batches(shard, batch_format="pyarrow"),
+                       ("l_orderkey", "l_suppkey")),
+        zdir, by="shard", cluster_by=["zval"])
+
+    hits = read_range(zdir, "l_suppkey", 10, 20)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "qty": pc.cast(t["l_quantity"], pa.int64())})
+
+    from ray.data.aggregate import Count, Sum
+    return (hits.map_batches(partial, batch_format="pyarrow")
+            .groupby("l_suppkey")
+            .aggregate(Count(alias_name="n"), Sum("qty", alias_name="qty")))
+
+
+SQL_Q155 = """
+SELECT l_suppkey, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem WHERE l_suppkey BETWEEN 10 AND 20
+GROUP BY l_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4045,6 +4087,7 @@ QUERIES: dict[str, tuple] = {
     "q152_token_ids": (q152_token_ids, SQL_Q152),
     "q153_pagerank": (q153_pagerank, SQL_Q153),
     "q154_inverted_search": (q154_inverted_search, SQL_Q154),
+    "q155_zorder_range": (q155_zorder_range, SQL_Q155),
 }
 
 

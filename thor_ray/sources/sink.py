@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -122,3 +123,46 @@ def read_range(out_dir: str, col: str, lo, hi) -> Dataset:
         files = all_files[:1]  # schema-typed empty result
     flt = (pc.field(col) >= lo) & (pc.field(col) <= hi)
     return ray.data.read_parquet(files, filter=flt)
+
+
+def _spread_bits16(x: "np.ndarray") -> "np.ndarray":
+    """Interleave-ready bit spread: 16-bit values → even bit positions of
+    a 32-bit word (classic Morton magic numbers, fully vectorized)."""
+    x = x.astype(np.uint64)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x33333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x55555555)
+    return x
+
+
+def add_zorder_key(ds: Dataset, cols: "tuple[str, str]",
+                   ranges: "dict[str, tuple[float, float]] | None" = None,
+                   out: str = "zval") -> Dataset:
+    """Append a Morton (z-order) key interleaving two numeric columns,
+    each normalized to 16 bits over its GLOBAL [min, max] (one cheap
+    aggregate pass when `ranges` isn't supplied — per-batch normalization
+    would break the global curve). Cluster a partitioned write by this
+    key (`write_partitioned(..., cluster_by=[out])`) and row-group
+    zone-map stats become tight on BOTH columns at once — range reads on
+    either column prune, where single-column clustering only serves one."""
+    from ray.data.aggregate import Max, Min
+
+    a, b = cols
+    if ranges is None:
+        agg = ds.aggregate(Min(a), Max(a), Min(b), Max(b))
+        ranges = {a: (agg[f"min({a})"], agg[f"max({a})"]),
+                  b: (agg[f"min({b})"], agg[f"max({b})"])}
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_bits = []
+        for c in (a, b):
+            lo, hi = ranges[c]
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            span = max(float(hi) - float(lo), 1e-300)
+            q = np.clip(((v - float(lo)) / span) * 65535.0, 0, 65535)
+            out_bits.append(_spread_bits16(q.astype(np.uint64)))
+        z = (out_bits[0] | (out_bits[1] << np.uint64(1))).astype(np.int64)
+        return t.append_column(out, pa.array(z, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
