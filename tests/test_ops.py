@@ -1724,3 +1724,19 @@ def test_zorder_write_prunes_both_columns(ray_session, tmp_path):
     pb_ = pruned_fragments(adir, "b", lo, hi)
     assert pa_["row_groups_kept"] <= pa_["row_groups_total"] * 0.25
     assert pb_["row_groups_kept"] == pb_["row_groups_total"]  # no help on b
+
+
+def test_approx_set_overlap(ray_session):
+    """HLL set-overlap: planted sets with known |A|=6000, |B|=5000,
+    |A∩B|=3000 estimate within the sketch bound; union/intersection
+    are consistent (inclusion–exclusion)."""
+    from thor_ray.ops.sketch import approx_set_overlap
+
+    a = ds_of({"k": np.arange(0, 6000, dtype=np.int64)})
+    b = ds_of({"k": np.arange(3000, 8000, dtype=np.int64)})
+    r = approx_set_overlap(a, b, ["k"], precision=12)
+    assert abs(r["n_a"] - 6000) / 6000 < 0.05
+    assert abs(r["n_b"] - 5000) / 5000 < 0.05
+    assert abs(r["n_union"] - 8000) / 8000 < 0.05
+    assert abs(r["n_intersection"] - 3000) / 3000 < 0.15
+    assert 0 < r["jaccard"] < 1

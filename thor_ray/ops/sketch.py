@@ -46,22 +46,8 @@ def _hll_estimate(regs: np.ndarray) -> float:
 
 def approx_distinct(ds: Dataset, cols: list[str], precision: int = 12) -> int:
     """Approximate COUNT(DISTINCT cols); relative error ≈ 1.04/√(2^p)."""
-    p = precision
-
-    import pyarrow.compute as pc
-
-    def sketch(t: pa.Table) -> pa.Table:
-        st = pa.table({c: pc.cast(t[c], pa.string()) for c in cols})
-        h = stable_hash(st, cols).astype(np.uint64)
-        return pa.table({"regs": pa.array([_hll_registers(h, p).tobytes()],
-                                          type=pa.binary())})
-
-    merged = np.zeros(1 << p, dtype=np.int8)
-    for batch in ds.map_batches(sketch, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
-        for blob in batch["regs"].to_pylist():
-            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.int8))
-    return int(round(_hll_estimate(merged)))
+    return int(round(_hll_estimate(
+        _dataset_registers(ds, cols, precision))))
 
 
 def approx_distinct_by(ds: Dataset, key: str, cols: list[str],
@@ -408,3 +394,41 @@ def heavy_hitters_by(ds: Dataset, key: str, col: str, k: int = 10,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key).map_groups(merge, batch_format="pandas"))
+
+
+def _dataset_registers(ds: Dataset, cols: list[str], p: int) -> np.ndarray:
+    """Fold a dataset into one merged HLL register array (one sketch row
+    per batch through the exchange, kilobytes regardless of input)."""
+    import pyarrow.compute as pc
+
+    def sketch(t: pa.Table) -> pa.Table:
+        st = pa.table({c: pc.cast(t[c], pa.string()) for c in cols})
+        h = stable_hash(st, cols).astype(np.uint64)
+        return pa.table({"regs": pa.array([_hll_registers(h, p).tobytes()],
+                                          type=pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.int8)
+    for batch in ds.map_batches(sketch, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for blob in batch["regs"].to_pylist():
+            merged = np.maximum(merged, np.frombuffer(blob, dtype=np.int8))
+    return merged
+
+
+def approx_set_overlap(a: Dataset, b: Dataset, cols: list[str],
+                       precision: int = 12) -> dict:
+    """Approximate set-overlap statistics between two key sets: |A|, |B|,
+    |A∪B| (elementwise register max — HLL sketches union losslessly) and
+    |A∩B| by inclusion–exclusion, plus the Jaccard estimate. Two sketch
+    folds + a register max; nothing data-sized leaves the workers. The
+    intersection inherits HLL error on each term (worst for small
+    overlaps — use an exact semi join when precision matters)."""
+    ra = _dataset_registers(a, cols, precision)
+    rb = _dataset_registers(b, cols, precision)
+    na = _hll_estimate(ra)
+    nb = _hll_estimate(rb)
+    nu = _hll_estimate(np.maximum(ra, rb))
+    ni = max(0.0, na + nb - nu)
+    return {"n_a": int(round(na)), "n_b": int(round(nb)),
+            "n_union": int(round(nu)), "n_intersection": int(round(ni)),
+            "jaccard": round(ni / nu, 4) if nu > 0 else 0.0}

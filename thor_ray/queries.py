@@ -3927,6 +3927,20 @@ GROUP BY l_suppkey
 """
 
 
+def q156_set_overlap(sf: str):
+    """Approximate set-overlap sketch (rows-only — estimates have no
+    exact SQL twin; error bound pinned in test_ops): customers-with-
+    orders vs all customers via two HLL folds + a register max."""
+    from thor_ray.ops.sketch import approx_set_overlap
+    r = approx_set_overlap(
+        T(sf, "orders", ["o_custkey"]).map_batches(
+            lambda t: t.rename_columns(["k"]), batch_format="pyarrow"),
+        T(sf, "customer", ["c_custkey"]).map_batches(
+            lambda t: t.rename_columns(["k"]), batch_format="pyarrow"),
+        cols=["k"], precision=12)
+    return pd.DataFrame([r])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4088,6 +4102,7 @@ QUERIES: dict[str, tuple] = {
     "q153_pagerank": (q153_pagerank, SQL_Q153),
     "q154_inverted_search": (q154_inverted_search, SQL_Q154),
     "q155_zorder_range": (q155_zorder_range, SQL_Q155),
+    "q156_set_overlap": (q156_set_overlap, None),
 }
 
 
