@@ -39,6 +39,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].where(pd.notna(df[c]), None)
+            # list-valued cells (Arrow list columns → ndarrays / lists):
+            # tuples are hashable+comparable so the final sort works
+            df[c] = df[c].map(lambda v: tuple(v)
+                              if isinstance(v, (list, np.ndarray)) else v)
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         if str(df[c].dtype) in ("Int64", "Int32", "Int16", "UInt32"):

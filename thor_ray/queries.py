@@ -3906,7 +3906,7 @@ def q155_zorder_range(sf: str):
                        ("l_orderkey", "l_suppkey")),
         zdir, by="shard", cluster_by=["zval"])
 
-    hits = read_range(zdir, "l_suppkey", 10, 20)
+    hits = read_range(zdir, "l_suppkey", 1, 5)  # non-empty at every SF
 
     def partial(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -3922,7 +3922,7 @@ def q155_zorder_range(sf: str):
 SQL_Q155 = """
 SELECT l_suppkey, count(*) AS n,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
-FROM lineitem WHERE l_suppkey BETWEEN 10 AND 20
+FROM lineitem WHERE l_suppkey BETWEEN 1 AND 5
 GROUP BY l_suppkey
 """
 
