@@ -1740,3 +1740,29 @@ def test_approx_set_overlap(ray_session):
     assert abs(r["n_union"] - 8000) / 8000 < 0.05
     assert abs(r["n_intersection"] - 3000) / 3000 < 0.15
     assert 0 < r["jaccard"] < 1
+
+
+def test_auto_join_both_paths(ray_session):
+    """auto_join: tiny right side broadcasts, over-threshold right side
+    hash-joins — both return exactly the plain-join result; right_outer
+    refuses the broadcast path and still comes back correct."""
+    from thor_ray.ops.relational import auto_join, hash_join
+
+    left = ds_of({"k": np.array([1, 2, 2, 3, 5], dtype=np.int64),
+                  "v": np.array([10, 20, 21, 30, 50], dtype=np.int64)})
+    right = ds_of({"k": np.array([1, 2, 4], dtype=np.int64),
+                   "w": np.array([100, 200, 400], dtype=np.int64)})
+
+    want = hash_join(left, right, on=("k",)).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)[["k", "v", "w"]]
+    for thresh in (64 << 20, 0):      # broadcast path, then hash path
+        got = auto_join(left, right, on=("k",),
+                        broadcast_threshold_bytes=thresh).to_pandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)[["k", "v", "w"]]
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64"))
+
+    ro = auto_join(left, right, on=("k",), join_type="right_outer") \
+        .to_pandas()
+    assert set(ro["k"]) == {1, 2, 4}      # 4 survives from the right side
+    assert ro.loc[ro["k"] == 4, "v"].isna().all()

@@ -822,3 +822,30 @@ def explode(ds: Dataset, list_col: str, out_val: str = "val",
         return out.append_column(out_val, flat)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def auto_join(left: Dataset, right: Dataset, on: tuple[str, ...],
+              right_on: tuple[str, ...] | None = None,
+              join_type: str = "inner",
+              broadcast_threshold_bytes: int = 64 << 20) -> Dataset:
+    """Join-strategy selection from metadata (the standard planner rule,
+    surfaced as an operator since Ray Data has no cost-based optimizer):
+    a right side under the byte threshold is BROADCAST (ray.put once, no
+    shuffle — size estimate comes from block metadata / parquet footers,
+    not a data scan); anything bigger falls back to the partitioned hash
+    join. Only inner/left joins can take the broadcast path (a broadcast
+    right side cannot express right/full outer semantics)."""
+    sz = None
+    try:
+        sz = right.size_bytes()
+    except Exception:
+        pass
+    if sz is not None and sz <= broadcast_threshold_bytes \
+            and join_type in ("inner", "left_outer"):
+        how = "inner" if join_type == "inner" else "left"
+        small = right.to_pandas()          # bounded by the threshold
+        return broadcast_join(left, small, on=list(on),
+                              right_on=list(right_on) if right_on else None,
+                              how=how)
+    return hash_join(left, right, on=on, join_type=join_type,
+                     right_on=right_on)

@@ -3941,6 +3941,31 @@ def q156_set_overlap(sf: str):
     return pd.DataFrame([r])
 
 
+def q157_lineage_summary(sf: str):
+    """CDC observability (rows-only): fold a flagship run's per-epoch
+    lineage JSONL (the S4 sink) into one summary row per epoch — events
+    applied, partitions touched, op-mix totals — and assert-able
+    invariants (event conservation, monotone epochs) live in test_cdc."""
+    from thor_ray.pipelines.flagship import run_flagship
+    from thor_ray.sources.lake import read_lineage
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_lineage_{tag}"
+    pipe = run_flagship(work, n_keys=1_000, n_events=8_000, n_shards=2,
+                        num_partitions=8, epoch_size=2_000)
+    parts = read_lineage(pipe.cfg.lake_dir, kind="partition")
+    g = parts.groupby("epoch", sort=True)
+    out = pd.DataFrame({
+        "epoch": g.size().index.astype("int64"),
+        "n_partitions": g.size().to_numpy().astype("int64"),
+        "events": g["events"].sum().to_numpy().astype("int64"),
+        "rows": g["rows"].sum().to_numpy().astype("int64"),
+        "dup_dropped": g["counts"].apply(
+            lambda s: sum(c["dup_dropped"] for c in s)).to_numpy()
+        .astype("int64"),
+    })
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4103,6 +4128,7 @@ QUERIES: dict[str, tuple] = {
     "q154_inverted_search": (q154_inverted_search, SQL_Q154),
     "q155_zorder_range": (q155_zorder_range, SQL_Q155),
     "q156_set_overlap": (q156_set_overlap, None),
+    "q157_lineage_summary": (q157_lineage_summary, None),
 }
 
 
