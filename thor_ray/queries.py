@@ -3966,6 +3966,35 @@ def q157_lineage_summary(sf: str):
     return out
 
 
+def q158_cdc_to_corpus(sf: str):
+    """Flagship composition #2 — the CDC lake FEEDS the training-corpus
+    pipeline (rows-only; every stage is oracle- or unit-checked on its
+    own): replay a binlog into the exactly-once lake, read the live
+    state, then run corpus ops over its content column — token count +
+    quality signals + md5-fingerprint exact dedup — and report one
+    summary row per language-ish shard (repo)."""
+    from ray.data.aggregate import Count, Sum
+    from thor_ray.ops.dedup import best_survivor_dedup
+    from thor_ray.pipelines.flagship import run_flagship
+    from thor_ray.sources.lake import read_lake
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_cdc2corpus_{tag}"
+    pipe = run_flagship(work, n_keys=2_000, n_events=10_000, n_shards=2,
+                        num_partitions=8, epoch_size=2_500)
+    docs = read_lake(pipe.cfg.lake_dir).map_batches(
+        lambda t: t.select(["path", "repo", "content"]).rename_columns(
+            ["doc_key", "repo", "text"]),
+        batch_format="pyarrow")
+    docs = TX.token_count(docs)
+    docs = best_survivor_dedup(TX.md5_fingerprint(docs), "fp",
+                               ["doc_key"], [False])
+    return (docs.map_batches(
+        lambda t: t.select(["repo", "n_tokens"]), batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="n_tokens")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4129,6 +4158,7 @@ QUERIES: dict[str, tuple] = {
     "q155_zorder_range": (q155_zorder_range, SQL_Q155),
     "q156_set_overlap": (q156_set_overlap, None),
     "q157_lineage_summary": (q157_lineage_summary, None),
+    "q158_cdc_to_corpus": (q158_cdc_to_corpus, None),
 }
 
 
