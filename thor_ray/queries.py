@@ -3995,6 +3995,85 @@ def q158_cdc_to_corpus(sf: str):
                    Sum("n_tokens", alias_name="n_tokens")))
 
 
+def q159_right_outer(sf: str):
+    """J-family completeness: native RIGHT OUTER join — every customer
+    keeps a row even with zero orders; per-customer order count counts
+    only non-null join hits (combiner partials, one small groupby)."""
+    from thor_ray.ops.relational import hash_join
+    j = hash_join(T(sf, "orders", ["o_orderkey", "o_custkey"]),
+                  T(sf, "customer", ["c_custkey"]),
+                  on=("o_custkey",), right_on=("c_custkey",),
+                  join_type="right_outer")
+
+    def partial(t: pa.Table) -> pa.Table:
+        valid = pc.cast(pc.is_valid(t["o_orderkey"]), pa.int64())
+        g = pa.table({"c_custkey": t["c_custkey"], "v": valid}) \
+            .group_by("c_custkey").aggregate([("v", "sum")])
+        return g.rename_columns(["c_custkey", "n"])
+
+    from ray.data.aggregate import Sum
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_custkey").aggregate(Sum("n", alias_name="n")))
+
+
+SQL_Q159 = """
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q160_latest_vs_avg(sf: str):
+    """Correlated-analytic pattern: customers whose LATEST order (by
+    date, orderkey tie-break) costs more than their own average order —
+    compared in pure integers (latest_cents · n > sum_cents) so the
+    filter can't drift on float division. One coarse-salt shuffle."""
+    ds = T(sf, "orders", ["o_custkey", "o_orderkey", "o_orderdate",
+                          "o_totalprice"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        t = t.append_column("cents", pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()))
+        return t.append_column("csalt", pc.cast(
+            pc.bit_wise_and(t["o_custkey"], 63), pa.int32()))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="stable")
+        agg = g.groupby("o_custkey", sort=True)["cents"] \
+            .agg(["sum", "count", "last"])
+        keep = agg["last"] * agg["count"] > agg["sum"]
+        a = agg[keep]
+        return pd.DataFrame({
+            "o_custkey": a.index.to_numpy().astype("int64"),
+            "latest_cents": a["last"].to_numpy().astype("int64"),
+            "n": a["count"].to_numpy().astype("int64")})
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+              .groupby("csalt").map_groups(pick, batch_format="pandas"))
+
+
+SQL_Q160 = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+),
+latest AS (
+  SELECT o_custkey, cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+             AS rn
+  FROM o
+),
+agg AS (SELECT o_custkey, sum(cents) AS s, count(*) AS n
+        FROM o GROUP BY o_custkey)
+SELECT l.o_custkey, l.cents AS latest_cents, CAST(a.n AS BIGINT) AS n
+FROM latest l JOIN agg a USING (o_custkey)
+WHERE l.rn = 1 AND l.cents * a.n > a.s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4159,6 +4238,8 @@ QUERIES: dict[str, tuple] = {
     "q156_set_overlap": (q156_set_overlap, None),
     "q157_lineage_summary": (q157_lineage_summary, None),
     "q158_cdc_to_corpus": (q158_cdc_to_corpus, None),
+    "q159_right_outer": (q159_right_outer, SQL_Q159),
+    "q160_latest_vs_avg": (q160_latest_vs_avg, SQL_Q160),
 }
 
 
