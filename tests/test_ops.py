@@ -1766,3 +1766,24 @@ def test_auto_join_both_paths(ray_session):
         .to_pandas()
     assert set(ro["k"]) == {1, 2, 4}      # 4 survives from the right side
     assert ro.loc[ro["k"] == 4, "v"].isna().all()
+
+
+def test_training_corpus_optional_tiers(ray_session):
+    """strip_span_k removes cross-doc boilerplate spans before chunking;
+    vocab_size appends rank token ids aligned with each chunk's tokens."""
+    from thor_ray.pipelines.corpus import build_training_corpus
+
+    boiler = "x" * 40
+    a = " ".join(f"alpha{i:02d}" for i in range(40)) + " " + boiler
+    b = " ".join(f"beta{i:02d}" for i in range(40)) + " " + boiler
+    ds = ds_of({"doc_id": [1, 2], "text": [a, b]})
+    out = build_training_corpus(ds, min_quality=0.0, jaccard_threshold=0.9,
+                                chunk_size=600, chunk_stride=600,
+                                strip_span_k=30, vocab_size=10).to_pandas()
+    # the shared 40-x span is stripped from BOTH docs
+    assert not out["chunk"].str.contains("xxxxx").any()
+    # ids align 1:1 with whitespace tokens; 0 = OOV, 1..10 = vocab ranks
+    for _, r in out.iterrows():
+        toks = r["chunk"].split(" ")
+        assert len(r["token_ids"]) == len(toks)
+        assert all(0 <= t <= 10 for t in r["token_ids"])

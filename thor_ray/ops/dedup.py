@@ -378,6 +378,8 @@ def near_dup_clusters(ds: Dataset, text_col: str, id_col: str,
     pairs = minhash_lsh_pairs(ds, text_col, id_col,
                               jaccard_threshold=jaccard_threshold,
                               **lsh_kw).to_pandas()
+    if "id_a" not in pairs.columns:   # dup-free corpus: Ray's to_pandas
+        pairs = pd.DataFrame({"id_a": [], "id_b": []})  # drops 0-row cols
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

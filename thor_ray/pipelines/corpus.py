@@ -27,11 +27,17 @@ def build_training_corpus(ds: Dataset, text_col: str = "text",
                           langs: "list[str] | None" = None,
                           jaccard_threshold: float = 0.5,
                           chunk_size: int = 512,
-                          chunk_stride: int = 384) -> Dataset:
+                          chunk_stride: int = 384,
+                          strip_span_k: int | None = None,
+                          vocab_size: int | None = None) -> Dataset:
     """documents(id, text, [lang]) → deduped chunk table
-    (id, chunk_id, chunk, n_tokens). See module docstring for the stage
-    list; each stage is this repo's standalone operator, so any slice of
-    the pipeline can be run or tested on its own."""
+    (id, chunk_id, chunk, n_tokens[, token_ids]). See module docstring for
+    the stage list; each stage is this repo's standalone operator, so any
+    slice of the pipeline can be run or tested on its own.
+
+    Optional tiers: ``strip_span_k`` inserts exact-substring boilerplate
+    removal (Lee et al. span strip) between the dedups and the chunker;
+    ``vocab_size`` appends vocabulary-mapped token ids to each chunk."""
     ds = TX.normalize_text(ds, text_col=text_col, out="_norm")
 
     def use_norm(t: pa.Table) -> pa.Table:
@@ -81,6 +87,49 @@ def build_training_corpus(ds: Dataset, text_col: str = "text",
         ds = semi_join(ds, drops, on=id_col, anti=True)
     ds = DD.near_dup_dedup(ds, text_col, id_col,
                            jaccard_threshold=jaccard_threshold)
+    if strip_span_k:
+        ds = TX.strip_repeated_spans(ds, text_col=text_col, id_col=id_col,
+                                     k=strip_span_k)
     chunks = TX.chunk_text(ds, text_col=text_col, id_col=id_col,
                            size=chunk_size, stride=chunk_stride)
-    return TX.token_count(chunks, text_col="chunk")
+    out = TX.token_count(chunks, text_col="chunk")
+    if vocab_size:
+        out = _with_token_ids(out, vocab_size)
+    return out
+
+
+def _with_token_ids(chunks: Dataset, vocab_size: int) -> Dataset:
+    """Append token ids per chunk WITHOUT dropping the other columns
+    (tokenize_to_ids emits a lean (id, ids) table; here we keep the full
+    chunk row)."""
+    import numpy as np
+    import ray as _ray
+
+    vocab_pd = TX.vocab_topk(chunks, "chunk", k=vocab_size).to_pandas()
+    vocab_pd = vocab_pd.sort_values(["n", "token"],
+                                    ascending=[False, True],
+                                    kind="stable").reset_index(drop=True)
+    toks_u = vocab_pd["token"].to_numpy(dtype="U")
+    ids = np.arange(1, len(toks_u) + 1, dtype=np.int64)
+    order = np.argsort(toks_u)
+    vref = _ray.put((toks_u[order], ids[order]))
+
+    def fn(t: pa.Table) -> pa.Table:
+        st_, si = _ray.get(vref)
+        lists = pc.split_pattern_regex(pc.fill_null(t["chunk"], ""),
+                                       pattern=TX.TOKEN_RE)
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        arr = flat.to_numpy(zero_copy_only=False).astype("U")
+        if len(st_) and len(arr):
+            pos = np.minimum(np.searchsorted(st_, arr), len(st_) - 1)
+            tid = np.where(st_[pos] == arr, si[pos], 0)
+        else:
+            tid = np.zeros(len(arr), dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(tid.astype(np.int64), type=pa.int64()))
+        return t.append_column("token_ids", la)
+
+    return chunks.map_batches(fn, batch_format="pyarrow")

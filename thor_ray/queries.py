@@ -2138,13 +2138,15 @@ def q67_snapshot_diff(sf: str):
 
 def q81_training_corpus(sf: str):
     """The end-to-end training-corpus showpiece: normalize → quality
-    filter → exact dedup (fingerprint) → near-dup dedup (LSH) → chunk →
-    token count, entirely from this repo's operators (rows-only; stage
-    semantics are each oracle- or unit-checked individually)."""
+    filter → exact dedup (fingerprint) → near-dup dedup (LSH) →
+    exact-substring span strip → chunk → token count → vocab token ids,
+    entirely from this repo's operators (rows-only; stage semantics are
+    each oracle- or unit-checked individually)."""
     from thor_ray.pipelines.corpus import build_training_corpus
     return build_training_corpus(T(sf, "documents", ["doc_id", "text"]),
                                  min_quality=0.2, chunk_size=300,
-                                 chunk_stride=200)
+                                 chunk_stride=200, strip_span_k=64,
+                                 vocab_size=100)
 
 
 def q78_heavy_hitters(sf: str):
