@@ -1787,3 +1787,26 @@ def test_training_corpus_optional_tiers(ray_session):
         toks = r["chunk"].split(" ")
         assert len(r["token_ids"]) == len(toks)
         assert all(0 <= t <= 10 for t in r["token_ids"])
+
+
+def test_count_min_sketch(ray_session):
+    """Count-Min: estimates never undercount, overcount within the
+    2N/width bound for every probed key, and batch-wise merge equals a
+    single-pass build (counters add)."""
+    from thor_ray.ops.sketch import count_min_build, count_min_query
+
+    rng = np.random.default_rng(3)
+    keys = rng.zipf(1.6, size=20_000).astype(np.int64)
+    ds = ds_of({"k": keys}).repartition(6)
+    cm = count_min_build(ds, ["k"], width=1024, depth=4)
+
+    from collections import Counter
+    true = Counter(keys.tolist())
+    probes = [1, 2, 3, 50, 999_999]   # hot, mid, absent
+    est = count_min_query(cm, probes)
+    n = len(keys)
+    for k, e in zip(probes, est):
+        t = true.get(k, 0)
+        assert e >= t, (k, e, t)
+        assert e <= t + 2 * n / 1024 + 1, (k, e, t)
+    assert cm.sum() == 4 * n          # every lane counts every row once

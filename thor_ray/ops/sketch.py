@@ -432,3 +432,61 @@ def approx_set_overlap(a: Dataset, b: Dataset, cols: list[str],
     return {"n_a": int(round(na)), "n_b": int(round(nb)),
             "n_union": int(round(nu)), "n_intersection": int(round(ni)),
             "jaccard": round(ni / nu, 4) if nu > 0 else 0.0}
+
+
+_CM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _cm_lanes(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) bucket indices from one 64-bit hash per key: each lane
+    remixes with a distinct odd constant (splitmix-style), so lanes are
+    pairwise-independent enough for the CM bound. Vectorized."""
+    out = np.empty((depth, len(h)), dtype=np.int64)
+    x = h.astype(np.uint64)
+    for i in range(depth):
+        v = (x ^ np.uint64(i * 0x9E3779B9 + 1)) * _CM_MIX
+        v ^= v >> np.uint64(29)
+        out[i] = (v % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def count_min_build(ds: Dataset, cols: list[str], width: int = 2048,
+                    depth: int = 4) -> np.ndarray:
+    """Mergeable Count-Min sketch of key occurrence counts: each batch
+    folds into ONE (depth × width) int64 counter table (vectorized
+    bincount per lane) and tables simply ADD — so the distributed fold
+    ships kilobytes per batch regardless of input size. Point estimates
+    (count_min_query) never undercount; overcount ≤ 2N/width with
+    probability ≥ 1 − 2^-depth."""
+    import pyarrow.compute as pc
+
+    def sketch(t: pa.Table) -> pa.Table:
+        st = pa.table({c: pc.cast(t[c], pa.string()) for c in cols})
+        h = stable_hash(st, cols).astype(np.uint64)
+        lanes = _cm_lanes(h, depth, width)
+        tbl = np.zeros((depth, width), dtype=np.int64)
+        for i in range(depth):
+            tbl[i] = np.bincount(lanes[i], minlength=width)
+        return pa.table({"cm": pa.array([tbl.tobytes()], type=pa.binary())})
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for batch in ds.map_batches(sketch, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for blob in batch["cm"].to_pylist():
+            merged += np.frombuffer(blob, dtype=np.int64) \
+                .reshape(depth, width)
+    return merged
+
+
+def count_min_query(sketch: np.ndarray, keys: list,
+                    cols: list[str] | None = None) -> np.ndarray:
+    """Point-frequency estimates (min over lanes) for string keys against
+    a count_min_build table. Keys are hashed exactly as the build pass
+    hashed the (stringified) columns."""
+    depth, width = sketch.shape
+    kt = pa.table({"k": pa.array([str(k) for k in keys], type=pa.string())})
+    h = stable_hash(kt, ["k"]).astype(np.uint64)
+    lanes = _cm_lanes(h, depth, width)
+    ests = np.min(
+        np.stack([sketch[i, lanes[i]] for i in range(depth)]), axis=0)
+    return ests.astype(np.int64)

@@ -4076,6 +4076,19 @@ WHERE l.rn = 1 AND l.cents * a.n > a.s
 """
 
 
+def q161_count_min(sf: str):
+    """Count-Min point-frequency estimates for probe event types
+    (rows-only — estimates have no exact SQL twin; never-undercount +
+    bound pinned in test_ops). One mergeable counter table per batch."""
+    from thor_ray.ops.sketch import count_min_build, count_min_query
+    cm = count_min_build(T(sf, "events", ["event_type"]),
+                         ["event_type"], width=2048, depth=4)
+    probes = ["click", "view", "purchase", "no_such_type"]
+    est = count_min_query(cm, probes)
+    return pd.DataFrame({"event_type": probes,
+                         "est_count": est.astype("int64")})
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4242,6 +4255,7 @@ QUERIES: dict[str, tuple] = {
     "q158_cdc_to_corpus": (q158_cdc_to_corpus, None),
     "q159_right_outer": (q159_right_outer, SQL_Q159),
     "q160_latest_vs_avg": (q160_latest_vs_avg, SQL_Q160),
+    "q161_count_min": (q161_count_min, None),
 }
 
 
