@@ -4089,6 +4089,34 @@ def q161_count_min(sf: str):
                          "est_count": est.astype("int64")})
 
 
+def q162_one_hot(sf: str):
+    """ML-prep one-hot encoding: the category set is an output-sized
+    distinct (collected once, sorted, broadcast), the encode pass is
+    map-only vectorized equality — the corpus never shuffles."""
+    from thor_ray.ops.relational import distinct
+    ds = T(sf, "documents", ["doc_id", "lang"])
+    cats = sorted(distinct(ds, ["lang"]).to_pandas()["lang"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        out = {"doc_id": t["doc_id"]}
+        for c in cats:
+            out[f"lang_{c}"] = pc.cast(pc.equal(t["lang"], c), pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+SQL_Q162 = """
+SELECT doc_id,
+       CAST(lang = 'de' AS BIGINT) AS lang_de,
+       CAST(lang = 'en' AS BIGINT) AS lang_en,
+       CAST(lang = 'es' AS BIGINT) AS lang_es,
+       CAST(lang = 'fr' AS BIGINT) AS lang_fr,
+       CAST(lang = 'zh' AS BIGINT) AS lang_zh
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4256,6 +4284,7 @@ QUERIES: dict[str, tuple] = {
     "q159_right_outer": (q159_right_outer, SQL_Q159),
     "q160_latest_vs_avg": (q160_latest_vs_avg, SQL_Q160),
     "q161_count_min": (q161_count_min, None),
+    "q162_one_hot": (q162_one_hot, SQL_Q162),
 }
 
 
