@@ -1810,3 +1810,34 @@ def test_count_min_sketch(ray_session):
         assert e >= t, (k, e, t)
         assert e <= t + 2 * n / 1024 + 1, (k, e, t)
     assert cm.sum() == 4 * n          # every lane counts every row once
+
+
+def test_feature_hash(ray_session):
+    """Hashing-trick features: pure-Python fold equality, partitioning
+    invariance, fixed output dim, and signed debias sums to the token
+    count in absolute value."""
+    from thor_ray.ops.text import feature_hash
+    from thor_ray.stages.smt import stable_hash
+
+    docs = ["a b a", "c", "", "a c c d"]
+    ds = ds_of({"doc_id": [0, 1, 2, 3], "text": docs})
+    got = feature_hash(ds, dim=16).to_pandas().sort_values("doc_id")
+    got2 = feature_hash(ds_of({"doc_id": [0, 1, 2, 3], "text": docs})
+                        .repartition(4), dim=16).to_pandas() \
+        .sort_values("doc_id")
+
+    def fold(text):
+        v = np.zeros(16)
+        for tok in text.split(" "):
+            h = int(stable_hash(pa.table({"tok": [tok]}), ["tok"])[0])
+            hu = np.uint64(h)
+            sign = 1.0 - 2.0 * float((hu >> np.uint64(33)) & np.uint64(1))
+            v[h % 16] += sign
+        return v
+
+    for i, d in enumerate(docs):
+        want = fold(d)
+        np.testing.assert_allclose(
+            np.asarray(got["fvec"].iloc[i], dtype=np.float64), want)
+        np.testing.assert_allclose(
+            np.asarray(got2["fvec"].iloc[i], dtype=np.float64), want)

@@ -908,3 +908,38 @@ def search_inverted_index(index_dir: str, terms: list[str],
     if mode == "and":
         hits = hits.filter(expr=f"n_terms >= {len(terms)}")
     return hits.select_columns(["doc"])
+
+
+def feature_hash(ds: Dataset, text_col: str = "text",
+                 id_col: str = "doc_id", dim: int = 256,
+                 signed: bool = True, out: str = "fvec") -> Dataset:
+    """Hashing-trick bag-of-words features (Weinberger et al. 2009): each
+    whitespace token hashes to one of ``dim`` buckets, with a sign bit
+    from an independent hash bit when ``signed`` (the standard
+    collision-debias), accumulated into one fixed-size float32 vector per
+    doc. Map-only: no vocabulary pass, no shuffle, output dimensionality
+    independent of corpus size — the cheap featurizer that feeds
+    ann.brute_cosine_topk / embedding_near_dup_pairs directly."""
+    from thor_ray.stages.smt import stable_hash
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t[text_col], "")
+        lists = pc.split_pattern_regex(arr, pattern=TOKEN_RE)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False)
+        h = stable_hash(pa.table({"tok": flat}), ["tok"]).view(np.uint64)
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        if signed:
+            sign = 1.0 - 2.0 * ((h >> np.uint64(33)) &
+                                np.uint64(1)).astype(np.float64)
+        else:
+            sign = np.ones(len(h))
+        vecs = np.zeros((len(t), dim), dtype=np.float64)
+        np.add.at(vecs, (parent, bucket), sign)
+        la = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1).astype(np.float32),
+                     type=pa.float32()), dim)
+        return pa.table({id_col: t[id_col], out: la})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

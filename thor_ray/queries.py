@@ -4117,6 +4117,13 @@ FROM documents
 """
 
 
+def q163_feature_hash(sf: str):
+    """Hashing-trick bag-of-words features (rows-only; exact-fold +
+    partitioning-invariance unit test): one fixed 64-dim signed float
+    vector per doc, map-only, no vocabulary pass."""
+    return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4285,6 +4292,7 @@ QUERIES: dict[str, tuple] = {
     "q160_latest_vs_avg": (q160_latest_vs_avg, SQL_Q160),
     "q161_count_min": (q161_count_min, None),
     "q162_one_hot": (q162_one_hot, SQL_Q162),
+    "q163_feature_hash": (q163_feature_hash, None),
 }
 
 
