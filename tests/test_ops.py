@@ -1497,7 +1497,10 @@ def test_paragraph_dedup_property_vs_reference(ray_session):
 
     from thor_ray.ops.text import paragraph_dedup
 
-    para = st.text(alphabet=st.characters(blacklist_characters="\n"),
+    # surrogates (category Cs) can't round-trip through Arrow's UTF-8 —
+    # invalid input, not an engine case
+    para = st.text(alphabet=st.characters(blacklist_characters="\n",
+                                          blacklist_categories=("Cs",)),
                    max_size=8)
     @settings(max_examples=15, deadline=None)
     @given(st.lists(st.lists(para, min_size=1, max_size=5),
