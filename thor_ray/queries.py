@@ -4124,6 +4124,36 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q39_auto_join(sf: str):
+    """J10 auto join-strategy selection under the driver gate: the
+    supplier side sits far below the broadcast threshold, so auto_join
+    takes the no-shuffle broadcast path here (the hash fallback is
+    asserted result-equal in test_auto_join_both_paths); grouped
+    integer-quantity revenue per supplier nation, SQL-checked."""
+    from ray.data.aggregate import Count, Sum
+    from thor_ray.ops.relational import auto_join
+    j = auto_join(T(sf, "lineitem", ["l_suppkey", "l_quantity"]),
+                  T(sf, "supplier", ["s_suppkey", "s_nationkey"]),
+                  on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"s_nationkey": t["s_nationkey"],
+                         "qty": pc.cast(t["l_quantity"], pa.int64())})
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("s_nationkey")
+            .aggregate(Count(alias_name="n"),
+                       Sum("qty", alias_name="qty")))
+
+
+SQL_Q39 = """
+SELECT s_nationkey, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4165,6 +4195,7 @@ QUERIES: dict[str, tuple] = {
     "q35_hopping_window": (q35_hopping_window, SQL_Q35),
     "q36_full_outer": (q36_full_outer, SQL_Q36),
     "q38_group_median": (q38_group_median, SQL_Q38),
+    "q39_auto_join": (q39_auto_join, SQL_Q39),
     "q51_hoist_flatten": (q51_hoist_flatten, SQL_Q51),
     "q52_regex_router": (q52_regex_router, SQL_Q52),
     "q53_timestamp_router": (q53_timestamp_router, SQL_Q53),
