@@ -33,6 +33,16 @@ def T(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _input_sig(sf: str, table: str) -> str:
+    """Short signature of a fixture file (size + mtime): keys /tmp caches
+    built FROM that input, so a regenerated fixture can never serve a
+    stale resumable artifact (write_partitioned would otherwise skip the
+    rebuild)."""
+    import os
+    st = os.stat(f"{sf}/{table}.parquet")
+    return f"{st.st_size}_{st.st_mtime_ns // 1_000_000}"
+
+
 def _rnd(arr, n: int):
     """Round half-away-from-zero, BIT-IDENTICAL to DuckDB's ROUND(DOUBLE)
     = std::round(x*10^n)/10^n. Emulated as floor(v) + (frac(v) >= 0.5) —
@@ -3873,7 +3883,7 @@ def q154_inverted_search(sf: str):
     query by reading ONLY the probe terms' buckets + one tiny groupby —
     a serving read, not a corpus scan. SQL-checked vs list_contains."""
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
-    idx = f"/tmp/thor_ray_q_invidx_{tag}"
+    idx = f"/tmp/thor_ray_q_invidx_{tag}_{_input_sig(sf, 'documents')}"
     TX.build_inverted_index(T(sf, "documents", ["doc_id", "text"]), idx)
     out = TX.search_inverted_index(idx, ["spark", "merge"], mode="and")
     return out.map_batches(lambda t: t.rename_columns(["doc_id"]),
@@ -3896,7 +3906,7 @@ def q155_zorder_range(sf: str):
     from thor_ray.sources.sink import (add_zorder_key, read_range,
                                        write_partitioned)
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
-    zdir = f"/tmp/thor_ray_q_zorder_{tag}"
+    zdir = f"/tmp/thor_ray_q_zorder_{tag}_{_input_sig(sf, 'lineitem')}"
     ds = T(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
 
     def shard(t: pa.Table) -> pa.Table:
