@@ -1844,3 +1844,21 @@ def test_feature_hash(ray_session):
             np.asarray(got["fvec"].iloc[i], dtype=np.float64), want)
         np.testing.assert_allclose(
             np.asarray(got2["fvec"].iloc[i], dtype=np.float64), want)
+
+
+def test_union_align(ray_session):
+    """Schema-aligning union: one-sided columns null-fill, shared int
+    columns widen (int32 + int64 -> int64), left column order wins."""
+    from thor_ray.ops.relational import union_align
+
+    a = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], type=pa.int32()),
+        "x": pa.array(["a", "b"])}))
+    b = ray.data.from_arrow(pa.table({
+        "k": pa.array([3], type=pa.int64()),
+        "y": pa.array([9.5])}))
+    got = union_align(a, b).to_pandas()
+    assert list(got.columns) == ["k", "x", "y"]
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["x"].tolist()[:2] == ["a", "b"] and pd.isna(got["x"].iloc[2])
+    assert pd.isna(got["y"].iloc[0]) and got["y"].iloc[2] == 9.5

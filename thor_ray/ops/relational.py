@@ -849,3 +849,28 @@ def auto_join(left: Dataset, right: Dataset, on: tuple[str, ...],
                               how=how)
     return hash_join(left, right, on=on, join_type=join_type,
                      right_on=right_on)
+
+
+def union_align(a: Dataset, b: Dataset) -> Dataset:
+    """UNION ALL with schema alignment (the ingestion-time union for
+    heterogeneous shards): columns present on only one side null-fill on
+    the other, shared columns widen to the Arrow common type
+    (pa.unify_schemas permissive — int32→int64, int→float, …). Column
+    order = left's order, then right-only columns. Map-only + union: no
+    shuffle, no driver data."""
+    sa = pa.schema(list(zip(a.schema().names, a.schema().types)))
+    sb = pa.schema(list(zip(b.schema().names, b.schema().types)))
+    target = pa.unify_schemas([sa, sb], promote_options="permissive")
+    # unify_schemas keeps first-seen order (left first) — what we promise
+
+    def conform(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in t.column_names:
+                cols.append(pc.cast(t[f.name], f.type))
+            else:
+                cols.append(pa.nulls(len(t), type=f.type))
+        return pa.table(dict(zip(target.names, cols)))
+
+    return a.map_batches(conform, batch_format="pyarrow").union(
+        b.map_batches(conform, batch_format="pyarrow"))

@@ -4134,6 +4134,42 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q164_union_align(sf: str):
+    """Schema-aligning UNION ALL (heterogeneous-shard ingestion):
+    customer rows carry acctbal but no nation column, supplier rows the
+    reverse — union_align null-fills each side's missing column and
+    widens shared types; one tag column marks provenance. SQL-checked."""
+    from thor_ray.ops.relational import union_align
+
+    def cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t["c_custkey"], "name": t["c_name"],
+            "bal": t["c_acctbal"],
+            "kind": pa.array(["customer"] * len(t), type=pa.string())})
+
+    def supp(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": t["s_suppkey"], "name": t["s_name"],
+            "nation": t["s_nationkey"],
+            "kind": pa.array(["supplier"] * len(t), type=pa.string())})
+
+    a = T(sf, "customer", ["c_custkey", "c_name", "c_acctbal"]) \
+        .map_batches(cust, batch_format="pyarrow")
+    b = T(sf, "supplier", ["s_suppkey", "s_name", "s_nationkey"]) \
+        .map_batches(supp, batch_format="pyarrow")
+    return union_align(a, b)
+
+
+SQL_Q164 = """
+SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+       'customer' AS kind, CAST(NULL AS BIGINT) AS nation
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), 'supplier', s_nationkey
+FROM supplier
+"""
+
+
 def q39_auto_join(sf: str):
     """J10 auto join-strategy selection under the driver gate: the
     supplier side sits far below the broadcast threshold, so auto_join
@@ -4334,6 +4370,7 @@ QUERIES: dict[str, tuple] = {
     "q161_count_min": (q161_count_min, None),
     "q162_one_hot": (q162_one_hot, SQL_Q162),
     "q163_feature_hash": (q163_feature_hash, None),
+    "q164_union_align": (q164_union_align, SQL_Q164),
 }
 
 
