@@ -4134,6 +4134,38 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q165_rolling_median(sf: str):
+    """ROWS-frame rolling MEDIAN per user (median OVER … ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW): one coarse-salt shuffle, C-level pandas
+    rolling inside each group; even windows average the two middles on
+    both sides, so the doubles match bit-for-bit."""
+    ds = T(sf, "events", ["user_id", "ts", "event_id", "value"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column("usalt", pc.cast(
+            pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        med = g.groupby("user_id", sort=False)["value"] \
+            .rolling(5, min_periods=1).median() \
+            .reset_index(drop=True).to_numpy()
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "med": med})
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+              .groupby("usalt").map_groups(roll, batch_format="pandas"))
+
+
+SQL_Q165 = """
+SELECT event_id,
+       median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           AS med
+FROM events
+"""
+
+
 def q164_union_align(sf: str):
     """Schema-aligning UNION ALL (heterogeneous-shard ingestion):
     customer rows carry acctbal but no nation column, supplier rows the
@@ -4371,6 +4403,7 @@ QUERIES: dict[str, tuple] = {
     "q162_one_hot": (q162_one_hot, SQL_Q162),
     "q163_feature_hash": (q163_feature_hash, None),
     "q164_union_align": (q164_union_align, SQL_Q164),
+    "q165_rolling_median": (q165_rolling_median, SQL_Q165),
 }
 
 
