@@ -4134,6 +4134,38 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q166_vector_norm(sf: str):
+    """Per-row vector math over the embedding column: L2 norm (square in
+    float32 exactly as DuckDB's FLOAT x*x does, accumulate in float64 —
+    sequential order both sides at dim 64) and max |component|. Map-only,
+    zero-copy flatten + reshape."""
+    ds = T(sf, "embeddings", ["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks() if isinstance(
+            t["embedding"], pa.ChunkedArray) else t["embedding"]
+        v32 = np.asarray(arr.flatten(), dtype=np.float32) \
+            .reshape(len(t), -1)
+        sq = v32 * v32                        # f32 product, like SQL FLOAT
+        l2 = np.sqrt(sq.astype(np.float64).sum(axis=1))
+        mx = np.abs(v32).max(axis=1).astype(np.float64)
+        return pa.table({"vec_id": t["vec_id"],
+                         "l2": pa.array(l2, type=pa.float64()),
+                         "max_abs": pa.array(mx, type=pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q166 = """
+SELECT vec_id,
+       sqrt(list_aggregate(list_transform(embedding, x -> x * x), 'sum'))
+           AS l2,
+       CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           AS max_abs
+FROM embeddings
+"""
+
+
 def q165_rolling_median(sf: str):
     """ROWS-frame rolling MEDIAN per user (median OVER … ROWS BETWEEN 4
     PRECEDING AND CURRENT ROW): one coarse-salt shuffle, C-level pandas
@@ -4404,6 +4436,7 @@ QUERIES: dict[str, tuple] = {
     "q163_feature_hash": (q163_feature_hash, None),
     "q164_union_align": (q164_union_align, SQL_Q164),
     "q165_rolling_median": (q165_rolling_median, SQL_Q165),
+    "q166_vector_norm": (q166_vector_norm, SQL_Q166),
 }
 
 
