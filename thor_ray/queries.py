@@ -4134,6 +4134,53 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q167_transitions(sf: str):
+    """Markov transition counts: consecutive event-type pairs per user
+    (ORDER BY ts, event_id), counted corpus-wide — top-20 with (n desc,
+    pair asc) tie-break. One coarse-salt shuffle for the LAG, per-group
+    C-level pair counting as the combiner, one tiny groupby + top-k."""
+    from ray.data.aggregate import Sum
+    from thor_ray.ops.relational import top_k
+    ds = T(sf, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column("usalt", pc.cast(
+            pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"src": [], "dst": [], "n": []})
+        same = u[1:] == u[:-1]
+        s = pd.Series(et[:-1][same]).str.cat(pd.Series(et[1:][same]),
+                                             sep=">")
+        vc = s.value_counts()
+        sp = vc.index.str.split(">", n=1)
+        return pd.DataFrame({"src": [x[0] for x in sp],
+                             "dst": [x[1] for x in sp],
+                             "n": vc.to_numpy().astype("int64")})
+
+    counts = (ds.map_batches(salt, batch_format="pyarrow")
+                .groupby("usalt").map_groups(pairs, batch_format="pandas")
+                .groupby(["src", "dst"])
+                .aggregate(Sum("n", alias_name="n")))
+    return top_k(counts, ["n", "src", "dst"], [True, False, False], 20)
+
+
+SQL_Q167 = """
+SELECT src, dst, n FROM (
+  SELECT src, dst, count(*) AS n FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS src,
+           event_type AS dst
+    FROM events)
+  WHERE src IS NOT NULL GROUP BY src, dst)
+ORDER BY n DESC, src ASC, dst ASC LIMIT 20
+"""
+
+
 def q166_vector_norm(sf: str):
     """Per-row vector math over the embedding column: L2 norm (square in
     float32 exactly as DuckDB's FLOAT x*x does, accumulate in float64 —
@@ -4437,6 +4484,7 @@ QUERIES: dict[str, tuple] = {
     "q164_union_align": (q164_union_align, SQL_Q164),
     "q165_rolling_median": (q165_rolling_median, SQL_Q165),
     "q166_vector_norm": (q166_vector_norm, SQL_Q166),
+    "q167_transitions": (q167_transitions, SQL_Q167),
 }
 
 
