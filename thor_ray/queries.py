@@ -4134,6 +4134,50 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q168_top_customers_per_nation(sf: str):
+    """Two-level analytic: aggregate order revenue per (nation, customer)
+    — integer cents, combiner partials — then top-3 customers per nation
+    (revenue desc, custkey asc tie-break). The per-group top-k runs over
+    the already-aggregated (output-sized) table, so the fine-key group
+    stage never sees raw orders."""
+    from ray.data.aggregate import Sum
+    from thor_ray.ops.relational import hash_join, topk_per_group
+    j = hash_join(T(sf, "orders", ["o_custkey", "o_totalprice"]),
+                  T(sf, "customer", ["c_custkey", "c_nationkey"]),
+                  on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        # the native join folds the right key into the left key column
+        g = pa.table({"c_nationkey": t["c_nationkey"],
+                      "c_custkey": t["o_custkey"], "cents": cents}) \
+            .group_by(["c_nationkey", "c_custkey"]) \
+            .aggregate([("cents", "sum")])
+        return g.rename_columns(["c_nationkey", "c_custkey", "revenue_cents"])
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["c_nationkey", "c_custkey"])
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    return topk_per_group(agg, "c_nationkey",
+                          ["revenue_cents", "c_custkey"], [True, False], 3)
+
+
+SQL_Q168 = """
+SELECT c_nationkey, c_custkey, revenue_cents FROM (
+  SELECT c_nationkey, c_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY sum(CAST(round(o_totalprice * 100.0)
+                                              AS BIGINT)) DESC,
+                                     c_custkey ASC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, c_custkey)
+WHERE rn <= 3
+"""
+
+
 def q167_transitions(sf: str):
     """Markov transition counts: consecutive event-type pairs per user
     (ORDER BY ts, event_id), counted corpus-wide — top-20 with (n desc,
@@ -4485,6 +4529,8 @@ QUERIES: dict[str, tuple] = {
     "q165_rolling_median": (q165_rolling_median, SQL_Q165),
     "q166_vector_norm": (q166_vector_norm, SQL_Q166),
     "q167_transitions": (q167_transitions, SQL_Q167),
+    "q168_top_customers_per_nation":
+        (q168_top_customers_per_nation, SQL_Q168),
 }
 
 
