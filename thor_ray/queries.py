@@ -4134,6 +4134,27 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q169_regex_backref(sf: str):
+    """Scalar string family: regex group-backreference rewrite (RE2 \\1
+    rewrite syntax on both sides) — 'adjective noun' → 'noun, adjective'
+    — plus the untouched remainder. Map-only."""
+    ds = T(sf, "part", ["p_partkey", "p_name"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        sw = pc.replace_substring_regex(
+            t["p_name"], pattern=r"^(\w+) (\w+)", replacement=r"\2, \1")
+        return pa.table({"p_partkey": t["p_partkey"], "swapped": sw})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q169 = r"""
+SELECT p_partkey,
+       regexp_replace(p_name, '^(\w+) (\w+)', '\2, \1') AS swapped
+FROM part
+"""
+
+
 def q168_top_customers_per_nation(sf: str):
     """Two-level analytic: aggregate order revenue per (nation, customer)
     — integer cents, combiner partials — then top-3 customers per nation
@@ -4531,6 +4552,7 @@ QUERIES: dict[str, tuple] = {
     "q167_transitions": (q167_transitions, SQL_Q167),
     "q168_top_customers_per_nation":
         (q168_top_customers_per_nation, SQL_Q168),
+    "q169_regex_backref": (q169_regex_backref, SQL_Q169),
 }
 
 
