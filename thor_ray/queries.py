@@ -4134,6 +4134,45 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q170_forward_window(sf: str):
+    """Forward-looking time-RANGE window: per event, how many of the same
+    user's events fall in [ts, ts + 1 h] (RANGE … 1 HOUR FOLLOWING —
+    value-based, so ts peers count regardless of row position). One
+    coarse-salt shuffle; two vectorized searchsorted passes per group."""
+    ds = T(sf, "events", ["user_id", "ts", "event_id"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column("usalt", pc.cast(
+            pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out = np.empty(len(g), dtype=np.int64)
+        bounds = np.concatenate([[0], np.nonzero(u[1:] != u[:-1])[0] + 1,
+                                 [len(g)]])
+        for i in range(len(bounds) - 1):   # loop over USERS in the salt
+            lo, hi = bounds[i], bounds[i + 1]
+            s = ts[lo:hi]
+            out[lo:hi] = (np.searchsorted(s, s + 3_600_000_000, "right")
+                          - np.searchsorted(s, s, "left"))
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "n_next_hour": out})
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+              .groupby("usalt").map_groups(win, batch_format="pandas"))
+
+
+SQL_Q170 = """
+SELECT event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN CURRENT ROW
+                            AND INTERVAL 1 HOUR FOLLOWING) AS n_next_hour
+FROM events
+"""
+
+
 def q169_regex_backref(sf: str):
     """Scalar string family: regex group-backreference rewrite (RE2 \\1
     rewrite syntax on both sides) — 'adjective noun' → 'noun, adjective'
@@ -4553,6 +4592,7 @@ QUERIES: dict[str, tuple] = {
     "q168_top_customers_per_nation":
         (q168_top_customers_per_nation, SQL_Q168),
     "q169_regex_backref": (q169_regex_backref, SQL_Q169),
+    "q170_forward_window": (q170_forward_window, SQL_Q170),
 }
 
 
