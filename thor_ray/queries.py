@@ -4134,6 +4134,42 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q171_source_entropy(sf: str):
+    """Corpus diversity profiling: Shannon entropy (nats) of each
+    source's language mix. One grouped count (combiner-backed), then the
+    entropy fold runs on the OUTPUT-sized (source, lang) table with the
+    summation order pinned by lang — the SQL twin sums an ORDER BY lang
+    list, so the doubles match bit-for-bit."""
+    from ray.data.aggregate import Count
+    counts = (T(sf, "documents", ["source", "lang"])
+              .groupby(["source", "lang"])
+              .aggregate(Count(alias_name="n")))
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("lang", kind="stable")
+        n = g["n"].to_numpy().astype(np.float64)
+        p = n / n.sum()
+        h = -np.add.reduce(p * np.log(p))   # sequential, lang order
+        return pd.DataFrame([{"source": g["source"].iloc[0],
+                              "entropy": h}])
+
+    return counts.groupby("source").map_groups(entropy,
+                                               batch_format="pandas")
+
+
+SQL_Q171 = """
+WITH c AS (SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY source, lang),
+t AS (SELECT source, lang, CAST(n AS DOUBLE) /
+          sum(CAST(n AS DOUBLE)) OVER (PARTITION BY source) AS p
+      FROM c)
+SELECT source,
+       -list_aggregate(list_transform(list(p ORDER BY lang),
+                                      x -> x * ln(x)), 'sum') AS entropy
+FROM t GROUP BY source
+"""
+
+
 def q170_forward_window(sf: str):
     """Forward-looking time-RANGE window: per event, how many of the same
     user's events fall in [ts, ts + 1 h] (RANGE … 1 HOUR FOLLOWING —
@@ -4593,6 +4629,7 @@ QUERIES: dict[str, tuple] = {
         (q168_top_customers_per_nation, SQL_Q168),
     "q169_regex_backref": (q169_regex_backref, SQL_Q169),
     "q170_forward_window": (q170_forward_window, SQL_Q170),
+    "q171_source_entropy": (q171_source_entropy, SQL_Q171),
 }
 
 
