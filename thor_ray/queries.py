@@ -4134,6 +4134,43 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q172_weighted_median(sf: str):
+    """Weighted median (quantity-weighted price per returnflag): sort by
+    price inside each group, integer cumulative weight, first price where
+    2·cum ≥ total — tie-safe (equal prices give the same answer under any
+    intra-tie order, and the integer cumsum can't drift). Three flag
+    groups: the exact small-group tier, like q73."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_extendedprice",
+                            "l_quantity"])
+
+    def wmed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("l_extendedprice", kind="stable")
+        qty = g["l_quantity"].to_numpy().astype(np.int64)
+        cum = np.cumsum(qty)
+        i = int(np.argmax(2 * cum >= cum[-1]))
+        return pd.DataFrame([{
+            "l_returnflag": g["l_returnflag"].iloc[0],
+            "wmedian": float(g["l_extendedprice"].to_numpy()[i])}])
+
+    return ds.groupby("l_returnflag").map_groups(wmed,
+                                                 batch_format="pandas")
+
+
+SQL_Q172 = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         sum(CAST(l_quantity AS BIGINT))
+             OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum,
+         sum(CAST(l_quantity AS BIGINT))
+             OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem)
+SELECT l_returnflag, min(price) AS wmedian
+FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag
+"""
+
+
 def q171_source_entropy(sf: str):
     """Corpus diversity profiling: Shannon entropy (nats) of each
     source's language mix. One grouped count (combiner-backed), then the
@@ -4630,6 +4667,7 @@ QUERIES: dict[str, tuple] = {
     "q169_regex_backref": (q169_regex_backref, SQL_Q169),
     "q170_forward_window": (q170_forward_window, SQL_Q170),
     "q171_source_entropy": (q171_source_entropy, SQL_Q171),
+    "q172_weighted_median": (q172_weighted_median, SQL_Q172),
 }
 
 
