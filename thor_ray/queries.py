@@ -4134,6 +4134,41 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q173_vector_filter(sf: str):
+    """List-predicate filter + per-row list reduction: vectors with any
+    component above 2.5, returning how many and the component sum of the
+    positives (f32 compares exact, sum accumulated in float64 in index
+    order — matches list_filter + list_aggregate)."""
+    ds = T(sf, "embeddings", ["vec_id", "embedding"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks() if isinstance(
+            t["embedding"], pa.ChunkedArray) else t["embedding"]
+        v32 = np.asarray(arr.flatten(), dtype=np.float32) \
+            .reshape(len(t), -1)
+        hit = v32 > np.float32(0.25)
+        n_hi = hit.sum(axis=1).astype(np.int64)
+        s_hi = np.where(hit, v32.astype(np.float64), 0.0).sum(axis=1)
+        keep = n_hi > 0
+        return pa.table({
+            "vec_id": t["vec_id"].to_numpy(zero_copy_only=False)[keep],
+            "n_hi": pa.array(n_hi[keep], type=pa.int64()),
+            "sum_hi": pa.array(s_hi[keep], type=pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q173 = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0.25)) AS BIGINT) AS n_hi,
+       list_aggregate(list_transform(list_filter(embedding, x -> x > 0.25),
+                                     x -> CAST(x AS DOUBLE)), 'sum')
+           AS sum_hi
+FROM embeddings
+WHERE len(list_filter(embedding, x -> x > 0.25)) > 0
+"""
+
+
 def q172_weighted_median(sf: str):
     """Weighted median (quantity-weighted price per returnflag): sort by
     price inside each group, integer cumulative weight, first price where
@@ -4668,6 +4703,7 @@ QUERIES: dict[str, tuple] = {
     "q170_forward_window": (q170_forward_window, SQL_Q170),
     "q171_source_entropy": (q171_source_entropy, SQL_Q171),
     "q172_weighted_median": (q172_weighted_median, SQL_Q172),
+    "q173_vector_filter": (q173_vector_filter, SQL_Q173),
 }
 
 
