@@ -4134,6 +4134,96 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q174_mom_change(sf: str):
+    """Time-series analytics on an aggregate: monthly revenue (integer
+    cents, combiner partials through ONE small groupby) with the
+    month-over-month delta computed on the OUTPUT-sized series — LAG on
+    a few dozen rows, exact integer arithmetic."""
+    from ray.data.aggregate import Sum
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ym = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"ym": ym, "cents": cents}).group_by("ym") \
+            .aggregate([("cents", "sum")])
+        return g.rename_columns(["ym", "revenue_cents"])
+
+    monthly = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("ym")
+               .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+               .to_pandas().sort_values("ym"))  # output-sized: months
+    prev = monthly["revenue_cents"].shift(1)
+    out = pd.DataFrame({
+        "ym": monthly["ym"].to_numpy(),
+        "revenue_cents": monthly["revenue_cents"].to_numpy()
+        .astype("int64"),
+        "delta_cents": (monthly["revenue_cents"] - prev).to_numpy()})
+    return out  # first month: NULL delta, like SQL LAG
+
+
+SQL_Q174 = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders GROUP BY ym)
+SELECT ym, revenue_cents,
+       CAST(revenue_cents - lag(revenue_cents) OVER (ORDER BY ym)
+            AS DOUBLE) AS delta_cents
+FROM m
+"""
+
+
+def q175_reset_running_sum(sf: str):
+    """Resetting running sum (the classic hard-SQL sessionized-balance
+    pattern): per user, cumulative event value in integer cents that
+    RESETS after each 'purchase' — segment id = cumulative purchase
+    count, then a grouped cumsum within (user, segment). One coarse-salt
+    shuffle; both cumsums are C-level."""
+    ds = T(sf, "events", ["user_id", "ts", "event_id", "event_type",
+                          "value"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        t = t.append_column("cents", pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0)), pa.int64()))
+        return t.append_column("usalt", pc.cast(
+            pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        # segment = purchases seen BEFORE this row (reset AFTER purchase)
+        isp = (g["event_type"].to_numpy() == "purchase").astype(np.int64)
+        seg = pd.Series(isp).groupby(u).cumsum().to_numpy() - isp
+        cum = g["cents"].groupby([u, seg]).cumsum().to_numpy()
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "run_cents": cum})
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+              .groupby("usalt").map_groups(run, batch_format="pandas"))
+
+
+SQL_Q175 = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100.0) AS BIGINT) AS cents,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS seg
+  FROM events)
+SELECT event_id,
+       CAST(sum(cents) OVER (PARTITION BY user_id, seg
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT)
+           AS run_cents
+FROM e
+"""
+
+
 def q173_vector_filter(sf: str):
     """List-predicate filter + per-row list reduction: vectors with any
     component above 2.5, returning how many and the component sum of the
@@ -4704,6 +4794,8 @@ QUERIES: dict[str, tuple] = {
     "q171_source_entropy": (q171_source_entropy, SQL_Q171),
     "q172_weighted_median": (q172_weighted_median, SQL_Q172),
     "q173_vector_filter": (q173_vector_filter, SQL_Q173),
+    "q174_mom_change": (q174_mom_change, SQL_Q174),
+    "q175_reset_running_sum": (q175_reset_running_sum, SQL_Q175),
 }
 
 
