@@ -4134,6 +4134,64 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q176_minmax_scale(sf: str):
+    """ML-prep min-max normalization: one global aggregate (exact ints)
+    broadcast into a map-only rescale pass — the corpus never shuffles.
+    round_even both sides."""
+    from ray.data.aggregate import Max, Min
+    ds = T(sf, "documents", ["doc_id", "n_chars"])
+    agg = ds.aggregate(Min("n_chars"), Max("n_chars"))
+    lo, hi = float(agg["min(n_chars)"]), float(agg["max(n_chars)"])
+    span = hi - lo
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.float64())
+        scaled = pc.round(pc.divide(pc.subtract(x, lo), span), 6)
+        return pa.table({"doc_id": t["doc_id"], "scaled": scaled})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q176 = """
+WITH b AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+                  CAST(max(n_chars) AS DOUBLE) AS hi FROM documents)
+SELECT doc_id,
+       round_even((CAST(n_chars AS DOUBLE) - lo) / (hi - lo), 6) AS scaled
+FROM documents, b
+"""
+
+
+def q177_weekday_stats(sf: str):
+    """Scalar date family: ISO weekday bucketing (pc.day_of_week is
+    Monday=0, so +1 == DuckDB isodow) with integer-cent revenue."""
+    from ray.data.aggregate import Count, Sum
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.add(pc.day_of_week(t["o_orderdate"]), 1),
+                      pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"isodow": dow, "cents": cents}).group_by("isodow") \
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        return g.select(["isodow", "cents_sum", "cents_count"]) \
+            .rename_columns(["isodow", "revenue_cents", "n"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("isodow")
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                       Sum("n", alias_name="n")))
+
+
+SQL_Q177 = """
+SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       count(*) AS n
+FROM orders GROUP BY isodow
+"""
+
+
 def q174_mom_change(sf: str):
     """Time-series analytics on an aggregate: monthly revenue (integer
     cents, combiner partials through ONE small groupby) with the
@@ -4796,6 +4854,8 @@ QUERIES: dict[str, tuple] = {
     "q173_vector_filter": (q173_vector_filter, SQL_Q173),
     "q174_mom_change": (q174_mom_change, SQL_Q174),
     "q175_reset_running_sum": (q175_reset_running_sum, SQL_Q175),
+    "q176_minmax_scale": (q176_minmax_scale, SQL_Q176),
+    "q177_weekday_stats": (q177_weekday_stats, SQL_Q177),
 }
 
 
