@@ -4134,6 +4134,33 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q178_loyal_customers(sf: str):
+    """HAVING COUNT(DISTINCT …) threshold: customers ordering in ≥ 12
+    distinct months. Per-batch distinct (cust, month) pairs collapse to
+    combiner partials; the distinct-month count is ONE groupby over
+    pair-sized (not order-sized) rows."""
+    from ray.data.aggregate import Count
+    ds = T(sf, "orders", ["o_custkey", "o_orderdate"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ym = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        return pa.table({"o_custkey": t["o_custkey"], "ym": ym}) \
+            .group_by(["o_custkey", "ym"]).aggregate([])
+
+    return (ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby(["o_custkey", "ym"]).aggregate(Count(alias_name="_"))
+            .groupby("o_custkey").aggregate(Count(alias_name="n_months"))
+            .filter(expr="n_months >= 12"))
+
+
+SQL_Q178 = """
+SELECT o_custkey,
+       count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months
+FROM orders GROUP BY o_custkey
+HAVING n_months >= 12
+"""
+
+
 def q176_minmax_scale(sf: str):
     """ML-prep min-max normalization: one global aggregate (exact ints)
     broadcast into a map-only rescale pass — the corpus never shuffles.
@@ -4856,6 +4883,7 @@ QUERIES: dict[str, tuple] = {
     "q175_reset_running_sum": (q175_reset_running_sum, SQL_Q175),
     "q176_minmax_scale": (q176_minmax_scale, SQL_Q176),
     "q177_weekday_stats": (q177_weekday_stats, SQL_Q177),
+    "q178_loyal_customers": (q178_loyal_customers, SQL_Q178),
 }
 
 
