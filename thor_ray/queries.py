@@ -4134,6 +4134,42 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q179_chi_square(sf: str):
+    """Statistical profiling: chi-square independence statistic over the
+    lang × source contingency table. ONE combiner-backed grouped count;
+    marginals + the (o−e)²/e fold run on the output-sized (20-cell)
+    table with summation order pinned by (lang, source) — the SQL twin
+    folds an ORDER BY list, so the doubles match bit-for-bit."""
+    from ray.data.aggregate import Count
+    c = (T(sf, "documents", ["lang", "source"])
+         .groupby(["lang", "source"]).aggregate(Count(alias_name="o"))
+         .to_pandas().sort_values(["lang", "source"], kind="stable"))
+    o = c["o"].to_numpy().astype(np.float64)
+    rl = c.groupby("lang")["o"].transform("sum").to_numpy() \
+        .astype(np.float64)
+    cs = c.groupby("source")["o"].transform("sum").to_numpy() \
+        .astype(np.float64)
+    tot = float(o.sum())
+    exp = rl * cs / tot
+    chi2 = float(np.add.reduce((o - exp) * (o - exp) / exp))
+    return pd.DataFrame([{"n_cells": np.int64(len(c)), "chi2": chi2}])
+
+
+SQL_Q179 = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+           FROM documents GROUP BY lang, source),
+m AS (SELECT lang, sum(o) AS rl FROM c GROUP BY lang),
+s AS (SELECT source, sum(o) AS cs FROM c GROUP BY source),
+n AS (SELECT sum(o) AS tot FROM c),
+e AS (SELECT c.lang, c.source, c.o, m.rl * s.cs / n.tot AS exp
+      FROM c JOIN m USING (lang) JOIN s USING (source), n)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       list_aggregate(list((o - exp) * (o - exp) / exp
+                           ORDER BY lang, source), 'sum') AS chi2
+FROM e
+"""
+
+
 def q178_loyal_customers(sf: str):
     """HAVING COUNT(DISTINCT …) threshold: customers ordering in ≥ 12
     distinct months. Per-batch distinct (cust, month) pairs collapse to
@@ -4884,6 +4920,7 @@ QUERIES: dict[str, tuple] = {
     "q176_minmax_scale": (q176_minmax_scale, SQL_Q176),
     "q177_weekday_stats": (q177_weekday_stats, SQL_Q177),
     "q178_loyal_customers": (q178_loyal_customers, SQL_Q178),
+    "q179_chi_square": (q179_chi_square, SQL_Q179),
 }
 
 
