@@ -4134,6 +4134,71 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q180_k_anonymity(sf: str):
+    """Privacy audit (k-anonymity): quasi-identifier (lang, source)
+    groups with fewer than k=15 members — the cells a release would have
+    to suppress or generalize. One combiner-backed grouped count."""
+    from ray.data.aggregate import Count
+    return (T(sf, "documents", ["lang", "source"])
+            .groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+            .filter(expr="n < 15"))
+
+
+SQL_Q180 = """
+SELECT lang, source, count(*) AS n
+FROM documents GROUP BY lang, source
+HAVING n < 15
+"""
+
+
+def q181_top_decile_share(sf: str):
+    """Concentration metric: share of total order revenue held by the
+    top ceil(n/10) customers (revenue desc, custkey asc ties). The
+    per-customer aggregate is distributed (combiner partials); the
+    sorted-cumsum fold runs on the OUTPUT-sized customer table. Integer
+    cents; ONE division at the end."""
+    from ray.data.aggregate import Sum
+    ds = T(sf, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"o_custkey": t["o_custkey"], "cents": cents}) \
+            .group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    per_cust = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("cents", alias_name="cents"))
+                .to_pandas())  # output-sized: one row per customer
+    per_cust = per_cust.sort_values(["cents", "o_custkey"],
+                                    ascending=[False, True], kind="stable")
+    k = -(-len(per_cust) // 10)           # ceil(n/10)
+    top = int(per_cust["cents"].to_numpy()[:k].sum())
+    tot = int(per_cust["cents"].sum())
+    return pd.DataFrame([{
+        "n_customers": np.int64(len(per_cust)), "k_top": np.int64(k),
+        "share": top / tot}])
+
+
+SQL_Q181 = """
+WITH pc AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS rn,
+             count(*) OVER () AS n
+      FROM pc)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(ceil(max(n) / 10.0) AS BIGINT) AS k_top,
+       CAST(sum(CASE WHEN rn <= ceil(n / 10.0)
+                     THEN cents ELSE 0 END) AS DOUBLE)
+           / CAST(sum(cents) AS DOUBLE) AS share
+FROM r
+"""
+
+
 def q179_chi_square(sf: str):
     """Statistical profiling: chi-square independence statistic over the
     lang × source contingency table. ONE combiner-backed grouped count;
@@ -4921,6 +4986,8 @@ QUERIES: dict[str, tuple] = {
     "q177_weekday_stats": (q177_weekday_stats, SQL_Q177),
     "q178_loyal_customers": (q178_loyal_customers, SQL_Q178),
     "q179_chi_square": (q179_chi_square, SQL_Q179),
+    "q180_k_anonymity": (q180_k_anonymity, SQL_Q180),
+    "q181_top_decile_share": (q181_top_decile_share, SQL_Q181),
 }
 
 
