@@ -4134,6 +4134,104 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q182_order_gaps(sf: str):
+    """Inter-event gap statistics: average days between a customer's
+    consecutive orders (ORDER BY date, orderkey). LAG-diff inside one
+    coarse-salt shuffle, integer day sums as combiner state, ONE float
+    division on the output-sized result. Customers with <2 orders drop
+    (no gaps), matching the SQL's LAG-null filter."""
+    ds = T(sf, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column("csalt", pc.cast(
+            pc.bit_wise_and(t["o_custkey"], 63), pa.int32()))
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="stable")
+        u = g["o_custkey"].to_numpy()
+        d = g["o_orderdate"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        same = u[1:] == u[:-1]
+        gap = (d[1:] - d[:-1])[same]
+        cust = u[1:][same]
+        agg = pd.DataFrame({"c": cust, "g": gap}).groupby("c")["g"] \
+            .agg(["sum", "count"])
+        return pd.DataFrame({
+            "o_custkey": agg.index.to_numpy().astype("int64"),
+            "avg_gap_days": agg["sum"].to_numpy()
+            / agg["count"].to_numpy(),
+            "n_gaps": agg["count"].to_numpy().astype("int64")})
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+              .groupby("csalt").map_groups(gaps, batch_format="pandas"))
+
+
+SQL_Q182 = """
+SELECT o_custkey,
+       CAST(sum(gap) AS DOUBLE) / count(*) AS avg_gap_days,
+       count(*) AS n_gaps
+FROM (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap
+  FROM orders)
+WHERE gap IS NOT NULL GROUP BY o_custkey
+"""
+
+
+def q183_longest_streak(sf: str):
+    """Longest streak: each user's maximum run of consecutive event DAYS
+    (the day − rank trick over the distinct-day set). Distinct (user,
+    day) pairs collapse per batch (combiner), the streak fold is a
+    vectorized diff inside one coarse-salt shuffle."""
+    from ray.data.aggregate import Count
+    ds = T(sf, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32())
+        g = pa.table({"user_id": t["user_id"],
+                      "day": pc.cast(d, pa.int64())}) \
+            .group_by(["user_id", "day"]).aggregate([])
+        return g.append_column("usalt", pc.cast(
+            pc.bit_wise_and(g["user_id"], 63), pa.int32()))
+
+    def streak(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"], kind="stable")
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        seg = np.cumsum(brk)
+        runs = pd.DataFrame({"u": u, "s": seg}).groupby(["u", "s"]) \
+            .size().reset_index(name="len")
+        best = runs.groupby("u")["len"].max()
+        return pd.DataFrame({"user_id": best.index.to_numpy()
+                             .astype("int64"),
+                             "longest_streak": best.to_numpy()
+                             .astype("int64")})
+
+    return (ds.map_batches(days, batch_format="pyarrow")
+              .groupby("usalt").map_groups(streak, batch_format="pandas"))
+
+
+SQL_Q183 = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+s AS (SELECT user_id, day,
+             datediff('day', DATE '1970-01-01', day)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS grp
+      FROM d)
+SELECT user_id, CAST(max(n) AS BIGINT) AS longest_streak FROM (
+  SELECT user_id, grp, count(*) AS n FROM s GROUP BY user_id, grp)
+GROUP BY user_id
+"""
+
+
 def q180_k_anonymity(sf: str):
     """Privacy audit (k-anonymity): quasi-identifier (lang, source)
     groups with fewer than k=15 members — the cells a release would have
@@ -4988,6 +5086,8 @@ QUERIES: dict[str, tuple] = {
     "q179_chi_square": (q179_chi_square, SQL_Q179),
     "q180_k_anonymity": (q180_k_anonymity, SQL_Q180),
     "q181_top_decile_share": (q181_top_decile_share, SQL_Q181),
+    "q182_order_gaps": (q182_order_gaps, SQL_Q182),
+    "q183_longest_streak": (q183_longest_streak, SQL_Q183),
 }
 
 
