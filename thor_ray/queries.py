@@ -4134,6 +4134,54 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q184_wau(sf: str):
+    """Engagement metric: 7-day rolling active users (WAU) per event
+    day. Distinct (user, day) pairs collapse per batch (combiner); each
+    pair then fans out map-side to the ≤7 report days it supports,
+    filtered against the broadcast (output-sized) set of real event
+    days; ONE distinct-count groupby ends the pipeline. No range join."""
+    from ray.data.aggregate import Count
+    ds = T(sf, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()),
+                    pa.int64())
+        return pa.table({"user_id": t["user_id"], "day": d}) \
+            .group_by(["user_id", "day"]).aggregate([])
+
+    du = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="_")) \
+        .select_columns(["user_id", "day"])
+    day_set = np.sort(np.unique(
+        du.select_columns(["day"]).to_pandas()["day"].to_numpy()))
+    dref = ray.put(day_set)
+
+    def expand(t: pa.Table) -> pa.Table:
+        days = ray.get(dref)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        ru = np.repeat(u, 7)
+        rd = (d[:, None] + np.arange(7)[None, :]).reshape(-1)
+        keep = np.isin(rd, days)
+        return pa.table({"user_id": ru[keep], "rday": rd[keep]})
+
+    return (du.map_batches(expand, batch_format="pyarrow")
+            .groupby(["rday", "user_id"]).aggregate(Count(alias_name="_"))
+            .groupby("rday").aggregate(Count(alias_name="wau")))
+
+
+SQL_Q184 = """
+WITH du AS (SELECT DISTINCT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day
+            FROM events),
+days AS (SELECT DISTINCT day FROM du),
+w AS (SELECT d.day AS rday, du.user_id FROM days d JOIN du
+      ON du.day BETWEEN d.day - 6 AND d.day)
+SELECT rday, count(DISTINCT user_id) AS wau FROM w GROUP BY rday
+"""
+
+
 def q182_order_gaps(sf: str):
     """Inter-event gap statistics: average days between a customer's
     consecutive orders (ORDER BY date, orderkey). LAG-diff inside one
@@ -5088,6 +5136,7 @@ QUERIES: dict[str, tuple] = {
     "q181_top_decile_share": (q181_top_decile_share, SQL_Q181),
     "q182_order_gaps": (q182_order_gaps, SQL_Q182),
     "q183_longest_streak": (q183_longest_streak, SQL_Q183),
+    "q184_wau": (q184_wau, SQL_Q184),
 }
 
 
