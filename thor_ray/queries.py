@@ -4134,6 +4134,36 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q185_like_filter(sf: str):
+    """LIKE-pattern scalar filters: prefix + suffix + infix predicates
+    composed map-side (pc.starts_with / ends_with / match_substring ==
+    LIKE 'x%' / '%x' / '%x%'), count + distinct-name count per brand-ish
+    first word."""
+    from ray.data.aggregate import Count
+    ds = T(sf, "part", ["p_partkey", "p_name"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        name = t["p_name"]
+        keep = pc.and_(pc.and_(pc.starts_with(name, pattern="r"),
+                               pc.match_substring(name, pattern="o")),
+                       pc.invert(pc.ends_with(name, pattern="e")))
+        t = t.filter(keep)
+        first = pc.list_element(
+            pc.split_pattern(t["p_name"], pattern=" "), 0)
+        return pa.table({"first_word": first, "p_partkey": t["p_partkey"]})
+
+    return (ds.map_batches(fn, batch_format="pyarrow")
+            .groupby("first_word").aggregate(Count(alias_name="n")))
+
+
+SQL_Q185 = """
+SELECT split_part(p_name, ' ', 1) AS first_word, count(*) AS n
+FROM part
+WHERE p_name LIKE 'r%' AND p_name LIKE '%o%' AND p_name NOT LIKE '%e'
+GROUP BY first_word
+"""
+
+
 def q184_wau(sf: str):
     """Engagement metric: 7-day rolling active users (WAU) per event
     day. Distinct (user, day) pairs collapse per batch (combiner); each
@@ -5137,6 +5167,7 @@ QUERIES: dict[str, tuple] = {
     "q182_order_gaps": (q182_order_gaps, SQL_Q182),
     "q183_longest_streak": (q183_longest_streak, SQL_Q183),
     "q184_wau": (q184_wau, SQL_Q184),
+    "q185_like_filter": (q185_like_filter, SQL_Q185),
 }
 
 
