@@ -4134,6 +4134,51 @@ def q163_feature_hash(sf: str):
     return TX.feature_hash(T(sf, "documents", ["doc_id", "text"]), dim=64)
 
 
+def q186_conversion_lag(sf: str):
+    """Conversion-lag metric: average seconds from a user's FIRST signup
+    to their FIRST subsequent purchase. Conditional-min combiner partials
+    per batch, one groupby(user) min-merge, then the integer-µs lag fold
+    on the output-sized user table (one float division at the end)."""
+    from ray.data.aggregate import Min
+    ds = T(sf, "events", ["user_id", "ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        big = np.int64(2 ** 62)
+        s = np.where(et == "signup", us, big)
+        p = np.where(et == "purchase", us, big)
+        df = pd.DataFrame({"user_id": u, "s": s, "p": p}) \
+            .groupby("user_id").min().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Min("s", alias_name="s"), Min("p", alias_name="p"))
+           .to_pandas())  # output-sized: one row per user
+    big = np.int64(2 ** 62)
+    ok = (agg["s"] < big) & (agg["p"] < big) & (agg["p"] >= agg["s"])
+    lag = (agg.loc[ok, "p"] - agg.loc[ok, "s"]).to_numpy()
+    return pd.DataFrame([{
+        "n_converted": np.int64(ok.sum()),
+        "avg_lag_sec": float(lag.sum()) / len(lag) / 1e6}])
+
+
+SQL_Q186 = """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(sum(CAST(datediff('microsecond', s, p) AS DOUBLE))
+            AS DOUBLE) / count(*) / 1e6 AS avg_lag_sec
+FROM m WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s
+"""
+
+
 def q185_like_filter(sf: str):
     """LIKE-pattern scalar filters: prefix + suffix + infix predicates
     composed map-side (pc.starts_with / ends_with / match_substring ==
@@ -5168,6 +5213,7 @@ QUERIES: dict[str, tuple] = {
     "q183_longest_streak": (q183_longest_streak, SQL_Q183),
     "q184_wau": (q184_wau, SQL_Q184),
     "q185_like_filter": (q185_like_filter, SQL_Q185),
+    "q186_conversion_lag": (q186_conversion_lag, SQL_Q186),
 }
 
 
