@@ -1862,3 +1862,68 @@ def test_union_align(ray_session):
     assert got["k"].tolist() == [1, 2, 3]
     assert got["x"].tolist()[:2] == ["a", "b"] and pd.isna(got["x"].iloc[2])
     assert pd.isna(got["y"].iloc[0]) and got["y"].iloc[2] == 9.5
+
+
+def test_triangle_count_vs_bruteforce(ray_session):
+    """Bitset triangle count == O(n^3) brute force on a seeded random
+    graph, across several densities (incl. empty and complete)."""
+    import itertools
+    import ray.data
+    from thor_ray.ops.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    for p in (0.0, 0.15, 0.5, 1.0):
+        n = 40
+        mask = rng.random((n, n)) < p
+        ea, eb = [], []
+        adj = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                if mask[i, j]:
+                    ea.append(i); eb.append(j); adj.add((i, j))
+        want = sum((a, b) in adj and (a, c) in adj and (b, c) in adj
+                   for a, b, c in itertools.combinations(range(n), 3))
+        edges = ray.data.from_pandas(pd.DataFrame(
+            {"s1": np.array(ea, dtype=np.int64),
+             "s2": np.array(eb, dtype=np.int64)}))
+        if len(ea):
+            edges = edges.repartition(4)
+        assert triangle_count(edges, "s1", "s2") == want
+
+
+def test_grouped_bit_aggs_exact(ray_session):
+    """Partial+fold bit aggregates == direct numpy reduce per key,
+    invariant to partitioning."""
+    import ray.data
+    from thor_ray.ops.relational import grouped_bit_aggs
+
+    rng = np.random.default_rng(11)
+    k = rng.integers(0, 5, 5000)
+    v = rng.integers(0, 2**40, 5000)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": k, "v": v})).repartition(7)
+    got = grouped_bit_aggs(ds, "k", "v").to_pandas().set_index("k")
+    for key in np.unique(k):
+        vs = v[k == key]
+        assert got.loc[key, "bits_and"] == np.bitwise_and.reduce(vs)
+        assert got.loc[key, "bits_or"] == np.bitwise_or.reduce(vs)
+        assert got.loc[key, "bits_xor"] == np.bitwise_xor.reduce(vs)
+
+
+def test_grouped_regr_matches_closed_form(ray_session):
+    """Chan-merged slope/intercept == closed-form least squares per key
+    (within fp tolerance), invariant to batch split."""
+    import ray.data
+    from thor_ray.ops.relational import grouped_regr
+
+    rng = np.random.default_rng(13)
+    k = rng.integers(0, 3, 4000)
+    x = rng.normal(50, 10, 4000)
+    y = 3.5 * x + rng.normal(0, 5, 4000) + k * 100
+    ds = ray.data.from_pandas(pd.DataFrame({"k": k, "x": x, "y": y})) \
+        .repartition(9)
+    got = grouped_regr(ds, "k", "y", "x").to_pandas().set_index("k")
+    for key in np.unique(k):
+        xs, ys = x[k == key], y[k == key]
+        sl, ic = np.polyfit(xs, ys, 1)
+        assert abs(got.loc[key, "slope"] - sl) < 1e-8
+        assert abs(got.loc[key, "icept"] - ic) < 1e-6

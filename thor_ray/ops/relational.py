@@ -561,6 +561,92 @@ def grouped_corr(ds: Dataset, key: str, x: str, y: str,
         .groupby(key).map_groups(chan_merge, batch_format="pandas")
 
 
+def grouped_regr(ds: Dataset, key: str, y: str, x: str,
+                 slope_alias: str = "slope",
+                 intercept_alias: str = "icept") -> Dataset:
+    """Grouped simple linear regression (SQL regr_slope / regr_intercept
+    of y on x): slope = covar_pop(y,x) / var_pop(x), intercept =
+    avg(y) - slope * avg(x). Same shuffle shape and numerics as
+    grouped_corr — per-batch CENTERED moment partials (the combiner,
+    C-level against batch-local means), one groupby(key), Chan's parallel
+    merge over the O(batches x groups) partials. Centered moments keep
+    large-mean inputs (timestamps, prices) from cancelling. Assumes
+    non-null x/y (SQL regr_* skips null pairs; filter first otherwise).
+    Raw double output — callers round before hashing."""
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            key: t[key].to_pandas(),
+            "_x": pc.cast(t[x], pa.float64(), safe=False)
+            .to_numpy(zero_copy_only=False),
+            "_y": pc.cast(t[y], pa.float64(), safe=False)
+            .to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(key, sort=False, dropna=False)
+        mean = g.agg(_n=("_x", "size"), _mx=("_x", "mean"),
+                     _my=("_y", "mean"))
+        m = df.merge(mean, left_on=key, right_index=True, how="left")
+        dx = m["_x"] - m["_mx"]
+        m["_m2x"], m["_cxy"] = dx * dx, dx * (m["_y"] - m["_my"])
+        cent = m.groupby(key, sort=False, dropna=False)[
+            ["_m2x", "_cxy"]].sum()
+        return mean.join(cent).reset_index()
+
+    def chan_merge(g: pd.DataFrame) -> pd.DataFrame:
+        n, mx, my, m2x, cxy = (g[c].to_numpy() for c in
+                               ("_n", "_mx", "_my", "_m2x", "_cxy"))
+        N, MX, MY, X2, XY = n[0], mx[0], my[0], m2x[0], cxy[0]
+        for i in range(1, len(g)):  # loop over BATCH partials, not rows
+            nb = n[i]
+            tot = N + nb
+            dx_, dy_ = mx[i] - MX, my[i] - MY
+            X2 += m2x[i] + dx_ * dx_ * N * nb / tot
+            XY += cxy[i] + dx_ * dy_ * N * nb / tot
+            MX += dx_ * nb / tot
+            MY += dy_ * nb / tot
+            N = tot
+        slope = XY / X2 if X2 > 0 else np.nan
+        return pd.DataFrame({key: [g[key].iloc[0]], slope_alias: [slope],
+                             intercept_alias: [MY - slope * MX]})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).map_groups(chan_merge, batch_format="pandas")
+
+
+def grouped_bit_aggs(ds: Dataset, key: str, col: str) -> Dataset:
+    """Grouped bitwise aggregates (SQL bit_and / bit_or / bit_xor): all
+    three are associative and commutative, so per-batch run-length
+    partials (sort-by-key + ufunc.reduceat — no Python per group) act as
+    the combiner and the final groupby(key) folds one row per
+    (batch, key). Exact integer math: hash-stable at any shuffle order.
+    Output columns: key, bits_and, bits_or, bits_xor."""
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks, vs = k[order], v[order]
+        if not len(ks):
+            return pa.table({key: ks, "bits_and": vs,
+                             "bits_or": vs, "bits_xor": vs})
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        return pa.table({
+            key: ks[starts],
+            "bits_and": np.bitwise_and.reduceat(vs, starts),
+            "bits_or": np.bitwise_or.reduceat(vs, starts),
+            "bits_xor": np.bitwise_xor.reduceat(vs, starts),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "bits_and": [np.bitwise_and.reduce(g["bits_and"].to_numpy())],
+            "bits_or": [np.bitwise_or.reduce(g["bits_or"].to_numpy())],
+            "bits_xor": [np.bitwise_xor.reduce(g["bits_xor"].to_numpy())],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).map_groups(fold, batch_format="pandas")
+
+
 def unpivot(ds: Dataset, id_cols: list[str], value_cols: list[str],
             var_name: str = "metric", value_name: str = "val",
             value_type: "pa.DataType | None" = None,

@@ -5020,6 +5020,218 @@ GROUP BY s_nationkey
 """
 
 
+def q187_bit_aggs(sf: str):
+    """Grouped bitwise aggregates (bit_and / bit_or / bit_xor of event
+    ids per event type) — associative+commutative folds, so per-batch
+    reduceat partials combine before the shuffle and the exact integer
+    result is hash-stable at any shuffle order."""
+    ds = T(sf, "events", ["event_type", "event_id"])
+    return R.grouped_bit_aggs(ds, "event_type", "event_id")
+
+
+SQL_Q187 = """
+SELECT event_type, bit_and(event_id) AS bits_and,
+       bit_or(event_id) AS bits_or, bit_xor(event_id) AS bits_xor
+FROM events GROUP BY event_type
+"""
+
+
+def q188_regr(sf: str):
+    """Grouped simple linear regression: slope/intercept of extendedprice
+    on quantity per returnflag (regr_slope / regr_intercept). Centered-
+    moment combiner partials + Chan merge (ops/relational.grouped_regr) —
+    same numerics discipline as q85's corr; rounded on both sides."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = R.grouped_regr(ds, "l_returnflag", "l_extendedprice",
+                         "l_quantity", slope_alias="slope",
+                         intercept_alias="icept")
+    return _round_cols(out, {"slope": 6, "icept": 6})
+
+
+SQL_Q188 = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q189_daily_fill(sf: str):
+    """Calendar gap-fill: daily order count + revenue over the FULL
+    [min_day, max_day] range, missing days as explicit zero rows (the
+    generate_series LEFT JOIN pattern). Distributed shape: per-batch
+    (day, n, cents) combiner partials, ONE small groupby(day); the fill
+    itself runs on the output-sized daily series driver-side. Integer
+    cents end-to-end so the hash cannot drift."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["o_orderdate"], unit="day"),
+                      pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"d": day, "cents": cents}).group_by("d") \
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["d", "cents", "n_orders"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("d")
+           .aggregate(Sum("cents", alias_name="cents"),
+                      Sum("n_orders", alias_name="n_orders"))
+           .to_pandas())  # output-sized: one row per day
+    us_day = 86_400_000_000
+    lo, hi = int(agg["d"].min()), int(agg["d"].max())
+    full = pd.DataFrame({"d": np.arange(lo, hi + us_day, us_day)})
+    m = full.merge(agg, on="d", how="left")
+    return pd.DataFrame({
+        "day": pd.to_datetime(m["d"], unit="us").astype("datetime64[us]"),
+        "n_orders": m["n_orders"].fillna(0).astype(np.int64),
+        "revenue_cents": m["cents"].fillna(0).astype(np.int64),
+    })
+
+
+SQL_Q189 = """
+WITH d AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+  FROM orders GROUP BY day),
+cal AS (
+  SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                (SELECT max(day) FROM d),
+                                INTERVAL 1 DAY)) AS day)
+SELECT cal.day, COALESCE(d.n_orders, 0) AS n_orders,
+       CAST(COALESCE(d.revenue_cents, 0) AS BIGINT) AS revenue_cents
+FROM cal LEFT JOIN d USING (day)
+"""
+
+
+def q190_triangles(sf: str):
+    """Graph triangle count over the supplier co-purchase graph (edge =
+    two suppliers sharing an order). Edge build: coarse-salt shuffle on
+    l_orderkey, within-group C-level dedup + offset-vectorized pair
+    expansion (the loop is over pair OFFSET <= max lines/order, never
+    rows), one distinct groupby; count via ops/graph.triangle_count
+    (broadcast bitset adjacency + vectorized AND/popcount per edge
+    batch)."""
+    from thor_ray.ops.graph import triangle_count
+    ds = T(sf, "lineitem", ["l_orderkey", "l_suppkey"])
+    fanout = 64
+
+    def salt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": t["l_orderkey"], "skey": t["l_suppkey"],
+            "osalt": pc.cast(pc.bit_wise_and(t["l_orderkey"], fanout - 1),
+                             pa.int32())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["okey", "skey"]) \
+            .sort_values(["okey", "skey"], kind="stable")
+        ok = g["okey"].to_numpy()
+        sk = g["skey"].to_numpy()
+        out_a, out_b = [], []
+        max_run = int(np.bincount(np.unique(ok, return_inverse=True)[1])
+                      .max()) if len(ok) else 0
+        for d in range(1, max_run):  # loop over pair OFFSET, not rows
+            same = ok[:-d] == ok[d:]
+            out_a.append(sk[:-d][same])
+            out_b.append(sk[d:][same])
+        if not out_a:
+            return pd.DataFrame({"s1": np.array([], dtype=np.int64),
+                                 "s2": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"s1": np.concatenate(out_a),
+                             "s2": np.concatenate(out_b)})
+
+    edges = (ds.map_batches(salt, batch_format="pyarrow")
+             .groupby("osalt").map_groups(pairs, batch_format="pandas")
+             .groupby(["s1", "s2"]).aggregate(Count(alias_name="_"))
+             .select_columns(["s1", "s2"]))
+    tri = triangle_count(edges, "s1", "s2")
+    return pd.DataFrame([{"triangles": np.int64(tri)}])
+
+
+SQL_Q190 = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM e e1 JOIN e e2 ON e2.s1 = e1.s2
+          JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+"""
+
+
+def q191_event_paths(sf: str):
+    """Path analysis: the top-5 most common first-3-event journeys
+    (event types ordered by ts, tie by event_id, joined with '>').
+    Coarse-salt shuffle on user hash; inside each group the per-user
+    head-3 and the path assembly are C-level (cumcount mask + positional
+    pivot + vectorized string concat); path counts combine per group
+    before ONE tiny groupby(path); ties at the k boundary break by path
+    asc."""
+    ds = T(sf, "events", ["user_id", "ts", "event_id", "event_type"])
+    fanout = 64
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "usalt", pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1),
+                             pa.int32()))
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g["_rn"] = g.groupby("user_id").cumcount()
+        h = g[g["_rn"] < 3]
+        wide = h.pivot(index="user_id", columns="_rn",
+                       values="event_type")
+        path = wide[0].astype(str)
+        for i in (1, 2):
+            if i in wide.columns:
+                nxt = wide[i]
+                path = path.where(nxt.isna(), path + ">" + nxt.astype(str))
+        return path.value_counts().rename_axis("path") \
+            .reset_index(name="n")
+
+    counts = (ds.map_batches(salt, batch_format="pyarrow")
+              .groupby("usalt").map_groups(paths, batch_format="pandas")
+              .groupby("path").aggregate(Sum("n", alias_name="n")))
+    return R.top_k(counts, ["n", "path"], [True, False], 5)
+
+
+SQL_Q191 = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id)
+SELECT path, count(*) AS n FROM p GROUP BY path
+ORDER BY n DESC, path LIMIT 5
+"""
+
+
+def q192_page(sf: str):
+    """Deterministic pagination: page 3 of orders by (totalprice DESC,
+    orderkey) — LIMIT 15 OFFSET 30 over a total order. Distributed as
+    top-k(offset+limit) with the per-block prefilter (no global sort),
+    then the offset slice on the output-sized head."""
+    k, off = 15, 30
+    ds = T(sf, "orders", ["o_orderkey", "o_totalprice"])
+    head = R.top_k(ds, ["o_totalprice", "o_orderkey"], [True, False],
+                   off + k).to_pandas()
+    page = head.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True], kind="stable") \
+        .iloc[off:off + k].reset_index(drop=True)
+    return page[["o_orderkey", "o_totalprice"]]
+
+
+SQL_Q192 = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 30
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5214,6 +5426,12 @@ QUERIES: dict[str, tuple] = {
     "q184_wau": (q184_wau, SQL_Q184),
     "q185_like_filter": (q185_like_filter, SQL_Q185),
     "q186_conversion_lag": (q186_conversion_lag, SQL_Q186),
+    "q187_bit_aggs": (q187_bit_aggs, SQL_Q187),
+    "q188_regr": (q188_regr, SQL_Q188),
+    "q189_daily_fill": (q189_daily_fill, SQL_Q189),
+    "q190_triangles": (q190_triangles, SQL_Q190),
+    "q191_event_paths": (q191_event_paths, SQL_Q191),
+    "q192_page": (q192_page, SQL_Q192),
 }
 
 
