@@ -547,3 +547,94 @@ def test_archive_binlog_retires_consumed_segments(ray_session, fixture,
     assert pipe2.delete_where("lang == 'py'") == 0
     # second archive is a no-op (nothing old left below the watermark)
     assert pipe2.archive_binlog() == 0
+
+
+@pytest.fixture(scope="module")
+def fresh_fixture(tmp_path_factory):
+    """Private base+binlog for tests that need a PRISTINE log (earlier
+    tests append tombstone segments to / archive the shared fixture's
+    binlog by design)."""
+    d = str(tmp_path_factory.mktemp("repart"))
+    base = gen.gen_base_table(n_repos=25, paths_per_repo=16, seed=21)
+    cfg = gen.BinlogConfig(n_events=8_000, n_shards=4, dup_rate=0.05,
+                           shuffle_window=96, ddl_every=2_200,
+                           delete_rate=0.06, update_rate=0.5, seed=21)
+    log = gen.gen_binlog(base, cfg)
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    events = pa.concat_tables(log.shards)
+    expected, _ = oracle.apply_events(events, initial=base)
+    import pyarrow.parquet as pq
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    return {"dir": d, "base": base, "base_path": base_path,
+            "binlog_dir": binlog_dir, "expected": expected,
+            "max_lsn": log.max_lsn}
+
+
+def test_repartition_lake_resume(ray_session, fresh_fixture, tmp_path):
+    """Partition-count migration mid-stream: run half the log at P=8,
+    migrate to P=5 (scale in) and P=16 (scale out), then resume each
+    migrated lake to the end of the log at its NEW partition count. The
+    migrated state must equal the source state, point lookups must route
+    under the new count, the resumed replay must equal the oracle, and a
+    non-quiesced lake must be refused."""
+    from thor_ray.sources.lake import lake_lookup, read_lake
+
+    fixture = fresh_fixture
+    src = str(tmp_path / "lake8")
+    pipe = run_pipeline(fixture, src, max_epochs=2)   # quiesced at 5000
+    src_state = normalize(read_lake(src).to_pandas())
+
+    for newP in (5, 16):
+        dst = str(tmp_path / f"lake{newP}")
+        moved = pipe.repartition_lake(dst, newP)
+        assert moved == len(src_state)
+        ms = load_manifests(dst)
+        assert sorted(ms) == list(range(newP))
+        assert {m.upto_lsn for m in ms.values()} == {5_000}
+        got = normalize(read_lake(dst).to_pandas())
+        pd.testing.assert_frame_equal(got, src_state, check_dtype=False)
+        # point lookup routes correctly under the NEW partition count
+        k = (src_state["repo"].iloc[17], src_state["path"].iloc[17])
+        hit = lake_lookup(dst, [k])
+        assert len(hit) == 1 and hit["repo"].iloc[0] == k[0]
+        # resume the migrated lake to the end of the log
+        cfg2 = CdcConfig(lake_dir=dst, binlog_dir=fixture["binlog_dir"],
+                         num_partitions=newP, epoch_size=2_500)
+        pipe2 = CdcPipeline(cfg2)
+        pipe2.run()
+        assert_matches_oracle(pipe2, fixture)
+
+    # refuse a non-quiesced source (mixed watermarks)
+    tampered = str(tmp_path / "tampered")
+    shutil.copytree(src, tampered)
+    mp = os.path.join(tampered, "_manifests", "part-00003.json")
+    with open(mp) as f:
+        raw = json.load(f)
+    raw["upto_lsn"] -= 1
+    with open(mp, "w") as f:
+        json.dump(raw, f)
+    cfg3 = CdcConfig(lake_dir=tampered, binlog_dir=fixture["binlog_dir"],
+                     num_partitions=8, epoch_size=2_500)
+    with pytest.raises(RuntimeError, match="quiesced"):
+        CdcPipeline(cfg3).repartition_lake(str(tmp_path / "nope"), 4)
+
+
+def test_lag_report(ray_session, fresh_fixture, tmp_path):
+    """Lag = shard frontier minus slowest watermark; drains to zero when
+    the log is fully applied."""
+    fixture = fresh_fixture
+    lake = str(tmp_path / "lake")
+    pipe = run_pipeline(fixture, lake, max_epochs=2)   # watermark 5000
+    rep = pipe.lag_report()
+    assert set(rep.columns) == {"shard", "frontier_lsn", "watermark_lo",
+                                "watermark_hi", "lag"}
+    assert len(rep) == 4                               # n_shards
+    assert (rep["watermark_lo"] == 5_000).all()
+    assert (rep["lag"] == rep["frontier_lsn"] - 5_000).all()
+    assert (rep["lag"] > 0).any()
+    pipe.run()                                         # drain
+    done = pipe.lag_report()
+    assert (done["lag"] == 0).all()
+    assert done["frontier_lsn"].max() == fixture["max_lsn"]

@@ -127,6 +127,40 @@ def cmd_archive(a) -> int:
     return 0
 
 
+def cmd_lag(a) -> int:
+    """Per-shard consumer lag vs the lake watermark (metadata-only; no Ray)."""
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    pipe = CdcPipeline(CdcConfig(lake_dir=a.lake, binlog_dir=a.binlog))
+    print(pipe.lag_report().to_json(orient="records"))
+    return 0
+
+
+def _engine_meta(lake_dir: str) -> dict:
+    import os
+
+    p = os.path.join(lake_dir, "_schema", "engine.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+def cmd_repartition(a) -> int:
+    """Migrate the lake to a new partition count (no binlog replay)."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    meta = _engine_meta(a.lake)
+    route = tuple(meta["route"]) if meta.get("route") else None
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=a.lake, binlog_dir=a.binlog or "",
+        num_partitions=meta["num_partitions"], route=route))
+    n = pipe.repartition_lake(a.dst, a.partitions)
+    print(json.dumps({"rows_migrated": n, "dst": a.dst,
+                      "partitions": a.partitions}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_delete(a) -> int:
     """Append retention tombstones (op='D') for lake keys matching a
     filter expression; apply with a subsequent `run`."""
@@ -311,6 +345,21 @@ def main(argv: list[str] | None = None) -> int:
     ar.add_argument("--lake", required=True)
     ar.add_argument("--binlog", required=True)
     ar.set_defaults(fn=cmd_archive)
+
+    lg = sub.add_parser("lag", help="per-shard consumer lag vs lake watermark")
+    lg.add_argument("--lake", required=True)
+    lg.add_argument("--binlog", required=True)
+    lg.set_defaults(fn=cmd_lag)
+
+    rp = sub.add_parser("repartition",
+                        help="migrate the lake to a new partition count "
+                             "(state rewrite, no binlog replay)")
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("--dst", required=True)
+    rp.add_argument("--partitions", type=int, required=True)
+    rp.add_argument("--binlog", default="")
+    rp.add_argument("--num-cpus", type=int, default=None)
+    rp.set_defaults(fn=cmd_repartition)
 
     v = sub.add_parser("verify", help="lake state vs single-process oracle")
     v.add_argument("--lake", required=True)

@@ -1155,6 +1155,121 @@ class CdcPipeline:
         gc_lake(cfg.lake_dir, load_manifests(cfg.lake_dir))
         return len(todo)
 
+    def lag_report(self) -> pd.DataFrame:
+        """Consumer-lag observability (the Kafka `consumer-groups
+        --describe` shape): one row per binlog shard with its newest
+        delivered lsn, the lake's slowest- and fastest-partition
+        watermarks, and the lag (shard frontier minus slowest watermark —
+        events delivered but not yet committed). Metadata-only: parquet
+        footers + manifest JSON, never data; safe to poll while follow()
+        runs."""
+        from thor_ray.sources import binlog as _bl
+
+        manifests = load_manifests(self.cfg.lake_dir)
+        lo_wm = min((m.upto_lsn for m in manifests.values()), default=0)
+        hi_wm = max((m.upto_lsn for m in manifests.values()), default=0)
+        fr = _bl.shard_frontiers(self.cfg.binlog_dir)
+        rows = [{
+            "shard": s, "frontier_lsn": f,
+            "watermark_lo": lo_wm, "watermark_hi": hi_wm,
+            "lag": max(f - lo_wm, 0),
+        } for s, f in sorted(fr.items())]
+        return pd.DataFrame(rows, columns=["shard", "frontier_lsn",
+                                           "watermark_lo", "watermark_hi",
+                                           "lag"])
+
+    def repartition_lake(self, dst_dir: str, new_partitions: int) -> int:
+        """Online partition-count migration (scale the lake out or in)
+        WITHOUT replaying the binlog: fold every partition's live state
+        (merge-on-read, tombstone-free), re-route each row by the SAME
+        stable key hash mod the new partition count, and write a fresh
+        lake — epoch-tagged state files, manifests, schema registry, and
+        engine meta — under ``dst_dir``. A pipeline constructed on the new
+        lake with ``num_partitions=new_partitions`` resumes from the SAME
+        binlog at the preserved watermark, so rebalancing is a one-off
+        state-sized rewrite, never a log replay.
+
+        Requires a QUIESCED lake (every partition at one watermark — true
+        after any completed ``run()``): mixed watermarks would force the
+        new lake to the minimum and re-apply the gap. Snapshot history and
+        changefeed segments do not migrate (the new lake's history starts
+        at the migration epoch). Shuffle shape: one key-hash exchange of
+        the state (the same wide step as bootstrap); per-group work is a
+        single sorted parquet write. Returns rows migrated."""
+        cfg = self.cfg
+        manifests = load_manifests(cfg.lake_dir)
+        if not manifests:
+            raise RuntimeError("repartition_lake: source lake has no manifests")
+        uptos = {m.upto_lsn for m in manifests.values()}
+        if len(uptos) != 1:
+            raise RuntimeError(
+                f"repartition_lake: lake not quiesced (watermarks {sorted(uptos)}); "
+                "run() to a boundary first")
+        upto = uptos.pop()
+        epoch = max(m.epoch for m in manifests.values())
+        registry = SchemaRegistry.load(cfg.lake_dir)
+        evolved = registry.columns_at(registry.version)
+        types = registry.types_at(registry.version)
+        ver = registry.version
+        P = new_partitions
+        compute_hash = cfg.compute_content_hash
+
+        from thor_ray.sources.lake import read_lake
+        ds = read_lake(cfg.lake_dir, manifests=manifests, keep_internal=True)
+
+        def route(t: pa.Table) -> pa.Table:
+            pid = stable_hash(t, ["repo", "path"]) % P
+            return t.append_column("pid", pa.array(pid, type=pa.int64()))
+
+        cols = BASE_COLS + evolved + ["_lsn", "_sha", "_op"]
+
+        def write_group(g: pd.DataFrame) -> pd.DataFrame:
+            pid = int(g["pid"].iloc[0])
+            g = g[cols].sort_values(["repo", "path"], kind="stable")
+            out_dir = os.path.join(dst_dir, f"part={pid:05d}")
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"state-e{epoch:06d}.parquet")
+            _write_state_file(g, path, evolved, types)
+            return pd.DataFrame([{
+                "pid": pid, "files": json.dumps([path]), "row_count": len(g),
+                "content_hash": _content_hash(g["_sha"])
+                if compute_hash and len(g) else "",
+            }])
+
+        total = 0
+        seen: dict[int, "pd.Series"] = {}
+        if ds.count():
+            cand = (ds.map_batches(route, batch_format="pyarrow")
+                    .groupby("pid")
+                    .map_groups(write_group, batch_format="pandas")
+                    .to_pandas())
+            seen = {int(r.pid): r for r in cand.itertuples(index=False)}
+        os.makedirs(dst_dir, exist_ok=True)
+        for pid in range(P):
+            r = seen.get(pid)
+            m = Manifest(
+                partition_id=pid, epoch=epoch, upto_lsn=upto,
+                schema_ver=ver,
+                files=json.loads(r.files) if r is not None else [],
+                row_count=int(r.row_count) if r is not None else 0,
+                content_hash=r.content_hash if r is not None else "",
+                lineage={"input_shards": [],
+                         "counts": {"repartitioned_from": cfg.num_partitions}})
+            write_manifest(dst_dir, m)
+            if cfg.retain_snapshots:
+                archive_manifest(dst_dir, m)
+            total += m.row_count
+        registry.save(dst_dir)
+        meta_dir = os.path.join(dst_dir, "_schema")
+        os.makedirs(meta_dir, exist_ok=True)
+        meta = {"hash_impl": _hash_impl(), "num_partitions": P,
+                "route": list(cfg.route) if cfg.route else None}
+        tmp = os.path.join(meta_dir, "engine.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(meta_dir, "engine.json"))
+        return total
+
     def delete_where(self, expr: str) -> int:
         """Retention / right-to-be-forgotten: append tombstone (op='D')
         events for every live lake key matching `expr` (a Ray Dataset
