@@ -5232,6 +5232,168 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 30
 """
 
 
+def q193_word_bigrams(sf: str):
+    """Corpus word-bigram vocabulary: top-10 adjacent-token pairs. The
+    split replicates regexp_split_to_array semantics exactly (empty edge
+    pieces break adjacency on BOTH sides); per-batch Counter rows act as
+    the combiner, one tiny groupby(bigram), top-k with ties by bigram
+    asc."""
+    import re as _re
+    from collections import Counter
+    ds = T(sf, "documents", ["text"])
+    splitter = _re.compile(r"[^a-z]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            parts = splitter.split(txt.lower())
+            c.update(f"{a} {b}" for a, b in zip(parts[:-1], parts[1:])
+                     if a and b)
+        if not c:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"bigram": pa.array(list(ks), pa.string()),
+                         "n": pa.array(list(vs), pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return R.top_k(counts, ["n", "bigram"], [True, False], 10)
+
+
+SQL_Q193 = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]+') AS a
+  FROM documents),
+t AS (
+  SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS o
+  FROM w)
+SELECT t1.tok || ' ' || t2.tok AS bigram, count(*) AS n
+FROM t t1 JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.o = t1.o + 1
+WHERE length(t1.tok) > 0 AND length(t2.tok) > 0
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10
+"""
+
+
+def q194_twap(sf: str):
+    """Time-weighted average value per event type (the TWAP shape:
+    each observation weighted by its holding time to the user's next
+    event). Coarse-salt shuffle on user hash; inside each group the
+    next-ts lead is a vectorized shift; per-(group, type) partial
+    (num, den) sums combine before ONE tiny groupby(event_type); the
+    single division + round lands on the output-sized table."""
+    ds = T(sf, "events", ["user_id", "ts", "event_id", "event_type",
+                          "value"])
+    fanout = 64
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "usalt", pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1),
+                             pa.int32()))
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(g), dtype=np.float64)
+        gap[:-1] = us[1:] - us[:-1]
+        gap[-1] = np.nan
+        same = np.empty(len(g), dtype=bool)
+        u = g["user_id"].to_numpy()
+        same[:-1] = u[1:] == u[:-1]
+        same[-1] = False
+        v = g["value"].to_numpy()
+        keep = same
+        df = pd.DataFrame({"event_type": g["event_type"].to_numpy()[keep],
+                           "num": v[keep] * gap[keep],
+                           "den": gap[keep]})
+        p = df.groupby("event_type", sort=False).sum().reset_index()
+        return p
+
+    agg = (ds.map_batches(salt, batch_format="pyarrow")
+           .groupby("usalt").map_groups(partial, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("num", alias_name="num"),
+                      Sum("den", alias_name="den"))
+           .to_pandas())  # output-sized: one row per event type
+    twap = _rnd(pa.array(agg["num"] / agg["den"], pa.float64()), 6)
+    return pd.DataFrame({"event_type": agg["event_type"],
+                         "twap": twap.to_numpy(zero_copy_only=False)})
+
+
+SQL_Q194 = """
+WITH g AS (
+  SELECT event_type, value,
+         CAST(datediff('microsecond', ts,
+              lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)) AS DOUBLE) AS gap
+  FROM events)
+SELECT event_type, round(sum(value * gap) / sum(gap), 6) AS twap
+FROM g WHERE gap IS NOT NULL GROUP BY event_type
+"""
+
+
+def q195_p90_by_lang(sf: str):
+    """Exact grouped discrete percentile (quantile_disc 0.9) over a
+    bounded-cardinality value domain: the distributed step is ONLY a
+    (lang, n_chars) combiner count — the exact ceil-rank pick runs on
+    the output-sized histogram driver-side (q144's equi-depth trick,
+    per group). No sort, no per-group data shuffle."""
+    import math
+    ds = T(sf, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars", "count")])
+        return g.rename_columns(["lang", "n_chars", "n"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())  # output-sized: distinct (lang, value) pairs
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_chars", kind="stable")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        rank = math.ceil(0.9 * total)         # quantile_disc rule (q112)
+        idx = int(np.searchsorted(cum, rank))
+        rows.append({"lang": lang,
+                     "p90": np.int64(g["n_chars"].iloc[idx])})
+    return pd.DataFrame(rows)
+
+
+SQL_Q195 = """
+SELECT lang, quantile_disc(n_chars, 0.9) AS p90
+FROM documents GROUP BY lang
+"""
+
+
+def q196_regex_count(sf: str):
+    """Regex occurrence counting (regexp_extract_all cardinality): digit
+    runs per document, summed per language — pc.count_substring_regex is
+    the same RE2 leftmost non-overlapping count DuckDB's extract_all
+    materializes, minus the allocation."""
+    ds = T(sf, "documents", ["lang", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern="[0-9]+"),
+                    pa.int64())
+        return pa.table({"lang": t["lang"], "n_digit_runs": n})
+
+    return (ds.map_batches(fn, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_digit_runs", alias_name="n_digit_runs"),
+                       Count(alias_name="docs")))
+
+
+SQL_Q196 = """
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+         AS n_digit_runs,
+       count(*) AS docs
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5432,6 +5594,10 @@ QUERIES: dict[str, tuple] = {
     "q190_triangles": (q190_triangles, SQL_Q190),
     "q191_event_paths": (q191_event_paths, SQL_Q191),
     "q192_page": (q192_page, SQL_Q192),
+    "q193_word_bigrams": (q193_word_bigrams, SQL_Q193),
+    "q194_twap": (q194_twap, SQL_Q194),
+    "q195_p90_by_lang": (q195_p90_by_lang, SQL_Q195),
+    "q196_regex_count": (q196_regex_count, SQL_Q196),
 }
 
 
