@@ -1927,3 +1927,54 @@ def test_grouped_regr_matches_closed_form(ray_session):
         sl, ic = np.polyfit(xs, ys, 1)
         assert abs(got.loc[key, "slope"] - sl) < 1e-8
         assert abs(got.loc[key, "icept"] - ic) < 1e-6
+
+
+def test_bfs_hops_vs_networkx_free_reference(ray_session):
+    """bfs_hops on a hand-built graph: chain 0-1-2-3 plus branch 1-4,
+    isolated 9; multi-source seeds."""
+    from thor_ray.ops import graph as G
+    edges = ds_of({"src": [0, 1, 2, 1, 9],
+                   "dst": [1, 2, 3, 4, 9]})
+    got = G.bfs_hops(edges, "src", "dst", [0], max_hops=10)
+    assert dict(zip(got["node"], got["hop"])) == {0: 0, 1: 1, 2: 2,
+                                                  3: 3, 4: 2}
+    # max_hops truncation
+    got2 = G.bfs_hops(edges, "src", "dst", [0], max_hops=1)
+    assert dict(zip(got2["node"], got2["hop"])) == {0: 0, 1: 1}
+    # multi-source: hop = min over seeds
+    got3 = G.bfs_hops(edges, "src", "dst", [0, 2], max_hops=10)
+    assert dict(zip(got3["node"], got3["hop"])) == {0: 0, 2: 0, 1: 1,
+                                                    3: 1, 4: 2}
+
+
+def test_pca_matches_numpy(ray_session):
+    """pca_fit sufficient-statistics path == full-matrix numpy PCA."""
+    from thor_ray.ops import linalg as LA
+    rng = np.random.default_rng(7)
+    # anisotropic gaussian so eigenvalues are well separated
+    x = (rng.normal(size=(400, 6)) *
+         np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1]) + rng.normal(size=6))
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array(x.astype(np.float32).tolist(),
+                              pa.list_(pa.float32()))})).repartition(7)
+    m = LA.pca_fit(ds, "embedding", k=3)
+    xf = x.astype(np.float32).astype(np.float64)
+    cov = np.cov(xf, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    np.testing.assert_allclose(m["explained_variance"], w[order],
+                               rtol=1e-9)
+    np.testing.assert_allclose(
+        m["explained_variance_ratio"], w[order] / w.sum(), rtol=1e-9)
+    for i, col in enumerate(order):
+        ref = v[:, col]
+        ref = ref * np.sign(ref[np.abs(ref).argmax()])
+        np.testing.assert_allclose(m["components"][i], ref, atol=1e-9)
+    # transform: projected variance per component == eigenvalue
+    proj = LA.pca_transform(ds, "embedding", m).to_pandas()
+    p = np.stack(proj["pc"].to_numpy())
+    np.testing.assert_allclose(p.var(axis=0, ddof=1), w[order],
+                               rtol=1e-6)
+    # dim_variance == covariance diagonal
+    np.testing.assert_allclose(
+        LA.dim_variance(ds, "embedding"), np.diag(cov), rtol=1e-9)

@@ -1,5 +1,5 @@
-from . import (ann, dedup, graph, multimodal, pack, relational, sample,
-               sketch, text, window)
+from . import (ann, dedup, graph, linalg, multimodal, pack, relational,
+               sample, sketch, text, window)
 
-__all__ = ["ann", "dedup", "graph", "multimodal", "pack", "relational",
-           "sample", "sketch", "text", "window"]
+__all__ = ["ann", "dedup", "graph", "linalg", "multimodal", "pack",
+           "relational", "sample", "sketch", "text", "window"]

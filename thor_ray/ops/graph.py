@@ -85,6 +85,58 @@ def pagerank_int(edges: Dataset, nodes: Dataset, iters: int = 5,
     return ranks
 
 
+def bfs_hops(edges: Dataset, src: str, dst: str, seeds: list[int],
+             max_hops: int = 8):
+    """Multi-source BFS min-hop labels via broadcast frontiers.
+
+    Each hop is ONE map-only pass over the DISTRIBUTED edge set: the
+    current frontier ids are broadcast once (``ray.put``), every edge
+    batch filters src∈frontier with a vectorized ``is_in`` and emits its
+    (already per-batch deduped) reached dst ids — so per-hop shipped
+    data is frontier-sized, never graph-sized, and there is no join or
+    shuffle in the loop (the join+groupby-per-iteration shape starves
+    aggregator pools on small clusters — see pagerank_int). The visited
+    table is one (node, hop) pair per REACHED vertex on the driver;
+    for frontiers/components beyond driver memory switch to the
+    distributed min-label iteration (pagerank_int's shape). Edges are
+    materialized once and re-scanned per hop (≤ max_hops passes).
+
+    Returns a pandas DataFrame (node, hop) sorted by node."""
+    import pandas as pd
+    import ray as _ray
+
+    edges = edges.materialize()
+    frontier = np.unique(np.asarray(sorted(set(seeds)), dtype=np.int64))
+    vis_nodes = frontier.copy()           # sorted invariant
+    vis_hops = np.zeros(len(frontier), dtype=np.int64)
+    for hop in range(1, max_hops + 1):
+        if frontier.size == 0:
+            break
+        fref = _ray.put(pa.array(frontier))
+
+        def step(t: pa.Table, _f=fref) -> pa.Table:
+            m = pc.is_in(t[src], value_set=_ray.get(_f))
+            d = t[dst].filter(m).to_numpy(zero_copy_only=False)
+            return pa.table({"node": pa.array(np.unique(d), pa.int64())})
+
+        reached = edges.map_batches(step, batch_format="pyarrow") \
+            .to_pandas()
+        # Ray 2.49 wart: to_pandas() on a 0-row dataset drops columns
+        if len(reached) == 0 or "node" not in reached.columns:
+            break
+        nxt = np.unique(reached["node"].to_numpy().astype(np.int64))
+        new = nxt[~np.isin(nxt, vis_nodes)]
+        if new.size == 0:
+            break
+        order = np.argsort(np.concatenate([vis_nodes, new]),
+                           kind="stable")
+        vis_nodes = np.concatenate([vis_nodes, new])[order]
+        vis_hops = np.concatenate(
+            [vis_hops, np.full(new.size, hop, dtype=np.int64)])[order]
+        frontier = new
+    return pd.DataFrame({"node": vis_nodes, "hop": vis_hops})
+
+
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 

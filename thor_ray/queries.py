@@ -5394,6 +5394,178 @@ FROM documents GROUP BY lang
 """
 
 
+def q197_arg_minmax(sf: str):
+    """ARG_MAX / ARG_MIN (max_by / min_by): the user behind each event
+    type's first and last event. Ordering key is event_id (globally
+    unique), so the pick is deterministic on both sides. Per-batch
+    partial keeps ONE candidate row per (type, extreme) — the groupby
+    ships O(types × batches) rows, never events."""
+    ds = T(sf, "events", ["event_id", "user_id", "event_type"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("event_type", sort=False)
+        hi = g.loc[grp["event_id"].idxmax()]
+        lo = g.loc[grp["event_id"].idxmin()]
+        n = grp.size().rename("n").reset_index()
+        out = n.merge(
+            hi.rename(columns={"event_id": "max_eid",
+                               "user_id": "last_user"}),
+            on="event_type").merge(
+            lo.rename(columns={"event_id": "min_eid",
+                               "user_id": "first_user"}),
+            on="event_type")
+        return out[["event_type", "max_eid", "last_user",
+                    "min_eid", "first_user", "n"]]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "event_type": g["event_type"].iloc[0],
+            "last_user": np.int64(g.loc[g["max_eid"].idxmax(),
+                                        "last_user"]),
+            "first_user": np.int64(g.loc[g["min_eid"].idxmin(),
+                                         "first_user"]),
+            "n": np.int64(g["n"].sum()),
+        }])
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(final,
+                                              batch_format="pandas"))
+
+
+SQL_Q197 = """
+SELECT event_type,
+       arg_max(user_id, event_id) AS last_user,
+       arg_min(user_id, event_id) AS first_user,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q198_geo_harm_mean(sf: str):
+    """Geometric and harmonic mean of document length per language:
+    per-batch (sum ln x, sum 1/x, n) partials — the only distributed
+    step is a tiny groupby(lang) over three combinable sums; exp/div on
+    the output-sized table. Both sides divide/exp the same reduced
+    doubles; round(6) absorbs summation-order ulps."""
+    ds = T(sf, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(
+            zero_copy_only=False),
+            "sum_ln": np.log(x), "sum_inv": 1.0 / x})
+        p = df.groupby("lang", sort=False).agg(
+            sum_ln=("sum_ln", "sum"), sum_inv=("sum_inv", "sum"),
+            n=("sum_ln", "size")).reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("sum_ln", alias_name="sum_ln"),
+                      Sum("sum_inv", alias_name="sum_inv"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())  # output-sized: one row per language
+    n = agg["n"].to_numpy(dtype=np.float64)
+    geo = _rnd(pa.array(np.exp(agg["sum_ln"] / n), pa.float64()), 6)
+    harm = _rnd(pa.array(n / agg["sum_inv"], pa.float64()), 6)
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "geo_mean": geo.to_numpy(zero_copy_only=False),
+        "harm_mean": harm.to_numpy(zero_copy_only=False)})
+
+
+SQL_Q198 = """
+SELECT lang,
+       round(exp(avg(ln(n_chars))), 6) AS geo_mean,
+       round(count(*) / sum(1.0 / n_chars), 6) AS harm_mean
+FROM documents GROUP BY lang
+"""
+
+
+def q199_bfs_hops(sf: str):
+    """BFS min-hop distances (the recursive-CTE reachability shape) over
+    a deterministic sparse chord graph derived from part keys (out-degree
+    2: p → 1+(2p)%P and 1+(5p)%P — genuine multi-hop structure, unlike
+    the near-complete co-purchase graph). Engine side: ops/graph.py::
+    bfs_hops — one broadcast-frontier map-only pass per hop over the
+    distributed edge set; no join, no shuffle in the loop."""
+    from thor_ray.ops import graph as G
+    ds = T(sf, "part", ["p_partkey"])
+    P = ds.count()   # parquet metadata count — no scan
+
+    def mk(t: pa.Table) -> pa.Table:
+        p = t["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([p, p])),
+            "dst": pa.array(np.concatenate(
+                [1 + (p * 2) % P, 1 + (p * 5) % P]))})
+
+    edges = ds.map_batches(mk, batch_format="pyarrow")
+    return G.bfs_hops(edges, "src", "dst", [1], max_hops=8)
+
+
+SQL_Q199 = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey AS src,
+         1 + (p_partkey * 2) % (SELECT count(*) FROM part) AS dst
+  FROM part
+  UNION ALL
+  SELECT p_partkey, 1 + (p_partkey * 5) % (SELECT count(*) FROM part)
+  FROM part),
+walk(node, hop) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+  UNION ALL
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hop < 8)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM walk GROUP BY node
+"""
+
+
+def q200_dim_variance(sf: str):
+    """Per-dimension sample variance of the embedding matrix — the
+    SQL-checkable slice of the distributed PCA moment pass (ops/
+    linalg.py::moments: one constant-size (n, Σx, Σxxᵀ) row per batch,
+    salted combine; nothing corpus-sized leaves the cluster)."""
+    from thor_ray.ops import linalg as LA
+    ds = T(sf, "embeddings", ["embedding"])
+    var = LA.dim_variance(ds, "embedding")
+    out = pd.DataFrame({
+        "i": np.arange(1, len(var) + 1, dtype=np.int64),
+        "var": _rnd(pa.array(var, pa.float64()), 6)
+        .to_numpy(zero_copy_only=False)})
+    return out
+
+
+SQL_Q200 = """
+WITH x AS (
+  SELECT unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings)
+SELECT CAST(i AS BIGINT) AS i, round(var_samp(v), 6) AS var
+FROM x GROUP BY i
+"""
+
+
+def q201_pca(sf: str):
+    """Distributed PCA (k=4) over the embedding table: moment-pass fit
+    (ops/linalg.py::pca_fit — exact covariance, driver-side d×d eigh,
+    sign-normalized components), then the explained-variance spectrum.
+    No SQL twin (eigendecomposition); fit-vs-numpy equality is
+    unit-tested in tests/test_ops.py."""
+    from thor_ray.ops import linalg as LA
+    ds = T(sf, "embeddings", ["embedding"])
+    m = LA.pca_fit(ds, "embedding", k=4)
+    evr = _rnd(pa.array(m["explained_variance_ratio"], pa.float64()), 6)
+    return pd.DataFrame({
+        "component": np.arange(1, 5, dtype=np.int64),
+        "explained_variance_ratio":
+            evr.to_numpy(zero_copy_only=False),
+        "top_loading_dim": np.abs(m["components"]).argmax(axis=1)
+            .astype(np.int64) + 1})
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5598,6 +5770,11 @@ QUERIES: dict[str, tuple] = {
     "q194_twap": (q194_twap, SQL_Q194),
     "q195_p90_by_lang": (q195_p90_by_lang, SQL_Q195),
     "q196_regex_count": (q196_regex_count, SQL_Q196),
+    "q197_arg_minmax": (q197_arg_minmax, SQL_Q197),
+    "q198_geo_harm_mean": (q198_geo_harm_mean, SQL_Q198),
+    "q199_bfs_hops": (q199_bfs_hops, SQL_Q199),
+    "q200_dim_variance": (q200_dim_variance, SQL_Q200),
+    "q201_pca": (q201_pca, None),
 }
 
 
