@@ -1978,3 +1978,29 @@ def test_pca_matches_numpy(ray_session):
     # dim_variance == covariance diagonal
     np.testing.assert_allclose(
         LA.dim_variance(ds, "embedding"), np.diag(cov), rtol=1e-9)
+
+
+def test_bpe_train_hand_computed(ray_session):
+    """Classic tiny corpus: merges and tie-breaks match the hand trace."""
+    ds = ds_of({"text": ["ab ab ab", "abc"]})
+    m = TX.bpe_train(ds, "text", n_merges=3)
+    got = [(x["left"], x["right"], x["count"]) for x in m]
+    # (a,b)x4 -> merge "ab"; (ab,</w>)x3; then tie at 1 breaks to
+    # ("ab","c") < ("c","</w>") lexicographically
+    assert got == [("a", "b", 4), ("ab", "</w>", 3), ("ab", "c", 1)]
+
+
+def test_bpe_encode_roundtrip(ray_session):
+    """Encoded tokens concatenate back to word+</w>; frequent words
+    compress to fewer symbols."""
+    corpus = ["the quick the lazy the dog", "the end"]
+    ds = ds_of({"doc_id": [1, 2], "text": corpus})
+    merges = TX.bpe_train(ds, "text", n_merges=10)
+    enc = TX.bpe_encode(ds, merges, "text", "doc_id").to_pandas()
+    enc = enc.sort_values("doc_id")
+    for toks, raw in zip(enc["bpe_tokens"], corpus):
+        words = [w for w in raw.split() if w]
+        joined = "".join(toks)
+        assert joined == "</w>".join(words) + "</w>"
+    # "the" appears 4x -> merged into one symbol within 10 merges
+    assert "the</w>" in list(enc["bpe_tokens"].iloc[0])

@@ -943,3 +943,115 @@ def feature_hash(ds: Dataset, text_col: str = "text",
         return pa.table({id_col: t[id_col], out: la})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def word_histogram(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Distributed word-frequency histogram over lowercase [a-z]+ runs:
+    per-batch C-level count (split + flatten + arrow group_by) as the
+    COMBINER, one groupby(word) moving (word, batch)-sized rows. The
+    result is vocabulary-sized (Zipf-bounded), not corpus-sized."""
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t[text_col], "")),
+            pattern="[^a-z]+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = pa.table({"word": toks}).group_by("word") \
+            .aggregate([("word", "count")])
+        return g.select(["word", "word_count"]) \
+            .rename_columns(["word", "n"])
+
+    from ray.data.aggregate import Sum
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+
+
+def bpe_train(ds: Dataset, text_col: str = "text",
+              n_merges: int = 20) -> list[dict]:
+    """BPE merge training (Sennrich et al. 2016, word-histogram
+    formulation — the same shape HF tokenizers trains on): the ONLY
+    corpus-sized work is the distributed word histogram; the merge loop
+    then runs on that vocabulary-sized table driver-side, weighting each
+    within-word adjacent symbol pair by the word's corpus frequency.
+    Deterministic: best pair = (count desc, pair lexicographic asc).
+    Words carry a terminal '</w>' symbol. Returns
+    [{rank, left, right, count}] of the first ``n_merges`` merges."""
+    from collections import Counter
+
+    hist = word_histogram(ds, text_col).to_pandas()
+    words: dict[tuple, int] = {}
+    for w, n in zip(hist.get("word", []), hist.get("n", [])):
+        words[tuple(w) + ("</w>",)] = int(n)
+
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: Counter = Counter()
+        for syms, n in words.items():
+            for a, b in zip(syms[:-1], syms[1:]):
+                pair_counts[(a, b)] += n
+        if not pair_counts:
+            break
+        (left, right), cnt = min(pair_counts.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        merges.append({"rank": rank, "left": left, "right": right,
+                       "count": int(cnt)})
+        merged = left + right
+        nxt: dict[tuple, int] = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + n
+        words = nxt
+    return merges
+
+
+def bpe_encode(ds: Dataset, merges: list[dict], text_col: str = "text",
+               id_col: str = "doc_id", out: str = "bpe_tokens") -> Dataset:
+    """Apply trained merges: broadcast the rank table once (ray.put);
+    each batch dictionary-encodes its words and runs the greedy
+    lowest-rank merge loop ONCE PER DISTINCT word (the q124 trick —
+    the per-word loop is the standard BPE encode, but it never repeats
+    for duplicate words in a batch). Emits list<string> tokens per doc."""
+    import ray as _ray
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+    rref = _ray.put(ranks)
+
+    def encode_word(w: str, rk: dict) -> list[str]:
+        syms = list(w) + ["</w>"]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = rk.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    def fn(t: pa.Table) -> pa.Table:
+        rk = _ray.get(rref)
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(t[text_col], "")),
+            pattern="[^a-z]+")
+        memo: dict[str, list[str]] = {}
+        docs = []
+        for row in lists.to_pylist():
+            toks: list[str] = []
+            for w in row:
+                if not w:
+                    continue
+                if w not in memo:
+                    memo[w] = encode_word(w, rk)
+                toks.extend(memo[w])
+            docs.append(toks)
+        return pa.table({id_col: t[id_col],
+                         out: pa.array(docs, pa.list_(pa.string()))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -5566,6 +5566,20 @@ def q201_pca(sf: str):
             .astype(np.int64) + 1})
 
 
+def q202_bpe_merges(sf: str):
+    """BPE tokenizer training (first 20 merges) over the document
+    corpus: distributed word histogram is the only corpus-sized work;
+    the merge loop runs on the vocabulary-sized table (ops/text.py::
+    bpe_train — Sennrich-style word-histogram formulation). No SQL twin
+    (iterative merge); merge rules + encode round-trip unit-tested."""
+    ds = T(sf, "documents", ["text"])
+    merges = TX.bpe_train(ds, "text", n_merges=20)
+    out = pd.DataFrame(merges)
+    out["rank"] = out["rank"].astype("int64")
+    out["count"] = out["count"].astype("int64")
+    return out[["rank", "left", "right", "count"]]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5775,6 +5789,7 @@ QUERIES: dict[str, tuple] = {
     "q199_bfs_hops": (q199_bfs_hops, SQL_Q199),
     "q200_dim_variance": (q200_dim_variance, SQL_Q200),
     "q201_pca": (q201_pca, None),
+    "q202_bpe_merges": (q202_bpe_merges, None),
 }
 
 
