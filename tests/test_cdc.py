@@ -638,3 +638,46 @@ def test_lag_report(ray_session, fresh_fixture, tmp_path):
     done = pipe.lag_report()
     assert (done["lag"] == 0).all()
     assert done["frontier_lsn"].max() == fixture["max_lsn"]
+
+
+def test_writer_fencing(ray_session, fixture, tmp_path):
+    """A zombie writer (older generation) must fail closed once a newer
+    writer has committed to the lake; the new writer finishes the replay
+    and the table equals a clean single-writer replay of the same binlog
+    (the module binlog may carry tombstone/archive mutations from earlier
+    tests, so the reference is computed fresh, not taken from the module
+    oracle)."""
+    from thor_ray.state import FencedWriterError
+
+    def mk(name, **kw):
+        return CdcConfig(lake_dir=str(tmp_path / name),
+                         binlog_dir=fixture["binlog_dir"],
+                         num_partitions=8, epoch_size=2_500, **kw)
+
+    ref = CdcPipeline(mk("lake_ref"))
+    ref.run(base=fixture["base_path"])
+    want = normalize(ref.final_table().to_pandas())
+
+    cfg = mk("lake_fence")
+    old = CdcPipeline(cfg)
+    old.bootstrap(fixture["base_path"])
+    ms = load_manifests(cfg.lake_dir)
+    old.run_epoch(1, ms)            # old writer owns the lake
+    new = CdcPipeline(cfg)
+    new.run_epoch(2, load_manifests(cfg.lake_dir))  # takeover: new gen
+    with pytest.raises(FencedWriterError):
+        old.run_epoch(3, load_manifests(cfg.lake_dir))  # zombie fenced
+    with pytest.raises(FencedWriterError):
+        old.compact()                                   # all commit paths
+    new.run()                       # new writer drains the log
+    pd.testing.assert_frame_equal(
+        normalize(new.final_table().to_pandas()), want, check_dtype=False)
+    # fencing off: sequential writers interleave freely (legacy behavior)
+    cfg2 = mk("lake_nofence", fencing=False)
+    a, b = CdcPipeline(cfg2), CdcPipeline(cfg2)
+    a.bootstrap(fixture["base_path"])
+    a.run_epoch(1, load_manifests(cfg2.lake_dir))
+    b.run_epoch(2, load_manifests(cfg2.lake_dir))
+    a.run()
+    pd.testing.assert_frame_equal(
+        normalize(a.final_table().to_pandas()), want, check_dtype=False)

@@ -184,6 +184,12 @@ class CdcConfig:
     # (stage 2): the two-stage barrier per epoch was the measured fixed
     # cost capping scaling efficiency (BASELINE.md §3). Spill mode only.
     pipeline_epochs: bool = True
+    # writer fencing (zombie-writer protection): the pipeline takes a
+    # monotonically increasing writer generation before its first commit
+    # and every later commit verifies the token is still its own — a
+    # paused driver that resumes after a newer writer took over the lake
+    # raises FencedWriterError instead of swapping stale manifests.
+    fencing: bool = True
     # (route_id, n_routes): demux tier — this pipeline applies ONLY events
     # whose key hashes to route_id (Kafka-Connect topic-routing analogue:
     # one binlog fans out into n_routes independent exactly-once lakes; run
@@ -659,6 +665,24 @@ class CdcPipeline:
         self.cfg = cfg
         self.reports: list[EpochReport] = []
         self.replay_wall_sec: float = 0.0  # epoch-loop wall of the last run()
+        self._writer_gen: int | None = None  # fencing token (lazy)
+
+    def _fence(self) -> None:
+        """Acquire the writer generation on first commit; fail closed if a
+        newer writer has taken the lake since (exactly-once under zombie
+        drivers — see state/manifest.py fencing section)."""
+        if not self.cfg.fencing:
+            return
+        from thor_ray.state import (FencedWriterError, acquire_writer_gen,
+                                    current_writer_gen)
+        if self._writer_gen is None:
+            self._writer_gen = acquire_writer_gen(self.cfg.lake_dir)
+            return
+        cur = current_writer_gen(self.cfg.lake_dir)
+        if cur != self._writer_gen:
+            raise FencedWriterError(
+                f"writer gen {self._writer_gen} superseded by {cur} on "
+                f"{self.cfg.lake_dir}; this pipeline must stop")
 
     def _check_engine_meta(self) -> None:
         """Routing is hash-based; a lake written under one hash impl must
@@ -691,6 +715,7 @@ class CdcPipeline:
         if load_manifests(cfg.lake_dir):
             return
         os.makedirs(cfg.lake_dir, exist_ok=True)
+        self._fence()
         P = cfg.num_partitions
         if base is None:
             for pid in range(P):
@@ -1005,6 +1030,7 @@ class CdcPipeline:
 
         # ---- commit: atomic per-partition manifest swaps --------------------
         t_commit = time.perf_counter()
+        self._fence()
         for r in cand.itertuples(index=False):
             m = Manifest(
                 partition_id=int(r.pid), epoch=epoch, upto_lsn=int(r.upto_lsn),
@@ -1106,6 +1132,7 @@ class CdcPipeline:
         old file set plus an overwritten level file is idempotent).
         Returns the number of partitions compacted."""
         cfg = self.cfg
+        self._fence()   # a zombie's maintenance command must fail closed
         manifests = load_manifests(cfg.lake_dir)
         registry = SchemaRegistry.load(cfg.lake_dir)
         todo = [pid for pid, m in manifests.items() if len(m.files) > 1]

@@ -1,8 +1,10 @@
-from .manifest import (Manifest, archive_manifest, gc_lake, load_manifests,
-                       load_manifests_at, prune_history, snapshot_epochs,
-                       write_manifest)
+from .manifest import (FencedWriterError, Manifest, acquire_writer_gen,
+                       archive_manifest, current_writer_gen, gc_lake,
+                       load_manifests, load_manifests_at, prune_history,
+                       snapshot_epochs, write_manifest)
 from .registry import SchemaRegistry
 
 __all__ = ["Manifest", "load_manifests", "write_manifest", "gc_lake",
            "archive_manifest", "load_manifests_at", "prune_history",
-           "snapshot_epochs", "SchemaRegistry"]
+           "snapshot_epochs", "SchemaRegistry", "FencedWriterError",
+           "acquire_writer_gen", "current_writer_gen"]

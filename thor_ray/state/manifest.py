@@ -191,3 +191,37 @@ def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
                 os.remove(f)
                 removed += 1
     return removed
+
+
+# --- writer fencing ---------------------------------------------------------
+# Zombie-writer protection for the exactly-once sink: each pipeline takes a
+# monotonically increasing writer generation before its FIRST commit; every
+# later commit verifies the persisted generation is still its own. A paused
+# driver that resumes after a newer writer took over fails closed instead of
+# swapping stale manifests over newer state (the Delta/Iceberg-style token,
+# minus CAS: os.replace gives atomic visibility; on shared storage without
+# compare-and-swap this is last-acquirer-wins best effort — documented).
+
+
+class FencedWriterError(RuntimeError):
+    """A newer writer generation owns this lake; this writer must stop."""
+
+
+def _writer_path(lake_dir: str) -> str:
+    return os.path.join(_manifest_dir(lake_dir), "writer.json")
+
+
+def current_writer_gen(lake_dir: str) -> int:
+    try:
+        with open(_writer_path(lake_dir)) as f:
+            return int(json.load(f)["gen"])
+    except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
+        return 0
+
+
+def acquire_writer_gen(lake_dir: str) -> int:
+    """Take over the lake: bump and persist the generation token."""
+    g = current_writer_gen(lake_dir) + 1
+    os.makedirs(_manifest_dir(lake_dir), exist_ok=True)
+    _atomic_write(_writer_path(lake_dir), {"gen": g})
+    return g
