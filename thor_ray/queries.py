@@ -5580,6 +5580,90 @@ def q202_bpe_merges(sf: str):
     return out[["rank", "left", "right", "count"]]
 
 
+def q203_locf(sf: str):
+    """Last-observation-carried-forward (the IGNORE NULLS window): treat
+    'click' values as missing, forward-fill each user's last seen value
+    in (ts, event_id) order. Salt shuffle on user hash; the fill inside
+    each group is ONE C-level pandas groupby().ffill — values are copied,
+    never recomputed, so the hash is exact with no rounding."""
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        v = g["value"].where(g["event_type"] != "click")
+        g["filled"] = v.groupby(g["user_id"]).ffill()
+        return g[["event_id", "user_id", "filled"]]
+
+    return (_salted_user_events(
+        sf, ["event_id", "user_id", "ts", "event_type", "value"])
+        .groupby("usalt").map_groups(fill, batch_format="pandas"))
+
+
+SQL_Q203 = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type <> 'click' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS filled
+FROM events
+"""
+
+
+def q204_describe(sf: str):
+    """Table profiling (describe): count / mean / stddev / min / max per
+    numeric column in ONE distributed pass — per-batch centered moments
+    (n, mean, M2) per column (the combiner), Chan-merged inside a tiny
+    groupby(col). Centered numerics match DuckDB's stable stddev where a
+    naive Σx² would lose ~6 digits to cancellation."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = T(sf, "lineitem", cols)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            x = t[c].to_numpy(zero_copy_only=False)
+            m = float(x.mean())
+            rows.append({"col": c, "n": len(x), "mean": m,
+                         "m2": float(((x - m) ** 2).sum()),
+                         "vmin": float(x.min()), "vmax": float(x.max())})
+        return pd.DataFrame(rows)
+
+    def chan(g: pd.DataFrame) -> pd.DataFrame:
+        n, mean, m2 = 0, 0.0, 0.0
+        for r in g.itertuples(index=False):
+            d = r.mean - mean
+            tot = n + r.n
+            m2 += r.m2 + d * d * n * r.n / tot
+            mean += d * r.n / tot
+            n = tot
+        return pd.DataFrame([{
+            "col": g["col"].iloc[0], "n": np.int64(n),
+            "mean": _round_away(mean, 6),
+            "std": _round_away((m2 / (n - 1)) ** 0.5, 6),
+            "vmin": _round_away(g["vmin"].min(), 6),
+            "vmax": _round_away(g["vmax"].max(), 6)}])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("col").map_groups(chan, batch_format="pandas"))
+
+
+SQL_Q204 = """
+SELECT 'l_quantity' AS col, count(*) AS n,
+       round(avg(l_quantity), 6) AS mean,
+       round(stddev_samp(l_quantity), 6) AS std,
+       round(min(l_quantity), 6) AS vmin,
+       round(max(l_quantity), 6) AS vmax FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), round(avg(l_extendedprice), 6),
+       round(stddev_samp(l_extendedprice), 6),
+       round(min(l_extendedprice), 6), round(max(l_extendedprice), 6)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), round(avg(l_discount), 6),
+       round(stddev_samp(l_discount), 6),
+       round(min(l_discount), 6), round(max(l_discount), 6)
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5790,6 +5874,8 @@ QUERIES: dict[str, tuple] = {
     "q200_dim_variance": (q200_dim_variance, SQL_Q200),
     "q201_pca": (q201_pca, None),
     "q202_bpe_merges": (q202_bpe_merges, None),
+    "q203_locf": (q203_locf, SQL_Q203),
+    "q204_describe": (q204_describe, SQL_Q204),
 }
 
 
