@@ -188,3 +188,56 @@ def triangle_count(edges: Dataset, a: str = "s1", b: str = "s2") -> int:
     out = _rd.from_arrow_refs(refs) \
         .map_batches(count, batch_format="pyarrow").sum("tri")
     return int(out or 0)
+
+
+def random_walks(edges: Dataset, src: str, dst: str, starts: list[int],
+                 n_steps: int = 5, seed: int = 42):
+    """Deterministic hash-seeded random walks (node2vec-style sampling,
+    p=q=1): one walk per start node, each step choosing the
+    h(walk, step, seed)-th out-edge of the walker's current node among
+    its dst-sorted neighbors — fully reproducible across runs, shuffle
+    orders and cluster sizes (no RNG state).
+
+    Scale shape: per step, ONE map-only pass over the distributed edge
+    set gathers the out-neighbors of the current positions (broadcast
+    is_in filter — frontier-sized, never graph-sized); the walker table
+    itself is user-chosen-K-sized and driver-resident. Walks stop early
+    at dead ends. Returns pandas (walk_id, step, node) incl. step 0."""
+    import hashlib
+
+    import pandas as pd
+    import ray as _ray
+
+    edges = edges.materialize()
+    pos = {int(s): int(s) for s in starts}       # walk_id -> current node
+    out = [{"walk_id": w, "step": 0, "node": n} for w, n in
+           sorted(pos.items())]
+    for t in range(1, n_steps + 1):
+        if not pos:
+            break
+        nodes = np.unique(np.fromiter(pos.values(), dtype=np.int64))
+        fref = _ray.put(pa.array(nodes))
+
+        def gather(tb: pa.Table, _f=fref) -> pa.Table:
+            m = pc.is_in(tb[src], value_set=_ray.get(_f))
+            f = tb.filter(m)
+            return pa.table({"s": f[src], "d": f[dst]})
+
+        nb = edges.map_batches(gather, batch_format="pyarrow").to_pandas()
+        if len(nb) == 0 or "s" not in nb.columns:   # Ray 2.49 0-row wart
+            break
+        nb = nb.drop_duplicates().sort_values(["s", "d"], kind="stable")
+        neigh = {s: g["d"].to_numpy() for s, g in nb.groupby("s")}
+        nxt: dict[int, int] = {}
+        for w, v in pos.items():
+            ns = neigh.get(v)
+            if ns is None or len(ns) == 0:
+                continue                              # dead end: stop
+            h = int.from_bytes(hashlib.md5(
+                f"{w}:{t}:{seed}".encode()).digest()[:8], "big")
+            node = int(ns[h % len(ns)])
+            nxt[w] = node
+            out.append({"walk_id": w, "step": t, "node": node})
+        pos = nxt
+    return pd.DataFrame(out, columns=["walk_id", "step", "node"]) \
+        .astype({"walk_id": "int64", "step": "int64", "node": "int64"})

@@ -5664,6 +5664,72 @@ FROM lineitem
 """
 
 
+def q205_label_centroids(sf: str):
+    """Per-class embedding centroids (the grouped vector mean every
+    classifier/clustering pipeline needs): each batch reduces to one
+    (label, dim) partial-sum row set via a single np.add.at scatter —
+    (labels × d) rows per batch regardless of row count — then one
+    groupby((label, i)) over combinable sums."""
+    from thor_ray.ops.ann import vec_matrix
+    ds = T(sf, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = vec_matrix(t["embedding"]).astype(np.float64, copy=False)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = x.shape[1]
+        sums = np.zeros((len(ul), d), dtype=np.float64)
+        np.add.at(sums, inv, x)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d), pa.int32()),
+            "i": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                  len(ul))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, d))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "i"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+           .to_pandas())   # output-sized: labels × dims
+    cen = _rnd(pa.array(agg["s"] / agg["n"], pa.float64()), 6)
+    return pd.DataFrame({"label": agg["label"], "i": agg["i"],
+                         "centroid": cen.to_numpy(zero_copy_only=False)})
+
+
+SQL_Q205 = """
+WITH x AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings)
+SELECT label, CAST(i AS BIGINT) AS i, round(avg(v), 6) AS centroid
+FROM x GROUP BY label, i
+"""
+
+
+def q206_random_walks(sf: str):
+    """Deterministic hash-seeded random-walk sampling (node2vec shape)
+    over the q199 chord graph: 16 walks × 6 steps; each step is one
+    map-only broadcast-frontier pass over the distributed edge set
+    (ops/graph.py::random_walks). No SQL twin (iterated hash-driven
+    choice); path validity + determinism unit-tested."""
+    from thor_ray.ops import graph as G
+    ds = T(sf, "part", ["p_partkey"])
+    P = ds.count()
+
+    def mk(t: pa.Table) -> pa.Table:
+        p = t["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([p, p])),
+            "dst": pa.array(np.concatenate(
+                [1 + (p * 2) % P, 1 + (p * 5) % P]))})
+
+    edges = ds.map_batches(mk, batch_format="pyarrow")
+    return G.random_walks(edges, "src", "dst",
+                          starts=list(range(1, 17)), n_steps=6)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5876,6 +5942,8 @@ QUERIES: dict[str, tuple] = {
     "q202_bpe_merges": (q202_bpe_merges, None),
     "q203_locf": (q203_locf, SQL_Q203),
     "q204_describe": (q204_describe, SQL_Q204),
+    "q205_label_centroids": (q205_label_centroids, SQL_Q205),
+    "q206_random_walks": (q206_random_walks, None),
 }
 
 
