@@ -1790,6 +1790,15 @@ def test_training_corpus_optional_tiers(ray_session):
         toks = r["chunk"].split(" ")
         assert len(r["token_ids"]) == len(toks)
         assert all(0 <= t <= 10 for t in r["token_ids"])
+    # bpe_merges tier: subword tokens reassemble each chunk's words
+    out2 = build_training_corpus(ds, min_quality=0.0,
+                                 jaccard_threshold=0.9, chunk_size=600,
+                                 chunk_stride=600,
+                                 bpe_merges=8).to_pandas()
+    import re
+    for _, r in out2.iterrows():
+        words = [w for w in re.split("[^a-z]+", r["chunk"].lower()) if w]
+        assert "".join(r["bpe_tokens"]) == "</w>".join(words) + "</w>"
 
 
 def test_count_min_sketch(ray_session):

@@ -1011,6 +1011,41 @@ def bpe_train(ds: Dataset, text_col: str = "text",
     return merges
 
 
+def _encode_word(w: str, rk: dict) -> list[str]:
+    """Greedy lowest-rank BPE merge of one word (the standard encode)."""
+    syms = list(w) + ["</w>"]
+    while len(syms) > 1:
+        best, bi = None, -1
+        for i in range(len(syms) - 1):
+            r = rk.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+    return syms
+
+
+def _encode_batch_words(col, rk: dict) -> pa.Array:
+    """BPE-encode one string column: the merge loop runs ONCE PER
+    DISTINCT word in the batch (the q124 memo trick), never per
+    occurrence. Returns list<string> tokens per row."""
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(col, "")), pattern="[^a-z]+")
+    memo: dict[str, list[str]] = {}
+    docs = []
+    for row in lists.to_pylist():
+        toks: list[str] = []
+        for w in row:
+            if not w:
+                continue
+            if w not in memo:
+                memo[w] = _encode_word(w, rk)
+            toks.extend(memo[w])
+        docs.append(toks)
+    return pa.array(docs, pa.list_(pa.string()))
+
+
 def bpe_encode(ds: Dataset, merges: list[dict], text_col: str = "text",
                id_col: str = "doc_id", out: str = "bpe_tokens") -> Dataset:
     """Apply trained merges: broadcast the rank table once (ray.put);
@@ -1022,36 +1057,9 @@ def bpe_encode(ds: Dataset, merges: list[dict], text_col: str = "text",
     ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
     rref = _ray.put(ranks)
 
-    def encode_word(w: str, rk: dict) -> list[str]:
-        syms = list(w) + ["</w>"]
-        while len(syms) > 1:
-            best, bi = None, -1
-            for i in range(len(syms) - 1):
-                r = rk.get((syms[i], syms[i + 1]))
-                if r is not None and (best is None or r < best):
-                    best, bi = r, i
-            if best is None:
-                break
-            syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
-        return syms
-
     def fn(t: pa.Table) -> pa.Table:
-        rk = _ray.get(rref)
-        lists = pc.split_pattern_regex(
-            pc.utf8_lower(pc.fill_null(t[text_col], "")),
-            pattern="[^a-z]+")
-        memo: dict[str, list[str]] = {}
-        docs = []
-        for row in lists.to_pylist():
-            toks: list[str] = []
-            for w in row:
-                if not w:
-                    continue
-                if w not in memo:
-                    memo[w] = encode_word(w, rk)
-                toks.extend(memo[w])
-            docs.append(toks)
         return pa.table({id_col: t[id_col],
-                         out: pa.array(docs, pa.list_(pa.string()))})
+                         out: _encode_batch_words(t[text_col],
+                                                  _ray.get(rref))})
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -29,7 +29,8 @@ def build_training_corpus(ds: Dataset, text_col: str = "text",
                           chunk_size: int = 512,
                           chunk_stride: int = 384,
                           strip_span_k: int | None = None,
-                          vocab_size: int | None = None) -> Dataset:
+                          vocab_size: int | None = None,
+                          bpe_merges: int | None = None) -> Dataset:
     """documents(id, text, [lang]) → deduped chunk table
     (id, chunk_id, chunk, n_tokens[, token_ids]). See module docstring for
     the stage list; each stage is this repo's standalone operator, so any
@@ -37,7 +38,9 @@ def build_training_corpus(ds: Dataset, text_col: str = "text",
 
     Optional tiers: ``strip_span_k`` inserts exact-substring boilerplate
     removal (Lee et al. span strip) between the dedups and the chunker;
-    ``vocab_size`` appends vocabulary-mapped token ids to each chunk."""
+    ``vocab_size`` appends vocabulary-mapped token ids to each chunk;
+    ``bpe_merges`` trains a BPE merge table on the deduped corpus
+    (distributed word histogram) and appends subword tokens per chunk."""
     ds = TX.normalize_text(ds, text_col=text_col, out="_norm")
 
     def use_norm(t: pa.Table) -> pa.Table:
@@ -95,6 +98,20 @@ def build_training_corpus(ds: Dataset, text_col: str = "text",
     out = TX.token_count(chunks, text_col="chunk")
     if vocab_size:
         out = _with_token_ids(out, vocab_size)
+    if bpe_merges:
+        # train on the DEDUPED corpus (pre-chunk) so boilerplate can't
+        # dominate the merge table, then encode each chunk in place
+        import ray as _ray
+        merges = TX.bpe_train(ds, text_col=text_col, n_merges=bpe_merges)
+        ranks = {(m["left"], m["right"]): m["rank"] for m in merges}
+        rref = _ray.put(ranks)
+
+        def encode_col(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "bpe_tokens",
+                TX._encode_batch_words(t["chunk"], _ray.get(rref)))
+
+        out = out.map_batches(encode_col, batch_format="pyarrow")
     return out
 
 
