@@ -210,6 +210,23 @@ def test_jsonl_binlog_replay(ray_session, grown, tmp_path):
     check(pipe, grown["expected"])
 
 
+def test_jsonl_gz_binlog_replay(ray_session, grown, tmp_path):
+    """S2 contract over the gzip-compressed JSONL wire tier (the
+    compressed JSON wire real log shippers emit): same lsn/frontier
+    contract, decompression inside the read tasks."""
+    binlog_dir = str(tmp_path / "binlog_gz")
+    paths = grown["log"].write_jsonl(binlog_dir, gzip=True)
+    assert all(p.endswith(".jsonl.gz") for p in paths)
+    assert bs.binlog_format(binlog_dir) == "jsonl.gz"
+    assert bs.max_lsn(binlog_dir) == 8_000
+    assert len(bs.shard_frontiers(binlog_dir)) == 4
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=8, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=grown["base_path"])
+    check(pipe, grown["expected"])
+
+
 def test_csv_binlog_replay(ray_session, grown, tmp_path):
     """S2 contract over the CSV wire tier (StringConverter analogue)."""
     binlog_dir = str(tmp_path / "binlog_csv")

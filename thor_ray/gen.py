@@ -150,19 +150,23 @@ class Binlog:
             paths.append(p)
         return paths
 
-    def write_jsonl(self, out_dir: str) -> list[str]:
-        """JSONL shard files (`shard-NNNN.jsonl`) — the Kafka-Connect-style
-        JSON wire tier of the same log; `ts` serialized as epoch-µs int64
-        (JSON has no timestamp type). Same lsn/frontier contract as the
-        parquet tier (thor_ray.sources.binlog reads both)."""
+    def write_jsonl(self, out_dir: str, gzip: bool = False) -> list[str]:
+        """JSONL shard files (`shard-NNNN.jsonl[.gz]`) — the
+        Kafka-Connect-style JSON wire tier of the same log (`gzip=True`
+        writes the compressed wire real log shippers emit); `ts`
+        serialized as epoch-µs int64 (JSON has no timestamp type). Same
+        lsn/frontier contract as the parquet tier (thor_ray.sources.binlog
+        reads all tiers)."""
         os.makedirs(out_dir, exist_ok=True)
         self._write_shard_marker(out_dir)
         paths = []
+        ext = "jsonl.gz" if gzip else "jsonl"
         for i, t in enumerate(self.shards):
-            p = os.path.join(out_dir, f"shard-{i:04d}.jsonl")
+            p = os.path.join(out_dir, f"shard-{i:04d}.{ext}")
             df = t.to_pandas()
             df["ts"] = df["ts"].astype("int64")  # datetime64[us] -> µs
-            df.to_json(p, orient="records", lines=True)
+            df.to_json(p, orient="records", lines=True,
+                       compression="gzip" if gzip else None)
             paths.append(p)
         return paths
 

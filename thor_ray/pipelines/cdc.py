@@ -101,10 +101,11 @@ def _write_binlog_segment(t: pa.Table, path: str, fmt: str) -> None:
     tmp = path + f".tmp-{os.getpid()}"
     if fmt == "parquet":
         pq.write_table(t, tmp, row_group_size=16 * 1024)
-    elif fmt == "jsonl":
+    elif fmt in ("jsonl", "jsonl.gz"):
         df = t.to_pandas()
         df["ts"] = df["ts"].astype("int64")
-        df.to_json(tmp, orient="records", lines=True)
+        df.to_json(tmp, orient="records", lines=True,
+                   compression="gzip" if fmt == "jsonl.gz" else None)
     else:  # csv
         import pyarrow.csv as pacsv
         t2 = t.set_column(t.schema.get_field_index("ts"), "ts",

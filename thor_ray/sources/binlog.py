@@ -7,11 +7,13 @@ An "epoch" is a bounded lsn slice of the sharded change-event log
   mostly-lsn-sorted (bounded shuffle window), so Parquet row-group
   statistics prune most of the file for a given lsn range, and frontiers
   come from metadata alone (no data read).
-- ``shard-*.jsonl`` / ``shard-*.csv``: the Kafka-Connect-style text wire
-  tiers (JsonConverter / StringConverter analogues). Neither has column
-  statistics, so frontier scans parse the (projected) lsn column and epoch
-  reads filter post-parse. Fine for ingest compatibility; a production
-  tail should compact text tiers to parquet. A dir uses ONE format.
+- ``shard-*.jsonl`` / ``shard-*.jsonl.gz`` / ``shard-*.csv``: the
+  Kafka-Connect-style text wire tiers (JsonConverter / StringConverter
+  analogues; the ``.gz`` tier is the compressed JSON wire real log
+  shippers emit). None has column statistics, so frontier scans parse
+  the (projected) lsn column and epoch reads filter post-parse. Fine for
+  ingest compatibility; a production tail should compact text tiers to
+  parquet. A dir uses ONE format.
 
 DDL events are tiny and read driver-side (they are broadcast to every
 partition's applier, SURVEY.md §7 "cross-partition DDL consistency").
@@ -49,7 +51,7 @@ def _jsonl_parse_options(columns: list[str] | None = None) -> pajson.ParseOption
 
 
 def shard_files(binlog_dir: str) -> list[str]:
-    for ext in ("parquet", "jsonl", "csv"):
+    for ext in ("parquet", "jsonl", "jsonl.gz", "csv"):
         fs = sorted(glob.glob(os.path.join(binlog_dir, f"shard-*.{ext}")))
         if fs:
             return fs
@@ -60,7 +62,14 @@ def binlog_format(binlog_dir: str) -> str:
     files = shard_files(binlog_dir)
     if not files:
         return "parquet"
+    if files[0].endswith(".jsonl.gz"):
+        return "jsonl.gz"
     return files[0].rsplit(".", 1)[-1]
+
+
+def _open_text(p: str):
+    """Decompressing reader for text shards (gzip inferred by suffix)."""
+    return pa.input_stream(p, compression="detect")
 
 
 def _csv_convert_options(columns: list[str] | None = None):
@@ -76,8 +85,9 @@ def _csv_convert_options(columns: list[str] | None = None):
 def _file_max_lsn(p: str) -> int:
     """Max lsn of one shard file: parquet via row-group stats (no data
     read); text tiers by parsing only the lsn column."""
-    if p.endswith(".jsonl"):
-        t = pajson.read_json(p, parse_options=_jsonl_parse_options(["lsn"]))
+    if p.endswith((".jsonl", ".jsonl.gz")):
+        t = pajson.read_json(_open_text(p),
+                             parse_options=_jsonl_parse_options(["lsn"]))
         m = pc.max(t["lsn"]).as_py() if t.num_rows else None
         return int(m) if m is not None else 0
     if p.endswith(".csv"):
@@ -151,10 +161,15 @@ def read_epoch(binlog_dir: str, lo: int, hi: int,
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
-    if files[0].endswith((".jsonl", ".csv")):
+    if files[0].endswith((".jsonl", ".jsonl.gz", ".csv")):
         # no stats in text tiers: schema-projected parse, then a vectorized
         # post-parse filter (same lsn contract, no pushdown)
-        if files[0].endswith(".jsonl"):
+        if files[0].endswith(".jsonl.gz"):
+            ds = ray.data.read_json(
+                files, file_extensions=["jsonl.gz"],
+                arrow_open_stream_args={"compression": "gzip"},
+                parse_options=_jsonl_parse_options(columns), **kw)
+        elif files[0].endswith(".jsonl"):
             ds = ray.data.read_json(
                 files, file_extensions=["jsonl"],
                 parse_options=_jsonl_parse_options(columns), **kw)
@@ -195,12 +210,13 @@ def read_ddl_events(binlog_dir: str, lo: int, hi: int) -> list[dict]:
     files = shard_files(binlog_dir)
     if not files:
         return []
-    if files[0].endswith((".jsonl", ".csv")):
+    if files[0].endswith((".jsonl", ".jsonl.gz", ".csv")):
         parts = []
         for p in files:
-            if p.endswith(".jsonl"):
-                tt = pajson.read_json(p, parse_options=_jsonl_parse_options(
-                    ["lsn", "op", "schema_ver", "ddl"]))
+            if p.endswith((".jsonl", ".jsonl.gz")):
+                tt = pajson.read_json(
+                    _open_text(p), parse_options=_jsonl_parse_options(
+                        ["lsn", "op", "schema_ver", "ddl"]))
             else:
                 import pyarrow.csv as pacsv
                 tt = pacsv.read_csv(p, convert_options=_csv_convert_options(
