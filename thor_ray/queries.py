@@ -5730,6 +5730,107 @@ def q206_random_walks(sf: str):
                           starts=list(range(1, 17)), n_steps=6)
 
 
+def q207_ewma(sf: str):
+    """Per-user exponential moving average (α=0.5, y₁=x₁): the classic
+    streaming smoother. α=0.5 makes every scale factor an exact power of
+    two (exponent-only float ops), so the ONLY rounding is the running
+    sum — computed in the same ascending (ts, event_id) order on both
+    sides (numpy cumsum vs DuckDB running window sum). Salt shuffle on
+    user hash; everything inside the group is vectorized."""
+    def ew(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        rn = g.groupby("user_id").cumcount().to_numpy() + 1
+        v = g["value"].to_numpy()
+        w = np.where(rn == 1, 1.0, 0.5)
+        scaled = w * v * np.exp2(rn.astype(np.float64))
+        # per-user running sum (C-level), SAME addition order as the
+        # oracle's per-partition window sum — the one inexact step
+        s = pd.Series(scaled).groupby(
+            g["user_id"].to_numpy()).cumsum().to_numpy()
+        ewma = s * np.exp2(-rn.astype(np.float64))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "ewma": _rnd(pa.array(ewma, pa.float64()), 6)
+            .to_numpy(zero_copy_only=False)})
+
+    return (_salted_user_events(sf, ["event_id", "user_id", "ts",
+                                     "value"])
+            .groupby("usalt").map_groups(ew, batch_format="pandas"))
+
+
+SQL_Q207 = """
+WITH o AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_id, user_id,
+       round(sum((CASE WHEN rn = 1 THEN 1.0 ELSE 0.5 END)
+                 * value * pow(2.0, rn))
+               OVER (PARTITION BY user_id ORDER BY rn)
+             * pow(2.0, -rn), 6) AS ewma
+FROM o
+"""
+
+
+def q208_ohlc(sf: str):
+    """OHLC bars (open/high/low/close + count) per (event_type, day) —
+    the time-series candlestick shape. Per-batch partial keeps one
+    open/close candidate row per (type, day) plus min/max partials; the
+    tiny groupby resolves candidates by true (ts, event_id) order.
+    Values are copied, never recomputed — hash-exact, no rounding."""
+    ds = T(sf, "events", ["event_id", "ts", "event_type", "value"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["day"] = g["ts"].dt.floor("D")
+        grp = g.groupby(["event_type", "day"], sort=False)
+        first = grp.head(1).rename(columns={
+            "value": "open", "ts": "ots", "event_id": "oid"})
+        last = grp.tail(1).rename(columns={
+            "value": "close", "ts": "cts", "event_id": "cid"})
+        mm = grp.agg(high=("value", "max"), low=("value", "min"),
+                     n=("value", "size")).reset_index()
+        out = mm.merge(first[["event_type", "day", "open", "ots", "oid"]],
+                       on=["event_type", "day"]) \
+            .merge(last[["event_type", "day", "close", "cts", "cid"]],
+                   on=["event_type", "day"])
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.sort_values(["ots", "oid"], kind="stable").iloc[0]
+        c = g.sort_values(["cts", "cid"], kind="stable").iloc[-1]
+        return pd.DataFrame([{
+            "event_type": g["event_type"].iloc[0],
+            "day": g["day"].iloc[0],
+            "open": o["open"], "close": c["close"],
+            "high": g["high"].max(), "low": g["low"].min(),
+            "n": np.int64(g["n"].sum())}])
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["event_type", "day"])
+            .map_groups(final, batch_format="pandas"))
+
+
+SQL_Q208 = """
+WITH w AS (
+  SELECT event_type, date_trunc('day', ts) AS day, value,
+         first_value(value) OVER win AS open,
+         last_value(value) OVER
+           (PARTITION BY event_type, date_trunc('day', ts)
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS close
+  FROM events
+  WINDOW win AS (PARTITION BY event_type, date_trunc('day', ts)
+                 ORDER BY ts, event_id))
+SELECT event_type, day, max(open) AS open, max(close) AS close,
+       max(value) AS high, min(value) AS low, count(*) AS n
+FROM w GROUP BY event_type, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5944,6 +6045,8 @@ QUERIES: dict[str, tuple] = {
     "q204_describe": (q204_describe, SQL_Q204),
     "q205_label_centroids": (q205_label_centroids, SQL_Q205),
     "q206_random_walks": (q206_random_walks, None),
+    "q207_ewma": (q207_ewma, SQL_Q207),
+    "q208_ohlc": (q208_ohlc, SQL_Q208),
 }
 
 
