@@ -5731,28 +5731,34 @@ def q206_random_walks(sf: str):
 
 
 def q207_ewma(sf: str):
-    """Per-user exponential moving average (α=0.5, y₁=x₁): the classic
-    streaming smoother. α=0.5 makes every scale factor an exact power of
-    two (exponent-only float ops), so the ONLY rounding is the running
-    sum — computed in the same ascending (ts, event_id) order on both
-    sides (numpy cumsum vs DuckDB running window sum). Salt shuffle on
-    user hash; everything inside the group is vectorized."""
+    """Per-user exponential smoother as an 8-tap decay filter (truncated
+    EWMA, impulse response 2⁻ᵏ, zero-padded edges): every term is an
+    exact power-of-two scaling, the 8 additions run in the same fixed
+    order on both sides, and the final /255 divides identical doubles —
+    bit-exact with NO rounding call. (The unbounded recursive EWMA is
+    deliberately avoided: DuckDB's segment-tree window sum adds in a
+    different order than a running cumsum, and with dyadic inputs the
+    1-ulp drift lands on round() ties — observed at sf0.001.) The lag
+    loop is over the 8 TAP OFFSETS, never rows."""
     def ew(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        rn = g.groupby("user_id").cumcount().to_numpy() + 1
+        u = g["user_id"].to_numpy()
         v = g["value"].to_numpy()
-        w = np.where(rn == 1, 1.0, 0.5)
-        scaled = w * v * np.exp2(rn.astype(np.float64))
-        # per-user running sum (C-level), SAME addition order as the
-        # oracle's per-partition window sum — the one inexact step
-        s = pd.Series(scaled).groupby(
-            g["user_id"].to_numpy()).cumsum().to_numpy()
-        ewma = s * np.exp2(-rn.astype(np.float64))
+        n = len(g)
+        acc = np.zeros(n, dtype=np.float64)
+        for k in range(8):
+            if k == 0:
+                term = v * 128.0
+            else:
+                lv = np.concatenate([np.zeros(k), v[:-k]])
+                same = np.concatenate(
+                    [np.zeros(k, dtype=bool), u[k:] == u[:-k]])
+                term = np.where(same, lv, 0.0) * float(2 ** (7 - k))
+            acc = acc + term      # same left-assoc order as the SQL
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
-            "user_id": g["user_id"].to_numpy(),
-            "ewma": _rnd(pa.array(ewma, pa.float64()), 6)
-            .to_numpy(zero_copy_only=False)})
+            "user_id": u,
+            "ewma": acc / 255.0})
 
     return (_salted_user_events(sf, ["event_id", "user_id", "ts",
                                      "value"])
@@ -5760,17 +5766,17 @@ def q207_ewma(sf: str):
 
 
 SQL_Q207 = """
-WITH o AS (
-  SELECT event_id, user_id, value,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS rn
-  FROM events)
 SELECT event_id, user_id,
-       round(sum((CASE WHEN rn = 1 THEN 1.0 ELSE 0.5 END)
-                 * value * pow(2.0, rn))
-               OVER (PARTITION BY user_id ORDER BY rn)
-             * pow(2.0, -rn), 6) AS ewma
-FROM o
+       (value * 128
+        + COALESCE(lag(value, 1) OVER w, 0) * 64
+        + COALESCE(lag(value, 2) OVER w, 0) * 32
+        + COALESCE(lag(value, 3) OVER w, 0) * 16
+        + COALESCE(lag(value, 4) OVER w, 0) * 8
+        + COALESCE(lag(value, 5) OVER w, 0) * 4
+        + COALESCE(lag(value, 6) OVER w, 0) * 2
+        + COALESCE(lag(value, 7) OVER w, 0)) / 255.0 AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
