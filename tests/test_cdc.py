@@ -681,3 +681,55 @@ def test_writer_fencing(ray_session, fixture, tmp_path):
     a.run()
     pd.testing.assert_frame_equal(
         normalize(a.final_table().to_pandas()), want, check_dtype=False)
+
+
+def test_fsck(ray_session, fixture, tmp_path):
+    """fsck: clean lake passes deep check; a missing state file, a
+    tampered row_count, and a fingerprint-breaking file edit are each
+    flagged; orphan files only warn."""
+    from thor_ray.sources import fsck
+
+    lake = str(tmp_path / "lake")
+    run_pipeline(fixture, lake)
+    rep = fsck(lake, deep=True)
+    assert rep["ok"], rep["errors"]
+    assert rep["partitions"] == 8 and not rep["errors"]
+
+    # orphan file: warning only
+    orphan = os.path.join(lake, "part=00001", "state-e999999.parquet")
+    import pyarrow.parquet as _pq
+    _pq.write_table(pa.table({"x": [1]}), orphan)
+    rep = fsck(lake)
+    assert rep["ok"] and any("orphan" in w for w in rep["warnings"])
+    os.remove(orphan)
+
+    # tampered row_count: shallow catches it on compacted partitions
+    mp = os.path.join(lake, "_manifests", "part-00002.json")
+    with open(mp) as f:
+        payload = json.load(f)
+    payload["row_count"] += 1
+    with open(mp, "w") as f:
+        json.dump(payload, f)
+    rep = fsck(lake)
+    assert not rep["ok"] and any("row_count" in e for e in rep["errors"])
+    payload["row_count"] -= 1
+    with open(mp, "w") as f:
+        json.dump(payload, f)
+    assert fsck(lake)["ok"]
+
+    # missing file
+    ms = load_manifests(lake)
+    victim = ms[3].files[0]
+    bak = victim + ".bak"
+    os.rename(victim, bak)
+    rep = fsck(lake)
+    assert not rep["ok"] and any("missing file" in e for e in rep["errors"])
+    os.rename(bak, victim)
+
+    # content tamper: same row count, different content -> deep-only
+    df = _pq.read_table(victim).to_pandas()
+    df.loc[df.index[0], "_sha"] = "0" * 64
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), victim)
+    assert fsck(lake)["ok"]           # shallow can't see it
+    rep = fsck(lake, deep=True)
+    assert not rep["ok"] and any("fingerprint" in e for e in rep["errors"])

@@ -115,6 +115,22 @@ def cmd_stats(a) -> int:
     return 0
 
 
+def cmd_fsck(a) -> int:
+    """Lake consistency check: shallow = manifests/footers/orphans
+    (metadata-only); --deep re-folds every partition distributed and
+    recomputes row counts + content fingerprints."""
+    r = None
+    if a.deep:
+        r = _ray_init(a.num_cpus)
+    from thor_ray.sources import fsck
+
+    rep = fsck(a.lake, deep=a.deep)
+    print(json.dumps(rep))
+    if r is not None:
+        r.shutdown()
+    return 0 if rep["ok"] else 1
+
+
 def cmd_archive(a) -> int:
     """Retire fully-consumed binlog segments (metadata-only; no Ray)."""
     from thor_ray.sources import binlog as binlog_src
@@ -325,6 +341,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns for HLL distinct counts")
     st.add_argument("--num-cpus", type=int)
     st.set_defaults(fn=cmd_stats)
+
+    fs = sub.add_parser("fsck", help="lake consistency check "
+                                     "(exit 1 on corruption)")
+    fs.add_argument("--lake", required=True)
+    fs.add_argument("--deep", action="store_true",
+                    help="re-fold partitions; verify rows + fingerprints")
+    fs.add_argument("--num-cpus", type=int)
+    fs.set_defaults(fn=cmd_fsck)
 
     dl = sub.add_parser("delete",
                         help="append retention tombstones for keys matching "

@@ -499,3 +499,106 @@ def read_changefeed(lake_dir: str, after_epoch: int,
     for d in per_epoch[1:]:
         out = out.union(d)
     return out
+
+
+def fsck(lake_dir: str, deep: bool = False) -> dict:
+    """Lake consistency check (the maintenance command run before trusting
+    a restored/migrated lake).
+
+    Shallow (metadata-only, no data read): every manifest-referenced file
+    exists with a readable parquet footer; single-file (compacted)
+    partitions' footer row counts match the manifest; schema versions are
+    within the registry; unreferenced data files are listed as warnings
+    (crash leftovers are LEGAL — deterministic names mean replay
+    overwrites them; gc removes the strictly-older ones).
+
+    Deep: additionally folds every partition (merge-on-read, one
+    DISTRIBUTED task per partition) and recomputes live row count and the
+    XOR content fingerprint against the manifest.
+
+    Returns {"ok", "partitions", "files", "errors", "warnings"}."""
+    import glob as _glob
+
+    from thor_ray.state import SchemaRegistry, load_manifests
+    from thor_ray.state.manifest import _history_dir  # noqa: SLF001
+
+    errors: list[str] = []
+    warnings: list[str] = []
+    ms = load_manifests(lake_dir)
+    if not ms:
+        return {"ok": False, "partitions": 0, "files": 0,
+                "errors": [f"no manifests under {lake_dir}"],
+                "warnings": []}
+    try:
+        reg = SchemaRegistry.load(lake_dir)
+        reg_ver = reg.version
+    except Exception as e:  # noqa: BLE001
+        errors.append(f"schema registry unreadable: {e}")
+        reg_ver = None
+    n_files = 0
+    for pid, m in sorted(ms.items()):
+        if reg_ver is not None and m.schema_ver > reg_ver:
+            errors.append(f"part {pid}: schema_ver {m.schema_ver} beyond "
+                          f"registry version {reg_ver}")
+        rows_meta = 0
+        for f in m.files:
+            n_files += 1
+            if not os.path.exists(f):
+                errors.append(f"part {pid}: missing file {f}")
+                continue
+            try:
+                rows_meta += pq.read_metadata(f).num_rows
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"part {pid}: unreadable footer {f}: {e}")
+        if len(m.files) == 1 and m.row_count >= 0 and not errors:
+            if rows_meta != m.row_count:
+                errors.append(
+                    f"part {pid}: footer rows {rows_meta} != manifest "
+                    f"row_count {m.row_count}")
+    # orphans: data files referenced by neither live manifests nor
+    # retained snapshot archives
+    live = {os.path.abspath(f) for m in ms.values() for f in m.files}
+    if os.path.isdir(_history_dir(lake_dir)):
+        for p in _glob.glob(os.path.join(_history_dir(lake_dir),
+                                         "part-*-e*.json")):
+            with open(p) as fh:
+                payload = json.load(fh)
+            live |= {os.path.abspath(f if os.path.isabs(f)
+                                     else os.path.join(lake_dir, f))
+                     for f in payload["files"]}
+    for p in _glob.glob(os.path.join(lake_dir, "part=*", "*.parquet")):
+        if os.path.abspath(p) not in live:
+            warnings.append(f"orphan (legal crash leftover): {p}")
+
+    if deep and not errors:
+        from thor_ray.pipelines.cdc import _content_hash
+
+        man = {pid: {"files": m.files, "row_count": m.row_count,
+                     "content_hash": m.content_hash}
+               for pid, m in ms.items()}
+
+        def check(b: pd.DataFrame) -> pd.DataFrame:
+            errs = []
+            for pid in b["pid"]:
+                mm = man[int(pid)]
+                df = read_partition_state(mm["files"])
+                if mm["row_count"] >= 0 and len(df) != mm["row_count"]:
+                    errs.append(f"part {pid}: folded rows {len(df)} != "
+                                f"manifest {mm['row_count']}")
+                if mm["content_hash"]:
+                    got = _content_hash(df["_sha"])
+                    if got != mm["content_hash"]:
+                        errs.append(f"part {pid}: content fingerprint "
+                                    f"mismatch")
+            return pd.DataFrame({"err": pd.Series(errs, dtype="object")})
+
+        pids = pa.table({"pid": pa.array(sorted(ms), pa.int64())})
+        out = (ray.data.from_arrow(pids)
+               .repartition(min(len(ms), 64))
+               .map_batches(check, batch_format="pandas")
+               .to_pandas())
+        if len(out) and "err" in out.columns:
+            errors.extend(out["err"].tolist())
+
+    return {"ok": not errors, "partitions": len(ms), "files": n_files,
+            "errors": errors, "warnings": warnings}
