@@ -5837,6 +5837,62 @@ FROM w GROUP BY event_type, day
 """
 
 
+def q209_ann_recall(sf: str):
+    """ANN quality evaluation: recall@10 of the cell-partitioned IVF
+    search against exact brute-force, per nprobe in {1, 2, 3, 8}. The
+    evaluation harness every ANN deployment needs — ground truth from
+    ONE brute scan, each probe tier reads only its probed cells
+    (rows-only: recall is a property of the index, not SQL)."""
+    import os
+    import shutil
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    mt = int(os.path.getmtime(f"{sf}/embeddings.parquet"))
+    idx = f"/tmp/thor_ray_ivf_{tag}_{mt}"
+    if not os.path.exists(os.path.join(idx, "_centroids.npy")):
+        shutil.rmtree(idx, ignore_errors=True)
+        ANN.ivf_build(T(sf, "embeddings", ["vec_id", "embedding"]), idx,
+                      n_cells=8)
+    q = _query_vec(sf)
+    truth = set(ANN.brute_topk(T(sf, "embeddings",
+                                 ["vec_id", "embedding"]),
+                               q, k=10).to_pandas()["vec_id"])
+    rows = []
+    for nprobe in (1, 2, 3, 8):
+        got = set(ANN.ivf_search(idx, q, k=10, nprobe=nprobe)
+                  .to_pandas()["vec_id"])
+        rows.append({"nprobe": np.int64(nprobe),
+                     "recall_at_10": len(got & truth) / 10.0})
+    return pd.DataFrame(rows)
+
+
+def q210_pca_neardup(sf: str):
+    """Composition: PCA-reduce embeddings to 8 dims (moment-pass fit +
+    map-only projection), then run RH-LSH cosine near-dup on the REDUCED
+    vectors — the dimensionality-reduction front-end that makes
+    hyperplane LSH cheap at high d. Rows-only (eig + LSH); both
+    constituents are unit/oracle-tested on their own."""
+    from thor_ray.ops import linalg as LA
+    ds = T(sf, "embeddings", ["vec_id", "embedding"])
+    model = LA.pca_fit(ds, "embedding", k=8)
+    red = LA.pca_transform(ds, "embedding", model, out_col="pc",
+                           keep=["vec_id"])
+
+    def to_f32(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["vec_id"],
+                         "pc": pc.cast(t["pc"],
+                                       pa.list_(pa.float32()))})
+
+    red = red.map_batches(to_f32, batch_format="pyarrow")
+    pairs = DD.embedding_near_dup_pairs(red, "pc", "vec_id",
+                                        threshold=0.93,
+                                        num_planes=6).to_pandas()
+    if "id_a" not in pairs.columns:   # dup-free: Ray drops 0-row cols
+        pairs = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6053,6 +6109,8 @@ QUERIES: dict[str, tuple] = {
     "q206_random_walks": (q206_random_walks, None),
     "q207_ewma": (q207_ewma, SQL_Q207),
     "q208_ohlc": (q208_ohlc, SQL_Q208),
+    "q209_ann_recall": (q209_ann_recall, None),
+    "q210_pca_neardup": (q210_pca_neardup, None),
 }
 
 
