@@ -5893,6 +5893,54 @@ def q210_pca_neardup(sf: str):
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q211_ks_stat(sf: str):
+    """Two-sample Kolmogorov–Smirnov distance between the 'en' and 'de'
+    document-length distributions — the distribution-drift test a data
+    pipeline runs between corpus versions. Over the bounded integer
+    domain the ONLY distributed work is a (lang, n_chars) count combiner;
+    ECDFs are exact integer cumsums over the output-sized histogram
+    divided by exact integer totals — both sides bit-identical."""
+    ds = T(sf, "documents", ["lang", "n_chars"])
+    langs = pa.array(["en", "de"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["lang"], value_set=langs))
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars",
+                                                        "count")])
+        return g.rename_columns(["lang", "n_chars", "n"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())   # output-sized: distinct lengths × 2 langs
+    wide = hist.pivot_table(index="n_chars", columns="lang", values="n",
+                            fill_value=0, aggfunc="sum").sort_index()
+    a = wide.get("en", pd.Series(0, index=wide.index)).to_numpy(
+        dtype=np.float64)
+    b = wide.get("de", pd.Series(0, index=wide.index)).to_numpy(
+        dtype=np.float64)
+    fa = np.cumsum(a) / a.sum()
+    fb = np.cumsum(b) / b.sum()
+    ks = _round_away(float(np.max(np.abs(fa - fb))), 6)
+    return pd.DataFrame([{"ks": ks}])
+
+
+SQL_Q211 = """
+WITH h AS (
+  SELECT n_chars,
+         count(*) FILTER (lang = 'en') AS a,
+         count(*) FILTER (lang = 'de') AS b
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY n_chars),
+c AS (
+  SELECT sum(a) OVER (ORDER BY n_chars)
+           / (SELECT CAST(sum(a) AS DOUBLE) FROM h) AS fa,
+         sum(b) OVER (ORDER BY n_chars)
+           / (SELECT CAST(sum(b) AS DOUBLE) FROM h) AS fb
+  FROM h)
+SELECT round(max(abs(fa - fb)), 6) AS ks FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6111,6 +6159,7 @@ QUERIES: dict[str, tuple] = {
     "q208_ohlc": (q208_ohlc, SQL_Q208),
     "q209_ann_recall": (q209_ann_recall, None),
     "q210_pca_neardup": (q210_pca_neardup, None),
+    "q211_ks_stat": (q211_ks_stat, SQL_Q211),
 }
 
 
