@@ -5941,6 +5941,63 @@ SELECT round(max(abs(fa - fb)), 6) AS ks FROM c
 """
 
 
+def q212_gini(sf: str):
+    """Per-nation Gini coefficient of customer revenue (the inequality /
+    skew audit): revenue recovered to EXACT integer cents per order, one
+    distributed groupby(custkey) to customer-level revenue, hash join to
+    nations, then the sorted-rank Gini on each nation's (small) customer
+    set — all sums are int64-exact, the single final division produces
+    identical doubles on both sides (no rounding call). Rank ties break
+    by custkey; equal revenues make Σrank·rev tie-order-invariant."""
+    from thor_ray.ops.relational import hash_join
+    o = T(sf, "orders", ["o_custkey", "o_totalprice"])
+    c = T(sf, "customer", ["c_custkey", "c_nationkey"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "cents": v})
+
+    rev = (o.map_batches(cents, batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Sum("cents",
+                                               alias_name="rev")))
+    j = hash_join(rev, c, on=("o_custkey",), right_on=("c_custkey",))
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev", "o_custkey"], kind="stable")
+        r = g["rev"].to_numpy(dtype=np.int64)
+        n = len(r)
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        s_rr = int(np.sum(rn * r))
+        s_r = int(r.sum())
+        val = (2 * s_rr - (n + 1) * s_r) / (n * s_r)
+        return pd.DataFrame([{"nation": np.int64(
+            g["c_nationkey"].iloc[0]), "gini": val,
+            "n_cust": np.int64(n)}])
+
+    return j.groupby("c_nationkey").map_groups(gini,
+                                               batch_format="pandas")
+
+
+SQL_Q212 = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT c_nationkey AS nation, rev,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev, o_custkey) AS rn
+  FROM r JOIN customer ON c_custkey = o_custkey)
+SELECT nation,
+       (2.0 * sum(rn * rev) - (count(*) + 1) * sum(rev))
+         / (count(*) * CAST(sum(rev) AS DOUBLE)) AS gini,
+       count(*) AS n_cust
+FROM j GROUP BY nation
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6160,6 +6217,7 @@ QUERIES: dict[str, tuple] = {
     "q209_ann_recall": (q209_ann_recall, None),
     "q210_pca_neardup": (q210_pca_neardup, None),
     "q211_ks_stat": (q211_ks_stat, SQL_Q211),
+    "q212_gini": (q212_gini, SQL_Q212),
 }
 
 
