@@ -5998,6 +5998,87 @@ FROM j GROUP BY nation
 """
 
 
+def q213_benford(sf: str):
+    """Benford's-law first-digit audit over order totals (the classic
+    fraud/data-quality screen): grouped exact counts per leading digit +
+    the expected log10(1+1/d) share. Counts are a 9-row combiner
+    aggregate; shares divide exact integers — only the expected-share
+    log10 is float, computed identically on both sides."""
+    ds = T(sf, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.utf8_slice_codeunits(
+            pc.cast(pc.cast(pc.floor(t["o_totalprice"]), pa.int64()),
+                    pa.string()), 0, 1)
+        g = pa.table({"digit": s}).group_by("digit") \
+            .aggregate([("digit", "count")])
+        return g.rename_columns(["digit", "n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("digit").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    agg["digit"] = agg["digit"].astype("int64")
+    agg = agg.sort_values("digit").reset_index(drop=True)
+    total = float(agg["n"].sum())
+    agg["observed"] = _rnd(pa.array(agg["n"] / total, pa.float64()),
+                           6).to_numpy(zero_copy_only=False)
+    agg["expected"] = _rnd(pa.array(
+        np.log10(1.0 + 1.0 / agg["digit"].to_numpy(dtype=np.float64)),
+        pa.float64()), 6).to_numpy(zero_copy_only=False)
+    agg["n"] = agg["n"].astype("int64")
+    return agg[["digit", "n", "observed", "expected"]]
+
+
+SQL_Q213 = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders)
+SELECT digit, count(*) AS n,
+       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM d), 6)
+         AS observed,
+       round(log10(1 + 1.0 / digit), 6) AS expected
+FROM d GROUP BY digit
+"""
+
+
+def q214_weighted_sample(sf: str):
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-Res): each doc
+    draws u from its md5 (deterministic, SQL-replayable — q69's trick)
+    and keeps key u^(1/w) with w = n_chars; the global top-20 keys ARE
+    the weighted sample. Map-only key computation + per-block top-k
+    prefilter; identical double ops on both sides, no rounding of the
+    selection key needed (ids are the output)."""
+    from thor_ray.ops.relational import top_k
+    ds = T(sf, "documents", ["doc_id", "n_chars"])
+
+    def key(t: pa.Table) -> pa.Table:
+        import hashlib
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        u = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                          16) for i in ids], dtype=np.float64) / 16.0**8
+        w = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        k = u ** (1.0 / w)
+        return pa.table({"doc_id": t["doc_id"],
+                         "k": pa.array(k, pa.float64())})
+
+    out = top_k(ds.map_batches(key, batch_format="pyarrow"),
+                ["k", "doc_id"], [True, False], 20)
+    return out.select_columns(["doc_id"])
+
+
+SQL_Q214 = """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0,
+             1.0 / n_chars) AS k
+  FROM documents)
+ORDER BY k DESC, doc_id LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6218,6 +6299,8 @@ QUERIES: dict[str, tuple] = {
     "q210_pca_neardup": (q210_pca_neardup, None),
     "q211_ks_stat": (q211_ks_stat, SQL_Q211),
     "q212_gini": (q212_gini, SQL_Q212),
+    "q213_benford": (q213_benford, SQL_Q213),
+    "q214_weighted_sample": (q214_weighted_sample, SQL_Q214),
 }
 
 
