@@ -6079,6 +6079,93 @@ ORDER BY k DESC, doc_id LIMIT 20
 """
 
 
+def q215_not_in_null(sf: str):
+    """Three-valued-logic anti-join trap: NOT IN over a subquery that
+    contains NULL (returns 0 rows — x <> NULL is UNKNOWN) vs NOT EXISTS
+    (ignores NULLs — the real anti-join). The engine implements BOTH
+    semantics explicitly: the probe set is tiny (distinct priorities of
+    big orders, '1-URGENT' poisoned to NULL) and broadcast; each count
+    is a map-side filter + global sum."""
+    ds = T(sf, "orders", ["o_orderpriority", "o_totalprice"])
+
+    NULL_SENTINEL = "\x00NULL"   # Ray's sort-shuffle rejects NULL keys
+
+    def probe(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["o_totalprice"], 450000.0))
+        vals = pc.if_else(pc.equal(f["o_orderpriority"], "1-URGENT"),
+                          pa.scalar(NULL_SENTINEL, pa.string()),
+                          f["o_orderpriority"])
+        return pa.table({"v": vals}).group_by("v").aggregate([])
+
+    s = (ds.map_batches(probe, batch_format="pyarrow")
+         .groupby("v").count().to_pandas())
+    members = s["v"].tolist() if "v" in s.columns else []
+    has_null = NULL_SENTINEL in members
+    nonnull = pa.array([m for m in members if m != NULL_SENTINEL],
+                       pa.string())
+
+    def counts(t: pa.Table) -> pa.Table:
+        out = pc.invert(pc.is_in(t["o_orderpriority"],
+                                 value_set=nonnull))
+        n_ex = int(pc.sum(pc.cast(out, pa.int64())).as_py() or 0)
+        n_in = 0 if has_null else n_ex   # NULL member -> NOT IN is never true
+        return pa.table({"not_in_nulls": pa.array([n_in], pa.int64()),
+                         "not_exists": pa.array([n_ex], pa.int64())})
+
+    part = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{
+        "not_in_nulls": np.int64(part["not_in_nulls"].sum()),
+        "not_exists": np.int64(part["not_exists"].sum())}])
+
+
+SQL_Q215 = """
+SELECT
+  (SELECT count(*) FROM orders
+   WHERE o_orderpriority NOT IN
+     (SELECT NULLIF(o_orderpriority, '1-URGENT') FROM orders
+      WHERE o_totalprice > 450000)) AS not_in_nulls,
+  (SELECT count(*) FROM orders o
+   WHERE NOT EXISTS
+     (SELECT 1 FROM orders i WHERE i.o_totalprice > 450000
+      AND NULLIF(i.o_orderpriority, '1-URGENT') = o.o_orderpriority))
+    AS not_exists
+"""
+
+
+def q216_add_months(sf: str):
+    """Calendar month arithmetic with end-of-month clamping (Jan 31 + 1
+    month = Feb 28/29 — the add_months rule): due-month histogram of
+    order dates shifted one month. Vectorized year/month decompose +
+    clamp against each target month's length (numpy, no per-row
+    datetime objects); counts are exact integers."""
+    ds = T(sf, "orders", ["o_orderdate"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        ym = d.astype("datetime64[M]")
+        day = (d - ym).astype(np.int64)                   # 0-based day
+        ym2 = ym + np.timedelta64(1, "M")
+        mlen = ((ym2 + np.timedelta64(1, "M"))
+                .astype("datetime64[D]")
+                - ym2.astype("datetime64[D]")).astype(np.int64)
+        d2 = ym2.astype("datetime64[D]") + np.minimum(day, mlen - 1)
+        s = np.datetime_as_string(d2, unit="D")
+        g = pa.table({"due": pa.array(s, pa.string())}) \
+            .group_by("due").aggregate([("due", "count")])
+        return g.rename_columns(["due", "n"])
+
+    return (ds.map_batches(shift, batch_format="pyarrow")
+            .groupby("due").aggregate(Sum("n", alias_name="n")))
+
+
+SQL_Q216 = """
+SELECT strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS due,
+       count(*) AS n
+FROM orders GROUP BY due
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6301,6 +6388,8 @@ QUERIES: dict[str, tuple] = {
     "q212_gini": (q212_gini, SQL_Q212),
     "q213_benford": (q213_benford, SQL_Q213),
     "q214_weighted_sample": (q214_weighted_sample, SQL_Q214),
+    "q215_not_in_null": (q215_not_in_null, SQL_Q215),
+    "q216_add_months": (q216_add_months, SQL_Q216),
 }
 
 
