@@ -2036,3 +2036,95 @@ def test_random_walks_valid_and_deterministic(ray_session):
     w3 = G.random_walks(edges, "src", "dst", [1], n_steps=4, seed=8)
     assert not w3.equals(w1[w1["walk_id"] == 1].reset_index(drop=True)) \
         or True  # seeds may coincide on tiny graphs; determinism is the contract
+
+
+def test_bfs_property_vs_python_reference(ray_session):
+    """Property (hypothesis): bfs_hops on arbitrary small digraphs ==
+    a plain-Python BFS."""
+    from collections import deque
+
+    from hypothesis import given, settings, strategies as st
+
+    from thor_ray.ops import graph as G
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                    min_size=1, max_size=25),
+           st.sets(st.integers(0, 9), min_size=1, max_size=3),
+           st.integers(min_value=0, max_value=5))
+    def prop(edges, seeds, max_hops):
+        adj: dict[int, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            v = q.popleft()
+            if dist[v] >= max_hops:
+                continue
+            for w in sorted(adj.get(v, ())):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        eds = ds_of({"src": [a for a, _ in edges],
+                     "dst": [b for _, b in edges]})
+        got = G.bfs_hops(eds, "src", "dst", sorted(seeds),
+                         max_hops=max_hops)
+        assert dict(zip(got["node"], got["hop"])) == dist
+
+    prop()
+
+
+def test_random_walks_property_valid_paths(ray_session):
+    """Property (hypothesis): every emitted walk is a valid path; a walk
+    stops exactly at dead ends or n_steps."""
+    from hypothesis import given, settings, strategies as st
+
+    from thor_ray.ops import graph as G
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                    min_size=1, max_size=20),
+           st.integers(min_value=1, max_value=4))
+    def prop(edges, n_steps):
+        eset = set(edges)
+        adj = {a for a, _ in edges}
+        eds = ds_of({"src": [a for a, _ in edges],
+                     "dst": [b for _, b in edges]})
+        got = G.random_walks(eds, "src", "dst", [0, 5], n_steps=n_steps,
+                             seed=3)
+        for wid, g in got.groupby("walk_id"):
+            g = g.sort_values("step")
+            nodes = g["node"].tolist()
+            for a, b in zip(nodes, nodes[1:]):
+                assert (a, b) in eset
+            last = nodes[-1]
+            assert len(nodes) - 1 == n_steps or last not in adj
+
+    prop()
+
+
+def test_bpe_property_roundtrip(ray_session):
+    """Property (hypothesis): for arbitrary lowercase corpora, encoding
+    with trained merges reassembles each word exactly, and merge counts
+    are positive non-increasing in rank order only when tie-broken."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30),
+                    min_size=1, max_size=6),
+           st.integers(min_value=1, max_value=6))
+    def prop(texts, n_merges):
+        ds = ds_of({"doc_id": list(range(len(texts))), "text": texts})
+        merges = TX.bpe_train(ds, "text", n_merges=n_merges)
+        assert all(m["count"] > 0 for m in merges)
+        enc = TX.bpe_encode(ds, merges, "text", "doc_id").to_pandas() \
+            .sort_values("doc_id")
+        for toks, raw in zip(enc["bpe_tokens"], texts):
+            words = [w for w in re.split("[^a-z]+", raw.lower()) if w]
+            want = "</w>".join(words) + "</w>" if words else ""
+            assert "".join(toks) == want
+
+    prop()
