@@ -6166,6 +6166,75 @@ FROM orders GROUP BY due
 """
 
 
+def q217_relational_division(sf: str):
+    """Relational division ("FOR ALL"): customers who have placed orders
+    in EVERY priority class. One distinct-pair combiner + grouped
+    count == |divisor| filter — the divisor cardinality is a tiny
+    driver-side scalar, never joined."""
+    ds = T(sf, "orders", ["o_custkey", "o_orderpriority"])
+    n_prio = int(ds.map_batches(
+        lambda t: pa.table({"p": t["o_orderpriority"]}),
+        batch_format="pyarrow").groupby("p").count().count())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["o_custkey", "o_orderpriority"]) \
+            .aggregate([]).rename_columns(["o_custkey", "p"])
+
+    got = (ds.map_batches(pairs, batch_format="pyarrow")
+           .groupby(["o_custkey", "p"])
+           .aggregate(Count(alias_name="_"))
+           .groupby("o_custkey")
+           .aggregate(Count(alias_name="n_p"))
+           .filter(expr=f"n_p == {n_prio}")
+           .select_columns(["o_custkey"]))
+    return got
+
+
+SQL_Q217 = """
+SELECT o_custkey FROM orders
+GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority) =
+       (SELECT count(DISTINCT o_orderpriority) FROM orders)
+"""
+
+
+def q218_band_self_join(sf: str):
+    """Band self-join count: pairs of events by the SAME user within 10
+    minutes of each other (a < b). No pairwise join materializes — each
+    salted per-user group runs a vectorized sorted two-pointer
+    (searchsorted) count; only per-group partial counts leave the
+    shuffle."""
+    win_us = 10 * 60 * 1_000_000
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        total = 0
+        for _, idx in pd.Series(np.arange(len(g))).groupby(uid):
+            t = us[idx.to_numpy()]
+            # pairs (i<j) with t[j] - t[i] <= win: two-pointer via
+            # searchsorted of t+win (C-level; loop is over USERS)
+            hi = np.searchsorted(t, t + win_us, side="right")
+            total += int((hi - np.arange(1, len(t) + 1)).sum())
+        return pd.DataFrame([{"n_pairs": np.int64(total)}])
+
+    part = (_salted_user_events(sf, ["event_id", "user_id", "ts"])
+            .groupby("usalt").map_groups(cnt, batch_format="pandas")
+            .to_pandas())
+    return pd.DataFrame([{"n_pairs": np.int64(part["n_pairs"].sum())}])
+
+
+SQL_Q218 = """
+SELECT count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6390,6 +6459,8 @@ QUERIES: dict[str, tuple] = {
     "q214_weighted_sample": (q214_weighted_sample, SQL_Q214),
     "q215_not_in_null": (q215_not_in_null, SQL_Q215),
     "q216_add_months": (q216_add_months, SQL_Q216),
+    "q217_relational_division": (q217_relational_division, SQL_Q217),
+    "q218_band_self_join": (q218_band_self_join, SQL_Q218),
 }
 
 
