@@ -2128,3 +2128,29 @@ def test_bpe_property_roundtrip(ray_session):
             assert "".join(toks) == want
 
     prop()
+
+
+def test_incremental_dedup_index(ray_session, tmp_path):
+    """build_fp_index + incremental_dedup: cross-version and
+    within-batch dups dropped, idempotent re-ingest, admitted survivors
+    block the next ingest."""
+    idx = str(tmp_path / "fpidx")
+    base = ds_of({"doc_id": [1, 2, 3], "text": ["aa", "bb", "aa"]})
+    DD.build_fp_index(base, idx, buckets=4)
+    # batch 1: 'bb' known, 'cc' new twice (min id wins), 'dd' new
+    b1 = ds_of({"doc_id": [10, 11, 12, 13],
+                "text": ["bb", "cc", "cc", "dd"]})
+    got = DD.incremental_dedup(b1, idx, "ing1").to_pandas()
+    assert sorted(got["doc_id"]) == [11, 13]
+    # idempotent re-run of the same ingest
+    got2 = DD.incremental_dedup(b1, idx, "ing1").to_pandas()
+    assert sorted(got2["doc_id"]) == [11, 13]
+    # next ingest: 'cc'/'dd' now admitted -> only 'ee' survives
+    b2 = ds_of({"doc_id": [20, 21, 22], "text": ["cc", "dd", "ee"]})
+    got3 = DD.incremental_dedup(b2, idx, "ing2").to_pandas()
+    assert sorted(got3["doc_id"]) == [22]
+    # probe-only (update=False) leaves the index unchanged
+    b3 = ds_of({"doc_id": [30], "text": ["ff"]})
+    DD.incremental_dedup(b3, idx, "ing3", update=False).to_pandas()
+    got4 = DD.incremental_dedup(b3, idx, "ing4").to_pandas()
+    assert sorted(got4["doc_id"]) == [30]

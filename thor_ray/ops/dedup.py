@@ -575,3 +575,100 @@ def near_dup_clusters_distributed(ds: Dataset, text_col: str, id_col: str,
     return labels.map_batches(
         lambda t: pa.table({id_col: t["node"], "cluster_id": t["label"]}),
         batch_format="pyarrow")
+
+
+# --- incremental exact dedup against a persistent fingerprint index ---------
+# Corpus-version dedup: version N+1's documents are checked against ALL
+# fingerprints ever admitted, without recomputing or rescanning the corpus.
+# The index is md5 fingerprints bucketed by fp prefix, one directory per
+# bucket (resumable write_partitioned layout); a probe shuffles ONLY the new
+# batch by bucket and each group opens just its own bucket's files.
+
+
+def _with_fp_bucket(ds: Dataset, text_col: str, id_col: str,
+                    buckets: int) -> Dataset:
+    from thor_ray.ops.text import md5_fingerprint
+
+    fp = md5_fingerprint(ds, text_col=text_col, out="fp")
+
+    def shape(t: pa.Table) -> pa.Table:
+        h = stable_hash(pa.table({"fp": t["fp"]}), ["fp"]) \
+            .view(np.uint64) % np.uint64(buckets)
+        return pa.table({id_col: t[id_col], "fp": t["fp"],
+                         "bucket": pa.array(h.astype(np.int64))})
+
+    return fp.map_batches(shape, batch_format="pyarrow")
+
+
+def build_fp_index(ds: Dataset, index_dir: str, text_col: str = "text",
+                   id_col: str = "doc_id", buckets: int = 64):
+    """Build the persistent fingerprint index from a base corpus: one
+    `bucket=<b>/data.parquet` per fp-prefix bucket (atomic finals, a
+    re-run skips complete buckets). Within-corpus duplicates are
+    admitted once (min id)."""
+    import json as _json
+    import os
+
+    from thor_ray.sources.sink import write_partitioned
+
+    shaped = _with_fp_bucket(ds, text_col, id_col, buckets)
+
+    def dedup_in(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).drop_duplicates("fp", keep="first")
+
+    uniq = shaped.groupby("bucket").map_groups(dedup_in,
+                                               batch_format="pandas")
+    rep = write_partitioned(uniq, index_dir, by="bucket")
+    meta = os.path.join(index_dir, "_meta.json")
+    if not os.path.exists(meta):
+        tmp = meta + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"buckets": buckets}, f)
+        os.replace(tmp, meta)
+    return rep
+
+
+def incremental_dedup(ds: Dataset, index_dir: str, ingest_id: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      update: bool = True) -> Dataset:
+    """Probe a new document batch against the index: survivors are docs
+    whose fingerprint was never admitted (and the min-id copy within the
+    batch). With ``update``, each bucket group atomically writes its
+    survivors as `ingest-<ingest_id>.parquet` — deterministic name, so a
+    re-run of the same ingest overwrites (and excludes its OWN file when
+    probing), making the whole call idempotent. The shuffle carries only
+    (id, 16-byte fp, bucket) of the NEW batch; the historical corpus is
+    never read, only its bucket fingerprint files."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        buckets = int(_json.load(f)["buckets"])
+    shaped = _with_fp_bucket(ds, text_col, id_col, buckets)
+    own = f"ingest-{ingest_id}.parquet"
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as _pq
+        b = int(g["bucket"].iloc[0])
+        d = os.path.join(index_dir, f"bucket={b}")
+        known: set = set()
+        for f in _glob.glob(os.path.join(d, "*.parquet")):
+            if os.path.basename(f) == own:
+                continue
+            known |= set(_pq.read_table(f, columns=["fp"])["fp"]
+                         .to_pylist())
+        g = g.sort_values(id_col).drop_duplicates("fp", keep="first")
+        g = g[~g["fp"].isin(known)]
+        if update:
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, own)
+            tmp = final + f".tmp-{os.getpid()}"
+            _pq.write_table(
+                pa.Table.from_pandas(g[[id_col, "fp"]],
+                                     preserve_index=False), tmp)
+            os.replace(tmp, final)
+        return g[[id_col, "fp"]]
+
+    return shaped.groupby("bucket").map_groups(probe,
+                                               batch_format="pandas")

@@ -6235,6 +6235,40 @@ FROM events a JOIN events b
 """
 
 
+def q219_incremental_dedup(sf: str):
+    """Corpus-version incremental exact dedup: the first half of the
+    corpus (doc_id < K) builds the persistent fingerprint index, the
+    second half is ingested against it — survivors are docs whose text
+    was never admitted (min doc_id wins within the batch). The probe
+    shuffles ONLY the new batch's (id, fp, bucket); history is read as
+    bucket fingerprint files (ops/dedup.py::build_fp_index/
+    incremental_dedup)."""
+    import os
+    import shutil
+    ds = T(sf, "documents", ["doc_id", "text"])
+    k = ds.count() // 2
+    idx = f"/tmp/thor_ray_fpidx_{_input_sig(sf, 'documents')}"
+    if not os.path.exists(os.path.join(idx, "_meta.json")):
+        shutil.rmtree(idx, ignore_errors=True)
+        DD.build_fp_index(ds.filter(expr=f"doc_id < {k}"), idx,
+                          buckets=16)
+    out = DD.incremental_dedup(ds.filter(expr=f"doc_id >= {k}"), idx,
+                               ingest_id="q219").to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_Q219 = """
+WITH k AS (SELECT count(*) // 2 AS k FROM documents),
+old AS (SELECT md5(text) AS fp FROM documents
+        WHERE doc_id < (SELECT k FROM k)),
+new AS (SELECT doc_id, md5(text) AS fp FROM documents
+        WHERE doc_id >= (SELECT k FROM k))
+SELECT n.doc_id FROM new n
+WHERE n.fp NOT IN (SELECT fp FROM old)
+  AND n.doc_id = (SELECT min(m.doc_id) FROM new m WHERE m.fp = n.fp)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6461,6 +6495,7 @@ QUERIES: dict[str, tuple] = {
     "q216_add_months": (q216_add_months, SQL_Q216),
     "q217_relational_division": (q217_relational_division, SQL_Q217),
     "q218_band_self_join": (q218_band_self_join, SQL_Q218),
+    "q219_incremental_dedup": (q219_incremental_dedup, SQL_Q219),
 }
 
 
