@@ -6269,6 +6269,96 @@ WHERE n.fp NOT IN (SELECT fp FROM old)
 """
 
 
+def q220_top3_sum(sf: str):
+    """Group-wise top-k AGGREGATE: each nation's revenue concentrated in
+    its top-3 customers (sum, exact integer cents). One distributed
+    groupby to customer revenue, hash join to nations, per-nation
+    C-level head-3 sum on the customer-sized table — no window shuffle."""
+    from thor_ray.ops.relational import hash_join
+    o = T(sf, "orders", ["o_custkey", "o_totalprice"])
+    c = T(sf, "customer", ["c_custkey", "c_nationkey"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "cents": v})
+
+    rev = (o.map_batches(cents, batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Sum("cents",
+                                               alias_name="rev")))
+    j = hash_join(rev, c, on=("o_custkey",), right_on=("c_custkey",))
+
+    def head3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rev", "o_custkey"],
+                          ascending=[False, True], kind="stable")
+        return pd.DataFrame([{
+            "nation": np.int64(g["c_nationkey"].iloc[0]),
+            "top3_cents": np.int64(g["rev"].head(3).sum())}])
+
+    return j.groupby("c_nationkey").map_groups(head3,
+                                               batch_format="pandas")
+
+
+SQL_Q220 = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY o_custkey),
+w AS (
+  SELECT c_nationkey AS nation, rev,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev DESC, o_custkey) AS rn
+  FROM r JOIN customer ON c_custkey = o_custkey)
+SELECT nation, CAST(sum(rev) AS BIGINT) AS top3_cents
+FROM w WHERE rn <= 3 GROUP BY nation
+"""
+
+
+def q221_temporal_forall(sf: str):
+    """Temporal FOR-ALL (sequence invariant): users whose EVERY purchase
+    was preceded by a view within 7 days. Salt shuffle on user hash;
+    inside each group both event streams stay sorted and the check is
+    one vectorized searchsorted per user (loop over USERS, never
+    events) — the NOT EXISTS anti-join without a join."""
+    win_us = 7 * 86_400_000_000
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = []
+        for uid, gg in g.groupby("user_id", sort=True):
+            us = gg["ts"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            et = gg["event_type"].to_numpy()
+            p = us[et == "purchase"]
+            if len(p) == 0:
+                continue             # vacuous truth excluded: >=1 purchase
+            v = us[et == "view"]
+            idx = np.searchsorted(v, p, side="right")
+            ok = (idx > 0) & (p - v[np.maximum(idx - 1, 0)] <= win_us)
+            if bool(ok.all()):
+                out.append({"user_id": np.int64(uid)})
+        return pd.DataFrame(out, columns=["user_id"]) \
+            .astype({"user_id": "int64"})
+
+    return (_salted_user_events(
+        sf, ["event_id", "user_id", "ts", "event_type"])
+        .groupby("usalt").map_groups(check, batch_format="pandas"))
+
+
+SQL_Q221 = """
+SELECT DISTINCT user_id FROM events p
+WHERE p.event_type = 'purchase'
+  AND user_id NOT IN (
+    SELECT user_id FROM events q
+    WHERE q.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events v
+        WHERE v.user_id = q.user_id AND v.event_type = 'view'
+          AND v.ts <= q.ts AND v.ts >= q.ts - INTERVAL 7 DAY))
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6496,6 +6586,8 @@ QUERIES: dict[str, tuple] = {
     "q217_relational_division": (q217_relational_division, SQL_Q217),
     "q218_band_self_join": (q218_band_self_join, SQL_Q218),
     "q219_incremental_dedup": (q219_incremental_dedup, SQL_Q219),
+    "q220_top3_sum": (q220_top3_sum, SQL_Q220),
+    "q221_temporal_forall": (q221_temporal_forall, SQL_Q221),
 }
 
 
