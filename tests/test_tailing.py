@@ -238,3 +238,49 @@ def test_csv_binlog_replay(ray_session, grown, tmp_path):
     pipe = CdcPipeline(cfg)
     pipe.run(base=grown["base_path"])
     check(pipe, grown["expected"])
+
+
+def test_auto_shuffle_resolution(ray_session, grown, tmp_path):
+    """shuffle='auto' resolves by epoch size (spill for big epochs, sort
+    for micro-batches) and the auto run still matches the oracle."""
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write_segments(binlog_dir, n_segments=1)
+    micro = CdcConfig(lake_dir=str(tmp_path / "l1"), binlog_dir=binlog_dir,
+                      num_partitions=4, epoch_size=2_000, shuffle="auto")
+    assert micro.shuffle == "sort"
+    big = CdcConfig(lake_dir=str(tmp_path / "l2"), binlog_dir=binlog_dir,
+                    num_partitions=4, epoch_size=100_000, shuffle="auto")
+    assert big.shuffle == "spill"
+    pipe = CdcPipeline(micro)
+    pipe.run(base=grown["base_path"])
+    check(pipe, grown["expected"])
+
+
+def test_tolerant_jsonl_parse_dlq(ray_session, grown, tmp_path):
+    """errors.tolerance analogue: a corrupt JSONL shard line (a) fails
+    the strict run, (b) with text_errors='dlq' is skipped, recorded under
+    _parse_dlq, and the replay matches the clean-event oracle."""
+    import glob
+    import pytest as _pytest
+
+    binlog_dir = str(tmp_path / "binlog_tol")
+    grown["log"].write_jsonl(binlog_dir)
+    victim = sorted(glob.glob(os.path.join(binlog_dir, "shard-*.jsonl")))[0]
+    with open(victim, "a") as f:
+        f.write('{"lsn": "NOT-A-NUMBER", "op": %%% garbage\n')
+        f.write('also not json at all\n')
+    strict = CdcConfig(lake_dir=str(tmp_path / "lake_strict"),
+                       binlog_dir=binlog_dir,
+                       num_partitions=4, epoch_size=4_000)
+    with _pytest.raises(Exception):
+        CdcPipeline(strict).run(base=grown["base_path"])
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake_dlq"),
+                    binlog_dir=binlog_dir,
+                    num_partitions=4, epoch_size=4_000,
+                    text_errors="dlq")
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=grown["base_path"])
+    check(pipe, grown["expected"])
+    bad = glob.glob(os.path.join(binlog_dir, "_parse_dlq", "*.bad"))
+    assert len(bad) == 1
+    assert len(open(bad[0]).read().strip().splitlines()) == 2

@@ -167,6 +167,8 @@ class CdcConfig:
     # (S3/NFS/shared mount) — stage-2 tasks read spill files written by
     # stage-1 tasks on other nodes. On a cluster without shared fs, use
     # shuffle="hash" (in-object-store exchange) instead.
+    # "auto": resolve by epoch_size at config time (spill for big epochs,
+    # sort for micro-batches — the measured crossover, see __post_init__).
     shuffle: str = "spill"
     exchange_dir: str | None = None    # spill root (default <lake>/_exchange)
     # "cow": rewrite each partition's single state file per epoch (simple,
@@ -191,6 +193,10 @@ class CdcConfig:
     # paused driver that resumes after a newer writer took over the lake
     # raises FencedWriterError instead of swapping stale manifests.
     fencing: bool = True
+    # JSONL wire tiers only: "fail" (default) raises on a malformed shard
+    # line; "dlq" keeps well-formed lines and records bad ones under
+    # <binlog>/_parse_dlq/ (Kafka Connect errors.tolerance=all analogue).
+    text_errors: str = "fail"
     # (route_id, n_routes): demux tier — this pipeline applies ONLY events
     # whose key hashes to route_id (Kafka-Connect topic-routing analogue:
     # one binlog fans out into n_routes independent exactly-once lakes; run
@@ -200,6 +206,13 @@ class CdcConfig:
     route: "tuple[int, int] | None" = None
 
     def __post_init__(self) -> None:
+        if self.shuffle == "auto":
+            # measured guidance (BASELINE.md §3 + the shuffle= comment
+            # above): the two-stage spill exchange amortizes its per-epoch
+            # setup only when an epoch carries enough events; at
+            # micro-batch cadence the sort-based groupby wins. Resolved
+            # here so every downstream dispatch sees a concrete strategy.
+            self.shuffle = "spill" if self.epoch_size >= 50_000 else "sort"
         if self.route is not None:
             rid, nr = self.route
             if not (nr >= 1 and 0 <= rid < nr):
@@ -911,7 +924,8 @@ class CdcPipeline:
         n_slots = cfg.n_apply_blocks()
         ds = binlog_src.read_epoch(cfg.binlog_dir, lo, hi,
                                    override_num_blocks=cfg.n_read_blocks(),
-                                   columns=APPLY_COLS)
+                                   columns=APPLY_COLS,
+                                   tolerant=cfg.text_errors == "dlq")
         (ds.map_batches(self._make_router(epoch), batch_format="pyarrow")
            .map_batches(partial(_spill_stage1, ex_dir=ex_dir, n_slots=n_slots),
                         batch_format="pyarrow")
@@ -1006,7 +1020,8 @@ class CdcPipeline:
                 ds = binlog_src.read_epoch(
                     cfg.binlog_dir, lo, hi,
                     override_num_blocks=cfg.n_read_blocks(),
-                    columns=APPLY_COLS)
+                    columns=APPLY_COLS,
+                    tolerant=cfg.text_errors == "dlq")
                 cand = (
                     ds.map_batches(route, batch_format="pyarrow")
                     .union(ray.data.from_arrow(marker))
@@ -1018,7 +1033,8 @@ class CdcPipeline:
         else:
             ds = binlog_src.read_epoch(cfg.binlog_dir, lo, hi,
                                        override_num_blocks=cfg.n_read_blocks(),
-                                       columns=APPLY_COLS)
+                                       columns=APPLY_COLS,
+                                       tolerant=cfg.text_errors == "dlq")
             cand = (
                 ds.map_batches(route, batch_format="pyarrow")
                 .union(ray.data.from_arrow(marker))

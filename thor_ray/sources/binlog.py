@@ -72,6 +72,54 @@ def _open_text(p: str):
     return pa.input_stream(p, compression="detect")
 
 
+def _read_jsonl_file(p: str, columns: list[str] | None = None,
+                     tolerant: bool = False,
+                     dlq_dir: str | None = None) -> pa.Table:
+    """One JSONL shard file → Table. Fast path is the arrow block parser;
+    with ``tolerant`` a parse failure falls back to a per-line pass that
+    keeps every well-formed line and (optionally) records the bad ones —
+    the Kafka-Connect ``errors.tolerance=all`` analogue. The fallback
+    runs ONLY on files the fast path rejects, so clean logs never pay
+    for it."""
+    opts = _jsonl_parse_options(columns)
+    try:
+        return pajson.read_json(_open_text(p), parse_options=opts)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        if not tolerant:
+            raise
+    good, bad = [], []
+    fields = [(n, t) for n, t in _JSONL_FIELDS
+              if columns is None or n in columns]
+    with _open_text(p) as f:
+        raw = f.read().decode("utf-8", errors="replace")
+    for line in raw.splitlines():
+        if not line.strip():
+            continue
+        try:
+            rec = json.loads(line)
+            if not isinstance(rec, dict) or "lsn" not in rec:
+                raise ValueError("not an event object")
+            int(rec["lsn"])
+            good.append(rec)
+        except (ValueError, TypeError):
+            bad.append(line)
+    if bad and dlq_dir:
+        os.makedirs(dlq_dir, exist_ok=True)
+        # deterministic per-source name: a retried read overwrites
+        out = os.path.join(dlq_dir, os.path.basename(p) + ".bad")
+        tmp = out + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write("\n".join(bad) + "\n")
+        os.replace(tmp, out)
+    arrays = {}
+    for n, t in fields:
+        vals = [r.get(n) for r in good]
+        if pa.types.is_integer(t):
+            vals = [int(v) if v is not None else None for v in vals]
+        arrays[n] = pa.array(vals, type=t)
+    return pa.table(arrays)
+
+
 def _csv_convert_options(columns: list[str] | None = None):
     import pyarrow.csv as pacsv
 
@@ -86,8 +134,9 @@ def _file_max_lsn(p: str) -> int:
     """Max lsn of one shard file: parquet via row-group stats (no data
     read); text tiers by parsing only the lsn column."""
     if p.endswith((".jsonl", ".jsonl.gz")):
-        t = pajson.read_json(_open_text(p),
-                             parse_options=_jsonl_parse_options(["lsn"]))
+        # tolerant: a corrupt line carries no valid lsn, so skipping it
+        # keeps the frontier sound (the data read decides fail-vs-dlq)
+        t = _read_jsonl_file(p, ["lsn"], tolerant=True)
         m = pc.max(t["lsn"]).as_py() if t.num_rows else None
         return int(m) if m is not None else 0
     if p.endswith(".csv"):
@@ -148,11 +197,14 @@ def safe_frontier(binlog_dir: str, slack: int = 0,
 
 def read_epoch(binlog_dir: str, lo: int, hi: int,
                override_num_blocks: int | None = None,
-               columns: list[str] | None = None) -> "ray.data.Dataset":
+               columns: list[str] | None = None,
+               tolerant: bool = False) -> "ray.data.Dataset":
     """Data events (op != DDL) with lsn in (lo, hi] as a streaming Dataset.
 
     `columns` prunes at the read (the apply path doesn't need txn/ts/ddl —
-    don't decode or shuffle them)."""
+    don't decode or shuffle them). ``tolerant`` (JSONL tiers only) keeps
+    well-formed lines of a corrupt shard and records the bad lines under
+    `<binlog>/_parse_dlq/` — Kafka Connect's errors.tolerance=all."""
     files = shard_files(binlog_dir)
     if not files:
         from thor_ray.gen import EVENT_SCHEMA
@@ -164,7 +216,27 @@ def read_epoch(binlog_dir: str, lo: int, hi: int,
     if files[0].endswith((".jsonl", ".jsonl.gz", ".csv")):
         # no stats in text tiers: schema-projected parse, then a vectorized
         # post-parse filter (same lsn contract, no pushdown)
-        if files[0].endswith(".jsonl.gz"):
+        if tolerant and files[0].endswith((".jsonl", ".jsonl.gz")):
+            # per-file tasks with the line-tolerant parser (fast arrow
+            # parse first; the line pass only on rejected files)
+            dlq = os.path.join(binlog_dir, "_parse_dlq")
+            cols = columns
+
+            def parse_files(t: pa.Table) -> pa.Table:
+                tabs = [_read_jsonl_file(p, cols, tolerant=True,
+                                         dlq_dir=dlq)
+                        for p in t["path"].to_pylist()]
+                fields = [(n, ty) for n, ty in _JSONL_FIELDS
+                          if cols is None or n in cols]
+                empty = pa.table({n: pa.array([], type=ty)
+                                  for n, ty in fields})
+                return pa.concat_tables(tabs) if tabs else empty
+
+            ds = (ray.data.from_arrow(
+                pa.table({"path": pa.array(files)}))
+                .repartition(len(files))
+                .map_batches(parse_files, batch_format="pyarrow"))
+        elif files[0].endswith(".jsonl.gz"):
             ds = ray.data.read_json(
                 files, file_extensions=["jsonl.gz"],
                 arrow_open_stream_args={"compression": "gzip"},
@@ -214,9 +286,8 @@ def read_ddl_events(binlog_dir: str, lo: int, hi: int) -> list[dict]:
         parts = []
         for p in files:
             if p.endswith((".jsonl", ".jsonl.gz")):
-                tt = pajson.read_json(
-                    _open_text(p), parse_options=_jsonl_parse_options(
-                        ["lsn", "op", "schema_ver", "ddl"]))
+                tt = _read_jsonl_file(p, ["lsn", "op", "schema_ver",
+                                          "ddl"], tolerant=True)
             else:
                 import pyarrow.csv as pacsv
                 tt = pacsv.read_csv(p, convert_options=_csv_convert_options(
