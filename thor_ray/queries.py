@@ -6359,6 +6359,109 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def q222_pmi(sf: str):
+    """Pointwise mutual information between event types co-occurring in
+    the same (user, day) — the co-occurrence statistic behind word
+    embeddings and market-basket analysis. Distinct-presence combiner →
+    within-group C-level pair expansion → tiny groupby(pair); PMI is a
+    log of exact integer ratios, identical on both sides, round(6)."""
+    ds = T(sf, "events", ["user_id", "ts", "event_type"])
+    fanout = 64
+
+    def present(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.table({"user_id": t["user_id"], "day": day,
+                      "event_type": t["event_type"]}) \
+            .group_by(["user_id", "day", "event_type"]).aggregate([])
+        return g.append_column(
+            "usalt", pc.cast(pc.bit_wise_and(g["user_id"], fanout - 1),
+                             pa.int32()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day", "event_type"]) \
+            .sort_values(["user_id", "day", "event_type"], kind="stable")
+        key = g["user_id"].astype(str) + "|" + g["day"].astype(str)
+        k = key.to_numpy()
+        et = g["event_type"].to_numpy()
+        out_a, out_b, singles = [], [], et
+        n = len(g)
+        max_run = int(pd.Series(k).groupby(k).size().max()) if n else 0
+        for d in range(1, max_run):     # loop over pair OFFSET, not rows
+            same = k[:-d] == k[d:]
+            out_a.append(et[:-d][same])
+            out_b.append(et[d:][same])
+        pr = pd.DataFrame({
+            "a": np.concatenate(out_a) if out_a else np.array([], str),
+            "b": np.concatenate(out_b) if out_b else np.array([], str)})
+        pc_ = pr.groupby(["a", "b"], sort=False).size() \
+            .rename("n_ab").reset_index()
+        sc = pd.DataFrame({"a": singles}).groupby("a", sort=False) \
+            .size().rename("n_a").reset_index()
+        gc = pd.DataFrame([{"n_groups": key.nunique()}])
+        pc_["kind"], sc["kind"], gc["kind"] = "pair", "single", "total"
+        return pd.concat([pc_, sc, gc], ignore_index=True)
+
+    parts = (ds.map_batches(present, batch_format="pyarrow")
+             .groupby("usalt").map_groups(pairs, batch_format="pandas")
+             .to_pandas())   # output-sized: type pairs + types + 1
+    pair = parts[parts["kind"] == "pair"].groupby(["a", "b"])["n_ab"] \
+        .sum()
+    single = parts[parts["kind"] == "single"].groupby("a")["n_a"].sum()
+    total = int(parts[parts["kind"] == "total"]["n_groups"].sum())
+    rows = []
+    for (a, b), nab in sorted(pair.items()):
+        val = np.log((nab * total) / (single[a] * single[b]))
+        rows.append({"a": a, "b": b, "n_ab": np.int64(nab),
+                     "pmi": _round_away(float(val), 6)})
+    return pd.DataFrame(rows)
+
+
+SQL_Q222 = """
+WITH p AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+  FROM events),
+tot AS (SELECT count(DISTINCT (user_id, day)) AS n FROM p),
+sing AS (SELECT event_type, count(*) AS n_a FROM p GROUP BY event_type),
+pairs AS (
+  SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_ab
+  FROM p x JOIN p y
+    ON x.user_id = y.user_id AND x.day = y.day
+   AND x.event_type < y.event_type
+  GROUP BY a, b)
+SELECT a, b, n_ab,
+       round(ln(n_ab * (SELECT n FROM tot)
+                / (CAST(sa.n_a AS DOUBLE) * sb.n_a)), 6) AS pmi
+FROM pairs JOIN sing sa ON sa.event_type = a
+           JOIN sing sb ON sb.event_type = b
+"""
+
+
+def q223_activity_grid(sf: str):
+    """Day-of-week × hour activity heat-map counts (ISO weekday) — the
+    operational usage grid. One grouped exact count; the 2-D key is tiny
+    (≤ 7×24 output rows) so per-batch partials combine before the
+    shuffle."""
+    ds = T(sf, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.day_of_week(t["ts"], count_from_zero=False,
+                                     week_start=1), pa.int64())
+        hr = pc.cast(pc.hour(t["ts"]), pa.int64())
+        g = pa.table({"dow": dow, "hr": hr}).group_by(["dow", "hr"]) \
+            .aggregate([("hr", "count")])
+        return g.rename_columns(["dow", "hr", "n"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["dow", "hr"]).aggregate(Sum("n", alias_name="n")))
+
+
+SQL_Q223 = """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+FROM events GROUP BY dow, hr
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6588,6 +6691,8 @@ QUERIES: dict[str, tuple] = {
     "q219_incremental_dedup": (q219_incremental_dedup, SQL_Q219),
     "q220_top3_sum": (q220_top3_sum, SQL_Q220),
     "q221_temporal_forall": (q221_temporal_forall, SQL_Q221),
+    "q222_pmi": (q222_pmi, SQL_Q222),
+    "q223_activity_grid": (q223_activity_grid, SQL_Q223),
 }
 
 
