@@ -6462,6 +6462,76 @@ FROM events GROUP BY dow, hr
 """
 
 
+def q224_top_movers(sf: str):
+    """Rank-change analytics ("top movers"): each customer's revenue rank
+    in the first half of the order-date range vs the second half, with
+    the rank delta. Period split at the exact midpoint timestamp; cents
+    are exact integers; ranks are deterministic (rev desc, custkey asc).
+    One grouped sum per period (single shuffle — period is part of the
+    combiner key) and driver-side ranking on the customer-sized table."""
+    ds = T(sf, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    # midpoint from parquet stats would need min/max; one tiny agg pass
+    mm = ds.map_batches(
+        lambda t: pa.table({
+            "lo": [pc.min(t["o_orderdate"]).as_py()],
+            "hi": [pc.max(t["o_orderdate"]).as_py()]}),
+        batch_format="pyarrow").to_pandas()
+    lo, hi = mm["lo"].min(), mm["hi"].max()
+    mid = lo + (hi - lo) / 2
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        period = pc.if_else(
+            pc.less(t["o_orderdate"], pa.scalar(mid.to_datetime64())),
+            pa.scalar(1, pa.int64()), pa.scalar(2, pa.int64()))
+        return pa.table({"o_custkey": t["o_custkey"], "p": period,
+                         "cents": v})
+
+    rev = (ds.map_batches(cents, batch_format="pyarrow")
+           .groupby(["o_custkey", "p"])
+           .aggregate(Sum("cents", alias_name="rev")).to_pandas())
+    out = []
+    ranks = {}
+    for p in (1, 2):
+        g = rev[rev["p"] == p].sort_values(
+            ["rev", "o_custkey"], ascending=[False, True],
+            kind="stable").reset_index(drop=True)
+        ranks[p] = dict(zip(g["o_custkey"], g.index + 1))
+    both = sorted(set(ranks[1]) & set(ranks[2]))
+    out = pd.DataFrame({
+        "o_custkey": np.array(both, dtype=np.int64),
+        "rank1": np.array([ranks[1][c] for c in both], dtype=np.int64),
+        "rank2": np.array([ranks[2][c] for c in both], dtype=np.int64)})
+    out["delta"] = (out["rank1"] - out["rank2"]).astype("int64")
+    out = out.sort_values(["delta", "o_custkey"],
+                          ascending=[False, True]).head(25)
+    return out.reset_index(drop=True)
+
+
+SQL_Q224 = """
+WITH b AS (SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi
+           FROM orders),
+r AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderdate < (SELECT lo + (hi - lo) / 2 FROM b)
+              THEN 1 ELSE 2 END AS p,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY o_custkey, p),
+k AS (
+  SELECT o_custkey, p,
+         row_number() OVER (PARTITION BY p
+                            ORDER BY rev DESC, o_custkey) AS rn
+  FROM r)
+SELECT a.o_custkey, a.rn AS rank1, c.rn AS rank2,
+       a.rn - c.rn AS delta
+FROM k a JOIN k c ON a.o_custkey = c.o_custkey
+WHERE a.p = 1 AND c.p = 2
+ORDER BY delta DESC, a.o_custkey LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6693,6 +6763,7 @@ QUERIES: dict[str, tuple] = {
     "q221_temporal_forall": (q221_temporal_forall, SQL_Q221),
     "q222_pmi": (q222_pmi, SQL_Q222),
     "q223_activity_grid": (q223_activity_grid, SQL_Q223),
+    "q224_top_movers": (q224_top_movers, SQL_Q224),
 }
 
 
