@@ -733,3 +733,31 @@ def test_fsck(ray_session, fixture, tmp_path):
     assert fsck(lake)["ok"]           # shallow can't see it
     rep = fsck(lake, deep=True)
     assert not rep["ok"] and any("fingerprint" in e for e in rep["errors"])
+
+
+def test_hot_key_skew(ray_session, tmp_path):
+    """Extreme key skew: 6 keys into 8 partitions (most empty, two hot)
+    plus heavy updates on one key — the per-partition bundle apply must
+    still fold to the oracle on every shuffle strategy."""
+    base = gen.gen_base_table(n_repos=2, paths_per_repo=3, seed=21)
+    cfg_b = gen.BinlogConfig(n_events=6_000, n_shards=2, dup_rate=0.2,
+                             shuffle_window=64, ddl_every=2_000,
+                             delete_rate=0.05, update_rate=0.8, seed=21)
+    log = gen.gen_binlog(base, cfg_b)
+    d = str(tmp_path)
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    expected, _ = oracle.apply_events(pa.concat_tables(log.shards),
+                                      initial=base)
+    import pyarrow.parquet as pq
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    for shuffle in ("spill", "sort"):
+        cfg = CdcConfig(lake_dir=os.path.join(d, f"lake_{shuffle}"),
+                        binlog_dir=binlog_dir, num_partitions=8,
+                        epoch_size=1_500, shuffle=shuffle)
+        pipe = CdcPipeline(cfg)
+        pipe.run(base=base_path)
+        got = normalize(pipe.final_table().to_pandas())
+        pd.testing.assert_frame_equal(got, normalize(expected),
+                                      check_dtype=False)
