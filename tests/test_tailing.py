@@ -284,3 +284,33 @@ def test_tolerant_jsonl_parse_dlq(ray_session, grown, tmp_path):
     bad = glob.glob(os.path.join(binlog_dir, "_parse_dlq", "*.bad"))
     assert len(bad) == 1
     assert len(open(bad[0]).read().strip().splitlines()) == 2
+
+
+@pytest.mark.parametrize("tier", ["jsonl", "gz", "csv"])
+def test_compact_text_shards_to_parquet(ray_session, grown, tmp_path,
+                                        tier):
+    """Text→parquet binlog compaction mid-replay: run one epoch on the
+    text tier, compact, resume on the parquet tier — frontiers, format
+    and final state all line up with the oracle."""
+    binlog_dir = str(tmp_path / "binlog")
+    if tier == "jsonl":
+        grown["log"].write_jsonl(binlog_dir)
+    elif tier == "gz":
+        grown["log"].write_jsonl(binlog_dir, gzip=True)
+    else:
+        grown["log"].write_csv(binlog_dir)
+    pre_max = bs.max_lsn(binlog_dir)
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=4, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=grown["base_path"], max_epochs=1)
+    n = bs.compact_text_shards(binlog_dir)
+    assert n == 4
+    assert bs.binlog_format(binlog_dir) == "parquet"
+    assert bs.max_lsn(binlog_dir) == pre_max
+    assert len(bs.shard_frontiers(binlog_dir)) == 4
+    # idempotent: nothing left to convert
+    assert bs.compact_text_shards(binlog_dir) == 0
+    pipe2 = CdcPipeline(cfg)
+    pipe2.run()
+    check(pipe2, grown["expected"])

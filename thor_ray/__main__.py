@@ -115,6 +115,16 @@ def cmd_stats(a) -> int:
     return 0
 
 
+def cmd_compact_binlog(a) -> int:
+    """Convert text wire shards to the parquet tier in place
+    (metadata-only; no Ray)."""
+    from thor_ray.sources.binlog import compact_text_shards
+
+    n = compact_text_shards(a.binlog)
+    print(json.dumps({"converted_segments": n}))
+    return 0
+
+
 def cmd_fsck(a) -> int:
     """Lake consistency check: shallow = manifests/footers/orphans
     (metadata-only); --deep re-folds every partition distributed and
@@ -341,6 +351,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns for HLL distinct counts")
     st.add_argument("--num-cpus", type=int)
     st.set_defaults(fn=cmd_stats)
+
+    cb = sub.add_parser("compact-binlog",
+                        help="convert text wire shards to parquet")
+    cb.add_argument("--binlog", required=True)
+    cb.set_defaults(fn=cmd_compact_binlog)
 
     fs = sub.add_parser("fsck", help="lake consistency check "
                                      "(exit 1 on corruption)")

@@ -339,3 +339,63 @@ def archive_binlog(binlog_dir: str, below_lsn: int) -> int:
                 os.replace(p, os.path.join(arch, os.path.basename(p)))
                 n += 1
     return n
+
+
+def compact_text_shards(binlog_dir: str, row_group_size: int = 16_384
+                        ) -> int:
+    """Convert text wire shards (jsonl / jsonl.gz / csv) to the parquet
+    tier in place — the production move this module's header prescribes
+    (text tiers have no column statistics; parquet gets lsn row-group
+    pruning and metadata-only frontiers).
+
+    Each segment keeps its shard name stem (frontier/watermark identity
+    unchanged) and its rows are lsn-sorted so row-group stats come out
+    tight; originals move to ``_archive/`` only AFTER the parquet final
+    is atomically in place, so a crash mid-compaction leaves a readable
+    log (a dir with BOTH tiers reads as parquet — shard_files prefers
+    it — and the leftover text files are duplicates of the same lsns,
+    which re-compaction or manual archive cleans up; the apply's
+    lsn-dedup is immune either way). Metadata-scale driver loop (one
+    task per file would be the distributed variant). Returns the number
+    of segments converted."""
+    from thor_ray.gen import EVENT_SCHEMA
+
+    files = shard_files(binlog_dir)
+    if not files or files[0].endswith(".parquet"):
+        return 0
+    arch = os.path.join(binlog_dir, "_archive")
+    n = 0
+    converted = []
+    for p in files:
+        if p.endswith(".jsonl.gz"):
+            t = _read_jsonl_file(p)
+            stem = os.path.basename(p)[:-len(".jsonl.gz")]
+        elif p.endswith(".jsonl"):
+            t = _read_jsonl_file(p)
+            stem = os.path.basename(p)[:-len(".jsonl")]
+        else:
+            import pyarrow.csv as pacsv
+            t = pacsv.read_csv(p, convert_options=_csv_convert_options())
+            stem = os.path.basename(p)[:-len(".csv")]
+        cols = {}
+        for f in EVENT_SCHEMA:
+            if f.name in t.column_names:
+                col = t[f.name]
+                if f.name == "ts":
+                    col = pc.cast(col, pa.timestamp("us"))
+                elif col.type != f.type:
+                    col = pc.cast(col, f.type)
+                cols[f.name] = col
+            else:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        out = pa.table(cols).sort_by("lsn")
+        final = os.path.join(binlog_dir, stem + ".parquet")
+        tmp = final + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp, row_group_size=row_group_size)
+        os.replace(tmp, final)
+        converted.append(p)
+        n += 1
+    os.makedirs(arch, exist_ok=True)
+    for p in converted:
+        os.replace(p, os.path.join(arch, os.path.basename(p)))
+    return n
