@@ -6532,6 +6532,145 @@ ORDER BY delta DESC, a.o_custkey LIMIT 25
 """
 
 
+def q225_dup_invoices(sf: str):
+    """Duplicate-transaction screen (fraud/data-entry audit): pairs of
+    orders by the SAME customer in the SAME $10k price band within 30
+    days. Shuffle key is (custkey, band) — equality blocking, so
+    candidate groups are tiny; inside each group the time-band pair
+    count is the q218 searchsorted two-pointer. Nothing pairwise ever
+    shuffles."""
+    ds = T(sf, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_totalprice"])
+    win_us = 30 * 86_400_000_000
+
+    def shape(t: pa.Table) -> pa.Table:
+        v = pc.divide(pc.cast(pc.round(pc.multiply(
+            t["o_totalprice"], 100.0)), pa.int64()), 1_000_000)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "ts": t["o_orderdate"], "cents": v})
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "o_orderkey"], kind="stable")
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hi = np.searchsorted(t, t + win_us, side="right")
+        n = int((hi - np.arange(1, len(t) + 1)).sum())
+        if n == 0:
+            return pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                                 "cents": pd.Series(dtype="int64"),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        return pd.DataFrame([{
+            "o_custkey": np.int64(g["o_custkey"].iloc[0]),
+            "cents": np.int64(g["cents"].iloc[0]),
+            "n_pairs": np.int64(n)}])
+
+    out = (ds.map_batches(shape, batch_format="pyarrow")
+           .groupby(["o_custkey", "cents"])
+           .map_groups(cnt, batch_format="pandas").to_pandas())
+    if "o_custkey" not in out.columns or not len(out):
+        out = pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                            "cents": pd.Series(dtype="int64"),
+                            "n_pairs": pd.Series(dtype="int64")})
+    return out.sort_values(["o_custkey", "cents"]).reset_index(drop=True)
+
+
+SQL_Q225 = """
+SELECT a.o_custkey,
+       CAST(round(a.o_totalprice * 100) AS BIGINT) // 1000000 AS cents,
+       count(*) AS n_pairs
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND CAST(round(a.o_totalprice * 100) AS BIGINT) // 1000000 =
+     CAST(round(b.o_totalprice * 100) AS BIGINT) // 1000000
+ AND (b.o_orderdate > a.o_orderdate
+      OR (b.o_orderdate = a.o_orderdate
+          AND b.o_orderkey > a.o_orderkey))
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+GROUP BY a.o_custkey, cents
+"""
+
+
+def q226_rolling_mau(sf: str):
+    """Rolling 30-day active users per day — via INTERVAL SWEEP, not the
+    q184-style 30× row fanout: each user's active days become merged
+    [day, day+29] cover intervals (+1/−1 boundary deltas emitted from
+    salted per-user groups), one tiny groupby(day) sums deltas, and the
+    cumulative sum over the calendar-sized table is the exact distinct
+    count. Scales with events + calendar days, independent of window
+    width."""
+    ds = T(sf, "events", ["user_id", "ts"])
+    fanout = 64
+    day_us = 86_400_000_000
+
+    def salt(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.table({"user_id": t["user_id"], "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+        return g.append_column(
+            "usalt", pc.cast(pc.bit_wise_and(g["user_id"], fanout - 1),
+                             pa.int32()))
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"], kind="stable")
+        d = g["day"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64) // day_us
+        u = g["user_id"].to_numpy()
+        # merge each user's [d, d+29] intervals: a new interval starts
+        # where the previous active day is >29 days back or user changes
+        new_u = np.empty(len(g), dtype=bool)
+        new_u[0] = True
+        new_u[1:] = u[1:] != u[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = 10**9
+        gap[1:] = d[1:] - d[:-1]
+        start = new_u | (gap > 29)
+        # interval end candidate: day+30 (exclusive); extend while overlap
+        ends = d + 30
+        # per merged interval: start day = d[start]; end = max ends until
+        # next start — C-level via reduceat
+        sidx = np.flatnonzero(start)
+        seg_end = np.maximum.reduceat(ends, sidx)
+        starts = d[sidx]
+        out = pd.DataFrame({
+            "day": np.concatenate([starts, seg_end]),
+            "delta": np.concatenate([
+                np.ones(len(sidx), dtype=np.int64),
+                -np.ones(len(sidx), dtype=np.int64)])})
+        return out.groupby("day", as_index=False)["delta"].sum()
+
+    agg = (ds.map_batches(salt, batch_format="pyarrow")
+           .groupby("usalt").map_groups(deltas, batch_format="pandas")
+           .groupby("day").aggregate(Sum("delta", alias_name="delta"))
+           .to_pandas())   # output-sized: distinct boundary days
+    agg = agg.sort_values("day").reset_index(drop=True)
+    days = agg["day"].to_numpy()
+    cum = agg["delta"].cumsum().to_numpy()
+    # emit one row per OBSERVED activity day (the SQL twin's day set) —
+    # boundary days alone would miss days covered mid-interval
+    dd = (ds.map_batches(
+        lambda t: pa.table({"day": pc.floor_temporal(t["ts"],
+                                                     unit="day")}),
+        batch_format="pyarrow").groupby("day").count().to_pandas())
+    obs = np.sort(dd["day"].to_numpy().astype("datetime64[us]")
+                  .astype(np.int64) // day_us)
+    idx = np.searchsorted(days, obs, side="right") - 1
+    mau = cum[idx]
+    return pd.DataFrame({
+        "day": (obs * day_us).astype("datetime64[us]"),
+        "mau": mau.astype(np.int64)})
+
+
+SQL_Q226 = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+SELECT day,
+       (SELECT count(DISTINCT user_id) FROM events e
+        WHERE e.ts >= day - INTERVAL 29 DAY
+          AND e.ts < day + INTERVAL 1 DAY) AS mau
+FROM days
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6764,6 +6903,8 @@ QUERIES: dict[str, tuple] = {
     "q222_pmi": (q222_pmi, SQL_Q222),
     "q223_activity_grid": (q223_activity_grid, SQL_Q223),
     "q224_top_movers": (q224_top_movers, SQL_Q224),
+    "q225_dup_invoices": (q225_dup_invoices, SQL_Q225),
+    "q226_rolling_mau": (q226_rolling_mau, SQL_Q226),
 }
 
 
