@@ -6671,6 +6671,51 @@ FROM days
 """
 
 
+def q227_group_split(sf: str):
+    """Leakage-safe train/val split: events split by USER (the grouping
+    entity), not by row — every event of a user lands in one split, the
+    invariant that row-level splitting silently violates. Same md5-tier
+    assign_splits (map-only), keyed on user_id; output = per (split,
+    event_type) counts plus the distinct-user count per split (the
+    leakage audit: user totals must sum with no overlap)."""
+    from thor_ray.ops.sample import assign_splits
+    ds = assign_splits(T(sf, "events", ["user_id", "event_type"]),
+                       "user_id", {"train": 0.8, "val": 0.2},
+                       seed=13, hash_fn="md5")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["split", "event_type"]) \
+            .aggregate([("user_id", "count")])
+        return g.rename_columns(["split", "event_type", "n"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["split", "event_type"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    users = (ds.map_batches(
+        lambda t: t.group_by(["split", "user_id"]).aggregate([]),
+        batch_format="pyarrow")
+        .groupby(["split", "user_id"]).count()
+        .groupby("split").count().to_pandas())
+    users.columns = ["split", "n_users"]
+    out = counts.merge(users, on="split")
+    out["n"] = out["n"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["split", "event_type"]).reset_index(drop=True)
+
+
+SQL_Q227 = """
+WITH s AS (
+  SELECT event_type, user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '_13'), 1, 8)
+                   < 'cccccccc' THEN 'train' ELSE 'val' END AS split
+  FROM events)
+SELECT split, event_type, count(*) AS n,
+       (SELECT count(DISTINCT user_id) FROM s i
+        WHERE i.split = s.split) AS n_users
+FROM s GROUP BY split, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6905,6 +6950,7 @@ QUERIES: dict[str, tuple] = {
     "q224_top_movers": (q224_top_movers, SQL_Q224),
     "q225_dup_invoices": (q225_dup_invoices, SQL_Q225),
     "q226_rolling_mau": (q226_rolling_mau, SQL_Q226),
+    "q227_group_split": (q227_group_split, SQL_Q227),
 }
 
 
