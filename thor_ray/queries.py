@@ -6716,6 +6716,43 @@ FROM s GROUP BY split, event_type
 """
 
 
+def q228_churn(sf: str):
+    """Inactivity churn: users whose LAST event is at least one full
+    day before the corpus end, with their lifetime event count and days
+    silent. Per-user (max ts, count) is one grouped aggregate; the
+    corpus end is a scalar from the same combiner pass. Day arithmetic
+    on exact integer microseconds."""
+    ds = T(sf, "events", ["user_id", "ts", "event_id"])
+    agg = (ds.groupby("user_id")
+           .aggregate(Max("ts", alias_name="last_ts"),
+                      Count(alias_name="n_events")).to_pandas())
+    end = agg["last_ts"].max()
+    # DuckDB datediff('day', a, b) counts midnight CROSSINGS — floor
+    # both ends to day grain before differencing
+    last_d = agg["last_ts"].to_numpy().astype("datetime64[D]") \
+        .astype(np.int64)
+    end_d = int(end.to_datetime64().astype("datetime64[D]")
+                .astype(np.int64))
+    silent_days = end_d - last_d
+    out = pd.DataFrame({"user_id": agg["user_id"],
+                        "n_events": agg["n_events"].astype("int64"),
+                        "days_silent": silent_days.astype(np.int64)})
+    out = out[out["days_silent"] > 0]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SQL_Q228 = """
+WITH u AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+  FROM events GROUP BY user_id),
+e AS (SELECT max(last_ts) AS fin FROM u)
+SELECT user_id, n_events,
+       datediff('day', last_ts, (SELECT fin FROM e))
+         AS days_silent
+FROM u WHERE datediff('day', last_ts, (SELECT fin FROM e)) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6951,6 +6988,7 @@ QUERIES: dict[str, tuple] = {
     "q225_dup_invoices": (q225_dup_invoices, SQL_Q225),
     "q226_rolling_mau": (q226_rolling_mau, SQL_Q226),
     "q227_group_split": (q227_group_split, SQL_Q227),
+    "q228_churn": (q228_churn, SQL_Q228),
 }
 
 
