@@ -6753,6 +6753,91 @@ FROM u WHERE datediff('day', last_ts, (SELECT fin FROM e)) > 0
 """
 
 
+def q229_late_data(sf: str):
+    """Streaming late-data accounting via a DISTRIBUTED PREFIX SCAN:
+    arrival order is xor(event_id, 255) — a deterministic interleave
+    that simulates out-of-order delivery (the fixture's event_ids are
+    ts-sorted, so raw arrival has zero disorder); the watermark before
+    each event is the running max event-time over everything that
+    arrived earlier; an event is late if its time is >12 hours behind
+    that watermark. The
+    global running max decomposes into (a) one tiny groupby(bucket).max
+    over contiguous event_id ranges, (b) a driver-side exclusive prefix
+    max over the bucket-count-sized summary (broadcast), (c) one salted
+    pass computing each bucket's LOCAL shifted cummax and combining —
+    the classic two-level scan, nothing event-sized on the driver.
+    Output: per-day on-time vs late counts (exact integers)."""
+    ds = T(sf, "events", ["event_id", "ts"])
+    bucket_w = 1024
+    lag_us = 12 * 3_600_000_000
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        arr = pc.bit_wise_xor(t["event_id"], 255)
+        b = pc.cast(pc.divide(arr, bucket_w), pa.int64())
+        return pa.table({"arr": arr, "ts": t["ts"], "bucket": b})
+
+    bds = ds.map_batches(with_bucket, batch_format="pyarrow")
+    maxima = (bds.groupby("bucket")
+              .aggregate(Max("ts", alias_name="mx")).to_pandas()
+              .sort_values("bucket").reset_index(drop=True))
+    mx = maxima["mx"].to_numpy().astype("datetime64[us]") \
+        .astype(np.int64)
+    # exclusive prefix max per bucket (bucket-count-sized, driver)
+    pre = np.concatenate([[np.iinfo(np.int64).min],
+                          np.maximum.accumulate(mx)[:-1]])
+    prefix = dict(zip(maxima["bucket"].tolist(),
+                      (int(x) for x in pre)))
+    pref = ray.put(prefix)
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        pfx = ray.get(pref)
+        g = g.sort_values("arr", kind="stable")
+        us = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        local = np.concatenate(
+            [[np.iinfo(np.int64).min],
+             np.maximum.accumulate(us)[:-1]])
+        wm = np.maximum(local, pfx[int(g["bucket"].iloc[0])])
+        late = (wm != np.iinfo(np.int64).min) & (us < wm - lag_us)
+        day = (us // 86_400_000_000)
+        df = pd.DataFrame({"day": day, "late": late})
+        p = df.groupby(["day", "late"], sort=False).size() \
+            .rename("n").reset_index()
+        return p
+
+    agg = (bds.groupby("bucket").map_groups(flag,
+                                            batch_format="pandas")
+           .groupby(["day", "late"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    piv = agg.pivot_table(index="day", columns="late", values="n",
+                          fill_value=0, aggfunc="sum")
+    out = pd.DataFrame({
+        "day": (piv.index.to_numpy() * 86_400_000_000)
+        .astype("datetime64[us]"),
+        "n_ontime": piv.get(False, pd.Series(0, index=piv.index))
+        .to_numpy().astype(np.int64),
+        "n_late": piv.get(True, pd.Series(0, index=piv.index))
+        .to_numpy().astype(np.int64)})
+    return out.sort_values("day").reset_index(drop=True)
+
+
+SQL_Q229 = """
+WITH a AS (
+  SELECT ts,
+         max(ts) OVER (ORDER BY xor(event_id, 255)
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+  FROM events),
+f AS (
+  SELECT date_trunc('day', ts) AS day,
+         (wm IS NOT NULL AND ts < wm - INTERVAL 12 HOUR) AS late
+  FROM a)
+SELECT day, count(*) FILTER (NOT late) AS n_ontime,
+       count(*) FILTER (late) AS n_late
+FROM f GROUP BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6989,6 +7074,7 @@ QUERIES: dict[str, tuple] = {
     "q226_rolling_mau": (q226_rolling_mau, SQL_Q226),
     "q227_group_split": (q227_group_split, SQL_Q227),
     "q228_churn": (q228_churn, SQL_Q228),
+    "q229_late_data": (q229_late_data, SQL_Q229),
 }
 
 
