@@ -6838,6 +6838,82 @@ FROM f GROUP BY day
 """
 
 
+def q230_interpolate(sf: str):
+    """Time-series gap repair by LINEAR INTERPOLATION (the numeric
+    sibling of q189's zero-fill and q203's LOCF): daily revenue in exact
+    integer cents from ONE distributed groupby; missing grid days get
+    prev + (next−prev)·frac computed with the identical operation
+    sequence as the oracle (int-cents operands → bit-identical doubles,
+    no rounding call). The fill runs on the output-sized day series."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"),
+                         "cents": v})
+
+    d = (ds.map_batches(cents, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    days = d["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    vals = d["cents"].to_numpy(dtype=np.float64)
+    grid = np.arange(days[0], days[-1] + 1)
+    idx = np.searchsorted(days, grid)
+    present = (idx < len(days)) & (days[np.minimum(idx, len(days) - 1)]
+                                   == grid)
+    # previous/next present day per grid position
+    pprev = np.searchsorted(days, grid, side="right") - 1
+    pnext = np.searchsorted(days, grid, side="left")
+    filled = np.where(present, vals[np.minimum(idx, len(days) - 1)],
+                      0.0)
+    gap = ~present
+    if gap.any():
+        pd_ = days[pprev[gap]]
+        nd_ = days[pnext[gap]]
+        pv = vals[pprev[gap]]
+        nv = vals[pnext[gap]]
+        frac = (grid[gap] - pd_).astype(np.float64) / (nd_ - pd_)
+        filled[gap] = pv + (nv - pv) * frac
+    return pd.DataFrame({
+        "day": (grid * 86_400_000_000).astype("datetime64[us]"),
+        "cents_filled": filled})
+
+
+SQL_Q230 = """
+WITH d AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY day),
+g AS (
+  SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                (SELECT max(day) FROM d),
+                                INTERVAL 1 DAY)) AS day),
+j AS (SELECT g.day, d.cents FROM g LEFT JOIN d ON g.day = d.day),
+w AS (
+  SELECT day, cents,
+    last_value(cents IGNORE NULLS) OVER
+      (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+    first_value(cents IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (ORDER BY day ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS nd
+  FROM j)
+SELECT day,
+  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+       ELSE pv + (nv - pv) * (CAST(datediff('day', pd, day) AS DOUBLE)
+                              / datediff('day', pd, nd)) END
+    AS cents_filled
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7075,6 +7151,7 @@ QUERIES: dict[str, tuple] = {
     "q227_group_split": (q227_group_split, SQL_Q227),
     "q228_churn": (q228_churn, SQL_Q228),
     "q229_late_data": (q229_late_data, SQL_Q229),
+    "q230_interpolate": (q230_interpolate, SQL_Q230),
 }
 
 
