@@ -6914,6 +6914,67 @@ FROM w
 """
 
 
+def q231_new_vs_returning(sf: str):
+    """Daily new vs returning active users (the acquisition/retention
+    split every growth dashboard opens with): ONE distinct-(user, day)
+    combiner pass feeds both the per-user first-day aggregate and the
+    daily presence set; first days broadcast as a tiny dict (user-count-
+    sized values, day-grain) into a map-side classify — no join."""
+    ds = T(sf, "events", ["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"user_id": t["user_id"], "day": day}) \
+            .group_by(["user_id", "day"]).aggregate([])
+
+    ud = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).count()
+    first = ud.groupby("user_id") \
+        .aggregate(Min("day", alias_name="first_day")).to_pandas() \
+        .sort_values("user_id")
+    fref = ray.put((first["user_id"].to_numpy().astype(np.int64),
+                    first["first_day"].to_numpy()
+                    .astype("datetime64[us]")))
+
+    def classify(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(fref)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        fdays = vals[np.searchsorted(keys, u)]   # vectorized lookup
+        new = d == fdays
+        g = pd.DataFrame({"day": d, "new": new})
+        p = g.groupby(["day", "new"], sort=False).size() \
+            .rename("n").reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    agg = (ud.map_batches(classify, batch_format="pyarrow")
+           .groupby(["day", "new"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    piv = agg.pivot_table(index="day", columns="new", values="n",
+                          fill_value=0, aggfunc="sum")
+    return pd.DataFrame({
+        "day": piv.index.to_numpy(),
+        "new_users": piv.get(True, pd.Series(0, index=piv.index))
+        .to_numpy().astype(np.int64),
+        "returning_users": piv.get(False,
+                                   pd.Series(0, index=piv.index))
+        .to_numpy().astype(np.int64)}).sort_values("day") \
+        .reset_index(drop=True)
+
+
+SQL_Q231 = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, user_id
+  FROM events GROUP BY day, user_id),
+f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id)
+SELECT day,
+       count(*) FILTER (day = first_day) AS new_users,
+       count(*) FILTER (day > first_day) AS returning_users
+FROM d JOIN f USING (user_id) GROUP BY day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7152,6 +7213,7 @@ QUERIES: dict[str, tuple] = {
     "q228_churn": (q228_churn, SQL_Q228),
     "q229_late_data": (q229_late_data, SQL_Q229),
     "q230_interpolate": (q230_interpolate, SQL_Q230),
+    "q231_new_vs_returning": (q231_new_vs_returning, SQL_Q231),
 }
 
 
