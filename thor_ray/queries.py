@@ -6975,6 +6975,78 @@ FROM d JOIN f USING (user_id) GROUP BY day
 """
 
 
+def q232_entry_conversion(sf: str):
+    """Session entry-point conversion: sessionize (30-min inactivity
+    gap), attribute each session to its FIRST event type, report
+    purchase-conversion per entry type. Salt shuffle on user hash; gap
+    breaks, session ids (cumsum), per-session first/any and per-entry
+    partial counts are all C-level inside the group; one tiny
+    groupby(entry) combines. Rate divides exact integers — identical
+    doubles, round(6) only for display parity."""
+    gap_us = 30 * 60 * 1_000_000
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        u = g["user_id"].to_numpy()
+        brk = np.empty(len(g), dtype=bool)
+        brk[0] = True
+        brk[1:] = (u[1:] != u[:-1]) | (us[1:] - us[:-1] > gap_us)
+        sid = np.cumsum(brk)
+        et = g["event_type"].to_numpy()
+        first_entry = et[brk]
+        conv = pd.Series(et == "purchase").groupby(sid).any() \
+            .to_numpy()
+        p = pd.DataFrame({"entry": first_entry, "conv": conv}) \
+            .groupby(["entry", "conv"], sort=False).size() \
+            .rename("n").reset_index()
+        return p
+
+    agg = (_salted_user_events(sf, ["event_id", "user_id", "ts",
+                                    "event_type"])
+           .groupby("usalt").map_groups(sess, batch_format="pandas")
+           .groupby(["entry", "conv"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    piv = agg.pivot_table(index="entry", columns="conv", values="n",
+                          fill_value=0, aggfunc="sum")
+    n_conv = piv.get(True, pd.Series(0, index=piv.index)).to_numpy()
+    n_tot = n_conv + piv.get(False,
+                             pd.Series(0, index=piv.index)).to_numpy()
+    return pd.DataFrame({
+        "entry": piv.index.to_numpy(),
+        "n_sessions": n_tot.astype(np.int64),
+        "n_converted": n_conv.astype(np.int64),
+        "rate": _rnd(pa.array(n_conv / n_tot, pa.float64()), 6)
+        .to_numpy(zero_copy_only=False)}).sort_values("entry") \
+        .reset_index(drop=True)
+
+
+SQL_Q232 = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS sid
+  FROM o),
+g AS (
+  SELECT user_id, sid,
+         first(event_type ORDER BY ts, event_id) AS entry,
+         bool_or(event_type = 'purchase') AS conv
+  FROM s GROUP BY user_id, sid)
+SELECT entry, count(*) AS n_sessions,
+       count(*) FILTER (conv) AS n_converted,
+       round(count(*) FILTER (conv) / CAST(count(*) AS DOUBLE), 6)
+         AS rate
+FROM g GROUP BY entry
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7214,6 +7286,7 @@ QUERIES: dict[str, tuple] = {
     "q229_late_data": (q229_late_data, SQL_Q229),
     "q230_interpolate": (q230_interpolate, SQL_Q230),
     "q231_new_vs_returning": (q231_new_vs_returning, SQL_Q231),
+    "q232_entry_conversion": (q232_entry_conversion, SQL_Q232),
 }
 
 
