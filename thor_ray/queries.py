@@ -7047,6 +7047,441 @@ FROM g GROUP BY entry
 """
 
 
+def q233_market_basket(sf: str):
+    """Market-basket analysis: support + lift for every brand pair that
+    co-occurs in an order. The part dimension is a BROADCAST lookup
+    (ray.put once, searchsorted per batch); the quadratic pair expansion
+    runs inside a salted groupby(l_orderkey) as one C-level pandas
+    self-merge per salt group, pre-aggregated per group so the global
+    combine sees brand-pair-sized partials (≤ C(25,2) rows per group),
+    never event-sized data. Brand marginals and the distinct-order total
+    ride the SAME pass via sentinel rows (salt groups partition orders,
+    so per-group nunique sums exactly). Lift divides exact integer
+    products — one float division of identical operands on both sides."""
+    part = T(sf, "part", ["p_partkey", "p_brand"]).to_pandas()
+    keys = np.sort(part["p_partkey"].to_numpy())
+    order_idx = np.argsort(part["p_partkey"].to_numpy(), kind="stable")
+    brands = part["p_brand"].to_numpy()[order_idx]
+    bref = ray.put((keys, brands))
+
+    ds = T(sf, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def lookup(t: pa.Table) -> pa.Table:
+        k, b = ray.get(bref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"]
+        return pa.table({
+            "ok": ok,
+            "b": pa.array(b[np.searchsorted(k, pk)]),
+            "salt": pc.cast(pc.bit_wise_and(ok, 63), pa.int32())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ob = g[["ok", "b"]].drop_duplicates()
+        m = ob.merge(ob, on="ok")
+        m = m[m["b_x"] < m["b_y"]]
+        pp = m.groupby(["b_x", "b_y"], sort=False).size() \
+            .rename("n").reset_index() \
+            .rename(columns={"b_x": "b1", "b_y": "b2"})
+        bc = ob.groupby("b", sort=False).size().rename("n") \
+            .reset_index().rename(columns={"b": "b1"})
+        bc["b2"] = ""                       # sentinel: brand marginal
+        tot = pd.DataFrame({"b1": [""], "b2": [""],
+                            "n": [ob["ok"].nunique()]})
+        return pd.concat([pp, bc[["b1", "b2", "n"]], tot],
+                         ignore_index=True)
+
+    agg = (ds.map_batches(lookup, batch_format="pyarrow")
+           .groupby("salt").map_groups(pairs, batch_format="pandas")
+           .groupby(["b1", "b2"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    total = int(agg.loc[(agg["b1"] == "") & (agg["b2"] == ""),
+                        "n"].iloc[0])
+    marg = agg[(agg["b2"] == "") & (agg["b1"] != "")]
+    nb = dict(zip(marg["b1"], marg["n"].astype(np.int64)))
+    pr = agg[(agg["b1"] != "") & (agg["b2"] != "")] \
+        .reset_index(drop=True)
+    n_pair = pr["n"].to_numpy().astype(np.int64)
+    nb1 = pr["b1"].map(nb).to_numpy().astype(np.int64)
+    nb2 = pr["b2"].map(nb).to_numpy().astype(np.int64)
+    lift = (n_pair * total).astype(np.float64) / \
+        (nb1 * nb2).astype(np.float64)
+    return pd.DataFrame({
+        "b1": pr["b1"], "b2": pr["b2"], "n_pair": n_pair,
+        "lift": _rnd(pa.array(lift, pa.float64()), 6)
+        .to_numpy(zero_copy_only=False)})
+
+
+SQL_Q233 = """
+WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT count(DISTINCT ok) AS total FROM ob),
+bc AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+pr AS (SELECT a.b AS b1, c.b AS b2, count(*) AS n_pair
+       FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+       GROUP BY a.b, c.b)
+SELECT b1, b2, n_pair,
+       round(CAST(n_pair * total AS DOUBLE) / (x.nb * y.nb), 6) AS lift
+FROM pr CROSS JOIN n
+JOIN bc x ON pr.b1 = x.b
+JOIN bc y ON pr.b2 = y.b
+"""
+
+
+def q234_max_drawdown(sf: str):
+    """Maximum drawdown of the daily-revenue series: running peak minus
+    current value, maximized. One distributed groupby(day) in EXACT
+    integer cents (q230's trick — no float summation order anywhere);
+    the cummax + argmax run on the output-sized day series. Trough day
+    ties break to the FIRST day reaching the max drawdown (np.argmax =
+    SQL min(day) FILTER)."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"),
+                         "cents": v})
+
+    d = (ds.map_batches(cents, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    c = d["cents"].to_numpy().astype(np.int64)
+    dd = np.maximum.accumulate(c) - c
+    i = int(np.argmax(dd))
+    return pd.DataFrame({
+        "max_drawdown_cents": np.array([dd[i]], dtype=np.int64),
+        "trough_day": d["day"].to_numpy()[i:i + 1]
+        .astype("datetime64[us]")})
+
+
+SQL_Q234 = """
+WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY day),
+r AS (SELECT day, max(c) OVER (ORDER BY day) - c AS dd FROM d)
+SELECT CAST(max(dd) AS BIGINT) AS max_drawdown_cents,
+       min(day) FILTER (dd = (SELECT max(dd) FROM r)) AS trough_day
+FROM r
+"""
+
+
+def q235_autocorr(sf: str):
+    """Lag-7 autocorrelation of the daily event-count series. The only
+    event-sized step is ONE distributed groupby(day).count; pairing
+    (day, day+7) and the correlation run on the output-sized series.
+    All five moment sums are exact int64; the Pearson r is assembled as
+    a / (sqrt(b)·sqrt(c)) from those exact integers — the identical
+    operation sequence as the oracle, so no float drift is possible."""
+    ds = T(sf, "events", ["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day")})
+
+    d = (ds.map_batches(day, batch_format="pyarrow")
+         .groupby("day").aggregate(Count(alias_name="c"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    days = d["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    c = d["c"].to_numpy().astype(np.int64)
+    j = np.searchsorted(days, days + 7)
+    ok = (j < len(days)) & (days[np.minimum(j, len(days) - 1)]
+                            == days + 7)
+    x = c[ok]
+    y = c[j[ok]]
+    n = int(len(x))
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    a = n * sxy - sx * sy
+    b = n * sxx - sx * sx
+    cc = n * syy - sy * sy
+    r = float(a) / (np.sqrt(float(b)) * np.sqrt(float(cc)))
+    return pd.DataFrame({
+        "n_pairs": np.array([n], dtype=np.int64),
+        "acf7": np.array([_round_away(r, 6)], dtype=np.float64)})
+
+
+SQL_Q235 = """
+WITH d AS (SELECT date_trunc('day', ts) AS day, count(*) AS c
+           FROM events GROUP BY day),
+p AS (SELECT a.c AS x, b.c AS y
+      FROM d a JOIN d b ON b.day = a.day + INTERVAL 7 DAY),
+m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM p)
+SELECT n AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+             6) AS acf7
+FROM m
+"""
+
+
+def q236_winsorized_mean(sf: str):
+    """Per-language WINSORIZED mean of document length: clip at the
+    discrete p05/p95 (q112's verified ceil-rank = DuckDB quantile_disc)
+    then average. One distributed groupby(lang); sort + clip + integer
+    sum are C-level inside each group; the mean is a single division of
+    exact integers on both sides."""
+    ds = T(sf, "documents", ["lang", "n_chars"])
+
+    def wins(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["n_chars"].to_numpy().astype(np.int64))
+
+        def disc(q: float) -> int:
+            return int(x[max(int(np.ceil(q * len(x))) - 1, 0)])
+
+        lo, hi = disc(0.05), disc(0.95)
+        s = int(np.clip(x, lo, hi).sum())
+        return pd.DataFrame([{
+            "lang": g["lang"].iloc[0],
+            "n": np.int64(len(x)),
+            "wmean": _round_away(float(s) / float(len(x)), 6)}])
+
+    return ds.groupby("lang").map_groups(wins, batch_format="pandas")
+
+
+SQL_Q236 = """
+WITH q AS (SELECT lang, quantile_disc(n_chars, 0.05) AS lo,
+                  quantile_disc(n_chars, 0.95) AS hi
+           FROM documents GROUP BY lang)
+SELECT d.lang, count(*) AS n,
+       round(sum(least(greatest(d.n_chars, lo), hi)) /
+             CAST(count(*) AS DOUBLE), 6) AS wmean
+FROM documents d JOIN q USING (lang) GROUP BY d.lang
+"""
+
+
+def q237_theil_sen(sf: str):
+    """THEIL–SEN robust trend estimate: median pairwise slope of daily
+    revenue (exact integer cents) over the last 180 observed days. The
+    event-sized work is q230's exact-cents groupby(day); the O(k²) pair
+    slopes (k ≤ 180 → ≤ 16 110 pairs) run on the output-sized tail.
+    Slopes divide exact-int operands; the median replicates DuckDB
+    quantile_cont's lo + frac·(hi − lo) interpolation (NOT np.median's
+    (lo+hi)/2 — different double for ~1 ulp ties)."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"),
+                         "cents": v})
+
+    d = (ds.map_batches(cents, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("cents", alias_name="cents"))
+         .to_pandas().sort_values("day").reset_index(drop=True)
+         .tail(180))
+    di = d["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    c = d["cents"].to_numpy().astype(np.int64)
+    i, j = np.triu_indices(len(di), k=1)
+    s = np.sort((c[j] - c[i]) / (di[j] - di[i]).astype(np.float64))
+    h = 0.5 * (len(s) - 1)
+    lo, hi = s[int(np.floor(h))], s[int(np.ceil(h))]
+    med = lo + (h - np.floor(h)) * (hi - lo)
+    return pd.DataFrame({
+        "n_pairs": np.array([len(s)], dtype=np.int64),
+        "slope": np.array([_round_away(float(med), 6)],
+                          dtype=np.float64)})
+
+
+SQL_Q237 = """
+WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY day),
+t AS (SELECT epoch(day) // 86400 AS di, c FROM d
+      ORDER BY day DESC LIMIT 180),
+p AS (SELECT (b.c - a.c) / CAST(b.di - a.di AS DOUBLE) AS s
+      FROM t a JOIN t b ON b.di > a.di)
+SELECT count(*) AS n_pairs, round(median(s), 6) AS slope FROM p
+"""
+
+
+def q238_mann_whitney(sf: str):
+    """MANN–WHITNEY U rank-sum test (returned vs accepted lineitems on
+    quantity), computed WITHOUT ranking any row: quantity is discrete,
+    so per-value class counts (one distributed partial-agg groupby over
+    ≤50 keys) + cumulative counts give the tie-averaged rank sum in
+    EXACT integer arithmetic — U is emitted doubled (2·R keeps the ½
+    tie-ranks integral), so every output is an exact BIGINT and the
+    hash cannot drift. This is the aggregate-only form of a global
+    ranking: nothing event-sized ever sorts or ships."""
+    ds = T(sf, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_returnflag"],
+                              value_set=pa.array(["R", "A"])))
+        q = pc.cast(t["l_quantity"], pa.int64())
+        df = pd.DataFrame({
+            "q": q.to_numpy(zero_copy_only=False),
+            "r": pc.equal(t["l_returnflag"], "R").to_numpy(
+                zero_copy_only=False)})
+        p = df.groupby(["q", "r"], sort=False).size().rename("n") \
+            .reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow")
+           .groupby(["q", "r"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    piv = agg.pivot_table(index="q", columns="r", values="n",
+                          fill_value=0, aggfunc="sum").sort_index()
+    nr = piv.get(True, pd.Series(0, index=piv.index)) \
+        .to_numpy().astype(np.int64)
+    na = piv.get(False, pd.Series(0, index=piv.index)) \
+        .to_numpy().astype(np.int64)
+    at = nr + na
+    less = np.concatenate([[0], np.cumsum(at)[:-1]])
+    n1 = int(nr.sum())
+    u2 = int((nr * (2 * less + at + 1)).sum()) - n1 * (n1 + 1)
+    return pd.DataFrame({
+        "n_r": np.array([n1], dtype=np.int64),
+        "n_a": np.array([int(na.sum())], dtype=np.int64),
+        "u_times2": np.array([u2], dtype=np.int64)})
+
+
+SQL_Q238 = """
+WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                  count(*) FILTER (l_returnflag = 'R') AS nr,
+                  count(*) FILTER (l_returnflag = 'A') AS na
+           FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY q),
+w AS (SELECT q, nr, na,
+             coalesce(sum(nr + na) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS less
+      FROM c)
+SELECT CAST(sum(nr) AS BIGINT) AS n_r,
+       CAST(sum(na) AS BIGINT) AS n_a,
+       CAST(sum(nr * (2 * less + nr + na + 1))
+            - sum(nr) * (sum(nr) + 1) AS BIGINT) AS u_times2
+FROM w
+"""
+
+
+def _skyline_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Pareto frontier (minimize p_retailprice, maximize p_size), kept
+    iff no other point is ≤ price AND ≥ size with one strict. Vectorized:
+    sort (price asc, size desc); a row survives iff its size beats the
+    strict-cheaper prefix max AND ties its own price group's max (equal
+    price+size duplicates all survive, matching NOT EXISTS)."""
+    df = df.sort_values(["p_retailprice", "p_size"],
+                        ascending=[True, False], kind="stable")
+    p = df["p_retailprice"].to_numpy()
+    s = df["p_size"].to_numpy().astype(np.int64)
+    start = np.empty(len(df), dtype=bool)
+    start[0] = True
+    start[1:] = p[1:] != p[:-1]
+    gid = np.cumsum(start) - 1
+    gmax = s[start]                       # per price group max (desc sort)
+    prev = np.concatenate([[np.iinfo(np.int64).min],
+                           np.maximum.accumulate(gmax)[:-1]])
+    keep = (s > prev[gid]) & (s == gmax[gid])
+    return df[keep]
+
+
+def q239_skyline(sf: str):
+    """Distributed SKYLINE (Pareto frontier) over parts: cheapest-price /
+    largest-size non-dominated set. Classic two-phase algorithm: each
+    block computes its LOCAL skyline (dominance is transitive, so no
+    global point is ever pruned locally); the union of local skylines —
+    bounded by skyline-size × block-count, not data size — gets one
+    final pass. The only driver-sized object is that candidate set."""
+    ds = T(sf, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return _skyline_frame(df)
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    out = _skyline_frame(cand).reset_index(drop=True)
+    return pd.DataFrame({
+        "p_partkey": out["p_partkey"].to_numpy().astype(np.int64),
+        "p_retailprice": out["p_retailprice"].to_numpy(),
+        "p_size": out["p_size"].to_numpy().astype(np.int64)})
+
+
+SQL_Q239 = """
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+def q240_business_days(sf: str):
+    """Business-day (Mon–Fri) order→ship latency per priority: a real
+    calendar function over a partitioned hash join. np.busday_count is
+    the engine's vectorized kernel; the oracle gets the identical
+    semantics from a cumulative-weekday calendar CTE joined twice
+    (weekdays in [d1,d2) = cum(d2−1) − cum(d1−1), sign-symmetric for
+    reversed ranges). Integer day sums make the average a single
+    exact-operand division."""
+    li = T(sf, "lineitem", ["l_orderkey", "l_shipdate"])
+    o = T(sf, "orders", ["o_orderkey", "o_orderdate",
+                         "o_orderpriority"])
+    j = R.hash_join(li, o, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def bd(t: pa.Table) -> pa.Table:
+        d1 = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        d2 = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        # sign-symmetric weekdays-in-range: np.busday_count's native
+        # reversed-range convention is NOT -busday_count(d2, d1) (off by
+        # the endpoint weekday) — swap-and-negate explicitly so reversed
+        # ship/order pairs match the oracle's cum(d2-1)-cum(d1-1)
+        rev = d2 < d1
+        lo = np.where(rev, d2, d1)
+        hi = np.where(rev, d1, d2)
+        n = np.busday_count(lo, hi).astype(np.int64)
+        n[rev] = -n[rev]
+        df = pd.DataFrame({"o_orderpriority":
+                           t["o_orderpriority"].to_numpy(
+                               zero_copy_only=False),
+                           "s": n})
+        p = df.groupby("o_orderpriority", sort=False) \
+            .agg(s=("s", "sum"), n=("s", "size")).reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    agg = (j.map_batches(bd, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("s", alias_name="s"),
+                      Sum("n", alias_name="n")).to_pandas())
+    s = agg["s"].to_numpy().astype(np.int64)
+    n = agg["n"].to_numpy().astype(np.int64)
+    return pd.DataFrame({
+        "o_orderpriority": agg["o_orderpriority"],
+        "n": n,
+        "avg_busdays": _rnd(pa.array(s.astype(np.float64)
+                                     / n.astype(np.float64),
+                                     pa.float64()), 6)
+        .to_numpy(zero_copy_only=False)})
+
+
+SQL_Q240 = """
+WITH cal AS (SELECT unnest(generate_series(DATE '1992-01-01',
+                                           DATE '2003-12-31',
+                                           INTERVAL 1 DAY)) AS dd),
+c2 AS (SELECT CAST(dd AS DATE) AS d,
+              sum(CASE WHEN isodow(dd) <= 5 THEN 1 ELSE 0 END)
+                OVER (ORDER BY dd) AS cum
+       FROM cal),
+j AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d1,
+             CAST(l_shipdate AS DATE) AS d2
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(b.cum - a.cum) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_busdays
+FROM j JOIN c2 a ON j.d1 - 1 = a.d
+       JOIN c2 b ON j.d2 - 1 = b.d
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7287,6 +7722,14 @@ QUERIES: dict[str, tuple] = {
     "q230_interpolate": (q230_interpolate, SQL_Q230),
     "q231_new_vs_returning": (q231_new_vs_returning, SQL_Q231),
     "q232_entry_conversion": (q232_entry_conversion, SQL_Q232),
+    "q233_market_basket": (q233_market_basket, SQL_Q233),
+    "q234_max_drawdown": (q234_max_drawdown, SQL_Q234),
+    "q235_autocorr": (q235_autocorr, SQL_Q235),
+    "q236_winsorized_mean": (q236_winsorized_mean, SQL_Q236),
+    "q237_theil_sen": (q237_theil_sen, SQL_Q237),
+    "q238_mann_whitney": (q238_mann_whitney, SQL_Q238),
+    "q239_skyline": (q239_skyline, SQL_Q239),
+    "q240_business_days": (q240_business_days, SQL_Q240),
 }
 
 
