@@ -7482,6 +7482,443 @@ GROUP BY o_orderpriority
 """
 
 
+def q241_cohort_ltv(sf: str):
+    """Cohort LTV triangle: cumulative revenue per user by signup-month
+    cohort × months-since-signup. Two distributed wide steps — a
+    groupby(custkey).min first-order month, then a partitioned hash
+    join + groupby(cohort, month_diff) in EXACT integer cents. The
+    cumulative sum and per-user division run on the output-sized
+    (cohort × month) triangle."""
+    o = T(sf, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def mo(t: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(t["o_orderdate"], unit="month")
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "month": m,
+                         "cents": c})
+
+    base = o.map_batches(mo, batch_format="pyarrow")
+    first = base.groupby("o_custkey") \
+        .aggregate(Min("month", alias_name="cohort")).materialize()
+    j = R.hash_join(base, first, on=("o_custkey",),
+                    right_on=("o_custkey",))
+
+    def mdiff(t: pa.Table) -> pa.Table:
+        m = t["month"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        c0 = t["cohort"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        return pa.table({"cohort": t["cohort"],
+                         "m": pa.array(m - c0, pa.int64()),
+                         "cents": t["cents"]})
+
+    r = (j.map_batches(mdiff, batch_format="pyarrow")
+         .groupby(["cohort", "m"])
+         .aggregate(Sum("cents", alias_name="c")).to_pandas())
+    sz = (first.groupby("cohort").aggregate(Count(alias_name="n_users"))
+          .to_pandas())
+    r = r.sort_values(["cohort", "m"], kind="stable") \
+        .reset_index(drop=True)
+    cc = r.groupby("cohort", sort=False)["c"].cumsum() \
+        .to_numpy().astype(np.int64)
+    nu = r["cohort"].map(dict(zip(sz["cohort"], sz["n_users"]))) \
+        .to_numpy().astype(np.int64)
+    return pd.DataFrame({
+        "cohort": r["cohort"].to_numpy().astype("datetime64[us]"),
+        "m": r["m"].to_numpy().astype(np.int64),
+        "ltv_cents_per_user": _rnd(pa.array(
+            cc.astype(np.float64) / nu.astype(np.float64),
+            pa.float64()), 6).to_numpy(zero_copy_only=False)})
+
+
+SQL_Q241 = """
+WITH f AS (SELECT o_custkey, date_trunc('month', min(o_orderdate))
+                    AS cohort
+           FROM orders GROUP BY o_custkey),
+sz AS (SELECT cohort, count(*) AS n_users FROM f GROUP BY cohort),
+r AS (SELECT cohort,
+             datediff('month', cohort,
+                      date_trunc('month', o_orderdate)) AS m,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders JOIN f USING (o_custkey) GROUP BY cohort, m),
+cum AS (SELECT cohort, m,
+               sum(c) OVER (PARTITION BY cohort ORDER BY m) AS cc
+        FROM r)
+SELECT cohort, m, round(CAST(cc AS DOUBLE) / n_users, 6)
+         AS ltv_cents_per_user
+FROM cum JOIN sz USING (cohort)
+"""
+
+
+def q242_fifo_lots(sf: str):
+    """FIFO lot matching (inventory accounting): per part, returned
+    units ('R') consume accepted lots ('A') in ship-date order; report
+    match count, matched units and the quantity-weighted average
+    holding period. The classic cumulative-range trick makes FIFO
+    set-based: lot i covers cumulative units [ce−q, ce); a sell matches
+    a lot iff their ranges overlap, by min(ends)−max(starts) units —
+    no sequential scan, so it distributes. Shuffle is ONE salted
+    groupby(partkey); the within-group overlap join is a C-level pandas
+    merge bounded by lines-per-part². All sums exact int64."""
+    ds = T(sf, "lineitem", ["l_partkey", "l_orderkey", "l_linenumber",
+                            "l_quantity", "l_returnflag", "l_shipdate"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_returnflag"],
+                              value_set=pa.array(["A", "R"])))
+        return pa.table({
+            "pk": t["l_partkey"],
+            "ok": t["l_orderkey"],
+            "ln": pc.cast(t["l_linenumber"], pa.int64()),
+            "q": pc.cast(t["l_quantity"], pa.int64()),
+            "flag": t["l_returnflag"],
+            "d": t["l_shipdate"],
+            "psalt": pc.cast(pc.bit_wise_and(t["l_partkey"], 63),
+                             pa.int32())})
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pk", "d", "ok", "ln"], kind="stable")
+        out = []
+        for flag in ("A", "R"):
+            side = g[g["flag"] == flag].copy()
+            ce = side.groupby("pk", sort=False)["q"].cumsum() \
+                .to_numpy().astype(np.int64)
+            side["ce"] = ce
+            out.append(side[["pk", "q", "d", "ce"]])
+        b, s = out
+        m = b.merge(s, on="pk", suffixes=("_b", "_s"))
+        lo = np.maximum(m["ce_b"].to_numpy() - m["q_b"].to_numpy(),
+                        m["ce_s"].to_numpy() - m["q_s"].to_numpy())
+        hi = np.minimum(m["ce_b"].to_numpy(), m["ce_s"].to_numpy())
+        keep = hi > lo
+        mq = (hi - lo)[keep]
+        days = ((m["d_s"].to_numpy().astype("datetime64[D]")
+                 - m["d_b"].to_numpy().astype("datetime64[D]"))
+                .astype(np.int64))[keep]
+        return pd.DataFrame([{
+            "n_matches": np.int64(int(keep.sum())),
+            "matched_qty": np.int64(int(mq.sum())),
+            "unit_days": np.int64(int((mq * days).sum()))}])
+
+    agg = (ds.map_batches(salt, batch_format="pyarrow")
+           .groupby("psalt").map_groups(match, batch_format="pandas")
+           .to_pandas())
+    nm = int(agg["n_matches"].sum())
+    mq = int(agg["matched_qty"].sum())
+    ud = int(agg["unit_days"].sum())
+    return pd.DataFrame({
+        "n_matches": np.array([nm], dtype=np.int64),
+        "matched_qty": np.array([mq], dtype=np.int64),
+        "unit_days": np.array([ud], dtype=np.int64),
+        "avg_hold_days": np.array(
+            [_round_away(float(ud) / float(mq), 6)], dtype=np.float64)})
+
+
+SQL_Q242 = """
+WITH b AS (SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+                  l_shipdate AS d,
+                  sum(CAST(l_quantity AS BIGINT)) OVER (
+                    PARTITION BY l_partkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS ce
+           FROM lineitem WHERE l_returnflag = 'A'),
+s AS (SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+             l_shipdate AS d,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS ce
+      FROM lineitem WHERE l_returnflag = 'R'),
+m AS (SELECT least(b.ce, s.ce) - greatest(b.ce - b.q, s.ce - s.q) AS mq,
+             datediff('day', b.d, s.d) AS days
+      FROM b JOIN s ON b.pk = s.pk
+      WHERE least(b.ce, s.ce) > greatest(b.ce - b.q, s.ce - s.q))
+SELECT count(*) AS n_matches,
+       CAST(sum(mq) AS BIGINT) AS matched_qty,
+       CAST(sum(mq * days) AS BIGINT) AS unit_days,
+       round(CAST(sum(mq * days) AS DOUBLE) / CAST(sum(mq) AS BIGINT),
+             6) AS avg_hold_days
+FROM m
+"""
+
+
+def q243_bollinger(sf: str):
+    """Bollinger-band breakout count on daily revenue: days where the
+    value leaves mean ± 2σ of the trailing 20 observed days. The whole
+    test is INTEGER-EXACT: with S, SS the trailing sums of daily
+    dollars, |x−μ| > 2σ ⇔ (n·x−S)² > 4·(n·SS−S²) — no float ever
+    enters, so the hash cannot drift (the q207 EWMA lesson). One
+    distributed exact-cents groupby(day); the rolling test runs on the
+    output-sized series via cumsum differences."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"),
+                         "cents": v})
+
+    d = (ds.map_batches(cents, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("cents", alias_name="cc"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    x = (d["cc"].to_numpy().astype(np.int64)) // 100   # whole dollars
+    n = 20
+    cs = np.concatenate([[0], np.cumsum(x)])
+    cs2 = np.concatenate([[0], np.cumsum(x * x)])
+    if len(x) >= n:
+        s = cs[n:] - cs[:-n]
+        ss = cs2[n:] - cs2[:-n]
+        xi = x[n - 1:]
+        dlt = n * xi - s
+        brk = dlt * dlt > 4 * (n * ss - s * s)
+        n_eval, n_brk = int(len(xi)), int(brk.sum())
+    else:
+        n_eval, n_brk = 0, 0
+    return pd.DataFrame({
+        "n_breakouts": np.array([n_brk], dtype=np.int64),
+        "n_evaluated": np.array([n_eval], dtype=np.int64)})
+
+
+SQL_Q243 = """
+WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cc
+           FROM orders GROUP BY day),
+v AS (SELECT day, CAST(cc AS BIGINT) // 100 AS x FROM d),
+w AS (SELECT x, sum(x) OVER win AS s, sum(x * x) OVER win AS ss,
+             count(*) OVER win AS n
+      FROM v WINDOW win AS (ORDER BY day
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT count(*) FILTER (n = 20 AND (20 * x - s) * (20 * x - s)
+                                   > 4 * (20 * ss - s * s))
+         AS n_breakouts,
+       count(*) FILTER (n = 20) AS n_evaluated
+FROM w
+"""
+
+
+def q244_rfm_segments(sf: str):
+    """RFM segmentation: per-user Recency/Frequency/Monetary (all exact
+    integers — monetary in rounded cents), quartile-binned by DETERMINISTIC
+    quantile thresholds (ceil-rank quantile_disc + strict-greater
+    counting; NTILE would be tie-order-nondeterministic), then segment
+    counts. The event-sized work is ONE distributed groupby(user); the
+    binning runs on the user-sized aggregate."""
+    anchor = np.datetime64("2024-02-01", "us")
+    ds = T(sf, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "cents": c})
+
+    u = (ds.map_batches(prep, batch_format="pyarrow")
+         .groupby("user_id")
+         .aggregate(Max("ts", alias_name="last_ts"),
+                    Count(alias_name="f"),
+                    Sum("cents", alias_name="m")).to_pandas())
+    r = ((anchor - u["last_ts"].to_numpy().astype("datetime64[us]"))
+         .astype("timedelta64[us]").astype(np.int64)
+         // 86_400_000_000)
+    f = u["f"].to_numpy().astype(np.int64)
+    m = u["m"].to_numpy().astype(np.int64)
+
+    def disc(xs: np.ndarray, q: float) -> int:
+        s = np.sort(xs)
+        return int(s[max(int(np.ceil(q * len(s))) - 1, 0)])
+
+    def bins(xs: np.ndarray) -> np.ndarray:
+        t1, t2, t3 = (disc(xs, 0.25), disc(xs, 0.5), disc(xs, 0.75))
+        return (1 + (xs > t1).astype(np.int64)
+                + (xs > t2).astype(np.int64)
+                + (xs > t3).astype(np.int64))
+
+    seg = pd.DataFrame({"rb": bins(r), "fb": bins(f), "mb": bins(m)})
+    out = seg.groupby(["rb", "fb", "mb"], sort=False).size() \
+        .rename("n_users").reset_index()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+SQL_Q244 = """
+WITH u AS (SELECT user_id,
+                  datediff('day', CAST(max(ts) AS DATE),
+                           DATE '2024-02-01')
+                    - CASE WHEN max(ts) > CAST(max(ts) AS DATE)
+                           THEN 1 ELSE 0 END AS r,
+                  count(*) AS f,
+                  sum(CAST(round(value * 100) AS BIGINT)) AS m
+           FROM events GROUP BY user_id),
+t AS (SELECT quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.5) AS r2,
+             quantile_disc(r, 0.75) AS r3,
+             quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+             quantile_disc(f, 0.75) AS f3,
+             quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2,
+             quantile_disc(m, 0.75) AS m3
+      FROM u)
+SELECT CAST(1 + (r > r1)::INT + (r > r2)::INT + (r > r3)::INT
+            AS BIGINT) AS rb,
+       CAST(1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT
+            AS BIGINT) AS fb,
+       CAST(1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT
+            AS BIGINT) AS mb,
+       count(*) AS n_users
+FROM u CROSS JOIN t GROUP BY rb, fb, mb
+"""
+
+
+def q245_time_in_state(sf: str):
+    """Time-in-state: how long users sit in each event_type before the
+    next event (LEAD diff; each user's final event is open-ended and
+    excluded). Salted shuffle on user hash; per-group sort + shift are
+    C-level; per-type partials combine in ONE tiny groupby. Durations
+    are exact integer microseconds; the average is one exact-operand
+    division."""
+    def dur(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        u = g["user_id"].to_numpy()
+        nxt = np.empty(len(g), dtype=np.int64)
+        nxt[:-1] = us[1:]
+        nxt[-1] = -1
+        valid = np.empty(len(g), dtype=bool)
+        valid[:-1] = u[1:] == u[:-1]
+        valid[-1] = False
+        df = pd.DataFrame({
+            "event_type": g["event_type"].to_numpy()[valid],
+            "d": (nxt - us)[valid]})
+        p = df.groupby("event_type", sort=False) \
+            .agg(total_us=("d", "sum"), n=("d", "size")).reset_index()
+        return p
+
+    agg = (_salted_user_events(sf, ["event_id", "user_id", "ts",
+                                    "event_type"])
+           .groupby("usalt").map_groups(dur, batch_format="pandas")
+           .groupby("event_type")
+           .aggregate(Sum("total_us", alias_name="total_us"),
+                      Sum("n", alias_name="n_intervals")).to_pandas())
+    t = agg["total_us"].to_numpy().astype(np.int64)
+    n = agg["n_intervals"].to_numpy().astype(np.int64)
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_intervals": n,
+        "total_us": t,
+        "avg_us": _rnd(pa.array(t.astype(np.float64)
+                                / n.astype(np.float64), pa.float64()),
+                       6).to_numpy(zero_copy_only=False)})
+
+
+SQL_Q245 = """
+WITH s AS (SELECT event_type,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - ts AS dur
+           FROM events)
+SELECT event_type, count(dur) AS n_intervals,
+       CAST(sum(epoch_us(dur)) AS BIGINT) AS total_us,
+       round(CAST(sum(epoch_us(dur)) AS DOUBLE)
+             / CAST(count(dur) AS BIGINT), 6) AS avg_us
+FROM s GROUP BY event_type
+"""
+
+
+def q246_assortativity(sf: str):
+    """Degree assortativity of the part co-purchase graph (edge = two
+    parts in one order). Edges reuse q190's offset-vectorized pair
+    expansion; degrees are a distributed groupby over the symmetrized
+    edge list; the Pearson moments ride each edge batch as exact-int
+    partials. Symmetry collapses the formula to one integer-exact
+    division r = (M·Sxy − Sx²)/(M·Sxx − Sx²) — no sqrt, no float order.
+    NULL when the graph is regular (denominator 0 — e.g. a complete
+    graph at tiny scale), matching SQL's NULL division."""
+    ds = T(sf, "lineitem", ["l_orderkey", "l_partkey"])
+    fanout = 64
+
+    def salt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": t["l_orderkey"], "pkey": t["l_partkey"],
+            "osalt": pc.cast(pc.bit_wise_and(t["l_orderkey"],
+                                             fanout - 1), pa.int32())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["okey", "pkey"]) \
+            .sort_values(["okey", "pkey"], kind="stable")
+        ok = g["okey"].to_numpy()
+        pk = g["pkey"].to_numpy()
+        out_a, out_b = [], []
+        max_run = int(np.bincount(np.unique(ok, return_inverse=True)[1])
+                      .max()) if len(ok) else 0
+        for d in range(1, max_run):   # offset loop, never per-row
+            same = ok[:-d] == ok[d:]
+            out_a.append(pk[:-d][same])
+            out_b.append(pk[d:][same])
+        if not out_a:
+            return pd.DataFrame({"p1": np.array([], dtype=np.int64),
+                                 "p2": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"p1": np.concatenate(out_a),
+                             "p2": np.concatenate(out_b)})
+
+    edges = (ds.map_batches(salt, batch_format="pyarrow")
+             .groupby("osalt").map_groups(pairs, batch_format="pandas")
+             .groupby(["p1", "p2"]).aggregate(Count(alias_name="_"))
+             .select_columns(["p1", "p2"])).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["p1"].combine_chunks(), t["p2"].combine_chunks()])})
+
+    deg = (edges.map_batches(sym, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg"))
+           .to_pandas())
+    dk = np.sort(deg["node"].to_numpy().astype(np.int64))
+    dv = deg["deg"].to_numpy().astype(np.int64)[
+        np.argsort(deg["node"].to_numpy(), kind="stable")]
+    dref = ray.put((dk, dv))
+
+    def moments(t: pa.Table) -> pa.Table:
+        k, v = ray.get(dref)
+        du = v[np.searchsorted(k, t["p1"].to_numpy(
+            zero_copy_only=False))]
+        dvv = v[np.searchsorted(k, t["p2"].to_numpy(
+            zero_copy_only=False))]
+        return pa.table({
+            "m": pa.array([2 * len(du)], pa.int64()),
+            "sx": pa.array([int((du + dvv).sum())], pa.int64()),
+            "sxy": pa.array([2 * int((du * dvv).sum())], pa.int64()),
+            "sxx": pa.array([int((du * du + dvv * dvv).sum())],
+                            pa.int64())})
+
+    mm = edges.map_batches(moments, batch_format="pyarrow").to_pandas()
+    M = int(mm["m"].sum())
+    sx = int(mm["sx"].sum())
+    sxy = int(mm["sxy"].sum())
+    sxx = int(mm["sxx"].sum())
+    num = M * sxy - sx * sx
+    den = M * sxx - sx * sx
+    r = None if den == 0 else _round_away(float(num) / float(den), 6)
+    return pd.DataFrame({
+        "n_edges": np.array([M // 2], dtype=np.int64),
+        "assortativity": np.array([r], dtype=np.float64)})
+
+
+SQL_Q246 = """
+WITH ob AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+            FROM lineitem),
+e AS (SELECT DISTINCT a.p AS p1, c.p AS p2
+      FROM ob a JOIN ob c ON a.ok = c.ok AND a.p < c.p),
+d AS (SELECT node, count(*) AS deg FROM (
+        SELECT p1 AS node FROM e UNION ALL SELECT p2 AS node FROM e)
+      GROUP BY node),
+m AS (SELECT 2 * count(*) AS mm, sum(x.deg + y.deg) AS sx,
+             2 * sum(x.deg * y.deg) AS sxy,
+             sum(x.deg * x.deg + y.deg * y.deg) AS sxx
+      FROM e JOIN d x ON e.p1 = x.node JOIN d y ON e.p2 = y.node)
+SELECT CAST(mm // 2 AS BIGINT) AS n_edges,
+       round(CAST(mm * sxy - sx * sx AS DOUBLE)
+             / CAST(mm * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7730,6 +8167,12 @@ QUERIES: dict[str, tuple] = {
     "q238_mann_whitney": (q238_mann_whitney, SQL_Q238),
     "q239_skyline": (q239_skyline, SQL_Q239),
     "q240_business_days": (q240_business_days, SQL_Q240),
+    "q241_cohort_ltv": (q241_cohort_ltv, SQL_Q241),
+    "q242_fifo_lots": (q242_fifo_lots, SQL_Q242),
+    "q243_bollinger": (q243_bollinger, SQL_Q243),
+    "q244_rfm_segments": (q244_rfm_segments, SQL_Q244),
+    "q245_time_in_state": (q245_time_in_state, SQL_Q245),
+    "q246_assortativity": (q246_assortativity, SQL_Q246),
 }
 
 
