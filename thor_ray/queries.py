@@ -7919,6 +7919,368 @@ FROM m
 """
 
 
+def q247_cusum(sf: str):
+    """CUSUM change detection on daily revenue, INTEGER-EXACT end to
+    end: the scaled statistic C_k = N·P_k − k·S (P = running revenue,
+    S = total, N = day count) never divides, so breach tests and the
+    argmax are pure int64 comparisons. One distributed exact-cents
+    groupby(day); the scan runs on the output-sized series. Breach
+    threshold = N·S/150 (a fixed band of the total mass)."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"),
+                         "cents": v})
+
+    d = (ds.map_batches(cents, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("cents", alias_name="cc"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    x = (d["cc"].to_numpy().astype(np.int64)) // 100
+    n = len(x)
+    s = int(x.sum())
+    pk = np.cumsum(x)
+    k = np.arange(1, n + 1, dtype=np.int64)
+    c = n * pk - k * s
+    tau = n * s // 150
+    ac = np.abs(c)
+    breach = ac > tau
+    i = int(np.argmax(ac))
+    return pd.DataFrame({
+        "n_days": np.array([n], dtype=np.int64),
+        "n_breach": np.array([int(breach.sum())], dtype=np.int64),
+        "max_dev": np.array([int(ac[i])], dtype=np.int64),
+        "peak_day": d["day"].to_numpy()[i:i + 1]
+        .astype("datetime64[us]")})
+
+
+SQL_Q247 = """
+WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) // 100 AS x
+           FROM orders GROUP BY day),
+m AS (SELECT count(*) AS nn, sum(x) AS s FROM d),
+p AS (SELECT day,
+             row_number() OVER (ORDER BY day) AS k,
+             sum(x) OVER (ORDER BY day) AS pk
+      FROM d),
+c AS (SELECT day, abs(nn * pk - k * s) AS dev,
+             nn * s // 150 AS tau
+      FROM p CROSS JOIN m)
+SELECT (SELECT nn FROM m) AS n_days,
+       count(*) FILTER (dev > tau) AS n_breach,
+       CAST(max(dev) AS BIGINT) AS max_dev,
+       min(day) FILTER (dev = (SELECT max(dev) FROM c)) AS peak_day
+FROM c
+"""
+
+
+def q248_kendall_grid(sf: str):
+    """Kendall concordance between ship WEEK and quantity over all
+    cross-week lineitem pairs — O(n²) pair semantics computed WITHOUT
+    pairs: one distributed groupby(week, qty) count grid (weeks × 50
+    cells), then 2-D PREFIX SUMS on the output-sized grid give
+    concordant / discordant / quantity-tied counts in exact int64. The
+    oracle mirrors the same grid with two integer window scans (never
+    the 1.8e9 raw pairs)."""
+    ds = T(sf, "lineitem", ["l_shipdate", "l_quantity"])
+
+    def wk(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "w": pc.floor_temporal(t["l_shipdate"], unit="week"),
+            "q": pc.cast(t["l_quantity"], pa.int64())})
+
+    g = (ds.map_batches(wk, batch_format="pyarrow")
+         .groupby(["w", "q"]).aggregate(Count(alias_name="n"))
+         .to_pandas())
+    piv = g.pivot_table(index="w", columns="q", values="n",
+                        fill_value=0, aggfunc="sum").sort_index()
+    M = piv.to_numpy().astype(np.int64)        # weeks × qty counts
+    pw = np.cumsum(M, axis=0) - M              # earlier-week counts
+    less = np.cumsum(pw, axis=1) - pw          # earlier-week, smaller q
+    gt = (np.cumsum(pw[:, ::-1], axis=1)[:, ::-1]) - pw
+    return pd.DataFrame({
+        "concordant": np.array([int((M * less).sum())], dtype=np.int64),
+        "discordant": np.array([int((M * gt).sum())], dtype=np.int64),
+        "tied_q": np.array([int((M * pw).sum())], dtype=np.int64)})
+
+
+SQL_Q248 = """
+WITH c AS (SELECT date_trunc('week', l_shipdate) AS w,
+                  CAST(l_quantity AS BIGINT) AS q, count(*) AS n
+           FROM lineitem GROUP BY w, q),
+wk AS (SELECT DISTINCT w FROM c),
+qq AS (SELECT DISTINCT q FROM c),
+grid AS (SELECT wk.w, qq.q, coalesce(c.n, 0) AS n
+         FROM wk CROSS JOIN qq
+         LEFT JOIN c ON c.w = wk.w AND c.q = qq.q),
+pw AS (SELECT w, q, n,
+              coalesce(sum(n) OVER (PARTITION BY q ORDER BY w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS ew
+       FROM grid),
+h AS (SELECT n, ew,
+             coalesce(sum(ew) OVER (PARTITION BY w ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS less,
+             coalesce(sum(ew) OVER (PARTITION BY w ORDER BY q DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS gt
+      FROM pw)
+SELECT CAST(sum(n * less) AS BIGINT) AS concordant,
+       CAST(sum(n * gt) AS BIGINT) AS discordant,
+       CAST(sum(n * ew) AS BIGINT) AS tied_q
+FROM h
+"""
+
+
+def q249_readability(sf: str):
+    """Corpus-level Flesch-style readability per language from three
+    RE2 regex counters (words, sentence breaks, vowel runs ≈
+    syllables) — the SAME regex engine on both sides (the q28/q33
+    trick), so the counts are identical integers; the score is three
+    exact-operand divisions in a fixed order. Counting is a vectorized
+    pc.count_substring_regex per batch with per-lang int partials; NULL
+    score where a language has no Latin words (zh), matching SQL NULL
+    division."""
+    ds = T(sf, "documents", ["lang", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        w = pc.count_substring_regex(t["text"], "[A-Za-z]+")
+        s = pc.count_substring_regex(t["text"], "[.!?]+")
+        y = pc.count_substring_regex(t["text"], "[AEIOUYaeiouy]+")
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "w": w.to_numpy(zero_copy_only=False).astype(np.int64),
+            "s": s.to_numpy(zero_copy_only=False).astype(np.int64),
+            "y": y.to_numpy(zero_copy_only=False).astype(np.int64)})
+        p = df.groupby("lang", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("w", alias_name="words"),
+                      Sum("s", alias_name="sentences"),
+                      Sum("y", alias_name="syllables")).to_pandas())
+    w = agg["words"].to_numpy().astype(np.int64)
+    s = agg["sentences"].to_numpy().astype(np.int64)
+    y = agg["syllables"].to_numpy().astype(np.int64)
+    score = [None if wi == 0 or si == 0 else
+             _round_away(206.835 - 1.015 * (float(wi) / float(si))
+                         - 84.6 * (float(yi) / float(wi)), 6)
+             for wi, si, yi in zip(w, s, y)]
+    return pd.DataFrame({
+        "lang": agg["lang"], "words": w, "sentences": s,
+        "syllables": y,
+        "flesch": np.array(score, dtype=np.float64)})
+
+
+SQL_Q249 = """
+WITH d AS (SELECT lang,
+                  len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+                  len(regexp_extract_all(text, '[.!?]+')) AS s,
+                  len(regexp_extract_all(text,
+                                         '[AEIOUYaeiouy]+')) AS y
+           FROM documents)
+SELECT lang, CAST(sum(w) AS BIGINT) AS words,
+       CAST(sum(s) AS BIGINT) AS sentences,
+       CAST(sum(y) AS BIGINT) AS syllables,
+       round(206.835
+             - 1.015 * (CAST(sum(w) AS DOUBLE)
+                        / CAST(sum(s) AS BIGINT))
+             - 84.6 * (CAST(sum(y) AS DOUBLE)
+                       / CAST(sum(w) AS BIGINT)), 6) AS flesch
+FROM d GROUP BY lang
+"""
+
+
+def q250_seasonal_index(sf: str):
+    """Calendar seasonality: month-of-year index = (month's mean daily
+    revenue) / (overall mean daily revenue), assembled as ONE division
+    of exact integer products (sum_m·D)/(days_m·S) — both < 2^53, so
+    the doubles are exact on both sides. The only event-sized step is
+    the exact-cents groupby(day)."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"),
+                         "cents": v})
+
+    d = (ds.map_batches(cents, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("cents", alias_name="c"))
+         .to_pandas())
+    mo = pd.DatetimeIndex(d["day"]).month.to_numpy().astype(np.int64)
+    c = d["c"].to_numpy().astype(np.int64)
+    D = len(d)
+    S = int(c.sum())
+    g = pd.DataFrame({"m": mo, "c": c}).groupby("m").agg(
+        n_days=("c", "size"), cm=("c", "sum")).reset_index()
+    idx = (g["cm"].to_numpy().astype(np.int64) * D).astype(np.float64) \
+        / (g["n_days"].to_numpy().astype(np.int64) * S) \
+        .astype(np.float64)
+    return pd.DataFrame({
+        "m": g["m"].to_numpy().astype(np.int64),
+        "n_days": g["n_days"].to_numpy().astype(np.int64),
+        "seasonal_index": _rnd(pa.array(idx, pa.float64()), 6)
+        .to_numpy(zero_copy_only=False)})
+
+
+SQL_Q250 = """
+WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  month(o_orderdate) AS m,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY day, m),
+t AS (SELECT count(*) AS dd, sum(c) AS s FROM d)
+SELECT m, count(*) AS n_days,
+       round(CAST(sum(c) * dd AS DOUBLE)
+             / CAST(count(*) * s AS DOUBLE), 6) AS seasonal_index
+FROM d CROSS JOIN t GROUP BY m, dd, s
+"""
+
+
+def q251_bowley_skew(sf: str):
+    """Bowley (quartile) skewness of event value per type — the robust
+    companion to q115's moment skewness. Quartiles are discrete
+    ceil-rank picks on exact integer cents (q112's verified
+    quantile_disc convention), so the coefficient is one division of
+    exact integers. One distributed groupby(event_type); sort + pick
+    are C-level inside each group."""
+    ds = T(sf, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    def bow(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["cents"].to_numpy())
+
+        def disc(q: float) -> int:
+            return int(x[max(int(np.ceil(q * len(x))) - 1, 0)])
+
+        q1, q2, q3 = disc(0.25), disc(0.5), disc(0.75)
+        b = None if q3 == q1 else \
+            _round_away(float(q1 + q3 - 2 * q2) / float(q3 - q1), 6)
+        return pd.DataFrame([{
+            "event_type": g["event_type"].iloc[0],
+            "q1_cents": np.int64(q1), "q3_cents": np.int64(q3),
+            "bowley": b}])
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("event_type").map_groups(bow,
+                                              batch_format="pandas"))
+
+
+SQL_Q251 = """
+WITH v AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+q AS (SELECT event_type,
+             quantile_disc(cents, 0.25) AS q1,
+             quantile_disc(cents, 0.5) AS q2,
+             quantile_disc(cents, 0.75) AS q3
+      FROM v GROUP BY event_type)
+SELECT event_type, q1 AS q1_cents, q3 AS q3_cents,
+       round(CAST(q1 + q3 - 2 * q2 AS DOUBLE) / (q3 - q1), 6)
+         AS bowley
+FROM q
+"""
+
+
+def q252_max_window_gain(sf: str):
+    """Maximum-sum contiguous run of daily revenue deviations (Kadane)
+    via the PARALLEL SEGMENT REDUCE: each calendar bucket of days
+    computes the classic (total, best-prefix, best-suffix, best)
+    summary in a distributed map_groups; the driver folds the
+    bucket-count-sized summaries in day order — exactly how the scan
+    parallelizes on a cluster. Deviation = daily dollars − floor-mean
+    K = S//N, all int64; the oracle is the prefix-minus-running-min
+    window identity on the same integers."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"),
+                         "cents": v})
+
+    daily = (ds.map_batches(cents, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("cents", alias_name="cc"))
+             ).materialize()
+    tot = daily.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [int(pc.sum(pc.divide(t["cc"], 100)).as_py() or 0)],
+            pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    S, N = int(tot["s"].sum()), int(tot["n"].sum())
+    K = S // N
+
+    def seg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="stable")
+        y = (g["cc"].to_numpy().astype(np.int64) // 100) - K
+        pre = np.cumsum(y)
+        total = int(pre[-1])
+        best_pref = int(pre.max())
+        best_suf = int((total - np.concatenate([[0], pre[:-1]])).max())
+        run_min = np.minimum.accumulate(
+            np.concatenate([[0], pre[:-1]]))
+        best = int((pre - run_min).max())
+        return pd.DataFrame([{
+            "bucket": np.int64(g["bucket"].iloc[0]),
+            "total": np.int64(total), "pref": np.int64(best_pref),
+            "suf": np.int64(best_suf), "best": np.int64(best)}])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.divide(pc.cast(pc.cast(
+            t["day"], pa.timestamp("us")), pa.int64()),
+            64 * 86_400_000_000), pa.int64())
+        return t.append_column("bucket", b)
+
+    segs = (daily.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("bucket").map_groups(seg, batch_format="pandas")
+            .to_pandas().sort_values("bucket").reset_index(drop=True))
+    total, pref, suf, best = None, None, None, None
+    for _, r in segs.iterrows():      # bucket-count-sized fold
+        if total is None:
+            total, pref, suf, best = (int(r["total"]), int(r["pref"]),
+                                      int(r["suf"]), int(r["best"]))
+            continue
+        best = max(best, int(r["best"]), suf + int(r["pref"]))
+        pref = max(pref, total + int(r["pref"]))
+        suf = max(int(r["suf"]), int(r["total"]) + suf)
+        total += int(r["total"])
+    return pd.DataFrame({
+        "n_days": np.array([N], dtype=np.int64),
+        "k_dollars": np.array([K], dtype=np.int64),
+        "max_gain": np.array([best], dtype=np.int64)})
+
+
+SQL_Q252 = """
+WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) // 100 AS x
+           FROM orders GROUP BY day),
+m AS (SELECT sum(x) AS s, count(*) AS n FROM d),
+v AS (SELECT day, x - (SELECT s // n FROM m) AS y FROM d),
+p AS (SELECT day, sum(y) OVER (ORDER BY day) AS pre FROM v),
+q AS (SELECT pre, coalesce(min(pre) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mn
+      FROM p)
+SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_days,
+       (SELECT CAST(s // n AS BIGINT) FROM m) AS k_dollars,
+       CAST(max(pre - mn) AS BIGINT) AS max_gain
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8173,6 +8535,12 @@ QUERIES: dict[str, tuple] = {
     "q244_rfm_segments": (q244_rfm_segments, SQL_Q244),
     "q245_time_in_state": (q245_time_in_state, SQL_Q245),
     "q246_assortativity": (q246_assortativity, SQL_Q246),
+    "q247_cusum": (q247_cusum, SQL_Q247),
+    "q248_kendall_grid": (q248_kendall_grid, SQL_Q248),
+    "q249_readability": (q249_readability, SQL_Q249),
+    "q250_seasonal_index": (q250_seasonal_index, SQL_Q250),
+    "q251_bowley_skew": (q251_bowley_skew, SQL_Q251),
+    "q252_max_window_gain": (q252_max_window_gain, SQL_Q252),
 }
 
 
