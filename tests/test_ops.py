@@ -2154,3 +2154,32 @@ def test_incremental_dedup_index(ray_session, tmp_path):
     DD.incremental_dedup(b3, idx, "ing3", update=False).to_pandas()
     got4 = DD.incremental_dedup(b3, idx, "ing4").to_pandas()
     assert sorted(got4["doc_id"]) == [30]
+
+
+def test_pq_ann_recall_and_self_match(ray_session):
+    """PQ ADC search must (a) be deterministic, (b) achieve reasonable
+    recall@10 vs brute-force cosine, (c) rank an EXACT database vector
+    near the top when queried with itself (distortion bounded)."""
+    SF = "/root/testdata/sf0.01"
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cb = ANN.pq_train(ds, m=8, k=16)
+    assert cb.shape == (8, 16, 8)
+    codes = ANN.pq_encode(ds, cb).materialize()
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    order = np.argsort(t["vec_id"].to_numpy())
+    q = np.asarray(t["embedding"][int(order[0])].as_py(),
+                   dtype=np.float64)
+
+    got = ANN.pq_topk(codes, q, cb, k=10)
+    got2 = ANN.pq_topk(codes, q, cb, k=10)
+    assert list(got["vec_id"]) == list(got2["vec_id"])  # deterministic
+    # self-match: the query IS vec 0's vector
+    assert int(t["vec_id"][int(order[0])].as_py()) in set(
+        got["vec_id"].tolist())
+
+    brute = ANN.brute_topk(ds, q, k=10).to_pandas()
+    recall = len(set(got["vec_id"]) & set(brute["vec_id"])) / 10.0
+    assert recall >= 0.3, f"PQ recall@10 too low: {recall}"

@@ -313,3 +313,119 @@ def kmeans(ds: Dataset, vec_col: str, k: int, iters: int = 10,
         inertia.append(float(1.0 - stot.sum() / max(n.sum(), 1)))
 
     return {"centroids": cent, "inertia": inertia}
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN tier: IVF prunes
+# WHICH vectors to scan; PQ shrinks WHAT each scan touches (d×4 bytes →
+# m bytes per vector), the standard pairing for billion-vector corpora.
+# ---------------------------------------------------------------------------
+
+def _lloyd_l2(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Plain L2 Lloyd's on a driver-sized sample with deterministic
+    farthest-point seeding (same rationale as kmeans() above)."""
+    first = int(rng.integers(len(x)))
+    chosen = [x[first]]
+    d2 = ((x - chosen[0]) ** 2).sum(axis=1)
+    for _ in range(min(k, len(x)) - 1):
+        nxt = int(np.argmax(d2))
+        chosen.append(x[nxt])
+        d2 = np.minimum(d2, ((x - chosen[-1]) ** 2).sum(axis=1))
+    cent = np.stack(chosen)
+    for _ in range(iters):
+        dist = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(dist, axis=1)
+        for j in range(len(cent)):
+            sel = a == j
+            if sel.any():
+                cent[j] = x[sel].mean(axis=0)
+    return cent
+
+
+def pq_train(ds: Dataset, vec_col: str = "embedding", m: int = 8,
+             k: int = 16, iters: int = 10, seed: int = 7,
+             sample: int = 4_096) -> np.ndarray:
+    """Train PQ codebooks (m, k, d/m): split unit-normalized vectors
+    into m subspaces, run L2 k-means per subspace on a BOUNDED driver
+    sample (ds.limit — the same scale contract as IvfIndex.train; the
+    codebook is a few KB however big the corpus is)."""
+    x = _normalize(vec_matrix(pa.array(
+        ds.limit(sample).to_pandas()[vec_col].tolist())))
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    rng = np.random.default_rng(seed)
+    dsub = d // m
+    return np.stack([
+        _lloyd_l2(np.ascontiguousarray(x[:, j * dsub:(j + 1) * dsub]),
+                  k, iters, rng)
+        for j in range(m)])
+
+
+def pq_encode(ds: Dataset, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> Dataset:
+    """Encode every vector to m uint8 codes (one binary cell per row —
+    m bytes, a 32×-ish compression at d=64/m=8). Vectorized per batch:
+    one (b, k) distance matrix per subspace via the ‖x‖²−2x·C+‖C‖²
+    expansion; codebooks ride ONE ray.put broadcast."""
+    cref = ray.put(codebooks)
+
+    def enc(t: pa.Table) -> pa.Table:
+        cb = ray.get(cref)
+        m, k, dsub = cb.shape
+        if len(t) == 0:
+            return pa.table({id_col: t[id_col],
+                             "code": pa.array([], type=pa.binary(m))})
+        x = _normalize(vec_matrix(t[vec_col]))
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            c = cb[j]
+            d2 = (xs * xs).sum(axis=1, keepdims=True) \
+                - 2.0 * (xs @ c.T) + (c * c).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m), len(x),
+            [None, pa.py_buffer(codes.tobytes())])
+        return pa.table({id_col: t[id_col], "code": fsb})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(codes: Dataset, query: np.ndarray, codebooks: np.ndarray,
+            k: int = 10, id_col: str = "vec_id",
+            round_to: int = 6) -> "pd.DataFrame":
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query is
+    expanded ONCE into an (m, k) lookup table of subspace distances;
+    each batch decodes its m-byte codes zero-copy (np.frombuffer) and
+    sums m table lookups per row — no float vector is ever read. Local
+    top-k per block, tiny global sort (the brute_topk contract)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, kk, dsub = cb.shape
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    lut = np.stack([((cb[j] - q[j * dsub:(j + 1) * dsub]) ** 2)
+                    .sum(axis=1) for j in range(m)])
+    lref = ray.put(lut)
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: t[id_col],
+                             "adist": pa.array([], pa.float64())})
+        lt = ray.get(lref)
+        arr = t["code"].combine_chunks()
+        c = np.frombuffer(arr.buffers()[1], dtype=np.uint8)[
+            arr.offset * m:(arr.offset + len(arr)) * m] \
+            .reshape(len(arr), m)
+        dist = np.zeros(len(t), dtype=np.float64)
+        for j in range(m):
+            dist += lt[j][c[:, j]]
+        dist = np.round(dist, round_to)
+        ids = t[id_col].to_numpy()
+        order = np.lexsort((ids, dist))[: min(k, len(ids))]
+        return pa.table({id_col: t[id_col].take(pa.array(order)),
+                         "adist": pa.array(dist[order])})
+
+    out = (codes.map_batches(score, batch_format="pyarrow")
+           .sort(["adist", id_col]).limit(k))
+    return out.to_pandas()

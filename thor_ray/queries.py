@@ -8281,6 +8281,178 @@ FROM q
 """
 
 
+def q253_psi(sf: str):
+    """Population-stability-index drift monitor: event value distribution
+    of the first half of January vs the second, per fixed equi-width
+    cents bin. ONE distributed groupby(bin, period) count; contributions
+    (p−q)·ln(p/q) are emitted PER BIN (exact-int operands, fixed op
+    order) — deliberately not summed across bins, because a float
+    cross-bin sum has no deterministic order on either engine (the EWMA
+    lesson). Consumers sum the column; the hash stays exact."""
+    cut = np.datetime64("2024-01-16", "us")
+    ds = T(sf, "events", ["ts", "value"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        b = pc.cast(pc.divide(cents, 5000), pa.int64())
+        late = pc.greater_equal(t["ts"], pa.scalar(
+            pd.Timestamp("2024-01-16"), type=pa.timestamp("us")))
+        return pa.table({"bin": b, "late": late})
+
+    agg = (ds.map_batches(binned, batch_format="pyarrow")
+           .groupby(["bin", "late"]).aggregate(Count(alias_name="n"))
+           .to_pandas())
+    piv = agg.pivot_table(index="bin", columns="late", values="n",
+                          fill_value=0, aggfunc="sum").sort_index()
+    n1 = piv.get(False, pd.Series(0, index=piv.index)) \
+        .to_numpy().astype(np.int64)
+    n2 = piv.get(True, pd.Series(0, index=piv.index)) \
+        .to_numpy().astype(np.int64)
+    B = len(piv)
+    N1, N2 = int(n1.sum()) + B, int(n2.sum()) + B
+    # add-one (Laplace) smoothing: the standard PSI guard for bins
+    # empty in one period (the value tail IS sparse), and it keeps
+    # ln() defined without dropping bins
+    p = (n1 + 1).astype(np.float64) / np.float64(N1)
+    q = (n2 + 1).astype(np.float64) / np.float64(N2)
+    contrib = (p - q) * np.log(p / q)
+    return pd.DataFrame({
+        "bin": piv.index.to_numpy().astype(np.int64),
+        "n_early": n1, "n_late": n2,
+        "psi_term": _rnd(pa.array(contrib, pa.float64()), 8)
+        .to_numpy(zero_copy_only=False)})
+
+
+SQL_Q253 = """
+WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) // 5000 AS bin,
+                  (ts >= TIMESTAMP '2024-01-16') AS late
+           FROM events),
+c AS (SELECT bin, count(*) FILTER (NOT late) AS n_early,
+             count(*) FILTER (late) AS n_late
+      FROM b GROUP BY bin),
+t AS (SELECT sum(n_early) + count(*) AS t1,
+             sum(n_late) + count(*) AS t2
+      FROM c)
+SELECT bin, n_early, n_late,
+       round((CAST(n_early + 1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+              - CAST(n_late + 1 AS DOUBLE) / CAST(t2 AS DOUBLE))
+             * ln((CAST(n_early + 1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                  / (CAST(n_late + 1 AS DOUBLE) / CAST(t2 AS DOUBLE))),
+             8) AS psi_term
+FROM c CROSS JOIN t
+"""
+
+
+def q254_record_highs(sf: str):
+    """Record-setting days per year: how often the daily revenue series
+    prints a new all-time high. The running max is the q229 DISTRIBUTED
+    PREFIX SCAN shape (tiny per-bucket maxima → driver exclusive prefix
+    → one combining pass), here folded on the output-sized day series
+    after the one exact-cents groupby(day). Strict records only (ties
+    with the running max don't count), matching the oracle's '>'."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"),
+                         "cents": v})
+
+    d = (ds.map_batches(cents, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("cents", alias_name="c"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    c = d["c"].to_numpy().astype(np.int64)
+    prev = np.concatenate([[np.iinfo(np.int64).min],
+                           np.maximum.accumulate(c)[:-1]])
+    rec = c > prev
+    yr = pd.DatetimeIndex(d["day"]).year.to_numpy().astype(np.int64)
+    g = pd.DataFrame({"y": yr, "r": rec}).groupby("y").agg(
+        n_days=("r", "size"), n_records=("r", "sum")).reset_index()
+    return pd.DataFrame({
+        "y": g["y"].to_numpy().astype(np.int64),
+        "n_days": g["n_days"].to_numpy().astype(np.int64),
+        "n_records": g["n_records"].to_numpy().astype(np.int64)})
+
+
+SQL_Q254 = """
+WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY day),
+r AS (SELECT day, c,
+             max(c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM d)
+SELECT year(day) AS y, count(*) AS n_days,
+       count(*) FILTER (pm IS NULL OR c > pm) AS n_records
+FROM r GROUP BY y
+"""
+
+
+def q255_pq_ann(sf: str):
+    """Product-quantization ANN (ops/ann.py::pq_train/encode/topk): the
+    memory-compression tier — 64-dim float vectors become 8-byte codes,
+    queries scan codes via an (m×k) ADC lookup table. Rows-only (the
+    quantized metric is not SQL-expressible); recall vs brute force is
+    asserted in tests/test_ops.py."""
+    ds = T(sf, "embeddings", ["vec_id", "embedding"])
+    cb = ANN.pq_train(ds, m=8, k=16)
+    codes = ANN.pq_encode(ds, cb)
+    return ANN.pq_topk(codes, _query_vec(sf), cb, k=10)
+
+
+def q256_attribution(sf: str):
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRECEDING non-purchase event type (SQL last_value IGNORE
+    NULLS). Salted shuffle on user hash; inside each group the carry-
+    forward is one vectorized LOCF index fill, partial counts combine
+    in a tiny groupby. Unattributed purchases (no prior touch) are
+    excluded on both sides."""
+    def attrib(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        touch = et != "purchase"
+        idx = np.arange(len(g))
+        # LOCF of the last touch index, reset at user boundaries
+        newu = np.empty(len(g), dtype=bool)
+        newu[0] = True
+        newu[1:] = u[1:] != u[:-1]
+        grp_start = np.maximum.accumulate(np.where(newu, idx, 0))
+        last_touch = np.where(touch, idx, -1)
+        last_touch = np.maximum.accumulate(last_touch)
+        valid = (et == "purchase") & (last_touch >= grp_start) \
+            & (last_touch >= 0)
+        src = et[np.maximum(last_touch, 0)]
+        p = pd.DataFrame({"src": src[valid]}) \
+            .groupby("src", sort=False).size().rename("n") \
+            .reset_index()
+        return p
+
+    agg = (_salted_user_events(sf, ["event_id", "user_id", "ts",
+                                    "event_type"])
+           .groupby("usalt").map_groups(attrib, batch_format="pandas")
+           .groupby("src").aggregate(Sum("n", alias_name="n_purchases"))
+           .to_pandas())
+    agg["n_purchases"] = agg["n_purchases"].astype(np.int64)
+    return agg.sort_values("src").reset_index(drop=True)
+
+
+SQL_Q256 = """
+WITH a AS (SELECT event_type,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS src
+           FROM events)
+SELECT src, count(*) AS n_purchases
+FROM a WHERE event_type = 'purchase' AND src IS NOT NULL
+GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8541,6 +8713,10 @@ QUERIES: dict[str, tuple] = {
     "q250_seasonal_index": (q250_seasonal_index, SQL_Q250),
     "q251_bowley_skew": (q251_bowley_skew, SQL_Q251),
     "q252_max_window_gain": (q252_max_window_gain, SQL_Q252),
+    "q253_psi": (q253_psi, SQL_Q253),
+    "q254_record_highs": (q254_record_highs, SQL_Q254),
+    "q255_pq_ann": (q255_pq_ann, None),
+    "q256_attribution": (q256_attribution, SQL_Q256),
 }
 
 
