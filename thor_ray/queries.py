@@ -8453,6 +8453,223 @@ GROUP BY src
 """
 
 
+def q257_hhi(sf: str):
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation, in exact basis points. ONE distributed groupby(l_suppkey) on
+    integer cents; the supplier-level aggregate (output-sized) folds per
+    nation with arbitrary-precision Python ints — HHI_bp =
+    (10000 * Σ c_i²) // (Σ c_i)², integer division on exact operands so
+    the hash cannot drift (c² overflows int64, hence bigint/HUGEINT on
+    the two sides, never float)."""
+    li = T(sf, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"l_suppkey": t["l_suppkey"], "c": c})
+
+    s = (li.map_batches(cents, batch_format="pyarrow")
+         .groupby("l_suppkey").aggregate(Sum("c", alias_name="c"))
+         .to_pandas())
+    dim = T(sf, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    j = s.merge(dim, left_on="l_suppkey", right_on="s_suppkey")
+    rows = []
+    for nk, g in j.groupby("s_nationkey", sort=True):
+        cs = [int(v) for v in g["c"]]
+        den = sum(cs)
+        num = sum(v * v for v in cs)
+        rows.append((int(nk), len(cs), den, (10000 * num) // (den * den)))
+    return pd.DataFrame(rows, columns=["nationkey", "n_suppliers",
+                                       "cents", "hhi_bp"]) \
+        .astype({"nationkey": np.int64, "n_suppliers": np.int64,
+                 "cents": np.int64, "hhi_bp": np.int64})
+
+
+SQL_Q257 = """
+WITH s AS (SELECT l_suppkey,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c
+           FROM lineitem GROUP BY l_suppkey)
+SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+       CAST(sum(c) AS BIGINT) AS cents,
+       CAST((10000 * sum(CAST(c AS HUGEINT) * c))
+            // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS hhi_bp
+FROM s JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_nationkey
+"""
+
+
+def q258_lorenz(sf: str):
+    """Lorenz curve by customer spend decile: NTILE(10) over exact order
+    cents, per-decile customer count / cents / cumulative share in exact
+    basis points. Distributed groupby(o_custkey); the customer-level
+    aggregate is output-sized, so the rank → decile → cumsum fold runs
+    driver-side on integers (cum_bp = 10000·cum // total, no float
+    anywhere). SQL NTILE's uneven rule (first n mod k tiles get the
+    extra row) is reproduced with np.repeat."""
+    o = T(sf, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "c": c})
+
+    s = (o.map_batches(cents, batch_format="pyarrow")
+         .groupby("o_custkey").aggregate(Sum("c", alias_name="c"))
+         .to_pandas().sort_values(["c", "o_custkey"], kind="stable")
+         .reset_index(drop=True))
+    n = len(s)
+    base, rem = divmod(n, 10)
+    sizes = [base + (1 if i < rem else 0) for i in range(10)]
+    dec = np.repeat(np.arange(1, 11, dtype=np.int64), sizes)
+    s["dec"] = dec
+    g = s.groupby("dec", sort=True).agg(
+        n_cust=("c", "size"), cents=("c", "sum")).reset_index()
+    total = int(g["cents"].sum())
+    cum = np.cumsum(g["cents"].to_numpy().astype(np.int64))
+    g["cum_bp"] = (10000 * cum) // total
+    return g.astype({"dec": np.int64, "n_cust": np.int64,
+                     "cents": np.int64, "cum_bp": np.int64})
+
+
+SQL_Q258 = """
+WITH s AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+           FROM orders GROUP BY o_custkey),
+d AS (SELECT c, ntile(10) OVER (ORDER BY c, o_custkey) AS dec FROM s),
+g AS (SELECT dec, count(*) AS n_cust, CAST(sum(c) AS BIGINT) AS cents
+      FROM d GROUP BY dec),
+t AS (SELECT CAST(sum(cents) AS HUGEINT) AS total FROM g)
+SELECT dec, n_cust, cents,
+       CAST((10000 * CAST(sum(cents) OVER (ORDER BY dec) AS HUGEINT))
+            // total AS BIGINT) AS cum_bp
+FROM g CROSS JOIN t
+"""
+
+
+def q259_cross_corr(sf: str):
+    """Lagged cross-correlation between the daily 'click' and 'purchase'
+    count series (lags 0–7): one distributed groupby(day, type) count,
+    then the output-sized day spine (missing days = 0) folds per lag into
+    exact BIGINT sufficient statistics; Pearson r is ONE fixed-shape
+    double expression over those exact ints, identical on the SQL side,
+    so the rounded value is bit-stable."""
+    import math
+    ds = T(sf, "events", ["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = t.filter(m)
+        return pa.table({"day": pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.date32()),
+            "event_type": t["event_type"]})
+
+    cnt = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby(["day", "event_type"]).aggregate(Count(alias_name="n"))
+           .to_pandas())
+    piv = cnt.pivot_table(index="day", columns="event_type", values="n",
+                          fill_value=0, aggfunc="sum")
+    # dense calendar spine over the observed [min, max] day range:
+    # days with no click/purchase events at all must count as (0, 0)
+    spine = pd.date_range(piv.index.min(), piv.index.max(), freq="D").date
+    piv = piv.reindex(spine, fill_value=0)
+    x = piv.get("click", pd.Series(0, index=piv.index)) \
+        .to_numpy().astype(object)
+    y = piv.get("purchase", pd.Series(0, index=piv.index)) \
+        .to_numpy().astype(object)
+    rows = []
+    for lag in range(8):
+        a = x[: len(x) - lag] if lag else x
+        b = y[lag:]
+        n = len(a)
+        sx, sy = sum(map(int, a)), sum(map(int, b))
+        sxy = sum(int(u) * int(v) for u, v in zip(a, b))
+        sxx = sum(int(u) * int(u) for u in a)
+        syy = sum(int(v) * int(v) for v in b)
+        r = (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx)
+                                   * math.sqrt(n * syy - sy * sy))
+        rows.append((lag, n, sx, sy, sxy, sxx, syy, _round_away(r, 8)))
+    out = pd.DataFrame(rows, columns=["lag", "n", "sx", "sy", "sxy",
+                                      "sxx", "syy", "r"])
+    for c in ["lag", "n", "sx", "sy", "sxy", "sxx", "syy"]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_Q259 = """
+WITH days AS (
+  SELECT unnest(generate_series(
+           (SELECT min(CAST(ts AS DATE)) FROM events),
+           (SELECT max(CAST(ts AS DATE)) FROM events),
+           INTERVAL 1 DAY))::DATE AS day),
+c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY day, event_type),
+s AS (SELECT d.day,
+             coalesce(max(n) FILTER (event_type = 'click'), 0) AS x,
+             coalesce(max(n) FILTER (event_type = 'purchase'), 0) AS y
+      FROM days d LEFT JOIN c ON c.day = d.day GROUP BY d.day),
+lags AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS lag),
+p AS (SELECT l.lag, a.x, b.y
+      FROM lags l JOIN s a ON a.day + l.lag <=
+             (SELECT max(day) FROM s)
+           JOIN s b ON b.day = a.day + l.lag),
+st AS (SELECT lag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy
+       FROM p GROUP BY lag)
+SELECT lag, n, sx, sy, sxy, sxx, syy,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 8) AS r
+FROM st
+"""
+
+
+def q260_abc_classes(sf: str):
+    """ABC / Pareto inventory classification: parts ranked by exact
+    revenue cents (desc, partkey tiebreak); class A holds the first 80%
+    of cumulative revenue, B to 95%, C the tail. Distributed
+    groupby(l_partkey) on cents; the part-level aggregate is
+    output-sized, so rank + integer cumsum + the 100·cum ≤ 80·total
+    class comparison run driver-side with no float in the path."""
+    li = T(sf, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "c": c})
+
+    p = (li.map_batches(cents, batch_format="pyarrow")
+         .groupby("l_partkey").aggregate(Sum("c", alias_name="c"))
+         .to_pandas())
+    p = p.sort_values(["c", "l_partkey"], ascending=[False, True],
+                      kind="stable").reset_index(drop=True)
+    c = p["c"].to_numpy().astype(np.int64)
+    cum = np.cumsum(c)
+    total = int(cum[-1])
+    cls = np.where(100 * cum <= 80 * total, "A",
+                   np.where(100 * cum <= 95 * total, "B", "C"))
+    g = pd.DataFrame({"cls": cls, "c": c}).groupby("cls", sort=True).agg(
+        n_parts=("c", "size"), cents=("c", "sum")).reset_index()
+    return g.astype({"n_parts": np.int64, "cents": np.int64})
+
+
+SQL_Q260 = """
+WITH p AS (SELECT l_partkey,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c
+           FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(sum(c) AS HUGEINT) AS total FROM p),
+r AS (SELECT c, sum(c) OVER (ORDER BY c DESC, l_partkey) AS cum FROM p)
+SELECT CASE WHEN CAST(cum AS HUGEINT) * 100 <= total * 80 THEN 'A'
+            WHEN CAST(cum AS HUGEINT) * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS cls,
+       count(*) AS n_parts, CAST(sum(c) AS BIGINT) AS cents
+FROM r CROSS JOIN t GROUP BY cls
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8717,6 +8934,10 @@ QUERIES: dict[str, tuple] = {
     "q254_record_highs": (q254_record_highs, SQL_Q254),
     "q255_pq_ann": (q255_pq_ann, None),
     "q256_attribution": (q256_attribution, SQL_Q256),
+    "q257_hhi": (q257_hhi, SQL_Q257),
+    "q258_lorenz": (q258_lorenz, SQL_Q258),
+    "q259_cross_corr": (q259_cross_corr, SQL_Q259),
+    "q260_abc_classes": (q260_abc_classes, SQL_Q260),
 }
 
 
