@@ -2183,3 +2183,33 @@ def test_pq_ann_recall_and_self_match(ray_session):
     brute = ANN.brute_topk(ds, q, k=10).to_pandas()
     recall = len(set(got["vec_id"]) & set(brute["vec_id"])) / 10.0
     assert recall >= 0.3, f"PQ recall@10 too low: {recall}"
+
+
+def test_misra_gries_guarantee(ray_session):
+    """MG invariant: est <= true, true - est <= n/(k+1), and every item
+    with frequency > n/(k+1) is present — across batch boundaries."""
+    from thor_ray.ops import sketch as SK
+    rng = np.random.default_rng(7)
+    # planted heavy items on a long uniform tail
+    heavy = np.repeat(np.array(["h1", "h2", "h3"]), [400, 300, 200])
+    tail = np.array([f"t{i}" for i in rng.integers(0, 5000, size=4000)])
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    n, k = len(vals), 16
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})) \
+        .repartition(8)
+    out = SK.misra_gries(ds, "v", k=k)
+    assert len(out) <= k
+    true = pd.Series(vals).value_counts()
+    bound = n / (k + 1)
+    est = dict(zip(out["item"], out["est"]))
+    for item, e in est.items():
+        t = int(true[item])
+        assert e <= t, f"{item}: est {e} > true {t}"
+        assert t - e <= bound, f"{item}: underestimate beyond n/(k+1)"
+    for item, t in true.items():
+        if t > bound:
+            assert item in est, f"heavy item {item} (freq {t}) missing"
+    # determinism
+    out2 = SK.misra_gries(ds, "v", k=k)
+    pd.testing.assert_frame_equal(out, out2)

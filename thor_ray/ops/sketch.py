@@ -490,3 +490,59 @@ def count_min_query(sketch: np.ndarray, keys: list,
     ests = np.min(
         np.stack([sketch[i, lanes[i]] for i in range(depth)]), axis=0)
     return ests.astype(np.int64)
+
+
+def _mg_compress(keys: np.ndarray, counts: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries decrement rule, vectorized: if more than k entries,
+    subtract the (k+1)-th largest count from every entry and drop the
+    non-positive ones. Each call decrements every surviving counter by
+    the same amount, preserving the MG invariant (underestimate by at
+    most the total decrement)."""
+    if len(keys) <= k:
+        return keys, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    dec = int(counts[order[k]])
+    keep = counts > dec
+    return keys[keep], counts[keep] - dec
+
+
+def misra_gries(ds: Dataset, col: str, k: int = 64) -> pd.DataFrame:
+    """Misra-Gries heavy-hitters summary over ``col`` (SURVEY.md §2.5 G4
+    companion to HLL/count-min): a deterministic, MERGEABLE summary of at
+    most ``k`` (item, est) pairs.
+
+    Guarantee (Misra-Gries 1982; mergeability per Agarwal et al.,
+    "Mergeable Summaries", PODS'12): for every item,
+    ``true - n/(k+1) <= est <= true`` with n the stream length, and any
+    item with frequency > n/(k+1) is present in the summary.
+
+    Scale shape: each batch emits an exact (item, count) table compressed
+    to k entries (one C-level arrow group_by + one argsort on <=distinct
+    rows); the partials — at most k rows per batch — shuffle through ONE
+    tiny groupby(item) Sum, and the final decrement runs driver-side on
+    <= k x num_blocks rows. The wide exchange never carries more than
+    k rows per block regardless of input size.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (parity with siblings)
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"item": t[col]}).group_by("item") \
+            .aggregate([("item", "count")])
+        keys = g["item"].combine_chunks().to_numpy(zero_copy_only=False)
+        counts = g["item_count"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, counts = _mg_compress(keys, counts, k)
+        return pa.table({"item": pa.array(keys),
+                         "est": pa.array(counts, pa.int64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("item").aggregate(Sum("est", alias_name="est"))
+              .to_pandas())
+    keys = merged["item"].to_numpy()
+    counts = merged["est"].to_numpy().astype(np.int64)
+    keys, counts = _mg_compress(keys, counts, k)
+    out = pd.DataFrame({"item": keys, "est": counts})
+    return out.sort_values(["est", "item"], ascending=[False, True],
+                           kind="stable").reset_index(drop=True)

@@ -8670,6 +8670,212 @@ FROM r CROSS JOIN t GROUP BY cls
 """
 
 
+def q261_misra_gries(sf: str):
+    """Misra-Gries heavy-hitter summary of event users
+    (ops/sketch.py::misra_gries): deterministic mergeable top-k with the
+    classic n/(k+1) underestimate bound. Rows-only — MG estimates are
+    deliberate underestimates, not SQL-reproducible; the frequency
+    guarantee is unit-tested in tests/test_ops.py."""
+    ds = T(sf, "events", ["user_id"])
+    from thor_ray.ops import sketch as SK
+    return SK.misra_gries(ds, "user_id", k=32)
+
+
+def q262_kaplan_meier(sf: str):
+    """Kaplan-Meier survival table for signup→first-purchase conversion:
+    per gap-day, the number of conversion events and the at-risk count
+    (users whose observed duration — converted or censored at the corpus
+    end — is >= that day). Salted user shuffle resolves each user's
+    (signup, first purchase >= signup) with one vectorized pass; the wide
+    output is a (day, flag) HISTOGRAM, so the at-risk suffix-sum folds
+    driver-side on output-sized ints. Exact integer columns only (the KM
+    product is left to consumers — a float product has no deterministic
+    cross-engine order)."""
+    mx = pd.Timestamp(T(sf, "events", ["ts"]).max("ts"))
+    mx_day = mx.floor("D")
+
+    def durations(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        out = []
+        for uid, u in g.groupby("user_id", sort=False):
+            sig = u.loc[u["event_type"] == "signup", "ts"]
+            if sig.empty:
+                continue
+            s = sig.iloc[0]
+            pur = u.loc[(u["event_type"] == "purchase")
+                        & (u["ts"] >= s), "ts"]
+            if pur.empty:
+                d = (mx_day - s.floor("D")).days
+                ev = False
+            else:
+                d = (pur.iloc[0].floor("D") - s.floor("D")).days
+                ev = True
+            out.append((d, ev))
+        return pd.DataFrame(out, columns=["d", "ev"]) if out else \
+            pd.DataFrame({"d": pd.Series([], dtype=np.int64),
+                          "ev": pd.Series([], dtype=bool)})
+
+    hist = (_salted_user_events(sf, ["user_id", "ts", "event_type"])
+            .groupby("usalt").map_groups(durations, batch_format="pandas")
+            .groupby(["d", "ev"]).aggregate(Count(alias_name="n"))
+            .to_pandas())
+    piv = hist.pivot_table(index="d", columns="ev", values="n",
+                           fill_value=0, aggfunc="sum").sort_index()
+    nev = piv.get(True, pd.Series(0, index=piv.index)) \
+        .to_numpy().astype(np.int64)
+    nall = piv.to_numpy().sum(axis=1).astype(np.int64)
+    # at-risk = users with duration >= d: suffix sum over the histogram
+    risk = np.cumsum(nall[::-1])[::-1]
+    days = piv.index.to_numpy().astype(np.int64)
+    keep = nev > 0
+    return pd.DataFrame({"d": days[keep], "n_events": nev[keep],
+                         "n_risk": risk[keep]})
+
+
+SQL_Q262 = """
+WITH s AS (SELECT user_id, min(ts) AS s FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, min(e.ts) AS p
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s
+      GROUP BY e.user_id),
+m AS (SELECT date_trunc('day', max(ts)) AS mx FROM events),
+dur AS (SELECT s.user_id,
+               CASE WHEN p.p IS NOT NULL
+                    THEN datediff('day', date_trunc('day', s.s),
+                                  date_trunc('day', p.p))
+                    ELSE datediff('day', date_trunc('day', s.s), m.mx)
+               END AS d,
+               (p.p IS NOT NULL) AS ev
+        FROM s LEFT JOIN p USING (user_id) CROSS JOIN m),
+evd AS (SELECT d, count(*) AS n_events FROM dur WHERE ev GROUP BY d)
+SELECT e.d, e.n_events,
+       (SELECT count(*) FROM dur u WHERE u.d >= e.d) AS n_risk
+FROM evd e
+"""
+
+
+def q263_odds_ratio(sf: str):
+    """Epidemiology-style 2x2 odds ratio: does a user-day with an
+    'error' event have different odds of also containing a 'purchase'?
+    One distributed groupby(user, day) of two boolean flags (Max of
+    0/1), a combiner-partial 2x2 count, and the odds ratio emitted in
+    exact basis points — (10000·a·d) // (b·c) — so no float enters the
+    hash."""
+    ds = T(sf, "events", ["user_id", "ts", "event_type"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                           pa.date32()),
+            "is_err": pc.cast(pc.equal(t["event_type"], "error"),
+                              pa.int64()),
+            "is_pur": pc.cast(pc.equal(t["event_type"], "purchase"),
+                              pa.int64())})
+
+    ud = (ds.map_batches(flags, batch_format="pyarrow")
+          .groupby(["user_id", "day"]).aggregate(
+              Max("is_err", alias_name="exposed"),
+              Max("is_pur", alias_name="outcome")))
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        e = t["exposed"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = t["outcome"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array([int(((e == 1) & (o == 1)).sum())], pa.int64()),
+            "b": pa.array([int(((e == 1) & (o == 0)).sum())], pa.int64()),
+            "c": pa.array([int(((e == 0) & (o == 1)).sum())], pa.int64()),
+            "d": pa.array([int(((e == 0) & (o == 0)).sum())], pa.int64())})
+
+    cells = ud.map_batches(cell_partial, batch_format="pyarrow") \
+        .to_pandas().sum()
+    a, b, c, d = (int(cells[k]) for k in ["a", "b", "c", "d"])
+    return pd.DataFrame({"a": [a], "b": [b], "c": [c], "d": [d],
+                         "or_bp": [(10000 * a * d) // (b * c)]}) \
+        .astype(np.int64)
+
+
+SQL_Q263 = """
+WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                   max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     AS exposed,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS outcome
+            FROM events GROUP BY user_id, day)
+SELECT count(*) FILTER (exposed = 1 AND outcome = 1) AS a,
+       count(*) FILTER (exposed = 1 AND outcome = 0) AS b,
+       count(*) FILTER (exposed = 0 AND outcome = 1) AS c,
+       count(*) FILTER (exposed = 0 AND outcome = 0) AS d,
+       CAST((10000
+             * CAST(count(*) FILTER (exposed = 1 AND outcome = 1)
+                    AS HUGEINT)
+             * count(*) FILTER (exposed = 0 AND outcome = 0))
+            // (CAST(count(*) FILTER (exposed = 1 AND outcome = 0)
+                     AS HUGEINT)
+                * count(*) FILTER (exposed = 0 AND outcome = 1))
+            AS BIGINT) AS or_bp
+FROM ud
+"""
+
+
+def q264_hapax(sf: str):
+    """Per-language hapax-legomenon rate: vocabulary size, token mass,
+    and how many vocabulary entries occur exactly once within that
+    language. Combiner-pattern: per-batch C-level (lang, token) counts
+    pre-aggregate BEFORE the one wide groupby, then a per-batch partial
+    folds the vocabulary rows into per-lang (hapax, vocab, tokens)
+    counts so the second groupby is lang-sized."""
+    from thor_ray.ops.text import TOKEN_RE
+    ds = T(sf, "documents", ["lang", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], pattern=TOKEN_RE)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(t["lang"].combine_chunks()
+                         .to_numpy(zero_copy_only=False), n)
+        flat = pc.list_flatten(toks)
+        g = pa.table({"lang": pa.array(lang), "token": flat}) \
+            .group_by(["lang", "token"]).aggregate([("token", "count")])
+        return g.select(["lang", "token", "token_count"]) \
+            .rename_columns(["lang", "token", "n"])
+
+    vocab = (ds.map_batches(tok_partial, batch_format="pyarrow")
+             .groupby(["lang", "token"]).aggregate(Sum("n", alias_name="n")))
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        g = pa.table({"lang": t["lang"],
+                      "hap": pa.array((n == 1).astype(np.int64)),
+                      "one": pa.array(np.ones(len(n), np.int64)),
+                      "tok": pa.array(n.astype(np.int64))}) \
+            .group_by("lang").aggregate([("hap", "sum"), ("one", "sum"),
+                                         ("tok", "sum")])
+        return g.rename_columns(["lang", "n_hapax", "n_vocab", "n_tokens"])
+
+    out = (vocab.map_batches(lang_partial, batch_format="pyarrow")
+           .groupby("lang").aggregate(
+               Sum("n_hapax", alias_name="n_hapax"),
+               Sum("n_vocab", alias_name="n_vocab"),
+               Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas())
+    for c in ["n_hapax", "n_vocab", "n_tokens"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_Q264 = r"""
+WITH c AS (SELECT lang, token, count(*) AS n
+           FROM (SELECT lang,
+                        unnest(regexp_split_to_array(text, '\s+')) AS token
+                 FROM documents)
+           GROUP BY lang, token)
+SELECT lang, count(*) FILTER (n = 1) AS n_hapax, count(*) AS n_vocab,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM c GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8938,6 +9144,10 @@ QUERIES: dict[str, tuple] = {
     "q258_lorenz": (q258_lorenz, SQL_Q258),
     "q259_cross_corr": (q259_cross_corr, SQL_Q259),
     "q260_abc_classes": (q260_abc_classes, SQL_Q260),
+    "q261_misra_gries": (q261_misra_gries, None),
+    "q262_kaplan_meier": (q262_kaplan_meier, SQL_Q262),
+    "q263_odds_ratio": (q263_odds_ratio, SQL_Q263),
+    "q264_hapax": (q264_hapax, SQL_Q264),
 }
 
 
