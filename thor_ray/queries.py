@@ -8876,6 +8876,211 @@ FROM c GROUP BY lang
 """
 
 
+def q265_trigram_paths(sf: str):
+    """Top-20 consecutive event-type TRIGRAMS per user journey (the
+    sankey/path-mining shape): salted user shuffle, vectorized shift
+    alignment inside each group (a trigram counts only when all three
+    rows belong to the same user), combiner partial counts, one tiny
+    groupby + prefiltered top-k. Ties at the boundary break by the
+    trigram text, matching the oracle ORDER BY."""
+    def tri(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(g) < 3:
+            return pd.DataFrame({"e1": [], "e2": [], "e3": [],
+                                 "n": pd.Series([], dtype=np.int64)})
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        p = pd.DataFrame({"e1": et[:-2][same], "e2": et[1:-1][same],
+                          "e3": et[2:][same]})
+        return p.groupby(["e1", "e2", "e3"], sort=False).size() \
+            .rename("n").reset_index()
+
+    counts = (_salted_user_events(sf, ["event_id", "user_id", "ts",
+                                       "event_type"])
+              .groupby("usalt").map_groups(tri, batch_format="pandas")
+              .groupby(["e1", "e2", "e3"])
+              .aggregate(Sum("n", alias_name="n")))
+    out = R.top_k(counts, ["n", "e1", "e2", "e3"],
+                  [True, False, False, False], 20).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+SQL_Q265 = """
+WITH s AS (SELECT user_id, event_type AS e1,
+                  lead(event_type, 1) OVER w AS e2,
+                  lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1, e2, e3, count(*) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3 ORDER BY n DESC, e1, e2, e3 LIMIT 20
+"""
+
+
+def q266_bitmask_profiles(sf: str):
+    """User behavioural profiles as a BIT MASK of distinct event types
+    performed on the launch day (2024-01-01 — a bounded window keeps the
+    profiles varied; over the full month every user hits all five types),
+    and how many users share each profile. Distinct (user, bit) pairs
+    reduce batch-locally first (combiner), the per-user OR is a Sum over
+    distinct power-of-two bits, and the final mask histogram is
+    output-sized."""
+    BITS = {"click": 1, "view": 2, "purchase": 4, "signup": 8,
+            "error": 16}
+    ds = T(sf, "events", ["user_id", "ts", "event_type"])
+    d0 = pa.scalar(pd.Timestamp("2024-01-01"), type=pa.timestamp("us"))
+    d1 = pa.scalar(pd.Timestamp("2024-01-02"), type=pa.timestamp("us"))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["ts"], d0),
+                             pc.less(t["ts"], d1)))
+        et = t["event_type"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        bit = np.array([BITS[v] for v in et], dtype=np.int64)
+        g = pa.table({"user_id": t["user_id"],
+                      "bit": pa.array(bit)}).group_by(
+            ["user_id", "bit"]).aggregate([])
+        return g
+
+    masks = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby(["user_id", "bit"]).aggregate(Count(alias_name="_"))
+             .groupby("user_id").aggregate(Sum("bit", alias_name="mask"))
+             .groupby("mask").aggregate(Count(alias_name="n_users"))
+             .to_pandas())
+    return masks.astype({"mask": np.int64, "n_users": np.int64}) \
+        .sort_values("mask").reset_index(drop=True)
+
+
+SQL_Q266 = """
+WITH m AS (SELECT user_id,
+                  CAST(sum(DISTINCT CASE event_type
+                           WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                           WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                           WHEN 'error' THEN 16 END) AS BIGINT) AS mask
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01'
+             AND ts < TIMESTAMP '2024-01-02'
+           GROUP BY user_id)
+SELECT mask, count(*) AS n_users FROM m GROUP BY mask
+"""
+
+
+def q267_rollup(sf: str):
+    """ROLLUP(region, nation) revenue: order cents aggregated at nation,
+    region-subtotal and grand-total levels. One distributed hash join
+    orders⋈customer, a BROADCAST nation→region map, one wide
+    groupby(nation-level); the two rollup tiers fold from the
+    output-sized nation table with exact ints."""
+    o = T(sf, "orders", ["o_custkey", "o_totalprice"])
+    c = T(sf, "customer", ["c_custkey", "c_nationkey"])
+    j = R.hash_join(o, c, on=("o_custkey",), right_on=("c_custkey",))
+    nat = T(sf, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    n2r = ray.put(dict(zip(nat["n_nationkey"].astype(np.int64),
+                           nat["n_regionkey"].astype(np.int64))))
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = ray.get(n2r)
+        nk = t["c_nationkey"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rk = np.array([m[v] for v in nk], dtype=np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return pa.table({"rk": pa.array(rk), "nk": pa.array(nk),
+                         "c": cents})
+
+    g = (j.map_batches(prep, batch_format="pyarrow")
+         .groupby(["rk", "nk"]).aggregate(
+             Count(alias_name="n_orders"), Sum("c", alias_name="cents"))
+         .to_pandas())
+    g["n_orders"] = g["n_orders"].astype(np.int64)
+    g["cents"] = g["cents"].astype(np.int64)
+    rows = [(str(r.rk), str(r.nk), int(r.n_orders), int(r.cents))
+            for r in g.itertuples()]
+    for rk, sub in g.groupby("rk"):
+        rows.append((str(rk), "ALL", int(sub["n_orders"].sum()),
+                     int(sub["cents"].sum())))
+    rows.append(("ALL", "ALL", int(g["n_orders"].sum()),
+                 int(g["cents"].sum())))
+    out = pd.DataFrame(rows, columns=["region", "nation", "n_orders",
+                                      "cents"])
+    return out.astype({"n_orders": np.int64, "cents": np.int64}) \
+        .sort_values(["region", "nation"]).reset_index(drop=True)
+
+
+SQL_Q267 = """
+WITH j AS (SELECT n_regionkey, c_nationkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+SELECT CASE WHEN GROUPING(n_regionkey) = 1 THEN 'ALL'
+            ELSE CAST(n_regionkey AS VARCHAR) END AS region,
+       CASE WHEN GROUPING(c_nationkey) = 1 THEN 'ALL'
+            ELSE CAST(c_nationkey AS VARCHAR) END AS nation,
+       count(*) AS n_orders, CAST(sum(c) AS BIGINT) AS cents
+FROM j GROUP BY ROLLUP (n_regionkey, c_nationkey)
+"""
+
+
+def q268_fano(sf: str):
+    """Burstiness (Fano factor = variance/mean) of each event type's
+    daily count series over the dense observed calendar (missing days
+    count 0). One distributed groupby(day, type); the spine fold emits
+    exact BIGINT sufficient statistics and ONE fixed-shape double
+    expression — fano = (nd·s2 − s1²) / ((nd−1)·s1) — identical on the
+    SQL side."""
+    ds = T(sf, "events", ["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.date32()),
+            "event_type": t["event_type"]})
+
+    cnt = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby(["day", "event_type"]).aggregate(Count(alias_name="n"))
+           .to_pandas())
+    piv = cnt.pivot_table(index="day", columns="event_type", values="n",
+                          fill_value=0, aggfunc="sum")
+    spine = pd.date_range(piv.index.min(), piv.index.max(), freq="D").date
+    piv = piv.reindex(spine, fill_value=0)
+    rows = []
+    for et in sorted(piv.columns):
+        n = piv[et].to_numpy().astype(object)
+        nd = len(n)
+        s1 = sum(map(int, n))
+        s2 = sum(int(v) * int(v) for v in n)
+        fano = (nd * s2 - s1 * s1) / ((nd - 1) * s1)
+        rows.append((et, nd, s1, s2, _round_away(fano, 8)))
+    out = pd.DataFrame(rows, columns=["event_type", "nd", "s1", "s2",
+                                      "fano"])
+    for c in ["nd", "s1", "s2"]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+SQL_Q268 = """
+WITH days AS (
+  SELECT unnest(generate_series(
+           (SELECT min(CAST(ts AS DATE)) FROM events),
+           (SELECT max(CAST(ts AS DATE)) FROM events),
+           INTERVAL 1 DAY))::DATE AS day),
+t AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY day, event_type),
+s AS (SELECT t.event_type, d.day, coalesce(c.n, 0) AS n
+      FROM days d CROSS JOIN t
+      LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type),
+st AS (SELECT event_type, count(*) AS nd, CAST(sum(n) AS BIGINT) AS s1,
+              CAST(sum(n * n) AS BIGINT) AS s2
+       FROM s GROUP BY event_type)
+SELECT event_type, nd, s1, s2,
+       round(CAST(nd * s2 - s1 * s1 AS DOUBLE) / ((nd - 1) * s1), 8)
+         AS fano
+FROM st
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9148,6 +9353,10 @@ QUERIES: dict[str, tuple] = {
     "q262_kaplan_meier": (q262_kaplan_meier, SQL_Q262),
     "q263_odds_ratio": (q263_odds_ratio, SQL_Q263),
     "q264_hapax": (q264_hapax, SQL_Q264),
+    "q265_trigram_paths": (q265_trigram_paths, SQL_Q265),
+    "q266_bitmask_profiles": (q266_bitmask_profiles, SQL_Q266),
+    "q267_rollup": (q267_rollup, SQL_Q267),
+    "q268_fano": (q268_fano, SQL_Q268),
 }
 
 
