@@ -9081,6 +9081,177 @@ FROM st
 """
 
 
+def q269_holt(sf: str):
+    """Holt double-exponential smoothing (level + trend) of the daily
+    revenue series, α=1/2, β=1/4. One distributed groupby(day); the
+    recursion runs driver-side over the output-sized series with the
+    EXACT double-expression shape the WITH RECURSIVE oracle uses —
+    l' = 0.5·c + 0.5·(l+b); b' = 0.25·(l'−l) + 0.75·b — so every step
+    lands on the same IEEE double on both engines (dyadic factors, fixed
+    op order; the EWMA lesson applied to a 2-state recursion)."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"), "c": c})
+
+    d = (ds.map_batches(cents, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("c", alias_name="c"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    c = d["c"].to_numpy().astype(np.int64)
+    lvl = np.empty(len(c), np.float64)
+    trd = np.empty(len(c), np.float64)
+    l, b = float(c[0]), 0.0
+    lvl[0], trd[0] = l, b
+    for i in range(1, len(c)):
+        ln = 0.5 * float(c[i]) + 0.5 * (l + b)
+        b = 0.25 * (ln - l) + 0.75 * b
+        l = ln
+        lvl[i], trd[i] = l, b
+    return pd.DataFrame({
+        "day": d["day"], "c": c,
+        "level": _rnd(pa.array(lvl), 6).to_numpy(zero_copy_only=False),
+        "trend": _rnd(pa.array(trd), 6).to_numpy(zero_copy_only=False)})
+
+
+SQL_Q269 = """
+WITH RECURSIVE d AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY day),
+i AS (SELECT day, c, row_number() OVER (ORDER BY day) AS rn FROM d),
+h AS (
+  SELECT rn, day, c, CAST(c AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+  FROM i WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.day, i.c,
+         0.5 * i.c + 0.5 * (h.l + h.b),
+         0.25 * ((0.5 * i.c + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b
+  FROM h JOIN i ON i.rn = h.rn + 1)
+SELECT day, CAST(c AS BIGINT) AS c, round(l, 6) AS level,
+       round(b, 6) AS trend
+FROM h
+"""
+
+
+def q270_wilson(sf: str):
+    """Wilson-score LOWER confidence bound (z=1.96) on per-market-segment
+    customer→order conversion — the ranking-safe success rate. One
+    distributed semi-join flag (broadcast distinct order custkeys are NOT
+    broadcastable at scale, so flag via hash join), one tiny groupby;
+    the bound is ONE fixed-shape double expression over exact (k, n)
+    ints, written identically in the SQL twin."""
+    import math
+    c = T(sf, "customer", ["c_custkey", "c_mktsegment"])
+    o = T(sf, "orders", ["o_custkey"])
+    buyers = R.distinct(o, ["o_custkey"])
+    flagged = R.hash_join(c, buyers.map_batches(
+        lambda t: t.append_column("has", pa.array(
+            np.ones(len(t), np.int64))), batch_format="pyarrow"),
+        on=("c_custkey",), right_on=("o_custkey",), join_type="left_outer")
+
+    def part(t: pa.Table) -> pa.Table:
+        has = pc.fill_null(t["has"], 0)
+        return pa.table({"seg": t["c_mktsegment"],
+                         "k": pc.cast(has, pa.int64()),
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    g = (flagged.map_batches(part, batch_format="pyarrow")
+         .groupby("seg").aggregate(Sum("k", alias_name="k"),
+                                   Sum("one", alias_name="n"))
+         .to_pandas())
+    z = 1.96
+    rows = []
+    for r in g.itertuples():
+        n, k = int(r.n), int(r.k)
+        p = k / n
+        lo = (p + z * z / (2 * n)
+              - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) \
+            / (1 + z * z / n)
+        rows.append((r.seg, n, k, _round_away(lo, 8)))
+    out = pd.DataFrame(rows, columns=["seg", "n", "k", "wilson_lo"])
+    out["n"] = out["n"].astype(np.int64)
+    out["k"] = out["k"].astype(np.int64)
+    return out.sort_values("seg").reset_index(drop=True)
+
+
+SQL_Q270 = """
+WITH f AS (SELECT c_mktsegment AS seg,
+                  CASE WHEN EXISTS (SELECT 1 FROM orders
+                                    WHERE o_custkey = c_custkey)
+                       THEN 1 ELSE 0 END AS has
+           FROM customer),
+g AS (SELECT seg, count(*) AS n, CAST(sum(has) AS BIGINT) AS k
+      FROM f GROUP BY seg)
+SELECT seg, n, k,
+       round(((k / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2 * n)
+              - 1.96 * sqrt((((k / CAST(n AS DOUBLE))
+                              * (1 - (k / CAST(n AS DOUBLE))))
+                             + 1.96 * 1.96 / (4 * n)) / n))
+             / (1 + 1.96 * 1.96 / n), 8) AS wilson_lo
+FROM g
+"""
+
+
+def q271_entropy_rate(sf: str):
+    """Markov conditional-entropy contributions of the user event-type
+    chain: per (src, dst) transition, −(n_ij/N)·log2(n_ij/n_i) — the
+    summands of the chain's entropy rate under the empirical stationary
+    distribution. Same salted-LAG shuffle as q167; contributions are
+    emitted PER EDGE from exact ints (a cross-edge float sum has no
+    deterministic order), formula shape identical in SQL."""
+    import math
+    from thor_ray.ops.relational import top_k  # noqa: F401
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"src": [], "dst": [],
+                                 "n": pd.Series([], dtype=np.int64)})
+        same = u[1:] == u[:-1]
+        p = pd.DataFrame({"src": et[:-1][same], "dst": et[1:][same]})
+        return p.groupby(["src", "dst"], sort=False).size() \
+            .rename("n").reset_index()
+
+    cnt = (_salted_user_events(sf, ["event_id", "user_id", "ts",
+                                    "event_type"])
+           .groupby("usalt").map_groups(pairs, batch_format="pandas")
+           .groupby(["src", "dst"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    N = int(cnt["n"].sum())
+    srcn = cnt.groupby("src")["n"].sum()
+    rows = []
+    for r in cnt.itertuples():
+        n, ns = int(r.n), int(srcn[r.src])
+        h = -(n / N) * math.log2(n / ns)
+        rows.append((r.src, r.dst, n, ns, _round_away(h, 8)))
+    out = pd.DataFrame(rows, columns=["src", "dst", "n", "n_src",
+                                      "h_term"])
+    out["n"] = out["n"].astype(np.int64)
+    out["n_src"] = out["n_src"].astype(np.int64)
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+SQL_Q271 = """
+WITH e AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS src,
+                  event_type AS dst
+           FROM events),
+c AS (SELECT src, dst, count(*) AS n FROM e WHERE src IS NOT NULL
+      GROUP BY src, dst),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+s AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM c GROUP BY src)
+SELECT c.src, c.dst, c.n, s.n_src,
+       round(-(c.n / CAST(t.total AS DOUBLE))
+             * log2(c.n / CAST(s.n_src AS DOUBLE)), 8) AS h_term
+FROM c JOIN s ON c.src = s.src CROSS JOIN t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9357,6 +9528,9 @@ QUERIES: dict[str, tuple] = {
     "q266_bitmask_profiles": (q266_bitmask_profiles, SQL_Q266),
     "q267_rollup": (q267_rollup, SQL_Q267),
     "q268_fano": (q268_fano, SQL_Q268),
+    "q269_holt": (q269_holt, SQL_Q269),
+    "q270_wilson": (q270_wilson, SQL_Q270),
+    "q271_entropy_rate": (q271_entropy_rate, SQL_Q271),
 }
 
 
