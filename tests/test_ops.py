@@ -2213,3 +2213,39 @@ def test_misra_gries_guarantee(ray_session):
     # determinism
     out2 = SK.misra_gries(ds, "v", k=k)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_compression_ratio_monotone(ray_session):
+    """Repetitive text compresses far better than high-entropy text,
+    and the ratio is deterministic across runs."""
+    rng = np.random.default_rng(3)
+    noise = "".join(chr(rng.integers(0x21, 0x7E)) for _ in range(2000))
+    boiler = "lorem ipsum dolor sit amet " * 80
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([boiler, noise])}))
+    out = TX.compression_ratio(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "czr"] < 0.1 < out.loc[2, "czr"]
+    assert out.loc[2, "czr"] <= 1.1
+    out2 = TX.compression_ratio(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "czr"] == out2.loc[1, "czr"]
+
+
+def test_containment_pairs_planted(ray_session):
+    """A doc embedded verbatim in a 3x superset has low Jaccard but
+    containment 1.0 with the right direction; unrelated docs don't
+    pair."""
+    rng = np.random.default_rng(11)
+    words = [f"w{int(v)}" for v in rng.integers(0, 500, size=400)]
+    small = " ".join(words[:300])
+    big = small + " " + " ".join(words[300:])
+    other = " ".join(f"x{int(v)}" for v in rng.integers(0, 500, size=200))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([small, big, other])})).repartition(2)
+    got = DD.containment_pairs(ds, "text", "doc_id",
+                               threshold=0.9).to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(1, 2)}
+    row = got.iloc[0]
+    assert row["containment"] >= 0.99
+    assert row["direction"] == "a_in_b"

@@ -672,3 +672,78 @@ def incremental_dedup(ds: Dataset, index_dir: str, ingest_id: str,
 
     return shaped.groupby("bucket").map_groups(probe,
                                                batch_format="pandas")
+
+
+def containment_pairs(ds: Dataset, text_col: str, id_col: str,
+                      shingle_k: int = 8, threshold: float = 0.8,
+                      num_perm: int = 128, bands: int = 32,
+                      seed: int = 42) -> Dataset:
+    """ASYMMETRIC near-dup screen: exact shingle-set CONTAINMENT
+    max(|A∩B|/|A|, |A∩B|/|B|) over MinHash-LSH candidates — catches
+    quote/excerpt/superset duplicates that symmetric Jaccard under-scores
+    (a doc fully embedded in one 3× its size has Jaccard ≈ 0.33 but
+    containment 1.0).
+
+    Same scale shape as ngram_jaccard_pairs: LSH proposes (banded, salted
+    fanout), candidate ids broadcast, texts gathered by a map-only is_in
+    filter, verification runs distributed over the candidate blocks —
+    the corpus text column never reaches the driver. NOTE the recall
+    caveat inherent to Jaccard-LSH: a containment pair with a large size
+    skew has low Jaccard and may not be proposed; lower `bands`-implied
+    threshold (more bands) raises recall at shuffle cost.
+
+    Returns Dataset[{id_a, id_b, containment, direction}] with id_a <
+    id_b and direction ∈ {'a_in_b', 'b_in_a'} for the larger containment
+    side (ties → 'a_in_b')."""
+    import ray as _ray
+    import ray.data as _rd
+
+    cands = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
+                              bands=bands, shingle_k=shingle_k, seed=seed)
+    cand_tbl = cands.to_arrow_refs()
+    # empty shuffle partitions yield schema-less blocks (Ray 2.49) —
+    # concat only the populated ones
+    blocks = [t for t in _ray.get(cand_tbl) if t.num_rows]
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "containment": pa.array([], pa.float64()),
+                      "direction": pa.array([], pa.string())})
+    if not blocks:
+        return _rd.from_arrow(empty)
+    cand_df = pa.concat_tables(blocks).to_pandas()
+    ids = np.unique(np.concatenate([cand_df["id_a"].to_numpy(),
+                                    cand_df["id_b"].to_numpy()]))
+    idref = _ray.put(pa.array(ids))
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[id_col], value_set=_ray.get(idref))
+        return t.select([id_col, text_col]).filter(m)
+
+    texts = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    ref = _ray.put(dict(zip(texts[id_col], texts[text_col])))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in batch.columns:   # schema-less empty block
+            return empty.to_pandas()
+        lookup = _ray.get(ref)
+        rows = []
+        for a, b in zip(batch["id_a"], batch["id_b"]):
+            ta, tb = lookup[a], lookup[b]
+            sa = {ta[i:i + shingle_k]
+                  for i in range(max(len(ta) - shingle_k + 1, 1))}
+            sb = {tb[i:i + shingle_k]
+                  for i in range(max(len(tb) - shingle_k + 1, 1))}
+            inter = len(sa & sb)
+            ca = inter / len(sa) if sa else 0.0
+            cb = inter / len(sb) if sb else 0.0
+            c = max(ca, cb)
+            if c >= threshold:
+                rows.append((a, b, round(c, 4),
+                             "a_in_b" if ca >= cb else "b_in_a"))
+        if not rows:
+            return empty.to_pandas()
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "containment",
+                                           "direction"])
+
+    return _rd.from_arrow_refs(cand_tbl).map_batches(
+        verify, batch_format="pandas")

@@ -1063,3 +1063,28 @@ def bpe_encode(ds: Dataset, merges: list[dict], text_col: str = "text",
                                                   _ray.get(rref))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def compression_ratio(ds: Dataset, text_col: str = "text",
+                      out: str = "czr", level: int = 6) -> Dataset:
+    """zlib-compressed size / raw UTF-8 size — the classic cheap
+    information-density quality signal (CCNet/Gopher-style filters drop
+    the extremes: near-0 ratios are boilerplate repetition, ~1.0 ratios
+    are random noise). Deterministic for a fixed zlib level. Map-only;
+    the per-row loop body is zlib's C deflate (GIL released), the Python
+    loop is just dispatch — same tier as md5_fingerprint."""
+    import zlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = t[text_col].to_pylist()
+        raw = np.empty(len(vals), np.int64)
+        comp = np.empty(len(vals), np.int64)
+        for i, v in enumerate(vals):
+            b = (v or "").encode()
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level))
+        ratio = comp / np.maximum(raw, 1)
+        t = t.append_column("raw_len", pa.array(raw))
+        t = t.append_column("comp_len", pa.array(comp))
+        return t.append_column(out, pa.array(np.round(ratio, 6)))
+    return ds.map_batches(fn, batch_format="pyarrow")

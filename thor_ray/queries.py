@@ -9252,6 +9252,136 @@ FROM c JOIN s ON c.src = s.src CROSS JOIN t
 """
 
 
+def q272_bm25(sf: str):
+    """BM25 retrieval score (k1=1.2, b=0.75, Lucene idf) for the fixed
+    query {batch, hash, join} over the documents corpus: distributed
+    per-doc term frequencies + doc lengths (one combiner-shaped
+    map_batches + groupby), tiny corpus stats (N, Σdl, df per term), then
+    a map-only score with per-term contributions as THREE explicit
+    columns summed in fixed literal order — never a float sum over rows.
+    Top-20 by raw score (identical doubles both engines), doc_id
+    tie-break."""
+    import math
+    from thor_ray.ops.text import TOKEN_RE
+    TERMS = ["batch", "hash", "join"]
+    ds = T(sf, "documents", ["doc_id", "text"])
+
+    def tf_dl(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], pattern=TOKEN_RE)
+        cols = {"doc_id": t["doc_id"],
+                "dl": pc.cast(pc.list_value_length(toks), pa.int64())}
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(t)), n)
+        fl = flat.to_numpy(zero_copy_only=False)
+        for term in TERMS:
+            hit = fl == term
+            cnt = np.zeros(len(t), np.int64)
+            np.add.at(cnt, idx[hit], 1)
+            cols[f"tf_{term}"] = pa.array(cnt)
+        return pa.table(cols)
+
+    per_doc = T(sf, "documents", ["doc_id", "text"]) \
+        .map_batches(tf_dl, batch_format="pyarrow")
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        row = {"n": [len(t)],
+               "tdl": [int(pc.sum(t["dl"]).as_py())]}
+        for term in TERMS:
+            row[f"df_{term}"] = [int(pc.sum(pc.cast(pc.greater(
+                t[f"tf_{term}"], 0), pa.int64())).as_py())]
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in row.items()})
+
+    st = per_doc.map_batches(stat_partial, batch_format="pyarrow") \
+        .to_pandas().sum()
+    N, tdl = int(st["n"]), int(st["tdl"])
+    avgdl = tdl / N
+    idf = {term: math.log(1.0 + (N - int(st[f"df_{term}"]) + 0.5)
+                          / (int(st[f"df_{term}"]) + 0.5))
+           for term in TERMS}
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        norm = 1.2 * (0.25 + 0.75 * (dl / avgdl))
+        cols = {"doc_id": t["doc_id"]}
+        parts = []
+        for term in TERMS:
+            tf = t[f"tf_{term}"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            s = idf[term] * ((tf * 2.2) / (tf + norm))
+            parts.append(s)
+            cols[f"s_{term}"] = pa.array(s)
+        cols["score"] = pa.array(parts[0] + parts[1] + parts[2])
+        return pa.table(cols)
+
+    top = R.top_k(per_doc.map_batches(score, batch_format="pyarrow"),
+                  ["score", "doc_id"], [True, False], 20).to_pandas()
+    for c in ["s_batch", "s_hash", "s_join", "score"]:
+        top[c] = _rnd(pa.array(top[c].to_numpy()), 8) \
+            .to_numpy(zero_copy_only=False)
+    return top
+
+
+SQL_Q272 = r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+             FROM documents),
+d AS (SELECT doc_id, count(*) AS dl,
+             count(*) FILTER (w = 'batch') AS tf_batch,
+             count(*) FILTER (w = 'hash') AS tf_hash,
+             count(*) FILTER (w = 'join') AS tf_join
+      FROM tok GROUP BY doc_id),
+st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tdl,
+              count(*) FILTER (tf_batch > 0) AS df_batch,
+              count(*) FILTER (tf_hash > 0) AS df_hash,
+              count(*) FILTER (tf_join > 0) AS df_join
+       FROM d),
+s AS (SELECT doc_id,
+             ln(1.0 + (n - df_batch + 0.5) / (df_batch + 0.5))
+               * ((tf_batch * 2.2)
+                  / (tf_batch + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                     / (CAST(tdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+               AS s_batch,
+             ln(1.0 + (n - df_hash + 0.5) / (df_hash + 0.5))
+               * ((tf_hash * 2.2)
+                  / (tf_hash + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                     / (CAST(tdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+               AS s_hash,
+             ln(1.0 + (n - df_join + 0.5) / (df_join + 0.5))
+               * ((tf_join * 2.2)
+                  / (tf_join + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                     / (CAST(tdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+               AS s_join
+      FROM d CROSS JOIN st)
+SELECT doc_id, round(s_batch, 8) AS s_batch, round(s_hash, 8) AS s_hash,
+       round(s_join, 8) AS s_join,
+       round(s_batch + s_hash + s_join, 8) AS score
+FROM s ORDER BY s_batch + s_hash + s_join DESC, doc_id LIMIT 20
+"""
+
+
+def q273_compression_screen(sf: str):
+    """Boilerplate/noise screen via zlib compression ratio
+    (ops/text.py::compression_ratio): the 10 least-compressible and the
+    implicit repetitive tail are what a corpus-quality filter would drop.
+    Rows-only (zlib output size is not SQL-expressible); monotonicity
+    (repetition compresses better than noise) is unit-tested."""
+    ds = TX.compression_ratio(T(sf, "documents", ["doc_id", "text"]))
+    return R.top_k(ds.select_columns(["doc_id", "raw_len", "comp_len",
+                                      "czr"]),
+                   ["czr", "doc_id"], [True, False], 10).to_pandas()
+
+
+def q274_containment(sf: str):
+    """Asymmetric containment near-dup pairs
+    (ops/dedup.py::containment_pairs): excerpt/superset duplicates that
+    symmetric Jaccard under-scores. Rows-only; exactness and direction
+    are unit-tested on planted excerpt pairs."""
+    return DD.containment_pairs(T(sf, "documents", ["doc_id", "text"]),
+                                "text", "doc_id", threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9531,6 +9661,9 @@ QUERIES: dict[str, tuple] = {
     "q269_holt": (q269_holt, SQL_Q269),
     "q270_wilson": (q270_wilson, SQL_Q270),
     "q271_entropy_rate": (q271_entropy_rate, SQL_Q271),
+    "q272_bm25": (q272_bm25, SQL_Q272),
+    "q273_compression_screen": (q273_compression_screen, None),
+    "q274_containment": (q274_containment, None),
 }
 
 
