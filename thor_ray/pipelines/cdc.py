@@ -197,6 +197,15 @@ class CdcConfig:
     # line; "dlq" keeps well-formed lines and records bad ones under
     # <binlog>/_parse_dlq/ (Kafka Connect errors.tolerance=all analogue).
     text_errors: str = "fail"
+    # transaction-atomic epoch boundaries (the Debezium/Connect
+    # "transaction boundary" contract): never commit a watermark that
+    # splits a multi-event transaction across epochs — the epoch's upper
+    # bound is clamped to the last complete txn (binlog_src.txn_boundary)
+    # and the deferred tail applies in the next epoch. Assumes a
+    # commit-ordered binlog (txns contiguous in lsn — MySQL-binlog-style).
+    # Disables pipeline_epochs (stage-1 prespill uses grid bounds, which a
+    # data-dependent boundary would invalidate).
+    txn_atomic: bool = False
     # (route_id, n_routes): demux tier — this pipeline applies ONLY events
     # whose key hashes to route_id (Kafka-Connect topic-routing analogue:
     # one binlog fans out into n_routes independent exactly-once lakes; run
@@ -848,7 +857,8 @@ class CdcPipeline:
             e += 1
 
         t_replay = time.perf_counter()
-        if cfg.shuffle == "spill" and cfg.pipeline_epochs and len(epochs) > 1:
+        if cfg.shuffle == "spill" and cfg.pipeline_epochs \
+                and len(epochs) > 1 and not cfg.txn_atomic:
             # software pipeline: stage 1 (read+route+spill) of epoch N+1
             # runs concurrently with stage 2 (apply+commit) of epoch N —
             # both are Ray jobs sharing the cluster; the per-epoch barrier
@@ -950,6 +960,14 @@ class CdcPipeline:
         # must clamp hi to 0, not fall through to epoch*epoch_size — that
         # would be exactly the watermark overcommit this guard prevents
         hi = min(epoch * cfg.epoch_size, ceiling)
+        if cfg.txn_atomic:
+            # a previous epoch may have deferred a straddling txn's tail
+            # below this epoch's grid lo — extend the read window back to
+            # the committed watermark (the lsn-dedup filter absorbs any
+            # already-applied overlap), then clamp hi to a txn boundary
+            if manifests:
+                lo = min(lo, min(m.upto_lsn for m in manifests.values()))
+            hi = max(binlog_src.txn_boundary(cfg.binlog_dir, lo, hi), lo)
 
         registry = SchemaRegistry.load(cfg.lake_dir)
         t_ddl = time.perf_counter()

@@ -274,6 +274,78 @@ def read_epoch(binlog_dir: str, lo: int, hi: int,
     return ray.data.read_parquet(files, filter=flt, **kw)
 
 
+def _lsn_txn_window(binlog_dir: str, lo: int, hi: int) -> pa.Table:
+    """Driver-side (lsn, txn) pairs for lsn in (lo, hi] — metadata-scale:
+    two int columns, parquet row-group pruned; text tiers parse the two
+    projected columns."""
+    files = shard_files(binlog_dir)
+    if not files:
+        return pa.table({"lsn": pa.array([], pa.int64()),
+                         "txn": pa.array([], pa.int64())})
+    if files[0].endswith((".jsonl", ".jsonl.gz", ".csv")):
+        parts = []
+        for p in files:
+            if p.endswith((".jsonl", ".jsonl.gz")):
+                t = _read_jsonl_file(p, ["lsn", "txn"], tolerant=True)
+            else:
+                import pyarrow.csv as pacsv
+                t = pacsv.read_csv(
+                    p, convert_options=_csv_convert_options(["lsn", "txn"]))
+            parts.append(t.filter(pc.and_(pc.greater(t["lsn"], lo),
+                                          pc.less_equal(t["lsn"], hi))))
+        return pa.concat_tables(parts)
+    return pads.dataset(files).to_table(
+        columns=["lsn", "txn"],
+        filter=(pc.field("lsn") > lo) & (pc.field("lsn") <= hi))
+
+
+def txn_boundary(binlog_dir: str, lo: int, hi: int,
+                 probe: int = 4096) -> int:
+    """Largest h' in [lo, hi] such that committing upto_lsn=h' splits no
+    transaction — the Debezium/Connect "transaction boundary" contract
+    (SURVEY.md §2.9 W2): an epoch must apply a txn's events atomically or
+    not at all, or a crash between epochs exposes a half-applied txn to
+    lake readers.
+
+    Decision rule: let T = txn of the last event at or below `hi`. If the
+    first event AFTER `hi` (found by a widening lsn probe — no tail scan)
+    belongs to a different txn, or the log ends at `hi`, then `hi` is
+    already a boundary. Otherwise clamp to the last lsn of txn T−…, i.e.
+    the max lsn in the window whose txn differs from T; a window fully
+    inside one giant txn returns `lo` (defer everything — a later, wider
+    epoch resolves it, and the drain-final epoch always ends at the log
+    end where the boundary is trivially `hi`)."""
+    if hi <= lo:
+        return hi
+    win = _lsn_txn_window(binlog_dir, lo, hi)
+    if win.num_rows == 0:
+        return hi
+    order = pc.sort_indices(win["lsn"])
+    last = order[-1].as_py()
+    t_last = win["txn"][last].as_py()
+    # probe for the first event beyond hi (widening; lsns are mostly
+    # dense, so the first window nearly always hits)
+    end = max_lsn(binlog_dir)
+    nxt = None
+    span, cur = probe, hi
+    while cur < end:
+        peek = _lsn_txn_window(binlog_dir, cur, min(cur + span, end))
+        if peek.num_rows:
+            i = pc.sort_indices(peek["lsn"])[0].as_py()
+            nxt = peek["txn"][i].as_py()
+            break
+        cur += span
+        span *= 8
+    if nxt is None or nxt != t_last:
+        return hi
+    # txn T straddles hi: clamp to the window's last lsn of an earlier txn
+    m = pc.not_equal(win["txn"], t_last)
+    prev = win.filter(m)
+    if prev.num_rows == 0:
+        return lo
+    return int(pc.max(prev["lsn"]).as_py())
+
+
 def read_ddl_events(binlog_dir: str, lo: int, hi: int) -> list[dict]:
     """Driver-side read of DDL events in (lo, hi], lsn-ordered, deduped.
 
