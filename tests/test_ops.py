@@ -2249,3 +2249,32 @@ def test_containment_pairs_planted(ray_session):
     row = got.iloc[0]
     assert row["containment"] >= 0.99
     assert row["direction"] == "a_in_b"
+
+
+def test_sq_quantization_bounds_and_recall(ray_session):
+    """int8 scalar quantization: reconstruction error within half a step
+    per dim, and top-10 recall vs brute force >= 0.8 on the fixture."""
+    import pyarrow.parquet as pq
+    SF = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    b = ANN.sq_train(ds)
+    codes = ANN.sq_encode(ds, b).materialize()
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = np.stack([np.asarray(v, np.float64)
+                     for v in t["embedding"].to_pylist()])
+    # reconstruction bound on a sample row
+    row = codes.take(1)[0]
+    code = np.frombuffer(row["code"], np.int8).astype(np.float64)
+    rec = (code + 128.0) * b["scale"] + b["lo"]
+    orig = vecs[t["vec_id"].to_numpy().tolist().index(row["vec_id"])]
+    assert np.all(np.abs(rec - orig) <= b["scale"] * 0.5 + 1e-12)
+
+    q = vecs[0]
+    got = ANN.sq_topk(codes, q, b, k=10)
+    brute = ANN.brute_topk(ds, q, k=10).to_pandas()
+    recall = len(set(got["vec_id"]) & set(brute["vec_id"])) / 10.0
+    assert recall >= 0.8, f"SQ recall@10 too low: {recall}"
+    got2 = ANN.sq_topk(codes, q, b, k=10)
+    assert list(got["vec_id"]) == list(got2["vec_id"])

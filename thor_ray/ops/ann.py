@@ -429,3 +429,71 @@ def pq_topk(codes: Dataset, query: np.ndarray, codebooks: np.ndarray,
     out = (codes.map_batches(score, batch_format="pyarrow")
            .sort(["adist", id_col]).limit(k))
     return out.to_pandas()
+
+
+def sq_train(ds: Dataset, vec_col: str = "embedding") -> dict:
+    """Scalar (int8) quantization bounds: per-dimension [min, max] from
+    ONE distributed pass — each batch emits a 2×d partial, the driver
+    folds the output-sized partials. The memory tier between raw floats
+    and PQ codes (4 B/dim → 1 B/dim, vs PQ's ~1 bit/dim)."""
+    def part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"lo": pa.array([], pa.binary()),
+                             "hi": pa.array([], pa.binary())})
+        v = vec_matrix(t[vec_col])
+        return pa.table({"lo": pa.array([v.min(axis=0).tobytes()]),
+                         "hi": pa.array([v.max(axis=0).tobytes()])})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    lo = np.min(np.stack([np.frombuffer(b, np.float64)
+                          for b in parts["lo"]]), axis=0)
+    hi = np.max(np.stack([np.frombuffer(b, np.float64)
+                          for b in parts["hi"]]), axis=0)
+    return {"lo": lo, "scale": np.maximum(hi - lo, 1e-12) / 255.0}
+
+
+def sq_encode(ds: Dataset, bounds: dict, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> Dataset:
+    """int8-per-dimension codes: code = round((x − lo)/scale) − 128."""
+    bref = ray.put(bounds)
+
+    def enc(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        if len(t) == 0:
+            return pa.table({id_col: t[id_col],
+                             "code": pa.array([], pa.binary())})
+        v = vec_matrix(t[vec_col])
+        q = np.clip(np.round((v - b["lo"]) / b["scale"]), 0, 255) - 128
+        q = q.astype(np.int8)
+        return pa.table({id_col: t[id_col],
+                         "code": pa.array([q[i].tobytes()
+                                           for i in range(len(q))],
+                                          pa.binary())})
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def sq_topk(codes: Dataset, query: np.ndarray, bounds: dict, k: int,
+            id_col: str = "vec_id") -> pd.DataFrame:
+    """Cosine top-k over dequantized int8 codes (per-block top-k, tiny
+    final sort — same shape as brute_topk, 4× less data moved)."""
+    q = _normalize(np.asarray(query, np.float64).reshape(1, -1))[0]
+    bref = ray.put((q, bounds))
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: t[id_col],
+                             "cos": pa.array([], pa.float64())})
+        qv, b = ray.get(bref)
+        mat = np.stack([np.frombuffer(c, np.int8) for c in
+                        t["code"].to_pylist()]).astype(np.float64)
+        v = (mat + 128.0) * b["scale"] + b["lo"]
+        cos = np.round(_normalize(v) @ qv, 6)
+        tt = pa.table({id_col: t[id_col], "cos": pa.array(cos)})
+        idx = pc.select_k_unstable(
+            tt, k=min(k, len(tt)),
+            sort_keys=[("cos", "descending"), (id_col, "ascending")])
+        return tt.take(idx)
+
+    out = codes.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["cos", id_col], ascending=[False, True],
+                           kind="stable").head(k).reset_index(drop=True)

@@ -9382,6 +9382,205 @@ def q274_containment(sf: str):
                                 "text", "doc_id", threshold=0.5)
 
 
+def q275_welch(sf: str):
+    """Welch's unequal-variance t-test between 'click' and 'purchase'
+    event values: ONE combiner-shaped pass to exact integer sufficient
+    statistics (n, Σc, Σc²) per arm, then t and the Welch–Satterthwaite
+    df as fixed-shape double expressions mirrored in SQL (arbitrary-
+    precision driver ints; HUGEINT on the oracle side)."""
+    import math
+    ds = T(sf, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = t.filter(m)
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"et": t["event_type"], "one": pa.array(
+            np.ones(len(t), np.int64)), "c": c,
+            "c2": pc.multiply(c, c)})
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby("et").aggregate(Sum("one", alias_name="n"),
+                                  Sum("c", alias_name="s1"),
+                                  Sum("c2", alias_name="s2"))
+         .to_pandas().set_index("et"))
+    n1, s11, s21 = (int(g.loc["click", k]) for k in ["n", "s1", "s2"])
+    n2, s12, s22 = (int(g.loc["purchase", k]) for k in ["n", "s1", "s2"])
+    m1, m2 = s11 / n1, s12 / n2
+    v1 = (n1 * s21 - s11 * s11) / (n1 * (n1 - 1))
+    v2 = (n2 * s22 - s12 * s12) / (n2 * (n2 - 1))
+    u1, u2 = v1 / n1, v2 / n2
+    t_stat = (m1 - m2) / math.sqrt(u1 + u2)
+    df = ((u1 + u2) * (u1 + u2)) \
+        / (u1 * u1 / (n1 - 1) + u2 * u2 / (n2 - 1))
+    return pd.DataFrame({"n1": [n1], "n2": [n2],
+                         "t_stat": [_round_away(t_stat, 6)],
+                         "df": [_round_away(df, 6)]}) \
+        .astype({"n1": np.int64, "n2": np.int64})
+
+
+SQL_Q275 = """
+WITH v AS (SELECT event_type AS et,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events WHERE event_type IN ('click', 'purchase')),
+a AS (SELECT count(*) FILTER (et = 'click') AS n1,
+             CAST(sum(c) FILTER (et = 'click') AS BIGINT) AS s11,
+             sum(CAST(c AS HUGEINT) * c) FILTER (et = 'click') AS s21,
+             count(*) FILTER (et = 'purchase') AS n2,
+             CAST(sum(c) FILTER (et = 'purchase') AS BIGINT) AS s12,
+             sum(CAST(c AS HUGEINT) * c) FILTER (et = 'purchase') AS s22
+      FROM v),
+b AS (SELECT n1, n2,
+             CAST(s11 AS DOUBLE) / n1 AS m1,
+             CAST(s12 AS DOUBLE) / n2 AS m2,
+             CAST(CAST(n1 AS HUGEINT) * s21
+                  - CAST(s11 AS HUGEINT) * s11 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1,
+             CAST(CAST(n2 AS HUGEINT) * s22
+                  - CAST(s12 AS HUGEINT) * s12 AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2
+      FROM a)
+SELECT n1, n2,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
+FROM b
+"""
+
+
+def q276_ols_by_type(sf: str):
+    """Grouped ordinary-least-squares trend: per event type, slope and
+    intercept of value-cents against day-of-month from exact BIGINT
+    sufficient statistics (the parametric companion to the Theil-Sen
+    robust fit) — one combiner pass, one tiny groupby, fixed-shape double
+    expressions mirrored in SQL."""
+    ds = T(sf, "events", ["event_type", "ts", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.day(t["ts"]), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"et": t["event_type"], "one": pa.array(
+            np.ones(len(t), np.int64)), "x": x, "y": y,
+            "xy": pc.multiply(x, y), "xx": pc.multiply(x, x)})
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby("et").aggregate(
+             Sum("one", alias_name="n"), Sum("x", alias_name="sx"),
+             Sum("y", alias_name="sy"), Sum("xy", alias_name="sxy"),
+             Sum("xx", alias_name="sxx"))
+         .to_pandas())
+    rows = []
+    for r in g.itertuples():
+        n, sx, sy, sxy, sxx = (int(v) for v in
+                               [r.n, r.sx, r.sy, r.sxy, r.sxx])
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        rows.append((r.et, n, sx, sy, sxy, sxx,
+                     _round_away(slope, 6), _round_away(intercept, 6)))
+    out = pd.DataFrame(rows, columns=["et", "n", "sx", "sy", "sxy",
+                                      "sxx", "slope", "intercept"])
+    for c in ["n", "sx", "sy", "sxy", "sxx"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("et").reset_index(drop=True)
+
+
+SQL_Q276 = """
+WITH v AS (SELECT event_type AS et, CAST(day(ts) AS BIGINT) AS x,
+                  CAST(round(value * 100) AS BIGINT) AS y FROM events),
+s AS (SELECT et, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM v GROUP BY et)
+SELECT et, n, sx, sy, sxy, sxx,
+       round(CAST(CAST(n AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(CAST(n AS HUGEINT) * sxy
+                      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * sx)
+             / n, 6) AS intercept
+FROM s
+"""
+
+
+def q277_bounce(sf: str):
+    """Daily bounce rate: share of 30-minute-gap sessions that contain
+    exactly one event, keyed by the session's start day. Salted user
+    shuffle; per group ONE vectorized pass builds session ids (cumsum
+    over gap flags), session sizes come from run lengths, day partials
+    combine in a tiny groupby; the rate is exact basis points."""
+    GAP = np.timedelta64(30 * 60 * 1_000_000, "us")
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_s = np.empty(len(g), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > GAP)
+        sid = np.cumsum(new_s)
+        # per-session size + start day via reduceat on session starts
+        starts = np.flatnonzero(new_s)
+        sizes = np.diff(np.append(starts, len(g)))
+        day = ts[starts].astype("datetime64[D]")
+        p = pd.DataFrame({"day": day, "one": np.ones(len(starts),
+                                                     np.int64),
+                          "b": (sizes == 1).astype(np.int64)})
+        return p.groupby("day", sort=False).agg(
+            n_sessions=("one", "sum"), n_bounce=("b", "sum")) \
+            .reset_index()
+
+    g = (_salted_user_events(sf, ["event_id", "user_id", "ts"])
+         .groupby("usalt").map_groups(sess, batch_format="pandas")
+         .groupby("day").aggregate(
+             Sum("n_sessions", alias_name="n_sessions"),
+             Sum("n_bounce", alias_name="n_bounce"))
+         .to_pandas())
+    g["n_sessions"] = g["n_sessions"].astype(np.int64)
+    g["n_bounce"] = g["n_bounce"].astype(np.int64)
+    g["bounce_bp"] = (10000 * g["n_bounce"]) // g["n_sessions"]
+    g["day"] = pd.to_datetime(g["day"])
+    return g.sort_values("day").reset_index(drop=True)
+
+
+SQL_Q277 = """
+WITH e AS (SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e),
+g AS (SELECT user_id, sid, count(*) AS n, min(ts) AS t0
+      FROM s GROUP BY user_id, sid)
+SELECT date_trunc('day', t0) AS day, count(*) AS n_sessions,
+       count(*) FILTER (n = 1) AS n_bounce,
+       (10000 * count(*) FILTER (n = 1)) // count(*) AS bounce_bp
+FROM g GROUP BY day
+"""
+
+
+def q278_sq_ann(sf: str):
+    """Scalar-quantized (int8) ANN tier (ops/ann.py::sq_train/encode/
+    topk): per-dim min-max bounds from one distributed pass, 4×
+    memory compression, dequantized cosine top-10. Rows-only; the
+    reconstruction-error bound and recall vs brute force are
+    unit-tested."""
+    ds = T(sf, "embeddings", ["vec_id", "embedding"])
+    b = ANN.sq_train(ds)
+    codes = ANN.sq_encode(ds, b)
+    return ANN.sq_topk(codes, _query_vec(sf), b, k=10)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9664,6 +9863,10 @@ QUERIES: dict[str, tuple] = {
     "q272_bm25": (q272_bm25, SQL_Q272),
     "q273_compression_screen": (q273_compression_screen, None),
     "q274_containment": (q274_containment, None),
+    "q275_welch": (q275_welch, SQL_Q275),
+    "q276_ols_by_type": (q276_ols_by_type, SQL_Q276),
+    "q277_bounce": (q277_bounce, SQL_Q277),
+    "q278_sq_ann": (q278_sq_ann, None),
 }
 
 
