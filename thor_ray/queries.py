@@ -9581,6 +9581,359 @@ def q278_sq_ann(sf: str):
     return ANN.sq_topk(codes, _query_vec(sf), b, k=10)
 
 
+def q279_spearman(sf: str):
+    """Spearman rank correlation between day-of-month and value-cents
+    over events. Distributed part is ONE joint-frequency groupby
+    (cells bounded by distinct (day, cent) pairs — price-range ×31, not
+    row count); average tied ranks are doubled to stay integral
+    (2·avgrank = 2·cum_before + f + 1), so every sufficient statistic is
+    an exact driver int / HUGEINT, and both sides finish with the same
+    fixed-shape double expression."""
+    import math
+    ds = T(sf, "events", ["ts", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pc.cast(pc.day(t["ts"]), pa.int64()),
+            "y": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                         pa.int64()),
+            "one": pa.array(np.ones(len(t), np.int64))})
+
+    j = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby(["x", "y"]).aggregate(Sum("one", alias_name="w"))
+         .to_pandas())
+    # doubled average tied ranks from the marginals (exact ints)
+    rx2, ry2 = {}, {}
+    for col, out in (("x", rx2), ("y", ry2)):
+        m = j.groupby(col)["w"].sum().sort_index()
+        cb = 0
+        for v, f in m.items():
+            out[int(v)] = 2 * cb + int(f) + 1
+            cb += int(f)
+    n = Sx = Sy = Sxx = Syy = Sxy = 0
+    for r in j.itertuples():
+        w, a, b = int(r.w), rx2[int(r.x)], ry2[int(r.y)]
+        n += w
+        Sx += w * a
+        Sy += w * b
+        Sxx += w * a * a
+        Syy += w * b * b
+        Sxy += w * a * b
+    num = float(n * Sxy - Sx * Sy)
+    dx = float(n * Sxx - Sx * Sx)
+    dy = float(n * Syy - Sy * Sy)
+    rho = num / (math.sqrt(dx) * math.sqrt(dy))
+    return pd.DataFrame({"n": [n], "spearman": [_round_away(rho, 6)]}) \
+        .astype({"n": np.int64})
+
+
+SQL_Q279 = """
+WITH v AS (SELECT CAST(day(ts) AS BIGINT) AS x,
+                  CAST(round(value * 100) AS BIGINT) AS y FROM events),
+r AS (SELECT 2 * rank() OVER (ORDER BY x)
+             + count(*) OVER (PARTITION BY x) - 1 AS rx,
+             2 * rank() OVER (ORDER BY y)
+             + count(*) OVER (PARTITION BY y) - 1 AS ry
+      FROM v),
+s AS (SELECT count(*) AS n,
+             CAST(sum(rx) AS HUGEINT) AS sx,
+             CAST(sum(ry) AS HUGEINT) AS sy,
+             sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+             sum(CAST(ry AS HUGEINT) * ry) AS syy,
+             sum(CAST(rx AS HUGEINT) * ry) AS sxy
+      FROM r)
+SELECT n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman
+FROM s
+"""
+
+
+def q280_auc(sf: str):
+    """ROC AUC of value-cents as a score separating 'purchase' (positive)
+    from 'click' (negative), tie-aware via the rank formulation
+    AUC = (R⁺ − n₁(n₁+1)/2) / (n₁n₀) with average tied ranks. One
+    score-frequency groupby (cells ≤ distinct cents); the doubled-rank
+    trick keeps every statistic an exact integer on both sides."""
+    ds = T(sf, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["click", "purchase"])))
+        pos = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        return pa.table({
+            "y": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                         pa.int64()),
+            "pos": pos, "neg": pc.subtract(1, pos)})
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby("y").aggregate(Sum("pos", alias_name="np"),
+                                 Sum("neg", alias_name="nn"))
+         .to_pandas().sort_values("y"))
+    cb, s2, n1, n0 = 0, 0, 0, 0
+    for r in g.itertuples():
+        f = int(r.np) + int(r.nn)
+        s2 += int(r.np) * (2 * cb + f + 1)     # Σ doubled avg ranks of +
+        cb += f
+        n1 += int(r.np)
+        n0 += int(r.nn)
+    auc = float(s2 - n1 * (n1 + 1)) / (2.0 * n1 * n0)
+    return pd.DataFrame({"n1": [n1], "n0": [n0],
+                         "auc": [_round_away(auc, 6)]}) \
+        .astype({"n1": np.int64, "n0": np.int64})
+
+
+SQL_Q280 = """
+WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS y,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS lab
+           FROM events WHERE event_type IN ('click', 'purchase')),
+r AS (SELECT lab, 2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS r2
+      FROM v),
+a AS (SELECT CAST(sum(r2) FILTER (lab = 1) AS HUGEINT) AS s2,
+             count(*) FILTER (lab = 1) AS n1,
+             count(*) FILTER (lab = 0) AS n0
+      FROM r)
+SELECT n1, n0,
+       round(CAST(s2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+             / (2.0 * n1 * n0), 6) AS auc
+FROM a
+"""
+
+
+def q281_zipf(sf: str):
+    """Zipf-law exponent: OLS slope of ln(freq) on ln(rank) over the
+    top-200 corpus tokens (q193 tokenizer convention — lower, split on
+    [^a-z]+). Distributed part is the combiner-backed token count +
+    prefiltered top-k; the 200-row log fold runs in pinned rank order on
+    BOTH sides (np.add.reduce vs list_aggregate ORDER BY rn) so the
+    doubles match bit-for-bit."""
+    import re as _re
+    from collections import Counter
+    K = 200
+    ds = T(sf, "documents", ["text"])
+    splitter = _re.compile(r"[^a-z]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(w for w in splitter.split(txt.lower()) if w)
+        if not c:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"tok": pa.array(list(ks), pa.string()),
+                         "n": pa.array(list(vs), pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("n", alias_name="n"))
+    top = R.top_k(counts, ["n", "tok"], [True, False], K).to_pandas()
+    k = len(top)
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy().astype(np.float64))
+    sx = np.add.reduce(x)
+    sy = np.add.reduce(y)
+    sxy = np.add.reduce(x * y)
+    sxx = np.add.reduce(x * x)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    return pd.DataFrame({"k": [k], "slope": [_round_away(slope, 6)],
+                         "intercept": [_round_away(intercept, 6)]}) \
+        .astype({"k": np.int64})
+
+
+SQL_Q281 = """
+WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+             AS tok FROM documents),
+c AS (SELECT tok, count(*) AS n FROM w
+      WHERE length(tok) > 0 GROUP BY tok),
+t AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rn
+      FROM c ORDER BY n DESC, tok LIMIT 200),
+f AS (SELECT count(*) AS k,
+             list_aggregate(list(ln(rn) ORDER BY rn), 'sum') AS sx,
+             list_aggregate(list(ln(n) ORDER BY rn), 'sum') AS sy,
+             list_aggregate(list(ln(rn) * ln(n) ORDER BY rn), 'sum')
+               AS sxy,
+             list_aggregate(list(ln(rn) * ln(rn) ORDER BY rn), 'sum')
+               AS sxx
+      FROM t)
+SELECT k,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+             / k, 6) AS intercept
+FROM f
+"""
+
+
+def q282_cramers_v(sf: str):
+    """Association strength between event type and ISO weekday:
+    chi-square over the 5×7 contingency table (ONE combiner-backed
+    groupby; everything after runs on the output-sized table) and
+    Cramér's V = √(χ²/(n·min(r−1,c−1))). Observed/marginal counts are
+    exact ints; the χ² fold is pinned to (et, dow) order on both
+    sides."""
+    import math
+    ds = T(sf, "events", ["event_type", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "et": t["event_type"],
+            "dow": pc.cast(pc.add(pc.day_of_week(t["ts"]), 1),
+                           pa.int64()),
+            "one": pa.array(np.ones(len(t), np.int64))})
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby(["et", "dow"]).aggregate(Sum("one", alias_name="o"))
+         .to_pandas().sort_values(["et", "dow"]))
+    n = int(g["o"].sum())
+    row = g.groupby("et")["o"].sum()
+    col = g.groupby("dow")["o"].sum()
+    chi2 = 0.0
+    for r in g.itertuples():            # pinned (et, dow) order
+        e = float(int(row[r.et]) * int(col[r.dow])) / n
+        d = float(int(r.o)) - e
+        chi2 += d * d / e
+    v = math.sqrt(chi2 / (n * min(len(row) - 1, len(col) - 1)))
+    return pd.DataFrame({"n": [n], "chi2": [_round_away(chi2, 6)],
+                         "v": [_round_away(v, 6)]}).astype({"n": np.int64})
+
+
+SQL_Q282 = """
+WITH c AS (SELECT event_type AS et, CAST(isodow(ts) AS BIGINT) AS dow,
+                  count(*) AS o
+           FROM events GROUP BY et, dow),
+m AS (SELECT et, dow, o,
+             sum(o) OVER (PARTITION BY et) AS rt,
+             sum(o) OVER (PARTITION BY dow) AS ct,
+             sum(o) OVER () AS n FROM c),
+t AS (SELECT et, dow, n,
+             (CAST(o AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+             * (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n) AS term
+      FROM m),
+f AS (SELECT max(n) AS n,
+             list_aggregate(list(term ORDER BY et, dow), 'sum') AS chi2,
+             count(DISTINCT et) AS r, count(DISTINCT dow) AS c
+      FROM t)
+SELECT CAST(n AS BIGINT) AS n, round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS v
+FROM f
+"""
+
+
+def q283_trimmed_mean(sf: str):
+    """Exact 5%-each-side trimmed mean of value-cents per event type.
+    Distributed part is ONE (type, cent)-frequency groupby; the trim
+    walks the output-sized cumulative histogram with integer boundary
+    overlap (no per-row rank materialization), mirroring the oracle's
+    row_number window exactly (k = n//20 on both sides)."""
+    ds = T(sf, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "et": t["event_type"],
+            "c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                         pa.int64()),
+            "one": pa.array(np.ones(len(t), np.int64))})
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby(["et", "c"]).aggregate(Sum("one", alias_name="f"))
+         .to_pandas().sort_values(["et", "c"]))
+    rows = []
+    for et, grp in g.groupby("et", sort=True):
+        f = grp["f"].to_numpy().astype(np.int64)
+        c = grp["c"].to_numpy().astype(np.int64)
+        n = int(f.sum())
+        k = n // 20
+        lo, hi = k, n - k           # keep ranks (lo, hi]
+        cb = 0
+        s = kept = 0
+        for ci, fi in zip(c.tolist(), f.tolist()):
+            take = min(cb + fi, hi) - max(cb, lo)
+            if take > 0:
+                s += ci * take
+                kept += take
+            cb += fi
+        rows.append((et, n, kept, _round_away(float(s) / kept, 6)))
+    return pd.DataFrame(rows, columns=["et", "n_total", "n_kept",
+                                       "trimmed_mean"]) \
+        .astype({"n_total": np.int64, "n_kept": np.int64})
+
+
+SQL_Q283 = """
+WITH v AS (SELECT event_type AS et,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+r AS (SELECT et, c, row_number() OVER (PARTITION BY et ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY et) AS n FROM v)
+SELECT et, min(n) AS n_total, count(*) AS n_kept,
+       round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS trimmed_mean
+FROM r WHERE rn > n // 20 AND rn <= n - n // 20
+GROUP BY et
+"""
+
+
+def q284_jsd(sf: str):
+    """Corpus drift profiling: Jensen–Shannon divergence (nats) between
+    each source's language mix and the corpus-wide mix. One grouped
+    count; the divergence fold runs on the dense source×lang grid
+    (missing cells zero-filled — a source carrying 4 of 5 langs still
+    pays for the corpus mass it lacks) in pinned lang order on both
+    sides."""
+    counts = (T(sf, "documents", ["source", "lang"])
+              .groupby(["source", "lang"])
+              .aggregate(Count(alias_name="n")).to_pandas())
+    langs = sorted(counts["lang"].unique())
+    tot = counts.groupby("lang")["n"].sum()
+    N = int(tot.sum())
+    q = np.array([int(tot.get(l, 0)) for l in langs], np.float64) / N
+    rows = []
+    for src, grp in counts.groupby("source", sort=True):
+        m = dict(zip(grp["lang"], grp["n"]))
+        ns = int(grp["n"].sum())
+        p = np.array([int(m.get(l, 0)) for l in langs], np.float64) / ns
+        mid = (p + q) / 2.0
+        tp = np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0) / mid),
+                      0.0)
+        tq = q * np.log(q / mid)        # q > 0 for every observed lang
+        jsd = 0.5 * np.add.reduce(tp) + 0.5 * np.add.reduce(tq)
+        rows.append((src, ns, _round_away(float(jsd), 6)))
+    return pd.DataFrame(rows, columns=["source", "n_docs", "jsd"]) \
+        .astype({"n_docs": np.int64})
+
+
+SQL_Q284 = """
+WITH c AS (SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY source, lang),
+grid AS (SELECT s.source, l.lang, coalesce(c.n, 0) AS n
+         FROM (SELECT DISTINCT source FROM c) s
+         CROSS JOIN (SELECT DISTINCT lang FROM c) l
+         LEFT JOIN c ON c.source = s.source AND c.lang = l.lang),
+d AS (SELECT source, lang,
+             CAST(n AS DOUBLE)
+               / sum(CAST(n AS DOUBLE)) OVER (PARTITION BY source) AS p,
+             CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)
+               / sum(CAST(n AS DOUBLE)) OVER () AS q,
+             sum(n) OVER (PARTITION BY source) AS ns
+      FROM grid),
+t AS (SELECT source, lang, ns,
+             CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+                  ELSE 0.0 END AS tp,
+             q * ln(q / ((p + q) / 2.0)) AS tq
+      FROM d),
+f AS (SELECT source, max(ns) AS n_docs,
+             list_aggregate(list(tp ORDER BY lang), 'sum') AS sp,
+             list_aggregate(list(tq ORDER BY lang), 'sum') AS sq
+      FROM t GROUP BY source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       round(0.5 * sp + 0.5 * sq, 6) AS jsd
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9867,6 +10220,12 @@ QUERIES: dict[str, tuple] = {
     "q276_ols_by_type": (q276_ols_by_type, SQL_Q276),
     "q277_bounce": (q277_bounce, SQL_Q277),
     "q278_sq_ann": (q278_sq_ann, None),
+    "q279_spearman": (q279_spearman, SQL_Q279),
+    "q280_auc": (q280_auc, SQL_Q280),
+    "q281_zipf": (q281_zipf, SQL_Q281),
+    "q282_cramers_v": (q282_cramers_v, SQL_Q282),
+    "q283_trimmed_mean": (q283_trimmed_mean, SQL_Q283),
+    "q284_jsd": (q284_jsd, SQL_Q284),
 }
 
 
