@@ -9934,6 +9934,29 @@ FROM f
 """
 
 
+def q285_incremental_view(sf: str):
+    """Incremental materialized-view maintenance (pipelines/ivm.py,
+    rows-only): a delta-mode flagship replay, then an IncrementalView
+    consumer folds the changefeed into a lang → (live rows, content
+    bytes) aggregate — per-partition key-contribution ledgers, zero
+    shuffle, exactly-once manifest. Stepwise-vs-recompute equivalence,
+    crash-window idempotence and the rebuild re-anchor are pinned in
+    tests/test_ivm.py."""
+    from thor_ray.pipelines.flagship import run_flagship
+    from thor_ray.pipelines.ivm import IncrementalView
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_ivm_{tag}"
+    pipe = run_flagship(work, n_keys=1_500, n_events=12_000, n_shards=3,
+                        num_partitions=8, epoch_size=3_000, ddl_every=0,
+                        write_mode="delta", compact_every=1_000_000)
+    import shutil
+    shutil.rmtree(f"{work}/view", ignore_errors=True)   # fresh view per run
+    iv = IncrementalView(pipe.cfg.lake_dir, f"{work}/view")
+    mid = iv._lake_epoch() // 2
+    iv.advance(upto_epoch=mid)          # two incremental steps, not one
+    return iv.advance()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10226,6 +10249,7 @@ QUERIES: dict[str, tuple] = {
     "q282_cramers_v": (q282_cramers_v, SQL_Q282),
     "q283_trimmed_mean": (q283_trimmed_mean, SQL_Q283),
     "q284_jsd": (q284_jsd, SQL_Q284),
+    "q285_incremental_view": (q285_incremental_view, None),
 }
 
 
