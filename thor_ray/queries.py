@@ -9934,6 +9934,355 @@ FROM f
 """
 
 
+def q286_link_prediction(sf: str):
+    """Link prediction on the supplier co-purchase graph (q190 edge
+    convention): top-10 NOT-yet-connected supplier pairs by common-
+    neighbor count. Wedge expansion runs per center with the offset-loop
+    trick (loop bound = max degree, never rows); the existing-edge
+    exclusion is a native left_anti hash join; counts are exact ints so
+    the (cn desc, a, b) ranking is deterministic."""
+    ds = T(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
+    fanout = 64
+
+    def salt_o(t: pa.Table) -> pa.Table:
+        # bulk lines only (quantity >= 48): the unfiltered co-purchase
+        # graph is COMPLETE at fixture scale — no links left to predict
+        t = t.filter(pc.greater_equal(t["l_quantity"], 48))
+        return pa.table({
+            "okey": t["l_orderkey"], "skey": t["l_suppkey"],
+            "osalt": pc.cast(pc.bit_wise_and(t["l_orderkey"], fanout - 1),
+                             pa.int32())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["okey", "skey"]) \
+            .sort_values(["okey", "skey"], kind="stable")
+        ok = g["okey"].to_numpy()
+        sk = g["skey"].to_numpy()
+        out_a, out_b = [], []
+        max_run = int(np.bincount(np.unique(ok, return_inverse=True)[1])
+                      .max()) if len(ok) else 0
+        for d in range(1, max_run):
+            same = ok[:-d] == ok[d:]
+            out_a.append(sk[:-d][same])
+            out_b.append(sk[d:][same])
+        if not out_a:
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    edges = (ds.map_batches(salt_o, batch_format="pyarrow")
+             .groupby("osalt").map_groups(pairs, batch_format="pandas")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_"))
+             .select_columns(["a", "b"]))
+
+    def sym(t: pa.Table) -> pa.Table:
+        w = pa.concat_arrays([t["a"].combine_chunks(),
+                              t["b"].combine_chunks()])
+        nb = pa.concat_arrays([t["b"].combine_chunks(),
+                               t["a"].combine_chunks()])
+        ws = pc.cast(pc.bit_wise_and(w, fanout - 1), pa.int32())
+        return pa.table({"w": w, "nb": nb, "wsalt": ws})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["w", "nb"], kind="stable")
+        wv = g["w"].to_numpy()
+        nb = g["nb"].to_numpy()
+        out_a, out_b = [], []
+        max_run = int(np.bincount(np.unique(wv, return_inverse=True)[1])
+                      .max()) if len(wv) else 0
+        for d in range(1, max_run):
+            same = wv[:-d] == wv[d:]
+            out_a.append(nb[:-d][same])
+            out_b.append(nb[d:][same])
+        if not out_a:
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    cand = (edges.map_batches(sym, batch_format="pyarrow")
+            .groupby("wsalt").map_groups(wedges, batch_format="pandas")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="cn")))
+    non_edges = R.hash_join(cand, edges, on=("a", "b"),
+                            join_type="left_anti")
+    out = R.top_k(non_edges, ["cn", "a", "b"], [True, False, False], 10) \
+        .to_pandas()
+    out["cn"] = out["cn"].astype(np.int64)
+    return out[["a", "b", "cn"]]
+
+
+SQL_Q286 = """
+WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_quantity >= 48),
+e0 AS (SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+            FROM li l1 JOIN li l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_suppkey < l2.l_suppkey),
+adj AS (SELECT a AS w, b AS nb FROM e0
+        UNION ALL SELECT b AS w, a AS nb FROM e0),
+wed AS (SELECT x.nb AS a, y.nb AS b, count(*) AS cn
+        FROM adj x JOIN adj y ON x.w = y.w AND x.nb < y.nb
+        GROUP BY x.nb, y.nb)
+SELECT a, b, cn FROM wed
+WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = wed.a AND e0.b = wed.b)
+ORDER BY cn DESC, a, b LIMIT 10
+"""
+
+
+def q287_fisher_exact(sf: str):
+    """Fisher's exact test (two-sided, scipy's 1+1e-7 point-probability
+    criterion in log domain) on the 2×2 purchase/click × weekend/weekday
+    table. ONE combiner pass to four exact counts; the hypergeometric
+    enumeration is a fixed-shape lgamma fold over the support, summed in
+    pinned k order on both sides (excluded tables contribute literal
+    0.0 so the add sequence is identical)."""
+    import math
+    ds = T(sf, "events", ["event_type", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["click", "purchase"])))
+        pos = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        we = pc.cast(pc.greater_equal(
+            pc.add(pc.day_of_week(t["ts"]), 1), 6), pa.int64())
+        return pa.table({
+            "a": pc.multiply(pos, we),
+            "b": pc.multiply(pos, pc.subtract(1, we)),
+            "c": pc.multiply(pc.subtract(1, pos), we),
+            "d": pc.multiply(pc.subtract(1, pos),
+                             pc.subtract(1, we))})
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .aggregate(Sum("a", alias_name="a"), Sum("b", alias_name="b"),
+                    Sum("c", alias_name="c"), Sum("d", alias_name="d")))
+    a, b, c, d = (int(g[k]) for k in ["a", "b", "c", "d"])
+    r1, r2, cs, n = a + b, c + d, a + c, a + b + c + d
+    lg = math.lgamma
+
+    def logp(k: int) -> float:
+        return (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
+                + lg(r2 + 1) - lg(cs - k + 1) - lg(r2 - cs + k + 1)
+                + lg(cs + 1) + lg(n - cs + 1) - lg(n + 1))
+
+    lo, hi = max(0, cs - r2), min(r1, cs)
+    la = logp(a)
+    p = 0.0
+    for k in range(lo, hi + 1):         # pinned ascending-k order
+        lk = logp(k)
+        p += math.exp(lk) if lk <= la + 1e-7 else 0.0
+    return pd.DataFrame({"a": [a], "b": [b], "c": [c], "d": [d],
+                         "p_value": [_round_away(min(p, 1.0), 6)]}) \
+        .astype({"a": np.int64, "b": np.int64, "c": np.int64,
+                 "d": np.int64})
+
+
+SQL_Q287 = """
+WITH v AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             AS pos,
+           CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we
+           FROM events WHERE event_type IN ('click', 'purchase')),
+t AS (SELECT CAST(sum(pos * we) AS BIGINT) AS a,
+             CAST(sum(pos * (1 - we)) AS BIGINT) AS b,
+             CAST(sum((1 - pos) * we) AS BIGINT) AS c,
+             CAST(sum((1 - pos) * (1 - we)) AS BIGINT) AS d
+      FROM v),
+m AS (SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS cs,
+             a + b + c + d AS n FROM t),
+ks AS (SELECT m.*, unnest(range(greatest(0, cs - r2), least(r1, cs) + 1))
+         AS k FROM m),
+lp AS (SELECT a, b, c, d, k,
+              lgamma(r1 + 1.0) - lgamma(k + 1.0) - lgamma(r1 - k + 1.0)
+              + lgamma(r2 + 1.0) - lgamma(cs - k + 1.0)
+              - lgamma(r2 - cs + k + 1.0)
+              + lgamma(cs + 1.0) + lgamma(n - cs + 1.0)
+              - lgamma(n + 1.0) AS lk,
+              lgamma(r1 + 1.0) - lgamma(a + 1.0) - lgamma(r1 - a + 1.0)
+              + lgamma(r2 + 1.0) - lgamma(cs - a + 1.0)
+              - lgamma(r2 - cs + a + 1.0)
+              + lgamma(cs + 1.0) + lgamma(n - cs + 1.0)
+              - lgamma(n + 1.0) AS la
+       FROM ks)
+SELECT a, b, c, d,
+       round(least(list_aggregate(
+           list(CASE WHEN lk <= la + 1e-7 THEN exp(lk) ELSE 0.0 END
+                ORDER BY k), 'sum'), 1.0), 6) AS p_value
+FROM lp GROUP BY a, b, c, d
+"""
+
+
+def q288_rsi(sf: str):
+    """Cutler's RSI (14-period, SMA-based) over the daily total
+    value-cents series: ONE grouped day aggregate (exact ints), then
+    diffs / rolling gain-loss sums fold on the output-sized day table —
+    integer until the single final division, mirrored by the oracle's
+    lag + ROWS 13 PRECEDING windows."""
+    ds = T(sf, "events", ["ts", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+            "c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                         pa.int64())})
+
+    g = (ds.map_batches(part, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("c", alias_name="tot"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    tot = g["tot"].to_numpy().astype(np.int64)
+    diff = tot[1:] - tot[:-1]
+    gains = np.where(diff > 0, diff, 0).astype(np.int64)
+    losses = np.where(diff < 0, -diff, 0).astype(np.int64)
+    W = 14
+    cg = np.concatenate([[0], np.cumsum(gains)])
+    cl = np.concatenate([[0], np.cumsum(losses)])
+    G = cg[W:] - cg[:-W]                # rolling sums, exact ints
+    L = cl[W:] - cl[:-W]
+    days = g["day"].to_numpy()[W:]      # diff i ends at day i+1
+    rsi = np.array([_round_away(100.0 * gg / (gg + ll), 6)
+                    if gg + ll else np.nan
+                    for gg, ll in zip(G.tolist(), L.tolist())])
+    out = pd.DataFrame({"day": pd.to_datetime(days), "rsi": rsi})
+    return out.reset_index(drop=True)
+
+
+SQL_Q288 = """
+WITH daily AS (SELECT date_trunc('day', ts) AS day,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS tot
+               FROM events GROUP BY day),
+d AS (SELECT day, tot - lag(tot) OVER (ORDER BY day) AS df,
+             row_number() OVER (ORDER BY day) AS rn FROM daily),
+w AS (SELECT day, rn,
+             sum(CASE WHEN df > 0 THEN df ELSE 0 END)
+               OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING
+                     AND CURRENT ROW) AS g,
+             sum(CASE WHEN df < 0 THEN -df ELSE 0 END)
+               OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING
+                     AND CURRENT ROW) AS l
+      FROM d WHERE df IS NOT NULL)
+SELECT day, CASE WHEN g + l > 0
+                 THEN round(100.0 * g / (g + l), 6) END AS rsi
+FROM w WHERE rn >= 15
+"""
+
+
+def q289_calibration(sf: str):
+    """Calibration / reliability table: value-cents as a purchase-vs-
+    click score, 10 equal-width bins over the observed score range;
+    per bin the mean score and the empirical positive rate. Two tiny
+    aggregates (global min/max, then per-bin sums) — exact ints into
+    fixed-shape divisions."""
+    ds = T(sf, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["click", "purchase"])))
+        return pa.table({
+            "c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                         pa.int64()),
+            "pos": pc.cast(pc.equal(t["event_type"], "purchase"),
+                           pa.int64())})
+
+    base = ds.map_batches(cents, batch_format="pyarrow")
+    mm = base.aggregate(Min("c", alias_name="lo"),
+                        Max("c", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = hi - lo + 1
+
+    def binned(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(
+            pc.multiply(pc.cast(pc.subtract(t["c"], lo), pa.float64()),
+                        10.0), float(span))), pa.int64())
+        return pa.table({"bin": b, "c": t["c"], "pos": t["pos"],
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    g = (base.map_batches(binned, batch_format="pyarrow")
+         .groupby("bin").aggregate(Sum("one", alias_name="n"),
+                                   Sum("c", alias_name="sc"),
+                                   Sum("pos", alias_name="np"))
+         .to_pandas().sort_values("bin").reset_index(drop=True))
+    g["n"] = g["n"].astype(np.int64)
+    g["mean_score"] = [_round_away(int(s) / int(n), 6)
+                       for s, n in zip(g["sc"], g["n"])]
+    g["pos_rate"] = [_round_away(int(p) / int(n), 6)
+                     for p, n in zip(g["np"], g["n"])]
+    g["n_pos"] = g["np"].astype(np.int64)
+    return g[["bin", "n", "n_pos", "mean_score", "pos_rate"]]
+
+
+SQL_Q289 = """
+WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                    AS pos
+           FROM events WHERE event_type IN ('click', 'purchase')),
+mm AS (SELECT min(c) AS lo, max(c) AS hi FROM v),
+b AS (SELECT CAST(floor(CAST(c - lo AS DOUBLE) * 10.0
+                        / (hi - lo + 1)) AS BIGINT) AS bin, c, pos
+      FROM v, mm)
+SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+       round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS mean_score,
+       round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+FROM b GROUP BY bin
+"""
+
+
+def q290_yule_k(sf: str):
+    """Yule's characteristic K (vocabulary-richness) of the corpus:
+    K = 10⁴·(Σf² − N)/N² over the token frequency spectrum (q193
+    tokenizer). Token counts are one combiner-backed groupby; the
+    spectrum moments fold as a SECOND combiner pass over the vocab-sized
+    count table (never the corpus). int64 partials here; the oracle uses
+    HUGEINT (overflow headroom is a documented caveat past ~10⁹-token
+    types)."""
+    import re as _re
+    from collections import Counter
+    ds = T(sf, "documents", ["text"])
+    splitter = _re.compile(r"[^a-z]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            c.update(w for w in splitter.split(txt.lower()) if w)
+        if not c:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"tok": pa.array(list(ks), pa.string()),
+                         "n": pa.array(list(vs), pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("n", alias_name="n"))
+
+    def moments(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "f": t["n"], "f2": pc.multiply(t["n"], t["n"])})
+
+    s = counts.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("one", alias_name="v"), Sum("f", alias_name="sf"),
+        Sum("f2", alias_name="sf2"))
+    V, N, S2 = int(s["v"]), int(s["sf"]), int(s["sf2"])
+    k = 10000.0 * float(S2 - N) / (float(N) * float(N))
+    return pd.DataFrame({"n_tokens": [N], "n_types": [V],
+                         "yule_k": [_round_away(k, 6)]}) \
+        .astype({"n_tokens": np.int64, "n_types": np.int64})
+
+
+SQL_Q290 = """
+WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+             AS tok FROM documents),
+c AS (SELECT tok, count(*) AS n FROM w
+      WHERE length(tok) > 0 GROUP BY tok),
+s AS (SELECT count(*) AS v, CAST(sum(n) AS HUGEINT) AS n_tok,
+             sum(CAST(n AS HUGEINT) * n) AS s2 FROM c)
+SELECT CAST(n_tok AS BIGINT) AS n_tokens, v AS n_types,
+       round(10000.0 * CAST(s2 - n_tok AS DOUBLE)
+             / (CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)), 6)
+         AS yule_k
+FROM s
+"""
+
+
 def q285_incremental_view(sf: str):
     """Incremental materialized-view maintenance (pipelines/ivm.py,
     rows-only): a delta-mode flagship replay, then an IncrementalView
@@ -10250,6 +10599,11 @@ QUERIES: dict[str, tuple] = {
     "q283_trimmed_mean": (q283_trimmed_mean, SQL_Q283),
     "q284_jsd": (q284_jsd, SQL_Q284),
     "q285_incremental_view": (q285_incremental_view, None),
+    "q286_link_prediction": (q286_link_prediction, SQL_Q286),
+    "q287_fisher_exact": (q287_fisher_exact, SQL_Q287),
+    "q288_rsi": (q288_rsi, SQL_Q288),
+    "q289_calibration": (q289_calibration, SQL_Q289),
+    "q290_yule_k": (q290_yule_k, SQL_Q290),
 }
 
 
