@@ -241,3 +241,52 @@ def random_walks(edges: Dataset, src: str, dst: str, starts: list[int],
         pos = nxt
     return pd.DataFrame(out, columns=["walk_id", "step", "node"]) \
         .astype({"walk_id": "int64", "step": "int64", "node": "int64"})
+
+
+def connected_components(edges: Dataset, nodes: Dataset,
+                         max_iters: int = 30) -> Dataset:
+    """Distributed connected components by min-label propagation.
+
+    ``edges``: columns (src, dst), DIRECTED rows — pass both directions
+    for an undirected graph (the caller unions (a,b) with (b,a)).
+    ``nodes``: column (node), one row per vertex (isolated vertices
+    become singleton components).
+
+    Each round is one distributed hash join (edges ⋈ labels on src) +
+    one grouped int64 min over (dst ∪ all nodes), exactly the PageRank
+    shape above — labels and edges stay distributed Datasets, only the
+    per-round convergence scalar (Σ labels) touches the driver. Labels
+    are int64 node ids, so every grouped min is exact and order-free
+    (bit-identical across shuffle orders ⇒ SQL-twinnable). Converges in
+    O(diameter) rounds; Σ labels is monotone non-increasing and equality
+    between rounds is a fixpoint, so the loop early-exits. Per-round
+    state is one int64 per vertex (bounded materialize, same rationale
+    as pagerank_int)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Min
+    from thor_ray.ops.relational import hash_join
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "lbl": pc.cast(t["node"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    nblk = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+    # one up-front coalesce: groupby-produced inputs can carry EMPTY
+    # schema-less blocks that crash the acero hash join (same Ray 2.49
+    # wart worked around in pagerank_int / full_outer_join)
+    edges = edges.repartition(nblk)
+    prev_sum: "int | None" = None
+    for _ in range(max_iters):
+        prop = (hash_join(edges, labels, on=("src",), right_on=("node",))
+                .map_batches(lambda t: pa.table({"node": t["dst"],
+                                                 "lbl": t["lbl"]}),
+                             batch_format="pyarrow"))
+        labels = (prop.union(labels.select_columns(["node", "lbl"]))
+                  .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+                  .repartition(nblk).materialize())
+        cur = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels

@@ -10306,6 +10306,247 @@ def q285_incremental_view(sf: str):
     return iv.advance()
 
 
+def q291_connected_components(sf: str):
+    """Connected components of the bulk co-purchase supplier graph
+    (ops/graph.py::connected_components): distributed min-label
+    propagation — one hash join + one grouped int64 min per round,
+    early-exit on the Σ-label fixpoint, O(diameter) rounds. Nodes are
+    suppliers with any qty≥50 line (isolated ⇒ singleton component);
+    edges connect suppliers sharing such an order. Pair expansion uses
+    the q286 offset-loop trick (loop bound = max per-order run, never
+    rows). Integer labels make every min exact ⇒ bit-identical to the
+    recursive-CTE oracle."""
+    from thor_ray.ops import graph as G
+    ds = T(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
+    fanout = 64
+
+    def salt_o(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["l_quantity"], 50))
+        return pa.table({
+            "okey": t["l_orderkey"], "skey": t["l_suppkey"],
+            "osalt": pc.cast(pc.bit_wise_and(t["l_orderkey"], fanout - 1),
+                             pa.int32())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["okey", "skey"]) \
+            .sort_values(["okey", "skey"], kind="stable")
+        ok = g["okey"].to_numpy()
+        sk = g["skey"].to_numpy()
+        out_a, out_b = [], []
+        max_run = int(np.bincount(np.unique(ok, return_inverse=True)[1])
+                      .max()) if len(ok) else 0
+        for d in range(1, max_run):
+            same = ok[:-d] == ok[d:]
+            out_a.append(sk[:-d][same])
+            out_b.append(sk[d:][same])
+        if not out_a:
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    base = ds.map_batches(salt_o, batch_format="pyarrow")
+    edges = (base.groupby("osalt").map_groups(pairs, batch_format="pandas")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_"))
+             .select_columns(["a", "b"]))
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([t["a"].combine_chunks(),
+                                     t["b"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["b"].combine_chunks(),
+                                     t["a"].combine_chunks()])})
+
+    nodes = (base.map_batches(lambda t: pa.table({"node": t["skey"]}),
+                              batch_format="pyarrow")
+             .groupby("node").aggregate(Count(alias_name="_"))
+             .select_columns(["node"]))
+    lbl = G.connected_components(
+        edges.map_batches(sym, batch_format="pyarrow"), nodes)
+    out = lbl.to_pandas().astype({"node": np.int64, "lbl": np.int64})
+    out = out.rename(columns={"lbl": "comp"})
+    return out.sort_values("node").reset_index(drop=True)[["node", "comp"]]
+
+
+SQL_Q291 = """
+WITH RECURSIVE
+li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 50),
+e0 AS (SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+       FROM li l1 JOIN li l2
+         ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+adj AS (SELECT a AS s, b AS d FROM e0 UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT l_suppkey AS node FROM li),
+reach AS (SELECT node, node AS lbl FROM nodes
+          UNION
+          SELECT adj.d, reach.lbl FROM reach JOIN adj ON adj.s = reach.node)
+SELECT node, min(lbl) AS comp FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def q292_logistic_irls(sf: str):
+    """Distributed logistic regression by 3 IRLS (Newton) steps:
+    y = (event_type = 'purchase'), x = value, model p = σ(b0 + b1·x).
+    Each step is ONE streaming aggregate pass (combiner-backed sums of
+    w, wx, wx², (y−p), (y−p)x with w = p(1−p)) and a closed-form 2×2
+    solve on the driver — the classic data-parallel GLM shape (X'WX is
+    k×k, never data-sized). Start b=(0,0); identical algebra on the SQL
+    side (three chained CTEs), final coefficients rounded to 6dp so
+    summation-order ulps can't flip the driver hash."""
+    ds = T(sf, "events", ["event_type", "value"])
+
+    def step(b0: float, b1: float) -> tuple[float, float]:
+        def partial(t: pa.Table) -> pa.Table:
+            x = t["value"].to_numpy(zero_copy_only=False)
+            y = pc.equal(t["event_type"], "purchase").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            p = 1.0 / (1.0 + np.exp(-(b0 + b1 * x)))
+            w = p * (1.0 - p)
+            r = y - p
+            return pa.table({
+                "sw": [float(np.sum(w))], "swx": [float(np.sum(w * x))],
+                "swxx": [float(np.sum(w * x * x))],
+                "sr": [float(np.sum(r))], "srx": [float(np.sum(r * x))]})
+
+        s = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+            Sum("sw", alias_name="sw"), Sum("swx", alias_name="swx"),
+            Sum("swxx", alias_name="swxx"), Sum("sr", alias_name="sr"),
+            Sum("srx", alias_name="srx"))
+        det = s["sw"] * s["swxx"] - s["swx"] * s["swx"]
+        d0 = (s["swxx"] * s["sr"] - s["swx"] * s["srx"]) / det
+        d1 = (s["sw"] * s["srx"] - s["swx"] * s["sr"]) / det
+        return b0 + d0, b1 + d1
+
+    b0, b1 = 0.0, 0.0
+    for _ in range(3):
+        b0, b1 = step(b0, b1)
+    return pd.DataFrame({"b0": [_round_away(b0, 6)],
+                         "b1": [_round_away(b1, 6)]})
+
+
+SQL_Q292 = """
+WITH d AS (SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+             AS y, value AS x FROM events),
+s1 AS (SELECT sum(p*(1-p)) AS sw, sum(p*(1-p)*x) AS swx,
+              sum(p*(1-p)*x*x) AS swxx, sum(y-p) AS sr, sum((y-p)*x) AS srx
+       FROM (SELECT y, x, 0.5 AS p FROM d)),
+b1v AS (SELECT (swxx*sr - swx*srx) / (sw*swxx - swx*swx) AS b0,
+               (sw*srx - swx*sr) / (sw*swxx - swx*swx) AS b1 FROM s1),
+s2 AS (SELECT sum(p*(1-p)) AS sw, sum(p*(1-p)*x) AS swx,
+              sum(p*(1-p)*x*x) AS swxx, sum(y-p) AS sr, sum((y-p)*x) AS srx
+       FROM (SELECT y, x, 1.0/(1.0+exp(-(b.b0 + b.b1*x))) AS p
+             FROM d, b1v b)),
+b2v AS (SELECT b.b0 + (s.swxx*s.sr - s.swx*s.srx)
+                      / (s.sw*s.swxx - s.swx*s.swx) AS b0,
+               b.b1 + (s.sw*s.srx - s.swx*s.sr)
+                      / (s.sw*s.swxx - s.swx*s.swx) AS b1
+        FROM s2 s, b1v b),
+s3 AS (SELECT sum(p*(1-p)) AS sw, sum(p*(1-p)*x) AS swx,
+              sum(p*(1-p)*x*x) AS swxx, sum(y-p) AS sr, sum((y-p)*x) AS srx
+       FROM (SELECT y, x, 1.0/(1.0+exp(-(b.b0 + b.b1*x))) AS p
+             FROM d, b2v b))
+SELECT round(b.b0 + (s.swxx*s.sr - s.swx*s.srx)
+             / (s.sw*s.swxx - s.swx*s.swx), 6) AS b0,
+       round(b.b1 + (s.sw*s.srx - s.swx*s.sr)
+             / (s.sw*s.swxx - s.swx*s.swx), 6) AS b1
+FROM s3 s, b2v b
+"""
+
+
+def q293_mutual_information(sf: str):
+    """Mutual information I(event_type; weekday) and conditional entropy
+    H(event_type | weekday) over the events stream, in nats. ONE
+    combiner-backed groupby builds the (etype × dow) contingency table
+    (≤ |types|·7 cells — bounded, driver-folds the cell table only);
+    marginals and the plug-in estimates fold from exact int64 counts so
+    both sides compute log over identical rationals."""
+    ds = T(sf, "events", ["event_type", "ts"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        # ISO dow 1..7 to match DuckDB isodow()
+        dow = pc.add(pc.day_of_week(t["ts"], count_from_zero=True), 1)
+        return pa.table({"etype": t["event_type"],
+                         "dow": pc.cast(dow, pa.int64()),
+                         "n": pa.array(np.ones(len(t), np.int64))})
+
+    ct = ds.map_batches(cells, batch_format="pyarrow") \
+        .groupby(["etype", "dow"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    n = ct["n"].sum()
+    pe = ct.groupby("etype")["n"].sum() / n
+    pd_ = ct.groupby("dow")["n"].sum() / n
+    pj = ct["n"] / n
+    mi = float(np.sum(pj * np.log(
+        pj / (pe[ct["etype"]].to_numpy() * pd_[ct["dow"]].to_numpy()))))
+    h_e = float(-np.sum(pe * np.log(pe)))
+    return pd.DataFrame({"mi_nats": [_round_away(mi, 8)],
+                         "h_cond_nats": [_round_away(h_e - mi, 8)]})
+
+
+SQL_Q293 = """
+WITH c AS (SELECT event_type AS e, isodow(ts) AS d, count(*) AS n
+           FROM events GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n FROM c),
+me AS (SELECT e, CAST(sum(n) AS DOUBLE) AS ne FROM c GROUP BY e),
+md AS (SELECT d, CAST(sum(n) AS DOUBLE) AS nd FROM c GROUP BY d),
+mi AS (SELECT sum((c.n / t.n) * ln((c.n / t.n) / ((me.ne / t.n)
+                 * (md.nd / t.n)))) AS mi
+       FROM c JOIN me USING (e) JOIN md USING (d) CROSS JOIN tot t),
+he AS (SELECT -sum((me.ne / t.n) * ln(me.ne / t.n)) AS h
+       FROM me CROSS JOIN tot t)
+SELECT round(mi.mi, 8) AS mi_nats, round(he.h - mi.mi, 8) AS h_cond_nats
+FROM mi, he
+"""
+
+
+def q294_dft_peak(sf: str):
+    """Periodogram of the daily event-count series: DFT power at integer
+    periods 2..14 days, dominant period first. The series itself is one
+    grouped count (≤ a few hundred days — bounded); the spectral sums
+    Σ n·cos/sin(2πt/P) fold on the driver over that day table, with the
+    mean removed so the DC component can't mask the cycle. Both sides
+    compute the identical trig sums; power rounded to 6dp."""
+    ds = T(sf, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32())
+        return pa.table({"day": d, "n": pa.array(np.ones(len(t), np.int64))})
+
+    daily = ds.map_batches(days, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n", alias_name="n")).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    t_idx = (pd.to_datetime(daily["day"]) -
+             pd.to_datetime(daily["day"]).min()).dt.days.to_numpy()
+    x = daily["n"].to_numpy().astype(np.float64)
+    x = x - x.mean()
+    rows = []
+    for p in range(2, 15):
+        w = 2.0 * np.pi * t_idx / p
+        c = float(np.sum(x * np.cos(w)))
+        s = float(np.sum(x * np.sin(w)))
+        rows.append({"period_days": p,
+                     "power": _round_away((c * c + s * s) / len(x), 6)})
+    out = pd.DataFrame(rows).sort_values(
+        ["power", "period_days"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    return out.astype({"period_days": np.int64})
+
+
+SQL_Q294 = """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      count(*) AS n FROM events GROUP BY 1),
+base AS (SELECT (day - (SELECT min(day) FROM daily)) AS t,
+                n - (SELECT avg(n) FROM daily) AS x FROM daily),
+per AS (SELECT unnest(range(2, 15)) AS p),
+spec AS (SELECT p,
+                sum(x * cos(2 * pi() * t / p)) AS c,
+                sum(x * sin(2 * pi() * t / p)) AS s,
+                count(*) AS m
+         FROM base CROSS JOIN per GROUP BY p)
+SELECT p AS period_days, round((c*c + s*s) / m, 6) AS power
+FROM spec ORDER BY power DESC, period_days
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10604,6 +10845,10 @@ QUERIES: dict[str, tuple] = {
     "q288_rsi": (q288_rsi, SQL_Q288),
     "q289_calibration": (q289_calibration, SQL_Q289),
     "q290_yule_k": (q290_yule_k, SQL_Q290),
+    "q291_connected_components": (q291_connected_components, SQL_Q291),
+    "q292_logistic_irls": (q292_logistic_irls, SQL_Q292),
+    "q293_mutual_information": (q293_mutual_information, SQL_Q293),
+    "q294_dft_peak": (q294_dft_peak, SQL_Q294),
 }
 
 
