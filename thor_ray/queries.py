@@ -10547,6 +10547,289 @@ FROM spec ORDER BY power DESC, period_days
 """
 
 
+def _jaro_winkler(a: str, b: str) -> float:
+    """Jaro-Winkler similarity, bit-matching DuckDB's semantics (verified
+    empirically: standard Jaro; Winkler boost p=0.1, prefix cap 4,
+    applied only when jaro > 0.7 — e.g. jw('aqqqqqq','azzzzzz') returns
+    the unboosted 0.4286). Called only on POST-BLOCKING candidate pairs
+    (small per-block sets), never per corpus row."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(max(la, lb) // 2 - 1, 0)
+    am = [False] * la
+    bm = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not bm[j] and b[j] == a[i]:
+                am[i] = bm[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if am[i]:
+            while not bm[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro <= 0.7:
+        return jaro
+    pre = 0
+    for ca, cb in zip(a, b):
+        if ca != cb or pre == 4:
+            break
+        pre += 1
+    return jaro + pre * 0.1 * (1.0 - jaro)
+
+
+def q295_jw_fuzzy_join(sf: str):
+    """Fuzzy self-match of part names by Jaro-Winkler similarity with
+    noun blocking: distinct names block on their last token (one grouped
+    dedup + one groupby), then each block emits its (a < b) pairs with
+    jw ≥ 0.8 — the classic blocked record-linkage shape where the
+    quadratic work is confined to small blocks and the JW kernel matches
+    DuckDB's exactly (see _jaro_winkler)."""
+    ds = T(sf, "part", ["p_name"])
+    names = ds.groupby("p_name").aggregate(Count(alias_name="_")) \
+        .select_columns(["p_name"])
+
+    def block(t: pa.Table) -> pa.Table:
+        noun = pc.list_element(pc.split_pattern(t["p_name"], " "), 1)
+        return pa.table({"p_name": t["p_name"], "noun": noun})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ns = sorted(g["p_name"].tolist())
+        a_l, b_l, jw_l = [], [], []
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                jw = _jaro_winkler(ns[i], ns[j])
+                if jw >= 0.8:
+                    a_l.append(ns[i])
+                    b_l.append(ns[j])
+                    jw_l.append(_round_away(jw, 6))
+        return pd.DataFrame({"name_a": pd.array(a_l, dtype="string"),
+                             "name_b": pd.array(b_l, dtype="string"),
+                             "jw": pd.array(jw_l, dtype="float64")})
+
+    out = names.map_batches(block, batch_format="pyarrow") \
+        .groupby("noun").map_groups(pairs, batch_format="pandas") \
+        .to_pandas()
+    out["name_a"] = out["name_a"].astype(object)
+    out["name_b"] = out["name_b"].astype(object)
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+SQL_Q295 = """
+WITH n AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, split_part(p_name, ' ', 2) AS noun FROM n)
+SELECT x.p_name AS name_a, y.p_name AS name_b,
+       round(jaro_winkler_similarity(x.p_name, y.p_name), 6) AS jw
+FROM b x JOIN b y ON x.noun = y.noun AND x.p_name < y.p_name
+WHERE jaro_winkler_similarity(x.p_name, y.p_name) >= 0.8
+ORDER BY 1, 2
+"""
+
+
+def q296_bh_fdr(sf: str):
+    """Multiple-testing correction: per event_type Welch z-test of
+    weekend vs weekday mean value, normal p-values via the
+    Abramowitz-Stegun 26.2.17 polynomial CDF (identical algebra on the
+    SQL side — DuckDB has no erf), then Benjamini-Hochberg FDR
+    adjustment (reverse running min of p·m/rank) and a q=0.10 decision.
+    The distributed pass is ONE combiner groupby building per-(type,
+    weekend) moment sums; the m≤|types| test table folds on the driver."""
+    ds = T(sf, "events", ["event_type", "ts", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(t["ts"], count_from_zero=True), 1)
+        we = pc.greater_equal(dow, 6)
+        v = t["value"]
+        return pa.table({"etype": t["event_type"],
+                         "we": pc.cast(we, pa.int32()),
+                         "n": pa.array(np.ones(len(t), np.int64)),
+                         "s": v, "s2": pc.multiply(v, v)})
+
+    g = ds.map_batches(parts, batch_format="pyarrow") \
+        .groupby(["etype", "we"]).aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2")).to_pandas()
+    piv = g.pivot(index="etype", columns="we")
+    rows = []
+    for et in sorted(piv.index):
+        n0, n1 = piv.loc[et, ("n", 0)], piv.loc[et, ("n", 1)]
+        m0 = piv.loc[et, ("s", 0)] / n0
+        m1 = piv.loc[et, ("s", 1)] / n1
+        v0 = (piv.loc[et, ("s2", 0)] - n0 * m0 * m0) / (n0 - 1)
+        v1 = (piv.loc[et, ("s2", 1)] - n1 * m1 * m1) / (n1 - 1)
+        z = (m1 - m0) / np.sqrt(v1 / n1 + v0 / n0)
+        az = abs(z)
+        k = 1.0 / (1.0 + 0.2316419 * az)
+        poly = k * (0.319381530 + k * (-0.356563782 + k * (
+            1.781477937 + k * (-1.821255978 + k * 1.330274429))))
+        p = 2.0 * (np.exp(-az * az / 2.0) / np.sqrt(2.0 * np.pi)) * poly
+        rows.append({"event_type": et, "z": z, "p": p})
+    df = pd.DataFrame(rows).sort_values(["p", "event_type"]) \
+        .reset_index(drop=True)
+    m = len(df)
+    raw = df["p"].to_numpy() * m / np.arange(1, m + 1)
+    adj = np.minimum(np.minimum.accumulate(raw[::-1])[::-1], 1.0)
+    df["p_adj"] = adj
+    df["significant"] = df["p_adj"] < 0.10
+    for c, nd in (("z", 6), ("p", 8), ("p_adj", 8)):
+        df[c] = [_round_away(float(x), nd) for x in df[c]]
+    return df[["event_type", "z", "p", "p_adj", "significant"]] \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+SQL_Q296 = """
+WITH e AS (SELECT event_type AS etype,
+                  CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we,
+                  value AS v FROM events),
+g AS (SELECT etype, we, count(*) AS n, avg(v) AS m, var_samp(v) AS s2
+      FROM e GROUP BY 1, 2),
+w AS (SELECT g1.etype,
+             (g1.m - g0.m) / sqrt(g1.s2 / g1.n + g0.s2 / g0.n) AS z
+      FROM g g1 JOIN g g0 ON g1.etype = g0.etype
+      WHERE g1.we = 1 AND g0.we = 0),
+p AS (SELECT etype, z,
+             2.0 * (exp(-abs(z)*abs(z)/2.0) / sqrt(2.0*pi()))
+             * ((1.0/(1.0+0.2316419*abs(z))) * (0.319381530
+                + (1.0/(1.0+0.2316419*abs(z))) * (-0.356563782
+                + (1.0/(1.0+0.2316419*abs(z))) * (1.781477937
+                + (1.0/(1.0+0.2316419*abs(z))) * (-1.821255978
+                + (1.0/(1.0+0.2316419*abs(z))) * 1.330274429))))) AS pv
+      FROM w),
+r AS (SELECT etype, z, pv,
+             row_number() OVER (ORDER BY pv, etype) AS rn,
+             count(*) OVER () AS m FROM p),
+adj AS (SELECT etype, z, pv,
+               least(1.0, min(pv * m / rn) OVER
+                 (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)) AS pa
+        FROM r)
+SELECT etype AS event_type, round(z, 6) AS z, round(pv, 8) AS p,
+       round(pa, 8) AS p_adj, pa < 0.10 AS significant
+FROM adj ORDER BY event_type
+"""
+
+
+def q297_naive_bayes(sf: str):
+    """Train-then-apply multinomial Naive Bayes language classifier over
+    character unigrams: train on even doc_ids (one distributed (lang,
+    char) count groupby + a lang prior groupby), broadcast the
+    Laplace-smoothed log-probability model (vocab × langs — bounded),
+    score odd doc_ids per batch, return the confusion matrix
+    (lang_true, lang_pred, n). Chars outside the training vocab are
+    ignored (mirrored by the SQL inner join to vocab); argmax ties break
+    on lang ascending."""
+    from collections import Counter
+    ds = T(sf, "documents", ["doc_id", "text", "lang"])
+
+    def char_counts(t: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        t = t.filter(keep)
+        langs, chs, ns = [], [], []
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(txt)
+            langs.extend([lang] * len(c))
+            chs.extend(c.keys())
+            ns.extend(c.values())
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "ch": pa.array(chs, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    model = ds.map_batches(char_counts, batch_format="pyarrow") \
+        .groupby(["lang", "ch"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    vocab = sorted(model["ch"].unique())
+    v_idx = {c: i for i, c in enumerate(vocab)}
+    langs = sorted(model["lang"].unique())
+    V = len(vocab)
+    tot = model.groupby("lang")["n"].sum()
+    logp = np.full((len(langs), V), 0.0)
+    for li, lg in enumerate(langs):
+        logp[li, :] = np.log(1.0 / (tot[lg] + V))
+    for lg, ch, n in model.itertuples(index=False):
+        logp[langs.index(lg), v_idx[ch]] = np.log(
+            (n + 1.0) / (tot[lg] + V))
+    prior_n = ds.map_batches(
+        lambda t: pa.table({
+            "lang": t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1),
+                                      0))["lang"]}),
+        batch_format="pyarrow").groupby("lang") \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    npri = prior_n.set_index("lang")["n"]
+    log_prior = np.array([np.log(npri[lg] / float(npri.sum()))
+                          for lg in langs])
+    mref = ray.put((logp, log_prior, v_idx, langs))
+
+    def score(t: pa.Table) -> pa.Table:
+        lp, lpr, vi, lgs = ray.get(mref)
+        keep = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)
+        t = t.filter(keep)
+        true_l, pred_l = [], []
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            cnt = np.zeros(lp.shape[1])
+            for ch, n in Counter(txt).items():
+                i = vi.get(ch)
+                if i is not None:
+                    cnt[i] = n
+            s = lpr + lp @ cnt
+            pred_l.append(lgs[int(np.argmax(s))])   # ties: first = lang asc
+            true_l.append(lang)
+        return pa.table({"lang_true": pa.array(true_l, pa.string()),
+                         "lang_pred": pa.array(pred_l, pa.string())})
+
+    out = ds.map_batches(score, batch_format="pyarrow") \
+        .groupby(["lang_true", "lang_pred"]) \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    return out.sort_values(["lang_true", "lang_pred"]) \
+        .reset_index(drop=True).astype({"n": np.int64})
+
+
+SQL_Q297 = """
+WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 0),
+test  AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+tc AS (SELECT lang, unnest(string_split(text, '')) AS ch FROM train),
+cnt AS (SELECT lang, ch, count(*) AS n FROM tc GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT ch FROM cnt),
+vn AS (SELECT count(*) AS v FROM vocab),
+tot AS (SELECT lang, sum(n) AS tn FROM cnt GROUP BY lang),
+model AS (SELECT t.lang, vb.ch,
+                 ln((coalesce(c.n, 0) + 1.0) / (t.tn + vn.v)) AS lp
+          FROM tot t CROSS JOIN vocab vb CROSS JOIN vn
+          LEFT JOIN cnt c ON c.lang = t.lang AND c.ch = vb.ch),
+prior AS (SELECT lang, ln(count(*) / CAST((SELECT count(*) FROM train)
+                                          AS DOUBLE)) AS lpr
+          FROM train GROUP BY lang),
+test_c AS (SELECT doc_id, lang AS lang_true, unnest(string_split(text, ''))
+             AS ch FROM test),
+test_n AS (SELECT doc_id, lang_true, ch, count(*) AS n
+           FROM test_c GROUP BY 1, 2, 3),
+scores AS (SELECT tn.doc_id, tn.lang_true, m.lang,
+                  p.lpr + sum(tn.n * m.lp) AS score
+           FROM test_n tn JOIN model m ON m.ch = tn.ch
+           JOIN prior p ON p.lang = m.lang
+           GROUP BY 1, 2, 3, p.lpr),
+best AS (SELECT doc_id, lang_true, lang AS lang_pred,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang) AS rk
+         FROM scores)
+SELECT lang_true, lang_pred, count(*) AS n
+FROM best WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10849,6 +11132,9 @@ QUERIES: dict[str, tuple] = {
     "q292_logistic_irls": (q292_logistic_irls, SQL_Q292),
     "q293_mutual_information": (q293_mutual_information, SQL_Q293),
     "q294_dft_peak": (q294_dft_peak, SQL_Q294),
+    "q295_jw_fuzzy_join": (q295_jw_fuzzy_join, SQL_Q295),
+    "q296_bh_fdr": (q296_bh_fdr, SQL_Q296),
+    "q297_naive_bayes": (q297_naive_bayes, SQL_Q297),
 }
 
 
