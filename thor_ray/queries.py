@@ -10830,6 +10830,198 @@ FROM best WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q298_obv(sf: str):
+    """On-balance volume over the daily event series (close = daily
+    value sum, volume = daily event count): OBV_t = Σ sign(Δclose)·vol.
+    The distributed pass is one grouped day aggregate; the
+    day-count-sized indicator folds on the driver (standard
+    technical-indicator shape, same as q288 RSI / q243 Bollinger)."""
+    ds = T(sf, "events", ["ts", "value"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32())
+        return pa.table({"day": d, "v": t["value"],
+                         "n": pa.array(np.ones(len(t), np.int64))})
+
+    daily = ds.map_batches(days, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("v", alias_name="close"),
+                                  Sum("n", alias_name="vol")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    dc = daily["close"].diff().to_numpy()
+    sign = np.where(np.isnan(dc), 0.0, np.sign(dc))
+    daily["obv"] = np.cumsum(sign * daily["vol"].to_numpy()).astype(np.int64)
+    daily["day"] = pd.to_datetime(daily["day"])
+    return daily[["day", "obv"]]
+
+
+SQL_Q298 = """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      sum(value) AS close, count(*) AS vol
+               FROM events GROUP BY 1),
+d AS (SELECT day, vol, close,
+             close - lag(close) OVER (ORDER BY day) AS dc FROM daily)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(sum(CASE WHEN dc IS NULL THEN 0
+                     WHEN dc > 0 THEN vol
+                     WHEN dc < 0 THEN -vol ELSE 0 END)
+            OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS obv
+FROM d ORDER BY day
+"""
+
+
+def q299_anova_f(sf: str):
+    """One-way ANOVA omnibus F-test of value across event types:
+    F = [Σ n_g(m_g − m)²/(k−1)] / [Σ(n_g−1)s_g²/(N−k)]. ONE
+    combiner-backed groupby collects per-type (n, Σx, Σx²); the k-row
+    fold happens on the driver — the omnibus companion of the pairwise
+    Welch test (q275)."""
+    ds = T(sf, "events", ["event_type", "value"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        return pa.table({"etype": t["event_type"],
+                         "n": pa.array(np.ones(len(t), np.int64)),
+                         "s": v, "s2": pc.multiply(v, v)})
+
+    g = ds.map_batches(parts, batch_format="pyarrow") \
+        .groupby("etype").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2")).to_pandas()
+    n = g["n"].to_numpy().astype(np.float64)
+    s = g["s"].to_numpy()
+    s2 = g["s2"].to_numpy()
+    N, k = n.sum(), len(g)
+    gm = s.sum() / N
+    ssb = float(np.sum(n * (s / n - gm) ** 2))
+    ssw = float(np.sum(s2 - s * s / n))
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    return pd.DataFrame({"f_stat": [_round_away(f, 6)],
+                         "df1": [np.int64(k - 1)],
+                         "df2": [np.int64(int(N) - k)]})
+
+
+SQL_Q299 = """
+WITH g AS (SELECT event_type, count(*) AS n, avg(value) AS m,
+                  sum(value*value) - count(*)*avg(value)*avg(value) AS ssq
+           FROM events GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, count(*) AS k,
+               sum(n * m) / sum(n) AS gm FROM g)
+SELECT round((sum(g.n * (g.m - t.gm) * (g.m - t.gm)) / (t.k - 1))
+             / (sum(g.ssq) / (t.nn - t.k)), 6) AS f_stat,
+       CAST(t.k - 1 AS BIGINT) AS df1,
+       CAST(t.nn - t.k AS BIGINT) AS df2
+FROM g CROSS JOIN tot t GROUP BY t.k, t.nn
+"""
+
+
+def q300_sax(sf: str):
+    """SAX symbolization of the daily event-count series: z-normalize
+    (population σ), piecewise-aggregate into fixed 5-day segments, map
+    each segment mean to a 4-letter alphabet at the Gaussian quartile
+    breakpoints ±0.6745 — the classic time-series discretization for
+    motif/anomaly mining. Day table is one grouped count (bounded);
+    symbolization folds on the driver."""
+    ds = T(sf, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32())
+        return pa.table({"day": d, "n": pa.array(np.ones(len(t), np.int64))})
+
+    daily = ds.map_batches(days, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n", alias_name="n")).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    x = daily["n"].to_numpy().astype(np.float64)
+    z = (x - x.mean()) / x.std()                      # population σ
+    t_idx = (pd.to_datetime(daily["day"]) -
+             pd.to_datetime(daily["day"]).min()).dt.days.to_numpy()
+    seg = t_idx // 5
+    df = pd.DataFrame({"seg": seg, "z": z}).groupby("seg")["z"].mean() \
+        .reset_index(name="paa")
+    bp = [-0.6745, 0.0, 0.6745]
+    df["symbol"] = np.select(
+        [df["paa"] < bp[0], df["paa"] < bp[1], df["paa"] < bp[2]],
+        ["a", "b", "c"], default="d")
+    df["paa"] = [_round_away(float(v), 6) for v in df["paa"]]
+    return df.astype({"seg": np.int64})[["seg", "paa", "symbol"]]
+
+
+SQL_Q300 = """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      count(*) AS n FROM events GROUP BY 1),
+znorm AS (SELECT (day - (SELECT min(day) FROM daily)) // 5 AS seg,
+                 (n - avg(n) OVER ()) / stddev_pop(n) OVER () AS z
+          FROM daily),
+paa AS (SELECT seg, avg(z) AS paa FROM znorm GROUP BY seg)
+SELECT seg, round(paa, 6) AS paa,
+       CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0.0 THEN 'b'
+            WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+FROM paa ORDER BY seg
+"""
+
+
+def q301_changepoint(sf: str):
+    """Least-squares single changepoint in the daily event-count series
+    (binary-segmentation step 1): the split k minimizing SSE_left +
+    SSE_right, solved in O(n) from prefix sums. One grouped day count is
+    the only distributed pass; the day-count-sized scan folds on the
+    driver. Reports the first day of the right segment, both segment
+    means, and the SSE drop vs the unsplit series."""
+    ds = T(sf, "events", ["ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32())
+        return pa.table({"day": d, "n": pa.array(np.ones(len(t), np.int64))})
+
+    daily = ds.map_batches(days, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n", alias_name="n")).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    x = daily["n"].to_numpy().astype(np.float64)
+    n = len(x)
+    c1 = np.cumsum(x)
+    c2 = np.cumsum(x * x)
+    ks = np.arange(1, n)                  # split BEFORE index k
+    sse_l = c2[ks - 1] - c1[ks - 1] ** 2 / ks
+    sr1 = c1[-1] - c1[ks - 1]
+    sr2 = c2[-1] - c2[ks - 1]
+    sse_r = sr2 - sr1 ** 2 / (n - ks)
+    tot = sse_l + sse_r
+    k = int(ks[np.argmin(tot)])           # ties: smallest k (argmin rule)
+    sse0 = float(c2[-1] - c1[-1] ** 2 / n)
+    return pd.DataFrame({
+        "split_day": [pd.to_datetime(daily["day"].iloc[k])],
+        "mean_left": [_round_away(float(c1[k - 1] / k), 6)],
+        "mean_right": [_round_away(float((c1[-1] - c1[k - 1]) / (n - k)),
+                                   6)],
+        "sse_drop": [_round_away(sse0 - float(tot[np.argmin(tot)]), 6)]})
+
+
+SQL_Q301 = """
+WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1),
+idx AS (SELECT day, n,
+               row_number() OVER (ORDER BY day) AS t,
+               count(*) OVER () AS nn,
+               sum(n) OVER (ORDER BY day) AS c1,
+               sum(n*n) OVER (ORDER BY day) AS c2,
+               sum(n) OVER () AS s1, sum(n*n) OVER () AS s2
+        FROM daily),
+splits AS (SELECT t AS k, nn, s1, s2,
+                  c2 - c1*c1/t AS sse_l,
+                  (s2 - c2) - (s1 - c1)*(s1 - c1)/(nn - t) AS sse_r,
+                  c1 AS cl
+           FROM idx WHERE t < nn),
+best AS (SELECT *, sse_l + sse_r AS tot,
+                row_number() OVER (ORDER BY sse_l + sse_r, k) AS rk
+         FROM splits)
+SELECT CAST(i.day AS TIMESTAMP) AS split_day,
+       round(b.cl / b.k, 6) AS mean_left,
+       round((b.s1 - b.cl) / (b.nn - b.k), 6) AS mean_right,
+       round((b.s2 - b.s1*b.s1/b.nn) - b.tot, 6) AS sse_drop
+FROM best b JOIN idx i ON i.t = b.k + 1 WHERE b.rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11135,6 +11327,10 @@ QUERIES: dict[str, tuple] = {
     "q295_jw_fuzzy_join": (q295_jw_fuzzy_join, SQL_Q295),
     "q296_bh_fdr": (q296_bh_fdr, SQL_Q296),
     "q297_naive_bayes": (q297_naive_bayes, SQL_Q297),
+    "q298_obv": (q298_obv, SQL_Q298),
+    "q299_anova_f": (q299_anova_f, SQL_Q299),
+    "q300_sax": (q300_sax, SQL_Q300),
+    "q301_changepoint": (q301_changepoint, SQL_Q301),
 }
 
 
