@@ -29,14 +29,36 @@ import pyarrow as pa
 def apply_events(
     events: pa.Table | pd.DataFrame,
     initial: pa.Table | pd.DataFrame | None = None,
+    ddl_policy: str = "none",
 ) -> tuple[pd.DataFrame, list[dict]]:
     """Fold events (optionally on top of a bootstrap base table);
     returns (final_table, ddl_list).
 
     final_table columns: repo path commit lang content + evolved columns
     (current names), sorted by (repo, path). ddl_list is the ordered DDL
-    payload sequence (the registry timeline).
+    payload sequence (the registry timeline, rejected entries included).
+
+    ddl_policy mirrors CdcConfig.ddl_policy ("none" | "additive"): under
+    "additive", drop_column / rename_column / narrowing alter_type DDLs
+    are skipped (no state effect), and values writers send under the
+    rejected evolution (e.g. the new name of a rejected rename) are
+    discarded — `extra` keys that don't match a live column never apply.
     """
+    from thor_ray.state.registry import _WIDEN_RANK
+
+    def _rejected(d: dict, tys: dict[str, str]) -> bool:
+        if ddl_policy == "none":
+            return False
+        if ddl_policy != "additive":
+            raise ValueError(f"unknown ddl_policy {ddl_policy!r}")
+        a = d["action"]
+        if a in ("drop_column", "rename_column"):
+            return True
+        if a == "alter_type":
+            old = tys.get(d["name"])
+            return old is not None and _WIDEN_RANK.get(d["new_type"], 99) \
+                < _WIDEN_RANK.get(old, -1)
+        return False
     if isinstance(events, pa.Table):
         df = events.to_pandas()
     else:
@@ -54,11 +76,22 @@ def apply_events(
             }
     evolved: list[str] = []
     ddls: list[dict] = []
+    tys: dict[str, str] = {}
 
     for row in df.itertuples(index=False):
         if row.op == "DDL":
             d = json.loads(row.ddl)
             ddls.append(d)
+            if _rejected(d, tys):
+                continue   # slot consumed, no state effect
+            if d["action"] == "add_column":
+                tys[d["name"]] = d.get("type", "string")
+            elif d["action"] == "drop_column":
+                tys.pop(d["name"], None)
+            elif d["action"] == "rename_column":
+                tys[d["new_name"]] = tys.pop(d["name"], "string")
+            elif d["action"] == "alter_type":
+                tys[d["name"]] = d["new_type"]
             if d["action"] == "add_column":
                 evolved.append(d["name"])
                 for r in state.values():

@@ -206,6 +206,15 @@ class CdcConfig:
     # Disables pipeline_epochs (stage-1 prespill uses grid bounds, which a
     # data-dependent boundary would invalidate).
     txn_atomic: bool = False
+    # DDL compatibility enforcement (Confluent-schema-registry analogue):
+    # "none" folds every DDL; "additive" rejects drop_column /
+    # rename_column / narrowing alter_type — rejected DDLs keep their
+    # registry slot (schema_ver numbering is load-bearing for event
+    # decode) but have NO effect, and are counted in epoch metrics as
+    # ddl_rejected. Values writers send under a rejected evolution
+    # (e.g. a column name from a rejected rename) are discarded, exactly
+    # as the oracle (thor_ray.oracle.apply_events(ddl_policy=...)) does.
+    ddl_policy: str = "none"
     # (route_id, n_routes): demux tier — this pipeline applies ONLY events
     # whose key hashes to route_id (Kafka-Connect topic-routing analogue:
     # one binlog fans out into n_routes independent exactly-once lakes; run
@@ -509,8 +518,11 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
 
     # Guard by ver_start: on an epoch re-run (restore path) a partition that
     # already committed this epoch is at ver_end — re-applying add_column
-    # would wipe its values. Only not-yet-seen transitions apply.
-    applied_ddls = [d for d in epoch_ddls if d["schema_ver"] >= ver_start]
+    # would wipe its values. Only not-yet-seen transitions apply; policy-
+    # rejected entries hold a version slot but have no state effect (and
+    # must not force a delta-mode compaction).
+    applied_ddls = [d for d in epoch_ddls
+                    if d["schema_ver"] >= ver_start and not d.get("rejected")]
     mode = ctx.get("write_mode", "cow")
     compact_every = ctx.get("compact_every", 8)
     prior_files = man["files"] if man else []
@@ -973,6 +985,12 @@ class CdcPipeline:
         t_ddl = time.perf_counter()
         epoch_ddls = binlog_src.read_ddl_events(cfg.binlog_dir, lo, hi)
         t_ddl = time.perf_counter() - t_ddl
+        # compatibility gate BEFORE the merge: violators keep their slot
+        # (version numbering) but are stamped rejected — pure function of
+        # (stored registry, batch, policy), so crash/replay re-stamps the
+        # same way and the lsn-keyed merge stays idempotent
+        epoch_ddls = registry.apply_policy(epoch_ddls, cfg.ddl_policy)
+        n_ddl_rejected = sum(1 for e in epoch_ddls if e.get("rejected"))
         full_registry = registry.merged(epoch_ddls)  # lsn-dedup: re-run safe
         # persist BEFORE any manifest swap: a crash between manifests and a
         # late registry save would lose this epoch's DDLs forever (partition
@@ -1074,7 +1092,9 @@ class CdcPipeline:
                 lineage={
                     "input_shards": json.loads(r.input_shards),
                     "counts": {"I": int(r.n_I), "U": int(r.n_U), "D": int(r.n_D),
-                               "DDL": len(epoch_ddls), "dup_dropped": int(r.n_dup)},
+                               "DDL": len(epoch_ddls),
+                               "ddl_rejected": n_ddl_rejected,
+                               "dup_dropped": int(r.n_dup)},
                 },
             )
             write_manifest(cfg.lake_dir, m)
@@ -1090,7 +1110,9 @@ class CdcPipeline:
         n_events = int(cand["n_events"].sum())
         rep = EpochReport(
             epoch=epoch, lo=lo, hi=hi, n_events=n_events,
-            n_applied={k: int(cand[f"n_{k}"].sum()) for k in ("I", "U", "D", "dup")},
+            n_applied={**{k: int(cand[f"n_{k}"].sum())
+                          for k in ("I", "U", "D", "dup")},
+                       "ddl_rejected": n_ddl_rejected},
             wall_sec=round(wall, 4),
             events_per_sec=round(n_events / wall, 1) if wall > 0 else 0.0,
             phase_sec={"ddl": round(t_ddl, 3), "apply": round(t_apply, 3),

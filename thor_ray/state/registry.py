@@ -16,6 +16,10 @@ from __future__ import annotations
 import json
 import os
 
+# lossless-widening order for alter_type under a compatibility policy:
+# int64 -> double -> string only ever moves right
+_WIDEN_RANK = {"int64": 0, "double": 1, "string": 2}
+
 
 class SchemaRegistry:
     def __init__(self, entries: list[dict] | None = None):
@@ -33,9 +37,61 @@ class SchemaRegistry:
     def merged(self, new_entries: list[dict]) -> "SchemaRegistry":
         return SchemaRegistry(self.entries + list(new_entries))
 
+    def apply_policy(self, new_entries: list[dict],
+                     policy: str) -> list[dict]:
+        """Compatibility enforcement (the Confluent-schema-registry
+        analogue): classify each incoming DDL entry against ``policy``
+        and stamp violators with a ``rejected`` reason. A rejected entry
+        KEEPS its registry slot — the generator's entry-index ==
+        schema_ver contract must hold so later events still decode — but
+        its effect is skipped everywhere (columns_at / types_at /
+        rename_into), so the timeline behaves as if the DDL never ran.
+
+        policy "none": accept everything (default). policy "additive":
+        accept only changes a deployed reader survives — add_column
+        (old rows read as null) and widening alter_type; drop_column,
+        rename_column and narrowing alter_type are rejected. The
+        classification is a pure function of (stored registry, batch,
+        policy), so crash/replay re-stamps identically."""
+        if policy == "none":
+            return list(new_entries)
+        if policy != "additive":
+            raise ValueError(f"unknown ddl_policy {policy!r}")
+        tys = self.types_at(self.version)
+        out: list[dict] = []
+        for e in sorted(new_entries, key=lambda e: e["lsn"]):
+            d = e["ddl"]
+            a = d["action"]
+            reason = None
+            if a == "drop_column":
+                reason = "additive policy: drop_column breaks deployed readers"
+            elif a == "rename_column":
+                reason = "additive policy: rename_column breaks deployed readers"
+            elif a == "alter_type":
+                old = tys.get(d["name"])
+                new = d["new_type"]
+                if old is not None and _WIDEN_RANK.get(new, 99) \
+                        < _WIDEN_RANK.get(old, -1):
+                    reason = f"additive policy: narrowing alter_type {old}->{new}"
+            if reason is None:
+                if a == "add_column":
+                    tys[d["name"]] = d.get("type", "string")
+                elif a == "alter_type":
+                    tys[d["name"]] = d["new_type"]
+                out.append(e)
+            else:
+                out.append({**e, "rejected": reason})
+        return out
+
+    def _effective(self, lo: int = 0, hi: int | None = None) -> list[dict]:
+        """DDL payloads in slot order, skipping policy-rejected entries
+        (their slots still count toward version numbering)."""
+        return [e["ddl"] for e in self.entries[lo:hi]
+                if not e.get("rejected")]
+
     def columns_at(self, version: int) -> list[str]:
         cols: list[str] = []
-        for d in self.ddls[:version]:
+        for d in self._effective(0, version):
             if d["action"] == "add_column":
                 cols.append(d["name"])
             elif d["action"] == "drop_column":
@@ -51,7 +107,7 @@ class SchemaRegistry:
         "type" (default string); alter_type WIDENS it in place (values
         written under the old type cast losslessly on the next compact)."""
         tys: dict[str, str] = {}
-        for d in self.ddls[:version]:
+        for d in self._effective(0, version):
             if d["action"] == "add_column":
                 tys[d["name"]] = d.get("type", "string")
             elif d["action"] == "drop_column":
@@ -68,7 +124,7 @@ class SchemaRegistry:
         values must be discarded, never resurrected into a later same-named
         column."""
         mapping = {c: c for c in self.columns_at(from_version)}
-        for d in self.ddls[from_version:]:
+        for d in self._effective(from_version, None):
             if d["action"] == "rename_column":
                 for k, cur in mapping.items():
                     if cur == d["name"]:
