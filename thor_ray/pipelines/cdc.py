@@ -604,10 +604,21 @@ def _write_state_file(df: pd.DataFrame, final_path: str, evolved: list[str],
     tbl = pa.Table.from_pandas(
         df.astype({c: "object" for c in BASE_COLS + evolved}),
         schema=_state_schema(evolved, types), preserve_index=False)
-    # footer marker: "delta" = one epoch's change rows (a changefeed
-    # segment, read by sources.lake.read_changefeed); "full" = a merged
-    # compaction product (whole-state, NOT changes)
-    tbl = tbl.replace_schema_metadata({b"thor_kind": kind.encode()})
+    # footer markers: thor_kind "delta" = one epoch's change rows (a
+    # changefeed segment, read by sources.lake.read_changefeed); "full" =
+    # a merged compaction product (whole-state, NOT changes). thor_bloom =
+    # key bloom for point-lookup file skipping (state/bloom.py) — built
+    # over ALL written rows incl. tombstones, with the lake's pinned
+    # routing hash (one vectorized pass; negligible vs the parquet write).
+    from thor_ray.state import bloom as _bloom
+    from thor_ray.stages.smt import stable_hash
+    kh = stable_hash(pa.table({
+        "repo": pa.array(df["repo"], pa.string()),
+        "path": pa.array(df["path"], pa.string())}), ["repo", "path"])
+    blob = _bloom.build(kh, impl=_hash_impl())
+    tbl = tbl.replace_schema_metadata({
+        b"thor_kind": kind.encode(),
+        b"thor_bloom": _bloom.encode_footer(blob)})
     pq.write_table(tbl, tmp)
     os.replace(tmp, final_path)         # retried task overwrites, never dups
 

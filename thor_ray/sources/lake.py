@@ -316,14 +316,44 @@ def enrich_with_lake(ds: "ray.data.Dataset", lake_dir: str,
         concurrency=concurrency, batch_size=batch_size)
 
 
-def lake_lookup(lake_dir: str, keys: "list[tuple[str, str]]") -> pd.DataFrame:
+def _bloom_prune(files: list[str], key_hashes, stats: dict | None
+                 ) -> list[str]:
+    """Skip run files whose footer bloom proves they contain NONE of the
+    queried keys (state/bloom.py). Footer-only metadata reads; files
+    written before blooms existed (no thor_bloom key) are always read.
+    Safe under merge-on-read: blooms have no false negatives and are
+    built over every written row including tombstones, so a skipped file
+    can contribute nothing to the queried keys' fold."""
+    from thor_ray.pipelines.cdc import _hash_impl
+    from thor_ray.state import bloom as _bloom
+
+    impl = _hash_impl()
+    keep = []
+    for f in files:
+        md = pq.read_schema(f).metadata or {}
+        raw = md.get(b"thor_bloom")
+        if raw is None or _bloom.might_contain(
+                _bloom.decode_footer(raw), key_hashes, impl).any():
+            keep.append(f)
+    if stats is not None:
+        stats["files_total"] = stats.get("files_total", 0) + len(files)
+        stats["files_read"] = stats.get("files_read", 0) + len(keep)
+    return keep
+
+
+def lake_lookup(lake_dir: str, keys: "list[tuple[str, str]]",
+                stats: dict | None = None) -> pd.DataFrame:
     """Partition-pruned point reads — the serving path. Each (repo, path)
     key hashes to its owning partition with the SAME stable hash the
     ingest router uses (pipelines/cdc.py route: stable_hash % P), so
     looking up k keys reads at most k partitions' file runs and never
-    scans the lake. Runs driver-side (point reads are answer-sized; a
+    scans the lake; within a partition, footer blooms skip run files that
+    contain none of the keys (_bloom_prune — the LSM point-read path).
+    Runs driver-side (point reads are answer-sized; a
     partition's merged state must fit in memory, same assumption as the
-    apply task). Missing keys are simply absent from the result."""
+    apply task). Missing keys are simply absent from the result.
+    Pass ``stats={}`` to collect {files_total, files_read} pruning
+    counters."""
     from thor_ray.state import load_manifests
     from thor_ray.stages.smt import stable_hash
 
@@ -334,12 +364,17 @@ def lake_lookup(lake_dir: str, keys: "list[tuple[str, str]]") -> pd.DataFrame:
     _routing_guard(lake_dir, P, "lake_lookup")
     kt = pa.table({"repo": pa.array([r for r, _ in keys], pa.string()),
                    "path": pa.array([p for _, p in keys], pa.string())})
-    pids = stable_hash(kt, ["repo", "path"]) % P
+    kh = stable_hash(kt, ["repo", "path"])
     kdf = pd.DataFrame({"repo": kt["repo"].to_pylist(),
-                        "path": kt["path"].to_pylist(), "pid": pids})
+                        "path": kt["path"].to_pylist(), "pid": kh % P,
+                        "kh": kh})
     outs = []
     for pid, grp in kdf.groupby("pid"):
-        state = read_partition_state(ms[int(pid)].files)
+        files = _bloom_prune(ms[int(pid)].files,
+                             grp["kh"].to_numpy(), stats)
+        if not files:
+            continue
+        state = read_partition_state(files)
         if state.empty:
             continue
         hit = state.merge(grp[["repo", "path"]], on=["repo", "path"])
