@@ -127,6 +127,11 @@ class BinlogConfig:
     corrupt_rate: float = 0.0        # fraction of malformed events (DLQ fodder)
     content_len: tuple[int, int] = (64, 512)
     seed: int = 42
+    # "full": a U event carries the whole row image. "patch": a U event
+    # carries ONLY a subset of {commit, lang, content} plus a subset of the
+    # evolved columns in `extra` (null / absent = unchanged) — the
+    # Debezium/Hudi partial-image wire shape (CdcConfig.update_mode).
+    update_mode: str = "full"
 
 
 @dataclass
@@ -320,6 +325,10 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
     off_draw = rng.integers(0, len(pool) - hi - 1, size=n)
     commit_ints = rng.integers(1, 1 << 62, size=n)
     txn_step = rng.random(n) < 0.4  # ~2.5 events per txn
+    # patch mode: which base columns (3 bits, never zero) / evolved columns
+    # (bit j → evolved[j]) a partial U sets
+    patch_bits = rng.integers(1, 8, size=n)
+    patch_evbits = rng.integers(0, 1 << 62, size=n)
 
     cols: dict[str, list] = {k: [] for k in (
         "lsn", "txn", "op", "repo", "path", "commit", "lang",
@@ -384,8 +393,10 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
             elif kind == 1:   # null key
                 ap["lsn"](lsn); ap["op"]("I"); ap["repo"](None); ap["path"](None)
                 ap["commit"]("c"); ap["lang"]("py"); ap["content"]("x")
-            else:             # upsert with null content
-                ap["lsn"](lsn); ap["op"]("U"); ap["repo"]("bad/repo"); ap["path"]("p")
+            else:             # full image with null content (patch mode: a
+                              # null-content U is LEGAL, so corrupt an I)
+                bad_op = "I" if cfg.update_mode == "patch" else "U"
+                ap["lsn"](lsn); ap["op"](bad_op); ap["repo"]("bad/repo"); ap["path"]("p")
                 ap["commit"]("c"); ap["lang"]("py"); ap["content"](None)
             ap["txn"](txn); ap["extra"]("{}"); ap["ddl"](None); ap["ts"](ts)
             ap["schema_ver"](ver); ap["shard"](int(lsn) % cfg.n_shards)
@@ -407,17 +418,34 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
             repo, path = key_repo[j], key_path[j]
         ap["lsn"](lsn); ap["txn"](txn); ap["op"](op)
         ap["repo"](repo); ap["path"](path)
+        is_patch = op == "U" and cfg.update_mode == "patch"
         if op == "D":
             ap["commit"](None); ap["lang"](None); ap["content"](None)
+        elif is_patch:
+            # partial image: null = unchanged; bits guarantee ≥1 base col set
+            b = int(patch_bits[i])
+            o, ln = off_draw[i], len_draw[i]
+            ap["commit"](
+                f"{(int(commit_ints[i]) * 0x9E3779B97F4A7C15) & ((1 << 160) - 1):040x}"
+                if b & 1 else None)
+            ap["lang"](LANGS[lang_draw[i]] if b & 2 else None)
+            ap["content"](f"// {repo}/{path}@{lsn}\n{pool[o : o + ln]}"
+                          if b & 4 else None)
         else:
             ap["commit"](f"{(int(commit_ints[i]) * 0x9E3779B97F4A7C15) & ((1 << 160) - 1):040x}")
             ap["lang"](LANGS[lang_draw[i]])
             o, ln = off_draw[i], len_draw[i]
             ap["content"](f"// {repo}/{path}@{lsn}\n{pool[o : o + ln]}")
-        # full-replacement evolved values at this event's schema version
+        # evolved values at this event's schema version: full replacement
+        # (I, and U in full mode) or the patched subset only (patch U)
+        if is_patch:
+            ev_set = [c for j, c in enumerate(evolved)
+                      if (int(patch_evbits[i]) >> j) & 1]
+        else:
+            ev_set = evolved
         ap["extra"](
-            json.dumps({c: _eval(c, lsn) for c in evolved}, sort_keys=True)
-            if evolved else "{}"
+            json.dumps({c: _eval(c, lsn) for c in ev_set}, sort_keys=True)
+            if ev_set else "{}"
         )
         ap["ddl"](None); ap["ts"](ts); ap["schema_ver"](ver)
         ap["shard"](_key_shard(repo, path, cfg.n_shards))

@@ -30,6 +30,7 @@ def apply_events(
     events: pa.Table | pd.DataFrame,
     initial: pa.Table | pd.DataFrame | None = None,
     ddl_policy: str = "none",
+    update_mode: str = "full",
 ) -> tuple[pd.DataFrame, list[dict]]:
     """Fold events (optionally on top of a bootstrap base table);
     returns (final_table, ddl_list).
@@ -43,6 +44,20 @@ def apply_events(
     are skipped (no state effect), and values writers send under the
     rejected evolution (e.g. the new name of a rejected rename) are
     discarded — `extra` keys that don't match a live column never apply.
+
+    update_mode mirrors CdcConfig.update_mode:
+      "full"  — a U event is a whole-row replacement (`extra` replaces
+                every evolved column at the event's schema version).
+      "patch" — a U event is a PARTIAL image (Debezium/Hudi partial
+                update): a null commit/lang/content means "unchanged",
+                and `extra` carries ONLY the evolved columns being set
+                (null values inside `extra` are ignored — a patch can
+                never set a column to null). A patch on an absent key
+                upserts the provided columns (the rest start null).
+                I remains a full replacement; D clears the key, so a
+                patch after a delete starts from an empty row. In patch
+                mode only I requires content (a U with null content is a
+                legal partial image, not a dead-letter event).
     """
     from thor_ray.state.registry import _WIDEN_RANK
 
@@ -112,14 +127,30 @@ def apply_events(
                     if r.get(c) is not None:
                         r[c] = float(r[c])
             continue
+        content_required = ("I", "U") if update_mode == "full" else ("I",)
         if row.op not in ("I", "U", "D") or row.repo is None or row.path is None \
-                or (row.op in ("I", "U") and row.content is None):
+                or (row.op in content_required and row.content is None):
             continue  # malformed → dead-letter queue, never applied
         key = (row.repo, row.path)
         if row.op == "D":
             state.pop(key, None)
             continue
         extra = json.loads(row.extra) if row.extra else {}
+        if update_mode == "patch" and row.op == "U":
+            rec = state.get(key) or {
+                "repo": row.repo, "path": row.path, "commit": None,
+                "lang": None, "content": None,
+                **{c: None for c in evolved}}
+            for c in ("commit", "lang", "content"):
+                v = getattr(row, c)
+                if v is not None:
+                    rec[c] = v
+            for c in evolved:
+                v = extra.get(c)
+                if v is not None:
+                    rec[c] = v
+            state[key] = rec
+            continue
         rec = {
             "repo": row.repo,
             "path": row.path,

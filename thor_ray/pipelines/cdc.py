@@ -84,14 +84,18 @@ def route_of(h: "np.ndarray", n_routes: int) -> "np.ndarray":
     return (x % np.uint64(n_routes)).astype(np.int64)
 
 
-def _dlq_rules() -> list:
+def _dlq_rules(update_mode: str = "full") -> list:
     """Event-validity rules shared by the ingest router's dead-letter
     split and replay_dlq's re-validation: a known DML verb, a present
-    key, and content on I/U events."""
+    key, and content on full-image events (I/U in full mode; in patch
+    mode a U with null content is a legal partial image, so only I
+    requires content)."""
+    no_content_ok = ["D"] if update_mode == "full" else ["D", "U"]
     return [
         lambda t: pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"])),
         lambda t: pc.and_(pc.is_valid(t["repo"]), pc.is_valid(t["path"])),
-        lambda t: pc.or_(pc.equal(t["op"], "D"), pc.is_valid(t["content"])),
+        lambda t: pc.or_(pc.is_in(t["op"], value_set=pa.array(no_content_ok)),
+                         pc.is_valid(t["content"])),
     ]
 
 
@@ -215,6 +219,21 @@ class CdcConfig:
     # (e.g. a column name from a rejected rename) are discarded, exactly
     # as the oracle (thor_ray.oracle.apply_events(ddl_policy=...)) does.
     ddl_policy: str = "none"
+    # "full": a U event carries the whole row image (last-writer-wins on
+    # the row). "patch": a U event is a PARTIAL image (Debezium/Hudi
+    # partial update): null commit/lang/content = unchanged, and `extra`
+    # carries only the evolved columns being set — the apply folds
+    # per-COLUMN last-non-null after each key's last reset (I = full
+    # image, D = clear), then inherits still-unset columns from the
+    # partition's prior state. A patch can never set a column to null
+    # (the standard partial-image limitation), and in patch mode only I
+    # events require content (U with null content is legal, not DLQ).
+    # Patch folding is inherently multi-event-per-key, so the epoch
+    # reduction gathers kept events rather than last-wins winners, and
+    # delta mode reads prior state each epoch to materialize full rows
+    # (merge-on-read stays wholesale-row; blooms/changefeed/time travel
+    # are untouched).
+    update_mode: str = "full"
     # (route_id, n_routes): demux tier — this pipeline applies ONLY events
     # whose key hashes to route_id (Kafka-Connect topic-routing analogue:
     # one binlog fans out into n_routes independent exactly-once lakes; run
@@ -224,6 +243,9 @@ class CdcConfig:
     route: "tuple[int, int] | None" = None
 
     def __post_init__(self) -> None:
+        if self.update_mode not in ("full", "patch"):
+            raise ValueError(f"update_mode must be 'full' or 'patch', "
+                             f"got {self.update_mode!r}")
         if self.shuffle == "auto":
             # measured guidance (BASELINE.md §3 + the shuffle= comment
             # above): the two-stage spill exchange amortizes its per-epoch
@@ -385,6 +407,25 @@ def _reduce_slot_events(t: pa.Table, *, ctx: dict, num_partitions: int
     for v in pk:
         shard_sets.setdefault(int(v >> 32), []).append(int(v & 0xFFFFFFFF))
 
+    def stats_of(p: int) -> dict:
+        return {
+            "n_I": int(op_counts["I"][p]) if "I" in op_counts else 0,
+            "n_U": int(op_counts["U"][p]) if "U" in op_counts else 0,
+            "n_D": int(op_counts["D"][p]) if "D" in op_counts else 0,
+            "n_dup": int(n_dup[p]), "n_wm_dropped": int(n_wm[p]),
+            "n_events": int(n_in[p]), "shards": sorted(shard_sets.get(p, [])),
+        }
+
+    if ctx.get("update_mode") == "patch":
+        # patch folding needs every kept event per key (per-column
+        # last-non-null), not just the last row — gather kept rows once
+        # (epoch-sized content copy, patch mode only) and fold vectorized
+        kept_t = t.take(pa.array(order[np.flatnonzero(keep)]))
+        pdf = _patch_fold_table(kept_t, ctx["all_entries"])
+        pgroups = {int(p): g for p, g in pdf.groupby("pid", sort=True)}
+        return {int(p): (pgroups.get(int(p), pdf.iloc[0:0]), stats_of(int(p)))
+                for p in np.flatnonzero(n_in > 0)}
+
     # last-wins winners per (pid, key): dictionary-encode the key columns
     # (C-level; combined so codes are table-global), combine to one int64,
     # take the LAST occurrence in (pid, lsn) order via np.unique reversed
@@ -410,19 +451,156 @@ def _reduce_slot_events(t: pa.Table, *, ctx: dict, num_partitions: int
     groups = {int(p): g for p, g in wdf.groupby("pid", sort=True)}
     for p in np.flatnonzero(n_in > 0):
         p = int(p)
-        stats = {
-            "n_I": int(op_counts["I"][p]) if "I" in op_counts else 0,
-            "n_U": int(op_counts["U"][p]) if "U" in op_counts else 0,
-            "n_D": int(op_counts["D"][p]) if "D" in op_counts else 0,
-            "n_dup": int(n_dup[p]), "n_wm_dropped": int(n_wm[p]),
-            "n_events": int(n_in[p]), "shards": sorted(shard_sets.get(p, [])),
-        }
-        out[p] = (groups.get(p, wdf.iloc[0:0]), stats)
+        out[p] = (groups.get(p, wdf.iloc[0:0]), stats_of(p))
     return out
 
 
 _EMPTY_STATS = {"n_I": 0, "n_U": 0, "n_D": 0, "n_dup": 0,
                 "n_wm_dropped": 0, "n_events": 0, "shards": []}
+
+
+_PATCH_COLS = ["lsn", "op", "repo", "path", "commit", "lang", "content",
+               "extra", "schema_ver", "pid", "_reset"]
+
+
+def _patch_fold_table(t: pa.Table, all_entries: list) -> pd.DataFrame:
+    """Patch-mode epoch reduction: ONE folded row per (pid, repo, path).
+
+    Input: KEPT events (already watermark-filtered and lsn-deduped) of one
+    or more pids, any order, APPLY_COLS+pid. Semantics (mirrors
+    oracle.apply_events(update_mode="patch")): within a key's lsn-ordered
+    event sequence, I is a full-image reset, D clears the row, and each U
+    sets only its non-null commit/lang/content plus the evolved columns
+    present (non-null) in `extra`. The fold is per-column last-non-null
+    AFTER the key's last reset, falling back to the reset row's literal
+    value when the reset is an I. Output rows carry:
+
+      op          "D" iff the key's LAST kept event is a delete, else "U"
+      lsn         the key's max kept lsn
+      extra       the MERGED evolved mapping, re-serialized in FINAL-name
+                  space with schema_ver = the registry's final version
+                  (so _materialize_evolved maps it through identity)
+      _reset      False = pure patch: columns still null must inherit from
+                  the partition's prior state (_fold_partition resolves)
+
+    Vectorized in index space like _reduce_slot_events: per-column
+    last-non-null via np.maximum.at over sorted positions; only
+    winner-sized gathers touch Python objects. The evolved `extra` merge
+    is a Python loop, but only over reset rows and rows carrying a
+    non-trivial extra — zero when no DDL has ever run."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in _PATCH_COLS})
+
+    # all-null object columns arrive as arrow null type (from_pandas
+    # inference); cast so fill_null / string kernels below are well-typed
+    for c in ("op", "repo", "path", "commit", "lang", "content", "extra"):
+        if pa.types.is_null(t.schema.field(c).type):
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             t[c].cast(pa.string()))
+
+    def dict_codes(col: "pa.ChunkedArray") -> tuple[np.ndarray, int]:
+        arr = col.combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=pa.string())
+        d = pc.dictionary_encode(pc.fill_null(arr, ""))
+        return np.asarray(d.indices, dtype=np.int64), len(d.dictionary)
+
+    pid0 = t["pid"].to_numpy()
+    lsn0 = t["lsn"].to_numpy()
+    n = len(pid0)
+    order = np.lexsort((lsn0, pid0))
+    rc, _ = dict_codes(t["repo"])
+    pcc, pcard = dict_codes(t["path"])
+    # (pid, key) combo via structured unique — no overflow concern
+    arr = np.empty(n, dtype=[("p", "i8"), ("k", "i8"), ("q", "i8")])
+    arr["p"], arr["k"], arr["q"] = pid0[order], rc[order], pcc[order]
+    _, cid = np.unique(arr, return_inverse=True)
+    K = int(cid.max()) + 1
+    pos = np.arange(n)
+
+    op_arr = t["op"].combine_chunks()
+    if isinstance(op_arr, pa.ChunkedArray):
+        op_arr = op_arr.chunk(0) if op_arr.num_chunks else pa.array([], type=pa.string())
+    od = pc.dictionary_encode(pc.fill_null(op_arr, ""))
+    op_idx = np.asarray(od.indices, dtype=np.int64)[order]
+    opvals = od.dictionary.to_pylist()
+    i_code = opvals.index("I") if "I" in opvals else -2
+    d_code = opvals.index("D") if "D" in opvals else -2
+
+    reset_m = (op_idx == i_code) | (op_idx == d_code)
+    lr = np.full(K, -1, dtype=np.int64)         # last reset pos per key
+    np.maximum.at(lr, cid[reset_m], pos[reset_m])
+    lastp = np.zeros(K, dtype=np.int64)         # last kept pos per key
+    np.maximum.at(lastp, cid, pos)
+    has_reset = lr >= 0
+    reset_is_i = np.zeros(K, dtype=bool)
+    reset_is_i[has_reset] = op_idx[lr[has_reset]] == i_code
+
+    def gather(name: str, idxs: np.ndarray) -> list:
+        """Column values at per-key source positions; -1 → None."""
+        safe = np.where(idxs >= 0, idxs, 0)
+        vals = t[name].take(pa.array(order[safe])).to_pylist()
+        return [v if i >= 0 else None for v, i in zip(vals, idxs)]
+
+    out: dict[str, list] = {
+        "repo": gather("repo", lastp), "path": gather("path", lastp),
+    }
+    for c in ("commit", "lang", "content"):
+        nullm = np.asarray(pc.is_null(t[c]).combine_chunks(),
+                           dtype=bool)[order]
+        validc = (~nullm) & (pos > lr[cid])
+        w = np.full(K, -1, dtype=np.int64)
+        np.maximum.at(w, cid[validc], pos[validc])
+        src = np.where(w >= 0, w, np.where(reset_is_i, lr, -1))
+        out[c] = gather(c, src)
+
+    # merged evolved mapping in final-name space; rows that matter: resets
+    # (I replaces the whole mapping, D clears it) + non-trivial patches
+    ver_end = SchemaRegistry(all_entries).version
+    extra_null = np.asarray(pc.is_null(t["extra"]).combine_chunks(),
+                            dtype=bool)[order]
+    extra_trivial = np.asarray(
+        pc.equal(pc.fill_null(t["extra"].combine_chunks(), "{}"), "{}"),
+        dtype=bool)[order]
+    needs = reset_m | ~(extra_null | extra_trivial)
+    extras: list[str] = ["{}"] * K
+    if needs.any():
+        registry = SchemaRegistry(all_entries)
+        rename_cache: dict[int, dict[str, str]] = {}
+        sel = np.flatnonzero(needs)               # pos order = lsn order
+        e_vals = t["extra"].take(pa.array(order[sel])).to_pylist()
+        v_vals = t["schema_ver"].take(pa.array(order[sel])).to_pylist()
+        accs: dict[int, dict] = {}
+        for sp, ex, ver in zip(sel, e_vals, v_vals):
+            c = int(cid[sp])
+            o = op_idx[sp]
+            if o == d_code:
+                accs[c] = {}
+                continue
+            ver = int(ver)
+            m = rename_cache.get(ver)
+            if m is None:
+                m = registry.rename_into(ver)
+                rename_cache[ver] = m
+            vals = json.loads(ex) if ex else {}
+            if o == i_code:                        # full replacement
+                accs[c] = {m[k]: v for k, v in vals.items() if k in m}
+            else:                                  # patch: non-null sets
+                acc = accs.setdefault(c, {})
+                acc.update({m[k]: v for k, v in vals.items()
+                            if k in m and v is not None})
+        for c, acc in accs.items():
+            extras[c] = json.dumps(acc, sort_keys=True)
+
+    out["lsn"] = lsn0[order[lastp]].tolist()
+    out["pid"] = pid0[order[lastp]].tolist()
+    out["op"] = np.where(op_idx[lastp] == d_code, "D", "U").tolist()
+    out["extra"] = extras
+    out["schema_ver"] = [ver_end] * K
+    out["_reset"] = has_reset.tolist()
+    return pd.DataFrame(out, columns=_PATCH_COLS)
 
 
 def _apply_slot(batch: pd.DataFrame, *, ex_dir: str, ctx: dict,
@@ -486,7 +664,13 @@ def _apply_partition_group(group: pd.DataFrame, *, ctx: dict,
     n_dup = n_in - n_wm_dropped - len(ev)
     counts = ev["op"].value_counts().to_dict()
     shards = sorted(int(s) for s in ev["shard"].dropna().unique()) if len(ev) else []
-    winners = ev.drop_duplicates(["repo", "path"], keep="last")
+    if ctx.get("update_mode") == "patch" and len(ev):
+        winners = _patch_fold_table(
+            pa.Table.from_pandas(ev[APPLY_COLS + ["pid"]],
+                                 preserve_index=False),
+            ctx["all_entries"])
+    else:
+        winners = ev.drop_duplicates(["repo", "path"], keep="last")
     stats = {"n_I": int(counts.get("I", 0)), "n_U": int(counts.get("U", 0)),
              "n_D": int(counts.get("D", 0)), "n_dup": int(n_dup),
              "n_wm_dropped": int(n_wm_dropped), "n_events": int(n_in),
@@ -534,10 +718,31 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
             (man["row_count"] if man else 0), (man["content_hash"] if man else "")
     else:
         winners = winners.copy()
+        reset_np = (winners.pop("_reset").to_numpy(dtype=bool)
+                    if "_reset" in winners.columns else None)
         wcols = _materialize_evolved(winners, registry, evolved_final)
         winners = winners[["repo", "path", "commit", "lang", "content", "op", "lsn"]]
         for c in evolved_final:
             winners[c] = wcols[c]
+        state0: pd.DataFrame | None = None
+        if reset_np is not None and (~reset_np).any():
+            # patch mode: pure-patch winners (no I/D reset this epoch)
+            # inherit still-null columns from the prior state, so every
+            # written row is a FULL image (merge-on-read / changefeed /
+            # time travel stay wholesale-row). Costs a state read per
+            # epoch even in delta mode — the documented patch-mode tax.
+            state0 = _state_with_ddls(prior_files, applied_ddls,
+                                      registry.columns_at(ver_start))
+            pure = ~reset_np
+            cols_payload = ["commit", "lang", "content"] + evolved_final
+            have = [c for c in cols_payload if c in state0.columns]
+            j = winners.loc[pure, ["repo", "path"]].merge(
+                state0[["repo", "path"] + have],
+                on=["repo", "path"], how="left")
+            for c in have:
+                cur = winners.loc[pure, c].to_numpy(dtype=object)
+                inh = j[c].to_numpy(dtype=object)
+                winners.loc[pure, c] = np.where(pd.notna(cur), cur, inh)
         winners = winners.rename(columns={"lsn": "_lsn", "op": "_op"})
         winners["_sha"] = ""
         live = winners["_op"] != "D"
@@ -553,18 +758,8 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
         compact = (mode != "delta") or bool(applied_ddls) \
             or (len(prior_files) + 1 > compact_every) or force
         if compact:
-            state = _read_state(prior_files) if prior_files else _empty_state(
-                registry.columns_at(ver_start))
-            for d in applied_ddls:
-                a = d["ddl"]
-                if a["action"] == "add_column":
-                    state[a["name"]] = None
-                elif a["action"] == "drop_column":
-                    state = state.drop(columns=[a["name"]], errors="ignore")
-                elif a["action"] == "rename_column":
-                    state = state.rename(columns={a["name"]: a["new_name"]})
-                # alter_type: values cast at the write below (the output
-                # schema carries the widened type); nothing to do in-frame
+            state = state0 if state0 is not None else _state_with_ddls(
+                prior_files, applied_ddls, registry.columns_at(ver_start))
             merged = pd.concat(
                 [state[BASE_COLS + evolved_final + ["_lsn", "_sha", "_op"]],
                  winners],
@@ -629,6 +824,24 @@ def _read_state(files: list[str]) -> pd.DataFrame:
 
     return merge_state_frames(
         [pq.read_table(f).to_pandas() for f in files])
+
+
+def _state_with_ddls(prior_files: list[str], applied_ddls: list[dict],
+                     start_cols: list[str]) -> pd.DataFrame:
+    """Prior partition state with this epoch's accepted DDLs folded in
+    (column add → null, drop → discarded, rename → carried over;
+    alter_type values cast at the write — the output schema carries the
+    widened type, nothing to do in-frame)."""
+    state = _read_state(prior_files) if prior_files else _empty_state(start_cols)
+    for d in applied_ddls:
+        a = d["ddl"]
+        if a["action"] == "add_column":
+            state[a["name"]] = None
+        elif a["action"] == "drop_column":
+            state = state.drop(columns=[a["name"]], errors="ignore")
+        elif a["action"] == "rename_column":
+            state = state.rename(columns={a["name"]: a["new_name"]})
+    return state
 
 
 def _empty_state(evolved: list[str]) -> pd.DataFrame:
@@ -920,7 +1133,7 @@ class CdcPipeline:
         if cfg.dlq:
             stages.append(chain_mod.dlq_stage(
                 os.path.join(cfg.lake_dir, "_dlq"),
-                rules=_dlq_rules(),
+                rules=_dlq_rules(cfg.update_mode),
                 tag=f"e{epoch}-",
             ))
 
@@ -1019,6 +1232,7 @@ class CdcPipeline:
             "epoch_ddls": epoch_ddls, "all_entries": full_registry.entries,
             "compute_content_hash": cfg.compute_content_hash,
             "write_mode": cfg.write_mode, "compact_every": cfg.compact_every,
+            "update_mode": cfg.update_mode,
         }
 
         route = self._make_router(epoch)
@@ -1217,6 +1431,7 @@ class CdcPipeline:
             "epoch_ddls": [], "all_entries": registry.entries,
             "compute_content_hash": cfg.compute_content_hash,
             "write_mode": cfg.write_mode, "compact_every": cfg.compact_every,
+            "update_mode": cfg.update_mode,
         }
         empty_w = pd.DataFrame(
             {c: pd.Series(dtype="object") for c in APPLY_COLS}
@@ -1524,7 +1739,8 @@ class CdcPipeline:
         # the end
         pend = dlq_dir + ".pending"
         ds = ds.map_batches(
-            chain_mod.dlq_stage(pend, _dlq_rules(), tag=f"rpl{base_lsn}-"),
+            chain_mod.dlq_stage(pend, _dlq_rules(cfg.update_mode),
+                                tag=f"rpl{base_lsn}-"),
             batch_format="pyarrow")
 
         binlog_dir = cfg.binlog_dir
