@@ -46,7 +46,8 @@ from thor_ray.stages import chain as chain_mod
 from thor_ray.stages.smt import stable_hash
 from thor_ray.state import (Manifest, SchemaRegistry, archive_manifest,
                             gc_lake, load_manifests, prune_history,
-                            write_manifest)
+                            read_snapshot_meta, snapshot_active,
+                            write_manifest, write_snapshot_meta)
 
 BASE_COLS = ["repo", "path", "commit", "lang", "content"]
 # event columns the apply path needs — txn/ts/ddl are pruned at the read
@@ -711,7 +712,8 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
     compact_every = ctx.get("compact_every", 8)
     prior_files = man["files"] if man else []
 
-    force = bool(ctx.get("force_compact")) and len(prior_files) > 1
+    force = bool(ctx.get("force_compact")) and (
+        len(prior_files) > 1 or bool(ctx.get("force_single")))
     changed = (len(winners) > 0) or bool(applied_ddls) or force
     if not changed:
         new_files, row_count, chash = prior_files, \
@@ -758,8 +760,17 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
         compact = (mode != "delta") or bool(applied_ddls) \
             or (len(prior_files) + 1 > compact_every) or force
         if compact:
+            retain = bool(ctx.get("retain_tombstones"))
             state = state0 if state0 is not None else _state_with_ddls(
-                prior_files, applied_ddls, registry.columns_at(ver_start))
+                prior_files, applied_ddls, registry.columns_at(ver_start),
+                keep_tombstones=retain)
+            # an incremental-snapshot chunk file carries only BASE_COLS;
+            # evolved columns a DDL added in an EARLIER epoch exist in the
+            # compacted sibling files but may be absent from a snap-only
+            # concat — reindex so the selection below is total
+            for c in evolved_final:
+                if c not in state.columns:
+                    state[c] = None
             merged = pd.concat(
                 [state[BASE_COLS + evolved_final + ["_lsn", "_sha", "_op"]],
                  winners],
@@ -767,12 +778,21 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
             )
             merged = merged.sort_values("_lsn", kind="stable").drop_duplicates(
                 ["repo", "path"], keep="last")
-            merged = merged[merged["_op"] != "D"]
-            merged = merged.assign(_op="U").sort_values(
-                ["repo", "path"], kind="stable")
+            if retain:
+                # incremental snapshot in progress: winning tombstones stay
+                # in the compacted file (with their _lsn) so a base-image
+                # chunk (_lsn=0) arriving later cannot resurrect a deleted
+                # key; run_incremental's finalize drops them
+                merged = merged.sort_values(["repo", "path"], kind="stable")
+            else:
+                merged = merged[merged["_op"] != "D"]
+                merged = merged.assign(_op="U").sort_values(
+                    ["repo", "path"], kind="stable")
             _write_state_file(merged, final_path, evolved_final, types_final)
             new_files, row_count = [final_path], len(merged)
-            chash = _content_hash(merged["_sha"]) if ctx["compute_content_hash"] else ""
+            live_sha = merged.loc[merged["_op"] != "D", "_sha"] if retain \
+                else merged["_sha"]
+            chash = _content_hash(live_sha) if ctx["compute_content_hash"] else ""
         else:
             delta = winners.sort_values(["repo", "path"], kind="stable")
             _write_state_file(delta, final_path, evolved_final, types_final,
@@ -818,21 +838,25 @@ def _write_state_file(df: pd.DataFrame, final_path: str, evolved: list[str],
     os.replace(tmp, final_path)         # retried task overwrites, never dups
 
 
-def _read_state(files: list[str]) -> pd.DataFrame:
-    """Merge-on-read: newest (_lsn) row per key wins; tombstones drop."""
+def _read_state(files: list[str], keep_tombstones: bool = False) -> pd.DataFrame:
+    """Merge-on-read: newest (_lsn) row per key wins; tombstones drop
+    (kept, still winning, while an incremental snapshot retains them)."""
     from thor_ray.sources.lake import merge_state_frames
 
     return merge_state_frames(
-        [pq.read_table(f).to_pandas() for f in files])
+        [pq.read_table(f).to_pandas() for f in files],
+        drop_tombstones=not keep_tombstones)
 
 
 def _state_with_ddls(prior_files: list[str], applied_ddls: list[dict],
-                     start_cols: list[str]) -> pd.DataFrame:
+                     start_cols: list[str],
+                     keep_tombstones: bool = False) -> pd.DataFrame:
     """Prior partition state with this epoch's accepted DDLs folded in
     (column add → null, drop → discarded, rename → carried over;
     alter_type values cast at the write — the output schema carries the
     widened type, nothing to do in-frame)."""
-    state = _read_state(prior_files) if prior_files else _empty_state(start_cols)
+    state = _read_state(prior_files, keep_tombstones) if prior_files \
+        else _empty_state(start_cols)
     for d in applied_ddls:
         a = d["ddl"]
         if a["action"] == "add_column":
@@ -1125,6 +1149,208 @@ class CdcPipeline:
         self.replay_wall_sec = round(time.perf_counter() - t_replay, 4)
         return self.reports
 
+    # ---- incremental snapshot (DBLog-style snapshot-while-tailing) --------
+    def run_incremental(self, base: "ray.data.Dataset | str",
+                        n_chunks: int = 8, max_epochs: int | None = None,
+                        until_lsn: int | None = None,
+                        complete: bool = True) -> list[EpochReport]:
+        """Snapshot-while-tailing: bootstrap the lake EMPTY and fold the
+        base table in as key-disjoint chunks interleaved with live binlog
+        epochs — the DBLog / Debezium incremental-snapshot shape (snapshot
+        a table without pausing the change stream), re-expressed for a
+        partitioned LSM lake.
+
+        DBLog dedups chunk rows against events inside a low/high watermark
+        window because its chunks are read from the LIVE table (earlier
+        changes are already in the chunk image). Here the chunk is a
+        STATIC base image, so the rule is simpler and stricter: a chunk
+        row is older than every event and must lose to ANY event that ever
+        touched its key. That falls out of the existing LSM merge by
+        injecting each chunk as a delta file at _lsn=0 (every event lsn is
+        >= 1), with one extra obligation: delete tombstones are RETAINED
+        through every fold until the last chunk lands — a compaction that
+        dropped a D would let a later chunk resurrect the deleted key.
+        Readers are unaffected (merge-on-read filters tombstones; single-
+        file reads take the merge path while the snapshot sidecar says
+        active); the finalize step rewrites every partition tombstone-free
+        and then flips the flag.
+
+        Crash-safe/resumable: chunk progress persists in
+        _schema/snapshot.json, chunk files have deterministic names (a
+        retried injection overwrites), and manifest file-list appends are
+        idempotent. Epochs resume from the committed watermark as in
+        run(). full update_mode only: a patch U folded before its base
+        chunk arrives could not inherit the base image's column values.
+
+        Mid-snapshot reads see all applied events but only the injected
+        chunks' base rows (the documented DBLog behavior); the final state
+        equals oracle.apply_events(events, initial=base) exactly.
+        """
+        cfg = self.cfg
+        if cfg.update_mode != "full":
+            raise ValueError(
+                "run_incremental requires update_mode='full': a partial-"
+                "image U applied before its key's base chunk arrives "
+                "cannot inherit the base row's values")
+        self._check_engine_meta()
+        self.bootstrap(None)   # EMPTY lake; no-op on resume
+        chunks = self._plan_chunks(base, n_chunks)
+        meta = read_snapshot_meta(cfg.lake_dir)
+        if meta is None:
+            meta = {"n_chunks": len(chunks), "done": 0, "active": True}
+            write_snapshot_meta(cfg.lake_dir, meta)
+        elif meta["active"] and meta["n_chunks"] != len(chunks):
+            raise ValueError(
+                f"resuming an in-progress snapshot with a different chunk "
+                f"plan ({meta['n_chunks']} committed vs {len(chunks)} "
+                f"requested) would skip or repeat key ranges")
+
+        manifests = load_manifests(cfg.lake_dir)
+        if until_lsn is not None:
+            max_l = until_lsn
+        elif complete:
+            max_l = binlog_src.max_lsn(cfg.binlog_dir)
+        else:
+            max_l = binlog_src.safe_frontier(
+                cfg.binlog_dir, slack=cfg.epoch_size // 4)
+        min_upto = min(m.upto_lsn for m in manifests.values())
+        first = min_upto // cfg.epoch_size + 1
+        epochs = []
+        e = first
+        while (e - 1) * cfg.epoch_size < max_l:
+            if max_epochs is not None and len(epochs) >= max_epochs:
+                break
+            epochs.append(e)
+            e += 1
+
+        def inject_next() -> None:
+            if meta["active"] and meta["done"] < len(chunks):
+                self._inject_chunk(meta["done"], chunks[meta["done"]]())
+                meta["done"] += 1
+                write_snapshot_meta(cfg.lake_dir, meta)
+
+        t_replay = time.perf_counter()
+        # interleave: one chunk up front, one after every epoch, the
+        # remainder (short logs) after the loop — any order is correct
+        # (chunks always lose the merge); interleaving bounds the extra
+        # read-amplification each epoch's fold pays for the snap deltas
+        inject_next()
+        for ep in epochs:
+            self.run_epoch(ep, manifests, ceiling=max_l)
+            manifests = load_manifests(cfg.lake_dir)
+            inject_next()
+        while meta["active"] and meta["done"] < len(chunks):
+            inject_next()
+        if meta["active"]:
+            # drop retained tombstones everywhere FIRST, then flip the
+            # flag — a crash in between leaves active=true, so readers
+            # keep the tombstone-filtering merge path (conservative)
+            self.compact(all_partitions=True, _retain_tombstones=False)
+            meta["active"] = False
+            write_snapshot_meta(cfg.lake_dir, meta)
+        self.replay_wall_sec = round(time.perf_counter() - t_replay, 4)
+        return self.reports
+
+    def _plan_chunks(self, base: "ray.data.Dataset | str",
+                     n_chunks: int) -> list:
+        """Deterministic key-disjoint chunk plan; list of thunks so chunk
+        reads stay lazy. A path base with >= n_chunks parquet files splits
+        BY FILE (each chunk reads only its slice — no rescans; at 100 TB
+        the base is always many files). Otherwise chunks are hash-mod key
+        slices, each a filtered scan of the base (documented n_chunks×
+        read amplification, only ever paid at test scale)."""
+        import glob as _glob
+
+        if isinstance(base, str):
+            files = sorted(_glob.glob(os.path.join(base, "*.parquet"))) \
+                if os.path.isdir(base) else [base]
+            if not files:
+                raise ValueError(f"no parquet files under {base}")
+            if len(files) >= n_chunks:
+                groups = [list(g) for g in np.array_split(
+                    np.array(files, dtype=object), n_chunks)]
+                return [
+                    (lambda fs=g: ray.data.read_parquet(fs))
+                    for g in groups if len(g)
+                ]
+            def base_ds() -> "ray.data.Dataset":
+                return ray.data.read_parquet(files)
+        else:
+            def base_ds() -> "ray.data.Dataset":
+                return base
+
+        def chunk_thunk(c: int):
+            def make() -> "ray.data.Dataset":
+                def filt(t: pa.Table) -> pa.Table:
+                    h = stable_hash(t, ["repo", "path"])
+                    # >>16 decorrelates the chunk slice from pid = h % P
+                    sel = (h >> np.uint64(16)) % np.uint64(n_chunks) \
+                        == np.uint64(c)
+                    return t.filter(pa.array(sel))
+                return base_ds().map_batches(filt, batch_format="pyarrow")
+            return make
+
+        return [chunk_thunk(c) for c in range(n_chunks)]
+
+    def _inject_chunk(self, chunk_id: int, ds: "ray.data.Dataset") -> None:
+        """Distributed write of one snapshot chunk: route rows to their
+        lake partition, append one delta file per touched partition at
+        _lsn=0 (loses every merge against real events), swap manifests.
+        Idempotent: deterministic file names + append-if-absent."""
+        cfg = self.cfg
+        P = cfg.num_partitions
+        rt = cfg.route
+        lake_dir = cfg.lake_dir
+
+        def route(t: pa.Table) -> pa.Table:
+            h = stable_hash(t, ["repo", "path"])
+            if rt is not None:   # demux: this route's keys only
+                keep = route_of(h, rt[1]) == rt[0]
+                t = t.filter(pa.array(keep))
+                h = h[keep]
+            return t.append_column("pid", pa.array(h % P, type=pa.int64()))
+
+        def write_group(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"pid": pd.Series(dtype="int64"),
+                                  "path": pd.Series(dtype="object"),
+                                  "rows": pd.Series(dtype="int64")})
+            if not len(g):
+                return empty
+            pid = int(g["pid"].iloc[0])
+            g = g[BASE_COLS].copy().sort_values(["repo", "path"],
+                                                kind="stable")
+            g["_lsn"] = 0
+            g["_sha"] = _sha256_series(g["content"])
+            g["_op"] = "U"
+            out_dir = os.path.join(lake_dir, f"part={pid:05d}")
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"snap-c{chunk_id:04d}.parquet")
+            tmp = path + f".tmp-{os.getpid()}"
+            pq.write_table(
+                pa.Table.from_pandas(g, schema=_state_schema([]),
+                                     preserve_index=False), tmp)
+            os.replace(tmp, path)
+            return pd.DataFrame([{"pid": pid, "path": path, "rows": len(g)}])
+
+        cand = (ds.map_batches(route, batch_format="pyarrow")
+                .groupby("pid")
+                .map_groups(write_group, batch_format="pandas")
+                .to_pandas())
+        manifests = load_manifests(cfg.lake_dir)
+        for r in cand.itertuples(index=False):
+            m = manifests[int(r.pid)]
+            if r.path not in m.files:
+                m.files.append(r.path)
+            m.row_count = -1        # live count unknown until the next fold
+            m.content_hash = ""
+            write_manifest(cfg.lake_dir, m)
+            if cfg.retain_snapshots:
+                # the chunk is "as of lsn 0" — logically part of every
+                # retained epoch's state; re-archiving the CURRENT epoch
+                # keeps table_at(now) == base ∪ events<=now and protects
+                # the snap file from gc via the history set
+                archive_manifest(cfg.lake_dir, m)
+
     def _make_router(self, epoch: int):
         """The stateless pre-apply chain: DLQ split + pid routing."""
         cfg = self.cfg
@@ -1233,6 +1459,7 @@ class CdcPipeline:
             "compute_content_hash": cfg.compute_content_hash,
             "write_mode": cfg.write_mode, "compact_every": cfg.compact_every,
             "update_mode": cfg.update_mode,
+            "retain_tombstones": snapshot_active(cfg.lake_dir),
         }
 
         route = self._make_router(epoch)
@@ -1404,7 +1631,8 @@ class CdcPipeline:
         self.run(base=base)
         return self.reports
 
-    def compact(self) -> int:
+    def compact(self, all_partitions: bool = False,
+                _retain_tombstones: "bool | None" = None) -> int:
         """Force-merge every partition's delta run into one state file —
         the LSM maintenance command for write_mode='delta' (read-optimize a
         lake without waiting for a DDL or the compact_every threshold).
@@ -1412,17 +1640,23 @@ class CdcPipeline:
         each partition with an empty winner set; manifests swap atomically
         (crash between file write and swap is safe — merge-on-read of the
         old file set plus an overwritten level file is idempotent).
-        Returns the number of partitions compacted."""
+        Returns the number of partitions compacted.
+
+        all_partitions=True folds single-file partitions too — needed by
+        run_incremental's finalize, where a compacted file may still hold
+        retained tombstone rows that must be rewritten away."""
         cfg = self.cfg
         self._fence()   # a zombie's maintenance command must fail closed
         manifests = load_manifests(cfg.lake_dir)
         registry = SchemaRegistry.load(cfg.lake_dir)
-        todo = [pid for pid, m in manifests.items() if len(m.files) > 1]
+        todo = [pid for pid, m in manifests.items()
+                if all_partitions or len(m.files) > 1]
         if not todo:
             return 0
         ctx = {
             "lake_dir": cfg.lake_dir, "epoch": 0, "hi": 0,
             "preserve_position": True, "force_compact": True,
+            "force_single": all_partitions,
             "manifests": {pid: {
                 "upto_lsn": m.upto_lsn, "schema_ver": m.schema_ver,
                 "epoch": m.epoch, "files": m.files, "row_count": m.row_count,
@@ -1432,6 +1666,12 @@ class CdcPipeline:
             "compute_content_hash": cfg.compute_content_hash,
             "write_mode": cfg.write_mode, "compact_every": cfg.compact_every,
             "update_mode": cfg.update_mode,
+            # run_incremental's finalize passes False explicitly: it drops
+            # the retained tombstones BEFORE flipping the snapshot's active
+            # flag (readers keep using the tombstone-filtering merge path
+            # until every file is clean — crash between the two is safe)
+            "retain_tombstones": snapshot_active(cfg.lake_dir)
+            if _retain_tombstones is None else _retain_tombstones,
         }
         empty_w = pd.DataFrame(
             {c: pd.Series(dtype="object") for c in APPLY_COLS}

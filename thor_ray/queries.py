@@ -11022,6 +11022,34 @@ FROM best b JOIN idx i ON i.t = b.k + 1 WHERE b.rk = 1
 """
 
 
+def q302_incremental_snapshot(sf: str):
+    """DBLog-style snapshot-while-tailing (rows-only): bootstrap EMPTY,
+    fold the base table in as 4 key-disjoint _lsn=0 chunks interleaved
+    with the binlog epochs (tombstones retained until the last chunk),
+    finalize, and return the lake — oracle equality is pinned in
+    tests/test_incremental_snapshot.py."""
+    import os
+    import shutil
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_incsnap_{tag}"
+    fixture_dir = os.path.join(work, "fixture")
+    info = gen.write_fixture(
+        fixture_dir, n_keys=2_000,
+        cfg=gen.BinlogConfig(n_events=20_000, n_shards=4, dup_rate=0.05,
+                             delete_rate=0.08, ddl_every=8_000, seed=7))
+    lake_dir = os.path.join(work, "lake")
+    if os.path.exists(lake_dir):
+        shutil.rmtree(lake_dir)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake_dir, binlog_dir=info["binlog_dir"],
+        num_partitions=16, epoch_size=5_000))
+    pipe.run_incremental(info["base"], n_chunks=4)
+    return pipe.final_table()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11167,6 +11195,7 @@ QUERIES: dict[str, tuple] = {
     "q101_quantiles_by_lang": (q101_quantiles_by_lang, None),
     "q130_heavy_hitters_by": (q130_heavy_hitters_by, None),
     "q133_changefeed": (q133_changefeed, None),
+    "q302_incremental_snapshot": (q302_incremental_snapshot, None),
     "q137_kmeans": (q137_kmeans, None),
     "q138_lm_score": (q138_lm_score, None),
     "q141_paragraph_dedup": (q141_paragraph_dedup, SQL_Q141),

@@ -86,6 +86,39 @@ def write_manifest(lake_dir: str, m: Manifest) -> None:
                   _relativized(m, lake_dir))
 
 
+# --- incremental-snapshot progress (DBLog-style snapshot-while-tailing) -----
+# CdcPipeline.run_incremental bootstraps EMPTY and folds the base table in
+# as key-disjoint chunks (delta files at _lsn=0) interleaved with live epoch
+# applies. This sidecar records chunk progress so a killed run resumes, and
+# its `active` flag tells every reader/fold that delete tombstones must be
+# RETAINED until the last chunk lands (a compaction that dropped a tombstone
+# would let a later chunk resurrect a deleted key).
+
+
+def _snapshot_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_schema", "snapshot.json")
+
+
+def read_snapshot_meta(lake_dir: str) -> dict | None:
+    """{"n_chunks", "done", "active"} or None if no incremental snapshot
+    was ever started on this lake."""
+    p = _snapshot_path(lake_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_snapshot_meta(lake_dir: str, meta: dict) -> None:
+    os.makedirs(os.path.dirname(_snapshot_path(lake_dir)), exist_ok=True)
+    _atomic_write(_snapshot_path(lake_dir), meta)
+
+
+def snapshot_active(lake_dir: str) -> bool:
+    meta = read_snapshot_meta(lake_dir)
+    return bool(meta and meta.get("active"))
+
+
 # --- snapshot history (time travel) ----------------------------------------
 # An epoch-tagged copy of each committed manifest under _manifests/history/
 # pins the file set of every retained epoch: `read_lake_at` is just "load
@@ -180,6 +213,8 @@ def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
                                      else os.path.join(lake_dir, f_))
                      for f_ in payload["files"]}
     removed = 0
+    snap_meta = read_snapshot_meta(lake_dir)
+    snap_done = int(snap_meta["done"]) if snap_meta else 0
     for pid, m in manifests.items():
         pdir = os.path.join(lake_dir, f"part={pid:05d}")
         for f in glob.glob(os.path.join(pdir, "state-e*.parquet")):
@@ -188,6 +223,19 @@ def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
             except ValueError:
                 continue
             if os.path.abspath(f) not in live and epoch < m.epoch:
+                os.remove(f)
+                removed += 1
+        # incremental-snapshot chunk files: unreferenced + committed
+        # (chunk id < done) means a later compaction superseded it — same
+        # "strictly older than the commit point" rule as epochs; an orphan
+        # from a crashed injection (chunk id >= done) is kept and will be
+        # overwritten deterministically on retry
+        for f in glob.glob(os.path.join(pdir, "snap-c*.parquet")):
+            try:
+                chunk = int(os.path.basename(f)[len("snap-c"):-len(".parquet")])
+            except ValueError:
+                continue
+            if os.path.abspath(f) not in live and chunk < snap_done:
                 os.remove(f)
                 removed += 1
     return removed
