@@ -142,3 +142,28 @@ def test_stable_hash_null_keys_defined(monkeypatch):
         assert (stable_hash(empty, ["repo", "path"]) == h2).all()
     finally:
         pass
+
+
+def test_outbox_router_routes_keys_and_payload():
+    """T15 EventRouter: templated topic, stringified key, opaque payload,
+    extra fields ride along; null routing value -> null topic (filterable,
+    not a crash)."""
+    import pyarrow as pa
+    from thor_ray.stages import outbox_router
+
+    t = pa.table({
+        "id": [1, 2, 3],
+        "aggregatetype": ["order", "customer", None],
+        "aggregateid": [10, 20, 30],
+        "payload": ['{"a":1}', '{"b":2}', "{}"],
+    })
+    fn = outbox_router(extra_fields={"id": "event_id"})
+    out = fn(t)
+    assert out.column_names == ["topic", "key", "payload", "event_id"]
+    assert out["topic"].to_pylist() == [
+        "outbox.event.order", "outbox.event.customer", None]
+    assert out["key"].to_pylist() == ["10", "20", "30"]
+    assert out["payload"].to_pylist() == t["payload"].to_pylist()
+    # template with a suffix after the routed value
+    fn2 = outbox_router(topic_template="pre.${routedByValue}.post")
+    assert fn2(t)["topic"].to_pylist()[0] == "pre.order.post"

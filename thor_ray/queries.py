@@ -11022,6 +11022,27 @@ FROM best b JOIN idx i ON i.t = b.k + 1 WHERE b.rk = 1
 """
 
 
+def q303_outbox_route(sf: str):
+    """T15 outbox EventRouter: events as an application outbox table —
+    topic templated from event_type, key from user_id, props as the
+    opaque payload, event_id riding along."""
+    from thor_ray.stages import outbox_router
+    ds = T(sf, "events", ["event_id", "user_id", "event_type", "props"])
+    fn = outbox_router(route_by="event_type", key_col="user_id",
+                       payload_col="props",
+                       extra_fields={"event_id": "event_id"})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_Q303 = """
+SELECT 'outbox.event.' || event_type AS topic,
+       CAST(user_id AS VARCHAR) AS key,
+       props AS payload,
+       event_id
+FROM events
+"""
+
+
 def q302_incremental_snapshot(sf: str):
     """DBLog-style snapshot-while-tailing (rows-only): bootstrap EMPTY,
     fold the base table in as 4 key-disjoint _lsn=0 chunks interleaved
@@ -11360,6 +11381,7 @@ QUERIES: dict[str, tuple] = {
     "q299_anova_f": (q299_anova_f, SQL_Q299),
     "q300_sax": (q300_sax, SQL_Q300),
     "q301_changepoint": (q301_changepoint, SQL_Q301),
+    "q303_outbox_route": (q303_outbox_route, SQL_Q303),
 }
 
 

@@ -8,6 +8,7 @@ from .smt import (
     json_extract,
     key_hash,
     mask_field,
+    outbox_router,
     regex_router,
     rename_fields,
     replace_field,
@@ -20,7 +21,8 @@ from .chain import TransformChain, predicate_gate, split_valid
 
 __all__ = [
     "cast_fields", "drop_fields", "extract_field", "flatten", "hoist_field",
-    "insert_field", "json_extract", "key_hash", "mask_field", "regex_router",
+    "insert_field", "json_extract", "key_hash", "mask_field",
+    "outbox_router", "regex_router",
     "rename_fields", "replace_field", "select_fields", "smt_filter",
     "timestamp_converter", "timestamp_router",
     "TransformChain", "predicate_gate", "split_valid",

@@ -284,3 +284,39 @@ def json_extract(col: str, key: str, out: str, as_type: pa.DataType | None = Non
             arr = pc.cast(arr, as_type)
         return t.append_column(out, arr)
     return fn
+
+
+# --- T15 Outbox EventRouter -------------------------------------------------
+def outbox_router(route_by: str = "aggregatetype",
+                  key_col: str = "aggregateid",
+                  payload_col: str = "payload",
+                  topic_template: str = "outbox.event.${routedByValue}",
+                  extra_fields: "dict[str, str] | None" = None) -> Transform:
+    """Debezium-style outbox event router (public ``EventRouter`` SMT
+    shape): turn rows of an application 'outbox' table into routed
+    messages — ``topic`` from the aggregate type via a template, ``key``
+    from the aggregate id (stringified, the Kafka partition key), and the
+    opaque ``payload`` passed through untouched.
+
+    ``extra_fields`` maps source column -> output column for values that
+    should ride along (the ``table.fields.additional.placement`` analogue,
+    e.g. ``{"id": "event_id", "ts": "ts"}``). A null routing value yields
+    a null topic (callers DLQ or filter; Debezium errors hard here —
+    filtering keeps the batch path total).
+
+    Fully vectorized: one template split at build time, one element-wise
+    concat per batch."""
+    pre, _, suf = topic_template.partition("${routedByValue}")
+    extra_fields = extra_fields or {}
+
+    def fn(t: Batch) -> Batch:
+        topic = pc.binary_join_element_wise(
+            pa.scalar(pre), pc.cast(t[route_by], pa.string()),
+            pa.scalar(suf), "")
+        cols = {"topic": topic,
+                "key": pc.cast(t[key_col], pa.string()),
+                "payload": t[payload_col]}
+        for src, out in extra_fields.items():
+            cols[out] = t[src]
+        return pa.table(cols)
+    return fn
