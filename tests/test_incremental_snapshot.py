@@ -77,7 +77,8 @@ def test_incremental_matches_oracle(ray_session, fixture, tmp_path,
     pipe.run_incremental(fixture["base_path"], n_chunks=5)
     assert_final(pipe, fixture)
     meta = read_snapshot_meta(pipe.cfg.lake_dir)
-    assert meta == {"n_chunks": 5, "done": 5, "active": False}
+    assert meta == {"generation": 0, "n_chunks": 5, "done": 5,
+                    "active": False}
 
 
 def test_incremental_by_file_chunks(ray_session, fixture, tmp_path):
@@ -174,7 +175,7 @@ def test_gc_removes_superseded_chunks_and_fsck_green(ray_session, fixture,
     pipe.run_incremental(fixture["base_path"], n_chunks=4)
     from thor_ray.state import gc_lake
     gc_lake(lake, load_manifests(lake))
-    assert glob.glob(os.path.join(lake, "part=*", "snap-c*.parquet")) == []
+    assert glob.glob(os.path.join(lake, "part=*", "snap-*.parquet")) == []
     rep = fsck(lake, deep=True)
     assert rep["ok"], rep["errors"]
 
@@ -183,3 +184,92 @@ def test_patch_mode_rejected(ray_session, fixture, tmp_path):
     pipe = make_pipe(fixture, str(tmp_path / "lake"), update_mode="patch")
     with pytest.raises(ValueError, match="update_mode='full'"):
         pipe.run_incremental(fixture["base_path"], n_chunks=2)
+
+
+def test_adhoc_snapshot_restores_lost_rows(ray_session, fixture, tmp_path):
+    """Debezium execute-snapshot shape: a lake replayed WITHOUT its base
+    (events only) is repaired by an ad-hoc snapshot whose source is the
+    live-table image (= the oracle final): untouched base keys are
+    restored, keys deleted by events stay deleted, event-written rows
+    keep their state values."""
+    lake = str(tmp_path / "lake")
+    pipe = make_pipe(fixture, lake)
+    pipe.run()                      # no base: events-only lake
+    exp = fixture["expected"]
+    src_path = str(tmp_path / "live_image.parquet")
+    cols = [c for c in exp.columns]
+    pq.write_table(pa.Table.from_pandas(exp[cols], preserve_index=False),
+                   src_path)
+    pipe.adhoc_snapshot(src_path, n_chunks=3)
+    got = normalize(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got, normalize(exp), check_dtype=False)
+    meta = read_snapshot_meta(lake)
+    assert meta["active"] is False and meta["generation"] == 0
+
+
+def test_adhoc_snapshot_midstream_with_predicate(ray_session, fixture,
+                                                 tmp_path):
+    """Ad-hoc snapshot taken at a mid-log frontier, interleaved with the
+    remaining epochs: source reflects events <= F (the contract), deletes
+    in (F, max] land during the snapshot window and must win via
+    tombstone retention. A predicate narrows the snapshot to half the
+    repos; base keys of the other repos stay missing."""
+    lake = str(tmp_path / "lake")
+    pipe = make_pipe(fixture, lake)
+    F = fixture["max_lsn"] // 2
+    pipe.run(until_lsn=F)           # events-only up to the frontier
+    events = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(
+            os.path.join(fixture["binlog_dir"], "shard-*.parquet"))])
+    upto_f = events.filter(pa.compute.less_equal(events["lsn"], F))
+    src, _ = oracle.apply_events(upto_f, initial=fixture["base"])
+    src_path = str(tmp_path / "img_at_f.parquet")
+    pq.write_table(pa.Table.from_pandas(src, preserve_index=False), src_path)
+
+    import pyarrow.compute as pc
+    keep = sorted(src["repo"].unique())[: len(src["repo"].unique()) // 2]
+    keep_set = set(keep)
+
+    def pred(t):
+        return pc.is_in(t["repo"], value_set=pa.array(keep))
+
+    pipe2 = make_pipe(fixture, lake)
+    pipe2.adhoc_snapshot(src_path, n_chunks=3, predicate=pred)
+    got = normalize(pipe2.final_table().to_pandas())
+
+    # expected: full oracle, minus base-only rows of repos OUTSIDE the
+    # predicate that no event ever wrote (they were never delivered)
+    exp_full, _ = oracle.apply_events(events, initial=fixture["base"])
+    evset = set(zip(*(events.column(c).to_pylist()
+                      for c in ("repo", "path"))))
+    mask = [r in keep_set or (r, p) in evset
+            for r, p in zip(exp_full["repo"], exp_full["path"])]
+    exp = normalize(exp_full[pd.Series(mask, index=exp_full.index)])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert read_snapshot_meta(lake)["generation"] == 0
+
+
+def test_adhoc_second_generation_after_incremental(ray_session, fixture,
+                                                   tmp_path):
+    """An adhoc snapshot over a lake built by run_incremental starts
+    generation 1; its chunk files carry the new tag and the lake state is
+    unchanged when the source equals the live image (idempotent repair)."""
+    lake = str(tmp_path / "lake")
+    pipe = make_pipe(fixture, lake)
+    pipe.run_incremental(fixture["base_path"], n_chunks=3)
+    before = normalize(pipe.final_table().to_pandas())
+    exp = fixture["expected"]
+    src_path = str(tmp_path / "img.parquet")
+    pq.write_table(pa.Table.from_pandas(exp, preserve_index=False), src_path)
+    pipe.adhoc_snapshot(src_path, n_chunks=2)
+    meta = read_snapshot_meta(lake)
+    assert meta == {"generation": 1, "n_chunks": 2, "done": 2,
+                    "active": False}
+    after = normalize(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(after, before, check_dtype=False)
+
+
+def test_adhoc_requires_live_lake(ray_session, fixture, tmp_path):
+    pipe = make_pipe(fixture, str(tmp_path / "lake"))
+    with pytest.raises(ValueError, match="live lake"):
+        pipe.adhoc_snapshot(fixture["base_path"])

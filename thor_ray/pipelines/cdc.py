@@ -1194,10 +1194,71 @@ class CdcPipeline:
                 "cannot inherit the base row's values")
         self._check_engine_meta()
         self.bootstrap(None)   # EMPTY lake; no-op on resume
+        return self._snapshot_run(base, n_chunks, max_epochs, until_lsn,
+                                  complete, fresh=True)
+
+    def adhoc_snapshot(self, source: "ray.data.Dataset | str",
+                       n_chunks: int = 4,
+                       predicate=None,
+                       max_epochs: int | None = None,
+                       until_lsn: int | None = None,
+                       complete: bool = True) -> list[EpochReport]:
+        """Ad-hoc re-snapshot of a LIVE lake — the Debezium
+        `execute-snapshot` signal shape (re-deliver base images for lost
+        or late rows without pausing the stream).
+
+        CONTRACT on `source`: it must be a read of the live source table
+        taken at or after this lake's committed watermark — i.e. it
+        REFLECTS every event already applied (Debezium reads the live
+        table for exactly this reason). Then the _lsn=0 injection is
+        sound with no retroactive tombstones: a key deleted BEFORE the
+        snapshot started is absent from the source image (never
+        re-injected), a key deleted DURING it is protected by the same
+        tombstone retention as run_incremental, and a key present in
+        both source and state keeps the state row (they agree by the
+        contract, and the event row outranks). Keys present only in the
+        source — the lost/late rows — are restored.
+
+        `predicate` (optional, Callable[[pa.Table], BooleanArray])
+        narrows the snapshot to matching source rows — the signal's
+        additional-condition. Each chunk applies it before routing.
+
+        Starts a NEW snapshot generation (chunk files are
+        snap-g{gen}-c{chunk}); an in-progress generation must finish
+        first (call run_incremental / adhoc_snapshot again to resume)."""
+        cfg = self.cfg
+        if cfg.update_mode != "full":
+            raise ValueError(
+                "adhoc_snapshot requires update_mode='full': a partial-"
+                "image U applied before its key's source chunk arrives "
+                "cannot inherit the source row's values")
+        self._check_engine_meta()
+        if not load_manifests(cfg.lake_dir):
+            raise ValueError(
+                "adhoc_snapshot needs a live lake (no manifests found); "
+                "use run_incremental for a first-time snapshot")
+        return self._snapshot_run(source, n_chunks, max_epochs, until_lsn,
+                                  complete, fresh=False, predicate=predicate)
+
+    def _snapshot_run(self, base, n_chunks, max_epochs, until_lsn, complete,
+                      fresh: bool, predicate=None) -> list[EpochReport]:
+        cfg = self.cfg
         chunks = self._plan_chunks(base, n_chunks)
+        if predicate is not None:
+            def filtered(thunk):
+                def make():
+                    return thunk().map_batches(
+                        lambda t: t.filter(predicate(t)),
+                        batch_format="pyarrow")
+                return make
+            chunks = [filtered(th) for th in chunks]
         meta = read_snapshot_meta(cfg.lake_dir)
-        if meta is None:
-            meta = {"n_chunks": len(chunks), "done": 0, "active": True}
+        if meta is not None:
+            meta.setdefault("generation", 0)
+        if meta is None or (not meta["active"] and not fresh):
+            gen_ = 0 if meta is None else meta["generation"] + 1
+            meta = {"generation": gen_, "n_chunks": len(chunks),
+                    "done": 0, "active": True}
             write_snapshot_meta(cfg.lake_dir, meta)
         elif meta["active"] and meta["n_chunks"] != len(chunks):
             raise ValueError(
@@ -1225,7 +1286,8 @@ class CdcPipeline:
 
         def inject_next() -> None:
             if meta["active"] and meta["done"] < len(chunks):
-                self._inject_chunk(meta["done"], chunks[meta["done"]]())
+                self._inject_chunk(meta["done"], chunks[meta["done"]](),
+                                   generation=meta["generation"])
                 meta["done"] += 1
                 write_snapshot_meta(cfg.lake_dir, meta)
 
@@ -1292,7 +1354,8 @@ class CdcPipeline:
 
         return [chunk_thunk(c) for c in range(n_chunks)]
 
-    def _inject_chunk(self, chunk_id: int, ds: "ray.data.Dataset") -> None:
+    def _inject_chunk(self, chunk_id: int, ds: "ray.data.Dataset",
+                      generation: int = 0) -> None:
         """Distributed write of one snapshot chunk: route rows to their
         lake partition, append one delta file per touched partition at
         _lsn=0 (loses every merge against real events), swap manifests.
@@ -1301,6 +1364,17 @@ class CdcPipeline:
         P = cfg.num_partitions
         rt = cfg.route
         lake_dir = cfg.lake_dir
+        # evolved columns present in BOTH the source image and the current
+        # registry ride along (an ad-hoc repair image read from a live,
+        # already-evolved table); anything else in the image is dropped and
+        # missing evolved columns stay null — the oracle's value for a base
+        # row after add_column. (A rename DURING the snapshot window nulls
+        # the chunk's values for that column at the next fold — the image
+        # predates the rename; documented, matches Debezium's "snapshot
+        # reflects the schema at read time".)
+        _reg = SchemaRegistry.load(cfg.lake_dir)
+        evolved_now = _reg.columns_at(_reg.version)
+        types_now = _reg.types_at(_reg.version)
 
         def route(t: pa.Table) -> pa.Table:
             h = stable_hash(t, ["repo", "path"])
@@ -1317,17 +1391,25 @@ class CdcPipeline:
             if not len(g):
                 return empty
             pid = int(g["pid"].iloc[0])
-            g = g[BASE_COLS].copy().sort_values(["repo", "path"],
-                                                kind="stable")
+            carry = [c for c in evolved_now if c in g.columns]
+            g = g[BASE_COLS + carry].copy().sort_values(
+                ["repo", "path"], kind="stable")
+            for c in evolved_now:
+                if c not in g.columns:
+                    g[c] = None
+            g = g[BASE_COLS + evolved_now]
             g["_lsn"] = 0
             g["_sha"] = _sha256_series(g["content"])
             g["_op"] = "U"
             out_dir = os.path.join(lake_dir, f"part={pid:05d}")
             os.makedirs(out_dir, exist_ok=True)
-            path = os.path.join(out_dir, f"snap-c{chunk_id:04d}.parquet")
+            path = os.path.join(
+                out_dir, f"snap-g{generation:03d}-c{chunk_id:04d}.parquet")
             tmp = path + f".tmp-{os.getpid()}"
             pq.write_table(
-                pa.Table.from_pandas(g, schema=_state_schema([]),
+                pa.Table.from_pandas(g,
+                                     schema=_state_schema(evolved_now,
+                                                          types_now),
                                      preserve_index=False), tmp)
             os.replace(tmp, path)
             return pd.DataFrame([{"pid": pid, "path": path, "rows": len(g)}])

@@ -215,6 +215,7 @@ def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
     removed = 0
     snap_meta = read_snapshot_meta(lake_dir)
     snap_done = int(snap_meta["done"]) if snap_meta else 0
+    snap_gen = int(snap_meta.get("generation", 0)) if snap_meta else 0
     for pid, m in manifests.items():
         pdir = os.path.join(lake_dir, f"part={pid:05d}")
         for f in glob.glob(os.path.join(pdir, "state-e*.parquet")):
@@ -225,17 +226,21 @@ def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
             if os.path.abspath(f) not in live and epoch < m.epoch:
                 os.remove(f)
                 removed += 1
-        # incremental-snapshot chunk files: unreferenced + committed
-        # (chunk id < done) means a later compaction superseded it — same
-        # "strictly older than the commit point" rule as epochs; an orphan
-        # from a crashed injection (chunk id >= done) is kept and will be
-        # overwritten deterministically on retry
-        for f in glob.glob(os.path.join(pdir, "snap-c*.parquet")):
+        # incremental/ad-hoc snapshot chunk files (snap-g{gen}-c{chunk}):
+        # unreferenced + committed means a later compaction superseded it
+        # — same "strictly older than the commit point" rule as epochs.
+        # Committed = an older generation, or the current generation with
+        # chunk id < done; an orphan from a crashed injection (current
+        # gen, chunk >= done) is kept and overwritten on retry.
+        for f in glob.glob(os.path.join(pdir, "snap-*.parquet")):
+            stem = os.path.basename(f)[len("snap-"):-len(".parquet")]
             try:
-                chunk = int(os.path.basename(f)[len("snap-c"):-len(".parquet")])
+                g_s, c_s = stem.split("-c")
+                g, chunk = int(g_s.lstrip("g")), int(c_s)
             except ValueError:
                 continue
-            if os.path.abspath(f) not in live and chunk < snap_done:
+            committed = g < snap_gen or (g == snap_gen and chunk < snap_done)
+            if os.path.abspath(f) not in live and committed:
                 os.remove(f)
                 removed += 1
     return removed
