@@ -29,6 +29,20 @@ def fixture(tmp_path_factory):
                            shuffle_window=128, ddl_every=2_500,
                            delete_rate=0.10, update_rate=0.5, seed=31)
     log = gen.gen_binlog(base, cfg)
+    # events are generated over `base`'s keys; these 80 extra rows are
+    # base keys NO event ever touches — they reach the lake only through
+    # the snapshot chunks, so a dropped/clobbered chunk fails loudly
+    # (the interleave-loop stale-manifest bug passed with fixtures whose
+    # base keys were all event-touched)
+    extra = pa.table({
+        "repo": pa.array([f"zz_only/base{i % 8}" for i in range(80)]),
+        "path": pa.array([f"untouched/f{i:03d}.txt" for i in range(80)]),
+        "commit": pa.array(["deadbeef"] * 80),
+        "lang": pa.array(["txt"] * 80),
+        "content": pa.array([f"base-only payload {i}" for i in range(80)],
+                            type=pa.large_string()),
+    })
+    base = pa.concat_tables([base.select(extra.column_names), extra])
     binlog_dir = os.path.join(d, "binlog")
     log.write(binlog_dir)
     events = pa.concat_tables(log.shards)

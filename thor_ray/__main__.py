@@ -72,6 +72,30 @@ def cmd_run(a) -> int:
     return 0
 
 
+def cmd_snapshot(a) -> int:
+    """Incremental (first-time) or ad-hoc (repair) snapshot while tailing."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+    from thor_ray.state import load_manifests
+
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=a.lake, binlog_dir=a.binlog, num_partitions=a.partitions,
+        epoch_size=a.epoch_size, shuffle=a.shuffle, write_mode=a.write_mode,
+        retain_snapshots=a.retain_snapshots, route=_parse_route(a.route)))
+    if a.adhoc or load_manifests(a.lake):
+        reports = pipe.adhoc_snapshot(a.source, n_chunks=a.chunks,
+                                      max_epochs=a.max_epochs)
+    else:
+        reports = pipe.run_incremental(a.source, n_chunks=a.chunks,
+                                       max_epochs=a.max_epochs)
+    for r in reports:
+        print(json.dumps({"epoch": r.epoch, "events": r.n_events,
+                          "events_per_sec": r.events_per_sec,
+                          "wall_sec": r.wall_sec}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_follow(a) -> int:
     ray = _ray_init(a.num_cpus)
     from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
@@ -337,6 +361,33 @@ def main(argv: list[str] | None = None) -> int:
                    help="demux tier: apply only keys hashing to route ID of "
                         "N (run one process per route into its own lake)")
     r.set_defaults(fn=cmd_run)
+
+    sn = sub.add_parser(
+        "snapshot",
+        help="snapshot-while-tailing: fold a base/source image into the "
+             "lake in chunks interleaved with live epochs (DBLog shape); "
+             "fresh lake = incremental bootstrap, live lake = ad-hoc "
+             "repair (source must be a live-table image at/after the "
+             "watermark)")
+    sn.add_argument("--lake", required=True)
+    sn.add_argument("--binlog", required=True)
+    sn.add_argument("--source", required=True,
+                    help="parquet file/dir of the base (fresh) or "
+                         "live-table image (ad-hoc)")
+    sn.add_argument("--chunks", type=int, default=8)
+    sn.add_argument("--adhoc", action="store_true",
+                    help="force the ad-hoc path (default: auto by lake "
+                         "presence)")
+    sn.add_argument("--partitions", type=int, default=64)
+    sn.add_argument("--epoch-size", type=int, default=250_000)
+    sn.add_argument("--shuffle", choices=["spill", "sort", "hash"],
+                    default="spill")
+    sn.add_argument("--write-mode", choices=["cow", "delta"], default="cow")
+    sn.add_argument("--max-epochs", type=int)
+    sn.add_argument("--retain-snapshots", type=int, default=0)
+    sn.add_argument("--num-cpus", type=int)
+    sn.add_argument("--route", metavar="ID/N")
+    sn.set_defaults(fn=cmd_snapshot)
 
     c = sub.add_parser("compact", help="merge delta runs into single state files")
     c.add_argument("--lake", required=True)

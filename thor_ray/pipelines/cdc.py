@@ -1285,11 +1285,17 @@ class CdcPipeline:
             e += 1
 
         def inject_next() -> None:
+            nonlocal manifests
             if meta["active"] and meta["done"] < len(chunks):
                 self._inject_chunk(meta["done"], chunks[meta["done"]](),
                                    generation=meta["generation"])
                 meta["done"] += 1
                 write_snapshot_meta(cfg.lake_dir, meta)
+                # the injection appended snap files to the ON-DISK
+                # manifests; the next run_epoch must fold from the fresh
+                # view or its commit would drop the chunk's file reference
+                # (and with it the chunk's rows) from the partition
+                manifests = load_manifests(cfg.lake_dir)
 
         t_replay = time.perf_counter()
         # interleave: one chunk up front, one after every epoch, the
