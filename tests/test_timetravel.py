@@ -322,3 +322,75 @@ def test_read_changefeed_matches_delta_semantics(ray_session, fixture,
     pipe2.run(base=base_path)
     with pytest.raises(ValueError):
         read_changefeed(lake2, 0)
+
+
+def test_changefeed_consumer_groups(ray_session, fixture, tmp_path):
+    """Kafka consumer-group semantics over the changefeed: durable
+    offsets, at-least-once re-delivery on uncommitted polls, independent
+    groups, max_epochs paging, lag, and folding all polled batches
+    reproduces the event-touched lake rows."""
+    from thor_ray.sources import ChangefeedConsumer, consumer_groups
+
+    base = gen.gen_base_table(n_repos=12, paths_per_repo=8, seed=44)
+    cfgb = gen.BinlogConfig(n_events=4_500, n_shards=3, dup_rate=0.05,
+                            shuffle_window=96, ddl_every=0,
+                            delete_rate=0.1, update_rate=0.5, seed=44)
+    log = gen.gen_binlog(base, cfgb)
+    d = str(tmp_path / "cg")
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    lake = os.path.join(d, "lake")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake, binlog_dir=binlog_dir, num_partitions=6,
+        epoch_size=EPOCH, write_mode="delta", compact_every=1_000_000))
+    pipe.run(base=base_path)
+    n_epochs = -(-log.max_lsn // EPOCH)
+
+    c = ChangefeedConsumer(lake, "indexer")
+    assert c.committed() == 0 and c.lag() == n_epochs
+    # page by 1 epoch; crash-sim: poll twice without commit re-delivers
+    ds1, upto1 = c.poll(max_epochs=1)
+    ds1b, upto1b = c.poll(max_epochs=1)
+    assert upto1 == upto1b == 1
+    pd.testing.assert_frame_equal(
+        normalize(ds1.to_pandas()), normalize(ds1b.to_pandas()),
+        check_dtype=False)
+    frames = []
+    while True:
+        ds, upto = c.poll(max_epochs=1)
+        if ds is None:
+            break
+        frames.append(ds.to_pandas())
+        c.commit(upto)
+    assert c.committed() == n_epochs and c.lag() == 0
+    assert c.poll() == (None, n_epochs)
+    with pytest.raises(ValueError):
+        c.commit(1)   # moving backwards refused
+
+    # a second group is independent and sees the identical feed
+    c2 = ChangefeedConsumer(lake, "metrics")
+    assert c2.committed() == 0
+    ds_all, upto_all = c2.poll()
+    assert upto_all == n_epochs
+    def norm_feed(df):
+        # the feed has one row per (key, epoch): lsn makes the sort total
+        df = df.where(pd.notna(df), None)
+        return df.sort_values(["repo", "path", "lsn"]).reset_index(
+            drop=True)[sorted(df.columns)]
+    pd.testing.assert_frame_equal(
+        norm_feed(pd.concat(frames, ignore_index=True)),
+        norm_feed(ds_all.to_pandas()), check_dtype=False)
+    c2.commit(upto_all)
+    assert consumer_groups(lake) == {"indexer": n_epochs,
+                                     "metrics": n_epochs}
+
+    # folding every polled batch last-wins == the event-touched live rows
+    cf = pd.concat(frames, ignore_index=True)
+    fold = cf.sort_values("lsn", kind="stable") \
+        .drop_duplicates(["repo", "path"], keep="last")
+    fold = fold[fold["op"] != "D"].drop(columns=["op", "lsn", "epoch"])
+    live = pipe.final_table().to_pandas()[sorted(fold.columns)]
+    touched = normalize(fold).merge(normalize(live), how="inner")
+    assert len(touched) == len(fold)

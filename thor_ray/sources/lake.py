@@ -551,6 +551,88 @@ def read_changefeed(lake_dir: str, after_epoch: int,
     return out
 
 
+class ChangefeedConsumer:
+    """Kafka consumer-group shape over the lake changefeed: a named,
+    DURABLE offset (last acked epoch) per group, committed atomically
+    under ``lake_dir/_consumers/{group}.json``, with poll/commit
+    delivery semantics over :func:`read_changefeed`.
+
+    - ``poll()`` returns ``(dataset, upto_epoch)`` for the uncommitted
+      range ``(committed, upto]`` — or ``(None, committed)`` when caught
+      up. Nothing advances on poll.
+    - ``commit(upto)`` atomically advances the group's offset; re-polling
+      after a crash that lost an uncommitted batch re-delivers the same
+      epochs (at-least-once; consumers that key their work by ``epoch``
+      get exactly-once, the same idempotence rule as the lake's own
+      manifests).
+    - Groups are independent; each owns one offset file.
+
+    Same delta-mode/level-0 requirements as read_changefeed: commit (and
+    let gc/compaction fold) only epochs every group has consumed — the
+    lag is visible via :meth:`lag`."""
+
+    def __init__(self, lake_dir: str, group: str):
+        if not group or "/" in group:
+            raise ValueError(f"bad group name {group!r}")
+        self.lake_dir = lake_dir
+        self.group = group
+        self._path = os.path.join(lake_dir, "_consumers", f"{group}.json")
+
+    def committed(self) -> int:
+        """Last acked epoch (0 = nothing consumed yet)."""
+        if not os.path.exists(self._path):
+            return 0
+        with open(self._path) as f:
+            return int(json.load(f)["epoch"])
+
+    def poll(self, max_epochs: int | None = None):
+        """Next uncommitted change rows: ``(Dataset, upto_epoch)``, or
+        ``(None, committed)`` when caught up to the lake."""
+        from thor_ray.state import load_manifests
+
+        ms = load_manifests(self.lake_dir)
+        if not ms:
+            raise ValueError(f"no manifests under {self.lake_dir}")
+        cur = min(m.epoch for m in ms.values())
+        lo = self.committed()
+        upto = cur if max_epochs is None else min(cur, lo + max_epochs)
+        if upto <= lo:
+            return None, lo
+        return read_changefeed(self.lake_dir, lo, upto), upto
+
+    def commit(self, upto_epoch: int) -> None:
+        """Atomically advance the offset; refuses to move backwards."""
+        from thor_ray.state.manifest import _atomic_write  # noqa: SLF001
+
+        cur = self.committed()
+        if upto_epoch < cur:
+            raise ValueError(
+                f"commit({upto_epoch}) behind committed offset {cur}")
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        _atomic_write(self._path, {"group": self.group,
+                                   "epoch": int(upto_epoch)})
+
+    def lag(self) -> int:
+        """Epochs behind the lake's committed frontier."""
+        from thor_ray.state import load_manifests
+
+        ms = load_manifests(self.lake_dir)
+        cur = min(m.epoch for m in ms.values()) if ms else 0
+        return max(0, cur - self.committed())
+
+
+def consumer_groups(lake_dir: str) -> dict[str, int]:
+    """All registered consumer groups and their committed epochs."""
+    import glob as _glob
+
+    out = {}
+    for p in _glob.glob(os.path.join(lake_dir, "_consumers", "*.json")):
+        with open(p) as f:
+            d = json.load(f)
+        out[d["group"]] = int(d["epoch"])
+    return out
+
+
 def fsck(lake_dir: str, deep: bool = False) -> dict:
     """Lake consistency check (the maintenance command run before trusting
     a restored/migrated lake).
