@@ -167,3 +167,65 @@ def test_outbox_router_routes_keys_and_payload():
     # template with a suffix after the routed value
     fn2 = outbox_router(topic_template="pre.${routedByValue}.post")
     assert fn2(t)["topic"].to_pylist()[0] == "pre.order.post"
+
+
+def test_change_envelope_roundtrip_and_delete_modes():
+    """Debezium envelope pair: serialize → parse reproduces the rows;
+    deletes carry after=null and honor drop vs rewrite; tombstones
+    (null value) always drop; source fields surface as __<field>."""
+    import json
+
+    from thor_ray.stages import extract_new_record_state, to_change_envelope
+
+    t = pa.table({
+        "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+        "shard": pa.array([0, 1, 0, 1], pa.int32()),
+        "op": ["I", "U", "D", "I"],
+        "repo": ['r"1', "r2", "r3", None],
+        "path": ["a/b", "c\nd", "e", "f"],
+        "n": pa.array([10, None, 3, 7], pa.int64()),
+        "ts": pa.array([1_000_000, 2_000_000, None, 4_000_000],
+                       pa.timestamp("us")),
+    })
+    env = to_change_envelope(
+        key_cols=["repo", "path"], payload_cols=["repo", "path", "n"],
+        op_col="op", ts_col="ts", source_cols=["lsn", "shard"],
+        source_name="t1")(t)
+    assert env.column_names == ["key", "value"]
+    # every value line is valid standalone JSON with the envelope shape
+    v0 = json.loads(env["value"][0].as_py())
+    assert v0 == {"before": None,
+                  "after": {"repo": 'r"1', "path": "a/b", "n": 10},
+                  "op": "c", "ts_ms": 1000,
+                  "source": {"name": "t1", "lsn": 1, "shard": 0}}
+    v2 = json.loads(env["value"][2].as_py())
+    assert v2["after"] is None and v2["op"] == "d" and v2["ts_ms"] is None
+    assert json.loads(env["key"][3].as_py()) == {"repo": None, "path": "f"}
+
+    # drop mode removes the delete; embedded newline/quote survive
+    flat = extract_new_record_state()(env)
+    assert flat["op"].to_pylist() == ["c", "u", "c"]
+    assert flat["repo"].to_pylist() == ['r"1', "r2", None]
+    assert flat["path"].to_pylist() == ["a/b", "c\nd", "f"]
+    assert flat["n"].to_pylist() == [10, None, 7]
+
+    # rewrite keeps the delete row with __deleted + provenance
+    rw = extract_new_record_state(delete_mode="rewrite",
+                                  add_source_fields=["lsn"])(env)
+    assert rw["__deleted"].to_pylist() == ["false", "false", "true", "false"]
+    assert rw["__lsn"].to_pylist() == [1, 2, 3, 4]
+
+    # pinned payload schema fixes dtypes regardless of inference
+    ps = pa.schema([("repo", pa.string()), ("path", pa.string()),
+                    ("n", pa.int64())])
+    pin = extract_new_record_state(payload_schema=ps,
+                                   add_source_fields=["lsn", "shard"])(env)
+    assert pin.schema.field("n").type == pa.int64()
+    assert pin.schema.field("__shard").type == pa.int64()
+
+    # tombstones (null value) drop in both modes; empty batch is total
+    tomb = env.set_column(1, "value", pa.array([None] * 4, pa.string()))
+    assert extract_new_record_state()(tomb).num_rows == 0
+    assert extract_new_record_state(delete_mode="rewrite")(tomb).num_rows == 0
+    with pytest.raises(ValueError):
+        extract_new_record_state(delete_mode="bogus")

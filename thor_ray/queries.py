@@ -11043,6 +11043,31 @@ FROM events
 """
 
 
+def q304_envelope_roundtrip(sf: str):
+    """Debezium wire-format interop: serialize events into change-event
+    envelopes (`to_change_envelope` — key JSON + before/after/op/ts_ms/
+    source value JSON) and parse them back with the
+    `extract_new_record_state` SMT (Debezium's unwrap). The oracle is the
+    identity projection — the roundtrip must reproduce the rows exactly
+    (quotes/newlines in props survive the JSON escaping, int64 types
+    survive Arrow's JSON inference)."""
+    from thor_ray.stages import extract_new_record_state, to_change_envelope
+    ds = T(sf, "events", ["event_id", "user_id", "event_type", "props"])
+    env = to_change_envelope(
+        key_cols=["event_id"],
+        payload_cols=["event_id", "user_id", "event_type", "props"],
+        source_name="events")
+    unwrap = extract_new_record_state()
+    return (ds.map_batches(env, batch_format="pyarrow")
+              .map_batches(unwrap, batch_format="pyarrow"))
+
+
+SQL_Q304 = """
+SELECT event_id, user_id, event_type, props, 'c' AS op
+FROM events
+"""
+
+
 def q302_incremental_snapshot(sf: str):
     """DBLog-style snapshot-while-tailing (rows-only): bootstrap EMPTY,
     fold the base table in as 4 key-disjoint _lsn=0 chunks interleaved
@@ -11382,6 +11407,7 @@ QUERIES: dict[str, tuple] = {
     "q300_sax": (q300_sax, SQL_Q300),
     "q301_changepoint": (q301_changepoint, SQL_Q301),
     "q303_outbox_route": (q303_outbox_route, SQL_Q303),
+    "q304_envelope_roundtrip": (q304_envelope_roundtrip, SQL_Q304),
 }
 
 

@@ -18,6 +18,7 @@ from .smt import (
     timestamp_router,
 )
 from .chain import TransformChain, predicate_gate, split_valid
+from .envelope import extract_new_record_state, to_change_envelope
 
 __all__ = [
     "cast_fields", "drop_fields", "extract_field", "flatten", "hoist_field",
@@ -26,4 +27,5 @@ __all__ = [
     "rename_fields", "replace_field", "select_fields", "smt_filter",
     "timestamp_converter", "timestamp_router",
     "TransformChain", "predicate_gate", "split_valid",
+    "extract_new_record_state", "to_change_envelope",
 ]
