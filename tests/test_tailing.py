@@ -314,3 +314,55 @@ def test_compact_text_shards_to_parquet(ray_session, grown, tmp_path,
     pipe2 = CdcPipeline(cfg)
     pipe2.run()
     check(pipe2, grown["expected"])
+
+
+def test_heartbeat_feed(ray_session, grown, tmp_path):
+    """follow() appends one heartbeat record per poll — liveness + lag
+    telemetry (Debezium heartbeat-topic analogue) — and after the drain
+    the committed watermark has caught up to the log head (lag 0)."""
+    import json
+
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write_segments(binlog_dir, n_segments=2)
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(lake_dir=lake, binlog_dir=binlog_dir,
+                    num_partitions=8, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    pipe.follow(poll_sec=0.05, idle_polls=2, base=grown["base_path"])
+    with open(os.path.join(lake, "_heartbeat.jsonl")) as f:
+        beats = [json.loads(ln) for ln in f if ln.strip()]
+    assert len(beats) >= 2
+    for b in beats:
+        assert b["type"] == "heartbeat"
+        assert set(b) >= {"ts_ms", "max_lsn", "safe_frontier",
+                          "committed_watermark", "lag_lsn"}
+        assert b["lag_lsn"] == max(b["max_lsn"] - b["committed_watermark"], 0)
+    # monotone: the committed watermark never regresses across polls
+    wms = [b["committed_watermark"] for b in beats]
+    assert wms == sorted(wms)
+
+
+def test_schema_change_feed(ray_session, grown, tmp_path):
+    """Every folded DDL lands in the schema-change feed with the resolved
+    post-change column set, in lsn order, matching the stored registry
+    timeline; replaying a committed epoch does not duplicate records."""
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write_segments(binlog_dir, n_segments=2)
+    lake = str(tmp_path / "lake")
+    cfg = CdcConfig(lake_dir=lake, binlog_dir=binlog_dir,
+                    num_partitions=8, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=grown["base_path"])
+    from thor_ray.state import SchemaRegistry
+    reg = SchemaRegistry.load(lake)
+    feed = pipe.schema_changes()
+    assert len(feed) == len(reg.entries) > 0
+    assert [r["lsn"] for r in feed] == [e["lsn"] for e in reg.entries]
+    for i, r in enumerate(feed):
+        assert r["schema_ver"] == i + 1
+        assert r["columns_after"] == reg.columns_at(i + 1)
+        assert r["types_after"] == reg.types_at(i + 1)
+        assert r["rejected"] is None
+    # idempotent on replay: re-running epoch 1 rewrites, never appends
+    pipe.run_epoch(1)
+    assert len(pipe.schema_changes()) == len(feed)

@@ -27,6 +27,7 @@ manifests".
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -1535,6 +1536,8 @@ class CdcPipeline:
         # schema_ver would point past the end of the stored timeline). The
         # registry is lsn-keyed and idempotent, so saving early is safe.
         full_registry.save(cfg.lake_dir)
+        if epoch_ddls and cfg.metrics:
+            self._write_schema_changes(epoch, epoch_ddls, full_registry)
 
         ctx = {
             "lake_dir": cfg.lake_dir, "epoch": epoch, "hi": hi,
@@ -1683,6 +1686,61 @@ class CdcPipeline:
                 }) + "\n")
         os.replace(tmp, path)
 
+    def _write_schema_changes(self, epoch: int, epoch_ddls: list[dict],
+                              registry: SchemaRegistry) -> None:
+        """Schema-change feed (the Debezium schema-history-topic analogue):
+        one JSONL record per DDL folded this epoch, with the post-change
+        column set/types resolved from the registry — what a downstream
+        sink consumer needs to evolve its own target schema in step.
+        Deterministic per-epoch file name + atomic replace → idempotent on
+        crash/replay, exactly like the lineage feed. Written right after
+        the early registry save so the feed never claims a change the
+        stored timeline doesn't have."""
+        slot_of = {e["lsn"]: i for i, e in enumerate(registry.entries)}
+        d = os.path.join(self.cfg.lake_dir, "_schema_changes")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"epoch-{epoch:06d}.jsonl")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for e in sorted(epoch_ddls, key=lambda e: e["lsn"]):
+                ver_after = slot_of[e["lsn"]] + 1
+                f.write(json.dumps({
+                    "type": "schema_change", "epoch": epoch,
+                    "lsn": int(e["lsn"]), "schema_ver": ver_after,
+                    "ddl": e["ddl"],
+                    "rejected": e.get("rejected"),
+                    "columns_after": registry.columns_at(ver_after),
+                    "types_after": registry.types_at(ver_after),
+                }) + "\n")
+        os.replace(tmp, path)
+
+    def schema_changes(self) -> list[dict]:
+        """Read the full schema-change feed, lsn-ordered."""
+        d = os.path.join(self.cfg.lake_dir, "_schema_changes")
+        recs: list[dict] = []
+        for p in sorted(glob.glob(os.path.join(d, "epoch-*.jsonl"))):
+            with open(p) as f:
+                recs.extend(json.loads(ln) for ln in f if ln.strip())
+        return sorted(recs, key=lambda r: r["lsn"])
+
+    def _write_heartbeat(self, max_lsn: int, frontier: int) -> None:
+        """Liveness heartbeat (Debezium heartbeat-topic analogue): one
+        appended JSONL record per follow() poll — proof the tail loop is
+        alive and how far behind the log head its commits are, even across
+        polls that apply nothing. Wall-clock telemetry by design (ops
+        surface, not replay state): the exactly-once machinery never reads
+        it back."""
+        ms = load_manifests(self.cfg.lake_dir)
+        wm = min((m.upto_lsn for m in ms.values()), default=0)
+        rec = {"type": "heartbeat", "ts_ms": int(time.time() * 1000),
+               "max_lsn": int(max_lsn), "safe_frontier": int(frontier),
+               "committed_watermark": int(wm),
+               "lag_lsn": int(max(max_lsn - wm, 0))}
+        os.makedirs(self.cfg.lake_dir, exist_ok=True)
+        with open(os.path.join(self.cfg.lake_dir, "_heartbeat.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     def follow(self, poll_sec: float = 2.0, idle_polls: int = 3,
                frontier_slack: int | None = None,
                base: "ray.data.Dataset | str | None" = None) -> list[EpochReport]:
@@ -1702,10 +1760,10 @@ class CdcPipeline:
         seen = -1
         while idle < idle_polls:
             now = binlog_src.max_lsn(self.cfg.binlog_dir)
+            frontier = binlog_src.safe_frontier(
+                self.cfg.binlog_dir, slack=frontier_slack)
             if now > seen:
                 seen = now
-                frontier = binlog_src.safe_frontier(
-                    self.cfg.binlog_dir, slack=frontier_slack)
                 # only epochs fully below the frontier
                 complete = (frontier // self.cfg.epoch_size) * self.cfg.epoch_size
                 if complete > 0:
@@ -1715,6 +1773,9 @@ class CdcPipeline:
                 idle += 1
                 if idle < idle_polls:
                     time.sleep(poll_sec)
+            if self.cfg.metrics:
+                # liveness + lag record every poll, applied or idle
+                self._write_heartbeat(now, frontier)
         # log stopped growing: drain everything (final partial epoch incl.)
         self.run(base=base)
         return self.reports
