@@ -1,14 +1,16 @@
 from .binlog import (max_lsn, read_ddl_events, read_epoch, safe_frontier,
                      shard_frontiers)
 from .lake import (ChangefeedConsumer, LakeEnricher, consumer_groups,
-                   enrich_with_lake, fsck, lake_lookup,
+                   enrich_with_lake, export_changefeed_envelopes, fsck,
+                   lake_lookup,
                    lake_stats, maintain_group_counts, merge_state_frames,
                    read_changefeed, read_lake, read_lake_at, read_lineage,
                    read_partition_state, snapshot_diff)
 from .sink import pruned_fragments, read_range, write_partitioned
 
 __all__ = ["ChangefeedConsumer", "consumer_groups",
-           "LakeEnricher", "enrich_with_lake", "fsck", "max_lsn", "read_ddl_events", "read_epoch", "safe_frontier",
+           "LakeEnricher", "enrich_with_lake", "export_changefeed_envelopes",
+           "fsck", "max_lsn", "read_ddl_events", "read_epoch", "safe_frontier",
            "shard_frontiers", "lake_lookup", "lake_stats",
            "maintain_group_counts",
            "merge_state_frames", "pruned_fragments", "read_changefeed",

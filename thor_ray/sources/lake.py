@@ -551,6 +551,49 @@ def read_changefeed(lake_dir: str, after_epoch: int,
     return out
 
 
+def export_changefeed_envelopes(lake_dir: str, out_dir: str,
+                                after_epoch: int = 0,
+                                upto_epoch: int | None = None,
+                                source_name: str = "lake") -> dict:
+    """Kafka-sink-shaped CDC-out: serialize the changefeed range
+    ``(after_epoch, upto_epoch]`` into Debezium change-event envelope
+    JSONL segments (``stages.envelope.to_change_envelope`` wire shape:
+    one ``{"key":…, "value":…}`` record per change row, deletes as
+    ``after=null`` + op 'd', lsn/epoch under ``source``).
+
+    One directory per epoch (``epoch=NNNNNN/``), written to a temp name
+    and atomically renamed in — a re-run (crash resume, consumer-group
+    re-poll) skips epochs whose final directory exists, the same
+    skip-finished-partitions discipline as the parquet sinks. Returns
+    ``{"epochs_written", "epochs_skipped"}``. Same delta-mode/level-0
+    requirement as :func:`read_changefeed`."""
+    from thor_ray.stages import to_change_envelope
+    from thor_ray.state import load_manifests
+
+    ms = load_manifests(lake_dir)
+    if not ms:
+        raise ValueError(f"no manifests under {lake_dir}")
+    upto = min(m.epoch for m in ms.values()) if upto_epoch is None \
+        else upto_epoch
+    os.makedirs(out_dir, exist_ok=True)
+    env = to_change_envelope(key_cols=["repo", "path"], op_col="op",
+                             source_cols=["lsn", "epoch"],
+                             source_name=source_name)
+    written = skipped = 0
+    for e in range(after_epoch + 1, upto + 1):
+        final = os.path.join(out_dir, f"epoch={e:06d}")
+        if os.path.exists(final):
+            skipped += 1
+            continue
+        tmp = final + f".tmp-{os.getpid()}"
+        (read_changefeed(lake_dir, e - 1, e)
+            .map_batches(env, batch_format="pyarrow")
+            .write_json(tmp))
+        os.replace(tmp, final)
+        written += 1
+    return {"epochs_written": written, "epochs_skipped": skipped}
+
+
 class ChangefeedConsumer:
     """Kafka consumer-group shape over the lake changefeed: a named,
     DURABLE offset (last acked epoch) per group, committed atomically

@@ -114,8 +114,8 @@ def extract_new_record_state(value_col: str = "value",
                              add_source_fields:
                              "list[str] | dict[str, pa.DataType] | None"
                              = None,
-                             payload_schema: pa.Schema | None = None
-                             ) -> Transform:
+                             payload_schema: pa.Schema | None = None,
+                             key_col: str | None = None) -> Transform:
     """Debezium ``ExtractNewRecordState``: envelope strings → flat rows.
 
     Parses the ``value_col`` JSON envelopes (Arrow block parser over the
@@ -125,7 +125,10 @@ def extract_new_record_state(value_col: str = "value",
     - ``"drop"`` (Debezium default): delete events (and tombstones —
       null values, which carry no image at all) are removed.
     - ``"rewrite"``: delete rows kept (payload columns null) plus a
-      ``__deleted`` string column 'true'/'false'.
+      ``__deleted`` string column 'true'/'false'. Since the envelope's
+      ``after`` is null on deletes, pass ``key_col`` (the record-key JSON
+      column — where Debezium keeps a delete's identity) to coalesce the
+      key fields back in, so a delete row still names the key it kills.
 
     ``add_source_fields`` surfaces envelope provenance as ``__<field>``
     columns (the ``add.fields=source.lsn,...`` analogue); a plain list
@@ -142,15 +145,21 @@ def extract_new_record_state(value_col: str = "value",
     else:
         src_fields = {f: pa.int64() for f in (add_source_fields or [])}
 
+    def _block_parse_lines(arr: pa.Array,
+                           parse: "pajson.ParseOptions | None" = None):
+        if len(arr) == 0:
+            return None
+        la = pa.ListArray.from_arrays(
+            pa.array([0, len(arr)], pa.int32()), arr)
+        joined = pc.binary_join(la, pa.scalar("\n"))[0].as_py()
+        return pajson.read_json(pa.BufferReader(joined.encode()),
+                                parse_options=parse)
+
     def fn(t: Batch) -> Batch:
         # tombstones (null value) are droppable in both modes: they carry
         # no after image and no key payload to rewrite
-        flat = t[value_col].combine_chunks().drop_null()
-        joined = ""
-        if len(flat):
-            la = pa.ListArray.from_arrays(
-                pa.array([0, len(flat)], pa.int32()), flat)
-            joined = pc.binary_join(la, pa.scalar("\n"))[0].as_py()
+        t = t.filter(pc.is_valid(t[value_col]))
+        flat = t[value_col].combine_chunks()
         parse = None
         if payload_schema is not None:
             env_fields = [
@@ -166,9 +175,7 @@ def extract_new_record_state(value_col: str = "value",
             parse = pajson.ParseOptions(
                 explicit_schema=pa.schema(env_fields),
                 unexpected_field_behavior="ignore")
-        env = pajson.read_json(
-            pa.BufferReader(joined.encode()),
-            parse_options=parse) if joined else None
+        env = _block_parse_lines(flat, parse)
         if env is None or env.num_rows == 0:
             cols: dict[str, pa.Array] = {}
             if payload_schema is not None:
@@ -177,10 +184,21 @@ def extract_new_record_state(value_col: str = "value",
             cols["op"] = pa.array([], pa.string())
             return pa.table(cols)
         after = env["after"].combine_chunks()
+        key_tbl = None
+        if key_col is not None:
+            key_tbl = _block_parse_lines(t[key_col].combine_chunks())
         out: dict[str, object] = {}
         for f in after.type:
             # struct_field of a null struct row yields a null value
-            out[f.name] = pc.struct_field(env["after"], f.name)
+            col = pc.struct_field(env["after"], f.name)
+            if key_tbl is not None and f.name in key_tbl.column_names:
+                # delete rows (after=null) recover their identity from
+                # the record key — Debezium keeps it there, not in value
+                kc = key_tbl[f.name]
+                if kc.type != col.type:
+                    kc = pc.cast(kc, col.type)
+                col = pc.coalesce(col, kc)
+            out[f.name] = col
         op = env["op"]
         out["op"] = op
         for f in src_fields:
