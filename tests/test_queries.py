@@ -129,3 +129,58 @@ def test_rnd_matches_duckdb_bitwise():
         assert all(repr(g) == repr(e) for g, e in zip(got, exp)), (xs, n, got, exp)
 
     prop()
+
+
+def test_pava_reference():
+    """queries._pava matches a brute-force reference (minimize weighted
+    SSE subject to monotonicity == iteratively pool adjacent violators
+    until none remain) and known hand cases."""
+    import numpy as np
+
+    from thor_ray.queries import _pava
+
+    def ref(y, w):
+        y, w = list(map(float, y)), list(map(float, w))
+        blocks = [[v, wt] for v, wt in zip(y, w)]
+        sizes = [1] * len(blocks)
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(blocks) - 1):
+                if blocks[i][0] > blocks[i + 1][0]:
+                    m = (blocks[i][0] * blocks[i][1]
+                         + blocks[i + 1][0] * blocks[i + 1][1]) \
+                        / (blocks[i][1] + blocks[i + 1][1])
+                    blocks[i] = [m, blocks[i][1] + blocks[i + 1][1]]
+                    sizes[i] += sizes[i + 1]
+                    del blocks[i + 1], sizes[i + 1]
+                    changed = True
+                    break
+        return np.repeat([b[0] for b in blocks], sizes)
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        n = rng.randint(1, 12)
+        y = rng.rand(n)
+        w = rng.randint(1, 9, n).astype(float)
+        np.testing.assert_allclose(_pava(y, w), ref(y, w), rtol=1e-12)
+    # hand case: single violator pools to the weighted mean
+    np.testing.assert_allclose(_pava(np.array([1.0, 3.0, 2.0]),
+                                     np.array([1.0, 1.0, 3.0])),
+                               [1.0, 2.25, 2.25])
+    # monotone input is a fixed point
+    np.testing.assert_allclose(_pava(np.array([1.0, 2.0, 2.0, 5.0]),
+                                     np.ones(4)), [1.0, 2.0, 2.0, 5.0])
+
+
+def test_isotonic_calibration_monotone(ray_session):
+    """q307: fitted rates are non-decreasing in bucket, weighted mean is
+    preserved (PAVA invariant), and raw rates are reproduced where the
+    input is already monotone."""
+    import numpy as np
+
+    df = Q.q307_isotonic_calibration(SF)
+    assert (np.diff(df["iso_rate"].to_numpy()) >= -1e-12).all()
+    w = df["n"].to_numpy(float)
+    assert abs(np.average(df["iso_rate"], weights=w)
+               - np.average(df["rate"], weights=w)) < 1e-12

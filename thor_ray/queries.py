@@ -11068,6 +11068,252 @@ FROM events
 """
 
 
+def q305_golden_record(sf: str):
+    """Golden-record consolidation (MDM survivorship, the standalone twin
+    of the CDC patch-mode fold): per user, the LAST event_type by
+    (ts, event_id) and the last non-null value — 'error' events carry no
+    value (domain rule applied identically on both sides). Combiner
+    pattern: each batch reduces to ≤1 row per user (arg-max partials +
+    count), the fold runs inside one coarse-salt shuffle."""
+    ds = T(sf, "events", ["event_id", "ts", "user_id", "event_type",
+                          "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pandas(),
+            "value": t["value"].to_numpy(zero_copy_only=False),
+            "ts_us": pc.cast(t["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "eid": t["event_id"].to_numpy(zero_copy_only=False),
+        }).sort_values(["ts_us", "eid"], kind="stable")
+        last = df.groupby("user_id", sort=False).agg(
+            cnt=("eid", "size"), ts_us=("ts_us", "last"),
+            eid=("eid", "last"), last_event_type=("event_type", "last"))
+        nv = df[df["event_type"] != "error"]
+        lv = nv.groupby("user_id", sort=False).agg(
+            v_ts_us=("ts_us", "last"), v_eid=("eid", "last"),
+            last_value=("value", "last"))
+        out = last.join(lv).reset_index()
+        out["usalt"] = (out["user_id"] & 63).astype("int32")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "eid"], kind="stable")
+        last = g.groupby("user_id", sort=False).agg(
+            n_events=("cnt", "sum"),
+            last_event_type=("last_event_type", "last"))
+        nv = g[g["v_ts_us"].notna()].sort_values(["v_ts_us", "v_eid"],
+                                                 kind="stable")
+        lv = nv.groupby("user_id", sort=False)["last_value"].last()
+        out = last.join(lv).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        out["last_value"] = out["last_value"].astype("float64")
+        return out[["user_id", "n_events", "last_event_type",
+                    "last_value"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("usalt").map_groups(fold, batch_format="pandas"))
+
+
+SQL_Q305 = """
+SELECT user_id, count(*) AS n_events,
+       arg_max(event_type,
+               CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id)
+           AS last_event_type,
+       arg_max(value,
+               CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id)
+           FILTER (event_type <> 'error') AS last_value
+FROM events GROUP BY user_id
+"""
+
+
+def q306_hodges_lehmann(sf: str):
+    """Hodges-Lehmann robust location estimator per nation: the median of
+    all pairwise Walsh averages (acctbal_i + acctbal_j)/2, i <= j. The
+    pairwise expansion runs INSIDE each nation's group task (O(n^2) per
+    group — a robust-statistics op for bounded group sizes, ~<=10k rows;
+    the across-group work distributes). Interpolation replicates DuckDB
+    quantile_cont exactly: lo + frac*(hi - lo) at position (n-1)/2."""
+    ds = T(sf, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def hl(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["c_acctbal"].to_numpy(np.float64)
+        iu = np.triu_indices(len(a))
+        w = np.sort((a[iu[0]] + a[iu[1]]) / 2.0)
+        pos = (len(w) - 1) / 2.0
+        i, f = int(pos), pos - int(pos)
+        est = w[i] + f * (w[i + 1] - w[i]) if f else w[i]
+        return pd.DataFrame([{
+            "c_nationkey": np.int64(g["c_nationkey"].iloc[0]),
+            "hl_estimate": float(_rnd(pa.array([est]), 4)[0].as_py())}])
+
+    return ds.groupby("c_nationkey").map_groups(hl, batch_format="pandas")
+
+
+SQL_Q306 = """
+SELECT a.c_nationkey,
+       round(median((a.c_acctbal + b.c_acctbal) / 2), 4) AS hl_estimate
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey <= b.c_custkey
+GROUP BY a.c_nationkey
+"""
+
+
+def _pava(y: "np.ndarray", w: "np.ndarray") -> "np.ndarray":
+    """Pool-adjacent-violators: weighted least-squares isotonic
+    (non-decreasing) fit. Stack-based O(n); returns the fitted value per
+    input position."""
+    means = []
+    weights = []
+    counts = []
+    for yi, wi in zip(y, w):
+        means.append(float(yi))
+        weights.append(float(wi))
+        counts.append(1)
+        while len(means) > 1 and means[-2] > means[-1]:
+            m2, w2, c2 = means.pop(), weights.pop(), counts.pop()
+            m1, w1, c1 = means.pop(), weights.pop(), counts.pop()
+            means.append((m1 * w1 + m2 * w2) / (w1 + w2))
+            weights.append(w1 + w2)
+            counts.append(c1 + c2)
+    return np.repeat(means, counts)
+
+
+def q307_isotonic_calibration(sf: str):
+    """Isotonic regression (PAVA) of purchase rate against the props 'k'
+    decile bucket — the monotone calibration fit used on model scores at
+    scale. One DISTRIBUTED grouped aggregate collapses the corpus to
+    <=10 bucket rows; the O(buckets) PAVA fold runs on that output-sized
+    table. Rows-only (the pooling recursion isn't SQL-expressible); the
+    exact fold is unit-tested against a reference implementation."""
+    from ray.data.aggregate import Count, Sum
+    from thor_ray.stages import json_extract
+    ds = T(sf, "events", ["event_type", "props"])
+    ds = ds.map_batches(json_extract("props", "k", "k", pa.int64()),
+                        batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.divide(t["k"], 10), pa.int64())
+        conv = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        return pa.table({"bucket": b, "conv": conv})
+
+    agg = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby("bucket")
+             .aggregate(Count(alias_name="n"),
+                        Sum("conv", alias_name="n_conv"))
+             .to_pandas().sort_values("bucket"))
+    n = agg["n"].to_numpy(np.float64)
+    rate = agg["n_conv"].to_numpy(np.float64) / n
+    iso = _pava(rate, n)
+    return pd.DataFrame({"bucket": agg["bucket"].astype("int64"),
+                         "n": agg["n"].astype("int64"),
+                         "rate": rate, "iso_rate": iso})
+
+
+def q308_linear_attribution(sf: str):
+    """Linear multi-touch attribution: every event BEFORE a user's first
+    purchase shares that conversion's credit equally (1/n_touches each);
+    credits summed per event_type. All wide steps are output-sized after
+    the first grouped count; the final float fold sums each event_type's
+    per-user credits in user_id order — the SQL twin sums an
+    ORDER BY user_id list, so the doubles match bit-for-bit."""
+    from ray.data.aggregate import Count, Min
+    ev = T(sf, "events", ["user_id", "event_type", "ts"])
+    fp = (ev.filter(expr="event_type == 'purchase'")
+            .groupby("user_id").aggregate(Min("ts", alias_name="pts")))
+    j = R.hash_join(ev, fp, on=("user_id",))
+    pre = j.filter(expr="ts < pts")
+    counts = (pre.groupby(["user_id", "event_type"])
+                 .aggregate(Count(alias_name="n")))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        tot = float(g["n"].sum())
+        return pd.DataFrame({
+            "user_id": g["user_id"], "event_type": g["event_type"],
+            "credit": g["n"].to_numpy(np.float64) / tot})
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("user_id", kind="stable")
+        return pd.DataFrame([{
+            "event_type": g["event_type"].iloc[0],
+            "credit": float(np.add.reduce(
+                g["credit"].to_numpy(np.float64)))}])
+
+    return (counts.groupby("user_id")
+                  .map_groups(per_user, batch_format="pandas")
+                  .groupby("event_type")
+                  .map_groups(per_type, batch_format="pandas"))
+
+
+SQL_Q308 = """
+WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id),
+pre AS (SELECT e.user_id, e.event_type
+        FROM events e JOIN fp USING (user_id) WHERE e.ts < fp.pts),
+peru AS (SELECT user_id, event_type,
+                CAST(count(*) AS DOUBLE) /
+                sum(count(*)) OVER (PARTITION BY user_id) AS credit
+         FROM pre GROUP BY user_id, event_type)
+SELECT event_type,
+       list_aggregate(list(credit ORDER BY user_id), 'sum') AS credit
+FROM peru GROUP BY event_type
+"""
+
+
+def q309_negative_sampling(sf: str):
+    """Contrastive-training negative sampling: 3 deterministic negatives
+    per document, drawn by md5 slot hash over the GLOBAL sorted id list
+    (self-hits shift to the next id). The candidate list is broadcast
+    once (ray.put; id-only — at 100 TB cap it or sample the candidate
+    pool, documented) and the draw is a pure map — no shuffle. The md5
+    tier is SQL-replayable, so the twin is exact."""
+    import hashlib
+
+    ids = np.sort(T(sf, "documents", ["doc_id"])
+                  .to_pandas()["doc_id"].to_numpy())
+    n = len(ids)
+    ids_ref = ray.put(ids)
+
+    def draw(t: pa.Table) -> pa.Table:
+        cand = ray.get(ids_ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        outs = []
+        for j in (1, 2, 3):
+            idx = np.fromiter(
+                (int(hashlib.md5(f"{v}_{j}".encode()).hexdigest()[:8], 16)
+                 for v in d), dtype=np.int64, count=len(d)) % n
+            neg = cand[idx]
+            clash = neg == d
+            if clash.any():
+                neg = np.where(clash, cand[(idx + 1) % n], neg)
+            outs.append(pa.table({
+                "doc_id": t["doc_id"],
+                "neg_slot": pa.array(np.full(len(d), j, dtype=np.int64)),
+                "neg_id": pa.array(neg)}))
+        return pa.concat_tables(outs)
+
+    return T(sf, "documents", ["doc_id"]).map_batches(
+        draw, batch_format="pyarrow")
+
+
+SQL_Q309 = """
+WITH ids AS (SELECT list(doc_id ORDER BY doc_id) AS l, count(*) AS n
+             FROM documents),
+c AS (SELECT d.doc_id, j,
+             (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '_' ||
+                                  CAST(j AS VARCHAR)), 1, 8))::BIGINT)
+             % n AS idx, l, n
+      FROM documents d, ids, range(1, 4) r(j))
+SELECT doc_id, j AS neg_slot,
+       CASE WHEN l[CAST(idx AS BIGINT) + 1] = doc_id
+            THEN l[CAST((idx + 1) % n AS BIGINT) + 1]
+            ELSE l[CAST(idx AS BIGINT) + 1] END AS neg_id
+FROM c
+"""
+
+
 def q302_incremental_snapshot(sf: str):
     """DBLog-style snapshot-while-tailing (rows-only): bootstrap EMPTY,
     fold the base table in as 4 key-disjoint _lsn=0 chunks interleaved
@@ -11408,6 +11654,11 @@ QUERIES: dict[str, tuple] = {
     "q301_changepoint": (q301_changepoint, SQL_Q301),
     "q303_outbox_route": (q303_outbox_route, SQL_Q303),
     "q304_envelope_roundtrip": (q304_envelope_roundtrip, SQL_Q304),
+    "q305_golden_record": (q305_golden_record, SQL_Q305),
+    "q306_hodges_lehmann": (q306_hodges_lehmann, SQL_Q306),
+    "q307_isotonic_calibration": (q307_isotonic_calibration, None),
+    "q308_linear_attribution": (q308_linear_attribution, SQL_Q308),
+    "q309_negative_sampling": (q309_negative_sampling, SQL_Q309),
 }
 
 
