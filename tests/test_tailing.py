@@ -366,3 +366,47 @@ def test_schema_change_feed(ray_session, grown, tmp_path):
     # idempotent on replay: re-running epoch 1 rewrites, never appends
     pipe.run_epoch(1)
     assert len(pipe.schema_changes()) == len(feed)
+
+
+def test_envelope_binlog_replay(ray_session, grown, tmp_path):
+    """S2 contract over the Debezium-envelope wire: write the log as
+    shard-*.envelope.jsonl, convert with envelope_to_binlog (lossless —
+    deletes' keys from the record key, position from source.ts_us/lsn,
+    DDLs from op='ddl' lines), replay the converted parquet tier to the
+    identical final state. The converted shard set keeps frontier
+    identity with the parquet tier."""
+    import pyarrow.compute as pc
+
+    wire_dir = str(tmp_path / "binlog_env")
+    grown["log"].write_envelope(wire_dir)
+    binlog_dir = str(tmp_path / "binlog_conv")
+    n = bs.envelope_to_binlog(wire_dir, binlog_dir)
+    assert n == 4
+    assert bs.binlog_format(binlog_dir) == "parquet"
+    assert bs.max_lsn(binlog_dir) == 8_000
+    assert sorted(bs.shard_frontiers(binlog_dir)) == \
+        [f"shard-{i:04d}" for i in range(4)]
+    # converted events equal the originals column-for-column; the one
+    # legal difference: a delete's after-image is null on the wire, so
+    # payload columns of D rows come back null (orig carries extra='{}'
+    # there — semantically identical, the apply ignores a D's payload)
+    orig = pa.concat_tables(grown["log"].shards).sort_by("lsn")
+    conv = pa.concat_tables(
+        [__import__("pyarrow.parquet", fromlist=["pq"]).read_table(p)
+         for p in bs.shard_files(binlog_dir)]).sort_by("lsn")
+    assert conv.num_rows == orig.num_rows
+    not_d = pc.not_equal(pc.fill_null(orig["op"], ""), "D")
+    payload = {"commit", "lang", "content", "extra"}
+    for col in orig.column_names:
+        oc, cc = orig[col], conv[col]
+        if col in payload:
+            oc, cc = oc.filter(not_d), cc.filter(not_d)
+        assert pc.all(pc.equal(
+            pc.is_null(cc), pc.is_null(oc))).as_py(), col
+        ok = pc.all(pc.equal(cc, oc))
+        assert ok.as_py() in (True, None), col
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=8, epoch_size=2_000)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=grown["base_path"])
+    check(pipe, grown["expected"])

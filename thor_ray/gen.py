@@ -191,6 +191,55 @@ class Binlog:
             paths.append(p)
         return paths
 
+    def write_envelope(self, out_dir: str) -> list[str]:
+        """Debezium change-event envelope shard files
+        (`shard-NNNN.envelope.jsonl`) — the full JsonConverter wire: each
+        line is ``{"key": <key json>, "value": <envelope json>}`` with
+        the row image under ``after`` (null for deletes), op c/u/d, and
+        ALL log-position metadata (lsn/txn/shard/schema_ver/ts_us) under
+        ``source`` so deletes keep their position. DDL events ride the
+        same wire as op='ddl' lines with the statement in a top-level
+        ``ddl`` field (the schema-change-message shape). Ingest path:
+        ``sources.binlog.envelope_to_binlog`` converts the wire to the
+        parquet tier losslessly."""
+        import pyarrow.compute as pc
+
+        from thor_ray.stages.envelope import to_change_envelope
+
+        os.makedirs(out_dir, exist_ok=True)
+        self._write_shard_marker(out_dir)
+        env = to_change_envelope(
+            key_cols=["repo", "path"],
+            payload_cols=["repo", "path", "commit", "lang", "content",
+                          "extra"],
+            op_col="op", ts_col="ts",
+            source_cols=["lsn", "txn", "shard", "schema_ver", "ts_us"],
+            source_name="binlog")
+        paths = []
+        for i, t in enumerate(self.shards):
+            t2 = t.append_column("ts_us", pc.cast(t["ts"], pa.int64()))
+            is_ddl = pc.equal(pc.fill_null(t2["op"], ""), "DDL")
+            data = env(t2.filter(pc.invert(is_ddl)))
+            lines = [json.dumps({"key": k, "value": v})
+                     for k, v in zip(data["key"].to_pylist(),
+                                     data["value"].to_pylist())]
+            for r in t2.filter(is_ddl).to_pylist():
+                val = {"before": None, "after": None, "op": "ddl",
+                       "ts_ms": (r["ts_us"] // 1000
+                                 if r["ts_us"] is not None else None),
+                       "source": {"name": "binlog", "lsn": r["lsn"],
+                                  "txn": r["txn"], "shard": r["shard"],
+                                  "schema_ver": r["schema_ver"],
+                                  "ts_us": r["ts_us"]},
+                       "ddl": r["ddl"]}
+                lines.append(json.dumps({"key": None,
+                                         "value": json.dumps(val)}))
+            p = os.path.join(out_dir, f"shard-{i:04d}.envelope.jsonl")
+            with open(p, "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+            paths.append(p)
+        return paths
+
     def _write_shard_marker(self, out_dir: str) -> None:
         """Declare the expected shard set BEFORE any data lands, so the
         reader's safe_frontier never commits past a shard whose first

@@ -413,6 +413,99 @@ def archive_binlog(binlog_dir: str, below_lsn: int) -> int:
     return n
 
 
+def envelope_to_binlog(src_dir: str, dst_dir: str,
+                       row_group_size: int = 16_384) -> int:
+    """Ingest a Debezium-envelope wire log (``shard-NNNN.envelope.jsonl``,
+    the shape ``gen.Binlog.write_envelope`` emits and real
+    Connect/Debezium JSON sinks produce): unwrap each shard's envelopes
+    back into the flat event schema and write the standard parquet binlog
+    tier under ``dst_dir`` — shard identity preserved (same name stems →
+    same frontier/watermark contract), rows lsn-sorted for row-group
+    pruning. Deletes recover their key from the record key and their
+    position from ``source``; op='ddl' lines become op='DDL' events with
+    the statement from the top-level ``ddl`` field. Lossless: ``ts``
+    rides as epoch-µs in ``source.ts_us`` (the envelope's own ``ts_ms``
+    is millisecond-truncated). Metadata-scale driver loop, same as
+    compact_text_shards. Returns the number of shards converted."""
+    from thor_ray.gen import EVENT_SCHEMA
+
+    files = sorted(glob.glob(os.path.join(src_dir,
+                                          "shard-*.envelope.jsonl")))
+    os.makedirs(dst_dir, exist_ok=True)
+    n = 0
+    for p in files:
+        outer = pajson.read_json(_open_text(p))
+        vals = outer["value"].combine_chunks()
+        env = pajson.read_json(
+            pa.BufferReader(("\n".join(vals.to_pylist())).encode()))
+        src = env["source"]
+        keys = None
+        kcol = outer["key"].combine_chunks().drop_null()
+        if len(kcol):
+            keys = pajson.read_json(
+                pa.BufferReader(("\n".join(
+                    outer["key"].fill_null('{"repo":null,"path":null}')
+                    .to_pylist())).encode()))
+
+        def field_of(parent, name, typ):
+            if parent is not None and pa.types.is_struct(
+                    parent.type if hasattr(parent, "type")
+                    else parent.chunk(0).type):
+                try:
+                    return pc.cast(pc.struct_field(parent, name), typ)
+                except KeyError:
+                    pass
+            return pa.nulls(env.num_rows, typ)
+
+        after = env["after"] if "after" in env.column_names else None
+        o = env["op"]
+        op = pc.if_else(
+            pc.equal(o, "c"), pa.scalar("I"),
+            pc.if_else(pc.equal(o, "u"), pa.scalar("U"),
+                       pc.if_else(pc.equal(o, "d"), pa.scalar("D"),
+                                  pa.scalar("DDL"))))
+        cols = {
+            "lsn": field_of(src, "lsn", pa.int64()),
+            "txn": field_of(src, "txn", pa.int64()),
+            "op": op,
+            "repo": field_of(after, "repo", pa.string()),
+            "path": field_of(after, "path", pa.string()),
+            "commit": field_of(after, "commit", pa.string()),
+            "lang": field_of(after, "lang", pa.string()),
+            "content": field_of(after, "content", pa.large_string()),
+            "extra": field_of(after, "extra", pa.large_string()),
+            "ddl": (pc.cast(env["ddl"], pa.string())
+                    if "ddl" in env.column_names
+                    else pa.nulls(env.num_rows, pa.string())),
+            "ts": pc.cast(field_of(src, "ts_us", pa.int64()),
+                          pa.timestamp("us")),
+            "schema_ver": field_of(src, "schema_ver", pa.int32()),
+            "shard": field_of(src, "shard", pa.int32()),
+        }
+        if keys is not None:
+            # deletes carry a null after-image; identity lives in the key
+            cols["repo"] = pc.coalesce(
+                cols["repo"], pc.cast(keys["repo"], pa.string()))
+            cols["path"] = pc.coalesce(
+                cols["path"], pc.cast(keys["path"], pa.string()))
+        out = pa.table(cols, schema=EVENT_SCHEMA).sort_by("lsn")
+        stem = os.path.basename(p)[:-len(".envelope.jsonl")]
+        final = os.path.join(dst_dir, stem + ".parquet")
+        tmp = final + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp, row_group_size=row_group_size)
+        os.replace(tmp, final)
+        n += 1
+    marker = os.path.join(src_dir, "_shards.json")
+    if os.path.exists(marker) and src_dir != dst_dir:
+        with open(marker) as f:
+            data = f.read()
+        tmp = os.path.join(dst_dir, "_shards.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(dst_dir, "_shards.json"))
+    return n
+
+
 def compact_text_shards(binlog_dir: str, row_group_size: int = 16_384
                         ) -> int:
     """Convert text wire shards (jsonl / jsonl.gz / csv) to the parquet
