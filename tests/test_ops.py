@@ -2278,3 +2278,45 @@ def test_sq_quantization_bounds_and_recall(ray_session):
     assert recall >= 0.8, f"SQ recall@10 too low: {recall}"
     got2 = ANN.sq_topk(codes, q, b, k=10)
     assert list(got["vec_id"]) == list(got2["vec_id"])
+
+
+def test_kcore_matches_reference_peel(ray_session):
+    """ops/graph.py::kcore equals a single-process reference peel on
+    seeded random graphs, across k values, including empty results."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from thor_ray.ops.graph import kcore
+
+    def ref_kcore(pairs, k):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            drop = {v for v in alive
+                    if len(adj[v] & alive) < k}
+            if not drop:
+                break
+            alive -= drop
+        return {v: len(adj[v] & alive) for v in alive}
+
+    rng = np.random.RandomState(11)
+    for trial in range(2):
+        n = 40
+        m = 120
+        pairs = {(int(a), int(b)) for a, b in
+                 zip(rng.randint(0, n, m), rng.randint(0, n, m))
+                 if a != b}
+        pairs = {(min(a, b), max(a, b)) for a, b in pairs}
+        both = list(pairs) + [(b, a) for a, b in pairs]
+        ds = ray.data.from_arrow(pa.table(
+            {"src": pa.array([a for a, _ in both], pa.int64()),
+             "dst": pa.array([b for _, b in both], pa.int64())}))
+        for k in (2, 3, 6):
+            got = kcore(ds, k).to_pandas()
+            want = ref_kcore(pairs, k)
+            got_map = dict(zip(got.get("node", []), got.get("degree", [])))
+            assert got_map == want, (trial, k)

@@ -290,3 +290,53 @@ def connected_components(edges: Dataset, nodes: Dataset,
             break
         prev_sum = cur
     return labels
+
+
+def kcore(edges: Dataset, k: int, max_iters: int = 50) -> Dataset:
+    """Distributed k-core decomposition (iterative peel): repeatedly drop
+    vertices with degree < k until a fixpoint. Returns the surviving
+    vertex set with each survivor's within-core degree
+    (columns: node, degree).
+
+    ``edges``: (src, dst) with BOTH directions present (undirected
+    convention shared with connected_components). Each round is one
+    grouped count (degrees) + one semi-join filter of the edge set —
+    edges stay a distributed Dataset; only the per-round survivor count
+    (one int) touches the driver. Survivor count is monotone
+    non-increasing, so equality between rounds is a fixpoint and the
+    loop early-exits; rounds are bounded by max_iters (the peel depth,
+    not the graph size)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Count
+    from thor_ray.ops.relational import hash_join
+
+    nblk = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+    edges = edges.repartition(nblk).materialize()
+    prev: "int | None" = None
+    deg = edges.groupby("src").aggregate(Count(alias_name="degree"))
+    for _ in range(max_iters):
+        # repartition: groupby-produced blocks can be EMPTY/schema-less,
+        # which crashes the acero hash join (same Ray 2.49 wart worked
+        # around in connected_components / pagerank_int)
+        keep = (deg.filter(expr=f"degree >= {k}")
+                .map_batches(lambda t: pa.table({"node": t["src"]}),
+                             batch_format="pyarrow")
+                .repartition(nblk).materialize())
+        n = keep.count()
+        if prev is not None and n == prev:
+            break
+        prev = n
+        if n == 0:
+            break
+        # edge survives iff BOTH endpoints survive: two semi-joins
+        edges = (hash_join(edges, keep, on=("src",), right_on=("node",),
+                           join_type="left_semi")
+                 .repartition(nblk).materialize())
+        edges = (hash_join(edges, keep, on=("dst",), right_on=("node",),
+                           join_type="left_semi")
+                 .repartition(nblk).materialize())
+        deg = edges.groupby("src").aggregate(Count(alias_name="degree"))
+    return deg.filter(expr=f"degree >= {k}").map_batches(
+        lambda t: pa.table({"node": t["src"], "degree": t["degree"]}),
+        batch_format="pyarrow")

@@ -11314,6 +11314,211 @@ FROM c
 """
 
 
+def q310_bayes_ab(sf: str):
+    """Bayesian A/B test on user conversion (variant = user_id parity,
+    the deterministic bucketing an experimentation system uses):
+    P(p_B > p_A) under independent Beta(1+s, 1+n−s) posteriors, via the
+    exact closed-form sum over the integer success count — no sampling.
+    Distributed part: one user-level grouped max (converted?) + one tiny
+    variant rollup; the Σ runs on four scalars. The SQL twin evaluates
+    the identical lgamma series term-by-term in i order, so the doubles
+    match bit-for-bit (libm parity verified)."""
+    import math
+
+    from ray.data.aggregate import Count, Max, Sum
+    ds = T(sf, "events", ["user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "conv": pc.cast(pc.equal(t["event_type"], "purchase"),
+                            pa.int64())})
+
+    users = (ds.map_batches(tag, batch_format="pyarrow")
+               .groupby("user_id").aggregate(Max("conv", alias_name="conv")))
+
+    def variant(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pc.bit_wise_and(t["user_id"], 1),
+                         "conv": t["conv"]})
+
+    roll = (users.map_batches(variant, batch_format="pyarrow")
+            .groupby("v").aggregate(Count(alias_name="n"),
+                                    Sum("conv", alias_name="s"))
+            .to_pandas().set_index("v"))
+    n_a, s_a = int(roll.loc[0, "n"]), int(roll.loc[0, "s"])
+    n_b, s_b = int(roll.loc[1, "n"]), int(roll.loc[1, "s"])
+    a1, b1 = 1.0 + s_a, 1.0 + n_a - s_a
+    a2, b2 = 1.0 + s_b, 1.0 + n_b - s_b
+
+    def lbeta(x: float, y: float) -> float:
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    p = 0.0
+    for i in range(int(a2)):          # i = 0 .. s_b
+        p += math.exp(lbeta(a1 + i, b1 + b2) - math.log(b2 + i)
+                      - lbeta(1.0 + i, b2) - lbeta(a1, b1))
+    p = float(_rnd(pa.array([p]), 6)[0].as_py())
+    return pd.DataFrame([{"n_a": np.int64(n_a), "s_a": np.int64(s_a),
+                          "n_b": np.int64(n_b), "s_b": np.int64(s_b),
+                          "p_b_beats_a": p}])
+
+
+SQL_Q310 = """
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS conv
+           FROM events GROUP BY user_id),
+s AS (SELECT count(*) FILTER (user_id % 2 = 0) AS n_a,
+             sum(conv) FILTER (user_id % 2 = 0) AS s_a,
+             count(*) FILTER (user_id % 2 = 1) AS n_b,
+             sum(conv) FILTER (user_id % 2 = 1) AS s_b
+      FROM u),
+p AS (SELECT n_a, s_a, n_b, s_b,
+             1.0 + s_a AS a1, 1.0 + n_a - s_a AS b1,
+             1.0 + s_b AS a2, 1.0 + n_b - s_b AS b2
+      FROM s)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(s_a AS BIGINT) AS s_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(s_b AS BIGINT) AS s_b,
+       round(list_aggregate(list_transform(
+           range(0, CAST(a2 AS BIGINT)),
+           i -> exp((lgamma(a1 + i) + lgamma(b1 + b2)
+                     - lgamma(a1 + i + b1 + b2))
+                    - ln(b2 + i)
+                    - (lgamma(1.0 + i) + lgamma(b2)
+                       - lgamma(1.0 + i + b2))
+                    - (lgamma(a1) + lgamma(b1) - lgamma(a1 + b1)))),
+           'sum'), 6) AS p_b_beats_a
+FROM p
+"""
+
+
+def q311_kcore(sf: str):
+    """k-core decomposition (k=3) of the bulk co-purchase supplier graph
+    (same edge set as q291): ops/graph.py::kcore iterative peel —
+    grouped degree count + two semi-joins per round, early-exit at the
+    survivor fixpoint. Rows-only (the peel-until-fixpoint recursion
+    isn't SQL-expressible); the peel is unit-tested against a reference
+    implementation on random graphs."""
+    from ray.data.aggregate import Count
+    from thor_ray.ops import graph as G
+    ds = T(sf, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
+    fanout = 64
+
+    def salt_o(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["l_quantity"], 50))
+        return pa.table({
+            "okey": t["l_orderkey"], "skey": t["l_suppkey"],
+            "osalt": pc.cast(pc.bit_wise_and(t["l_orderkey"], fanout - 1),
+                             pa.int32())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["okey", "skey"]) \
+            .sort_values(["okey", "skey"], kind="stable")
+        ok = g["okey"].to_numpy()
+        sk = g["skey"].to_numpy()
+        out_a, out_b = [], []
+        max_run = int(np.bincount(np.unique(ok, return_inverse=True)[1])
+                      .max()) if len(ok) else 0
+        for d in range(1, max_run):
+            same = ok[:-d] == ok[d:]
+            out_a.append(sk[:-d][same])
+            out_b.append(sk[d:][same])
+        if not out_a:
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    base = ds.map_batches(salt_o, batch_format="pyarrow")
+    edges = (base.groupby("osalt").map_groups(pairs, batch_format="pandas")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_"))
+             .select_columns(["a", "b"]))
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([t["a"].combine_chunks(),
+                                     t["b"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["b"].combine_chunks(),
+                                     t["a"].combine_chunks()])})
+
+    core = G.kcore(edges.map_batches(sym, batch_format="pyarrow"), k=2)
+    out = core.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "degree": pd.Series(dtype="int64")})
+    out = out.astype({"node": np.int64, "degree": np.int64})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q312_vocab_jaccard(sf: str):
+    """Cross-language vocabulary overlap: Jaccard similarity of each
+    language PAIR's word vocabularies. Per batch: lowercase, regex-split,
+    per-(lang, word) dedup (combiner); one grouped bit_or collapses each
+    word to a lang-membership bitmask; pair intersections then come from
+    the ≤2^n_langs-row mask histogram — the corpus never leaves the
+    cluster, the pair math runs on the output-sized profile."""
+    from ray.data.aggregate import Count, Sum
+    langs = sorted(T(sf, "documents", ["lang"])
+                   .groupby("lang").aggregate(Count())
+                   .to_pandas()["lang"])
+    bit_of = {l: 1 << i for i, l in enumerate(langs)}
+
+    def words(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang_codes = np.repeat(
+            np.array([bit_of[v] for v in t["lang"].to_pylist()],
+                     dtype=np.int64), n)
+        flat = pc.list_flatten(toks)
+        tt = pa.table({"word": flat,
+                       "mask": pa.array(lang_codes, pa.int64())})
+        tt = tt.filter(pc.not_equal(tt["word"], ""))
+        return tt.group_by(["word", "mask"]).aggregate([])
+
+    # GLOBAL distinct (word, lang-bit) first — the per-batch dedup alone
+    # would let Sum double-count a bit seen in two batches; after the
+    # distinct, each lang contributes its bit at most once per word, so
+    # Sum(mask) == bit_or(mask) and the per-word mask is exact.
+    profile = (T(sf, "documents", ["lang", "text"])
+               .map_batches(words, batch_format="pyarrow")
+               .groupby(["word", "mask"]).aggregate(Count(alias_name="_"))
+               .groupby("word")
+               .aggregate(Sum("mask", alias_name="m")))
+    hist = profile.groupby("m").aggregate(Count(alias_name="n")) \
+        .to_pandas()
+    rows = []
+    masks = hist["m"].to_numpy()
+    counts = hist["n"].to_numpy()
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1:]:
+            ba, bb = bit_of[la], bit_of[lb]
+            inter = int(counts[(masks & ba > 0) & (masks & bb > 0)].sum())
+            na = int(counts[masks & ba > 0].sum())
+            nb = int(counts[masks & bb > 0].sum())
+            uni = na + nb - inter
+            j = float(_rnd(pa.array([inter / uni]), 6)[0].as_py()) \
+                if uni else 0.0
+            rows.append({"lang_a": la, "lang_b": lb, "jaccard": j})
+    return pd.DataFrame(rows)
+
+
+SQL_Q312 = r"""
+WITH w AS (SELECT DISTINCT lang,
+                  unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+           FROM documents),
+wf AS (SELECT lang, word FROM w WHERE word <> ''),
+sizes AS (SELECT lang, count(*) AS n FROM wf GROUP BY lang),
+inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS i
+          FROM wf a JOIN wf b ON a.word = b.word AND a.lang < b.lang
+          GROUP BY a.lang, b.lang)
+SELECT i.lang_a, i.lang_b,
+       round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.lang = i.lang_a
+JOIN sizes sb ON sb.lang = i.lang_b
+"""
+
+
 def q302_incremental_snapshot(sf: str):
     """DBLog-style snapshot-while-tailing (rows-only): bootstrap EMPTY,
     fold the base table in as 4 key-disjoint _lsn=0 chunks interleaved
@@ -11659,6 +11864,9 @@ QUERIES: dict[str, tuple] = {
     "q307_isotonic_calibration": (q307_isotonic_calibration, None),
     "q308_linear_attribution": (q308_linear_attribution, SQL_Q308),
     "q309_negative_sampling": (q309_negative_sampling, SQL_Q309),
+    "q310_bayes_ab": (q310_bayes_ab, SQL_Q310),
+    "q311_kcore": (q311_kcore, None),
+    "q312_vocab_jaccard": (q312_vocab_jaccard, SQL_Q312),
 }
 
 
