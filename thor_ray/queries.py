@@ -11519,6 +11519,120 @@ JOIN sizes sb ON sb.lang = i.lang_b
 """
 
 
+def q313_time_decay_mean(sf: str):
+    """Exponential time-decay weighted mean (half-life 1 DAY, day
+    granularity) of each user's event values, anchored at the user's
+    last active day — the recency-weighted engagement score a feature
+    store materializes. Non-recursive form Σ w_i·x_i / Σ w_i with
+    w_i = 2^(−age_days), so it distributes: per-user fold inside one
+    coarse-salt shuffle. Weights are EXACT powers of two (ldexp — no
+    libm exp, whose SIMD variant drifts 1 ulp from the oracle's) and
+    both sums are sequenced in event_id order to match the SQL twin's
+    ordered-list sums bit-for-bit."""
+    ds = T(sf, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()),
+            "eid": t["event_id"], "value": t["value"],
+            "usalt": pc.cast(pc.bit_wise_and(t["user_id"], 63),
+                             pa.int32())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # eid order within user — the SQL twin's list(... ORDER BY
+        # event_id) sequence; the last-day anchor is an order-free max
+        g = g.sort_values(["user_id", "eid"], kind="stable")
+        out = []
+        for uid, gg in g.groupby("user_id", sort=False):
+            day = gg["day"].to_numpy(np.int64)
+            w = np.ldexp(1.0, day - day.max())   # exact 2^-age
+            x = gg["value"].to_numpy(np.float64)
+            # cumsum, not add.reduce: reduce goes PAIRWISE above 8
+            # elements, while the oracle's list sum is a strict left
+            # fold in eid order — cumsum is sequential by definition
+            num = float(np.cumsum(w * x)[-1])
+            den = float(np.cumsum(w)[-1])
+            out.append({"user_id": np.int64(uid),
+                        "decayed_mean": num / den})
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby("usalt").map_groups(fold, batch_format="pandas"))
+
+
+SQL_Q313 = """
+WITH e AS (SELECT user_id, event_id, value,
+                  datediff('day', CAST(ts AS DATE),
+                           max(CAST(ts AS DATE))
+                               OVER (PARTITION BY user_id)) AS age
+           FROM events),
+w AS (SELECT user_id, event_id, value, power(0.5, age) AS w FROM e)
+SELECT user_id,
+       list_aggregate(list(w * value ORDER BY event_id), 'sum')
+       / list_aggregate(list(w ORDER BY event_id), 'sum')
+       AS decayed_mean
+FROM w GROUP BY user_id
+"""
+
+
+def q314_runs_test(sf: str):
+    """Wald–Wolfowitz runs test for randomness of the daily event-count
+    direction (up/down day-over-day): run count R over the sign sequence,
+    closed-form mean/variance under H0, z-statistic. The daily rollup is
+    the only distributed step; the sign fold runs on the output-sized day
+    series, ordered by day on both sides."""
+    from ray.data.aggregate import Count
+    ds = T(sf, "events", ["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.cast(pc.cast(t["ts"], pa.date32()),
+                                        pa.int32())})
+
+    daily = (ds.map_batches(day, batch_format="pyarrow")
+               .groupby("day").aggregate(Count(alias_name="n"))
+               .to_pandas().sort_values("day"))
+    n = daily["n"].to_numpy(np.int64)
+    d = np.diff(n)
+    s = d[d != 0] > 0            # ties dropped (standard treatment)
+    n_pos = int(s.sum())
+    n_neg = int(len(s) - n_pos)
+    runs = int(1 + np.count_nonzero(s[1:] != s[:-1])) if len(s) else 0
+    m = n_pos + n_neg
+    mu = 2.0 * n_pos * n_neg / m + 1.0
+    var = (2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - m)
+           / (m * m * (m - 1.0)))
+    z = (runs - mu) / np.sqrt(var)
+    return pd.DataFrame([{
+        "n_up": np.int64(n_pos), "n_down": np.int64(n_neg),
+        "n_runs": np.int64(runs),
+        "z": float(_rnd(pa.array([float(z)]), 6)[0].as_py())}])
+
+
+SQL_Q314 = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+               FROM events GROUP BY day),
+d AS (SELECT day, n - lag(n) OVER (ORDER BY day) AS diff FROM daily),
+s AS (SELECT day, diff > 0 AS up FROM d WHERE diff IS NOT NULL
+      AND diff <> 0),
+r AS (SELECT up, CASE WHEN up IS DISTINCT FROM
+                 lag(up) OVER (ORDER BY day) THEN 1 ELSE 0 END AS brk
+      FROM s),
+agg AS (SELECT count(*) FILTER (up) AS n_up,
+               count(*) FILTER (NOT up) AS n_down,
+               sum(brk) AS n_runs
+        FROM r)
+SELECT CAST(n_up AS BIGINT) AS n_up, CAST(n_down AS BIGINT) AS n_down,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       round((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+             / sqrt(2.0 * n_up * n_down
+                    * (2.0 * n_up * n_down - n_up - n_down)
+                    / ((n_up + n_down) * (n_up + n_down)
+                       * (n_up + n_down - 1.0))), 6) AS z
+FROM agg
+"""
+
+
 def q302_incremental_snapshot(sf: str):
     """DBLog-style snapshot-while-tailing (rows-only): bootstrap EMPTY,
     fold the base table in as 4 key-disjoint _lsn=0 chunks interleaved
@@ -11867,6 +11981,8 @@ QUERIES: dict[str, tuple] = {
     "q310_bayes_ab": (q310_bayes_ab, SQL_Q310),
     "q311_kcore": (q311_kcore, None),
     "q312_vocab_jaccard": (q312_vocab_jaccard, SQL_Q312),
+    "q313_time_decay_mean": (q313_time_decay_mean, SQL_Q313),
+    "q314_runs_test": (q314_runs_test, SQL_Q314),
 }
 
 
