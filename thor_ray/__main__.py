@@ -126,6 +126,33 @@ def cmd_compact(a) -> int:
     return 0
 
 
+def cmd_export_changefeed(a) -> int:
+    """Export the changefeed range as Debezium-envelope JSONL segments
+    (per-epoch dirs, resumable — finished epochs are skipped)."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.sources import export_changefeed_envelopes
+
+    rep = export_changefeed_envelopes(a.lake, a.out,
+                                      after_epoch=a.after_epoch,
+                                      upto_epoch=a.upto_epoch,
+                                      source_name=a.source_name)
+    print(json.dumps(rep))
+    ray.shutdown()
+    return 0
+
+
+def cmd_schema_changes(a) -> int:
+    """Print the schema-change feed (one JSON line per folded DDL;
+    metadata-only, no Ray)."""
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    pipe = CdcPipeline(CdcConfig(lake_dir=a.lake, binlog_dir="",
+                                 fencing=False))
+    for rec in pipe.schema_changes():
+        print(json.dumps(rec))
+    return 0
+
+
 def cmd_stats(a) -> int:
     """ANALYZE: one streaming pass — rows, content bytes, per-column null
     counts, HLL ndv for requested columns."""
@@ -394,6 +421,22 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--binlog")
     c.add_argument("--num-cpus", type=int)
     c.set_defaults(fn=cmd_compact)
+
+    ec = sub.add_parser("export-changefeed",
+                        help="export the changefeed as Debezium-envelope "
+                             "JSONL segments (resumable per-epoch dirs)")
+    ec.add_argument("--lake", required=True)
+    ec.add_argument("--out", required=True)
+    ec.add_argument("--after-epoch", type=int, default=0)
+    ec.add_argument("--upto-epoch", type=int, default=None)
+    ec.add_argument("--source-name", default="lake")
+    ec.add_argument("--num-cpus", type=int, default=None)
+    ec.set_defaults(fn=cmd_export_changefeed)
+
+    sc = sub.add_parser("schema-changes",
+                        help="print the schema-change feed (JSONL)")
+    sc.add_argument("--lake", required=True)
+    sc.set_defaults(fn=cmd_schema_changes)
 
     st = sub.add_parser("stats", help="ANALYZE the lake: rows, bytes, "
                                       "null counts, approx distinct")
