@@ -4437,7 +4437,10 @@ def q179_chi_square(sf: str):
         .astype(np.float64)
     tot = float(o.sum())
     exp = rl * cs / tot
-    chi2 = float(np.add.reduce((o - exp) * (o - exp) / exp))
+    # cumsum: strict left fold in (lang, source) order — np.add.reduce
+    # goes pairwise above 8 elements and drifts off the oracle's
+    # sequential list sum
+    chi2 = float(np.cumsum((o - exp) * (o - exp) / exp)[-1])
     return pd.DataFrame([{"n_cells": np.int64(len(c)), "chi2": chi2}])
 
 
@@ -4715,12 +4718,17 @@ def q171_source_entropy(sf: str):
               .aggregate(Count(alias_name="n")))
 
     def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        import math
         g = g.sort_values("lang", kind="stable")
         n = g["n"].to_numpy().astype(np.float64)
         p = n / n.sum()
-        h = -np.add.reduce(p * np.log(p))   # sequential, lang order
+        # scalar math.log (libm — numpy's SIMD log drifts 1 ulp off
+        # DuckDB's ln) and a strict left fold in lang order
+        acc = 0.0
+        for pi in p:
+            acc += pi * math.log(pi)
         return pd.DataFrame([{"source": g["source"].iloc[0],
-                              "entropy": h}])
+                              "entropy": -acc}])
 
     return counts.groupby("source").map_groups(entropy,
                                                batch_format="pandas")
@@ -11236,10 +11244,13 @@ def q308_linear_attribution(sf: str):
 
     def per_type(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("user_id", kind="stable")
+        # cumsum: a strict left fold in user_id order — np.add.reduce
+        # goes pairwise above 8 elements and drifts 1 ulp off the
+        # oracle's sequential list sum
         return pd.DataFrame([{
             "event_type": g["event_type"].iloc[0],
-            "credit": float(np.add.reduce(
-                g["credit"].to_numpy(np.float64)))}])
+            "credit": float(np.cumsum(
+                g["credit"].to_numpy(np.float64))[-1])}])
 
     return (counts.groupby("user_id")
                   .map_groups(per_user, batch_format="pandas")
