@@ -395,6 +395,20 @@ def test_changefeed_consumer_groups(ray_session, fixture, tmp_path):
     touched = normalize(fold).merge(normalize(live), how="inner")
     assert len(touched) == len(fold)
 
+    # admin offset reset: seek rewinds (commit never does), redelivers
+    # the identical epoch-1 batch, and seek(0) replays from the start
+    c.seek(0)
+    assert c.committed() == 0 and c.lag() == n_epochs
+    ds_r, upto_r = c.poll(max_epochs=1)
+    assert upto_r == 1
+    pd.testing.assert_frame_equal(
+        normalize(ds_r.to_pandas()), normalize(frames[0]),
+        check_dtype=False)
+    c.seek(n_epochs)
+    assert c.poll() == (None, n_epochs)
+    with pytest.raises(ValueError):
+        c.seek(-1)
+
 
 def test_export_changefeed_envelopes_roundtrip(ray_session, fixture,
                                                tmp_path):

@@ -11644,6 +11644,69 @@ FROM agg
 """
 
 
+def q315_top_langs_concat(sf: str):
+    """Ordered-set aggregation: each source's top-3 languages by document
+    count (ties by name), comma-joined in rank order — the string_agg /
+    LISTAGG shape reporting sinks want. One combiner-backed grouped
+    count; the rank-and-join fold runs on the output-sized (source, lang)
+    table."""
+    from ray.data.aggregate import Count
+    counts = (T(sf, "documents", ["source", "lang"])
+              .groupby(["source", "lang"])
+              .aggregate(Count(alias_name="n")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "lang"], ascending=[False, True],
+                          kind="stable").head(3)
+        return pd.DataFrame([{"source": g["source"].iloc[0],
+                              "top_langs": ",".join(g["lang"])}])
+
+    return counts.groupby("source").map_groups(fold,
+                                               batch_format="pandas")
+
+
+SQL_Q315 = """
+WITH c AS (SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY source, lang),
+r AS (SELECT source, lang,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, lang) AS rk
+      FROM c)
+SELECT source, string_agg(lang, ',' ORDER BY rk) AS top_langs
+FROM r WHERE rk <= 3 GROUP BY source
+"""
+
+
+def q316_percentile_disc(sf: str):
+    """Grouped DISCRETE percentiles (p50/p90 of order totals per order
+    priority): quantile_disc picks an actual data element — sorted index
+    ceil(q·n)−1, probed against DuckDB — so the result is exact with no
+    interpolation-float risk. Per-group fold inside the grouped task;
+    only the sort key and one column shuffle."""
+    ds = T(sf, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["o_totalprice"].to_numpy(np.float64))
+        n = len(x)
+
+        def disc(q: float) -> float:
+            return float(x[int(np.ceil(q * n)) - 1])
+        return pd.DataFrame([{"o_orderpriority":
+                              g["o_orderpriority"].iloc[0],
+                              "p50": disc(0.5), "p90": disc(0.9)}])
+
+    return ds.groupby("o_orderpriority").map_groups(
+        fold, batch_format="pandas")
+
+
+SQL_Q316 = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q302_incremental_snapshot(sf: str):
     """DBLog-style snapshot-while-tailing (rows-only): bootstrap EMPTY,
     fold the base table in as 4 key-disjoint _lsn=0 chunks interleaved
@@ -11994,6 +12057,8 @@ QUERIES: dict[str, tuple] = {
     "q312_vocab_jaccard": (q312_vocab_jaccard, SQL_Q312),
     "q313_time_decay_mean": (q313_time_decay_mean, SQL_Q313),
     "q314_runs_test": (q314_runs_test, SQL_Q314),
+    "q315_top_langs_concat": (q315_top_langs_concat, SQL_Q315),
+    "q316_percentile_disc": (q316_percentile_disc, SQL_Q316),
 }
 
 

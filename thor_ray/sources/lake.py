@@ -655,6 +655,21 @@ class ChangefeedConsumer:
         _atomic_write(self._path, {"group": self.group,
                                    "epoch": int(upto_epoch)})
 
+    def seek(self, epoch: int) -> None:
+        """Admin offset reset (`kafka-consumer-groups --reset-offsets`
+        analogue): set the group's offset to ANY epoch ≥ 0, including
+        BACKWARDS — the group then re-consumes from there (at-least-once
+        redelivery is the contract; epoch-idempotent consumers stay
+        exactly-once). ``commit`` refuses regression precisely so that
+        rewinds are always this explicit admin action."""
+        from thor_ray.state.manifest import _atomic_write  # noqa: SLF001
+
+        if epoch < 0:
+            raise ValueError(f"seek({epoch}): epoch must be >= 0")
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        _atomic_write(self._path, {"group": self.group,
+                                   "epoch": int(epoch)})
+
     def lag(self) -> int:
         """Epochs behind the lake's committed frontier."""
         from thor_ray.state import load_manifests
