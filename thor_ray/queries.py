@@ -11707,6 +11707,535 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q317_wasserstein(sf: str):
+    """Earth-mover (1-Wasserstein) distance between the 'en' and 'de'
+    document-length distributions — the stronger cousin of the KS drift
+    test (q211): the integral of |ECDF_en − ECDF_de| over the merged
+    support. Distributed work is the same (lang, n_chars) count combiner;
+    the CDF-gap integral is an output-sized numpy fold."""
+    ds = T(sf, "documents", ["lang", "n_chars"])
+    langs = pa.array(["en", "de"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["lang"], value_set=langs))
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars",
+                                                        "count")])
+        return g.rename_columns(["lang", "n_chars", "n"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())   # output-sized: distinct lengths × 2 langs
+    wide = hist.pivot_table(index="n_chars", columns="lang", values="n",
+                            fill_value=0, aggfunc="sum").sort_index()
+    x = wide.index.to_numpy(dtype=np.float64)
+    a = wide.get("en", pd.Series(0, index=wide.index)).to_numpy(
+        dtype=np.float64)
+    b = wide.get("de", pd.Series(0, index=wide.index)).to_numpy(
+        dtype=np.float64)
+    fa = np.cumsum(a) / a.sum()
+    fb = np.cumsum(b) / b.sum()
+    w1 = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(x)))
+    return pd.DataFrame([{"w1": _round_away(w1, 6)}])
+
+
+SQL_Q317 = """
+WITH h AS (
+  SELECT n_chars,
+         count(*) FILTER (lang = 'en') AS a,
+         count(*) FILTER (lang = 'de') AS b
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY n_chars),
+c AS (
+  SELECT n_chars,
+         sum(a) OVER (ORDER BY n_chars)
+           / (SELECT CAST(sum(a) AS DOUBLE) FROM h) AS fa,
+         sum(b) OVER (ORDER BY n_chars)
+           / (SELECT CAST(sum(b) AS DOUBLE) FROM h) AS fb,
+         lead(n_chars) OVER (ORDER BY n_chars) AS nx
+  FROM h)
+SELECT round(sum(abs(fa - fb) * (nx - n_chars)), 6) AS w1
+FROM c WHERE nx IS NOT NULL
+"""
+
+
+def q318_kruskal_wallis(sf: str):
+    """Kruskal–Wallis H across the language groups on document length
+    (the k-group rank ANOVA, with tie correction): average ranks come
+    from the (lang, n_chars) count histogram, so every rank, rank sum
+    and tie term is an exact half-integer < 2^52 — order-invariant and
+    bit-identical on both sides up to the single rounded division."""
+    ds = T(sf, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars",
+                                                        "count")])
+        return g.rename_columns(["lang", "n_chars", "c"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas())   # output-sized: langs × distinct lengths
+    v = hist.groupby("n_chars", sort=True)["c"].sum()
+    t_ = v.to_numpy(dtype=np.int64)
+    below = np.cumsum(t_) - t_
+    rk = below + (t_ + 1) / 2.0          # average rank: exact halves
+    hist["rk"] = hist["n_chars"].map(pd.Series(rk, index=v.index))
+    hist["crk"] = hist["c"] * hist["rk"]
+    g = hist.groupby("lang").agg(n_i=("c", "sum"), r_i=("crk", "sum"))
+    n = float(g["n_i"].sum())
+    k = len(g)
+    dev = g["r_i"].to_numpy() / g["n_i"].to_numpy() - (n + 1.0) / 2.0
+    h0 = 12.0 / (n * (n + 1.0)) * float(
+        np.sum(g["n_i"].to_numpy() * dev * dev))
+    corr = 1.0 - float(np.sum(t_.astype(np.float64) ** 3 - t_)) \
+        / (n ** 3 - n)
+    return pd.DataFrame([{"h": _round_away(h0 / corr, 6),
+                          "k": np.int64(k)}])
+
+
+SQL_Q318 = """
+WITH h AS (SELECT lang, n_chars, count(*) AS c
+           FROM documents GROUP BY lang, n_chars),
+v AS (SELECT n_chars, sum(c) AS t FROM h GROUP BY n_chars),
+r AS (SELECT n_chars, t,
+             sum(t) OVER (ORDER BY n_chars) - t + (t + 1) / 2.0 AS rk
+      FROM v),
+g AS (SELECT lang, sum(c) AS n_i, sum(c * rk) AS r_i
+      FROM h JOIN r USING (n_chars) GROUP BY lang),
+tot AS (SELECT CAST(sum(n_i) AS DOUBLE) AS n, count(*) AS k FROM g),
+hs AS (SELECT 12.0 / (max(t.n) * (max(t.n) + 1.0))
+              * sum(n_i * (r_i / n_i - (t.n + 1.0) / 2.0)
+                        * (r_i / n_i - (t.n + 1.0) / 2.0)) AS h0,
+              max(t.k) AS k, max(t.n) AS n
+       FROM g, tot t),
+corr AS (SELECT 1.0 - sum(t * t * t - t)
+                / ((SELECT n FROM hs) * (SELECT n FROM hs)
+                   * (SELECT n FROM hs) - (SELECT n FROM hs)) AS d
+         FROM v)
+SELECT round(hs.h0 / corr.d, 6) AS h, CAST(hs.k AS BIGINT) AS k
+FROM hs, corr
+"""
+
+
+def q319_brown_forsythe(sf: str):
+    """Brown–Forsythe (median-based Levene) test of variance homogeneity
+    of document length across languages. Group medians use the bitwise
+    DuckDB quantile_cont formula on the (lang, n_chars) histogram;
+    deviations are exact half-integers, so every group sum (n, Σz, Σz²)
+    is order-invariant — the F assembly is the only float math."""
+    ds = T(sf, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars",
+                                                        "count")])
+        return g.rename_columns(["lang", "n_chars", "c"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas().sort_values(["lang", "n_chars"]))
+    rows = []
+    for lang, gh in hist.groupby("lang", sort=True):
+        vals = gh["n_chars"].to_numpy(dtype=np.float64)
+        cnt = gh["c"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n_i = int(cum[-1])
+        pos = (n_i - 1) * 0.5
+        f = int(np.floor(pos))
+        c = min(f + 1, n_i - 1)
+        frac = pos - f
+        lo = vals[np.searchsorted(cum, f, side="right")]
+        hi = vals[np.searchsorted(cum, c, side="right")]
+        med = lo * (1 - frac) + hi * frac
+        z = np.abs(vals - med)           # exact halves
+        rows.append({"lang": lang, "n_i": n_i,
+                     "zs": float(np.sum(cnt * z)),
+                     "zz": float(np.sum(cnt * z * z))})
+    g = pd.DataFrame(rows)
+    n = float(g["n_i"].sum())
+    k = len(g)
+    zbar = float(g["zs"].sum()) / n
+    zb_i = g["zs"].to_numpy() / g["n_i"].to_numpy()
+    bn = float(np.sum(g["n_i"].to_numpy() * (zb_i - zbar) ** 2))
+    wn = float(np.sum(g["zz"].to_numpy()
+                      - g["zs"].to_numpy() ** 2 / g["n_i"].to_numpy()))
+    f_stat = ((n - k) / (k - 1.0)) * bn / wn
+    return pd.DataFrame([{"f": _round_away(f_stat, 6),
+                          "k": np.int64(k)}])
+
+
+SQL_Q319 = """
+WITH m AS (SELECT lang, median(n_chars) AS med
+           FROM documents GROUP BY lang),
+z AS (SELECT d.lang, abs(d.n_chars - m.med) AS z
+      FROM documents d JOIN m ON d.lang = m.lang),
+g AS (SELECT lang, count(*) AS n_i, sum(z) AS zs, sum(z * z) AS zz
+      FROM z GROUP BY lang),
+t AS (SELECT CAST(sum(n_i) AS DOUBLE) AS n, count(*) AS k,
+             sum(zs) AS zsum FROM g),
+num AS (SELECT sum(n_i * (zs / n_i - (SELECT zsum / n FROM t))
+                       * (zs / n_i - (SELECT zsum / n FROM t))) AS bn,
+               sum(zz - zs * zs / n_i) AS wn
+        FROM g)
+SELECT round(((t.n - t.k) / (t.k - 1.0)) * num.bn / num.wn, 6) AS f,
+       CAST(t.k AS BIGINT) AS k
+FROM num, t
+"""
+
+
+def q320_durbin_watson(sf: str):
+    """Durbin–Watson autocorrelation statistic of the residuals from an
+    OLS linear trend on daily revenue. The daily rollup (exact integer
+    cents) is the only distributed step; the OLS fit uses exact integer
+    moment sums (Σy, Σty, Σt, Σt², all < 2^63) so slope/intercept are the
+    same doubles on both sides, and the residual fold runs on the
+    output-sized day series ordered by day."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def day_cents(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return pa.table({"day": day, "cents": cents})
+
+    daily = (ds.map_batches(day_cents, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("cents", alias_name="y"))
+             .to_pandas().sort_values("day"))
+    y = daily["y"].to_numpy(dtype=np.int64)
+    n = len(y)
+    t_idx = np.arange(n, dtype=np.int64)
+    sy = int(y.sum())
+    sty = int(np.sum(t_idx * y))
+    st = int(t_idx.sum())
+    stt = int(np.sum(t_idx * t_idx))
+    b = (n * sty - st * sy) / float(n * stt - st * st)
+    a = (sy - b * st) / n
+    e = y.astype(np.float64) - a - b * t_idx
+    de = np.diff(e)
+    dw = float(np.sum(de * de)) / float(np.sum(e * e))
+    return pd.DataFrame([{"dw": _round_away(dw, 6),
+                          "n_days": np.int64(n)}])
+
+
+SQL_Q320 = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY day),
+idx AS (SELECT CAST(y AS BIGINT) AS y,
+               row_number() OVER (ORDER BY day) - 1 AS t FROM daily),
+s AS (SELECT count(*) AS n, sum(y) AS sy, sum(t * y) AS sty,
+             sum(t) AS st, sum(t * t) AS stt FROM idx),
+fit AS (SELECT n, sy, st,
+               (n * sty - st * sy) / CAST(n * stt - st * st AS DOUBLE)
+                 AS b
+        FROM s),
+co AS (SELECT n, b, (sy - b * st) / n AS a FROM fit),
+e AS (SELECT t, y - co.a - co.b * t AS e FROM idx, co),
+d AS (SELECT e, e - lag(e) OVER (ORDER BY t) AS de FROM e)
+SELECT round(sum(de * de) / sum(e * e), 6) AS dw,
+       (SELECT CAST(n AS BIGINT) FROM s) AS n_days
+FROM d
+"""
+
+
+def q321_theil(sf: str):
+    """Per-nation Theil T inequality index of customer revenue (the
+    log-based companion of the Gini at q212): exact integer-cent revenue
+    per customer, hash join to nations, then the (x/μ)·ln(x/μ) fold per
+    nation group. ln is scalar libm (math.log) — numpy's SIMD log drifts
+    1 ulp off DuckDB's libm call (same finding as q168) — and the group
+    sum is rounded."""
+    import math
+
+    from thor_ray.ops.relational import hash_join
+    o = T(sf, "orders", ["o_custkey", "o_totalprice"])
+    c = T(sf, "customer", ["c_custkey", "c_nationkey"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "cents": v})
+
+    rev = (o.map_batches(cents, batch_format="pyarrow")
+           .groupby("o_custkey").aggregate(Sum("cents",
+                                               alias_name="rev")))
+    j = hash_join(rev, c, on=("o_custkey",), right_on=("c_custkey",))
+
+    def theil(g: pd.DataFrame) -> pd.DataFrame:
+        r = g["rev"].to_numpy(dtype=np.int64)
+        n = len(r)
+        mu = int(r.sum()) / n            # exact-int / int: same both sides
+        acc = 0.0
+        for x in r.tolist():             # scalar libm ln (oracle parity)
+            ratio = x / mu
+            acc += ratio * math.log(ratio)
+        return pd.DataFrame([{
+            "nation": np.int64(g["c_nationkey"].iloc[0]),
+            "theil": _round_away(acc / n, 6), "n_cust": np.int64(n)}])
+
+    return j.groupby("c_nationkey").map_groups(theil,
+                                               batch_format="pandas")
+
+
+SQL_Q321 = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY o_custkey),
+j AS (SELECT c_nationkey AS nation, rev
+      FROM r JOIN customer ON c_custkey = o_custkey),
+m AS (SELECT nation, sum(rev) / CAST(count(*) AS DOUBLE) AS mu,
+             count(*) AS n
+      FROM j GROUP BY nation)
+SELECT j.nation,
+       round(sum((rev / mu) * ln(rev / mu)) / max(m.n), 6) AS theil,
+       CAST(max(m.n) AS BIGINT) AS n_cust
+FROM j JOIN m ON j.nation = m.nation
+GROUP BY j.nation
+"""
+
+
+def q322_mad_outliers(sf: str):
+    """Robust outlier screen per language: documents whose length sits
+    more than 3·1.4826·MAD from the median (the Hampel / robust-z rule a
+    corpus-quality gate runs instead of mean±3σ). Median and MAD both use
+    the bitwise quantile_cont formula on the (lang, n_chars) histogram —
+    deviations are exact half-integers, the threshold double is identical
+    on both sides, and the output is pure integer counts."""
+    from ray.data.aggregate import Sum as _Sum
+    ds = T(sf, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars",
+                                                        "count")])
+        return g.rename_columns(["lang", "n_chars", "c"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(_Sum("c", alias_name="c"))
+            .to_pandas().sort_values(["lang", "n_chars"]))
+
+    def _cont_from_hist(vals: np.ndarray, cnt: np.ndarray) -> float:
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        pos = (n - 1) * 0.5
+        f = int(np.floor(pos))
+        c = min(f + 1, n - 1)
+        frac = pos - f
+        lo = vals[np.searchsorted(cum, f, side="right")]
+        hi = vals[np.searchsorted(cum, c, side="right")]
+        return lo * (1 - frac) + hi * frac
+
+    rows = []
+    for lang, gh in hist.groupby("lang", sort=True):
+        vals = gh["n_chars"].to_numpy(dtype=np.float64)
+        cnt = gh["c"].to_numpy(dtype=np.int64)
+        med = _cont_from_hist(vals, cnt)
+        z = np.abs(vals - med)
+        order = np.argsort(z, kind="stable")
+        mad = _cont_from_hist(z[order], cnt[order])
+        thr = 3 * 1.4826 * mad           # same literal fold as the SQL
+        rows.append({"lang": lang,
+                     "n_out": np.int64(int(cnt[z > thr].sum())),
+                     "n": np.int64(int(cnt.sum()))})
+    return pd.DataFrame(rows)
+
+
+SQL_Q322 = """
+WITH m AS (SELECT lang, median(n_chars) AS med
+           FROM documents GROUP BY lang),
+z AS (SELECT d.lang, abs(d.n_chars - m.med) AS z
+      FROM documents d JOIN m ON d.lang = m.lang),
+md AS (SELECT lang, median(z) AS mad FROM z GROUP BY lang)
+SELECT z.lang,
+       CAST(count(*) FILTER (z > 3 * 1.4826 * mad) AS BIGINT) AS n_out,
+       CAST(count(*) AS BIGINT) AS n
+FROM z JOIN md ON z.lang = md.lang
+GROUP BY z.lang
+"""
+
+
+def q323_permutation_entropy(sf: str):
+    """Order-3 permutation entropy of the daily event-count series (the
+    model-free complexity / predictability gauge). Patterns are encoded
+    by the transitive comparison triple (y0≤y1, y1≤y2, y0≤y2) — 6 valid
+    codes, no rank sort needed — so the distributed work is one daily
+    count rollup and the pattern fold is integer math over ≤6 buckets."""
+    import math
+
+    from ray.data.aggregate import Count
+    ds = T(sf, "events", ["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.cast(pc.cast(t["ts"], pa.date32()),
+                                        pa.int32())})
+
+    daily = (ds.map_batches(day, batch_format="pyarrow")
+             .groupby("day").aggregate(Count(alias_name="y"))
+             .to_pandas().sort_values("day"))
+    y = daily["y"].to_numpy(dtype=np.int64)
+    y0, y1, y2 = y[:-2], y[1:-1], y[2:]
+    pat = (4 * (y0 <= y1).astype(np.int64)
+           + 2 * (y1 <= y2).astype(np.int64)
+           + (y0 <= y2).astype(np.int64))
+    total = len(pat)
+    acc = 0.0
+    for cnt in np.bincount(pat, minlength=8):
+        if cnt:
+            p = cnt / total
+            acc += p * math.log(p)       # scalar libm (oracle parity)
+    pe = -acc / math.log(6)
+    return pd.DataFrame([{"pe": _round_away(pe, 6),
+                          "n_windows": np.int64(total)}])
+
+
+SQL_Q323 = """
+WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+               FROM events GROUP BY day),
+w AS (SELECT y AS y0,
+             lead(y, 1) OVER (ORDER BY day) AS y1,
+             lead(y, 2) OVER (ORDER BY day) AS y2
+      FROM daily),
+p AS (SELECT 4 * CAST(y0 <= y1 AS INT) + 2 * CAST(y1 <= y2 AS INT)
+             + CAST(y0 <= y2 AS INT) AS pat
+      FROM w WHERE y2 IS NOT NULL),
+c AS (SELECT pat, count(*) AS n FROM p GROUP BY pat),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT round(-sum((n / total) * ln(n / total)) / ln(6), 6) AS pe,
+       (SELECT CAST(total AS BIGINT) FROM t) AS n_windows
+FROM c, t
+"""
+
+
+def q324_simpson_diversity(sf: str):
+    """Simpson diversity index of the language mix per source (the
+    ecology 1−Σp² measure in its unbiased n(n−1) form): one grouped
+    count combiner; the index is a single division of exact integer
+    sums, so the doubles are bit-identical with no rounding call."""
+    from ray.data.aggregate import Count
+    counts = (T(sf, "documents", ["source", "lang"])
+              .groupby(["source", "lang"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())   # output-sized: sources × langs
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(dtype=np.int64)
+        tot = int(n.sum())
+        num = int(np.sum(n * (n - 1)))
+        return pd.DataFrame([{
+            "source": g["source"].iloc[0],
+            "simpson": 1.0 - num / (tot * (tot - 1.0)),
+            "n_docs": np.int64(tot)}])
+
+    return (counts.groupby("source", sort=True, group_keys=False)
+            .apply(fold).reset_index(drop=True))
+
+
+SQL_Q324 = """
+WITH c AS (SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY source, lang)
+SELECT source,
+       1.0 - sum(n * (n - 1)) / (sum(n) * (sum(n) - 1.0)) AS simpson,
+       CAST(sum(n) AS BIGINT) AS n_docs
+FROM c GROUP BY source
+"""
+
+
+def q325_grubbs(sf: str):
+    """Grubbs max-outlier statistic for the daily revenue series:
+    G = max|y−ȳ|/s over exact integer-cent daily totals. The daily
+    rollup is the distributed step; mean/σ/max fold on the output-sized
+    series, rounded (σ accumulates in doubles on both sides)."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def day_cents(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return pa.table({"day": day, "cents": cents})
+
+    daily = (ds.map_batches(day_cents, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("cents", alias_name="y"))
+             .to_pandas())
+    y = daily["y"].to_numpy(dtype=np.float64)
+    n = len(y)
+    m = float(y.sum()) / n
+    sd = float(np.sqrt(np.sum((y - m) ** 2) / (n - 1)))
+    g = float(np.max(np.abs(y - m))) / sd
+    return pd.DataFrame([{"g": _round_away(g, 6),
+                          "n_days": np.int64(n)}])
+
+
+SQL_Q325 = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           AS y
+  FROM orders GROUP BY day),
+s AS (SELECT count(*) AS n, avg(y) AS m, stddev_samp(y) AS sd
+      FROM daily)
+SELECT round(max(abs(y - s.m)) / max(s.sd), 6) AS g,
+       (SELECT CAST(n AS BIGINT) FROM s) AS n_days
+FROM daily, s
+"""
+
+
+def q326_stickiness(sf: str):
+    """Monthly DAU/MAU stickiness (the product-engagement ratio): one
+    distinct-(day, user) shuffle feeds both sides — daily active counts
+    and the per-month distinct-user rollup — so the engagement math runs
+    on output-sized frames and the ratio is exact-int division."""
+    from ray.data.aggregate import Count
+    ds = T(sf, "events", ["ts", "user_id"])
+
+    def day_user(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.cast(pc.cast(t["ts"], pa.date32()), pa.int32()),
+            "user_id": t["user_id"]})
+
+    du = (ds.map_batches(day_user, batch_format="pyarrow")
+          .groupby(["day", "user_id"]).aggregate(Count(alias_name="_"))
+          .drop_columns(["_"]))
+
+    def with_month(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(t["day"], pa.int32()), pa.date32())
+        return pa.table({
+            "month": pc.strftime(pc.cast(d, pa.timestamp("us")), "%Y-%m"),
+            "day": t["day"], "user_id": t["user_id"]})
+
+    dm = du.map_batches(with_month, batch_format="pyarrow")
+    dau = (dm.groupby(["month", "day"]).aggregate(Count(alias_name="dau"))
+           .to_pandas())
+    mau = (dm.groupby(["month", "user_id"])
+           .aggregate(Count(alias_name="_")).drop_columns(["_"])
+           .groupby("month").aggregate(Count(alias_name="mau"))
+           .to_pandas())
+    a = dau.groupby("month", sort=True).agg(sd=("dau", "sum"),
+                                            nd=("dau", "count"))
+    out = a.join(mau.set_index("month")).reset_index()
+    out["stickiness"] = (out["sd"] / out["nd"]) / out["mau"]
+    out["mau"] = out["mau"].astype(np.int64)
+    return out[["month", "stickiness", "mau"]]
+
+
+SQL_Q326 = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+dau AS (SELECT strftime(day, '%Y-%m') AS month, day, count(*) AS n
+        FROM du GROUP BY month, day),
+a AS (SELECT month, sum(n) / CAST(count(*) AS DOUBLE) AS avg_dau
+      FROM dau GROUP BY month),
+mau AS (SELECT strftime(day, '%Y-%m') AS month,
+               count(DISTINCT user_id) AS mau
+        FROM du GROUP BY month)
+SELECT a.month, a.avg_dau / mau.mau AS stickiness,
+       CAST(mau.mau AS BIGINT) AS mau
+FROM a JOIN mau ON a.month = mau.month
+"""
+
+
 def q302_incremental_snapshot(sf: str):
     """DBLog-style snapshot-while-tailing (rows-only): bootstrap EMPTY,
     fold the base table in as 4 key-disjoint _lsn=0 chunks interleaved
@@ -12059,6 +12588,16 @@ QUERIES: dict[str, tuple] = {
     "q314_runs_test": (q314_runs_test, SQL_Q314),
     "q315_top_langs_concat": (q315_top_langs_concat, SQL_Q315),
     "q316_percentile_disc": (q316_percentile_disc, SQL_Q316),
+    "q317_wasserstein": (q317_wasserstein, SQL_Q317),
+    "q318_kruskal_wallis": (q318_kruskal_wallis, SQL_Q318),
+    "q319_brown_forsythe": (q319_brown_forsythe, SQL_Q319),
+    "q320_durbin_watson": (q320_durbin_watson, SQL_Q320),
+    "q321_theil": (q321_theil, SQL_Q321),
+    "q322_mad_outliers": (q322_mad_outliers, SQL_Q322),
+    "q323_permutation_entropy": (q323_permutation_entropy, SQL_Q323),
+    "q324_simpson_diversity": (q324_simpson_diversity, SQL_Q324),
+    "q325_grubbs": (q325_grubbs, SQL_Q325),
+    "q326_stickiness": (q326_stickiness, SQL_Q326),
 }
 
 
