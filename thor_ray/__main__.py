@@ -126,6 +126,20 @@ def cmd_compact(a) -> int:
     return 0
 
 
+def cmd_replicate(a) -> int:
+    """Pull the primary's changefeed into a follower lake (read replica);
+    resumable — the replica's own manifests are the progress record."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.sources import replicate_lake
+
+    rep = replicate_lake(a.src, a.dst, group=a.group,
+                         columns=a.columns.split(",") if a.columns else None,
+                         max_epochs=a.max_epochs)
+    print(json.dumps(rep))
+    ray.shutdown()
+    return 0
+
+
 def cmd_export_changefeed(a) -> int:
     """Export the changefeed range as Debezium-envelope JSONL segments
     (per-epoch dirs, resumable — finished epochs are skipped)."""
@@ -421,6 +435,21 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--binlog")
     c.add_argument("--num-cpus", type=int)
     c.set_defaults(fn=cmd_compact)
+
+    rl = sub.add_parser("replicate",
+                        help="pull the changefeed into a follower lake "
+                             "(read replica; resumable, chainable)")
+    rl.add_argument("src", help="primary lake dir (write_mode=delta)")
+    rl.add_argument("dst", help="replica lake dir")
+    rl.add_argument("--group", default="default",
+                    help="consumer-group name on the primary (lag "
+                         "visibility); one per replica")
+    rl.add_argument("--columns", default=None,
+                    help="comma-separated payload columns to keep "
+                         "(keys + internal columns always kept)")
+    rl.add_argument("--max-epochs", type=int, default=None)
+    rl.add_argument("--num-cpus", type=int, default=None)
+    rl.set_defaults(fn=cmd_replicate)
 
     ec = sub.add_parser("export-changefeed",
                         help="export the changefeed as Debezium-envelope "

@@ -12264,6 +12264,41 @@ def q302_incremental_snapshot(sf: str):
     return pipe.final_table()
 
 
+def q327_lake_replication(sf: str):
+    """Follower-lake replication (rows-only): replay a binlog into a
+    delta-mode primary, pull its changefeed into a read replica with
+    replicate_lake (seed = epoch-0 bootstrap, per-epoch level-0 run
+    copies, replica manifests as the resume record), and return the
+    REPLICA's live state — primary-equality, chaining, torn-apply resume
+    and the DDL boundary are pinned in tests/test_replica.py."""
+    import os
+    import shutil
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    from thor_ray.sources import read_lake, replicate_lake
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_replica_{tag}"
+    fixture_dir = os.path.join(work, "fixture")
+    info = gen.write_fixture(
+        fixture_dir, n_keys=2_000,
+        cfg=gen.BinlogConfig(n_events=20_000, n_shards=4, dup_rate=0.05,
+                             delete_rate=0.08, ddl_every=0, seed=11))
+    lake_dir = os.path.join(work, "lake")
+    replica_dir = os.path.join(work, "replica")
+    for d in (lake_dir, replica_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake_dir, binlog_dir=info["binlog_dir"],
+        num_partitions=16, epoch_size=5_000, write_mode="delta",
+        compact_every=1_000_000))
+    pipe.run(base=info["base"])
+    rep = replicate_lake(lake_dir, replica_dir)
+    assert rep["caught_up"], rep
+    return read_lake(replica_dir)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12598,6 +12633,7 @@ QUERIES: dict[str, tuple] = {
     "q324_simpson_diversity": (q324_simpson_diversity, SQL_Q324),
     "q325_grubbs": (q325_grubbs, SQL_Q325),
     "q326_stickiness": (q326_stickiness, SQL_Q326),
+    "q327_lake_replication": (q327_lake_replication, None),
 }
 
 

@@ -5,7 +5,7 @@ from .lake import (ChangefeedConsumer, LakeEnricher, consumer_groups,
                    lake_lookup,
                    lake_stats, maintain_group_counts, merge_state_frames,
                    read_changefeed, read_lake, read_lake_at, read_lineage,
-                   read_partition_state, snapshot_diff)
+                   read_partition_state, replicate_lake, snapshot_diff)
 from .sink import pruned_fragments, read_range, write_partitioned
 
 __all__ = ["ChangefeedConsumer", "consumer_groups",
@@ -16,4 +16,5 @@ __all__ = ["ChangefeedConsumer", "consumer_groups",
            "merge_state_frames", "pruned_fragments", "read_changefeed",
            "read_lake",
            "read_lake_at", "read_lineage", "read_partition_state",
-           "read_range", "snapshot_diff", "write_partitioned"]
+           "read_range", "replicate_lake", "snapshot_diff",
+           "write_partitioned"]

@@ -485,6 +485,28 @@ def lake_stats(lake_dir: str, ndv_cols: "tuple[str, ...]" = ("repo", "lang"),
     return {"rows": rows, "content_bytes": nbytes, "columns": cols}
 
 
+def _epoch_run_files(parts: list[str], epoch: int) -> list[tuple[int, str]]:
+    """The level-0 delta run files of one committed epoch, as
+    (partition_id, path) pairs — the unit of changefeed delivery.
+    Raises if any partition's run is missing (not delta mode) or is a
+    compaction product (the epoch was folded; its change rows are gone)."""
+    files = []
+    for d in parts:
+        p = os.path.join(d, f"state-e{epoch:06d}.parquet")
+        if not os.path.exists(p):
+            raise ValueError(
+                f"epoch {epoch}: delta run missing under {d} (compacted "
+                "away, or lake not in write_mode='delta'); use "
+                "snapshot_diff for folded history")
+        meta = pq.read_schema(p).metadata or {}
+        if meta.get(b"thor_kind") != b"delta":
+            raise ValueError(
+                f"epoch {epoch}: {p} is a compaction product (full state, "
+                "not changes) — a DDL or compaction folded this epoch")
+        files.append((int(os.path.basename(d).split("=", 1)[1]), p))
+    return files
+
+
 def read_changefeed(lake_dir: str, after_epoch: int,
                     upto_epoch: int | None = None) -> "ray.data.Dataset":
     """CDC-out: the per-epoch change rows — I/U winners and D tombstones,
@@ -516,20 +538,7 @@ def read_changefeed(lake_dir: str, after_epoch: int,
 
     per_epoch = []
     for e in range(after_epoch + 1, upto + 1):
-        files = []
-        for d in parts:
-            p = os.path.join(d, f"state-e{e:06d}.parquet")
-            if not os.path.exists(p):
-                raise ValueError(
-                    f"epoch {e}: delta run missing under {d} (compacted "
-                    "away, or lake not in write_mode='delta'); use "
-                    "snapshot_diff for folded history")
-            meta = pq.read_schema(p).metadata or {}
-            if meta.get(b"thor_kind") != b"delta":
-                raise ValueError(
-                    f"epoch {e}: {p} is a compaction product (full state, "
-                    "not changes) — a DDL or compaction folded this epoch")
-            files.append(p)
+        files = [p for _pid, p in _epoch_run_files(parts, e)]
         ee = e
 
         def tag(t: pa.Table, ee: int = ee) -> pa.Table:
@@ -689,6 +698,156 @@ def consumer_groups(lake_dir: str) -> dict[str, int]:
             d = json.load(f)
         out[d["group"]] = int(d["epoch"])
     return out
+
+
+def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
+                   columns: list[str] | None = None,
+                   max_epochs: int | None = None) -> dict:
+    """Follower lake (read replica) maintained purely from the primary's
+    changefeed — the read-replica / MirrorMaker shape over the lake's own
+    CDC-out, so a serving cluster can tail a writer cluster with nothing
+    shared but the lake directory.
+
+    The replica is itself a delta-mode lake: the seed is the primary's
+    epoch-0 bootstrap state, and every consumed epoch lands as the SAME
+    level-0 run file (verbatim byte copy, footers and all — or a
+    key+internal-preserving column projection when ``columns`` is given),
+    so ``read_lake``, ``lake_lookup``, ``read_changefeed`` and
+    ``ChangefeedConsumer`` all work on the replica unchanged — replicas
+    chain.
+
+    Exactly-once end to end: the replica's OWN manifests are the progress
+    record (resume reads the slowest partition's epoch — a torn run
+    re-delivers the gap), deterministic run-file names make re-delivered
+    epochs overwrite-identical, and the manifest swap is the replica's
+    commit point — a crash anywhere re-runs idempotently. A consumer-group
+    offset on the primary (``replica-{group}``) mirrors the committed
+    epoch purely for lag/retention visibility; give each replica its own
+    group name. Consumes the maximal level-0 prefix and stops cleanly at
+    a DDL/compaction boundary (``stopped`` in the result names it);
+    re-seed past such a boundary with a fresh replica.
+
+    Scale shape: one distributed task per (epoch, partition) run file,
+    metadata-only discovery, nothing data-sized on the driver. Replica
+    manifests carry row_count=-1 / content_hash="" after the seed (the
+    live fold is never recomputed here); verify a replica with deep fsck
+    on the primary plus ``read_lake`` equality, or compact it.
+
+    Returns ``{"epochs_applied", "upto_epoch", "caught_up", "rows",
+    "stopped"}``."""
+    import glob as _glob
+    import shutil
+
+    from thor_ray.state import SchemaRegistry, load_manifests
+    from thor_ray.state.manifest import Manifest, write_manifest
+
+    src_abs = os.path.abspath(src_lake)
+    src_ms = load_manifests(src_lake)
+    if not src_ms:
+        raise ValueError(f"no manifests under {src_lake}")
+    cur = min(m.epoch for m in src_ms.values())
+    consumer = ChangefeedConsumer(src_lake, f"replica-{group}")
+    dst_ms = load_manifests(dst_lake) if os.path.isdir(dst_lake) else {}
+    if dst_ms:
+        lin = next(iter(dst_ms.values())).lineage or {}
+        if lin.get("replica_of") != src_abs:
+            raise ValueError(
+                f"{dst_lake} is not a replica of {src_abs} "
+                f"(lineage says {lin.get('replica_of')!r})")
+    # the replica's own slowest partition is the resume point — a torn
+    # apply (some manifests swapped, some not) re-delivers the gap
+    lo = min((m.epoch for m in dst_ms.values()), default=0)
+    upto_target = cur if max_epochs is None else min(cur, lo + max_epochs)
+    parts = sorted(_glob.glob(os.path.join(src_lake, "part=*")))
+
+    work: list[tuple[int, int, str]] = []   # (epoch, pid, src_path)
+    if not dst_ms:
+        for d in parts:   # seed: the primary's bootstrap full-state files
+            p = os.path.join(d, "state-e000000.parquet")
+            if os.path.exists(p):
+                work.append((0, int(os.path.basename(d).split("=", 1)[1]),
+                             p))
+    stopped = None
+    epochs_ok = lo
+    for e in range(lo + 1, upto_target + 1):
+        try:
+            run = _epoch_run_files(parts, e)
+        except ValueError as err:
+            stopped = str(err)
+            break
+        work.extend((e, pid, p) for pid, p in run)
+        epochs_ok = e
+    if not work:
+        return {"epochs_applied": 0, "upto_epoch": lo,
+                "caught_up": lo >= cur, "rows": 0, "stopped": stopped}
+
+    keep_cols = None if columns is None else (
+        ["repo", "path"] + list(columns) + INTERNAL_COLS)
+    dst_abs = os.path.abspath(dst_lake)
+
+    def copy_run(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for e, pid, src in zip(b["epoch"], b["pid"], b["src"]):
+            e, pid = int(e), int(pid)
+            out_dir = os.path.join(dst_abs, f"part={pid:05d}")
+            os.makedirs(out_dir, exist_ok=True)
+            dst = os.path.join(out_dir, f"state-e{e:06d}.parquet")
+            tmp = dst + f".tmp-{os.getpid()}"
+            if keep_cols is None:
+                shutil.copyfile(src, tmp)
+            else:
+                t = pq.read_table(src)
+                t = t.select([c for c in t.column_names if c in keep_cols])
+                t = t.replace_schema_metadata(
+                    pq.read_schema(src).metadata)
+                pq.write_table(t, tmp)
+            os.replace(tmp, dst)
+            import pyarrow.compute as _pc
+            lsn = pq.read_table(src, columns=["_lsn"])["_lsn"]
+            n = len(lsn)
+            max_lsn = int(_pc.max(lsn).as_py() or 0) if n else 0
+            chash = ""
+            if e == 0:   # seed manifests stay deep-fsck verifiable
+                from thor_ray.pipelines.cdc import _content_hash
+                sha = pq.read_table(src, columns=["_sha"])["_sha"]
+                chash = _content_hash(sha.to_pandas()) if n else ""
+            rows.append({"epoch": e, "pid": pid, "dst": dst, "rows": n,
+                         "max_lsn": max_lsn, "chash": chash})
+        return pd.DataFrame(rows)
+
+    items = pa.table({
+        "epoch": pa.array([e for e, _, _ in work], pa.int64()),
+        "pid": pa.array([p for _, p, _ in work], pa.int64()),
+        "src": pa.array([s for _, _, s in work], pa.string()),
+    })
+    stats = (ray.data.from_arrow(items)
+             .repartition(min(len(work), 128))
+             .map_batches(copy_run, batch_format="pandas", batch_size=None)
+             .to_pandas())   # one row per copied run file — metadata-sized
+
+    reg = SchemaRegistry.load(src_lake)
+    reg.save(dst_lake)
+    for pid, grp in stats.groupby("pid"):
+        pid = int(pid)
+        grp = grp.sort_values("epoch")
+        old = dst_ms.get(pid)
+        files = list(old.files) if old else []
+        known = set(files)
+        files += [f for f in grp["dst"] if f not in known]
+        up = max(int(grp["max_lsn"].max()),
+                 old.upto_lsn if old else 0)
+        seed_only = old is None and set(grp["epoch"]) == {0}
+        write_manifest(dst_lake, Manifest(
+            pid, max(epochs_ok, old.epoch if old else 0), up,
+            sum(1 for en in reg.entries if en["lsn"] <= up), files,
+            int(grp["rows"].sum()) if seed_only else -1,
+            str(grp["chash"].iloc[0]) if seed_only else "",
+            {"replica_of": src_abs, "group": group}))
+    if epochs_ok > consumer.committed():
+        consumer.commit(epochs_ok)   # lag/retention telemetry on the src
+    return {"epochs_applied": epochs_ok - lo, "upto_epoch": epochs_ok,
+            "caught_up": epochs_ok >= cur, "rows": int(stats["rows"].sum()),
+            "stopped": stopped}
 
 
 def fsck(lake_dir: str, deep: bool = False) -> dict:
