@@ -122,6 +122,30 @@ def test_replica_column_projection(ray_session, primary, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_replica_compaction_midstream(ray_session, primary, tmp_path):
+    """compact_lake folds the replica's run files without a pipeline;
+    replication resumes on top of the compacted file, and the compacted
+    replica deep-fscks clean (row_count/content_hash restored)."""
+    from thor_ray.sources import compact_lake
+
+    src = primary.cfg.lake_dir
+    rep = str(tmp_path / "replica")
+    replicate_lake(src, rep, group="compacted", max_epochs=2)
+    n = compact_lake(rep)
+    assert n > 0
+    # every partition folded to a single file
+    ms = __import__("thor_ray.state", fromlist=["load_manifests"]) \
+        .load_manifests(rep)
+    assert all(len(m.files) == 1 for m in ms.values())
+
+    r = replicate_lake(src, rep, group="compacted")
+    assert r["caught_up"]
+    pd.testing.assert_frame_equal(_state(rep), _state(src))
+    compact_lake(rep)
+    chk = fsck(rep, deep=True)
+    assert chk["ok"], chk["errors"]
+
+
 def test_replica_wrong_source_refused(ray_session, primary, tmp_path):
     src = primary.cfg.lake_dir
     rep = str(tmp_path / "replica")

@@ -1,6 +1,7 @@
 from .binlog import (max_lsn, read_ddl_events, read_epoch, safe_frontier,
                      shard_frontiers)
-from .lake import (ChangefeedConsumer, LakeEnricher, consumer_groups,
+from .lake import (ChangefeedConsumer, LakeEnricher, compact_lake,
+                   consumer_groups,
                    enrich_with_lake, export_changefeed_envelopes, fsck,
                    lake_lookup,
                    lake_stats, maintain_group_counts, merge_state_frames,
@@ -8,7 +9,7 @@ from .lake import (ChangefeedConsumer, LakeEnricher, consumer_groups,
                    read_partition_state, replicate_lake, snapshot_diff)
 from .sink import pruned_fragments, read_range, write_partitioned
 
-__all__ = ["ChangefeedConsumer", "consumer_groups",
+__all__ = ["ChangefeedConsumer", "compact_lake", "consumer_groups",
            "LakeEnricher", "enrich_with_lake", "export_changefeed_envelopes",
            "fsck", "max_lsn", "read_ddl_events", "read_epoch", "safe_frontier",
            "shard_frontiers", "lake_lookup", "lake_stats",

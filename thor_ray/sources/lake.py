@@ -748,12 +748,17 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
     cur = min(m.epoch for m in src_ms.values())
     consumer = ChangefeedConsumer(src_lake, f"replica-{group}")
     dst_ms = load_manifests(dst_lake) if os.path.isdir(dst_lake) else {}
-    if dst_ms:
-        lin = next(iter(dst_ms.values())).lineage or {}
-        if lin.get("replica_of") != src_abs:
-            raise ValueError(
-                f"{dst_lake} is not a replica of {src_abs} "
-                f"(lineage says {lin.get('replica_of')!r})")
+    # durable identity marker — survives replica-side maintenance
+    # (compaction rewrites manifests and their lineage)
+    ident_path = os.path.join(dst_lake, "_schema", "replica.json")
+    ident = None
+    if os.path.exists(ident_path):
+        with open(ident_path) as f:
+            ident = json.load(f).get("replica_of")
+    if dst_ms and ident != src_abs:
+        raise ValueError(
+            f"{dst_lake} is not a replica of {src_abs} "
+            f"(identity says {ident!r})")
     # the replica's own slowest partition is the resume point — a torn
     # apply (some manifests swapped, some not) re-delivers the gap
     lo = min((m.epoch for m in dst_ms.values()), default=0)
@@ -827,6 +832,14 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
 
     reg = SchemaRegistry.load(src_lake)
     reg.save(dst_lake)
+    if ident is None:
+        from thor_ray.state.manifest import _atomic_write  # noqa: SLF001
+        _atomic_write(ident_path, {"replica_of": src_abs})
+    eng = os.path.join(src_lake, "_schema", "engine.json")
+    if os.path.exists(eng):   # routing identity: lookups hash identically
+        tmp = os.path.join(dst_lake, "_schema", "engine.json")
+        shutil.copyfile(eng, tmp + ".tmp")
+        os.replace(tmp + ".tmp", tmp)
     for pid, grp in stats.groupby("pid"):
         pid = int(pid)
         grp = grp.sort_values("epoch")
@@ -848,6 +861,34 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
     return {"epochs_applied": epochs_ok - lo, "upto_epoch": epochs_ok,
             "caught_up": epochs_ok >= cur, "rows": int(stats["rows"].sum()),
             "stopped": stopped}
+
+
+def compact_lake(lake_dir: str, update_mode: str = "full") -> int:
+    """Standalone LSM compaction for a lake with no pipeline attached —
+    the replica maintenance command. A long-lived replica accumulates one
+    level-0 run per consumed epoch per partition; this folds each
+    multi-file partition into a single state file (same distributed
+    fold, atomic manifest swap, watermark/epoch-preserving semantics as
+    ``CdcPipeline.compact``) and restores manifest row_count/content_hash,
+    so a compacted replica deep-fscks clean. Replication resumes on top
+    (new runs stack on the compacted file), but the folded epochs leave
+    the replica's OWN changefeed — compact a replica only when its
+    downstream (chained) replicas are caught up, the same retention rule
+    as the primary. ``update_mode`` must match the primary's
+    (patch-image primaries fold per-column). Returns partitions
+    compacted."""
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    from thor_ray.state import load_manifests
+
+    ms = load_manifests(lake_dir)
+    if not ms:
+        raise ValueError(f"no manifests under {lake_dir}")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake_dir,
+        binlog_dir=os.path.join(lake_dir, "_no_binlog"),
+        num_partitions=len(ms), write_mode="delta",
+        update_mode=update_mode))
+    return pipe.compact()
 
 
 def fsck(lake_dir: str, deep: bool = False) -> dict:
