@@ -12299,6 +12299,493 @@ def q327_lake_replication(sf: str):
     return read_lake(replica_dir)
 
 
+_H2 = pa.scalar(pd.Timestamp("2024-01-16"), type=pa.timestamp("us"))
+
+
+def q328_wilcoxon(sf: str):
+    """Wilcoxon signed-rank W+ on paired per-user activity (first vs
+    second half of the month). The event-sized work is one (user, half)
+    count combiner + groupby; the rank fold runs on the user-sized
+    table. Differences are integers, so average ranks are exact halves
+    and W+ is order-invariant — no rounding needed."""
+    ds = T(sf, "events", ["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.cast(pc.greater_equal(t["ts"], _H2), pa.int64())
+        g = pa.table({"user_id": t["user_id"], "h": h}) \
+            .group_by(["user_id", "h"]).aggregate([("h", "count")])
+        return g.rename_columns(["user_id", "h", "n"])
+
+    pu = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["user_id", "h"]).aggregate(Sum("n", alias_name="n"))
+          .to_pandas())   # user-sized
+    wide = pu.pivot_table(index="user_id", columns="h", values="n",
+                          fill_value=0, aggfunc="sum")
+    x = wide.get(0, pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    y = wide.get(1, pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    d = x - y
+    d = d[d != 0]
+    a = np.abs(d)
+    va, t_ = np.unique(a, return_counts=True)
+    below = np.cumsum(t_) - t_
+    rk = below + (t_ + 1) / 2.0          # average ranks: exact halves
+    rnk = rk[np.searchsorted(va, a)]
+    return pd.DataFrame([{
+        "n_pairs": np.int64(len(d)),
+        "w_plus": float(np.sum(rnk[d > 0]))}])
+
+
+SQL_Q328 = """
+WITH pu AS (
+  SELECT user_id,
+         count(*) FILTER (ts < TIMESTAMP '2024-01-16') AS x,
+         count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS y
+  FROM events GROUP BY user_id),
+r AS (SELECT x - y AS d, abs(x - y) AS a FROM pu WHERE x <> y),
+h AS (SELECT a, count(*) AS t FROM r GROUP BY a),
+rk AS (SELECT a, sum(t) OVER (ORDER BY a) - t + (t + 1) / 2.0 AS rnk
+       FROM h)
+SELECT count(*) AS n_pairs,
+       sum(CASE WHEN r.d > 0 THEN rk.rnk ELSE 0 END) AS w_plus
+FROM r JOIN rk USING (a)
+"""
+
+
+def q329_cohens_kappa(sf: str):
+    """Cohen's kappa between each document's OWN language and its
+    source's modal language (rater agreement on the contingency table).
+    One (source, lang) count shuffle; the modal labeling, contingency
+    and kappa all fold on the output-sized table from exact integers."""
+    ds = T(sf, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return g.rename_columns(["source", "lang", "c"])
+
+    ct = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["source", "lang"]).aggregate(Sum("c", alias_name="c"))
+          .to_pandas())   # sources × langs
+    modal = (ct.sort_values(["c", "lang"], ascending=[False, True],
+                            kind="stable")
+             .drop_duplicates("source").set_index("source")["lang"])
+    ct["blang"] = ct["source"].map(modal)
+    n = int(ct["c"].sum())
+    dg = int(ct.loc[ct["lang"] == ct["blang"], "c"].sum())
+    rows = ct.groupby("lang")["c"].sum()
+    cols = ct.groupby("blang")["c"].sum()
+    both = rows.index.intersection(cols.index)
+    s = int((rows[both] * cols[both]).sum())
+    po = dg / float(n)
+    pe = s / (float(n) * n)
+    return pd.DataFrame([{"kappa": _round_away((po - pe) / (1 - pe), 6),
+                          "po": _round_away(po, 6),
+                          "pe": _round_away(pe, 6)}])
+
+
+SQL_Q329 = """
+WITH ct AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2),
+md AS (SELECT source, lang AS blang FROM (
+         SELECT source, lang,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY c DESC, lang) AS rn
+         FROM ct) WHERE rn = 1),
+lab AS (SELECT ct.lang, md.blang, ct.c FROM ct JOIN md USING (source)),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lab),
+diag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS dg
+         FROM lab WHERE lang = blang),
+rows_ AS (SELECT lang, CAST(sum(c) AS BIGINT) AS r FROM lab GROUP BY 1),
+cols_ AS (SELECT blang, CAST(sum(c) AS BIGINT) AS k FROM lab GROUP BY 1),
+sp AS (SELECT CAST(coalesce(sum(r * k), 0) AS BIGINT) AS s
+       FROM rows_ JOIN cols_ ON lang = blang)
+SELECT round((CAST(dg AS DOUBLE) / n - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             / (1 - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6) AS kappa,
+       round(CAST(dg AS DOUBLE) / n, 6) AS po,
+       round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe
+FROM tot, diag, sp
+"""
+
+
+def q330_cohens_d(sf: str):
+    """Cohen's d effect size of document length between 'en' and 'de':
+    per-batch (n, Σx, Σx²) integer combiner partials, pooled-variance
+    formula assembled in the identical operation sequence as the oracle."""
+    ds = T(sf, "documents", ["lang", "n_chars"])
+    langs = pa.array(["en", "de"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["lang"], value_set=langs))
+        x = t["n_chars"]
+        g = pa.table({"lang": t["lang"], "n": pc.cast(pc.is_valid(x),
+                                                      pa.int64()),
+                      "s": x, "ss": pc.multiply_checked(x, x)}) \
+            .group_by("lang").aggregate([("n", "sum"), ("s", "sum"),
+                                         ("ss", "sum")])
+        return g.rename_columns(["lang", "n", "s", "ss"])
+
+    m = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("lang").aggregate(Sum("n", alias_name="n"),
+                                    Sum("s", alias_name="s"),
+                                    Sum("ss", alias_name="ss"))
+         .to_pandas().set_index("lang"))
+    n1, s1, ss1 = (int(m.loc["en", c]) for c in ("n", "s", "ss"))
+    n2, s2, ss2 = (int(m.loc["de", c]) for c in ("n", "s", "ss"))
+    m1 = s1 / float(n1)
+    m2 = s2 / float(n2)
+    v1 = (ss1 - float(s1) * s1 / n1) / (n1 - 1)
+    v2 = (ss2 - float(s2) * s2 / n2) / (n2 - 1)
+    sp = np.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    return pd.DataFrame([{"n_en": np.int64(n1), "n_de": np.int64(n2),
+                          "d": _round_away((m1 - m2) / sp, 6)}])
+
+
+SQL_Q330 = """
+WITH m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY lang),
+w AS (SELECT
+  (SELECT n FROM m WHERE lang = 'en') AS n1,
+  (SELECT s FROM m WHERE lang = 'en') AS s1,
+  (SELECT ss FROM m WHERE lang = 'en') AS ss1,
+  (SELECT n FROM m WHERE lang = 'de') AS n2,
+  (SELECT s FROM m WHERE lang = 'de') AS s2,
+  (SELECT ss FROM m WHERE lang = 'de') AS ss2)
+SELECT n1 AS n_en, n2 AS n_de,
+       round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt((((n1 - 1) * ((ss1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)))
+                     + ((n2 - 1) * ((ss2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1))))
+                    / (n1 + n2 - 2)), 6) AS d
+FROM w
+"""
+
+
+def _lang_token_freqs(sf: str) -> pd.DataFrame:
+    """(lang, token-frequency c, #tokens-with-that-frequency f): the
+    frequency-of-frequencies profile behind the richness estimators.
+    Two shuffles — (lang, token) counts with per-batch combiners, then
+    the tiny (lang, c) fold; nothing corpus-sized on the driver."""
+    ds = T(sf, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t["text"], pattern=TX.TOKEN_RE)
+        lang = pc.take(t["lang"], pc.list_parent_indices(toks))
+        g = pa.table({"lang": lang, "token": pc.list_flatten(toks)}) \
+            .group_by(["lang", "token"]).aggregate([("token", "count")])
+        return g.rename_columns(["lang", "token", "n"])
+
+    tc = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["lang", "token"]).aggregate(Sum("n", alias_name="c")))
+
+    def freq_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "c"]).aggregate([("c", "count")])
+        return g.rename_columns(["lang", "c", "f"])
+
+    return (tc.map_batches(freq_partial, batch_format="pyarrow")
+            .groupby(["lang", "c"]).aggregate(Sum("f", alias_name="f"))
+            .to_pandas())   # langs × distinct frequencies
+
+
+def q331_chao1(sf: str):
+    """Chao1 vocabulary-richness estimate per language (bias-corrected
+    form, singleton/doubleton counts from the frequency-of-frequencies
+    profile) — all integers until the single rounded division."""
+    ff = _lang_token_freqs(sf)
+    g = ff.groupby("lang")
+    out = []
+    for lang, grp in sorted(g, key=lambda kv: kv[0]):
+        s_obs = int(grp["f"].sum())
+        f1 = int(grp.loc[grp["c"] == 1, "f"].sum())
+        f2 = int(grp.loc[grp["c"] == 2, "f"].sum())
+        out.append({"lang": lang, "s_obs": np.int64(s_obs),
+                    "chao1": _round_away(
+                        s_obs + float(f1 * (f1 - 1)) / (2.0 * (f2 + 1)),
+                        6)})
+    return pd.DataFrame(out)
+
+
+SQL_Q331 = r"""
+WITH tok AS (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+             FROM documents),
+tc AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+ff AS (SELECT lang, c, count(*) AS f FROM tc GROUP BY 1, 2),
+s AS (SELECT lang, CAST(sum(f) AS BIGINT) AS s_obs,
+             CAST(coalesce(sum(f) FILTER (c = 1), 0) AS BIGINT) AS f1,
+             CAST(coalesce(sum(f) FILTER (c = 2), 0) AS BIGINT) AS f2
+      FROM ff GROUP BY lang)
+SELECT lang, s_obs,
+       round(s_obs + CAST(f1 * (f1 - 1) AS DOUBLE) / (2.0 * (f2 + 1)), 6)
+         AS chao1
+FROM s ORDER BY lang
+"""
+
+
+def q332_good_turing(sf: str):
+    """Good–Turing unseen-token mass per language: P0 = f1/N from the
+    same frequency-of-frequencies profile — exact integer ratio."""
+    ff = _lang_token_freqs(sf)
+    g = ff.groupby("lang")
+    out = []
+    for lang, grp in sorted(g, key=lambda kv: kv[0]):
+        n_tok = int((grp["c"] * grp["f"]).sum())
+        f1 = int(grp.loc[grp["c"] == 1, "f"].sum())
+        out.append({"lang": lang, "n_tokens": np.int64(n_tok),
+                    "p0": _round_away(f1 / float(n_tok), 6)})
+    return pd.DataFrame(out)
+
+
+SQL_Q332 = r"""
+WITH tok AS (SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+             FROM documents),
+tc AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+ff AS (SELECT lang, c, count(*) AS f FROM tc GROUP BY 1, 2),
+s AS (SELECT lang, CAST(sum(c * f) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(f) FILTER (c = 1), 0) AS BIGINT) AS f1
+      FROM ff GROUP BY lang)
+SELECT lang, n_tokens,
+       round(CAST(f1 AS DOUBLE) / n_tokens, 6) AS p0
+FROM s ORDER BY lang
+"""
+
+
+def q333_hellinger(sf: str):
+    """Hellinger distance between the 'en' and 'de' document-length
+    distributions: same (lang, n_chars) count combiner as q317, the
+    Bhattacharyya fold an n_chars-ordered cumulative sum on the
+    output-sized histogram (matching the oracle's window order)."""
+    import math
+    ds = T(sf, "documents", ["lang", "n_chars"])
+    langs = pa.array(["en", "de"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["lang"], value_set=langs))
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars",
+                                                        "count")])
+        return g.rename_columns(["lang", "n_chars", "n"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    wide = hist.pivot_table(index="n_chars", columns="lang", values="n",
+                            fill_value=0, aggfunc="sum").sort_index()
+    a = wide.get("en", pd.Series(0, index=wide.index)).to_numpy(np.float64)
+    b = wide.get("de", pd.Series(0, index=wide.index)).to_numpy(np.float64)
+    bc = float(np.cumsum(np.sqrt((a / a.sum()) * (b / b.sum())))[-1])
+    return pd.DataFrame([{"bc": _round_away(bc, 6),
+                          "hellinger": _round_away(math.sqrt(1.0 - bc),
+                                                   6)}])
+
+
+SQL_Q333 = """
+WITH h AS (
+  SELECT n_chars,
+         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS a,
+         CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS b
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY n_chars),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+      FROM h),
+c AS (SELECT sum(sqrt((CAST(a AS DOUBLE) / sa) * (CAST(b AS DOUBLE) / sb)))
+               OVER (ORDER BY n_chars) AS cs
+      FROM h, t)
+SELECT round(max(cs), 6) AS bc,
+       round(sqrt(1 - max(cs)), 6) AS hellinger
+FROM c
+"""
+
+
+def q334_tv_distance(sf: str):
+    """Total-variation distance between the weekend and weekday
+    event-type mixes: one ≤(types×2)-key count combiner; the half-L1
+    fold is a type-ordered cumulative sum on the tiny histogram."""
+    ds = T(sf, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        wk = pc.cast(pc.greater_equal(pc.day_of_week(t["ts"]), 5),
+                     pa.int64())   # Sat=5 / Sun=6 (count_from_zero Mon=0)
+        g = pa.table({"event_type": t["event_type"], "wk": wk}) \
+            .group_by(["event_type", "wk"]).aggregate([("wk", "count")])
+        return g.rename_columns(["event_type", "wk", "n"])
+
+    h = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(["event_type", "wk"]).aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    wide = h.pivot_table(index="event_type", columns="wk", values="n",
+                         fill_value=0, aggfunc="sum").sort_index()
+    a = wide.get(1, pd.Series(0, index=wide.index)).to_numpy(np.float64)
+    b = wide.get(0, pd.Series(0, index=wide.index)).to_numpy(np.float64)
+    tv = 0.5 * float(np.cumsum(np.abs(a / a.sum() - b / b.sum()))[-1])
+    return pd.DataFrame([{"tv": _round_away(tv, 6)}])
+
+
+SQL_Q334 = """
+WITH h AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (isodow(ts) >= 6) AS BIGINT) AS a,
+         CAST(count(*) FILTER (isodow(ts) < 6) AS BIGINT) AS b
+  FROM events GROUP BY event_type),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+      FROM h),
+c AS (SELECT sum(abs(CAST(a AS DOUBLE) / sa - CAST(b AS DOUBLE) / sb))
+               OVER (ORDER BY event_type) AS cs
+      FROM h, t)
+SELECT round(0.5 * max(cs), 6) AS tv FROM c
+"""
+
+
+def _daily_acf_ints(sf: str, max_lag: int):
+    """Exact-integer autocovariance terms of the daily event-count
+    series: A_k = Σ(n·x_t − S)(n·x_{t+k} − S) over position-adjacent
+    pairs, B = Σ(n·x_t − S)² — multiplying through by n keeps every
+    centered term an int64, so r_k = A_k/B is one exact division.
+    Event-sized work: ONE groupby(day).count."""
+    ds = T(sf, "events", ["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day")})
+
+    d = (ds.map_batches(day, batch_format="pyarrow")
+         .groupby("day").aggregate(Count(alias_name="c"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    c = d["c"].to_numpy(np.int64)
+    n = int(len(c))
+    z = n * c - int(c.sum())
+    bb = int((z * z).sum())
+    aa = [int((z[:-k] * z[k:]).sum()) for k in range(1, max_lag + 1)]
+    return n, aa, bb
+
+
+def q335_pacf2(sf: str):
+    """Lag-2 partial autocorrelation of the daily event-count series via
+    the Durbin–Levinson closed form φ22 = (r2 − r1²)/(1 − r1²), with r_k
+    assembled from exact-integer autocovariance sums."""
+    n, (a1, a2), bb = _daily_acf_ints(sf, 2)
+    r1 = a1 / float(bb)
+    r2 = a2 / float(bb)
+    return pd.DataFrame([{
+        "n_days": np.int64(n),
+        "pacf2": _round_away((r2 - r1 * r1) / (1 - r1 * r1), 6)}])
+
+
+SQL_Q335 = """
+WITH d AS (SELECT date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+      FROM d),
+z AS (SELECT n * c - s AS z, row_number() OVER (ORDER BY day) AS rn
+      FROM d, m),
+b AS (SELECT CAST(sum(z * z) AS BIGINT) AS bb FROM z),
+a1 AS (SELECT CAST(coalesce(sum(x.z * y.z), 0) AS BIGINT) AS a
+       FROM z x JOIN z y ON y.rn = x.rn + 1),
+a2 AS (SELECT CAST(coalesce(sum(x.z * y.z), 0) AS BIGINT) AS a
+       FROM z x JOIN z y ON y.rn = x.rn + 2)
+SELECT (SELECT n FROM m) AS n_days,
+       round((CAST(a2.a AS DOUBLE) / bb
+              - (CAST(a1.a AS DOUBLE) / bb) * (CAST(a1.a AS DOUBLE) / bb))
+             / (1 - (CAST(a1.a AS DOUBLE) / bb) * (CAST(a1.a AS DOUBLE) / bb)),
+             6) AS pacf2
+FROM a1, a2, b
+"""
+
+
+def q336_ljung_box(sf: str):
+    """Ljung–Box Q over lags 1–3 of the daily event-count series — the
+    standard whiteness test; each r_k is an exact-integer ratio and the
+    three-term sum is written as the same literal addition chain as the
+    oracle."""
+    n, (a1, a2, a3), bb = _daily_acf_ints(sf, 3)
+    r1 = a1 / float(bb)
+    r2 = a2 / float(bb)
+    r3 = a3 / float(bb)
+    q = n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                         + r3 * r3 / (n - 3))
+    return pd.DataFrame([{"n_days": np.int64(n),
+                          "lb_q": _round_away(q, 6)}])
+
+
+SQL_Q336 = """
+WITH d AS (SELECT date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+      FROM d),
+z AS (SELECT n * c - s AS z, row_number() OVER (ORDER BY day) AS rn
+      FROM d, m),
+b AS (SELECT CAST(sum(z * z) AS BIGINT) AS bb FROM z),
+r AS (SELECT
+  (SELECT CAST(coalesce(sum(x.z * y.z), 0) AS DOUBLE)
+   FROM z x JOIN z y ON y.rn = x.rn + 1) / bb AS r1,
+  (SELECT CAST(coalesce(sum(x.z * y.z), 0) AS DOUBLE)
+   FROM z x JOIN z y ON y.rn = x.rn + 2) / bb AS r2,
+  (SELECT CAST(coalesce(sum(x.z * y.z), 0) AS DOUBLE)
+   FROM z x JOIN z y ON y.rn = x.rn + 3) / bb AS r3,
+  (SELECT n FROM m) AS n
+  FROM b)
+SELECT n AS n_days,
+       round(n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                              + r3 * r3 / (n - 3)), 6) AS lb_q
+FROM r
+"""
+
+
+def q337_mcnemar(sf: str):
+    """McNemar statistic on a paired per-user binary: 'more clicks than
+    views' in the first vs second half of the month. One (user, half,
+    type) count combiner; the discordant-pair counts b and c are exact
+    integers."""
+    ds = T(sf, "events", ["ts", "user_id", "event_type"])
+    types = pa.array(["click", "view"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=types))
+        h = pc.cast(pc.greater_equal(t["ts"], _H2), pa.int64())
+        g = pa.table({"user_id": t["user_id"], "h": h,
+                      "event_type": t["event_type"]}) \
+            .group_by(["user_id", "h", "event_type"]) \
+            .aggregate([("h", "count")])
+        return g.rename_columns(["user_id", "h", "event_type", "n"])
+
+    pu = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["user_id", "h", "event_type"])
+          .aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    wide = pu.pivot_table(index="user_id", columns=["h", "event_type"],
+                          values="n", fill_value=0, aggfunc="sum")
+
+    def col(h, ty):
+        return wide[(h, ty)].to_numpy(np.int64) if (h, ty) in wide.columns \
+            else np.zeros(len(wide), dtype=np.int64)
+
+    p1 = col(0, "click") > col(0, "view")
+    p2 = col(1, "click") > col(1, "view")
+    b = int(np.sum(p1 & ~p2))
+    c = int(np.sum(p2 & ~p1))
+    return pd.DataFrame([{
+        "b": np.int64(b), "c": np.int64(c),
+        "mcnemar": _round_away(float((b - c) * (b - c)) / (b + c), 6)}])
+
+
+SQL_Q337 = """
+WITH pu AS (
+  SELECT user_id,
+         count(*) FILTER (event_type = 'click' AND ts < TIMESTAMP '2024-01-16')
+           > count(*) FILTER (event_type = 'view' AND ts < TIMESTAMP '2024-01-16')
+           AS p1,
+         count(*) FILTER (event_type = 'click' AND ts >= TIMESTAMP '2024-01-16')
+           > count(*) FILTER (event_type = 'view' AND ts >= TIMESTAMP '2024-01-16')
+           AS p2
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id),
+m AS (SELECT CAST(count(*) FILTER (p1 AND NOT p2) AS BIGINT) AS b,
+             CAST(count(*) FILTER (p2 AND NOT p1) AS BIGINT) AS c
+      FROM pu)
+SELECT b, c,
+       round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6) AS mcnemar
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12634,6 +13121,16 @@ QUERIES: dict[str, tuple] = {
     "q325_grubbs": (q325_grubbs, SQL_Q325),
     "q326_stickiness": (q326_stickiness, SQL_Q326),
     "q327_lake_replication": (q327_lake_replication, None),
+    "q328_wilcoxon": (q328_wilcoxon, SQL_Q328),
+    "q329_cohens_kappa": (q329_cohens_kappa, SQL_Q329),
+    "q330_cohens_d": (q330_cohens_d, SQL_Q330),
+    "q331_chao1": (q331_chao1, SQL_Q331),
+    "q332_good_turing": (q332_good_turing, SQL_Q332),
+    "q333_hellinger": (q333_hellinger, SQL_Q333),
+    "q334_tv_distance": (q334_tv_distance, SQL_Q334),
+    "q335_pacf2": (q335_pacf2, SQL_Q335),
+    "q336_ljung_box": (q336_ljung_box, SQL_Q336),
+    "q337_mcnemar": (q337_mcnemar, SQL_Q337),
 }
 
 
