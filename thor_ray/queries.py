@@ -12767,6 +12767,450 @@ def q337_mcnemar(sf: str):
         "mcnemar": _round_away(float((b - c) * (b - c)) / (b + c), 6)}])
 
 
+def q338_g_test(sf: str):
+    """G-test (log-likelihood-ratio independence) on the event_type ×
+    ISO-weekday contingency: one ≤35-key count combiner; the
+    2·Σ o·ln(o/e) fold runs scalar-libm math.log over the cell-ordered
+    cumulative sum (bit-matching DuckDB's ln and window order)."""
+    import math
+    ds = T(sf, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dw = pc.add(pc.day_of_week(t["ts"]), 1)   # ISO: Mon=1..Sun=7
+        g = pa.table({"event_type": t["event_type"], "dw": dw}) \
+            .group_by(["event_type", "dw"]).aggregate([("dw", "count")])
+        return g.rename_columns(["event_type", "dw", "o"])
+
+    h = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(["event_type", "dw"]).aggregate(Sum("o", alias_name="o"))
+         .to_pandas().sort_values(["event_type", "dw"])
+         .reset_index(drop=True))
+    n = int(h["o"].sum())
+    r = h.groupby("event_type")["o"].sum()
+    cl = h.groupby("dw")["o"].sum()
+    acc = 0.0
+    for _, row in h.iterrows():   # ≤ types×7 cells, cell-ordered fold
+        o = int(row["o"])
+        e = float(int(r[row["event_type"]]) * int(cl[row["dw"]])) / n
+        acc += o * math.log(o / e)
+    return pd.DataFrame([{"n": np.int64(n),
+                          "g_stat": _round_away(2.0 * acc, 6)}])
+
+
+SQL_Q338 = """
+WITH h AS (SELECT event_type, isodow(ts) AS dw,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM h),
+r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rr FROM h GROUP BY 1),
+cl AS (SELECT dw, CAST(sum(o) AS BIGINT) AS cc FROM h GROUP BY 1),
+c AS (SELECT sum(o * ln(o / (CAST(rr * cc AS DOUBLE) / n)))
+               OVER (ORDER BY h.event_type, h.dw) AS cs,
+             row_number() OVER (ORDER BY h.event_type, h.dw) AS rn,
+             count(*) OVER () AS nn
+      FROM h JOIN r USING (event_type) JOIN cl USING (dw), t)
+SELECT (SELECT n FROM t) AS n, round(2.0 * cs, 6) AS g_stat
+FROM c WHERE rn = nn
+"""
+
+
+def q339_theils_u(sf: str):
+    """Theil's uncertainty coefficient U(lang | source) over documents:
+    three key-ordered entropy folds (H(lang), H(source), joint) from one
+    (source, lang) count shuffle — U = (Hx + Hy − Hxy) / Hx with scalar
+    libm logs."""
+    import math
+    ds = T(sf, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return g.rename_columns(["source", "lang", "c"])
+
+    j = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(["source", "lang"]).aggregate(Sum("c", alias_name="c"))
+         .to_pandas())
+    n = int(j["c"].sum())
+
+    def ent(counts: "pd.Series") -> float:
+        acc = 0.0
+        for v in counts:   # key-ordered output-sized fold
+            p = int(v) / float(n)
+            acc += p * math.log(p)
+        return -acc
+
+    hx = ent(j.groupby("lang", sort=True)["c"].sum())
+    hy = ent(j.groupby("source", sort=True)["c"].sum())
+    hxy = ent(j.sort_values(["source", "lang"])["c"])
+    return pd.DataFrame([{"u": _round_away((hx + hy - hxy) / hx, 6)}])
+
+
+SQL_Q339 = """
+WITH j AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+hx AS (SELECT min(cs) AS v FROM (
+  SELECT sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+           OVER (ORDER BY lang) AS cs
+  FROM (SELECT lang, CAST(sum(c) AS BIGINT) AS c FROM j GROUP BY 1), t)),
+hy AS (SELECT min(cs) AS v FROM (
+  SELECT sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+           OVER (ORDER BY source) AS cs
+  FROM (SELECT source, CAST(sum(c) AS BIGINT) AS c FROM j GROUP BY 1), t)),
+hxy AS (SELECT min(cs) AS v FROM (
+  SELECT sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+           OVER (ORDER BY source, lang) AS cs
+  FROM j, t))
+-- p·ln p terms are negative, so each cumsum is monotone decreasing and
+-- min(cs) is its final (total) value; entropies are the negations
+SELECT round(((-hx.v) + (-hy.v) - (-hxy.v)) / (-hx.v), 6) AS u
+FROM hx, hy, hxy
+"""
+
+
+def q340_dispersion_index(sf: str):
+    """Index of dispersion (variance-to-mean ratio of the daily count
+    series) per event type — the Poisson over/under-dispersion check.
+    One groupby(type, day).count; moments from exact int64 sums."""
+    ds = T(sf, "events", ["ts", "event_type"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.floor_temporal(t["ts"], unit="day")})
+
+    d = (ds.map_batches(day, batch_format="pyarrow")
+         .groupby(["event_type", "day"]).aggregate(Count(alias_name="c"))
+         .to_pandas())
+    out = []
+    for ty, grp in sorted(d.groupby("event_type"), key=lambda kv: kv[0]):
+        c = grp["c"].to_numpy(np.int64)
+        n, s, ss = int(len(c)), int(c.sum()), int((c * c).sum())
+        v = (ss - float(s) * s / n) / (n - 1)
+        out.append({"event_type": ty, "n_days": np.int64(n),
+                    "dispersion": _round_away(v / (float(s) / n), 6)})
+    return pd.DataFrame(out)
+
+
+SQL_Q340 = """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+      FROM d GROUP BY 1)
+SELECT event_type, n AS n_days,
+       round(((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))
+             / (CAST(s AS DOUBLE) / n), 6) AS dispersion
+FROM m ORDER BY event_type
+"""
+
+
+def q341_hill_tail(sf: str):
+    """Hill tail-index estimate over the top-100 document lengths:
+    distributed top-k (per-block prefilter), then a value-ordered scalar
+    libm-log fold on the 100-row head. Ties at the boundary are equal
+    VALUES, so the term multiset is deterministic."""
+    import math
+    k = 100
+    ds = T(sf, "documents", ["n_chars"])
+    top = R.top_k(ds, ["n_chars"], [True], k).to_pandas()
+    xs = np.sort(top["n_chars"].to_numpy(np.int64))[::-1]
+    xk = int(xs[-1])
+    acc = 0.0
+    for x in xs:   # descending-value fold, k terms
+        acc += math.log(float(int(x)) / xk)
+    inv = acc / k
+    return pd.DataFrame([{"x_k": np.int64(xk),
+                          "hill_alpha": _round_away(1.0 / inv, 6)}])
+
+
+SQL_Q341 = """
+WITH top AS (SELECT n_chars FROM documents
+             ORDER BY n_chars DESC LIMIT 100),
+xk AS (SELECT min(n_chars) AS x_k FROM top),
+c AS (SELECT sum(ln(CAST(n_chars AS DOUBLE) / x_k))
+               OVER (ORDER BY n_chars DESC) AS cs
+      FROM top, xk)
+SELECT (SELECT x_k FROM xk) AS x_k,
+       round(1.0 / (max(cs) / 100), 6) AS hill_alpha
+FROM c
+"""
+
+
+def q342_mann_kendall(sf: str):
+    """Mann–Kendall trend test on the daily event-count series: exact
+    integer S over all day pairs, tie-corrected variance, normal
+    z-approximation — the significance companion of the Theil–Sen slope.
+    Event-sized work: one groupby(day).count; the O(n²) pair fold runs
+    on the ~30-row series."""
+    ds = T(sf, "events", ["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day")})
+
+    d = (ds.map_batches(day, batch_format="pyarrow")
+         .groupby("day").aggregate(Count(alias_name="c"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    c = d["c"].to_numpy(np.int64)
+    n = int(len(c))
+    diff = np.sign(c[None, :] - c[:, None])
+    s = int(np.triu(diff, 1).sum())
+    _, t_ = np.unique(c, return_counts=True)
+    tie = int(np.sum(t_ * (t_ - 1) * (2 * t_ + 5)))
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    z = (s - 1) / np.sqrt(var) if s > 0 else \
+        ((s + 1) / np.sqrt(var) if s < 0 else 0.0)
+    return pd.DataFrame([{"s": np.int64(s),
+                          "z": _round_away(float(z), 6)}])
+
+
+SQL_Q342 = """
+WITH d AS (SELECT date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+p AS (SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1
+                                    WHEN b.c < a.c THEN -1
+                                    ELSE 0 END), 0) AS BIGINT) AS s
+      FROM d a JOIN d b ON b.day > a.day),
+n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+tie AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+          AS tie
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY c)),
+v AS (SELECT (n * (n - 1) * (2 * n + 5) - tie) / 18.0 AS var
+      FROM n_, tie)
+SELECT s, round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
+                     WHEN s < 0 THEN (s + 1) / sqrt(var)
+                     ELSE 0.0 END, 6) AS z
+FROM p, v
+"""
+
+
+def q343_gumbel_fit(sf: str):
+    """Gumbel (extreme-value) location/scale fit by method of moments on
+    the daily event-count series: β = √(6·v)/π, μ = mean − γ·β, with the
+    Euler–Mascheroni constant pinned as the same literal on both sides."""
+    ds = T(sf, "events", ["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day")})
+
+    d = (ds.map_batches(day, batch_format="pyarrow")
+         .groupby("day").aggregate(Count(alias_name="c"))
+         .to_pandas())
+    c = d["c"].to_numpy(np.int64)
+    n, s, ss = int(len(c)), int(c.sum()), int((c * c).sum())
+    v = (ss - float(s) * s / n) / (n - 1)
+    beta = np.sqrt(6.0 * v) / np.pi
+    mu = float(s) / n - 0.5772156649015329 * beta
+    return pd.DataFrame([{"gumbel_mu": _round_away(float(mu), 6),
+                          "gumbel_beta": _round_away(float(beta), 6)}])
+
+
+SQL_Q343 = """
+WITH d AS (SELECT date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM d),
+f AS (SELECT n, s,
+             sqrt(6.0 * ((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))) / pi()
+               AS beta
+      FROM m)
+SELECT round(CAST(s AS DOUBLE) / n - 0.5772156649015329 * beta, 6)
+         AS gumbel_mu,
+       round(beta, 6) AS gumbel_beta
+FROM f
+"""
+
+
+def q344_cronbach_alpha(sf: str):
+    """Cronbach's alpha treating the five event types as test items and
+    users as observations (item score = the user's count of that type):
+    one (user, type) count shuffle, then exact-integer item/total
+    variances on the user-sized pivot."""
+    ds = T(sf, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]) \
+            .aggregate([("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    pu = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["user_id", "event_type"])
+          .aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    wide = pu.pivot_table(index="user_id", columns="event_type",
+                          values="n", fill_value=0, aggfunc="sum")
+    k = wide.shape[1]
+    n = wide.shape[0]
+
+    def var_int(x: np.ndarray) -> float:
+        s, ss = int(x.sum()), int((x * x).sum())
+        return (ss - float(s) * s / n) / (n - 1)
+
+    sv = 0.0
+    for col in sorted(wide.columns):   # item-ordered fold, k terms
+        sv += var_int(wide[col].to_numpy(np.int64))
+    vt = var_int(wide.sum(axis=1).to_numpy(np.int64))
+    alpha = (k / (k - 1.0)) * (1.0 - sv / vt)
+    return pd.DataFrame([{"k_items": np.int64(k), "n_users": np.int64(n),
+                          "alpha": _round_away(alpha, 6)}])
+
+
+SQL_Q344 = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS i1,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS i2,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS i3,
+         CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS i4,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS i5,
+         CAST(count(*) AS BIGINT) AS tot
+  FROM events GROUP BY user_id),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(i1) AS BIGINT) AS s1, CAST(sum(i1 * i1) AS BIGINT) AS q1,
+             CAST(sum(i2) AS BIGINT) AS s2, CAST(sum(i2 * i2) AS BIGINT) AS q2,
+             CAST(sum(i3) AS BIGINT) AS s3, CAST(sum(i3 * i3) AS BIGINT) AS q3,
+             CAST(sum(i4) AS BIGINT) AS s4, CAST(sum(i4 * i4) AS BIGINT) AS q4,
+             CAST(sum(i5) AS BIGINT) AS s5, CAST(sum(i5 * i5) AS BIGINT) AS q5,
+             CAST(sum(tot) AS BIGINT) AS st, CAST(sum(tot * tot) AS BIGINT) AS qt
+      FROM pu)
+SELECT 5 AS k_items, n AS n_users,
+       round((5 / 4.0) * (1.0 -
+         ((((((q1 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+          + ((q2 - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1)))
+          + ((q3 - CAST(s3 AS DOUBLE) * s3 / n) / (n - 1)))
+          + ((q4 - CAST(s4 AS DOUBLE) * s4 / n) / (n - 1)))
+          + ((q5 - CAST(s5 AS DOUBLE) * s5 / n) / (n - 1)))
+         / ((qt - CAST(st AS DOUBLE) * st / n) / (n - 1))), 6) AS alpha
+FROM m
+"""
+
+
+def q345_ks_uniform(sf: str):
+    """One-sample KS-style uniformity statistic of the minute-of-day
+    arrival distribution: D = max over observed minutes of
+    |ECDF(m) − (m+1)/1440| (right-continuous convention, documented) —
+    exact integer cumulative counts against exact rational expectations."""
+    ds = T(sf, "events", ["ts"])
+
+    def minute(t: pa.Table) -> pa.Table:
+        m = pc.add(pc.multiply(pc.hour(t["ts"]), 60), pc.minute(t["ts"]))
+        g = pa.table({"m": m}).group_by("m").aggregate([("m", "count")])
+        return g.rename_columns(["m", "c"])
+
+    h = (ds.map_batches(minute, batch_format="pyarrow")
+         .groupby("m").aggregate(Sum("c", alias_name="c"))
+         .to_pandas().sort_values("m").reset_index(drop=True))
+    n = int(h["c"].sum())
+    cum = np.cumsum(h["c"].to_numpy(np.int64))
+    m = h["m"].to_numpy(np.int64)
+    d = np.abs(cum / float(n) - (m + 1) / 1440.0)
+    return pd.DataFrame([{"n": np.int64(n),
+                          "ks_d": _round_away(float(d.max()), 6)}])
+
+
+SQL_Q345 = """
+WITH h AS (SELECT CAST(datepart('hour', ts) * 60 + datepart('minute', ts)
+                       AS BIGINT) AS m,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+e AS (SELECT abs(CAST(sum(c) OVER (ORDER BY m) AS DOUBLE) / n
+                 - (m + 1) / 1440.0) AS d
+      FROM h, t)
+SELECT (SELECT n FROM t) AS n, round(max(d), 6) AS ks_d FROM e
+"""
+
+
+def q346_gini_impurity(sf: str):
+    """Gini impurity of the event-type mix per ISO weekday (1 − Σp²):
+    one ≤35-key count combiner; squares of exact integer ratios."""
+    ds = T(sf, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dw = pc.add(pc.day_of_week(t["ts"]), 1)
+        g = pa.table({"dw": dw, "event_type": t["event_type"]}) \
+            .group_by(["dw", "event_type"]).aggregate([("dw", "count")])
+        return g.rename_columns(["dw", "event_type", "c"])
+
+    h = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(["dw", "event_type"]).aggregate(Sum("c", alias_name="c"))
+         .to_pandas())
+    out = []
+    for dw, grp in sorted(h.groupby("dw"), key=lambda kv: kv[0]):
+        c = grp.sort_values("event_type")["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        p = c / float(n)
+        acc = float(np.cumsum(p * p)[-1])   # type-ordered fold
+        out.append({"dw": np.int64(dw), "n": np.int64(n),
+                    "gini": _round_away(1.0 - acc, 6)})
+    return pd.DataFrame(out)
+
+
+SQL_Q346 = """
+WITH h AS (SELECT isodow(ts) AS dw, event_type,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+t AS (SELECT dw, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+e AS (SELECT h.dw, t.n,
+             sum((CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n))
+               OVER (PARTITION BY h.dw ORDER BY h.event_type) AS cs
+      FROM h JOIN t USING (dw))
+SELECT dw, any_value(n) AS n, round(1.0 - max(cs), 6) AS gini
+FROM e GROUP BY dw ORDER BY dw
+"""
+
+
+def q347_acf1_by_type(sf: str):
+    """Lag-1 autocorrelation of the daily count series per event type
+    (position-adjacent pairing, exact-integer centered sums — the
+    per-group tier of q335's machinery)."""
+    ds = T(sf, "events", ["ts", "event_type"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.floor_temporal(t["ts"], unit="day")})
+
+    d = (ds.map_batches(day, batch_format="pyarrow")
+         .groupby(["event_type", "day"]).aggregate(Count(alias_name="c"))
+         .to_pandas())
+    out = []
+    for ty, grp in sorted(d.groupby("event_type"), key=lambda kv: kv[0]):
+        c = grp.sort_values("day")["c"].to_numpy(np.int64)
+        n = int(len(c))
+        z = n * c - int(c.sum())
+        bb = int((z * z).sum())
+        a1 = int((z[:-1] * z[1:]).sum())
+        out.append({"event_type": ty, "n_days": np.int64(n),
+                    "acf1": _round_away(a1 / float(bb), 6)})
+    return pd.DataFrame(out)
+
+
+SQL_Q347 = """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s
+      FROM d GROUP BY 1),
+z AS (SELECT d.event_type, m.n * d.c - m.s AS z,
+             row_number() OVER (PARTITION BY d.event_type
+                                ORDER BY d.day) AS rn
+      FROM d JOIN m USING (event_type)),
+b AS (SELECT event_type, CAST(sum(z * z) AS BIGINT) AS bb
+      FROM z GROUP BY 1),
+a AS (SELECT x.event_type, CAST(sum(x.z * y.z) AS BIGINT) AS a1
+      FROM z x JOIN z y ON y.event_type = x.event_type
+                       AND y.rn = x.rn + 1
+      GROUP BY 1)
+SELECT m.event_type, m.n AS n_days,
+       round(CAST(a1 AS DOUBLE) / bb, 6) AS acf1
+FROM m JOIN b USING (event_type) JOIN a USING (event_type)
+ORDER BY m.event_type
+"""
+
+
 SQL_Q337 = """
 WITH pu AS (
   SELECT user_id,
@@ -13131,6 +13575,16 @@ QUERIES: dict[str, tuple] = {
     "q335_pacf2": (q335_pacf2, SQL_Q335),
     "q336_ljung_box": (q336_ljung_box, SQL_Q336),
     "q337_mcnemar": (q337_mcnemar, SQL_Q337),
+    "q338_g_test": (q338_g_test, SQL_Q338),
+    "q339_theils_u": (q339_theils_u, SQL_Q339),
+    "q340_dispersion_index": (q340_dispersion_index, SQL_Q340),
+    "q341_hill_tail": (q341_hill_tail, SQL_Q341),
+    "q342_mann_kendall": (q342_mann_kendall, SQL_Q342),
+    "q343_gumbel_fit": (q343_gumbel_fit, SQL_Q343),
+    "q344_cronbach_alpha": (q344_cronbach_alpha, SQL_Q344),
+    "q345_ks_uniform": (q345_ks_uniform, SQL_Q345),
+    "q346_gini_impurity": (q346_gini_impurity, SQL_Q346),
+    "q347_acf1_by_type": (q347_acf1_by_type, SQL_Q347),
 }
 
 
