@@ -54,13 +54,12 @@ def test_replica_matches_primary_and_chains(ray_session, primary, tmp_path):
     src = primary.cfg.lake_dir
     rep = str(tmp_path / "replica")
 
-    # incremental catch-up in two pulls
-    r1 = replicate_lake(src, rep, max_epochs=2)
-    assert r1["epochs_applied"] == 2 and not r1["caught_up"]
-    r2 = replicate_lake(src, rep)
-    assert r2["caught_up"] and r2["stopped"] is None
+    # seed = snapshot + tail: one pull copies the full current file run
+    r1 = replicate_lake(src, rep)
+    assert r1["caught_up"] and r1["stopped"] is None
+    assert r1["epochs_applied"] == r1["upto_epoch"] > 0
     assert ChangefeedConsumer(src, "replica-default").committed() \
-        == r2["upto_epoch"]
+        == r1["upto_epoch"]
 
     want = _state(src)
     pd.testing.assert_frame_equal(_state(rep), want)
@@ -155,20 +154,152 @@ def test_replica_wrong_source_refused(ray_session, primary, tmp_path):
         replicate_lake(other.cfg.lake_dir, rep)
 
 
-def test_replica_stops_at_compaction_boundary(ray_session, tmp_path):
-    """A DDL epoch compacts its runs; replication consumes the maximal
-    level-0 prefix and reports the boundary instead of silently skipping
-    change rows."""
-    pipe = _mk_primary(str(tmp_path / "pddl"), ddl_every=2_500)
+def test_compact_upto_tiered_retention(ray_session, tmp_path):
+    """Partial compaction folds epochs ≤ E into one base run per
+    partition while the tail changefeed keeps serving; consumers behind E
+    block it (Kafka-retention rule); replicas seed from the compacted
+    primary via the snapshot+tail path and still chain."""
+    from thor_ray.sources import compact_upto, read_changefeed
+    from thor_ray.state import load_manifests
+
+    pipe = _mk_primary(str(tmp_path / "p"))
+    lake = pipe.cfg.lake_dir
+    want = _state(lake)
+    cur = min(m.epoch for m in load_manifests(lake).values())
+    assert cur >= 4
+
+    def feed(lk, after):
+        df = read_changefeed(lk, after).to_pandas()
+        return df.sort_values(["lsn", "repo", "path"]) \
+            .reset_index(drop=True)[sorted(df.columns)]
+
+    tail = feed(lake, 2)
+    ChangefeedConsumer(lake, "g1").commit(2)
+
+    # a consumer still at 2 blocks folding epoch 3's changefeed away
+    with pytest.raises(ValueError, match="behind"):
+        compact_upto(lake, 3)
+
+    n = compact_upto(lake, 2)
+    assert n > 0
+    ms = load_manifests(lake)
+    assert all(len(m.files) == 1 + (m.epoch - 2) for m in ms.values())
+    pd.testing.assert_frame_equal(_state(lake), want)   # state unchanged
+    pd.testing.assert_frame_equal(feed(lake, 2), tail)  # tail feed intact
+    with pytest.raises(ValueError, match="compaction product"):
+        read_changefeed(lake, 1)   # folded range refused loudly
+    assert compact_upto(lake, 2) == 0   # idempotent no-op
+    # pre-fold runs stay on disk ONLY because the snapshot archives
+    # reference them (retain_snapshots=99): gc protects time travel
+    t1 = pipe.table_at(1).to_pandas()
+    assert len(t1) > 0   # pre-fold epoch still time-travel readable
+
+    # a fresh replica seeds from the compacted primary (snapshot + tail)
+    rep = str(tmp_path / "replica")
+    r = replicate_lake(lake, rep)
+    assert r["caught_up"]
+    pd.testing.assert_frame_equal(_state(rep), want)
+    pd.testing.assert_frame_equal(feed(rep, 2), tail)   # replica chains
+
+    # full catch-up fold needs force while g1 lags; then single-file state
+    with pytest.raises(ValueError, match="behind"):
+        compact_upto(lake, cur)
+    compact_upto(lake, cur, force=True)
+    ms = load_manifests(lake)
+    assert all(len(m.files) == 1 for m in ms.values())
+    pd.testing.assert_frame_equal(_state(lake), want)
+    chk = fsck(lake, deep=True)
+    assert chk["ok"], chk["errors"]
+
+
+def test_replica_rebases_over_ddl_boundary(ray_session, tmp_path):
+    """An incremental pull that runs into a DDL-compacted epoch rebases
+    onto that epoch's full-state compaction product and keeps tailing —
+    never silently skipping change rows. (A FRESH replica rides over
+    historical DDLs the same way — its seed is a file-run snapshot.)"""
+    d = str(tmp_path / "pddl")
+    base = gen.gen_base_table(n_repos=15, paths_per_repo=10, seed=47)
+    cfg = gen.BinlogConfig(n_events=6_000, n_shards=3, dup_rate=0.05,
+                           shuffle_window=96, ddl_every=4_000,
+                           delete_rate=0.1, update_rate=0.5, seed=47)
+    log = gen.gen_binlog(base, cfg)
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=os.path.join(d, "lake"), binlog_dir=binlog_dir,
+        num_partitions=6, epoch_size=EPOCH, write_mode="delta",
+        compact_every=1_000_000, retain_snapshots=99))
     src = pipe.cfg.lake_dir
     rep = str(tmp_path / "replica")
+
+    # seed while the primary is at epoch 1 (pre-DDL)
+    pipe.run(base=base_path, max_epochs=1)
     r = replicate_lake(src, rep)
-    assert r["stopped"] is not None and "compaction" in r["stopped"]
-    assert not r["caught_up"]
-    assert r["upto_epoch"] >= 1
-    # everything before the boundary is faithfully applied
-    got = _state(rep)
-    want = pipe.table_at(r["upto_epoch"]).to_pandas()
-    want = want.sort_values(["repo", "path"]).reset_index(drop=True)[
-        sorted(want.columns)]
-    pd.testing.assert_frame_equal(got, want)
+    assert r["caught_up"] and r["upto_epoch"] == 1
+
+    # primary advances through the DDL epoch (forced full compaction);
+    # the incremental pull REBASES onto the epoch's compaction product
+    # and keeps tailing — no manual re-seed
+    pipe.run()
+    r = replicate_lake(src, rep)
+    assert r["caught_up"] and r["stopped"] is None
+    pd.testing.assert_frame_equal(_state(rep), _state(src))
+    # superseded pre-rebase runs were removed from the replica
+    from thor_ray.state import load_manifests
+    ms = load_manifests(rep)
+    n_disk = len(glob.glob(os.path.join(rep, "part=*", "*.parquet")))
+    assert n_disk == sum(len(m.files) for m in ms.values())
+
+    # and the replica still serves the post-DDL tail changefeed
+    from thor_ray.sources import read_changefeed
+    ddl_epoch = min(_run_epoch(m.files[0]) for m in ms.values())
+    tail_rep = read_changefeed(rep, ddl_epoch).to_pandas()
+    tail_src = read_changefeed(src, ddl_epoch).to_pandas()
+    key = ["lsn", "repo", "path"]
+    pd.testing.assert_frame_equal(
+        tail_rep.sort_values(key).reset_index(drop=True),
+        tail_src.sort_values(key).reset_index(drop=True))
+
+
+def _run_epoch(path: str) -> int:
+    return int(os.path.basename(path)[7:13])
+
+
+def test_replica_reseeds_over_retention_gap(ray_session, tmp_path):
+    """A replica behind a compact_upto that already gc'd the runs it
+    needed falls back to a full snapshot re-seed in place."""
+    from thor_ray.sources import compact_upto
+    from thor_ray.state import load_manifests
+
+    d = str(tmp_path / "p")
+    base = gen.gen_base_table(n_repos=15, paths_per_repo=10, seed=47)
+    cfg = gen.BinlogConfig(n_events=6_000, n_shards=3, dup_rate=0.05,
+                           shuffle_window=96, ddl_every=0,
+                           delete_rate=0.1, update_rate=0.5, seed=47)
+    log = gen.gen_binlog(base, cfg)
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=os.path.join(d, "lake"), binlog_dir=binlog_dir,
+        num_partitions=6, epoch_size=EPOCH, write_mode="delta",
+        compact_every=1_000_000))
+    src = pipe.cfg.lake_dir
+    rep = str(tmp_path / "replica")
+
+    pipe.run(base=base_path, max_epochs=1)
+    replicate_lake(src, rep)                  # seeded at epoch 1
+    pipe.run()                                # primary advances to cur
+    cur = min(m.epoch for m in load_manifests(src).values())
+    compact_upto(src, cur, force=True)        # folds + gc's the gap
+
+    r = replicate_lake(src, rep)
+    assert r["caught_up"] and r["stopped"] is None
+    pd.testing.assert_frame_equal(_state(rep), _state(src))
+    ms = load_manifests(rep)
+    assert all(len(m.files) == 1 and m.row_count >= 0 for m in ms.values())
+    chk = fsck(rep, deep=True)                # mirrored manifests verify
+    assert chk["ok"], chk["errors"]

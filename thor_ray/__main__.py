@@ -114,13 +114,20 @@ def cmd_follow(a) -> int:
 
 
 def cmd_compact(a) -> int:
-    """Force-merge delta runs into single state files (LSM maintenance)."""
+    """Force-merge delta runs into single state files (LSM maintenance).
+    --upto E folds only epochs <= E, keeping the tail changefeed."""
     ray = _ray_init(a.num_cpus)
-    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+    if a.upto is not None:
+        from thor_ray.sources import compact_upto
 
-    pipe = CdcPipeline(CdcConfig(lake_dir=a.lake, binlog_dir=a.binlog or "",
-                                 write_mode="delta"))
-    n = pipe.compact()
+        n = compact_upto(a.lake, a.upto, force=a.force)
+    else:
+        from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+        pipe = CdcPipeline(CdcConfig(lake_dir=a.lake,
+                                     binlog_dir=a.binlog or "",
+                                     write_mode="delta"))
+        n = pipe.compact()
     print(json.dumps({"compacted_partitions": n}))
     ray.shutdown()
     return 0
@@ -433,6 +440,11 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="merge delta runs into single state files")
     c.add_argument("--lake", required=True)
     c.add_argument("--binlog")
+    c.add_argument("--upto", type=int, default=None,
+                   help="partial (tiered) compaction: fold only epochs "
+                        "<= E, keep the tail changefeed")
+    c.add_argument("--force", action="store_true",
+                   help="with --upto: fold past lagging consumer groups")
     c.add_argument("--num-cpus", type=int)
     c.set_defaults(fn=cmd_compact)
 

@@ -1,7 +1,7 @@
 from .binlog import (max_lsn, read_ddl_events, read_epoch, safe_frontier,
                      shard_frontiers)
 from .lake import (ChangefeedConsumer, LakeEnricher, compact_lake,
-                   consumer_groups,
+                   compact_upto, consumer_groups,
                    enrich_with_lake, export_changefeed_envelopes, fsck,
                    lake_lookup,
                    lake_stats, maintain_group_counts, merge_state_frames,
@@ -9,7 +9,8 @@ from .lake import (ChangefeedConsumer, LakeEnricher, compact_lake,
                    read_partition_state, replicate_lake, snapshot_diff)
 from .sink import pruned_fragments, read_range, write_partitioned
 
-__all__ = ["ChangefeedConsumer", "compact_lake", "consumer_groups",
+__all__ = ["ChangefeedConsumer", "compact_lake", "compact_upto",
+           "consumer_groups",
            "LakeEnricher", "enrich_with_lake", "export_changefeed_envelopes",
            "fsck", "max_lsn", "read_ddl_events", "read_epoch", "safe_frontier",
            "shard_frontiers", "lake_lookup", "lake_stats",

@@ -485,6 +485,11 @@ def lake_stats(lake_dir: str, ndv_cols: "tuple[str, ...]" = ("repo", "lang"),
     return {"rows": rows, "content_bytes": nbytes, "columns": cols}
 
 
+def _run_epoch_of(path: str) -> int:
+    """Epoch tag of a state-run file name (state-eNNNNNN.parquet)."""
+    return int(os.path.basename(path)[7:13])
+
+
 def _epoch_run_files(parts: list[str], epoch: int) -> list[tuple[int, str]]:
     """The level-0 delta run files of one committed epoch, as
     (partition_id, path) pairs — the unit of changefeed delivery.
@@ -503,6 +508,23 @@ def _epoch_run_files(parts: list[str], epoch: int) -> list[tuple[int, str]]:
             raise ValueError(
                 f"epoch {epoch}: {p} is a compaction product (full state, "
                 "not changes) — a DDL or compaction folded this epoch")
+        files.append((int(os.path.basename(d).split("=", 1)[1]), p))
+    return files
+
+
+def _epoch_full_runs(parts: list[str], epoch: int) -> list[tuple[int, str]]:
+    """The FULL-state run files of one epoch (a compaction product or the
+    epoch-0 bootstrap), as (partition_id, path) pairs — the rebase target
+    when a replica's incremental pull hits a folded epoch."""
+    files = []
+    for d in parts:
+        p = os.path.join(d, f"state-e{epoch:06d}.parquet")
+        if not os.path.exists(p):
+            raise ValueError(f"epoch {epoch}: no run under {d}")
+        meta = pq.read_schema(p).metadata or {}
+        if meta.get(b"thor_kind") == b"delta":
+            raise ValueError(f"epoch {epoch}: {p} is a delta run, not a "
+                             "full-state compaction product")
         files.append((int(os.path.basename(d).split("=", 1)[1]), p))
     return files
 
@@ -708,13 +730,14 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
     CDC-out, so a serving cluster can tail a writer cluster with nothing
     shared but the lake directory.
 
-    The replica is itself a delta-mode lake: the seed is the primary's
-    epoch-0 bootstrap state, and every consumed epoch lands as the SAME
-    level-0 run file (verbatim byte copy, footers and all — or a
-    key+internal-preserving column projection when ``columns`` is given),
-    so ``read_lake``, ``lake_lookup``, ``read_changefeed`` and
-    ``ChangefeedConsumer`` all work on the replica unchanged — replicas
-    chain.
+    The replica is itself a delta-mode lake: the seed is a file-run copy
+    of the primary's current manifests (snapshot + tail bootstrap — works
+    on freshly-bootstrapped AND partially-compacted primaries), and every
+    epoch consumed after that lands as the SAME level-0 run file
+    (verbatim byte copy, footers and all — or a key+internal-preserving
+    column projection when ``columns`` is given), so ``read_lake``,
+    ``lake_lookup``, ``read_changefeed`` and ``ChangefeedConsumer`` all
+    work on the replica unchanged — replicas chain.
 
     Exactly-once end to end: the replica's OWN manifests are the progress
     record (resume reads the slowest partition's epoch — a torn run
@@ -723,9 +746,11 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
     commit point — a crash anywhere re-runs idempotently. A consumer-group
     offset on the primary (``replica-{group}``) mirrors the committed
     epoch purely for lag/retention visibility; give each replica its own
-    group name. Consumes the maximal level-0 prefix and stops cleanly at
-    a DDL/compaction boundary (``stopped`` in the result names it);
-    re-seed past such a boundary with a fresh replica.
+    group name. Boundaries self-heal: an incremental pull that meets a
+    DDL/compact_upto-folded epoch REBASES onto that epoch's full-state
+    compaction product and keeps tailing, and a retention gap (the
+    needed runs already gc'd) falls back to a full snapshot re-seed in
+    place; an unreadable boundary is reported in ``stopped``.
 
     Scale shape: one distributed task per (epoch, partition) run file,
     metadata-only discovery, nothing data-sized on the driver. Replica
@@ -766,22 +791,47 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
     parts = sorted(_glob.glob(os.path.join(src_lake, "part=*")))
 
     work: list[tuple[int, int, str]] = []   # (epoch, pid, src_path)
-    if not dst_ms:
-        for d in parts:   # seed: the primary's bootstrap full-state files
-            p = os.path.join(d, "state-e000000.parquet")
-            if os.path.exists(p):
-                work.append((0, int(os.path.basename(d).split("=", 1)[1]),
-                             p))
+    seeding = not dst_ms
     stopped = None
-    epochs_ok = lo
-    for e in range(lo + 1, upto_target + 1):
-        try:
-            run = _epoch_run_files(parts, e)
-        except ValueError as err:
-            stopped = str(err)
-            break
-        work.extend((e, pid, p) for pid, p in run)
-        epochs_ok = e
+    rebase = None
+    if not seeding:
+        epochs_ok = lo
+        for e in range(lo + 1, upto_target + 1):
+            try:
+                run = _epoch_run_files(parts, e)
+            except ValueError as err:
+                if "compaction product" in str(err):
+                    # a DDL (or compact_upto at e) folded this epoch: the
+                    # full-state product IS the state through e — rebase
+                    # the replica onto it and keep tailing
+                    try:
+                        run = _epoch_full_runs(parts, e)
+                    except ValueError as err2:
+                        stopped = f"{err}; rebase probe failed: {err2}"
+                        break
+                    rebase = e
+                    work = [(e, pid, p) for pid, p in run]
+                    epochs_ok = e
+                    continue
+                if e == lo + 1 and "missing" in str(err):
+                    # retention gap: the runs this replica still needed
+                    # were gc'd (compact_upto past its offset) — fall back
+                    # to a full snapshot re-seed in place
+                    seeding = True
+                    break
+                stopped = str(err)
+                break
+            work.extend((e, pid, p) for pid, p in run)
+            epochs_ok = e
+    if seeding:
+        # snapshot + tail bootstrap: copy the primary's CURRENT file runs
+        # verbatim (works even after partial compaction folded early
+        # epochs away); manifests are mirrored below, tailing starts at
+        # the primary's committed frontier
+        stopped = None
+        work = [(_run_epoch_of(f), pid, f)
+                for pid, m in src_ms.items() for f in m.files]
+        epochs_ok = cur
     if not work:
         return {"epochs_applied": 0, "upto_epoch": lo,
                 "caught_up": lo >= cur, "rows": 0, "stopped": stopped}
@@ -811,13 +861,8 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
             lsn = pq.read_table(src, columns=["_lsn"])["_lsn"]
             n = len(lsn)
             max_lsn = int(_pc.max(lsn).as_py() or 0) if n else 0
-            chash = ""
-            if e == 0:   # seed manifests stay deep-fsck verifiable
-                from thor_ray.pipelines.cdc import _content_hash
-                sha = pq.read_table(src, columns=["_sha"])["_sha"]
-                chash = _content_hash(sha.to_pandas()) if n else ""
             rows.append({"epoch": e, "pid": pid, "dst": dst, "rows": n,
-                         "max_lsn": max_lsn, "chash": chash})
+                         "max_lsn": max_lsn})
         return pd.DataFrame(rows)
 
     items = pa.table({
@@ -840,22 +885,45 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
         tmp = os.path.join(dst_lake, "_schema", "engine.json")
         shutil.copyfile(eng, tmp + ".tmp")
         os.replace(tmp + ".tmp", tmp)
-    for pid, grp in stats.groupby("pid"):
-        pid = int(pid)
-        grp = grp.sort_values("epoch")
-        old = dst_ms.get(pid)
-        files = list(old.files) if old else []
-        known = set(files)
-        files += [f for f in grp["dst"] if f not in known]
-        up = max(int(grp["max_lsn"].max()),
-                 old.upto_lsn if old else 0)
-        seed_only = old is None and set(grp["epoch"]) == {0}
-        write_manifest(dst_lake, Manifest(
-            pid, max(epochs_ok, old.epoch if old else 0), up,
-            sum(1 for en in reg.entries if en["lsn"] <= up), files,
-            int(grp["rows"].sum()) if seed_only else -1,
-            str(grp["chash"].iloc[0]) if seed_only else "",
-            {"replica_of": src_abs, "group": group}))
+    lin = {"replica_of": src_abs, "group": group}
+    stale: list[str] = []
+    if seeding:
+        # mirror the primary's manifests verbatim (row_count/content_hash
+        # stay valid: the replica holds the exact same file runs, and the
+        # fingerprint is over the always-kept _sha column even when
+        # payload columns are projected away)
+        new_by_pid = {}
+        for pid, m in src_ms.items():
+            files = [os.path.join(dst_abs, f"part={pid:05d}",
+                                  os.path.basename(f)) for f in m.files]
+            new_by_pid[pid] = set(files)
+            write_manifest(dst_lake, Manifest(
+                pid, m.epoch, m.upto_lsn, m.schema_ver, files,
+                m.row_count, m.content_hash, lin))
+        stale = [f for pid, m in dst_ms.items()
+                 for f in m.files if f not in new_by_pid.get(pid, set())]
+    else:
+        for pid, grp in stats.groupby("pid"):
+            pid = int(pid)
+            grp = grp.sort_values("epoch")
+            old = dst_ms[pid]
+            if rebase is not None:
+                files = list(grp["dst"])   # rebase product + later deltas
+                stale += [f for f in old.files if f not in set(files)]
+            else:
+                files = list(old.files)
+                known = set(files)
+                files += [f for f in grp["dst"] if f not in known]
+            up = max(int(grp["max_lsn"].max()), old.upto_lsn)
+            write_manifest(dst_lake, Manifest(
+                pid, max(epochs_ok, old.epoch), up,
+                sum(1 for en in reg.entries if en["lsn"] <= up), files,
+                -1, "", lin))
+    for f in stale:   # superseded runs; crash before this leaves legal
+        try:          # orphans that the next rebase/re-seed removes
+            os.remove(f)
+        except OSError:
+            pass
     if epochs_ok > consumer.committed():
         consumer.commit(epochs_ok)   # lag/retention telemetry on the src
     return {"epochs_applied": epochs_ok - lo, "upto_epoch": epochs_ok,
@@ -889,6 +957,101 @@ def compact_lake(lake_dir: str, update_mode: str = "full") -> int:
         num_partitions=len(ms), write_mode="delta",
         update_mode=update_mode))
     return pipe.compact()
+
+
+def compact_upto(lake_dir: str, upto_epoch: int, force: bool = False) -> int:
+    """Partial (tiered) compaction: fold each partition's level-0 runs of
+    epochs ≤ ``upto_epoch`` into ONE base file while KEEPING later runs
+    level-0 — bounds merge-on-read amplification on a long-lived lake
+    without destroying the tail changefeed, the Kafka-retention analogue
+    for the lake's CDC-out. ``read_changefeed``/consumers/replicas keep
+    working for epochs > upto_epoch; ranges at or below it are refused by
+    the existing kind markers (fold only what every consumer group has
+    committed — the guard below enforces that unless ``force``).
+
+    Crash-safe without coordination: the folded file overwrites the
+    ``upto_epoch`` run under its deterministic name via os.replace, and
+    until the manifest swaps, merging the OLD file list with the folded
+    file in place is value-identical (every key's winner is preserved; a
+    dropped tombstone's delta row still outranks the base). Unreferenced
+    pre-fold runs are gc'd afterwards (time-travel archives keep
+    protecting theirs). Acquires the writer generation — a concurrently
+    running pipeline writer is fenced out, the same fail-closed rule as
+    every maintenance command. One distributed fold task per partition.
+    Returns partitions folded."""
+    from thor_ray.pipelines.cdc import (BASE_COLS, _content_hash,
+                                        _read_state, _write_state_file)
+    from thor_ray.state import SchemaRegistry, load_manifests, snapshot_active
+    from thor_ray.state.manifest import (Manifest, acquire_writer_gen,
+                                         gc_lake, write_manifest)
+
+    ms = load_manifests(lake_dir)
+    if not ms:
+        raise ValueError(f"no manifests under {lake_dir}")
+    cur = min(m.epoch for m in ms.values())
+    if not 0 <= upto_epoch <= cur:
+        raise ValueError(f"upto_epoch {upto_epoch} outside [0, {cur}]")
+    behind = {g: off for g, off in consumer_groups(lake_dir).items()
+              if off < upto_epoch}
+    if behind and not force:
+        raise ValueError(
+            f"consumer groups behind upto_epoch={upto_epoch}: {behind} — "
+            "their unread changefeed would be folded away; commit them "
+            "forward or pass force=True")
+    todo = {}
+    for pid, m in ms.items():
+        olds = [f for f in m.files if _run_epoch_of(f) <= upto_epoch]
+        if len(olds) > 1:
+            todo[pid] = (olds,
+                         [f for f in m.files
+                          if _run_epoch_of(f) > upto_epoch])
+    if not todo:
+        return 0
+    acquire_writer_gen(lake_dir)   # fence out a live writer (admin op)
+    retain = snapshot_active(lake_dir)
+    reg = SchemaRegistry.load(lake_dir)
+    types = reg.types_at(reg.version)
+    lake_abs = os.path.abspath(lake_dir)
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid in b["pid"]:
+            pid = int(pid)
+            olds, tails = todo[pid]
+            df = _read_state(olds, keep_tombstones=True)
+            if not retain:
+                df = df[df["_op"] != "D"].assign(_op="U")
+            df = df.sort_values(["repo", "path"], kind="stable")
+            evolved = [c for c in df.columns
+                       if c not in BASE_COLS
+                       and c not in ("_lsn", "_sha", "_op")]
+            path = os.path.join(lake_abs, f"part={pid:05d}",
+                                f"state-e{upto_epoch:06d}.parquet")
+            _write_state_file(df, path, evolved,
+                              {c: types.get(c, "string") for c in evolved},
+                              kind="full")
+            live = df.loc[df["_op"] != "D", "_sha"] if retain else df["_sha"]
+            rows.append({"pid": pid, "base": path,
+                         "rows": len(df),
+                         "chash": _content_hash(live) if len(df) else ""})
+        return pd.DataFrame(rows)
+
+    pids = pa.table({"pid": pa.array(sorted(todo), pa.int64())})
+    out = (ray.data.from_arrow(pids)
+           .repartition(min(len(todo), 64))
+           .map_batches(fold, batch_format="pandas", batch_size=None)
+           .to_pandas())
+    for r in out.itertuples(index=False):
+        m = ms[int(r.pid)]
+        tails = todo[int(r.pid)][1]
+        write_manifest(lake_dir, Manifest(
+            m.partition_id, m.epoch, m.upto_lsn, m.schema_ver,
+            [r.base] + tails,
+            int(r.rows) if not tails else -1,
+            str(r.chash) if not tails else "",
+            m.lineage))
+    gc_lake(lake_dir, load_manifests(lake_dir))
+    return len(out)
 
 
 def fsck(lake_dir: str, deep: bool = False) -> dict:
