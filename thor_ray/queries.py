@@ -13230,6 +13230,502 @@ FROM m
 """
 
 
+def _daily_cents(sf: str) -> pd.DataFrame:
+    """Daily order-revenue series in exact integer cents (one distributed
+    groupby(day); ~2.4k-row output series)."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"), "c": c})
+
+    return (ds.map_batches(cents, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("c", alias_name="c"))
+            .to_pandas().sort_values("day").reset_index(drop=True))
+
+
+def q348_stochastic_k(sf: str):
+    """Stochastic %K oscillator of the daily revenue series (trailing
+    7-row window): 100·(c − min₇)/(max₇ − min₇) — window extremes over
+    exact integer cents, one division per output row."""
+    d = _daily_cents(sf)
+    c = d["c"].to_numpy(np.int64)
+    lo = pd.Series(c).rolling(7, min_periods=1).min().to_numpy(np.int64)
+    hi = pd.Series(c).rolling(7, min_periods=1).max().to_numpy(np.int64)
+    k = 100.0 * (c - lo) / (hi - lo)
+    return pd.DataFrame({"day": d["day"],
+                         "pct_k": _rnd(pa.array(k), 6)
+                         .to_numpy(zero_copy_only=False)})
+
+
+SQL_Q348 = """
+WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM orders GROUP BY day)
+SELECT day,
+       round(100.0 * (c - min(c) OVER w) / (max(c) OVER w - min(c) OVER w),
+             6) AS pct_k
+FROM d WINDOW w AS (ORDER BY day ROWS 6 PRECEDING)
+"""
+
+
+def q349_atr_like(sf: str):
+    """Mean absolute day-over-day change of the daily event count over a
+    trailing 7-row window (the ATR shape on a count series): |Δ| is an
+    exact integer, the window mean one division per row."""
+    ds = T(sf, "events", ["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t["ts"], unit="day")})
+
+    d = (ds.map_batches(day, batch_format="pyarrow")
+         .groupby("day").aggregate(Count(alias_name="c"))
+         .to_pandas().sort_values("day").reset_index(drop=True))
+    c = d["c"].to_numpy(np.int64)
+    ad = np.abs(np.diff(c))
+    s = np.concatenate([[0], np.cumsum(ad)])
+    i = np.arange(len(ad))
+    w = np.minimum(i + 1, 7)
+    atr = (s[i + 1] - s[np.maximum(i + 1 - 7, 0)]) / w.astype(np.float64)
+    return pd.DataFrame({"day": d["day"].iloc[1:].reset_index(drop=True),
+                         "atr": _rnd(pa.array(atr), 6)
+                         .to_numpy(zero_copy_only=False)})
+
+
+SQL_Q349 = """
+WITH d AS (SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY day),
+l AS (SELECT day, abs(c - lag(c) OVER (ORDER BY day)) AS ad FROM d)
+SELECT day, round(CAST(sum(ad) OVER w AS DOUBLE)
+                  / count(ad) OVER w, 6) AS atr
+FROM l WHERE ad IS NOT NULL WINDOW w AS (ORDER BY day ROWS 6 PRECEDING)
+"""
+
+
+def q350_promo_ratio(sf: str):
+    """TPC-H-Q14-shaped promotion-revenue share: one month of lineitem
+    joined to part (broadcast dim), discounted revenue in per-row-rounded
+    integer cents, conditional-sum combiner — single final division."""
+    li = T(sf, "lineitem",
+           ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    pt = T(sf, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = ray.put(set(pt.loc[pt["p_type"] == "PROMO",
+                               "p_partkey"].tolist()))
+    lo = pa.scalar(pd.Timestamp("1995-09-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1995-10-01"), type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                       pc.less(t["l_shipdate"], hi))
+        t = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])), 100.0)),
+            pa.int64())
+        ps = ray.get(promo)
+        isp = np.fromiter(
+            (int(k) in ps for k in t["l_partkey"].to_numpy()),
+            dtype=bool, count=len(t))
+        cn = cents.to_numpy(zero_copy_only=False)
+        return pa.table({"p": pa.array([int(cn[isp].sum())], pa.int64()),
+                         "a": pa.array([int(cn.sum())], pa.int64())})
+
+    m = (li.map_batches(partial, batch_format="pyarrow")
+         .to_pandas())   # one partial row per batch
+    p, a = int(m["p"].sum()), int(m["a"].sum())
+    return pd.DataFrame([{
+        "promo_share": _round_away(100.0 * p / a, 6)}])
+
+
+SQL_Q350 = """
+SELECT round(100.0 *
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT))
+              FILTER (p_type = 'PROMO') AS BIGINT)
+         / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT), 6) AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
+def q351_small_qty_revenue(sf: str):
+    """TPC-H-Q17-shaped small-quantity revenue: lineitems with quantity
+    below 0.2× their part's average quantity. Per-part (n, Σqty) integer
+    combiner broadcast into a map-side filter — the corpus never joins;
+    the strict-< threshold compare is the identical double expression on
+    both sides (integral quantities make every per-part avg exact)."""
+    li = T(sf, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def pq_partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64())
+        g = pa.table({"l_partkey": t["l_partkey"], "n": pc.cast(
+            pc.is_valid(q), pa.int64()), "s": q}) \
+            .group_by("l_partkey").aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["l_partkey", "n", "s"])
+
+    avg = (li.map_batches(pq_partial, batch_format="pyarrow")
+           .groupby("l_partkey").aggregate(Sum("n", alias_name="n"),
+                                           Sum("s", alias_name="s"))
+           .to_pandas())   # part-table-sized
+    thr = {int(k): 0.2 * (float(s) / n)
+           for k, n, s in zip(avg["l_partkey"], avg["n"], avg["s"])}
+    thr_ref = ray.put(thr)
+
+    def pick(t: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        tv = np.fromiter((th[int(k)] for k in t["l_partkey"].to_numpy()),
+                         dtype=np.float64, count=len(t))
+        keep = t["l_quantity"].to_numpy(zero_copy_only=False) < tv
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"].filter(pa.array(keep)), 100.0)), pa.int64())
+        return pa.table({"c": pa.array(
+            [int(pc.sum(cents).as_py() or 0)], pa.int64())})
+
+    m = li.map_batches(pick, batch_format="pyarrow").to_pandas()
+    total = int(m["c"].sum())
+    return pd.DataFrame([{
+        "avg_yearly": _round_away((total / 100.0) / 7.0, 6)}])
+
+
+SQL_Q351 = """
+WITH a AS (SELECT l_partkey,
+                  0.2 * (CAST(CAST(sum(CAST(l_quantity AS BIGINT))
+                                   AS BIGINT) AS DOUBLE)
+                         / CAST(count(*) AS BIGINT)) AS thr
+           FROM lineitem GROUP BY l_partkey)
+SELECT round((CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS DOUBLE) / 100.0) / 7.0, 6)
+         AS avg_yearly
+FROM lineitem JOIN a USING (l_partkey)
+WHERE l_quantity < thr
+"""
+
+
+def q352_hypergeom_enrich(sf: str):
+    """Per-source 'en' over-representation: exact hypergeometric upper
+    tail P(X ≥ k) via the lgamma/exp series in ascending-i order (libm
+    parity, the q310 discipline). One (source, lang) count shuffle; the
+    series runs on the 20-row source table."""
+    import math
+    ds = T(sf, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"source": t["source"],
+                      "en": pc.cast(pc.equal(t["lang"], "en"), pa.int64()),
+                      "one": pc.cast(pc.is_valid(t["source"]), pa.int64())}) \
+            .group_by("source").aggregate([("en", "sum"), ("one", "sum")])
+        return g.rename_columns(["source", "k", "n"])
+
+    s = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("source").aggregate(Sum("k", alias_name="k"),
+                                      Sum("n", alias_name="n"))
+         .to_pandas().sort_values("source").reset_index(drop=True))
+    bigk = int(s["k"].sum())
+    bign = int(s["n"].sum())
+
+    def lc(a: int, b: int) -> float:
+        return math.lgamma(a + 1) - math.lgamma(b + 1) \
+            - math.lgamma(a - b + 1)
+
+    out = []
+    for _, row in s.iterrows():
+        n, k = int(row["n"]), int(row["k"])
+        p = 0.0
+        for i in range(k, min(n, bigk) + 1):
+            p += math.exp(lc(bigk, i) + lc(bign - bigk, n - i)
+                          - lc(bign, n))
+        out.append({"source": row["source"], "k": np.int64(k),
+                    "n": np.int64(n), "p_enrich": _round_away(p, 6)})
+    return pd.DataFrame(out)
+
+
+SQL_Q352 = """
+WITH s AS (SELECT source,
+                  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS k,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(k) AS BIGINT) AS bk, CAST(sum(n) AS BIGINT) AS bn
+      FROM s),
+term AS (
+  SELECT s.source, s.k, s.n,
+         sum(exp((lgamma(bk + 1) - lgamma(i + 1) - lgamma(bk - i + 1))
+                 + (lgamma(bn - bk + 1) - lgamma(s.n - i + 1)
+                    - lgamma(bn - bk - (s.n - i) + 1))
+                 - (lgamma(bn + 1) - lgamma(s.n + 1)
+                    - lgamma(bn - s.n + 1))))
+           OVER (PARTITION BY s.source ORDER BY i) AS cs
+  FROM s, t, generate_series(0, 100000) AS g(i)
+  WHERE i BETWEEN s.k AND least(s.n, t.bk))
+SELECT source, k, n, round(max(cs), 6) AS p_enrich
+FROM term GROUP BY source, k, n ORDER BY source
+"""
+
+
+def q353_cliffs_delta(sf: str):
+    """Cliff's delta ordinal effect size between 'en' and 'de' document
+    lengths: dominance counts from value-histogram cumulative sums — all
+    exact int64 until the single division by n₁·n₂."""
+    ds = T(sf, "documents", ["lang", "n_chars"])
+    langs = pa.array(["en", "de"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["lang"], value_set=langs))
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars",
+                                                        "count")])
+        return g.rename_columns(["lang", "n_chars", "n"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    wide = hist.pivot_table(index="n_chars", columns="lang", values="n",
+                            fill_value=0, aggfunc="sum").sort_index()
+    a = wide.get("en", pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    b = wide.get("de", pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    cb = np.cumsum(b)
+    gt = int((a * (cb - b)).sum())           # en value strictly above
+    lt = int((a * (int(b.sum()) - cb)).sum())  # en value strictly below
+    n1, n2 = int(a.sum()), int(b.sum())
+    return pd.DataFrame([{
+        "gt": np.int64(gt), "lt": np.int64(lt),
+        "cliffs_d": _round_away(float(gt - lt) / (n1 * n2), 6)}])
+
+
+SQL_Q353 = """
+WITH h AS (
+  SELECT n_chars,
+         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS a,
+         CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS b
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY n_chars),
+c AS (SELECT a, b, sum(b) OVER (ORDER BY n_chars) AS cb,
+             (SELECT CAST(sum(b) AS BIGINT) FROM h) AS sb,
+             (SELECT CAST(sum(a) AS BIGINT) FROM h) AS sa
+      FROM h)
+SELECT CAST(sum(a * (cb - b)) AS BIGINT) AS gt,
+       CAST(sum(a * (sb - cb)) AS BIGINT) AS lt,
+       round(CAST(CAST(sum(a * (cb - b)) AS BIGINT)
+                  - CAST(sum(a * (sb - cb)) AS BIGINT) AS DOUBLE)
+             / (any_value(sa) * any_value(sb)), 6) AS cliffs_d
+FROM c
+"""
+
+
+def q354_kl_divergence(sf: str):
+    """Add-one-smoothed KL(en ‖ de) over the document-length histograms
+    (Laplace smoothing over the combined support keeps every q > 0):
+    key-ordered scalar-libm log fold on the output-sized table."""
+    import math
+    ds = T(sf, "documents", ["lang", "n_chars"])
+    langs = pa.array(["en", "de"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["lang"], value_set=langs))
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars",
+                                                        "count")])
+        return g.rename_columns(["lang", "n_chars", "n"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    wide = hist.pivot_table(index="n_chars", columns="lang", values="n",
+                            fill_value=0, aggfunc="sum").sort_index()
+    a = wide.get("en", pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    b = wide.get("de", pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    s = int(len(wide))
+    sa, sb = int(a.sum()), int(b.sum())
+    acc = 0.0
+    for ai, bi in zip(a, b):   # support-ordered fold, output-sized
+        p = (int(ai) + 1) / float(sa + s)
+        q = (int(bi) + 1) / float(sb + s)
+        acc += p * math.log(p / q)
+    return pd.DataFrame([{"support": np.int64(s),
+                          "kl": _round_away(acc, 6)}])
+
+
+SQL_Q354 = """
+WITH h AS (
+  SELECT n_chars,
+         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS a,
+         CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS b
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY n_chars),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+             CAST(count(*) AS BIGINT) AS s
+      FROM h),
+c AS (SELECT sum(((a + 1) / CAST(sa + s AS DOUBLE))
+                 * ln(((a + 1) / CAST(sa + s AS DOUBLE))
+                      / ((b + 1) / CAST(sb + s AS DOUBLE))))
+               OVER (ORDER BY n_chars) AS cs,
+             row_number() OVER (ORDER BY n_chars) AS rn,
+             count(*) OVER () AS nn
+      FROM h, t)
+SELECT (SELECT s FROM t) AS support, round(cs, 6) AS kl
+FROM c WHERE rn = nn
+"""
+
+
+def q355_cramer_von_mises(sf: str):
+    """Two-sample Cramér–von Mises statistic between the 'en' and 'de'
+    length distributions: T = (n·m/(n+m)²)·Σ w·(F₁−F₂)² over the combined
+    support — exact integer ECDF numerators, non-negative term cumsum."""
+    ds = T(sf, "documents", ["lang", "n_chars"])
+    langs = pa.array(["en", "de"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["lang"], value_set=langs))
+        g = t.group_by(["lang", "n_chars"]).aggregate([("n_chars",
+                                                        "count")])
+        return g.rename_columns(["lang", "n_chars", "n"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "n_chars"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    wide = hist.pivot_table(index="n_chars", columns="lang", values="n",
+                            fill_value=0, aggfunc="sum").sort_index()
+    a = wide.get("en", pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    b = wide.get("de", pd.Series(0, index=wide.index)).to_numpy(np.int64)
+    sa, sb = int(a.sum()), int(b.sum())
+    f1 = np.cumsum(a) / float(sa)
+    f2 = np.cumsum(b) / float(sb)
+    body = float(np.cumsum((a + b) * (f1 - f2) * (f1 - f2))[-1])
+    t_ = (float(sa) * sb / ((sa + sb) * (sa + sb))) * body
+    return pd.DataFrame([{"cvm_t": _round_away(t_, 6)}])
+
+
+SQL_Q355 = """
+WITH h AS (
+  SELECT n_chars,
+         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS a,
+         CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS b
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY n_chars),
+t AS (SELECT CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb
+      FROM h),
+e AS (SELECT n_chars, a, b,
+             CAST(sum(a) OVER (ORDER BY n_chars) AS DOUBLE) / sa AS f1,
+             CAST(sum(b) OVER (ORDER BY n_chars) AS DOUBLE) / sb AS f2
+      FROM h, t),
+c AS (SELECT sum((a + b) * (f1 - f2) * (f1 - f2))
+               OVER (ORDER BY n_chars) AS cs
+      FROM e)
+SELECT round((SELECT CAST(sa AS DOUBLE) * sb / ((sa + sb) * (sa + sb))
+              FROM t) * max(cs), 6) AS cvm_t
+FROM c
+"""
+
+
+def q356_macd(sf: str):
+    """MACD(12, 26, 9) of the daily revenue series: three coupled EMA
+    recursions run driver-side over the output-sized series with the
+    EXACT double-expression shape the WITH RECURSIVE oracle uses (same
+    literal α factors, same op order — the q269 Holt discipline)."""
+    d = _daily_cents(sf)
+    c = d["c"].to_numpy(np.int64)
+    a12, a26, a9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+    macd = np.empty(len(c), np.float64)
+    sig = np.empty(len(c), np.float64)
+    e12 = e26 = float(c[0])
+    s = 0.0
+    macd[0], sig[0] = 0.0, 0.0
+    for i in range(1, len(c)):
+        e12 = a12 * c[i] + (1 - a12) * e12
+        e26 = a26 * c[i] + (1 - a26) * e26
+        m = e12 - e26
+        s = a9 * m + (1 - a9) * s
+        macd[i], sig[i] = m, s
+    return pd.DataFrame({
+        "day": d["day"],
+        "macd": _rnd(pa.array(macd), 4).to_numpy(zero_copy_only=False),
+        "sig": _rnd(pa.array(sig), 4).to_numpy(zero_copy_only=False)})
+
+
+SQL_Q356 = """
+WITH RECURSIVE d AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY day),
+i AS (SELECT day, c, row_number() OVER (ORDER BY day) AS rn FROM d),
+h AS (
+  SELECT rn, day, CAST(c AS DOUBLE) AS e12, CAST(c AS DOUBLE) AS e26,
+         CAST(0 AS DOUBLE) AS m, CAST(0 AS DOUBLE) AS s
+  FROM i WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.day,
+         (2.0 / 13.0) * i.c + (1 - 2.0 / 13.0) * h.e12,
+         (2.0 / 27.0) * i.c + (1 - 2.0 / 27.0) * h.e26,
+         ((2.0 / 13.0) * i.c + (1 - 2.0 / 13.0) * h.e12)
+           - ((2.0 / 27.0) * i.c + (1 - 2.0 / 27.0) * h.e26),
+         (2.0 / 10.0) * (((2.0 / 13.0) * i.c + (1 - 2.0 / 13.0) * h.e12)
+                         - ((2.0 / 27.0) * i.c
+                            + (1 - 2.0 / 27.0) * h.e26))
+           + (1 - 2.0 / 10.0) * h.s
+  FROM h JOIN i ON i.rn = h.rn + 1)
+SELECT day, round(m, 4) AS macd, round(s, 4) AS sig FROM h
+"""
+
+
+def q357_tukey_fences(sf: str):
+    """Tukey-fence outlier counts of the event value per type: exact
+    discrete quartiles (the q112 ceil-rank convention), fences assembled
+    with the identical double expression, then one distributed count pass
+    against the broadcast fences."""
+    ds = T(sf, "events", ["event_type", "value"])
+
+    def qtile(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["value"].to_numpy(np.float64))
+
+        def disc(q: float) -> float:
+            return float(x[max(int(np.ceil(q * len(x))) - 1, 0)])
+
+        q1, q3 = disc(0.25), disc(0.75)
+        return pd.DataFrame([{"event_type": g["event_type"].iloc[0],
+                              "lo": q1 - 1.5 * (q3 - q1),
+                              "hi": q3 + 1.5 * (q3 - q1)}])
+
+    fences = (ds.groupby("event_type")
+              .map_groups(qtile, batch_format="pandas").to_pandas())
+    f = {r.event_type: (r.lo, r.hi) for r in fences.itertuples(index=False)}
+    f_ref = ray.put(f)
+
+    def count_out(t: pa.Table) -> pa.Table:
+        ff = ray.get(f_ref)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].to_pylist()
+        lo = np.fromiter((ff[x][0] for x in ty), np.float64, count=len(ty))
+        hi = np.fromiter((ff[x][1] for x in ty), np.float64, count=len(ty))
+        out = (v < lo) | (v > hi)
+        g = pa.table({"event_type": t["event_type"],
+                      "o": pa.array(out.astype(np.int64), pa.int64())}) \
+            .group_by("event_type").aggregate([("o", "sum")])
+        return g.rename_columns(["event_type", "n_out"])
+
+    cnt = (ds.map_batches(count_out, batch_format="pyarrow")
+           .groupby("event_type").aggregate(Sum("n_out",
+                                                alias_name="n_out"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    cnt["n_out"] = cnt["n_out"].astype(np.int64)
+    return cnt
+
+
+SQL_Q357 = """
+WITH f AS (SELECT event_type,
+                  quantile_disc(value, 0.25) AS q1,
+                  quantile_disc(value, 0.75) AS q3
+           FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(count(*) FILTER (value < q1 - 1.5 * (q3 - q1)
+                             OR value > q3 + 1.5 * (q3 - q1)) AS BIGINT)
+         AS n_out
+FROM events e JOIN f USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13585,6 +14081,16 @@ QUERIES: dict[str, tuple] = {
     "q345_ks_uniform": (q345_ks_uniform, SQL_Q345),
     "q346_gini_impurity": (q346_gini_impurity, SQL_Q346),
     "q347_acf1_by_type": (q347_acf1_by_type, SQL_Q347),
+    "q348_stochastic_k": (q348_stochastic_k, SQL_Q348),
+    "q349_atr_like": (q349_atr_like, SQL_Q349),
+    "q350_promo_ratio": (q350_promo_ratio, SQL_Q350),
+    "q351_small_qty_revenue": (q351_small_qty_revenue, SQL_Q351),
+    "q352_hypergeom_enrich": (q352_hypergeom_enrich, SQL_Q352),
+    "q353_cliffs_delta": (q353_cliffs_delta, SQL_Q353),
+    "q354_kl_divergence": (q354_kl_divergence, SQL_Q354),
+    "q355_cramer_von_mises": (q355_cramer_von_mises, SQL_Q355),
+    "q356_macd": (q356_macd, SQL_Q356),
+    "q357_tukey_fences": (q357_tukey_fences, SQL_Q357),
 }
 
 
