@@ -156,7 +156,8 @@ def cmd_export_changefeed(a) -> int:
     rep = export_changefeed_envelopes(a.lake, a.out,
                                       after_epoch=a.after_epoch,
                                       upto_epoch=a.upto_epoch,
-                                      source_name=a.source_name)
+                                      source_name=a.source_name,
+                                      with_before=a.with_before)
     print(json.dumps(rep))
     ray.shutdown()
     return 0
@@ -471,6 +472,8 @@ def main(argv: list[str] | None = None) -> int:
     ec.add_argument("--after-epoch", type=int, default=0)
     ec.add_argument("--upto-epoch", type=int, default=None)
     ec.add_argument("--source-name", default="lake")
+    ec.add_argument("--with-before", action="store_true",
+                    help="emit real before images (read_changefeed_full)")
     ec.add_argument("--num-cpus", type=int, default=None)
     ec.set_defaults(fn=cmd_export_changefeed)
 

@@ -13726,6 +13726,37 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
+def q358_changefeed_before(sf: str):
+    """Before-image changefeed (rows-only): replay a binlog into a
+    delta-mode lake, then read the FULL Debezium-shaped feed — every
+    change row with its previous image (before_* columns, before_lsn as
+    the existed-discriminator) — via sources.read_changefeed_full (one
+    task per partition, zero shuffle). Oracle equality of the before
+    images is pinned in tests/test_changefeed_full.py."""
+    import os
+    import shutil
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    from thor_ray.sources import read_changefeed_full
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_cffull_{tag}"
+    fixture_dir = os.path.join(work, "fixture")
+    info = gen.write_fixture(
+        fixture_dir, n_keys=2_000,
+        cfg=gen.BinlogConfig(n_events=20_000, n_shards=4, dup_rate=0.05,
+                             delete_rate=0.08, ddl_every=0, seed=23))
+    lake_dir = os.path.join(work, "lake")
+    if os.path.exists(lake_dir):
+        shutil.rmtree(lake_dir)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake_dir, binlog_dir=info["binlog_dir"],
+        num_partitions=16, epoch_size=5_000, write_mode="delta",
+        compact_every=1_000_000))
+    pipe.run(base=info["base"])
+    return read_changefeed_full(lake_dir, 0)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14091,6 +14122,7 @@ QUERIES: dict[str, tuple] = {
     "q355_cramer_von_mises": (q355_cramer_von_mises, SQL_Q355),
     "q356_macd": (q356_macd, SQL_Q356),
     "q357_tukey_fences": (q357_tukey_fences, SQL_Q357),
+    "q358_changefeed_before": (q358_changefeed_before, None),
 }
 
 

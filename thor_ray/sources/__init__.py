@@ -5,7 +5,8 @@ from .lake import (ChangefeedConsumer, LakeEnricher, compact_lake,
                    enrich_with_lake, export_changefeed_envelopes, fsck,
                    lake_lookup,
                    lake_stats, maintain_group_counts, merge_state_frames,
-                   read_changefeed, read_lake, read_lake_at, read_lineage,
+                   read_changefeed, read_changefeed_full, read_lake,
+                   read_lake_at, read_lineage,
                    read_partition_state, replicate_lake, snapshot_diff)
 from .sink import pruned_fragments, read_range, write_partitioned
 
@@ -16,7 +17,7 @@ __all__ = ["ChangefeedConsumer", "compact_lake", "compact_upto",
            "shard_frontiers", "lake_lookup", "lake_stats",
            "maintain_group_counts",
            "merge_state_frames", "pruned_fragments", "read_changefeed",
-           "read_lake",
+           "read_changefeed_full", "read_lake",
            "read_lake_at", "read_lineage", "read_partition_state",
            "read_range", "replicate_lake", "snapshot_diff",
            "write_partitioned"]

@@ -582,15 +582,138 @@ def read_changefeed(lake_dir: str, after_epoch: int,
     return out
 
 
+def read_changefeed_full(lake_dir: str, after_epoch: int,
+                         upto_epoch: int | None = None) -> "ray.data.Dataset":
+    """Before-image changefeed: :func:`read_changefeed` rows PLUS the
+    previous image of every changed key — the full Debezium
+    ``before/after`` event shape `[K]` (the after-only feed cannot power
+    retraction consumers or audit diffs without a consumer-side ledger).
+
+    Output columns: key (``repo``, ``path``), the after-image payload
+    (null on deletes, the envelope ``after=null`` contract), one
+    ``before_<col>`` per payload column, ``before_lsn`` (the lsn of the
+    previous image; NULL means the key did not exist — the insert-vs-
+    upsert discriminator), ``op``/``lsn``/``epoch`` as in the plain feed.
+
+    Scale shape: ONE task per lake partition, zero shuffle — delta runs
+    are co-partitioned by the key hash, so each task folds its own base
+    (files at epochs <= after_epoch, one merge) and walks its tail runs
+    in epoch order, joining each epoch's winners against the rolling fold.
+    Cost is O(partition state) + O(range changes) per partition, the same
+    read the merge-on-read path already pays; nothing is recomputed from
+    the binlog. Same ``write_mode='delta'``/level-0 contract as
+    read_changefeed: a range touching a folded (compacted/DDL) epoch is
+    refused loudly, as is an in-progress incremental snapshot (base-image
+    chunks still landing make before-images undefined)."""
+    from thor_ray.pipelines.cdc import _EVOLVED_TYPES, BASE_COLS
+    from thor_ray.state import SchemaRegistry, load_manifests, snapshot_active
+
+    ms = load_manifests(lake_dir)
+    if not ms:
+        raise ValueError(f"no manifests under {lake_dir}")
+    cur = min(m.epoch for m in ms.values())
+    upto = cur if upto_epoch is None else upto_epoch
+    if not after_epoch < upto <= cur:
+        raise ValueError(f"bad epoch range ({after_epoch}, {upto}] "
+                         f"(lake is at epoch {cur})")
+    if snapshot_active(lake_dir):
+        raise ValueError(
+            "incremental snapshot in progress: base-image chunks are still "
+            "landing, so before-images over this range would be incomplete "
+            "— finish the snapshot, then read the feed")
+
+    reg = SchemaRegistry.load(lake_dir)
+    evolved = list(reg.columns_at(reg.version))
+    types = reg.types_at(reg.version)
+    pay_cols = [c for c in BASE_COLS if c not in ("repo", "path")] + evolved
+    pay_type = {c: pa.string() for c in BASE_COLS}
+    pay_type.update({c: _EVOLVED_TYPES[types.get(c, "string")]
+                     for c in evolved})
+    out_schema = pa.schema(
+        [("repo", pa.string()), ("path", pa.string())]
+        + [(c, pay_type[c]) for c in pay_cols]
+        + [(f"before_{c}", pay_type[c]) for c in pay_cols]
+        + [("before_lsn", pa.int64()), ("op", pa.string()),
+           ("lsn", pa.int64()), ("epoch", pa.int64())])
+    out_cols = list(out_schema.names)
+
+    rows = []
+    for pid, m in sorted(ms.items()):
+        st = [f for f in m.files
+              if os.path.basename(f).startswith("state-e")]
+        base = [f for f in st if _run_epoch_of(f) <= after_epoch]
+        tail = sorted((_run_epoch_of(f), f) for f in st
+                      if after_epoch < _run_epoch_of(f) <= upto)
+        if not base:
+            raise ValueError(
+                f"partition {pid}: no runs at or before epoch "
+                f"{after_epoch} — the range's base was compacted away "
+                "(tiered compaction retention); start after the fold point")
+        rows.append({"pid": pid, "base": json.dumps(base),
+                     "tail": json.dumps(tail)})
+
+    def with_before(b: pd.DataFrame) -> pa.Table:
+        outs = []
+        for r in b.itertuples(index=False):
+            fold = merge_state_frames(
+                [pq.read_table(f).to_pandas() for f in json.loads(r.base)])
+            for c in pay_cols:           # older base may predate a column
+                if c not in fold.columns:
+                    fold[c] = None
+            for e, p in json.loads(r.tail):
+                t = pq.read_table(p)
+                if (t.schema.metadata or {}).get(b"thor_kind") != b"delta":
+                    raise ValueError(
+                        f"epoch {e}: {p} is a compaction product (full "
+                        "state, not changes) — the range touches folded "
+                        "history; use snapshot_diff or start later")
+                d = t.to_pandas()
+                for c in pay_cols:
+                    if c not in d.columns:
+                        d[c] = None
+                prev = fold[["repo", "path"] + pay_cols + ["_lsn"]].rename(
+                    columns={**{c: f"before_{c}" for c in pay_cols},
+                             "_lsn": "before_lsn"})
+                out = d.merge(prev, on=["repo", "path"], how="left")
+                dmask = (out["_op"] == "D").to_numpy()
+                if dmask.any():          # envelope contract: after=null on D
+                    for c in pay_cols:
+                        out.loc[dmask, c] = None
+                out = out.rename(columns={"_op": "op", "_lsn": "lsn"})
+                out["epoch"] = np.int64(e)
+                outs.append(out[out_cols])
+                fold = merge_state_frames([fold, d])
+        if not outs:
+            return out_schema.empty_table()
+        res = pd.concat(outs, ignore_index=True)
+        for c, ty in zip(out_schema.names, out_schema.types):
+            if pa.types.is_string(ty):
+                res[c] = res[c].astype(object).where(pd.notna(res[c]), None)
+        return pa.Table.from_pandas(res, schema=out_schema,
+                                    preserve_index=False)
+
+    items = pa.Table.from_pylist(rows)
+    return (ray.data.from_arrow(items)
+            .repartition(items.num_rows)
+            .map_batches(with_before, batch_format="pandas",
+                         batch_size=None))
+
+
 def export_changefeed_envelopes(lake_dir: str, out_dir: str,
                                 after_epoch: int = 0,
                                 upto_epoch: int | None = None,
-                                source_name: str = "lake") -> dict:
+                                source_name: str = "lake",
+                                with_before: bool = False) -> dict:
     """Kafka-sink-shaped CDC-out: serialize the changefeed range
     ``(after_epoch, upto_epoch]`` into Debezium change-event envelope
     JSONL segments (``stages.envelope.to_change_envelope`` wire shape:
     one ``{"key":…, "value":…}`` record per change row, deletes as
     ``after=null`` + op 'd', lsn/epoch under ``source``).
+
+    ``with_before=True`` reads :func:`read_changefeed_full` instead and
+    emits REAL ``before`` images (null only where the key did not exist)
+    — the complete Debezium envelope, at the cost of the per-partition
+    base fold that feed pays.
 
     One directory per epoch (``epoch=NNNNNN/``), written to a temp name
     and atomically renamed in — a re-run (crash resume, consumer-group
@@ -609,7 +732,9 @@ def export_changefeed_envelopes(lake_dir: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     env = to_change_envelope(key_cols=["repo", "path"], op_col="op",
                              source_cols=["lsn", "epoch"],
-                             source_name=source_name)
+                             source_name=source_name,
+                             before_prefix="before_" if with_before else None)
+    reader = read_changefeed_full if with_before else read_changefeed
     written = skipped = 0
     for e in range(after_epoch + 1, upto + 1):
         final = os.path.join(out_dir, f"epoch={e:06d}")
@@ -617,7 +742,7 @@ def export_changefeed_envelopes(lake_dir: str, out_dir: str,
             skipped += 1
             continue
         tmp = final + f".tmp-{os.getpid()}"
-        (read_changefeed(lake_dir, e - 1, e)
+        (reader(lake_dir, e - 1, e)
             .map_batches(env, batch_format="pyarrow")
             .write_json(tmp))
         os.replace(tmp, final)

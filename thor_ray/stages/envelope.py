@@ -50,7 +50,8 @@ def to_change_envelope(key_cols: list[str],
                        op_col: str | None = None,
                        ts_col: str | None = None,
                        source_cols: list[str] | None = None,
-                       source_name: str = "thor_ray") -> Transform:
+                       source_name: str = "thor_ray",
+                       before_prefix: str | None = None) -> Transform:
     """Serialize rows to ``(key, value)`` envelope strings.
 
     - ``key_cols`` → the key JSON object (the Kafka record key).
@@ -63,11 +64,18 @@ def to_change_envelope(key_cols: list[str],
     - ``ts_col``: a timestamp column emitted as epoch-ms ``ts_ms``.
     - ``source_cols``: provenance fields embedded under ``source`` next
       to ``source.name`` (e.g. lsn/shard/txn).
+    - ``before_prefix``: rows carry the PREVIOUS image in sibling
+      ``<prefix><payload col>`` columns (the ``sources.read_changefeed_full``
+      shape, prefix ``"before_"``) — the envelope's ``before`` object is
+      encoded from them, null where ``<prefix>lsn`` is null (the key did
+      not exist). Omitted → ``before`` is always null (after-only log).
     """
     def fn(t: Batch) -> Batch:
         meta = {op_col, ts_col, *(source_cols or []), *key_cols}
-        payload = payload_cols or [c for c in t.column_names
-                                   if c not in meta or c in key_cols]
+        payload = payload_cols or [
+            c for c in t.column_names
+            if (c not in meta or c in key_cols)
+            and not (before_prefix and c.startswith(before_prefix))]
         after = _json_encode_struct(t, payload)
         key = _json_encode_struct(t, key_cols)
         n = t.num_rows
@@ -99,8 +107,21 @@ def to_change_envelope(key_cols: list[str],
                 pc.utf8_slice_codeunits(src_body, 1), "")
         else:
             src = pa.array(['{"name":' + name_lit + "}"] * n, pa.string())
+        if before_prefix is not None:
+            # key columns are immutable — no before_ sibling, reuse them
+            bt = t.select([before_prefix + c if before_prefix + c
+                           in t.column_names else c for c in payload]) \
+                  .rename_columns(payload)
+            before = _json_encode_struct(bt, payload)
+            ex = before_prefix + "lsn"
+            if ex in t.column_names:
+                before = pc.if_else(pc.is_valid(t[ex]), before,
+                                    pa.scalar("null"))
+        else:
+            before = pa.array(["null"] * n, pa.string())
         value = pc.binary_join_element_wise(
-            pa.scalar('{"before":null,"after":'), after,
+            pa.scalar('{"before":'), before,
+            pa.scalar(',"after":'), after,
             pa.scalar(',"op":"'), op,
             pa.scalar('","ts_ms":'), ts_str,
             pa.scalar(',"source":'), src,
