@@ -149,3 +149,67 @@ def test_ivm_gc_keeps_only_live_files(pipe, view_dir):
     assert len(views) == 1
     for d in glob.glob(os.path.join(view_dir, "keys", "part=*")):
         assert len(os.listdir(d)) == 1
+
+
+def _expected_rows(df: pd.DataFrame, group_col: str = "lang") -> pd.DataFrame:
+    out = (df.groupby(group_col, as_index=False).size()
+           .rename(columns={"size": "n_rows"}))
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["m_sum"] = out["n_rows"]
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def test_retraction_view_matches_recompute(pipe, view_dir):
+    """Ledger-free retraction IVM over the before-image feed: one-shot
+    advance == full recount; caught-up advance is a no-op."""
+    from thor_ray.pipelines.ivm import RetractionView
+    rv = RetractionView(pipe.cfg.lake_dir, view_dir, metric="rows")
+    got = rv.advance()
+    exp = _expected_rows(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    again = rv.advance()
+    pd.testing.assert_frame_equal(again.reset_index(drop=True), exp)
+
+
+def test_retraction_view_stepwise_and_crash(pipe, tmp_path):
+    """Epoch-at-a-time advances equal the one-shot result at every
+    midpoint (each checked against the lake's time-travel recount), and a
+    crash between view write and manifest swap re-derives identically."""
+    from thor_ray.pipelines.ivm import RetractionView
+    from thor_ray.state import load_manifests
+
+    last = min(m.epoch for m in load_manifests(pipe.cfg.lake_dir).values())
+    vd = str(tmp_path / "rv_step")
+    rv = RetractionView(pipe.cfg.lake_dir, vd, metric="content_bytes")
+    for e in range(1, last + 1):
+        got = rv.advance(upto_epoch=e)
+        # stepwise == a fresh one-shot advance to the same midpoint
+        one = RetractionView(pipe.cfg.lake_dir,
+                             str(tmp_path / f"rv_one_{e}"),
+                             metric="content_bytes").advance(upto_epoch=e)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      one.reset_index(drop=True))
+    assert rv.epoch() == last
+    exp = _expected(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(rv.view().reset_index(drop=True), exp)
+
+    # crash window: the new view file landed but the manifest swap didn't
+    # (GC only runs AFTER the swap, so the committed view is still on
+    # disk) — re-advance must overwrite the leftover and commit cleanly
+    vd2 = str(tmp_path / "rv_crash")
+    rv2 = RetractionView(pipe.cfg.lake_dir, vd2, metric="content_bytes")
+    mid = last - 1
+    rv2.advance(upto_epoch=mid)
+    assert rv2.epoch() == mid
+    stale = os.path.join(vd2, f"view-e{last:06d}.parquet")
+    pd.DataFrame({"lang": ["bogus"], "n_rows": [999],
+                  "m_sum": [999]}).to_parquet(stale, index=False)
+    got = rv2.advance(upto_epoch=last)
+    exp = _expected(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    pd.testing.assert_frame_equal(
+        pd.read_parquet(stale).reset_index(drop=True), exp)
+
+    # wrong-config guard
+    with pytest.raises(ValueError):
+        RetractionView(pipe.cfg.lake_dir, vd2, metric="rows").view()

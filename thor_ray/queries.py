@@ -13757,6 +13757,30 @@ def q358_changefeed_before(sf: str):
     return read_changefeed_full(lake_dir, 0)
 
 
+def q359_retraction_view(sf: str):
+    """Ledger-free retraction IVM (pipelines/ivm.py::RetractionView,
+    rows-only): maintain a lang → (live rows, content bytes) aggregate
+    purely from the BEFORE-IMAGE changefeed (−before/+after deltas,
+    column-pruned feed scan, no per-key sidecar) in two incremental
+    steps. Recompute equivalence, stepwise==one-shot and the crash
+    window are pinned in tests/test_ivm.py."""
+    import shutil
+
+    from thor_ray.pipelines.flagship import run_flagship
+    from thor_ray.pipelines.ivm import RetractionView
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_rvm_{tag}"
+    pipe = run_flagship(work, n_keys=1_500, n_events=12_000, n_shards=3,
+                        num_partitions=8, epoch_size=3_000, ddl_every=0,
+                        write_mode="delta", compact_every=1_000_000)
+    shutil.rmtree(f"{work}/view", ignore_errors=True)   # fresh view per run
+    rv = RetractionView(pipe.cfg.lake_dir, f"{work}/view",
+                        metric="content_bytes")
+    mid = rv._lake_epoch() // 2
+    rv.advance(upto_epoch=mid)          # two incremental steps, not one
+    return rv.advance()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14123,6 +14147,7 @@ QUERIES: dict[str, tuple] = {
     "q356_macd": (q356_macd, SQL_Q356),
     "q357_tukey_fences": (q357_tukey_fences, SQL_Q357),
     "q358_changefeed_before": (q358_changefeed_before, None),
+    "q359_retraction_view": (q359_retraction_view, None),
 }
 
 

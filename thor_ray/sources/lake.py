@@ -583,7 +583,9 @@ def read_changefeed(lake_dir: str, after_epoch: int,
 
 
 def read_changefeed_full(lake_dir: str, after_epoch: int,
-                         upto_epoch: int | None = None) -> "ray.data.Dataset":
+                         upto_epoch: int | None = None,
+                         columns: list[str] | None = None
+                         ) -> "ray.data.Dataset":
     """Before-image changefeed: :func:`read_changefeed` rows PLUS the
     previous image of every changed key — the full Debezium
     ``before/after`` event shape `[K]` (the after-only feed cannot power
@@ -601,7 +603,10 @@ def read_changefeed_full(lake_dir: str, after_epoch: int,
     in epoch order, joining each epoch's winners against the rolling fold.
     Cost is O(partition state) + O(range changes) per partition, the same
     read the merge-on-read path already pays; nothing is recomputed from
-    the binlog. Same ``write_mode='delta'``/level-0 contract as
+    the binlog. ``columns`` restricts the payload (and its ``before_``
+    siblings) to the named subset — the base fold then reads ONLY those
+    parquet columns, the pruning that matters when the payload carries
+    wide content. Same ``write_mode='delta'``/level-0 contract as
     read_changefeed: a range touching a folded (compacted/DDL) epoch is
     refused loudly, as is an in-progress incremental snapshot (base-image
     chunks still landing make before-images undefined)."""
@@ -626,6 +631,12 @@ def read_changefeed_full(lake_dir: str, after_epoch: int,
     evolved = list(reg.columns_at(reg.version))
     types = reg.types_at(reg.version)
     pay_cols = [c for c in BASE_COLS if c not in ("repo", "path")] + evolved
+    if columns is not None:
+        unknown = sorted(set(columns) - set(pay_cols))
+        if unknown:
+            raise ValueError(f"columns not in lake payload: {unknown} "
+                             f"(have {pay_cols})")
+        pay_cols = [c for c in pay_cols if c in set(columns)]
     pay_type = {c: pa.string() for c in BASE_COLS}
     pay_type.update({c: _EVOLVED_TYPES[types.get(c, "string")]
                      for c in evolved})
@@ -652,16 +663,24 @@ def read_changefeed_full(lake_dir: str, after_epoch: int,
         rows.append({"pid": pid, "base": json.dumps(base),
                      "tail": json.dumps(tail)})
 
+    need = ["repo", "path"] + pay_cols + ["_lsn", "_op"]
+
+    def read_pruned(f: str) -> pa.Table:
+        # intersect with the file's schema: older base files may predate
+        # an evolved column; selecting a missing name would raise
+        names = set(pq.read_schema(f).names)
+        return pq.read_table(f, columns=[c for c in need if c in names])
+
     def with_before(b: pd.DataFrame) -> pa.Table:
         outs = []
         for r in b.itertuples(index=False):
             fold = merge_state_frames(
-                [pq.read_table(f).to_pandas() for f in json.loads(r.base)])
+                [read_pruned(f).to_pandas() for f in json.loads(r.base)])
             for c in pay_cols:           # older base may predate a column
                 if c not in fold.columns:
                     fold[c] = None
             for e, p in json.loads(r.tail):
-                t = pq.read_table(p)
+                t = read_pruned(p)
                 if (t.schema.metadata or {}).get(b"thor_kind") != b"delta":
                     raise ValueError(
                         f"epoch {e}: {p} is a compaction product (full "
