@@ -435,6 +435,43 @@ def test_demux_routes_union_to_oracle(ray_session, fixture, tmp_path):
 def test_demux_route_validation():
     with pytest.raises(ValueError, match="route must be"):
         CdcConfig(lake_dir="/tmp/x", binlog_dir="/tmp/y", route=(3, 3))
+    with pytest.raises(ValueError, match="route_on"):
+        CdcConfig(lake_dir="/tmp/x", binlog_dir="/tmp/y", route_on="path")
+
+
+def test_demux_route_on_repo(ray_session, fixture, tmp_path):
+    """Repo-routed demux (route_on='repo' — the Debezium table→topic
+    shape: repo ≙ source table, path ≙ primary key). Every path of a repo
+    must land in exactly one lake; union == oracle; each lake == oracle
+    filtered by the repo-hash route."""
+    from thor_ray.pipelines.cdc import route_of
+    from thor_ray.stages.smt import stable_hash
+
+    N = 2
+    finals = []
+    for r in range(N):
+        pipe = CdcPipeline(CdcConfig(
+            lake_dir=str(tmp_path / f"lake_r{r}"),
+            binlog_dir=fixture["binlog_dir"], num_partitions=4,
+            epoch_size=3_000, route=(r, N), route_on="repo"))
+        pipe.run(base=fixture["base_path"])
+        finals.append(pipe.final_table().to_pandas())
+    got = normalize(pd.concat(finals, ignore_index=True))
+    exp = normalize(fixture["expected"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # route function: hash of repo alone
+    repos = pa.table({"repo": pa.array(exp["repo"], type=pa.string())})
+    rts = route_of(stable_hash(repos, ["repo"]), N)
+    for r in range(N):
+        sub = normalize(exp[rts == r]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            normalize(finals[r]).reset_index(drop=True), sub,
+            check_dtype=False)
+        # co-routing invariant: no repo straddles lakes
+        assert not (set(finals[r]["repo"]) - set(sub["repo"]))
+    inter = set(finals[0]["repo"]) & set(finals[1]["repo"])
+    assert not inter, f"repos straddle lakes: {sorted(inter)[:3]}"
+    assert all(len(f) > 0 for f in finals)
 
 
 def test_delete_where_retention(ray_session, fixture, tmp_path):

@@ -76,6 +76,14 @@ def _state_schema(evolved: list[str],
 _ROUTE_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _route_mask(t: pa.Table, rt: tuple, route_on: str) -> "np.ndarray":
+    """Demux keep-mask for one route. route_on='key' hashes the full
+    (repo, path) key; 'repo' hashes the repo alone (all paths of a repo
+    co-route — the Debezium table→topic shape)."""
+    cols = ["repo"] if route_on == "repo" else ["repo", "path"]
+    return route_of(stable_hash(t, cols), rt[1]) == rt[0]
+
+
 def route_of(h: "np.ndarray", n_routes: int) -> "np.ndarray":
     """Demux route id from the stable key hash — an INDEPENDENT mix of the
     pid hash. Plain ``h % n_routes`` would correlate with ``pid = h % P``:
@@ -243,6 +251,12 @@ class CdcConfig:
     # registry; watermarks stay whole-log (skipping another route's events
     # is intentional, not loss). None = single-lake (all keys).
     route: "tuple[int, int] | None" = None
+    # what the demux hashes: "key" = the full (repo, path) key (uniform
+    # fan-out); "repo" = the repo ONLY — every path of a repo lands in the
+    # same lake, the Debezium table→topic shape (repo ≙ source table,
+    # path ≙ primary key), so per-repo consumers read one lake. pid
+    # routing inside a lake always uses the full key hash regardless.
+    route_on: str = "key"
 
     def __post_init__(self) -> None:
         if self.update_mode not in ("full", "patch"):
@@ -255,6 +269,9 @@ class CdcConfig:
             # micro-batch cadence the sort-based groupby wins. Resolved
             # here so every downstream dispatch sees a concrete strategy.
             self.shuffle = "spill" if self.epoch_size >= 50_000 else "sort"
+        if self.route_on not in ("key", "repo"):
+            raise ValueError(f"route_on must be 'key' or 'repo', "
+                             f"got {self.route_on!r}")
         if self.route is not None:
             rid, nr = self.route
             if not (nr >= 1 and 0 <= rid < nr):
@@ -973,13 +990,15 @@ class CdcPipeline:
         not be resumed under another (keys would re-route and duplicate)."""
         p = os.path.join(self.cfg.lake_dir, "_schema", "engine.json")
         meta = {"hash_impl": _hash_impl(), "num_partitions": self.cfg.num_partitions,
-                "route": list(self.cfg.route) if self.cfg.route else None}
+                "route": list(self.cfg.route) if self.cfg.route else None,
+                "route_on": self.cfg.route_on}
         if os.path.exists(p):
             with open(p) as f:
                 prev = json.load(f)
             # lakes written before the demux tier carry no "route" key;
-            # absent == None (unrouted), not a mismatch
+            # absent == None (unrouted), not a mismatch — ditto route_on
             prev.setdefault("route", None)
+            prev.setdefault("route_on", "key")
             if prev != meta:
                 raise RuntimeError(
                     f"lake engine meta mismatch: lake={prev}, runtime={meta}")
@@ -1012,14 +1031,19 @@ class CdcPipeline:
 
         lake_dir, compute_hash = cfg.lake_dir, cfg.compute_content_hash
 
-        rt = cfg.route
+        rt, r_on = cfg.route, cfg.route_on
 
         def route(t: pa.Table) -> pa.Table:
-            h = stable_hash(t, ["repo", "path"])
+            h = None
             if rt is not None:   # demux: bootstrap only this route's keys
-                keep = route_of(h, rt[1]) == rt[0]
+                hr = stable_hash(t, ["repo"] if r_on == "repo"
+                                 else ["repo", "path"])
+                keep = route_of(hr, rt[1]) == rt[0]
+                if r_on == "key":
+                    h = hr[keep]
                 t = t.filter(pa.array(keep))
-                h = h[keep]
+            if h is None:
+                h = stable_hash(t, ["repo", "path"])
             pid = h % P
             return t.append_column("pid", pa.array(pid, type=pa.int64()))
 
@@ -1384,11 +1408,9 @@ class CdcPipeline:
         types_now = _reg.types_at(_reg.version)
 
         def route(t: pa.Table) -> pa.Table:
-            h = stable_hash(t, ["repo", "path"])
             if rt is not None:   # demux: this route's keys only
-                keep = route_of(h, rt[1]) == rt[0]
-                t = t.filter(pa.array(keep))
-                h = h[keep]
+                t = t.filter(pa.array(_route_mask(t, rt, cfg.route_on)))
+            h = stable_hash(t, ["repo", "path"])
             return t.append_column("pid", pa.array(h % P, type=pa.int64()))
 
         def write_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -1452,19 +1474,22 @@ class CdcPipeline:
                 tag=f"e{epoch}-",
             ))
 
-        rt = cfg.route
+        rt, r_on = cfg.route, cfg.route_on
 
         def route(t: pa.Table) -> pa.Table:
             h = None
             if rt is not None:
                 # demux filter FIRST, so a corrupt event lands in exactly
                 # one route's DLQ (null keys hash via fill_null → one route)
-                h = stable_hash(t, ["repo", "path"])
-                keep = route_of(h, rt[1]) == rt[0]
+                hr = stable_hash(t, ["repo"] if r_on == "repo"
+                                 else ["repo", "path"])
+                keep = route_of(hr, rt[1]) == rt[0]
+                # key-routed fast path: reuse the full-key hash for pid.
+                # DLQ stages drop rows without exposing the mask, and
+                # repo-routing hashes a different column set — recompute.
+                if r_on == "key" and not stages:
+                    h = hr[keep]
                 t = t.filter(pa.array(keep))
-                # DLQ stages drop rows without exposing the mask, so the
-                # hash can only be reused when no stage runs
-                h = h[keep] if not stages else None
             for s in stages:
                 t = s(t)
             if h is None:

@@ -13781,6 +13781,33 @@ def q359_retraction_view(sf: str):
     return rv.advance()
 
 
+def q360_secondary_index(sf: str):
+    """Incremental secondary index (sources/secondary.py, rows-only):
+    replay a binlog into a delta-mode lake, anchor an LSM value index on
+    ``lang``, advance it over the replayed epochs, and probe one value —
+    two bloom-pruned narrow stages per partition, one Ray task each,
+    never reading ``content``. Probe == full-scan equality, value
+    migration, deletes, idempotence and compaction are pinned in
+    tests/test_secondary.py."""
+    import os
+
+    from thor_ray.pipelines.flagship import run_flagship
+    from thor_ray.sources.secondary import SecondaryIndex
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_secidx_{tag}"
+    pipe = run_flagship(work, n_keys=1_500, n_events=12_000, n_shards=3,
+                        num_partitions=8, epoch_size=3_000, ddl_every=0,
+                        write_mode="delta", compact_every=1_000_000)
+    import shutil
+    shutil.rmtree(f"{work}/idx", ignore_errors=True)
+    idx = SecondaryIndex(pipe.cfg.lake_dir, os.path.join(work, "idx"),
+                         "lang")
+    idx.build()
+    df = pipe.final_table().to_pandas()
+    probe_val = df["lang"].value_counts().index[0]
+    return idx.probe(probe_val)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14148,6 +14175,7 @@ QUERIES: dict[str, tuple] = {
     "q357_tukey_fences": (q357_tukey_fences, SQL_Q357),
     "q358_changefeed_before": (q358_changefeed_before, None),
     "q359_retraction_view": (q359_retraction_view, None),
+    "q360_secondary_index": (q360_secondary_index, None),
 }
 
 

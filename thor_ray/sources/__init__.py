@@ -8,6 +8,7 @@ from .lake import (ChangefeedConsumer, LakeEnricher, compact_lake,
                    read_changefeed, read_changefeed_full, read_lake,
                    read_lake_at, read_lineage,
                    read_partition_state, replicate_lake, snapshot_diff)
+from .secondary import SecondaryIndex
 from .sink import pruned_fragments, read_range, write_partitioned
 
 __all__ = ["ChangefeedConsumer", "compact_lake", "compact_upto",
@@ -19,5 +20,5 @@ __all__ = ["ChangefeedConsumer", "compact_lake", "compact_upto",
            "merge_state_frames", "pruned_fragments", "read_changefeed",
            "read_changefeed_full", "read_lake",
            "read_lake_at", "read_lineage", "read_partition_state",
-           "read_range", "replicate_lake", "snapshot_diff",
-           "write_partitioned"]
+           "read_range", "replicate_lake", "SecondaryIndex",
+           "snapshot_diff", "write_partitioned"]
