@@ -13808,6 +13808,41 @@ def q360_secondary_index(sf: str):
     return idx.probe(probe_val)
 
 
+def q361_lake_branch(sf: str):
+    """Zero-copy lake branching (sources/branch.py, rows-only): branch a
+    half-replayed lake (hardlinked manifests, no data copy), let the
+    branch replay the rest of the log independently, and return the
+    partition-aligned cross-lake diff (change ∈ I/U/D per key). Merge
+    semantics, conflict detection and fork-GC protection are pinned in
+    tests/test_branch.py."""
+    import os
+    import shutil
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    from thor_ray.sources.branch import create_branch, lake_diff
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_branch_{tag}"
+    shutil.rmtree(os.path.join(work, "lake"), ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "branch"), ignore_errors=True)
+    info = gen.write_fixture(
+        os.path.join(work, "fixture"), n_keys=1_200,
+        cfg=gen.BinlogConfig(n_events=10_000, n_shards=3, ddl_every=0,
+                             delete_rate=0.06, seed=31))
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=os.path.join(work, "lake"),
+        binlog_dir=info["binlog_dir"], num_partitions=8,
+        epoch_size=2_500, write_mode="delta", compact_every=1_000_000))
+    pipe.run(base=info["base"], until_lsn=5_000)
+    bdir = os.path.join(work, "branch")
+    create_branch(pipe.cfg.lake_dir, bdir)
+    CdcPipeline(CdcConfig(
+        lake_dir=bdir, binlog_dir=info["binlog_dir"], num_partitions=8,
+        epoch_size=2_500, write_mode="delta",
+        compact_every=1_000_000)).run()
+    return lake_diff(pipe.cfg.lake_dir, bdir)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14176,6 +14211,7 @@ QUERIES: dict[str, tuple] = {
     "q358_changefeed_before": (q358_changefeed_before, None),
     "q359_retraction_view": (q359_retraction_view, None),
     "q360_secondary_index": (q360_secondary_index, None),
+    "q361_lake_branch": (q361_lake_branch, None),
 }
 
 

@@ -1,5 +1,6 @@
 from .binlog import (max_lsn, read_ddl_events, read_epoch, safe_frontier,
                      shard_frontiers)
+from .branch import create_branch, lake_diff, merge_branch
 from .lake import (ChangefeedConsumer, LakeEnricher, compact_lake,
                    compact_upto, consumer_groups,
                    enrich_with_lake, export_changefeed_envelopes, fsck,
@@ -12,7 +13,7 @@ from .secondary import SecondaryIndex
 from .sink import pruned_fragments, read_range, write_partitioned
 
 __all__ = ["ChangefeedConsumer", "compact_lake", "compact_upto",
-           "consumer_groups",
+           "consumer_groups", "create_branch", "lake_diff", "merge_branch",
            "LakeEnricher", "enrich_with_lake", "export_changefeed_envelopes",
            "fsck", "max_lsn", "read_ddl_events", "read_epoch", "safe_frontier",
            "shard_frontiers", "lake_lookup", "lake_stats",

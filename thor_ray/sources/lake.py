@@ -133,6 +133,7 @@ def snapshot_diff(lake_dir: str, epoch_a: int,
     stable key hash, fixed partition count), so the diff is PARTITION-
     ALIGNED — one task reads both file sets of one partition and compares
     locally. No shuffle, no cross-partition traffic."""
+    from thor_ray.sources.branch import _diff_manifest_sets
     from thor_ray.state import load_manifests_at
 
     ms_a = load_manifests_at(lake_dir, epoch_a)
@@ -141,62 +142,7 @@ def snapshot_diff(lake_dir: str, epoch_a: int,
         raise ValueError(
             f"snapshot_diff needs retained snapshots at both epochs "
             f"({epoch_a}: {bool(ms_a)}, {epoch_b}: {bool(ms_b)})")
-    pids = sorted(set(ms_a) | set(ms_b))
-    items = pa.table({
-        "files_a": pa.array([json.dumps(ms_a[p].files if p in ms_a else [])
-                             for p in pids]),
-        "files_b": pa.array([json.dumps(ms_b[p].files if p in ms_b else [])
-                             for p in pids]),
-    })
-
-    def diff_task(batch: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for fa, fb in zip(batch["files_a"], batch["files_b"]):
-            a = merge_state_frames(
-                [pq.read_table(f).to_pandas() for f in json.loads(fa)])
-            b = merge_state_frames(
-                [pq.read_table(f).to_pandas() for f in json.loads(fb)])
-            for df in (a, b):
-                for c in ("repo", "path", "_lsn"):
-                    if c not in df.columns:
-                        df[c] = pd.Series(dtype="object")
-            vis = sorted((set(a.columns) | set(b.columns))
-                         - set(INTERNAL_COLS) - {"repo", "path"})
-            mg = a.merge(b, on=["repo", "path"], how="outer",
-                         suffixes=("_a", "_b"), indicator=True)
-            na = pd.Series(pd.NA, index=mg.index)
-
-            def side(c: str, suffix: str, present: bool) -> pd.Series:
-                # merge only suffixes COLLIDING names: a column present on
-                # one side only keeps its bare name (and is all-NA for the
-                # other side — e.g. a DDL-added column pre-DDL)
-                if f"{c}{suffix}" in mg.columns:
-                    return mg[f"{c}{suffix}"]
-                return mg[c] if (present and c in mg.columns) else na
-
-            changed = pd.Series(False, index=mg.index)
-            for c in vis:
-                va = side(c, "_a", c in a.columns)
-                vb = side(c, "_b", c in b.columns)
-                changed |= ~((va == vb) | (va.isna() & vb.isna()))
-            out = pd.DataFrame({
-                "repo": mg["repo"], "path": mg["path"],
-                "change": np.where(mg["_merge"] == "right_only", "I",
-                                   np.where(mg["_merge"] == "left_only",
-                                            "D", "U")),
-                "lsn_a": mg["_lsn_a"], "lsn_b": mg["_lsn_b"],
-            })
-            keep = (mg["_merge"] != "both").to_numpy() | changed.to_numpy()
-            outs.append(out[keep])
-        res = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
-            columns=["repo", "path", "change", "lsn_a", "lsn_b"])
-        res["lsn_a"] = res["lsn_a"].astype("Int64")
-        res["lsn_b"] = res["lsn_b"].astype("Int64")
-        return res
-
-    return (ray.data.from_arrow(items)
-            .repartition(items.num_rows)
-            .map_batches(diff_task, batch_format="pandas", batch_size=None))
+    return _diff_manifest_sets(ms_a, ms_b)
 
 
 def read_partition_state(files: list[str]) -> pd.DataFrame:

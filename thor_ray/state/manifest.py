@@ -212,6 +212,18 @@ def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
             live |= {os.path.abspath(f_ if os.path.isabs(f_)
                                      else os.path.join(lake_dir, f_))
                      for f_ in payload["files"]}
+    # fork-point manifests (sources/branch.py): a branched lake keeps its
+    # creation-time state as the three-way merge base — those hardlinked
+    # files must survive the branch's own compactions until the branch is
+    # deleted wholesale
+    fork_dir = os.path.join(_manifest_dir(lake_dir), "fork")
+    if os.path.isdir(fork_dir):
+        for p in glob.glob(os.path.join(fork_dir, "part-*.json")):
+            with open(p) as f:
+                payload = json.load(f)
+            live |= {os.path.abspath(f_ if os.path.isabs(f_)
+                                     else os.path.join(lake_dir, f_))
+                     for f_ in payload["files"]}
     removed = 0
     snap_meta = read_snapshot_meta(lake_dir)
     snap_done = int(snap_meta["done"]) if snap_meta else 0
