@@ -145,6 +145,21 @@ def test_bloom_pruning_skips_files(ray_session, tmp_path):
     assert stats["files_stage_a"] <= stats["files_total"]
 
 
+def test_probe_rows_serving_path(pipe, tmp_path):
+    from thor_ray.sources.secondary import SecondaryIndex
+    idx = SecondaryIndex(pipe.cfg.lake_dir, str(tmp_path / "idx"), "lang")
+    idx.build()
+    v = _langs(pipe)[0]
+    rows = idx.probe_rows(v)
+    df = pipe.final_table().to_pandas()
+    exp = df[df["lang"] == v].sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        rows[exp.columns.tolist()].reset_index(drop=True), exp,
+        check_dtype=False)
+    assert (rows["lang"] == v).all()
+
+
 def test_wrong_column_guard(pipe, tmp_path):
     from thor_ray.sources.secondary import SecondaryIndex
     d = str(tmp_path / "idx")

@@ -292,6 +292,73 @@ def cmd_diff(a) -> int:
     return 0
 
 
+def cmd_branch(a) -> int:
+    """Zero-copy branch of a committed lake (hardlinked manifests)."""
+    from thor_ray.sources.branch import create_branch
+
+    meta = create_branch(a.lake, a.dst)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_lake_diff(a) -> int:
+    """Partition-aligned diff between two same-partitioned lakes."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.sources.branch import lake_diff
+
+    df = lake_diff(a.lake, a.other).to_pandas()
+    counts = df["change"].value_counts().to_dict() \
+        if "change" in df.columns else {}
+    print(json.dumps({"changes": len(df),
+                      "by_kind": {k: int(v) for k, v in counts.items()}}))
+    if a.out:
+        df.to_parquet(a.out, index=False)
+        print(f"wrote {a.out}")
+    ray.shutdown()
+    return 0
+
+
+def cmd_merge(a) -> int:
+    """Merge a branch's changes-since-fork into a target lake's binlog,
+    then apply them (one run())."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+    from thor_ray.sources.branch import merge_branch
+
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=a.lake, binlog_dir=a.binlog,
+        num_partitions=_engine_meta(a.lake)["num_partitions"],
+        epoch_size=a.epoch_size, write_mode=a.write_mode))
+    n = merge_branch(a.branch, pipe, strategy=a.strategy)
+    reps = pipe.run() if n else []
+    print(json.dumps({"injected": n, "epochs_applied": len(reps)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_index(a) -> int:
+    """Build/advance a secondary index; optionally probe one value."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.sources.secondary import SecondaryIndex
+
+    idx = SecondaryIndex(a.lake, a.index_dir, a.col)
+    epoch = idx.advance()        # builds first when fresh
+    out = {"col": a.col, "indexed_epoch": epoch}
+    if a.compact:
+        idx.compact()
+        out["compacted"] = True
+    if a.probe is not None:
+        hits = idx.probe(a.probe)
+        out["probe"] = a.probe
+        out["hits"] = len(hits)
+        if a.out:
+            hits.to_parquet(a.out, index=False)
+            out["wrote"] = a.out
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
 def cmd_verify(a) -> int:
     """Replay-equivalence check: lake state vs the single-process oracle."""
     ray = _ray_init(a.num_cpus)
@@ -556,6 +623,43 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", help="optional parquet path for the change rows")
     d.add_argument("--num-cpus", type=int)
     d.set_defaults(fn=cmd_diff)
+
+    b = sub.add_parser("branch", help="zero-copy branch of a committed lake")
+    b.add_argument("--lake", required=True)
+    b.add_argument("--dst", required=True)
+    b.set_defaults(fn=cmd_branch)
+
+    ld = sub.add_parser("lake-diff",
+                        help="partition-aligned diff of two lakes")
+    ld.add_argument("--lake", required=True)
+    ld.add_argument("--other", required=True)
+    ld.add_argument("--out", help="optional parquet path for change rows")
+    ld.add_argument("--num-cpus", type=int)
+    ld.set_defaults(fn=cmd_lake_diff)
+
+    mg = sub.add_parser("merge", help="merge a branch back into a lake "
+                        "(binlog injection + apply)")
+    mg.add_argument("--branch", required=True)
+    mg.add_argument("--lake", required=True)
+    mg.add_argument("--binlog", required=True)
+    mg.add_argument("--strategy", default="fail_on_conflict",
+                    choices=["fail_on_conflict", "theirs"])
+    mg.add_argument("--epoch-size", type=int, default=250_000)
+    mg.add_argument("--write-mode", default="delta",
+                    choices=["cow", "delta"])
+    mg.add_argument("--num-cpus", type=int)
+    mg.set_defaults(fn=cmd_merge)
+
+    ix = sub.add_parser("index", help="build/advance a secondary index "
+                        "on a lake column; optionally probe")
+    ix.add_argument("--lake", required=True)
+    ix.add_argument("--index-dir", required=True)
+    ix.add_argument("--col", required=True)
+    ix.add_argument("--probe", help="value to probe after indexing")
+    ix.add_argument("--compact", action="store_true")
+    ix.add_argument("--out", help="parquet path for probe hits")
+    ix.add_argument("--num-cpus", type=int)
+    ix.set_defaults(fn=cmd_index)
 
     a = p.parse_args(argv)
     return a.fn(a)

@@ -13808,6 +13808,259 @@ def q360_secondary_index(sf: str):
     return idx.probe(probe_val)
 
 
+def q362_cheapest_per_type(sf: str):
+    """TPC-H Q2 shape — correlated MIN subquery: the cheapest part(s) of
+    every type (all ties kept, like Q2). One combiner grouped-min over
+    the output-sized type table, broadcast back into a map-only equality
+    filter — the part table never shuffles; float equality is exact
+    because the min is a stored value, not arithmetic."""
+    parts = T(sf, "part", ["p_partkey", "p_name", "p_type",
+                           "p_retailprice"])
+    mins = (parts.groupby("p_type")
+            .aggregate(Min("p_retailprice", alias_name="mn")).to_pandas())
+    lut = dict(zip(mins["p_type"], mins["mn"]))
+    lo = ray.put(lut)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = ray.get(lo)
+        mn = t["p_type"].to_pandas().map(m).to_numpy()
+        return t.filter(pa.array(t["p_retailprice"].to_numpy() == mn))
+
+    return parts.map_batches(keep, batch_format="pyarrow") \
+        .select_columns(["p_type", "p_partkey", "p_name", "p_retailprice"])
+
+
+SQL_Q362 = """
+SELECT p_type, p_partkey, p_name, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT min(p_retailprice) FROM part
+                       WHERE p_type = p.p_type)
+"""
+
+
+def q363_value_share_parts(sf: str):
+    """TPC-H Q11 shape — groups above a fraction of the GLOBAL total:
+    per-part revenue (integer cents, combiner partials), the global
+    scalar derived from the OUTPUT-sized aggregate (no second data
+    pass), threshold filter on the driver-broadcast scalar."""
+    li = T(sf, "lineitem", ["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], t["l_quantity"]), 100.0)),
+            pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "v": v})
+
+    per = (li.map_batches(cents, batch_format="pyarrow")
+           .groupby("l_partkey")
+           .aggregate(Sum("v", alias_name="value_cents"))).to_pandas()
+    total = float(per["value_cents"].sum())
+    out = per[per["value_cents"] > total * 0.0002]
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+SQL_Q363 = """
+SELECT l_partkey,
+       CAST(sum(CAST(round(l_extendedprice * l_quantity * 100.0) AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(sum(CAST(round(l_extendedprice * l_quantity * 100.0) AS BIGINT))
+            AS BIGINT)
+     > 0.0002 * (SELECT sum(CAST(round(l_extendedprice * l_quantity * 100.0)
+                                 AS BIGINT)) FROM lineitem)
+ORDER BY l_partkey
+"""
+
+
+def q364_supplier_counts_not_in(sf: str):
+    """TPC-H Q16 shape — count(DISTINCT supplier) per part attribute,
+    excluding a NOT-IN supplier set: the bad-supplier set (negative
+    balance) is answer-sized and broadcast into a map-only anti filter;
+    distinct (brand, size, suppkey) triples shrink in a per-batch
+    combiner before the ONE count-distinct shuffle."""
+    bad = pq.read_table(f"{sf}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    bad_set = set(bad.filter(
+        pc.less(bad["s_acctbal"], 0.0))["s_suppkey"].to_pylist())
+    bref = ray.put(np.array(sorted(bad_set), dtype=np.int64))
+    li = T(sf, "lineitem", ["l_partkey", "l_suppkey"])
+    parts = pq.read_table(f"{sf}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_size"])
+    j = R.broadcast_join(li, parts, on=["l_partkey"],
+                         right_on=["p_partkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        sk = t["l_suppkey"].to_numpy()
+        keep = np.searchsorted(b, sk) >= len(b) if len(b) == 0 else \
+            ~np.isin(sk, b)
+        t = t.filter(pa.array(keep))
+        import pandas as _pd
+        d = _pd.DataFrame({"p_brand": t["p_brand"].to_pandas(),
+                           "p_size": t["p_size"].to_pandas(),
+                           "l_suppkey": t["l_suppkey"].to_pandas()})
+        d = d.drop_duplicates()                 # combiner: shrink pre-shuffle
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    trip = j.map_batches(prep, batch_format="pyarrow")
+    dd = R.distinct(trip, ["p_brand", "p_size", "l_suppkey"])
+    out = dd.groupby(["p_brand", "p_size"]).aggregate(
+        Count(alias_name="supplier_cnt"))
+    return out
+
+
+SQL_Q364 = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def q365_exists_not_exists(sf: str):
+    """TPC-H Q21 shape — EXISTS + NOT EXISTS on the same child table:
+    orders having a returned line (l_returnflag='R') and NO discounted
+    line (l_discount > 0.05), counted per order priority. Both existence
+    bits reduce in ONE per-batch combiner (grouped any()) and one tiny
+    groupby(orderkey) — never a self-join."""
+    li = T(sf, "lineitem", ["l_orderkey", "l_returnflag", "l_discount"])
+
+    def bits(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+        d = _pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_pandas(),
+            "has_r": pc.cast(pc.equal(t["l_returnflag"], "R"),
+                             pa.int64()).to_pandas(),
+            "has_disc": pc.cast(pc.greater(t["l_discount"], 0.05),
+                                pa.int64()).to_pandas()})
+        g = d.groupby("l_orderkey", as_index=False).agg(
+            has_r=("has_r", "max"), has_disc=("has_disc", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per = (li.map_batches(bits, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Max("has_r", alias_name="has_r"),
+                      Max("has_disc", alias_name="has_disc"))
+           .filter(expr="has_r == 1 and has_disc == 0")
+           .select_columns(["l_orderkey"]))
+    orders = T(sf, "orders", ["o_orderkey", "o_orderpriority"])
+    j = R.hash_join(orders, per, on=("o_orderkey",),
+                    right_on=("l_orderkey",), join_type="left_semi")
+    return j.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
+SQL_Q365 = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey
+              AND l_returnflag = 'R')
+  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey
+                  AND l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q366_rich_inactive_customers(sf: str):
+    """TPC-H Q22 shape — global-average scalar + NOT EXISTS: customers
+    whose balance beats the positive-balance average and who never
+    placed a big (>400k) order, grouped by market segment. The average is computed from
+    exact integer cents (combiner sum+count, one float division) so the
+    boundary compare cannot drift; the order-key set prunes via a
+    broadcast anti filter."""
+    cust = T(sf, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64())
+        pos = pc.greater(c, 0)
+        return pa.table({
+            "s": pc.if_else(pos, c, pa.scalar(0, pa.int64())),
+            "n": pc.cast(pos, pa.int64())})
+
+    agg = (cust.map_batches(cents, batch_format="pyarrow")
+           .sum(["s", "n"]))
+    avg_cents = agg["sum(s)"] / agg["sum(n)"]
+
+    big = pq.read_table(f"{sf}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    big_orders = np.unique(big.filter(
+        pc.greater(big["o_totalprice"], 400_000.0))["o_custkey"]
+        .to_numpy())
+    oref = ray.put(big_orders)
+
+    def keep(t: pa.Table) -> pa.Table:
+        oc = ray.get(oref)
+        c = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                    pa.int64()).to_numpy()
+        m = (c > avg_cents) & ~np.isin(t["c_custkey"].to_numpy(), oc)
+        return t.filter(pa.array(m))
+
+    out = (cust.map_batches(keep, batch_format="pyarrow")
+           .map_batches(cents2_q366, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_cust"),
+                      Sum("bal_cents", alias_name="bal_cents")))
+    return out
+
+
+def cents2_q366(t: pa.Table) -> pa.Table:
+    return pa.table({
+        "c_mktsegment": t["c_mktsegment"],
+        "bal_cents": pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                             pa.int64())})
+
+
+SQL_Q366 = """
+SELECT c_mktsegment, count(*) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+           AS bal_cents
+FROM customer c
+WHERE CAST(round(c_acctbal * 100.0) AS BIGINT)
+      > (SELECT sum(CASE WHEN CAST(round(c_acctbal * 100.0) AS BIGINT) > 0
+                         THEN CAST(round(c_acctbal * 100.0) AS BIGINT)
+                         ELSE 0 END)
+                / sum(CASE WHEN CAST(round(c_acctbal * 100.0) AS BIGINT) > 0
+                           THEN 1 ELSE 0 END) FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                  AND o_totalprice > 400000)
+GROUP BY c_mktsegment
+"""
+
+
+def q367_bulk_suppliers(sf: str):
+    """TPC-H Q20 shape — semi-join chain off a grouped threshold:
+    suppliers that shipped > 80 total quantity of some part. One
+    combiner grouped sum over (suppkey, partkey), threshold filter on
+    the aggregate, distinct suppliers, broadcast join to names."""
+    li = T(sf, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q10 = pc.cast(pc.round(pc.multiply(t["l_quantity"], 10.0)),
+                      pa.int64())
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "l_partkey": t["l_partkey"], "q10": q10})
+
+    per = (li.map_batches(prep, batch_format="pyarrow")
+           .groupby(["l_suppkey", "l_partkey"])
+           .aggregate(Sum("q10", alias_name="q10")))
+    hot = (per.filter(expr="q10 > 800")
+           .select_columns(["l_suppkey"]))
+    supp_keys = R.distinct(hot, ["l_suppkey"])
+    supp = pq.read_table(f"{sf}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    out = R.broadcast_join(supp_keys, supp, on=["l_suppkey"],
+                           right_on=["s_suppkey"])
+    return out.select_columns(["l_suppkey", "s_name"])
+
+
+SQL_Q367 = """
+SELECT DISTINCT l_suppkey, s_name
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY l_suppkey, l_partkey, s_name
+HAVING sum(CAST(round(l_quantity * 10.0) AS BIGINT)) > 800
+"""
+
+
 def q361_lake_branch(sf: str):
     """Zero-copy lake branching (sources/branch.py, rows-only): branch a
     half-replayed lake (hardlinked manifests, no data copy), let the
@@ -14212,6 +14465,12 @@ QUERIES: dict[str, tuple] = {
     "q359_retraction_view": (q359_retraction_view, None),
     "q360_secondary_index": (q360_secondary_index, None),
     "q361_lake_branch": (q361_lake_branch, None),
+    "q362_cheapest_per_type": (q362_cheapest_per_type, SQL_Q362),
+    "q363_value_share_parts": (q363_value_share_parts, SQL_Q363),
+    "q364_supplier_counts_not_in": (q364_supplier_counts_not_in, SQL_Q364),
+    "q365_exists_not_exists": (q365_exists_not_exists, SQL_Q365),
+    "q366_rich_inactive_customers": (q366_rich_inactive_customers, SQL_Q366),
+    "q367_bulk_suppliers": (q367_bulk_suppliers, SQL_Q367),
 }
 
 

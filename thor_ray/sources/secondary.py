@@ -365,6 +365,18 @@ class SecondaryIndex:
             .to_pandas()
         return res.sort_values(_KEY).reset_index(drop=True)
 
+    def probe_rows(self, value) -> pd.DataFrame:
+        """Full serving path: probe the index for the keys, then fetch
+        their current rows via the partition-pruned, key-bloom-skipped
+        point-read path (sources.lake.lake_lookup) — index files give the
+        keys, the lake gives the payload; neither side is scanned."""
+        from thor_ray.sources.lake import lake_lookup
+        keys = self.probe(value)
+        if keys.empty:
+            return keys
+        return lake_lookup(self.lake_dir,
+                           list(zip(keys["repo"], keys["path"])))
+
     def probe_local(self, value, stats: dict | None = None) -> pd.DataFrame:
         """Driver-side probe (answer-sized point read, the lake_lookup
         tier) with pruning counters: pass ``stats={}`` to collect
