@@ -175,6 +175,65 @@ def test_merge_conflict_detection(halfway, tmp_path):
         normalize(bpipe.final_table().to_pandas()), check_dtype=False)
 
 
+def test_branch_at_snapshot_epoch(ray_session, tmp_path):
+    """Branch from a RETAINED time-travel snapshot: the branch equals the
+    historical state, not the head, and replays forward from the
+    snapshot watermark to the full oracle."""
+    from thor_ray.sources.branch import create_branch
+    from thor_ray.sources.lake import read_lake_at
+    from thor_ray.state import load_manifests, snapshot_epochs
+
+    info = gen.write_fixture(
+        str(tmp_path / "fixture"), n_keys=600,
+        cfg=gen.BinlogConfig(n_events=6_000, n_shards=3, ddl_every=0,
+                             delete_rate=0.05, seed=13))
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=str(tmp_path / "lake"), binlog_dir=info["binlog_dir"],
+        num_partitions=8, epoch_size=1_500, write_mode="delta",
+        compact_every=1_000_000, retain_snapshots=8))
+    pipe.run(base=info["base"])
+    eps = snapshot_epochs(pipe.cfg.lake_dir)
+    mid = eps[len(eps) // 2]
+    assert mid < max(m.epoch for m in
+                     load_manifests(pipe.cfg.lake_dir).values())
+
+    bdir = str(tmp_path / "branch")
+    create_branch(pipe.cfg.lake_dir, bdir, at_epoch=mid)
+    bpipe = CdcPipeline(CdcConfig(
+        lake_dir=bdir, binlog_dir=info["binlog_dir"], num_partitions=8,
+        epoch_size=1_500, write_mode="delta", compact_every=1_000_000))
+    hist = normalize(read_lake_at(pipe.cfg.lake_dir, mid).to_pandas())
+    pd.testing.assert_frame_equal(
+        normalize(bpipe.final_table().to_pandas()), hist)
+    # forward replay from the snapshot watermark reaches the head state
+    bpipe.run()
+    pd.testing.assert_frame_equal(
+        normalize(bpipe.final_table().to_pandas()),
+        normalize(pipe.final_table().to_pandas()), check_dtype=False)
+    # epoch before any retained archive -> loud error (as-of semantics:
+    # an epoch PAST the head legitimately branches the head)
+    with pytest.raises(ValueError, match="retained snapshot"):
+        create_branch(pipe.cfg.lake_dir, str(tmp_path / "b2"),
+                      at_epoch=-1)
+
+
+def test_delete_branch_safety(halfway, tmp_path):
+    from thor_ray.sources.branch import create_branch, delete_branch
+
+    pipe, info = halfway
+    bdir = str(tmp_path / "branch")
+    create_branch(pipe.cfg.lake_dir, bdir)
+    before = normalize(pipe.final_table().to_pandas())
+    # refuses a non-branch dir (never point it at a real lake)
+    with pytest.raises(ValueError, match="not a branch"):
+        delete_branch(pipe.cfg.lake_dir)
+    n = delete_branch(bdir)
+    assert n > 0 and not os.path.exists(bdir)
+    # hardlink semantics: the source's bytes are untouched
+    pd.testing.assert_frame_equal(
+        normalize(pipe.final_table().to_pandas()), before)
+
+
 def test_fork_files_survive_branch_compaction(halfway, tmp_path):
     from thor_ray.sources.branch import (create_branch,
                                          load_fork_manifests, merge_branch)

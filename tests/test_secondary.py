@@ -160,6 +160,41 @@ def test_probe_rows_serving_path(pipe, tmp_path):
     assert (rows["lang"] == v).all()
 
 
+def test_composite_index(pipe, tmp_path):
+    """Composite (lang, source-ish) index: probe with a tuple returns
+    exactly the rows matching BOTH columns."""
+    from thor_ray.sources.secondary import SecondaryIndex
+    df = pipe.final_table().to_pandas()
+    idx = SecondaryIndex(pipe.cfg.lake_dir, str(tmp_path / "cidx"),
+                         ["lang", "commit"])
+    idx.build()
+    # pick a (lang, commit) pair that exists
+    row = df.iloc[0]
+    got = idx.probe((row["lang"], row["commit"]))
+    exp = df.loc[(df["lang"] == row["lang"])
+                 & (df["commit"] == row["commit"]), ["repo", "path"]] \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) >= 1
+    # wrong second component -> empty
+    assert len(idx.probe((row["lang"], "no_such_commit"))) == 0
+
+
+def test_read_lake_column_pruned_merge(pipe):
+    """read_lake(columns=...) on a delta (merge-on-read) lake must return
+    the same projection as a full read — with the pruning now applied
+    INSIDE the parquet reader (content never read)."""
+    from thor_ray.sources.lake import read_lake
+    full = read_lake(pipe.cfg.lake_dir).to_pandas() \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    pruned = read_lake(pipe.cfg.lake_dir,
+                       columns=["repo", "path", "lang"]).to_pandas() \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    assert list(pruned.columns) == ["repo", "path", "lang"]
+    pd.testing.assert_frame_equal(pruned,
+                                  full[["repo", "path", "lang"]])
+
+
 def test_wrong_column_guard(pipe, tmp_path):
     from thor_ray.sources.secondary import SecondaryIndex
     d = str(tmp_path / "idx")

@@ -69,6 +69,40 @@ def test_follow_drains_and_stops(ray_session, grown, tmp_path):
     check(pipe, grown["expected"])
 
 
+def test_follow_on_apply_keeps_consumers_current(ray_session, grown,
+                                                 tmp_path):
+    """The connected-pipeline hook: follow(on_apply=[index.advance])
+    advances a secondary index after every applied batch, so at drain the
+    index answers current probes with no manual catch-up. (ddl_every=0
+    variant — the index requires uncompacted level-0 runs.)"""
+    binlog_dir = str(tmp_path / "binlog")
+    base = gen.gen_base_table(n_repos=10, paths_per_repo=10, seed=21)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=6_000, n_shards=3, ddl_every=0, seed=21))
+    log.write_segments(binlog_dir, n_segments=2)
+    base_path = os.path.join(str(tmp_path), "base.parquet")
+    pq.write_table(base, base_path)
+
+    from thor_ray.sources.secondary import SecondaryIndex
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+                    num_partitions=8, epoch_size=2_000, write_mode="delta",
+                    compact_every=1_000_000)
+    pipe = CdcPipeline(cfg)
+    idx = SecondaryIndex(cfg.lake_dir, str(tmp_path / "idx"), "lang")
+    calls = []
+    pipe.follow(poll_sec=0.05, idle_polls=2, base=base_path,
+                on_apply=[idx.advance, lambda: calls.append(1)])
+    assert calls                            # hook fired at least once
+    from thor_ray.state import load_manifests
+    cur = min(m.epoch for m in load_manifests(cfg.lake_dir).values())
+    assert idx.epoch() == cur               # index is current at drain
+    df = pipe.final_table().to_pandas()
+    v = sorted(df["lang"].dropna().unique())[0]
+    exp = df.loc[df["lang"] == v, ["repo", "path"]] \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(idx.probe_local(v), exp)
+
+
 def test_shard_frontiers(grown, tmp_path):
     binlog_dir = str(tmp_path / "binlog")
     grown["log"].write_segments(binlog_dir, n_segments=4, first=0, last=2)

@@ -1768,7 +1768,8 @@ class CdcPipeline:
 
     def follow(self, poll_sec: float = 2.0, idle_polls: int = 3,
                frontier_slack: int | None = None,
-               base: "ray.data.Dataset | str | None" = None) -> list[EpochReport]:
+               base: "ray.data.Dataset | str | None" = None,
+               on_apply: "list | None" = None) -> list[EpochReport]:
         """Continuous tail: poll the binlog dir for log growth (new segment
         files) and apply new COMPLETE epochs as they appear — micro-batch
         streaming (Kafka consumer-loop analogue).
@@ -1778,11 +1779,25 @@ class CdcPipeline:
         committing past it would advance watermarks over events a lagging
         shard hasn't delivered yet. Once `idle_polls` polls see no growth
         the log is deemed finished and the tail past the frontier is
-        drained. Safe to kill/restart any time (resume-from-manifests)."""
+        drained. Safe to kill/restart any time (resume-from-manifests).
+
+        ``on_apply``: zero-arg callables invoked after every run() that
+        applied new epochs — the connected-pipeline hook that keeps
+        downstream consumers current with the stream (e.g.
+        ``SecondaryIndex(...).advance``, ``IncrementalView(...).advance``,
+        a replicate_lake lambda). Each consumer owns its exactly-once
+        resume state, so a crash between apply and hook, or a hook
+        failure, is repaired by the next invocation — follow() therefore
+        lets hook exceptions propagate (fail fast, resume clean)."""
         if frontier_slack is None:
             frontier_slack = self.cfg.epoch_size // 4
         idle = 0
         seen = -1
+
+        def fire_hooks() -> None:
+            for fn in (on_apply or []):
+                fn()
+
         while idle < idle_polls:
             now = binlog_src.max_lsn(self.cfg.binlog_dir)
             frontier = binlog_src.safe_frontier(
@@ -1792,7 +1807,10 @@ class CdcPipeline:
                 # only epochs fully below the frontier
                 complete = (frontier // self.cfg.epoch_size) * self.cfg.epoch_size
                 if complete > 0:
+                    n_before = len(self.reports)
                     self.run(base=base, until_lsn=complete)
+                    if len(self.reports) > n_before:
+                        fire_hooks()
                 idle = 0
             else:
                 idle += 1
@@ -1802,7 +1820,10 @@ class CdcPipeline:
                 # liveness + lag record every poll, applied or idle
                 self._write_heartbeat(now, frontier)
         # log stopped growing: drain everything (final partial epoch incl.)
+        n_before = len(self.reports)
         self.run(base=base)
+        if len(self.reports) > n_before or on_apply:
+            fire_hooks()
         return self.reports
 
     def compact(self, all_partitions: bool = False,

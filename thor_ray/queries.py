@@ -14061,6 +14061,134 @@ HAVING sum(CAST(round(l_quantity * 10.0) AS BIGINT)) > 800
 """
 
 
+def q368_asym_window(sf: str):
+    """Asymmetric two-sided ROWS frame (3 PRECEDING .. 1 FOLLOWING):
+    q65's coarse-salt shape plus a vectorized next-row splice — the
+    forward edge comes from the 5-row window evaluated one row later
+    (same group), else the frame truncates to the 4-row trailing window.
+    Integer sums, one IEEE division — bitwise-exact vs DuckDB."""
+    ds = T(sf, "events", ["event_id", "user_id", "ts", "props"])
+    fanout = 64
+
+    def salt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "plen": pc.cast(pc.binary_length(t["props"]), pa.int64()),
+            "usalt": pc.cast(pc.bit_wise_and(t["user_id"], fanout - 1),
+                             pa.int32()),
+        })
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        grp = g.groupby("user_id", sort=False)["plen"]
+        r5, r4 = grp.rolling(5, min_periods=1), grp.rolling(4, min_periods=1)
+        s5, c5 = r5.sum().to_numpy(), r5.count().to_numpy()
+        s4, c4 = r4.sum().to_numpy(), r4.count().to_numpy()
+        uid = g["user_id"].to_numpy()
+        same_next = np.empty(len(g), dtype=bool)
+        same_next[:-1] = uid[:-1] == uid[1:]
+        same_next[-1] = False
+        s = np.where(same_next, np.roll(s5, -1), s4)
+        c = np.where(same_next, np.roll(c5, -1), c4)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "w_len": s / c})
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+            .groupby("usalt").map_groups(win, batch_format="pandas"))
+
+
+SQL_Q368 = """
+SELECT event_id,
+       AVG(CAST(strlen(props) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS w_len
+FROM events
+"""
+
+
+def q369_union_distinct(sf: str):
+    """UNION (distinct) across two heterogeneous projections — purchase
+    users ∪ big-order customers under one aliased column; one distinct
+    shuffle after map-side projection."""
+    ev = (T(sf, "events", ["user_id", "event_type"])
+          .filter(expr="event_type == 'purchase'")
+          .map_batches(lambda t: pa.table({"uid": t["user_id"]}),
+                       batch_format="pyarrow"))
+    od = (T(sf, "orders", ["o_custkey", "o_totalprice"])
+          .filter(expr="o_totalprice > 400000")
+          .map_batches(lambda t: pa.table({"uid": t["o_custkey"]}),
+                       batch_format="pyarrow"))
+    return R.distinct(ev.union(od), ["uid"])
+
+
+SQL_Q369 = """
+SELECT user_id AS uid FROM events WHERE event_type = 'purchase'
+UNION
+SELECT o_custkey AS uid FROM orders WHERE o_totalprice > 400000
+"""
+
+
+def q370_string_agg_distinct(sf: str):
+    """string_agg(DISTINCT ... ORDER BY ...) — the distinct-pair combiner
+    shrinks (source, lang) before ONE small shuffle; list assembly is a
+    C-level sorted join on the output-sized distinct set."""
+    dd = R.distinct(T(sf, "documents", ["source", "lang"]),
+                    ["source", "lang"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "lang"], kind="stable")
+        out = g.groupby("source", as_index=False).agg(
+            langs=("lang", ",".join))
+        return out
+
+    return dd.groupby("source").map_groups(agg, batch_format="pandas")
+
+
+SQL_Q370 = """
+SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+FROM documents GROUP BY source
+"""
+
+
+def q371_quarter_having(sf: str):
+    """Calendar-quarter revenue with a HAVING filter against the global
+    quarterly average: quarter derived by vectorized year/month kernels,
+    integer-cents combiner sums, the scalar from the OUTPUT-sized
+    aggregate (no second pass)."""
+    ds = T(sf, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        q = pc.add(pc.divide(pc.subtract(pc.month(t["o_orderdate"]), 1), 3),
+                   1)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return pa.table({"yr": pc.cast(y, pa.int64()),
+                         "qtr": pc.cast(q, pa.int64()), "cents": cents})
+
+    per = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby(["yr", "qtr"])
+           .aggregate(Sum("cents", alias_name="rev_cents"))).to_pandas()
+    avg = float(per["rev_cents"].sum()) / len(per)
+    out = per[per["rev_cents"] > avg]
+    return out.sort_values(["yr", "qtr"]).reset_index(drop=True)
+
+
+SQL_Q371 = """
+WITH q AS (
+  SELECT year(o_orderdate) AS yr,
+         (month(o_orderdate) - 1) // 3 + 1 AS qtr,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+  FROM orders GROUP BY 1, 2)
+SELECT yr, qtr, rev_cents FROM q
+WHERE rev_cents > (SELECT sum(rev_cents) / count(*) FROM q)
+ORDER BY yr, qtr
+"""
+
+
 def q361_lake_branch(sf: str):
     """Zero-copy lake branching (sources/branch.py, rows-only): branch a
     half-replayed lake (hardlinked manifests, no data copy), let the
@@ -14471,6 +14599,10 @@ QUERIES: dict[str, tuple] = {
     "q365_exists_not_exists": (q365_exists_not_exists, SQL_Q365),
     "q366_rich_inactive_customers": (q366_rich_inactive_customers, SQL_Q366),
     "q367_bulk_suppliers": (q367_bulk_suppliers, SQL_Q367),
+    "q368_asym_window": (q368_asym_window, SQL_Q368),
+    "q369_union_distinct": (q369_union_distinct, SQL_Q369),
+    "q370_string_agg_distinct": (q370_string_agg_distinct, SQL_Q370),
+    "q371_quarter_having": (q371_quarter_having, SQL_Q371),
 }
 
 

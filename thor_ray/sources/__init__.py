@@ -1,6 +1,7 @@
 from .binlog import (max_lsn, read_ddl_events, read_epoch, safe_frontier,
                      shard_frontiers)
-from .branch import create_branch, lake_diff, merge_branch
+from .branch import (branch_info, create_branch, delete_branch, lake_diff,
+                     merge_branch)
 from .lake import (ChangefeedConsumer, LakeEnricher, compact_lake,
                    compact_upto, consumer_groups,
                    enrich_with_lake, export_changefeed_envelopes, fsck,
@@ -13,7 +14,8 @@ from .secondary import SecondaryIndex
 from .sink import pruned_fragments, read_range, write_partitioned
 
 __all__ = ["ChangefeedConsumer", "compact_lake", "compact_upto",
-           "consumer_groups", "create_branch", "lake_diff", "merge_branch",
+           "consumer_groups", "branch_info", "create_branch",
+           "delete_branch", "lake_diff", "merge_branch",
            "LakeEnricher", "enrich_with_lake", "export_changefeed_envelopes",
            "fsck", "max_lsn", "read_ddl_events", "read_epoch", "safe_frontier",
            "shard_frontiers", "lake_lookup", "lake_stats",

@@ -69,18 +69,31 @@ def _link_or_copy(src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
 
-def create_branch(src_lake: str, branch_dir: str) -> dict:
+def create_branch(src_lake: str, branch_dir: str,
+                  at_epoch: int | None = None) -> dict:
     """Zero-copy branch of a committed lake (module docstring). Returns
-    {"partitions", "files", "fork_epoch", "fork_upto_lsn"}."""
-    from thor_ray.state import load_manifests, snapshot_active, write_manifest
+    {"partitions", "files", "fork_epoch", "fork_upto_lsn"}.
+
+    ``at_epoch`` branches from a RETAINED time-travel snapshot instead of
+    the current state (requires ``CdcConfig.retain_snapshots > 0`` on the
+    source — the archived manifests and the files they reference are
+    gc-protected on the source for as long as the snapshot is retained;
+    the branch hardlinks them, so it keeps them alive independently of
+    the source's retention window afterwards)."""
+    from thor_ray.state import (load_manifests, load_manifests_at,
+                                snapshot_active, write_manifest)
     from thor_ray.state.manifest import Manifest, _atomic_write
 
     if snapshot_active(src_lake):
         raise ValueError("cannot branch while an incremental snapshot is "
                          "in progress (retained tombstones would leak)")
-    ms = load_manifests(src_lake)
+    ms = load_manifests(src_lake) if at_epoch is None \
+        else load_manifests_at(src_lake, at_epoch)
     if not ms:
-        raise ValueError(f"no manifests under {src_lake}")
+        raise ValueError(
+            f"no manifests under {src_lake}" if at_epoch is None else
+            f"no retained snapshot at epoch {at_epoch} under {src_lake} "
+            "(retain_snapshots off, or pruned)")
     os.makedirs(branch_dir, exist_ok=True)
     fork_dir = os.path.join(branch_dir, "_manifests", _FORK)
     os.makedirs(fork_dir, exist_ok=True)
@@ -117,6 +130,31 @@ def create_branch(src_lake: str, branch_dir: str) -> dict:
     return {"partitions": len(ms), "files": n_files,
             "fork_epoch": min(m.epoch for m in ms.values()),
             "fork_upto_lsn": min(m.upto_lsn for m in ms.values())}
+
+
+def branch_info(branch_dir: str) -> dict | None:
+    """The branch descriptor written at creation, or None if ``branch_dir``
+    was not created by create_branch."""
+    p = os.path.join(branch_dir, "_schema", "branch.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def delete_branch(branch_dir: str) -> int:
+    """Tear a branch down wholesale. Safe by construction: every data
+    file under the branch is either a hardlink (the source keeps its own
+    name on the shared inode) or branch-local — deleting the tree can
+    never lose source bytes. Refuses a directory that was not created by
+    create_branch (the guard against pointing it at a real lake).
+    Returns the number of data files removed."""
+    if branch_info(branch_dir) is None:
+        raise ValueError(f"{branch_dir} is not a branch "
+                         "(no _schema/branch.json) — refusing to delete")
+    n = len(glob.glob(os.path.join(branch_dir, "part=*", "*.parquet")))
+    shutil.rmtree(branch_dir)
+    return n
 
 
 def load_fork_manifests(branch_dir: str) -> dict:

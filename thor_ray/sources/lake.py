@@ -84,12 +84,25 @@ def read_lake(lake_dir: str, manifests: dict | None = None,
     })
 
     columns = read_kwargs.get("columns")
+    # column pruning THROUGH the merge: the fold itself only needs the
+    # key + internal columns on top of what the caller asked for — the
+    # payload columns it didn't ask for (content, typically the bulk of
+    # every state file) never leave the parquet reader
+    read_cols = None
+    if columns:
+        read_cols = list(dict.fromkeys(
+            ["repo", "path"] + INTERNAL_COLS + list(columns)))
 
     def merge_task(batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for fj in batch["files"]:
-            # the merge itself needs the key + internal columns regardless
-            frames = [pq.read_table(f).to_pandas() for f in json.loads(fj)]
+            frames = []
+            for f in json.loads(fj):
+                cols_f = None
+                if read_cols is not None:
+                    have = set(pq.read_schema(f).names)
+                    cols_f = [c for c in read_cols if c in have]
+                frames.append(pq.read_table(f, columns=cols_f).to_pandas())
             df = merge_state_frames(frames)
             if not keep_internal:
                 df = df.drop(columns=[c for c in INTERNAL_COLS if c in df.columns])

@@ -175,11 +175,45 @@ def _probe_partition(part_dir: str, value: str, vh: np.ndarray,
     return live[_KEY].reset_index(drop=True)
 
 
-class SecondaryIndex:
-    """LSM value index on one lake column (module docstring)."""
+_SEP = "\x1f"
 
-    def __init__(self, lake_dir: str, index_dir: str, col: str):
-        self.lake_dir, self.index_dir, self.col = lake_dir, index_dir, col
+
+def _composite_val(df: pd.DataFrame, cols: list[str]) -> pd.Series:
+    """One index value per row: the column value itself for a single-col
+    index, the \\x1f-joined stringification for a composite — any NULL
+    component nulls the whole value (SQL semantics: NULL matches no
+    probe; the key still reaches the key bloom via _op/_lsn rows)."""
+    if len(cols) == 1:
+        return df[cols[0]]
+    mask = pd.Series(False, index=df.index)
+    parts = []
+    for c in cols:
+        s = df[c]
+        mask |= s.isna()
+        parts.append(s.astype(str))    # null slots masked out below
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined + _SEP + p
+    return joined.where(~mask, None)
+
+
+def _probe_str(value) -> str:
+    if isinstance(value, (tuple, list)):
+        return _SEP.join(str(v) for v in value)
+    return str(value)
+
+
+class SecondaryIndex:
+    """LSM value index on one or more lake columns (module docstring).
+    ``col`` may be a single column name or a list (composite index —
+    probe with a tuple of the same arity)."""
+
+    def __init__(self, lake_dir: str, index_dir: str,
+                 col: "str | list[str]"):
+        self.lake_dir, self.index_dir = lake_dir, index_dir
+        self.cols = [col] if isinstance(col, str) else list(col)
+        self.col = self.cols[0] if len(self.cols) == 1 \
+            else _SEP.join(self.cols)
         os.makedirs(index_dir, exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
@@ -216,7 +250,7 @@ class SecondaryIndex:
         partition folds the partition's live rows (merge-on-read over its
         manifest file run) and writes the narrow base run."""
         ms, cur = self._lake_state()
-        col, idx_dir = self.col, self.index_dir
+        cols, idx_dir = self.cols, self.index_dir
 
         def base_task(b: pd.DataFrame) -> pd.DataFrame:
             from thor_ray.sources.lake import read_partition_state
@@ -226,12 +260,13 @@ class SecondaryIndex:
                 st = read_partition_state(files)
                 pdir = os.path.join(idx_dir, f"part={pid:05d}")
                 os.makedirs(pdir, exist_ok=True)
-                if col not in st.columns:
-                    raise ValueError(f"column {col!r} not in lake state "
-                                     f"(renamed/dropped by DDL?)")
+                for c in cols:
+                    if c not in st.columns:
+                        raise ValueError(f"column {c!r} not in lake state "
+                                         f"(renamed/dropped by DDL?)")
                 d = pd.DataFrame({
                     "repo": st["repo"], "path": st["path"],
-                    "val": st[col], "_op": "U",
+                    "val": _composite_val(st, cols), "_op": "U",
                     "_lsn": st["_lsn"].astype("int64")
                     if "_lsn" in st.columns
                     else np.zeros(len(st), dtype=np.int64)})
@@ -274,7 +309,7 @@ class SecondaryIndex:
         e0 = m["epoch"]
         if upto <= e0:
             return e0
-        col, lake_dir, idx_dir = self.col, self.lake_dir, self.index_dir
+        cols, lake_dir, idx_dir = self.cols, self.lake_dir, self.index_dir
 
         def delta_task(b: pd.DataFrame) -> pd.DataFrame:
             out = []
@@ -293,13 +328,15 @@ class SecondaryIndex:
                             f"epoch {e}: {p} is a compaction product — "
                             "history folded; call rebuild()")
                     sch = pq.read_schema(p)
-                    if col not in sch.names:
-                        raise ValueError(
-                            f"epoch {e}: column {col!r} missing from the "
-                            "delta run (DDL rename/drop?) — rebuild()")
+                    for c in cols:
+                        if c not in sch.names:
+                            raise ValueError(
+                                f"epoch {e}: column {c!r} missing from the "
+                                "delta run (DDL rename/drop?) — rebuild()")
                     t = pq.read_table(
-                        p, columns=_KEY + [col, "_op", "_lsn"]).to_pandas()
-                    d = t.rename(columns={col: "val"})
+                        p, columns=_KEY + cols + ["_op", "_lsn"]).to_pandas()
+                    d = t[_KEY + ["_op", "_lsn"]].copy()
+                    d["val"] = _composite_val(t, cols)
                     d["_lsn"] = d["_lsn"].astype("int64")
                     _write_idx_file(
                         d[_IDX_COLS],
@@ -349,20 +386,24 @@ class SecondaryIndex:
         m = self._manifest()
         if m is None:
             raise ValueError("index not built")
-        vh = _val_hash(pa.array([str(value)], pa.string()))
+        sval = _probe_str(value)
+        vh = _val_hash(pa.array([sval], pa.string()))
         impl, idx_dir = m["hash_impl"], self.index_dir
         parts = sorted(glob.glob(os.path.join(idx_dir, "part=*")))
         if not parts:
             return pd.DataFrame({"repo": [], "path": []})
 
         def task(b: pd.DataFrame) -> pd.DataFrame:
-            out = [_probe_partition(d, str(value), vh, impl, None)
+            out = [_probe_partition(d, sval, vh, impl, None)
                    for d in b["part_dir"]]
             return pd.concat(out, ignore_index=True)
 
         res = ray.data.from_items([{"part_dir": d} for d in parts]) \
             .map_batches(task, batch_size=1, batch_format="pandas") \
             .to_pandas()
+        if "repo" not in res.columns:   # all-miss probe: schema-less empty
+            return pd.DataFrame({"repo": pd.Series(dtype=object),
+                                 "path": pd.Series(dtype=object)})
         return res.sort_values(_KEY).reset_index(drop=True)
 
     def probe_rows(self, value) -> pd.DataFrame:
@@ -384,8 +425,9 @@ class SecondaryIndex:
         m = self._manifest()
         if m is None:
             raise ValueError("index not built")
-        vh = _val_hash(pa.array([str(value)], pa.string()))
-        outs = [_probe_partition(d, str(value), vh, m["hash_impl"], stats)
+        sval = _probe_str(value)
+        vh = _val_hash(pa.array([sval], pa.string()))
+        outs = [_probe_partition(d, sval, vh, m["hash_impl"], stats)
                 for d in sorted(glob.glob(os.path.join(self.index_dir,
                                                        "part=*")))]
         res = pd.concat(outs, ignore_index=True) if outs else \
