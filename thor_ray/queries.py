@@ -14224,6 +14224,49 @@ def q361_lake_branch(sf: str):
     return lake_diff(pipe.cfg.lake_dir, bdir)
 
 
+def q372_join_view(sf: str):
+    """Incremental PK join view across two co-partitioned lakes
+    (pipelines/joinview.py, rows-only): two lakes over the same key
+    space diverge under independent change streams; the view stitches
+    them from the changefeeds alone (zero shuffle, O(changes) per
+    advance, no lake rescans) and serves inner/left/right/full as flag
+    projections of one ledger. Oracle equality, stepwise==one-shot,
+    crash-window idempotence and the rebuild re-anchor are pinned in
+    tests/test_joinview.py."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    from thor_ray.pipelines.joinview import JoinView
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_jv_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    base = gen.gen_base_table(n_repos=40, paths_per_repo=25, seed=17)
+    os.makedirs(work, exist_ok=True)
+    bp = os.path.join(work, "base.parquet")
+    _pq.write_table(base, bp)
+    lakes = []
+    for side, seed, rate in (("a", 51, 0.07), ("b", 52, 0.11)):
+        log = gen.gen_binlog(base, gen.BinlogConfig(
+            n_events=8_000, n_shards=3, ddl_every=0,
+            delete_rate=rate, seed=seed))
+        bdir = os.path.join(work, f"binlog_{side}")
+        log.write_segments(bdir, n_segments=2)
+        pipe = CdcPipeline(CdcConfig(
+            lake_dir=os.path.join(work, f"lake_{side}"), binlog_dir=bdir,
+            num_partitions=8, epoch_size=2_000, write_mode="delta",
+            compact_every=1_000_000))
+        pipe.run(base=bp)
+        lakes.append(pipe.cfg.lake_dir)
+    jv = JoinView(lakes[0], lakes[1], os.path.join(work, "view"),
+                  select_a=["commit", "lang"], select_b=["lang"])
+    jv.advance()
+    return jv.to_pandas("inner")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14593,6 +14636,7 @@ QUERIES: dict[str, tuple] = {
     "q359_retraction_view": (q359_retraction_view, None),
     "q360_secondary_index": (q360_secondary_index, None),
     "q361_lake_branch": (q361_lake_branch, None),
+    "q372_join_view": (q372_join_view, None),
     "q362_cheapest_per_type": (q362_cheapest_per_type, SQL_Q362),
     "q363_value_share_parts": (q363_value_share_parts, SQL_Q363),
     "q364_supplier_counts_not_in": (q364_supplier_counts_not_in, SQL_Q364),
