@@ -507,6 +507,69 @@ def test_delete_where_retention(ray_session, fixture, tmp_path):
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
 
 
+def test_update_where(ray_session, fixture, tmp_path):
+    """Distributed UPDATE tier: update_where appends full-image op='U'
+    events to the BINLOG (never mutates the lake out-of-band); the next
+    run() applies them through the normal exactly-once path. Final state
+    == oracle with the transform applied to matching rows; re-issuing the
+    same update before run() overwrites the same segments (no duplicate
+    events, log end unchanged)."""
+    import pyarrow.compute as pc
+    from thor_ray.sources import binlog as binlog_src
+
+    d = str(tmp_path)
+    binlog = os.path.join(d, "binlog")
+    shutil.copytree(fixture["binlog_dir"], binlog)
+    cfg = CdcConfig(lake_dir=os.path.join(d, "lake"), binlog_dir=binlog,
+                    num_partitions=8, epoch_size=2_500)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=fixture["base_path"])
+    exp = fixture["expected"]
+    n_py = int((exp["lang"] == "py").sum())
+    assert n_py > 0
+
+    def redact(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("content")
+        red = pc.binary_join_element_wise(
+            pa.array(["REDACTED:"] * t.num_rows, type=pa.large_string()),
+            pc.cast(t["lang"], pa.large_string()),
+            pa.scalar("", type=pa.large_string()))
+        return t.set_column(i, "content", red)
+
+    n = pipe.update_where("lang == 'py'", redact)
+    assert n == n_py
+    # re-issue BEFORE run(): same identity → same segments at the same
+    # lsns, overwritten in place — the log end must not move
+    end = binlog_src.max_lsn(binlog)
+    assert pipe.update_where("lang == 'py'", redact) == n_py
+    assert binlog_src.max_lsn(binlog) == end
+
+    pipe.run()  # updates flow through the normal apply path
+    got = normalize(pipe.final_table().to_pandas())
+    want = exp.copy()
+    m = want["lang"] == "py"
+    want.loc[m, "content"] = "REDACTED:" + want.loc[m, "lang"]
+    want = normalize(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # after run() the watermark moved → fresh identity; the same logical
+    # update re-applied is value-idempotent (transform is a projection)
+    assert pipe.update_where("lang == 'py'", redact) == n_py
+    pipe.run()
+    got2 = normalize(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+    # primary-key mutation is refused
+    assert (got2["lang"] == "go").any()
+
+    def clobber_pk(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("path")
+        return t.set_column(i, "path",
+                            pa.array(["x"] * t.num_rows, type=pa.string()))
+    with pytest.raises(Exception, match="primary key"):
+        pipe.update_where("lang == 'go'", clobber_pk)
+
+
 def test_engine_meta_back_compat(ray_session, fixture, tmp_path):
     """A lake written before the demux tier has no "route" key in
     engine.json; resuming it must not raise a meta mismatch."""

@@ -275,6 +275,33 @@ def cmd_delete(a) -> int:
     return 0
 
 
+def cmd_update(a) -> int:
+    """Append full-image op='U' events setting literal column values on
+    lake rows matching a filter expression; apply with a subsequent
+    `run`."""
+    ray = _ray_init(a.num_cpus)
+    import pyarrow as pa
+
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    sets = dict(kv.split("=", 1) for kv in a.set)
+
+    def set_fn(t: "pa.Table") -> "pa.Table":
+        for col, val in sets.items():
+            i = t.column_names.index(col)
+            t = t.set_column(i, col, pa.array([val] * t.num_rows,
+                                              type=t.schema.field(i).type))
+        return t
+
+    pipe = CdcPipeline(CdcConfig(lake_dir=a.lake, binlog_dir=a.binlog,
+                                 num_partitions=a.partitions))
+    n = pipe.update_where(a.expr, set_fn)
+    print(json.dumps({"updates_written": n,
+                      "hint": "run `python -m thor_ray run ...` to apply"}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_diff(a) -> int:
     """Changefeed between two retained snapshots (time travel)."""
     ray = _ray_init(a.num_cpus)
@@ -581,6 +608,21 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--partitions", type=int, default=64)
     dl.add_argument("--num-cpus", type=int)
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser("update",
+                        help="append full-image update events setting "
+                             "literal column values on keys matching a "
+                             "filter; apply with `run`")
+    up.add_argument("--lake", required=True)
+    up.add_argument("--binlog", required=True)
+    up.add_argument("--expr", required=True,
+                    help="Ray Dataset filter expr over final-table columns")
+    up.add_argument("--set", action="append", required=True,
+                    metavar="COL=VALUE",
+                    help="literal assignment, repeatable")
+    up.add_argument("--partitions", type=int, default=64)
+    up.add_argument("--num-cpus", type=int)
+    up.set_defaults(fn=cmd_update)
 
     ar = sub.add_parser("archive",
                         help="retire binlog segments below the lake's "

@@ -2104,6 +2104,116 @@ class CdcPipeline:
                .to_pandas())
         return int(out["n"].sum()) if len(out) else 0
 
+    def update_where(self, expr: str, set_fn,
+                     ident: str | None = None) -> int:
+        """Distributed UPDATE (the other half of delete_where's
+        out-of-band write tier): append full-image op='U' events for
+        every live lake row matching ``expr``, with ``set_fn`` — a
+        vectorized ``pa.Table -> pa.Table`` transform over the matched
+        rows (same rows and columns back; the primary key must come back
+        unchanged) — applied. The events land in the BINLOG at fresh
+        lsns; the lake is never mutated out-of-band, the updates ride
+        the normal exactly-once apply path (watermarks, dedup,
+        crash-restore) on the next run().
+
+        Idempotent re-issue: the update identity (``ident``; default
+        sha1(expr) + the lake's slowest commit watermark) is encoded in
+        the segment names — re-issuing the SAME update against the
+        unchanged lake overwrites its own segments at the SAME lsns
+        (the merge_branch pattern) instead of appending a second copy
+        at the raised log end. Two DIFFERENT updates issued between
+        runs need distinct ``ident``s (or a run() in between, which
+        moves the watermark and so the default identity).
+
+        Scale shape: matched rows never land on the driver — one
+        distributed filter over the lake's merge-on-read path, set_fn
+        inside map_batches, a shard-salted groupby, one segment file
+        written per shard group. Returns the event count."""
+        cfg = self.cfg
+        from thor_ray.gen import EVENT_SCHEMA, _EPOCH_TS_US
+
+        base_lsn, fmt, n_shards = self._binlog_layout()
+        reg = SchemaRegistry.load(cfg.lake_dir)
+        evolved = list(reg.columns_at(reg.version))
+        registry_ver = reg.version
+        wm = min((m.upto_lsn for m in
+                  load_manifests(cfg.lake_dir).values()), default=0)
+        if ident is None:
+            ident = f"{hashlib.sha1(expr.encode()).hexdigest()[:8]}w{wm}"
+        prior = glob.glob(os.path.join(
+            cfg.binlog_dir, f"shard-*-upd{ident}-*.{fmt}"))
+        if prior:
+            base_lsn = int(os.path.basename(prior[0]).rsplit("-", 1)[1]
+                           .split(".")[0])
+
+        def apply_set(t: pa.Table) -> pa.Table:
+            out = set_fn(t)
+            if (not isinstance(out, pa.Table) or out.num_rows != t.num_rows
+                    or set(out.column_names) != set(t.column_names)):
+                raise ValueError(
+                    "update_where set_fn must return the same rows and "
+                    "columns (got "
+                    f"{type(out).__name__}"
+                    f"{' ' + str(out.column_names) if isinstance(out, pa.Table) else ''})")
+            for k in ("repo", "path"):
+                if out.num_rows and not pc.all(
+                        pc.equal(out[k], t[k])).as_py():
+                    raise ValueError(
+                        f"update_where set_fn must not modify the "
+                        f"primary key column {k!r}")
+            s = stable_hash(out, ["repo", "path"]) % n_shards
+            return out.append_column("shard", pa.array(s, type=pa.int32()))
+
+        binlog_dir = cfg.binlog_dir
+
+        def write_segment(g: pd.DataFrame) -> pd.DataFrame:
+            from thor_ray.stages.envelope import _json_encode_struct
+            s = int(g["shard"].iloc[0])
+            k = len(g)
+            lsn = base_lsn + 1 + s + np.arange(k, dtype=np.int64) * n_shards
+            if evolved:
+                gt = pa.Table.from_pandas(
+                    g[evolved].astype(object).where(
+                        pd.notna(g[evolved]), None),
+                    preserve_index=False)
+                extra = _json_encode_struct(gt, evolved).to_pandas()
+            else:
+                extra = pd.Series(["{}"] * k)
+
+            def payload(col: str, typ) -> pa.Array:
+                v = g[col] if col in g.columns else pd.Series([None] * k)
+                return pa.array(v.astype(object).where(pd.notna(v), None),
+                                type=typ)
+
+            t = pa.table({
+                "lsn": pa.array(lsn),
+                "txn": pa.array(np.zeros(k, dtype=np.int64)),
+                "op": pa.array(["U"] * k),
+                "repo": pa.array(g["repo"], type=pa.string()),
+                "path": pa.array(g["path"], type=pa.string()),
+                "commit": payload("commit", pa.string()),
+                "lang": payload("lang", pa.string()),
+                "content": payload("content", pa.large_string()),
+                "extra": pa.array(list(extra), type=pa.large_string()),
+                "ddl": pa.nulls(k, type=pa.string()),
+                "ts": pa.array(_EPOCH_TS_US + lsn * 1000).cast(
+                    pa.timestamp("us")),
+                "schema_ver": pa.array(
+                    np.full(k, registry_ver, dtype=np.int32)),
+                "shard": pa.array(np.full(k, s, dtype=np.int32)),
+            }, schema=EVENT_SCHEMA)
+            name = f"shard-{s:04d}-upd{ident}-{base_lsn:010d}.{fmt}"
+            _write_binlog_segment(t, os.path.join(binlog_dir, name), fmt)
+            return pd.DataFrame([{"shard": s, "n": k}])
+
+        out = (self.final_table()
+               .filter(expr=expr)
+               .map_batches(apply_set, batch_format="pyarrow")
+               .groupby("shard")
+               .map_groups(write_segment, batch_format="pandas")
+               .to_pandas())
+        return int(out["n"].sum()) if len(out) else 0
+
     def archive_binlog(self) -> int:
         """Retire binlog segments every partition has committed past (max
         lsn <= the lake's slowest-partition watermark) into

@@ -14267,6 +14267,52 @@ def q372_join_view(sf: str):
     return jv.to_pandas("inner")
 
 
+def q373_update_where(sf: str):
+    """Distributed UPDATE via binlog injection (pipelines/cdc.py::
+    update_where, rows-only): full-image op='U' events for every live
+    row matching a filter, transformed by a vectorized set_fn, appended
+    to the BINLOG and applied through the normal exactly-once path —
+    the lake is never mutated out-of-band. Oracle equality, segment
+    overwrite on re-issue, and the PK-mutation guard are pinned in
+    tests/test_cdc.py::test_update_where. Returns per-lang counts of
+    redacted rows after the update replays."""
+    import os
+    import shutil
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_upd_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=40, paths_per_repo=25, seed=23)
+    bp = os.path.join(work, "base.parquet")
+    _pq.write_table(base, bp)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=8_000, n_shards=4, delete_rate=0.05, seed=23))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=os.path.join(work, "lake"), binlog_dir=bdir,
+        num_partitions=8, epoch_size=2_000))
+    pipe.run(base=bp)
+
+    def redact(t):
+        i = t.column_names.index("content")
+        return t.set_column(i, "content", _pc.cast(
+            pa.array(["<redacted>"] * t.num_rows), pa.large_string()))
+
+    pipe.update_where("lang == 'py' or lang == 'md'", redact)
+    pipe.run()
+    out = (pipe.final_table()
+           .filter(expr="content == '<redacted>'")
+           .groupby("lang").count().to_pandas())
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14637,6 +14683,7 @@ QUERIES: dict[str, tuple] = {
     "q360_secondary_index": (q360_secondary_index, None),
     "q361_lake_branch": (q361_lake_branch, None),
     "q372_join_view": (q372_join_view, None),
+    "q373_update_where": (q373_update_where, None),
     "q362_cheapest_per_type": (q362_cheapest_per_type, SQL_Q362),
     "q363_value_share_parts": (q363_value_share_parts, SQL_Q363),
     "q364_supplier_counts_not_in": (q364_supplier_counts_not_in, SQL_Q364),
