@@ -467,3 +467,45 @@ def test_export_changefeed_envelopes_roundtrip(ray_session, fixture,
     want = normalize(pipe.final_table().to_pandas())
     got = normalize(fold)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_savepoint_tags(ray_session, fixture, tmp_path):
+    """Named savepoints (Iceberg-tag analogue): a tag pins its archives
+    against prune_history and its data files against gc, so reading at
+    the tag stays oracle-correct after retention passes; delete_tag
+    releases the pin."""
+    from thor_ray.state import (gc_lake, load_manifests, prune_history,
+                                snapshot_epochs)
+
+    pipe = run_pipe(fixture, str(tmp_path / "lake"), retain_snapshots=99)
+    lake = pipe.cfg.lake_dir
+    eps = pipe.snapshots()
+    k = eps[len(eps) // 2]
+    assert 0 < k < eps[-1]
+    assert pipe.tag("release-1", k) == k
+    assert pipe.tags() == {"release-1": k}
+    with pytest.raises(ValueError, match="already exists"):
+        pipe.tag("release-1", eps[-1])
+    # default epoch = the newest retained snapshot; replace moves a tag
+    assert pipe.tag("tip") == eps[-1]
+    assert pipe.tag("tip", k, replace=True) == k
+    assert pipe.delete_tag("tip")
+    assert not pipe.delete_tag("tip")
+
+    # retention prune far past the tag: tagged archives survive, others go
+    removed = prune_history(lake, eps[-1])
+    assert removed > 0
+    gc_lake(lake, load_manifests(lake))
+    got = normalize(pipe.table_at_tag("release-1").to_pandas())
+    exp = normalize(oracle_at(fixture, k))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # deleting the tag releases the pin: the next prune drops its archives
+    assert pipe.delete_tag("release-1")
+    assert prune_history(lake, eps[-1]) > 0
+    assert snapshot_epochs(lake) == [eps[-1]]
+    # and tagging the now-unretained epoch is refused
+    with pytest.raises(ValueError, match="not a readable snapshot"):
+        pipe.tag("too-old", k)
+    with pytest.raises(KeyError):
+        pipe.table_at_tag("release-1")

@@ -302,6 +302,31 @@ def cmd_update(a) -> int:
     return 0
 
 
+def cmd_tag(a) -> int:
+    """Create / delete / list named savepoint tags (no Ray needed —
+    metadata only)."""
+    from thor_ray.state import create_tag, delete_tag, list_tags
+
+    if a.delete:
+        ok = delete_tag(a.lake, a.delete)
+        print(json.dumps({"deleted": a.delete, "existed": ok}))
+        return 0
+    if a.name:
+        from thor_ray.state import snapshot_epochs
+        epoch = a.epoch
+        if epoch is None:
+            eps = snapshot_epochs(a.lake)
+            if not eps:
+                print(json.dumps({"error": "no retained snapshots"}))
+                return 1
+            epoch = eps[-1]
+        create_tag(a.lake, a.name, epoch, replace=a.replace)
+        print(json.dumps({"tag": a.name, "epoch": epoch}))
+        return 0
+    print(json.dumps(list_tags(a.lake)))
+    return 0
+
+
 def cmd_diff(a) -> int:
     """Changefeed between two retained snapshots (time travel)."""
     ray = _ray_init(a.num_cpus)
@@ -623,6 +648,16 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--partitions", type=int, default=64)
     up.add_argument("--num-cpus", type=int)
     up.set_defaults(fn=cmd_update)
+
+    tg = sub.add_parser("tag", help="named savepoint tags over retained "
+                                    "snapshots (create/list/delete)")
+    tg.add_argument("--lake", required=True)
+    tg.add_argument("--name", help="create a tag with this name")
+    tg.add_argument("--epoch", type=int,
+                    help="epoch to tag (default: newest snapshot)")
+    tg.add_argument("--replace", action="store_true")
+    tg.add_argument("--delete", metavar="NAME", help="delete a tag")
+    tg.set_defaults(fn=cmd_tag)
 
     ar = sub.add_parser("archive",
                         help="retire binlog segments below the lake's "

@@ -2351,6 +2351,43 @@ class CdcPipeline:
 
         return snapshot_epochs(self.cfg.lake_dir)
 
+    def tag(self, name: str, epoch: int | None = None,
+            replace: bool = False) -> int:
+        """Create a named savepoint (Iceberg-tag analogue) at `epoch`
+        (default: the newest retained snapshot). The tag pins its
+        archives — and through them the data files — against retention
+        pruning and gc until delete_tag, so table_at_tag / branching at
+        the tagged epoch stay valid indefinitely. Returns the epoch."""
+        from thor_ray.state import create_tag, snapshot_epochs
+
+        if epoch is None:
+            eps = snapshot_epochs(self.cfg.lake_dir)
+            if not eps:
+                raise ValueError("no retained snapshots to tag — set "
+                                 "CdcConfig.retain_snapshots > 0")
+            epoch = eps[-1]
+        create_tag(self.cfg.lake_dir, name, epoch, replace=replace)
+        return epoch
+
+    def tags(self) -> dict[str, int]:
+        from thor_ray.state import list_tags
+
+        return list_tags(self.cfg.lake_dir)
+
+    def delete_tag(self, name: str) -> bool:
+        from thor_ray.state import delete_tag
+
+        return delete_tag(self.cfg.lake_dir, name)
+
+    def table_at_tag(self, name: str,
+                     keep_internal: bool = False) -> "ray.data.Dataset":
+        """The lake AS OF a named savepoint tag."""
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no savepoint tag {name!r} "
+                           f"(have {sorted(tags)})")
+        return self.table_at(tags[name], keep_internal=keep_internal)
+
     def table_at(self, epoch: int,
                  keep_internal: bool = False) -> "ray.data.Dataset":
         """Time travel: the lake AS OF `epoch` (newest retained snapshot

@@ -174,7 +174,10 @@ def load_manifests_at(lake_dir: str, epoch: int) -> dict[int, Manifest]:
 def prune_history(lake_dir: str, keep_from_epoch: int) -> int:
     """Drop archives older than the retention window. A partition's newest
     archive is always kept even if old (it still describes that partition's
-    state inside the window)."""
+    state inside the window). Archives a named savepoint tag resolves
+    through (the newest archive <= the tagged epoch, per partition) are
+    pinned regardless of the window — a tag is an indefinite-retention
+    promise until delete_tag."""
     newest: dict[int, int] = {}
     entries = []
     for p in glob.glob(os.path.join(_history_dir(lake_dir), "part-*-e*.json")):
@@ -183,12 +186,75 @@ def prune_history(lake_dir: str, keep_from_epoch: int) -> int:
         ep = int(b.rsplit("-e", 1)[1][:-len(".json")])
         entries.append((pid, ep, p))
         newest[pid] = max(newest.get(pid, -1), ep)
+    pinned: set[str] = set()
+    for tag_ep in set(list_tags(lake_dir).values()):
+        best: dict[int, tuple[int, str]] = {}
+        for pid, ep, p in entries:
+            if ep <= tag_ep and ep >= best.get(pid, (-1, ""))[0]:
+                best[pid] = (ep, p)
+        pinned |= {p for _, p in best.values()}
     removed = 0
     for pid, ep, p in entries:
-        if ep < keep_from_epoch and ep != newest[pid]:
+        if ep < keep_from_epoch and ep != newest[pid] and p not in pinned:
             os.remove(p)
             removed += 1
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Named savepoint tags (Iceberg-tag analogue): name -> retained epoch.
+# A tag pins its archives against prune_history (above) and, through them,
+# the data files against gc_lake — reading or branching at the tag stays
+# valid for the tag's lifetime regardless of the retention window.
+# ---------------------------------------------------------------------------
+
+
+def _tags_path(lake_dir: str) -> str:
+    return os.path.join(_manifest_dir(lake_dir), "tags.json")
+
+
+def list_tags(lake_dir: str) -> dict[str, int]:
+    """name -> epoch for every savepoint tag on the lake."""
+    p = _tags_path(lake_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def create_tag(lake_dir: str, name: str, epoch: int,
+               replace: bool = False) -> None:
+    """Record a named savepoint at `epoch`. The epoch must be resolvable
+    for every committed partition (an archive with epoch <= the tag exists
+    — i.e. the snapshot is still retained); raises otherwise, and on a
+    duplicate name unless `replace`."""
+    if not name or any(c in name for c in "/\\\0\n"):
+        raise ValueError(f"invalid tag name {name!r}")
+    tags = list_tags(lake_dir)
+    if name in tags and not replace:
+        raise ValueError(f"tag {name!r} already exists at epoch "
+                         f"{tags[name]} (pass replace=True to move it)")
+    cur = load_manifests(lake_dir)
+    at = load_manifests_at(lake_dir, epoch)
+    missing = sorted(set(cur) - set(at))
+    if not cur or missing:
+        raise ValueError(
+            f"epoch {epoch} is not a readable snapshot for partitions "
+            f"{missing or 'all'} — retention (CdcConfig.retain_snapshots) "
+            "must cover the tagged epoch when the tag is created")
+    tags[name] = int(epoch)
+    _atomic_write(_tags_path(lake_dir), tags)
+
+
+def delete_tag(lake_dir: str, name: str) -> bool:
+    """Drop a savepoint tag; its archives rejoin normal retention on the
+    next prune. Returns False if the tag did not exist."""
+    tags = list_tags(lake_dir)
+    if name not in tags:
+        return False
+    del tags[name]
+    _atomic_write(_tags_path(lake_dir), tags)
+    return True
 
 
 def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
