@@ -14313,6 +14313,53 @@ def q373_update_where(sf: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q374_sink_connector(sf: str):
+    """Kafka-Connect sink-connector analogue (sources/sink.py::
+    SinkConnector, rows-only): consumer-group offsets + SMT chain +
+    exactly-once per-epoch parquet segments over the changefeed.
+    Exactly-once under offset loss and the transformed-feed equality are
+    pinned in tests/test_timetravel.py::test_sink_connector. Returns
+    per-op row counts of the sink output."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    from thor_ray.sources import SinkConnector
+    from thor_ray.stages import TransformChain
+    from thor_ray.stages.smt import drop_fields, mask_field
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_sink_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=30, paths_per_repo=20, seed=29)
+    bp = os.path.join(work, "base.parquet")
+    _pq.write_table(base, bp)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=8_000, n_shards=4, delete_rate=0.08, seed=29))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=os.path.join(work, "lake"), binlog_dir=bdir,
+        num_partitions=8, epoch_size=2_000, write_mode="delta",
+        compact_every=1_000_000))
+    pipe.run(base=bp)
+    sink = SinkConnector(
+        pipe.cfg.lake_dir, os.path.join(work, "out"), "exporter",
+        chain=TransformChain(mask_field(["commit"], "***"),
+                             drop_fields(["content"])))
+    sink.advance()
+    files = _glob.glob(os.path.join(work, "out", "epoch=*", "*.parquet"))
+    df = pd.concat([_pq.read_table(f).to_pandas() for f in files],
+                   ignore_index=True)
+    out = df.groupby("op", as_index=False).size().rename(
+        columns={"size": "n"})
+    return out.sort_values("op").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14684,6 +14731,7 @@ QUERIES: dict[str, tuple] = {
     "q361_lake_branch": (q361_lake_branch, None),
     "q372_join_view": (q372_join_view, None),
     "q373_update_where": (q373_update_where, None),
+    "q374_sink_connector": (q374_sink_connector, None),
     "q362_cheapest_per_type": (q362_cheapest_per_type, SQL_Q362),
     "q363_value_share_parts": (q363_value_share_parts, SQL_Q363),
     "q364_supplier_counts_not_in": (q364_supplier_counts_not_in, SQL_Q364),

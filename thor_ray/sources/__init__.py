@@ -11,9 +11,10 @@ from .lake import (ChangefeedConsumer, LakeEnricher, compact_lake,
                    read_lake_at, read_lineage,
                    read_partition_state, replicate_lake, snapshot_diff)
 from .secondary import SecondaryIndex
-from .sink import pruned_fragments, read_range, write_partitioned
+from .sink import (SinkConnector, pruned_fragments, read_range,
+                   write_partitioned)
 
-__all__ = ["ChangefeedConsumer", "compact_lake", "compact_upto",
+__all__ = ["ChangefeedConsumer", "SinkConnector", "compact_lake", "compact_upto",
            "consumer_groups", "branch_info", "create_branch",
            "delete_branch", "lake_diff", "merge_branch",
            "LakeEnricher", "enrich_with_lake", "export_changefeed_envelopes",

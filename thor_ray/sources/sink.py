@@ -166,3 +166,67 @@ def add_zorder_key(ds: Dataset, cols: "tuple[str, str]",
         return t.append_column(out, pa.array(z, type=pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class SinkConnector:
+    """Kafka-Connect sink-connector analogue over the lake changefeed:
+    a named consumer group (durable offset) + an optional SMT
+    TransformChain + an exactly-once per-epoch segment sink.
+
+    Wiring: ``advance()`` polls the group's uncommitted epoch range,
+    writes each epoch's transformed changefeed to
+    ``out_dir/epoch=NNNNNN/`` (temp dir + atomic rename — the same
+    skip-finished discipline as the lake manifests and
+    export_changefeed_envelopes), then commits the group offset. A crash
+    between write and commit re-delivers the epochs; the rename-skip
+    makes the end-to-end path exactly-once. Pass ``advance`` to
+    ``CdcPipeline.follow(on_apply=[...])`` to keep the sink current with
+    the stream.
+
+    The chain runs as a stateless ``map_batches`` stage (Connect's SMT
+    contract: pure per-batch record transforms); ``fmt`` picks the wire
+    tier ("parquet" or "jsonl" — e.g. compose
+    ``stages.to_change_envelope(...)`` in the chain for Debezium JSONL).
+    Same delta-mode/level-0 requirement as read_changefeed."""
+
+    def __init__(self, lake_dir: str, out_dir: str, group: str,
+                 chain=None, fmt: str = "parquet",
+                 max_epochs_per_poll: int | None = None):
+        if fmt not in ("parquet", "jsonl"):
+            raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
+        from thor_ray.sources.lake import ChangefeedConsumer
+
+        self.lake_dir, self.out_dir, self.fmt = lake_dir, out_dir, fmt
+        self.chain = chain
+        self.consumer = ChangefeedConsumer(lake_dir, group)
+        self.max_epochs = max_epochs_per_poll
+
+    def advance(self) -> dict:
+        """Consume every uncommitted epoch: write, then commit. Returns
+        ``{"epochs_written", "epochs_skipped", "committed"}``."""
+        from thor_ray.sources.lake import read_changefeed
+
+        lo = self.consumer.committed()
+        _, upto = self.consumer.poll(self.max_epochs)
+        written = skipped = 0
+        os.makedirs(self.out_dir, exist_ok=True)
+        for e in range(lo + 1, upto + 1):
+            final = os.path.join(self.out_dir, f"epoch={e:06d}")
+            if os.path.exists(final):
+                skipped += 1
+                continue
+            ds = read_changefeed(self.lake_dir, e - 1, e)
+            if self.chain is not None:
+                ds = ds.map_batches(self.chain, batch_format="pyarrow")
+            tmp = final + f".tmp-{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)  # empty epochs still commit
+            if self.fmt == "parquet":
+                ds.write_parquet(tmp)
+            else:
+                ds.write_json(tmp)
+            os.replace(tmp, final)
+            written += 1
+        if upto > lo:
+            self.consumer.commit(upto)
+        return {"epochs_written": written, "epochs_skipped": skipped,
+                "committed": upto}
