@@ -131,3 +131,82 @@ def test_replay_dlq_reinjects_repaired(ray_session, tmp_path):
     exp = expected.where(pd.notna(expected), None) \
         .sort_values(["repo", "path"]).reset_index(drop=True)[sorted(expected.columns)]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_check_constraints(ray_session, tmp_path):
+    """Declarative CHECK constraints (CdcConfig.constraints): events
+    failing a named vectorized rule are dead-lettered with a _violation
+    marker, never applied; replay_dlq strips the marker, applies the
+    fix, re-validates against the same constraints, and re-injects."""
+    import pyarrow.compute as pc
+
+    base = gen.gen_base_table(n_repos=10, paths_per_repo=10, seed=7)
+    cfgb = gen.BinlogConfig(n_events=5_000, n_shards=4, dup_rate=0.0,
+                            ddl_every=0, delete_rate=0.08,
+                            update_rate=0.5, seed=7)
+    log = gen.gen_binlog(base, cfgb)
+    events = pa.concat_tables(log.shards)
+    ev = events.to_pandas()
+    CAP = 200
+
+    def content_cap(t: pa.Table) -> pa.Array:
+        return pc.or_kleene(
+            pc.equal(t["op"], "D"),
+            pc.less_equal(pc.utf8_length(t["content"]), CAP))
+
+    viol = ev[(ev["op"].isin(["I", "U"]))
+              & (ev["content"].str.len() > CAP)]
+    assert len(viol) > 0
+    clean = events.filter(pa.array(~ev["lsn"].isin(viol["lsn"]).to_numpy()))
+    expected, _ = oracle.apply_events(clean, initial=base)
+
+    binlog_dir = str(tmp_path / "binlog")
+    log.write(binlog_dir)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    lake = str(tmp_path / "lake")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake, binlog_dir=binlog_dir, num_partitions=8,
+        epoch_size=1_250, constraints=[("content_cap", content_cap)]))
+    pipe.run(base=base_path)
+
+    def norm(df):
+        df = df.where(pd.notna(df), None)
+        return df.sort_values(["repo", "path"]).reset_index(drop=True)[
+            sorted(df.columns)]
+
+    pd.testing.assert_frame_equal(norm(pipe.final_table().to_pandas()),
+                                  norm(expected), check_dtype=False)
+
+    # the DLQ is self-describing: every violation, labeled with its rule
+    dlq_files = glob.glob(os.path.join(lake, "_dlq", "dlq-*.parquet"))
+    dlq = pa.concat_tables([pq.read_table(f) for f in dlq_files]) \
+        .to_pandas().drop_duplicates("lsn")
+    assert set(dlq["lsn"]) == set(viol["lsn"])
+    assert (dlq["_violation"] == "check:content_cap").all()
+
+    # repair: truncate to the cap → passes re-validation → re-injected;
+    # each repaired event becomes the latest version of its key
+    def fix(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("content")
+        return t.set_column(i, "content", pc.cast(
+            pc.utf8_slice_codeunits(t["content"], 0, CAP),
+            pa.large_string()))
+
+    n = pipe.replay_dlq(fix)
+    assert n == len(viol)
+    pipe.run()
+
+    rep = viol.sort_values("lsn").groupby(["repo", "path"],
+                                          as_index=False).last()
+    rep["content"] = rep["content"].str.slice(0, CAP)
+    want = expected.set_index(["repo", "path"])
+    for _, r in rep.iterrows():
+        want.loc[(r["repo"], r["path"]),
+                 ["commit", "lang", "content"]] = \
+            [r["commit"], r["lang"], r["content"]]
+    want = want.reset_index()
+    pd.testing.assert_frame_equal(norm(pipe.final_table().to_pandas()),
+                                  norm(want), check_dtype=False)
+    # nothing left dead-lettered (the fix repaired everything)
+    assert not glob.glob(os.path.join(lake, "_dlq", "dlq-*.parquet"))

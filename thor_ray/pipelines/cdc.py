@@ -164,6 +164,16 @@ class CdcConfig:
     override_num_blocks: int | None = None
     compute_content_hash: bool = True  # manifest content_hash (incremental)
     dlq: bool = True
+    # declarative CHECK constraints (data-quality gate, Connect
+    # errors.tolerance DLQ + Debezium column-filter analogue): list of
+    # (name, rule) pairs where rule is a vectorized
+    # Callable[[pa.Table], BooleanArray] over the EVENT batch; events
+    # failing any rule are dead-lettered (never applied, never silently
+    # dropped) with a `_violation` column naming the first failed rule.
+    # replay_dlq re-validates against the same constraints. Rules must
+    # be null-safe (a null verdict counts as a violation) and op-aware
+    # (e.g. exempt op='D' tombstones whose payload is null by contract).
+    constraints: "list | None" = None
     metrics: bool = True
     apply_blocks: int | None = None    # hash-shuffle output blocks (default 2×CPU)
     # "sort": groupby sort-shuffle (no actor pools — best when epochs are
@@ -1467,11 +1477,21 @@ class CdcPipeline:
         cfg = self.cfg
         P = cfg.num_partitions
         stages = []
+        rules, names = [], []
         if cfg.dlq:
+            rules += _dlq_rules(cfg.update_mode)
+            names += ["op_verb", "key_present", "content_present"]
+        if cfg.constraints:
+            rules += [r for _, r in cfg.constraints]
+            names += [f"check:{n}" for n, _ in cfg.constraints]
+        if rules:
             stages.append(chain_mod.dlq_stage(
                 os.path.join(cfg.lake_dir, "_dlq"),
-                rules=_dlq_rules(cfg.update_mode),
+                rules=rules,
                 tag=f"e{epoch}-",
+                # the _violation marker only when CHECK constraints are
+                # configured — keeps the plain-DLQ file schema unchanged
+                names=names if cfg.constraints else None,
             ))
 
         rt, r_on = cfg.route, cfg.route_on
@@ -2273,6 +2293,15 @@ class CdcPipeline:
         from thor_ray.gen import EVENT_SCHEMA
 
         ds = ray.data.read_parquet(files)
+
+        def strip_marker(t: pa.Table) -> pa.Table:
+            # CHECK-constraint DLQ rows carry the _violation marker; the
+            # fix and the re-injected wire events must not see it
+            if "_violation" in t.column_names:
+                t = t.drop_columns(["_violation"])
+            return t
+
+        ds = ds.map_batches(strip_marker, batch_format="pyarrow")
         # at-least-once delivery can dead-letter one event several times
         # (and across epochs): one replay per original lsn. DLQ rows carry
         # the APPLY_COLS projection (no txn/ddl/ts), so order on lsn itself
@@ -2281,11 +2310,16 @@ class CdcPipeline:
             ds = ds.map_batches(fix, batch_format="pyarrow")
         # still-invalid rows after the fix go to a side dir (so the glob
         # above never races its own output), merged back into the DLQ at
-        # the end
+        # the end; re-validation includes the configured CHECK constraints
         pend = dlq_dir + ".pending"
+        rules = _dlq_rules(cfg.update_mode)
+        names = ["op_verb", "key_present", "content_present"]
+        if cfg.constraints:
+            rules += [r for _, r in cfg.constraints]
+            names += [f"check:{n}" for n, _ in cfg.constraints]
         ds = ds.map_batches(
-            chain_mod.dlq_stage(pend, _dlq_rules(cfg.update_mode),
-                                tag=f"rpl{base_lsn}-"),
+            chain_mod.dlq_stage(pend, rules, tag=f"rpl{base_lsn}-",
+                                names=names if cfg.constraints else None),
             batch_format="pyarrow")
 
         binlog_dir = cfg.binlog_dir

@@ -14360,6 +14360,63 @@ def q374_sink_connector(sf: str):
     return out.sort_values("op").reset_index(drop=True)
 
 
+def q375_check_constraints(sf: str):
+    """Declarative CHECK constraints (CdcConfig.constraints, rows-only):
+    a named vectorized data-quality rule dead-letters violating events
+    with a self-describing _violation marker; the lake folds only clean
+    events. Enforcement, labeling, and the repair/replay loop are pinned
+    in tests/test_dlq.py::test_check_constraints. Returns per-rule DLQ
+    counts plus the applied-row count."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_chk_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=20, paths_per_repo=15, seed=41)
+    bp = os.path.join(work, "base.parquet")
+    _pq.write_table(base, bp)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=6_000, n_shards=4, delete_rate=0.06, seed=41))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+
+    def content_cap(t):
+        return _pc.or_kleene(_pc.equal(t["op"], "D"),
+                             _pc.less_equal(_pc.utf8_length(t["content"]),
+                                            220))
+
+    def lang_known(t):
+        return _pc.is_in(t["lang"], value_set=pa.array(
+            ["py", "java", "go", "rs", "ts", "c", "md", None]))
+
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=os.path.join(work, "lake"), binlog_dir=bdir,
+        num_partitions=8, epoch_size=1_500,
+        constraints=[("content_cap", content_cap),
+                     ("lang_known", lang_known)]))
+    pipe.run(base=bp)
+    files = _glob.glob(os.path.join(work, "lake", "_dlq", "dlq-*.parquet"))
+    rows = [] if not files else [
+        _pq.read_table(f, columns=["lsn", "_violation"]).to_pandas()
+        for f in files]
+    dlq = (pd.concat(rows, ignore_index=True).drop_duplicates("lsn")
+           if rows else pd.DataFrame({"lsn": [], "_violation": []}))
+    out = dlq.groupby("_violation", as_index=False).size().rename(
+        columns={"_violation": "rule", "size": "n"})
+    out = pd.concat([out, pd.DataFrame(
+        [{"rule": "applied_rows", "n": pipe.final_table().count()}])],
+        ignore_index=True)
+    return out.sort_values("rule").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14732,6 +14789,7 @@ QUERIES: dict[str, tuple] = {
     "q372_join_view": (q372_join_view, None),
     "q373_update_where": (q373_update_where, None),
     "q374_sink_connector": (q374_sink_connector, None),
+    "q375_check_constraints": (q375_check_constraints, None),
     "q362_cheapest_per_type": (q362_cheapest_per_type, SQL_Q362),
     "q363_value_share_parts": (q363_value_share_parts, SQL_Q363),
     "q364_supplier_counts_not_in": (q364_supplier_counts_not_in, SQL_Q364),

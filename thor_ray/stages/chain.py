@@ -72,12 +72,37 @@ def split_valid(t: Batch, rules: list[Callable[[Batch], pa.Array]]) -> tuple[Bat
 
 
 def dlq_stage(dlq_dir: str, rules: list[Callable[[Batch], pa.Array]],
-              tag: str = "") -> Transform:
+              tag: str = "",
+              names: "list[str] | None" = None) -> Transform:
     """Dead-letter split as a map_batches stage: invalid rows are written to
     ``dlq_dir`` (one small parquet per offending batch, content-addressed so
-    task retries overwrite instead of duplicating), valid rows flow on."""
+    task retries overwrite instead of duplicating), valid rows flow on.
+
+    With ``names`` (one per rule — the CHECK-constraint tier), each
+    dead-lettered row gains a ``_violation`` column naming the FIRST
+    failed rule, so the DLQ is self-describing; ``replay_dlq`` strips the
+    marker before re-injection."""
+    if names is not None and len(names) != len(rules):
+        raise ValueError(f"{len(names)} names for {len(rules)} rules")
+
     def fn(t: Batch) -> Batch:
-        valid, invalid = split_valid(t, rules)
+        if names is None:
+            valid, invalid = split_valid(t, rules)
+        else:
+            import numpy as np
+
+            masks = [pc.fill_null(r(t), False) for r in rules]
+            ok = masks[0]
+            for m in masks[1:]:
+                ok = pc.and_(ok, m)
+            valid, invalid = t.filter(ok), t.filter(pc.invert(ok))
+            if invalid.num_rows:
+                first = np.full(len(t), "", dtype=object)
+                for name, m in list(zip(names, masks))[::-1]:
+                    first[pc.invert(m).to_numpy(zero_copy_only=False)] = name
+                vio = first[pc.invert(ok).to_numpy(zero_copy_only=False)]
+                invalid = invalid.append_column(
+                    "_violation", pa.array(vio, type=pa.string()))
         if invalid.num_rows:
             os.makedirs(dlq_dir, exist_ok=True)
             # deterministic name from the invalid rows' identity
