@@ -861,3 +861,60 @@ def test_hot_key_skew(ray_session, tmp_path):
         got = normalize(pipe.final_table().to_pandas())
         pd.testing.assert_frame_equal(got, normalize(expected),
                                       check_dtype=False)
+
+
+def test_read_demux_consistent(ray_session, fixture, tmp_path):
+    """Watermark-aligned cross-lake snapshot of a demux family: with one
+    route lagging (fewer committed epochs), the aligned union equals the
+    oracle fold of the log PREFIX both routes have committed — never a
+    torn mix of epochs."""
+    import pyarrow.compute as pc
+
+    import pyarrow.parquet as pq
+
+    from thor_ray.sources import consistent_epoch, read_demux_consistent
+
+    events = pa.concat_tables(
+        [pq.read_table(f) for f in
+         sorted(glob.glob(os.path.join(fixture["binlog_dir"],
+                                       "shard-*.parquet")))])
+    N, E = 2, 3_000
+    pipes = []
+    for r in range(N):
+        cfg = CdcConfig(lake_dir=str(tmp_path / f"lake_r{r}"),
+                        binlog_dir=fixture["binlog_dir"],
+                        num_partitions=4, epoch_size=E, route=(r, N),
+                        retain_snapshots=99)
+        pipes.append(CdcPipeline(cfg))
+    # route 0 fully caught up; route 1 lags two epochs behind
+    pipes[0].run(base=fixture["base_path"])
+    pipes[1].run(base=fixture["base_path"], max_epochs=2)
+    lakes = [p.cfg.lake_dir for p in pipes]
+    e = consistent_epoch(lakes)
+    assert e == 2
+
+    got = normalize(read_demux_consistent(lakes).to_pandas())
+    prefix = events.filter(pc.less_equal(events["lsn"], e * E))
+    exp, _ = oracle.apply_events(prefix, initial=fixture["base"])
+    exp = normalize(exp)
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # explicit epoch: both lakes read through their archives identically
+    got1 = normalize(read_demux_consistent(lakes, epoch=1).to_pandas())
+    prefix1 = events.filter(pc.less_equal(events["lsn"], E))
+    exp1, _ = oracle.apply_events(prefix1, initial=fixture["base"])
+    pd.testing.assert_frame_equal(got1, normalize(exp1), check_dtype=False)
+
+    # guards: an epoch ahead of the laggard, an incomplete family, and a
+    # non-demux lake are all refused
+    with pytest.raises(ValueError, match="only committed epoch"):
+        read_demux_consistent(lakes, epoch=4)
+    with pytest.raises(ValueError, match="complete demux family"):
+        read_demux_consistent([lakes[0], lakes[0]])
+    plain = CdcPipeline(CdcConfig(lake_dir=str(tmp_path / "plain"),
+                                  binlog_dir=fixture["binlog_dir"],
+                                  num_partitions=4, epoch_size=E))
+    plain.run(base=fixture["base_path"])
+    with pytest.raises(ValueError, match="route-demuxed"):
+        read_demux_consistent([lakes[0], plain.cfg.lake_dir])

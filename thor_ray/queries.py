@@ -14417,6 +14417,45 @@ def q375_check_constraints(sf: str):
     return out.sort_values("rule").reset_index(drop=True)
 
 
+def q376_demux_consistent(sf: str):
+    """Watermark-aligned cross-lake snapshot (sources/lake.py::
+    read_demux_consistent, rows-only): the union of a demux family's
+    routes AS OF one aligned epoch while one route lags — never a torn
+    mix of epochs. Prefix-oracle equality and the family/alignment
+    guards are pinned in tests/test_cdc.py::test_read_demux_consistent.
+    Returns per-lang counts of the consistent union."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    from thor_ray.sources import read_demux_consistent
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_dmx_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=30, paths_per_repo=20, seed=37)
+    bp = os.path.join(work, "base.parquet")
+    _pq.write_table(base, bp)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=9_000, n_shards=4, delete_rate=0.06, seed=37))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+    lakes = []
+    for r, max_ep in ((0, None), (1, 2)):  # route 1 lags 1 epoch
+        pipe = CdcPipeline(CdcConfig(
+            lake_dir=os.path.join(work, f"lake_r{r}"), binlog_dir=bdir,
+            num_partitions=6, epoch_size=3_000, route=(r, 2),
+            retain_snapshots=99))
+        pipe.run(base=bp, max_epochs=max_ep)
+        lakes.append(pipe.cfg.lake_dir)
+    ds = read_demux_consistent(lakes)
+    out = ds.groupby("lang").count().to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14790,6 +14829,7 @@ QUERIES: dict[str, tuple] = {
     "q373_update_where": (q373_update_where, None),
     "q374_sink_connector": (q374_sink_connector, None),
     "q375_check_constraints": (q375_check_constraints, None),
+    "q376_demux_consistent": (q376_demux_consistent, None),
     "q362_cheapest_per_type": (q362_cheapest_per_type, SQL_Q362),
     "q363_value_share_parts": (q363_value_share_parts, SQL_Q363),
     "q364_supplier_counts_not_in": (q364_supplier_counts_not_in, SQL_Q364),

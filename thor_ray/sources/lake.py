@@ -135,6 +135,83 @@ def read_lake_at(lake_dir: str, epoch: int, keep_internal: bool = False,
                      **read_kwargs)
 
 
+def consistent_epoch(lake_dirs: "list[str]") -> int:
+    """Highest epoch EVERY lake has fully committed — the consistency
+    frontier of a demux family whose routes commit at different speeds
+    (the slowest route bounds it, exactly like the slowest Kafka
+    partition bounds a consumer's consistent offset vector)."""
+    from thor_ray.state import load_manifests
+
+    eps = []
+    for d in lake_dirs:
+        ms = load_manifests(d)
+        if not ms:
+            raise ValueError(f"no manifests under {d}")
+        eps.append(min(m.epoch for m in ms.values()))
+    return min(eps)
+
+
+def read_demux_consistent(lake_dirs: "list[str]", epoch: int | None = None,
+                          keep_internal: bool = False) -> "ray.data.Dataset":
+    """Watermark-aligned snapshot of a WHOLE demux family: the union of
+    every route's lake AS OF one aligned epoch — a transactionally
+    consistent view of the full keyspace even while routes commit at
+    different speeds. Lakes ahead of the aligned epoch are read through
+    their retained time-travel snapshots, so ``retain_snapshots`` must
+    cover the family's maximum lag; the caught-up lake reads its live
+    manifests (no retention needed on the frontier lake).
+
+    Guards: the lakes must be the complete route set of ONE family
+    (same hash impl and route_on, same fanout n, route ids exactly
+    0..n-1) and the selected manifests must agree on the lsn watermark
+    (same binlog, same epoch grid) — violations raise instead of
+    returning a torn snapshot."""
+    import functools
+
+    from thor_ray.state import load_manifests, load_manifests_at
+
+    metas = []
+    for d in lake_dirs:
+        p = os.path.join(d, "_schema", "engine.json")
+        if not os.path.exists(p):
+            raise ValueError(f"{d} has no engine meta — not a CDC lake")
+        with open(p) as f:
+            metas.append(json.load(f))
+    routes = [m.get("route") for m in metas]
+    if any(r is None for r in routes):
+        raise ValueError("read_demux_consistent requires route-demuxed "
+                         "lakes (CdcConfig.route); got an unrouted lake")
+    n = routes[0][1]
+    ids = sorted(r[0] for r in routes)
+    if any(r[1] != n for r in routes) or ids != list(range(n)):
+        raise ValueError(f"lakes are not one complete demux family: "
+                         f"fanouts {[r[1] for r in routes]}, ids {ids}")
+    if len({m["hash_impl"] for m in metas}) != 1 \
+            or len({m.get("route_on", "key") for m in metas}) != 1:
+        raise ValueError("demux family mixes hash impls or route_on modes")
+
+    e = consistent_epoch(lake_dirs) if epoch is None else epoch
+    parts, uptos = [], set()
+    for d in lake_dirs:
+        ms = load_manifests(d)
+        cur = min(m.epoch for m in ms.values())
+        if cur < e:
+            raise ValueError(f"{d} has only committed epoch {cur} < {e}")
+        sel = ms if cur == e else load_manifests_at(d, e)
+        if set(sel) != set(ms):
+            raise ValueError(
+                f"{d}: retention does not cover epoch {e} for partitions "
+                f"{sorted(set(ms) - set(sel))}")
+        uptos.add(max(m.upto_lsn for m in sel.values()))
+        parts.append(read_lake(d, manifests=None if cur == e else sel,
+                               keep_internal=keep_internal))
+    if len(uptos) != 1:
+        raise ValueError(f"lakes disagree on the lsn watermark at epoch "
+                         f"{e}: {sorted(uptos)} — different binlogs or "
+                         "epoch grids cannot form a consistent snapshot")
+    return functools.reduce(lambda a, b: a.union(b), parts)
+
+
 def snapshot_diff(lake_dir: str, epoch_a: int,
                   epoch_b: int) -> "ray.data.Dataset":
     """Changefeed between two retained snapshots: one row per key whose
