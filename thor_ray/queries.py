@@ -14456,6 +14456,50 @@ def q376_demux_consistent(sf: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q377_producer(sf: str):
+    """Binlog producer write edge (sources/producer.py::BinlogProducer,
+    rows-only): programmatic I/U/D + DDL appends with contiguous lsns,
+    key-sticky shard routing, atomic per-shard segments, then the normal
+    exactly-once replay. Oracle-fold equality and torn-flush lsn safety
+    are pinned in tests/test_producer.py. Returns per-lang counts of the
+    replayed lake."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    from thor_ray.sources import BinlogProducer
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_prod_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=15, paths_per_repo=10, seed=53)
+    bp = os.path.join(work, "base.parquet")
+    _pq.write_table(base, bp)
+    keys = base.select(["repo", "path"]).to_pylist()
+    with BinlogProducer(os.path.join(work, "binlog"), n_shards=3) as prod:
+        for i, kv in enumerate(keys[:90]):
+            prod.append("U", kv["repo"], kv["path"], commit=f"c{i}",
+                        lang=("py" if i % 3 else "go"),
+                        content=f"produced body {i}")
+        prod.flush()
+        prod.append_ddl("add_column", "stars", type="int64")
+        for i, kv in enumerate(keys[:30]):
+            prod.append("U", kv["repo"], kv["path"], commit=f"d{i}",
+                        lang="rs", content=f"v2 {i}", extra={"stars": i})
+        for kv in keys[90:100]:
+            prod.append("D", kv["repo"], kv["path"])
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=os.path.join(work, "lake"),
+        binlog_dir=os.path.join(work, "binlog"),
+        num_partitions=4, epoch_size=60))
+    pipe.run(base=bp)
+    out = pipe.final_table().groupby("lang").count().to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14830,6 +14874,7 @@ QUERIES: dict[str, tuple] = {
     "q374_sink_connector": (q374_sink_connector, None),
     "q375_check_constraints": (q375_check_constraints, None),
     "q376_demux_consistent": (q376_demux_consistent, None),
+    "q377_producer": (q377_producer, None),
     "q362_cheapest_per_type": (q362_cheapest_per_type, SQL_Q362),
     "q363_value_share_parts": (q363_value_share_parts, SQL_Q363),
     "q364_supplier_counts_not_in": (q364_supplier_counts_not_in, SQL_Q364),

@@ -10,6 +10,7 @@ from .lake import (ChangefeedConsumer, LakeEnricher, compact_lake,
                    read_changefeed, read_changefeed_full, read_lake,
                    read_demux_consistent, read_lake_at, read_lineage,
                    read_partition_state, replicate_lake, snapshot_diff)
+from .producer import BinlogProducer, read_produced_events
 from .secondary import SecondaryIndex
 from .sink import (SinkConnector, pruned_fragments, read_range,
                    write_partitioned)
@@ -26,4 +27,4 @@ __all__ = ["ChangefeedConsumer", "SinkConnector", "compact_lake", "compact_upto"
            "read_lake_at", "read_lineage", "read_partition_state",
            "read_range", "replicate_lake", "SecondaryIndex",
            "snapshot_diff", "write_partitioned", "consistent_epoch",
-           "read_demux_consistent"]
+           "read_demux_consistent", "BinlogProducer", "read_produced_events"]
