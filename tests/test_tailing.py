@@ -444,3 +444,95 @@ def test_envelope_binlog_replay(ray_session, grown, tmp_path):
     pipe = CdcPipeline(cfg)
     pipe.run(base=grown["base_path"])
     check(pipe, grown["expected"])
+
+
+def test_live_produce_follow_consumers(ray_session, tmp_path):
+    """The whole Connect loop, live: a producer THREAD appends event
+    waves while follow() tails the growing log; on_apply keeps a
+    SinkConnector and a SecondaryIndex current. At drain the lake equals
+    the oracle fold of everything produced, the sink has consumed the
+    full changefeed exactly-once, and the index answers current probes."""
+    import glob as _glob
+    import threading
+    import time
+
+    from thor_ray.sources import (BinlogProducer, SinkConnector,
+                                  read_produced_events)
+    from thor_ray.sources.lake import read_changefeed
+    from thor_ray.sources.secondary import SecondaryIndex
+
+    bdir = str(tmp_path / "binlog")
+    base = gen.gen_base_table(n_repos=8, paths_per_repo=8, seed=33)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    keys = base.select(["repo", "path"]).to_pylist()
+    langs = ["py", "go", "rs"]
+
+    def produce():
+        with BinlogProducer(bdir, n_shards=3) as prod:
+            for w in range(6):
+                for i in range(100):
+                    kv = keys[(w * 31 + i) % len(keys)]
+                    if (w + i) % 11 == 0:
+                        prod.append("D", kv["repo"], kv["path"])
+                    else:
+                        prod.append("U", kv["repo"], kv["path"],
+                                    commit=f"w{w}i{i}",
+                                    lang=langs[(w + i) % 3],
+                                    content=f"wave {w} body {i}")
+                prod.flush()
+                time.sleep(0.15)
+
+    cfg = CdcConfig(lake_dir=str(tmp_path / "lake"), binlog_dir=bdir,
+                    num_partitions=6, epoch_size=100, write_mode="delta",
+                    compact_every=1_000_000)
+    pipe = CdcPipeline(cfg)
+    # producer declares the binlog (shards marker) before follow starts
+    BinlogProducer(bdir, n_shards=3)
+    sink = SinkConnector(cfg.lake_dir, str(tmp_path / "sink"), "exporter")
+    idx = SecondaryIndex(cfg.lake_dir, str(tmp_path / "idx"), "lang")
+    t = threading.Thread(target=produce)
+    t.start()
+    try:
+        pipe.follow(poll_sec=0.2, idle_polls=8, base=base_path,
+                    on_apply=[sink.advance, idx.advance])
+    finally:
+        t.join()
+
+    events = read_produced_events(bdir)
+    assert events.num_rows == 600
+    expected, _ = oracle.apply_events(events, initial=base)
+
+    def norm(df):
+        df = df.where(pd.notna(df), None)
+        return df.sort_values(["repo", "path"]).reset_index(drop=True)[
+            sorted(df.columns)]
+
+    got = norm(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got, norm(expected), check_dtype=False)
+
+    # the sink consumed every epoch exactly-once and its segments fold
+    # the complete changefeed
+    from thor_ray.state import load_manifests
+    cur = min(m.epoch for m in load_manifests(cfg.lake_dir).values())
+    assert sink.consumer.committed() == cur and sink.consumer.lag() == 0
+    files = _glob.glob(str(tmp_path / "sink" / "epoch=*" / "*.parquet"))
+    sunk = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                     ignore_index=True)
+    feed = read_changefeed(cfg.lake_dir, 0, cur).to_pandas()
+
+    def norm_feed(df):
+        df = df.where(pd.notna(df), None)
+        return df.sort_values(["repo", "path", "lsn"]).reset_index(
+            drop=True)[sorted(df.columns)]
+
+    pd.testing.assert_frame_equal(norm_feed(sunk), norm_feed(feed),
+                                  check_dtype=False)
+
+    # the index is current at drain
+    assert idx.epoch() == cur
+    df = pipe.final_table().to_pandas()
+    v = sorted(df["lang"].dropna().unique())[0]
+    exp = df.loc[df["lang"] == v, ["repo", "path"]] \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(idx.probe_local(v), exp)
