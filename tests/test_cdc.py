@@ -918,3 +918,72 @@ def test_read_demux_consistent(ray_session, fixture, tmp_path):
     plain.run(base=fixture["base_path"])
     with pytest.raises(ValueError, match="route-demuxed"):
         read_demux_consistent([lakes[0], plain.cfg.lake_dir])
+
+
+def test_ingest_dataset(ray_session, fixture, tmp_path):
+    """Bulk load (UPSERT INTO … SELECT): an arbitrary Ray Dataset rides
+    the binlog-injection path — distributed segments, exactly-once apply,
+    identity-keyed re-issue overwrite; a delete-op load tombstones."""
+    import ray as _ray
+
+    from thor_ray.sources import binlog as binlog_src
+
+    d = str(tmp_path)
+    binlog = os.path.join(d, "binlog")
+    shutil.copytree(fixture["binlog_dir"], binlog)
+    cfg = CdcConfig(lake_dir=os.path.join(d, "lake"), binlog_dir=binlog,
+                    num_partitions=8, epoch_size=2_500)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=fixture["base_path"])
+    exp = fixture["expected"]
+
+    # 30 updates of existing keys + 10 brand-new keys, partial payload
+    ups = exp.head(30)[["repo", "path"]].copy()
+    ups["content"] = ["bulk body %d" % i for i in range(30)]
+    ups["lang"] = "bulk"
+    new = pd.DataFrame({
+        "repo": [f"bulkrepo{i % 3}" for i in range(10)],
+        "path": [f"src/bulk/file{i}.py" for i in range(10)],
+        "content": [f"new body {i}" for i in range(10)],
+        "lang": ["bulk"] * 10,
+    })
+    load = pd.concat([ups, new], ignore_index=True)
+    n = pipe.ingest_dataset(_ray.data.from_pandas(load), ident="load1")
+    assert n == 40
+    # re-issue with the same ident before run(): overwrite, log end fixed
+    end = binlog_src.max_lsn(binlog)
+    assert pipe.ingest_dataset(_ray.data.from_pandas(load),
+                               ident="load1") == 40
+    assert binlog_src.max_lsn(binlog) == end
+    pipe.run()
+
+    got = normalize(pipe.final_table().to_pandas())
+    want = exp.set_index(["repo", "path"])
+    # full-image semantics: every payload column absent from the load
+    # (commit + the registry-evolved columns) nulls out on loaded keys
+    absent = [c for c in want.columns if c not in ("lang", "content")]
+    for _, r in load.iterrows():
+        want.loc[(r["repo"], r["path"]), absent] = None
+        want.loc[(r["repo"], r["path"]), ["lang", "content"]] = \
+            [r["lang"], r["content"]]
+    want = normalize(want.reset_index())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # delete-op load tombstones the new keys again
+    keys = _ray.data.from_pandas(new[["repo", "path"]])
+    assert pipe.ingest_dataset(keys, ident="purge1", op="D") == 10
+    pipe.run()
+    got2 = normalize(pipe.final_table().to_pandas())
+    assert not got2["repo"].str.startswith("bulkrepo").any()
+
+    # guards: unknown column, bad ident, null key
+    with pytest.raises(ValueError, match="unknown columns"):
+        pipe.ingest_dataset(_ray.data.from_pandas(
+            pd.DataFrame({"repo": ["r"], "path": ["p"], "zzz": [1]})),
+            ident="x")
+    with pytest.raises(ValueError, match="invalid ingest ident"):
+        pipe.ingest_dataset(keys, ident="a.b")
+    with pytest.raises(Exception, match="null repo"):
+        pipe.ingest_dataset(_ray.data.from_pandas(
+            pd.DataFrame({"repo": [None], "path": ["p"],
+                          "content": ["x"]})), ident="y")

@@ -302,6 +302,22 @@ def cmd_update(a) -> int:
     return 0
 
 
+def cmd_ingest(a) -> int:
+    """Bulk load a parquet file of rows as binlog events (UPSERT/DELETE
+    INTO … SELECT); apply with a subsequent `run`."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    pipe = CdcPipeline(CdcConfig(lake_dir=a.lake, binlog_dir=a.binlog,
+                                 num_partitions=a.partitions))
+    n = pipe.ingest_dataset(ray.data.read_parquet(a.input),
+                            ident=a.ident, op=a.op)
+    print(json.dumps({"events_written": n, "ident": a.ident, "op": a.op,
+                      "hint": "run `python -m thor_ray run ...` to apply"}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_tag(a) -> int:
     """Create / delete / list named savepoint tags (no Ray needed —
     metadata only)."""
@@ -648,6 +664,22 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--partitions", type=int, default=64)
     up.add_argument("--num-cpus", type=int)
     up.set_defaults(fn=cmd_update)
+
+    ig = sub.add_parser("ingest",
+                        help="bulk-load a parquet file of rows as binlog "
+                             "events (UPSERT/DELETE INTO ... SELECT); "
+                             "apply with `run`")
+    ig.add_argument("--lake", required=True)
+    ig.add_argument("--binlog", required=True)
+    ig.add_argument("--input", required=True,
+                    help="parquet of rows: repo, path [, payload columns]")
+    ig.add_argument("--ident", required=True,
+                    help="load identity (re-issue with the same ident "
+                         "overwrites instead of duplicating)")
+    ig.add_argument("--op", default="U", choices=["I", "U", "D"])
+    ig.add_argument("--partitions", type=int, default=64)
+    ig.add_argument("--num-cpus", type=int)
+    ig.set_defaults(fn=cmd_ingest)
 
     tg = sub.add_parser("tag", help="named savepoint tags over retained "
                                     "snapshots (create/list/delete)")

@@ -2234,6 +2234,110 @@ class CdcPipeline:
                .to_pandas())
         return int(out["n"].sum()) if len(out) else 0
 
+    def ingest_dataset(self, ds: "ray.data.Dataset", ident: str,
+                       op: str = "U") -> int:
+        """Bulk load (UPSERT/DELETE INTO … SELECT): append one event per
+        row of an arbitrary Ray Dataset to the BINLOG at fresh
+        interleaved lsns — fully distributed (rows never land on the
+        driver; shard-salted groupby, one atomic segment per shard) —
+        riding the normal exactly-once apply path on the next run().
+
+        ``ds`` columns: ``repo``/``path`` (required, non-null) plus any
+        subset of the payload columns (``commit``/``lang``/``content``
+        and registry-evolved columns); unknown columns are refused.
+        Events are FULL images (the engine's wire contract): a payload
+        column absent from ``ds`` becomes NULL on every loaded key —
+        include the columns you want preserved, or run the lake in
+        patch update_mode. ``op``: 'I' | 'U' | 'D' (payload ignored
+        for 'D'). ``ident`` names the load: a re-issued ingest
+        with the same ident before the next run() overwrites its own
+        segments at the same lsns (merge_branch pattern) — distinct
+        loads need distinct idents. Returns the event count."""
+        cfg = self.cfg
+        from thor_ray.gen import EVENT_SCHEMA, _EPOCH_TS_US
+
+        if op not in ("I", "U", "D"):
+            raise ValueError(f"op must be I/U/D, got {op!r}")
+        if not ident or any(c in ident for c in "/\\.-"):
+            raise ValueError(f"invalid ingest ident {ident!r} — no path "
+                             "separators, dots or dashes (it names the "
+                             "segment files)")
+        base_lsn, fmt, n_shards = self._binlog_layout()
+        reg = SchemaRegistry.load(cfg.lake_dir)
+        evolved = list(reg.columns_at(reg.version))
+        registry_ver = reg.version
+        known = {"repo", "path", "commit", "lang", "content", *evolved}
+        cols = ds.schema().names
+        unknown = sorted(set(cols) - known)
+        if unknown:
+            raise ValueError(f"ingest_dataset: unknown columns {unknown} "
+                             f"(lake schema: {sorted(known)})")
+        if "repo" not in cols or "path" not in cols:
+            raise ValueError("ingest_dataset needs repo and path columns")
+        prior = glob.glob(os.path.join(
+            cfg.binlog_dir, f"shard-*-ing{ident}-*.{fmt}"))
+        if prior:
+            base_lsn = int(os.path.basename(prior[0]).rsplit("-", 1)[1]
+                           .split(".")[0])
+
+        def tag(t: pa.Table) -> pa.Table:
+            for k in ("repo", "path"):
+                if t[k].null_count:
+                    raise ValueError(f"ingest_dataset: null {k} in input")
+            s = stable_hash(t, ["repo", "path"]) % n_shards
+            return t.append_column("shard", pa.array(s, type=pa.int32()))
+
+        binlog_dir, present = cfg.binlog_dir, set(cols)
+
+        def write_segment(g: pd.DataFrame) -> pd.DataFrame:
+            from thor_ray.stages.envelope import _json_encode_struct
+            s = int(g["shard"].iloc[0])
+            k = len(g)
+            lsn = base_lsn + 1 + s + np.arange(k, dtype=np.int64) * n_shards
+            ev_here = [c for c in evolved if c in present]
+            if ev_here and op != "D":
+                gt = pa.Table.from_pandas(
+                    g[ev_here].astype(object).where(
+                        pd.notna(g[ev_here]), None),
+                    preserve_index=False)
+                extra = _json_encode_struct(gt, ev_here).to_pandas()
+            else:
+                extra = pd.Series(["{}"] * k)
+
+            def payload(col: str, typ) -> pa.Array:
+                if op == "D" or col not in present:
+                    return pa.nulls(k, type=typ)
+                v = g[col]
+                return pa.array(v.astype(object).where(pd.notna(v), None),
+                                type=typ)
+
+            t = pa.table({
+                "lsn": pa.array(lsn),
+                "txn": pa.array(np.zeros(k, dtype=np.int64)),
+                "op": pa.array([op] * k),
+                "repo": pa.array(g["repo"], type=pa.string()),
+                "path": pa.array(g["path"], type=pa.string()),
+                "commit": payload("commit", pa.string()),
+                "lang": payload("lang", pa.string()),
+                "content": payload("content", pa.large_string()),
+                "extra": pa.array(list(extra), type=pa.large_string()),
+                "ddl": pa.nulls(k, type=pa.string()),
+                "ts": pa.array(_EPOCH_TS_US + lsn * 1000).cast(
+                    pa.timestamp("us")),
+                "schema_ver": pa.array(
+                    np.full(k, registry_ver, dtype=np.int32)),
+                "shard": pa.array(np.full(k, s, dtype=np.int32)),
+            }, schema=EVENT_SCHEMA)
+            name = f"shard-{s:04d}-ing{ident}-{base_lsn:010d}.{fmt}"
+            _write_binlog_segment(t, os.path.join(binlog_dir, name), fmt)
+            return pd.DataFrame([{"shard": s, "n": k}])
+
+        out = (ds.map_batches(tag, batch_format="pyarrow")
+               .groupby("shard")
+               .map_groups(write_segment, batch_format="pandas")
+               .to_pandas())
+        return int(out["n"].sum()) if len(out) else 0
+
     def archive_binlog(self) -> int:
         """Retire binlog segments every partition has committed past (max
         lsn <= the lake's slowest-partition watermark) into

@@ -14500,6 +14500,54 @@ def q377_producer(sf: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q378_bulk_ingest(sf: str):
+    """Bulk dataset load via binlog injection (CdcPipeline.
+    ingest_dataset, rows-only): an arbitrary Ray Dataset rides the
+    distributed out-of-band write path (shard-salted segments,
+    identity-keyed re-issue) and the normal exactly-once apply. Oracle
+    equality and the guards are pinned in
+    tests/test_cdc.py::test_ingest_dataset. Loads the sf documents table
+    into a lake as upserts and returns per-lang counts."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_ing_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=20, paths_per_repo=10, seed=61)
+    bp = os.path.join(work, "base.parquet")
+    _pq.write_table(base, bp)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=4_000, n_shards=4, seed=61))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=os.path.join(work, "lake"), binlog_dir=bdir,
+        num_partitions=8, epoch_size=2_000))
+    pipe.run(base=bp)
+    # the bulk side-load: documents mapped onto the lake key space
+    docs = (T(sf, "documents", ["doc_id", "source", "text"])
+            .map_batches(lambda t: pa.table({
+                "repo": pc.binary_join_element_wise(
+                    pa.array(["docs/"] * t.num_rows),
+                    pc.cast(t["source"], pa.string()), ""),
+                "path": pc.binary_join_element_wise(
+                    pa.array(["doc/"] * t.num_rows),
+                    pc.cast(t["doc_id"], pa.string()), ".txt"),
+                "lang": pa.array(["doc"] * t.num_rows),
+                "content": pc.cast(t["text"], pa.large_string()),
+            }), batch_format="pyarrow"))
+    pipe.ingest_dataset(docs, ident="docs1")
+    pipe.run()
+    out = pipe.final_table().groupby("lang").count().to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14875,6 +14923,7 @@ QUERIES: dict[str, tuple] = {
     "q375_check_constraints": (q375_check_constraints, None),
     "q376_demux_consistent": (q376_demux_consistent, None),
     "q377_producer": (q377_producer, None),
+    "q378_bulk_ingest": (q378_bulk_ingest, None),
     "q362_cheapest_per_type": (q362_cheapest_per_type, SQL_Q362),
     "q363_value_share_parts": (q363_value_share_parts, SQL_Q363),
     "q364_supplier_counts_not_in": (q364_supplier_counts_not_in, SQL_Q364),
