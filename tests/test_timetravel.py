@@ -588,3 +588,64 @@ def test_sink_connector(ray_session, tmp_path):
     gj = pd.concat([pd.read_json(f, lines=True) for f in jf],
                    ignore_index=True)
     assert len(gj) == len(want)
+
+
+def test_sink_connector_on_fold_diff(ray_session, tmp_path):
+    """Self-healing sink: epochs whose delta runs a DDL compaction folded
+    are repaired from retained snapshots (on_fold='diff'); folding the
+    sink's segments converges to the live event-touched state. The
+    default policy still fails loudly."""
+    import glob as _glob
+
+    from thor_ray.sources import SinkConnector
+
+    base = gen.gen_base_table(n_repos=12, paths_per_repo=8, seed=46)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=6_000, n_shards=3, dup_rate=0.0, shuffle_window=64,
+        ddl_every=2_500, delete_rate=0.08, update_rate=0.5, seed=46))
+    d = str(tmp_path / "sf")
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    lake = os.path.join(d, "lake")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake, binlog_dir=binlog_dir, num_partitions=6,
+        epoch_size=EPOCH, write_mode="delta", compact_every=1_000_000,
+        retain_snapshots=99))
+    pipe.run(base=base_path)
+    n_epochs = -(-log.max_lsn // EPOCH)
+    # the DDLs forced at least one compaction: a plain sink fails loudly
+    strict = SinkConnector(lake, os.path.join(d, "strict"), "strict")
+    with pytest.raises(ValueError, match="folded|compact"):
+        strict.advance()
+
+    sink = SinkConnector(lake, os.path.join(d, "out"), "healer",
+                         on_fold="diff")
+    r = sink.advance()
+    assert r["committed"] == n_epochs and r["epochs_written"] == n_epochs
+    files = _glob.glob(os.path.join(d, "out", "epoch=*", "*.parquet"))
+    segs = [pq.read_table(f).to_pandas() for f in files]
+    feed = pd.concat(segs, ignore_index=True)
+
+    # fold: last epoch wins per key; deletes drop
+    last = (feed.sort_values("epoch")
+            .groupby(["repo", "path"], as_index=False).last())
+    folded = last[last["op"] != "D"]
+    live = pipe.final_table().to_pandas()
+    ev = pa.concat_tables(log.shards).to_pandas()
+    touched = set(map(tuple, ev.loc[ev["op"] != "DDL",
+                                    ["repo", "path"]].dropna().values))
+    exp = live[[tuple(k) in touched for k in
+                zip(live["repo"], live["path"])]]
+
+    def norm(df, cols):
+        df = df[cols].copy().where(pd.notna(df[cols]), None)
+        return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+    cols = sorted(set(exp.columns) & set(folded.columns))
+    pd.testing.assert_frame_equal(norm(folded, cols), norm(exp, cols),
+                                  check_dtype=False)
+    # deleted keys are absent from the fold
+    assert set(map(tuple, folded[["repo", "path"]].values)) == \
+        set(map(tuple, exp[["repo", "path"]].values))

@@ -187,27 +187,77 @@ class SinkConnector:
     contract: pure per-batch record transforms); ``fmt`` picks the wire
     tier ("parquet" or "jsonl" — e.g. compose
     ``stages.to_change_envelope(...)`` in the chain for Debezium JSONL).
-    Same delta-mode/level-0 requirement as read_changefeed."""
+    Same delta-mode/level-0 requirement as read_changefeed.
+
+    ``on_fold`` is the self-healing policy for epochs whose delta runs a
+    DDL epoch or compaction already FOLDED (their change rows are gone):
+    "fail" (default) raises — the operator decides; "diff" repairs from
+    the retained time-travel snapshots (``snapshot_diff`` between the
+    epoch's neighbors, payload included) — per key ONE row with the
+    epoch-end state and the last-writer lsn, so folding consumers
+    converge to the same state, though intra-epoch intermediate updates
+    (folded away at compaction) are not individually replayed. Requires
+    ``retain_snapshots`` to cover the sink's lag."""
 
     def __init__(self, lake_dir: str, out_dir: str, group: str,
                  chain=None, fmt: str = "parquet",
-                 max_epochs_per_poll: int | None = None):
+                 max_epochs_per_poll: int | None = None,
+                 on_fold: str = "fail"):
         if fmt not in ("parquet", "jsonl"):
             raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
+        if on_fold not in ("fail", "diff"):
+            raise ValueError(f"on_fold must be 'fail' or 'diff', "
+                             f"got {on_fold!r}")
         from thor_ray.sources.lake import ChangefeedConsumer
 
         self.lake_dir, self.out_dir, self.fmt = lake_dir, out_dir, fmt
         self.chain = chain
         self.consumer = ChangefeedConsumer(lake_dir, group)
         self.max_epochs = max_epochs_per_poll
+        self.on_fold = on_fold
+
+    def _diff_epoch(self, e: int):
+        """Fold repair: change rows for epoch e reconstructed from the
+        retained snapshots at e-1 and e (changefeed column shape)."""
+        from thor_ray.sources.branch import _diff_manifest_sets
+        from thor_ray.state import load_manifests_at
+
+        ms_a = load_manifests_at(self.lake_dir, e - 1)
+        ms_b = load_manifests_at(self.lake_dir, e)
+        if not ms_a or not ms_b:
+            raise ValueError(
+                f"epoch {e} was folded and retention does not cover its "
+                f"snapshots ({e - 1}: {bool(ms_a)}, {e}: {bool(ms_b)}) — "
+                "run the lake with retain_snapshots covering sink lag")
+
+        def shape(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(
+                [{"change": "op", "lsn_b": "lsn"}.get(c, c)
+                 for c in t.column_names])
+            if "lsn_a" in t.column_names:
+                t = t.drop_columns(["lsn_a"])
+            return t.append_column(
+                "epoch", pa.array(np.full(len(t), e, dtype=np.int64)))
+
+        return _diff_manifest_sets(ms_a, ms_b, payload_b=True) \
+            .map_batches(shape, batch_format="pyarrow")
 
     def advance(self) -> dict:
         """Consume every uncommitted epoch: write, then commit. Returns
         ``{"epochs_written", "epochs_skipped", "committed"}``."""
         from thor_ray.sources.lake import read_changefeed
+        from thor_ray.state import load_manifests
 
         lo = self.consumer.committed()
-        _, upto = self.consumer.poll(self.max_epochs)
+        # the poll bound from manifests directly — poll() would eagerly
+        # construct the whole-range changefeed, which raises on folded
+        # epochs before the per-epoch on_fold repair can run
+        ms = load_manifests(self.lake_dir)
+        if not ms:
+            raise ValueError(f"no manifests under {self.lake_dir}")
+        cur = min(m.epoch for m in ms.values())
+        upto = cur if self.max_epochs is None \
+            else min(cur, lo + self.max_epochs)
         written = skipped = 0
         os.makedirs(self.out_dir, exist_ok=True)
         for e in range(lo + 1, upto + 1):
@@ -215,7 +265,12 @@ class SinkConnector:
             if os.path.exists(final):
                 skipped += 1
                 continue
-            ds = read_changefeed(self.lake_dir, e - 1, e)
+            try:
+                ds = read_changefeed(self.lake_dir, e - 1, e)
+            except ValueError:
+                if self.on_fold != "diff":
+                    raise
+                ds = self._diff_epoch(e)
             if self.chain is not None:
                 ds = ds.map_batches(self.chain, batch_format="pyarrow")
             tmp = final + f".tmp-{os.getpid()}"
