@@ -617,28 +617,35 @@ def test_archive_binlog_retires_consumed_segments(ray_session, fixture,
     delete_where / state reads are unaffected."""
     from thor_ray.sources import binlog as binlog_src
 
+    # OWN binlog copy: delete_where + archive MUTATE the log (tombstone
+    # segments, originals moved to _archive/) — the shared module fixture
+    # must stay pristine for later tests
+    binlog = os.path.join(str(tmp_path), "binlog")
+    shutil.copytree(fixture["binlog_dir"], binlog)
     lake = str(tmp_path / "lake")
-    pipe = run_pipeline(fixture, lake)
+    cfg = CdcConfig(lake_dir=lake, binlog_dir=binlog,
+                    num_partitions=8, epoch_size=2_500)
+    pipe = CdcPipeline(cfg)
+    pipe.run(base=fixture["base_path"])
     n_del = pipe.delete_where("lang == 'py'")
     assert n_del > 0
     pipe.run()
     want = normalize(pipe.final_table().to_pandas())
 
-    before = binlog_src.shard_files(fixture["binlog_dir"])
-    pre_frontier = binlog_src.safe_frontier(fixture["binlog_dir"])
+    before = binlog_src.shard_files(binlog)
+    pre_frontier = binlog_src.safe_frontier(binlog)
     n = pipe.archive_binlog()
     assert n > 0
-    after = binlog_src.shard_files(fixture["binlog_dir"])
+    after = binlog_src.shard_files(binlog)
     assert len(after) == len(before) - n
     # each declared shard still visible, frontier unchanged (newest kept)
-    assert binlog_src.safe_frontier(fixture["binlog_dir"]) == pre_frontier
+    assert binlog_src.safe_frontier(binlog) == pre_frontier
     shards_after = {os.path.basename(p)[:10] for p in after}
     shards_before = {os.path.basename(p)[:10] for p in before}
     assert shards_after == shards_before
 
     # resume is a no-op and the state is unchanged
-    pipe2 = CdcPipeline(CdcConfig(lake_dir=lake,
-                                  binlog_dir=fixture["binlog_dir"],
+    pipe2 = CdcPipeline(CdcConfig(lake_dir=lake, binlog_dir=binlog,
                                   num_partitions=8, epoch_size=2_500))
     pipe2.run()
     got = normalize(pipe2.final_table().to_pandas())

@@ -649,3 +649,42 @@ def test_sink_connector_on_fold_diff(ray_session, tmp_path):
     # deleted keys are absent from the fold
     assert set(map(tuple, folded[["repo", "path"]].values)) == \
         set(map(tuple, exp[["repo", "path"]].values))
+
+
+def test_status_summary(ray_session, fixture, tmp_path):
+    """status(): metadata-only ops rollup with the load-bearing fields."""
+    pipe = run_pipe(fixture, str(tmp_path / "lake"), retain_snapshots=99)
+    pipe.tag("rel", pipe.snapshots()[-1])
+    s = pipe.status()
+    assert s["partitions"] == 6 and s["epoch"]["min"] == s["epoch"]["max"]
+    assert s["watermark"]["min"] == N_EVENTS
+    assert s["binlog"]["max_lsn"] == fixture["max_lsn"]
+    assert s["binlog"]["lag_events"] == 0
+    assert s["rows"] == pipe.final_table().count()
+    assert s["tags"] == {"rel": pipe.snapshots()[-1]}
+    assert s["snapshots"] == pipe.snapshots()
+    assert s["dlq_files"] == 0 and s["consumer_groups"] == {}
+
+
+def test_branch_at_tag(ray_session, fixture, tmp_path):
+    """create_branch(at_tag=…): a tagged savepoint is a durable branch
+    point — the branch equals the oracle prefix at the tagged epoch."""
+    from thor_ray.sources import create_branch
+    from thor_ray.sources.lake import read_lake
+
+    pipe = run_pipe(fixture, str(tmp_path / "lake"), retain_snapshots=99)
+    eps = pipe.snapshots()
+    k = eps[len(eps) // 2]
+    pipe.tag("cut", k)
+    br = str(tmp_path / "branch")
+    info = create_branch(pipe.cfg.lake_dir, br, at_tag="cut")
+    assert info["fork_epoch"] == k
+    got = normalize(read_lake(br).to_pandas())
+    exp = normalize(oracle_at(fixture, k))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    with pytest.raises(KeyError, match="no savepoint tag"):
+        create_branch(pipe.cfg.lake_dir, str(tmp_path / "b2"),
+                      at_tag="missing")
+    with pytest.raises(ValueError, match="not both"):
+        create_branch(pipe.cfg.lake_dir, str(tmp_path / "b3"),
+                      at_epoch=k, at_tag="cut")

@@ -302,6 +302,16 @@ def cmd_update(a) -> int:
     return 0
 
 
+def cmd_status(a) -> int:
+    """Ops summary (metadata only — no Ray session needed)."""
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    pipe = CdcPipeline(CdcConfig(lake_dir=a.lake, binlog_dir=a.binlog,
+                                 num_partitions=1))
+    print(json.dumps(pipe.status(), indent=2, default=str))
+    return 0
+
+
 def cmd_ingest(a) -> int:
     """Bulk load a parquet file of rows as binlog events (UPSERT/DELETE
     INTO … SELECT); apply with a subsequent `run`."""
@@ -664,6 +674,14 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--partitions", type=int, default=64)
     up.add_argument("--num-cpus", type=int)
     up.set_defaults(fn=cmd_update)
+
+    st = sub.add_parser("status", help="ops summary: epochs, watermarks, "
+                                       "frontier lag, tags, consumer "
+                                       "groups, DLQ backlog (metadata "
+                                       "only)")
+    st.add_argument("--lake", required=True)
+    st.add_argument("--binlog", required=True)
+    st.set_defaults(fn=cmd_status)
 
     ig = sub.add_parser("ingest",
                         help="bulk-load a parquet file of rows as binlog "

@@ -2489,6 +2489,50 @@ class CdcPipeline:
 
         return snapshot_epochs(self.cfg.lake_dir)
 
+    def status(self) -> dict:
+        """One-call ops summary — METADATA ONLY (manifests, registry,
+        markers, parquet footers; no Ray jobs, no data reads): epochs and
+        watermarks, binlog frontier and lag, schema version, retained
+        snapshots, savepoint tags, consumer-group offsets, DLQ backlog."""
+        import glob as _glob
+
+        from thor_ray.sources.lake import consumer_groups
+        from thor_ray.state import (SchemaRegistry, list_tags,
+                                    snapshot_epochs)
+
+        cfg = self.cfg
+        ms = load_manifests(cfg.lake_dir)
+        eps = [m.epoch for m in ms.values()]
+        wms = [m.upto_lsn for m in ms.values()]
+        max_l = binlog_src.max_lsn(cfg.binlog_dir)
+        frontier = binlog_src.safe_frontier(cfg.binlog_dir)
+        wm_min = min(wms, default=0)
+        reg = SchemaRegistry.load(cfg.lake_dir)
+        groups = consumer_groups(cfg.lake_dir)
+        cur = min(eps, default=0)
+        return {
+            "lake": cfg.lake_dir,
+            "partitions": len(ms),
+            "epoch": {"min": min(eps, default=0), "max": max(eps, default=0)},
+            "watermark": {"min": wm_min, "max": max(wms, default=0)},
+            "rows": sum(m.row_count for m in ms.values()
+                        if m.row_count >= 0),
+            "binlog": {"dir": cfg.binlog_dir,
+                       "format": binlog_src.binlog_format(cfg.binlog_dir),
+                       "shards": len(binlog_src.shard_frontiers(
+                           cfg.binlog_dir)),
+                       "max_lsn": max_l,
+                       "safe_frontier": frontier,
+                       "lag_events": max(max_l - wm_min, 0)},
+            "schema_version": reg.version,
+            "snapshots": snapshot_epochs(cfg.lake_dir),
+            "tags": list_tags(cfg.lake_dir),
+            "consumer_groups": {g: {"epoch": e, "lag": cur - e}
+                                for g, e in groups.items()},
+            "dlq_files": len(_glob.glob(os.path.join(
+                cfg.lake_dir, "_dlq", "dlq-*.parquet"))),
+        }
+
     def tag(self, name: str, epoch: int | None = None,
             replace: bool = False) -> int:
         """Create a named savepoint (Iceberg-tag analogue) at `epoch`

@@ -70,7 +70,8 @@ def _link_or_copy(src: str, dst: str) -> None:
 
 
 def create_branch(src_lake: str, branch_dir: str,
-                  at_epoch: int | None = None) -> dict:
+                  at_epoch: int | None = None,
+                  at_tag: str | None = None) -> dict:
     """Zero-copy branch of a committed lake (module docstring). Returns
     {"partitions", "files", "fork_epoch", "fork_upto_lsn"}.
 
@@ -79,11 +80,22 @@ def create_branch(src_lake: str, branch_dir: str,
     source — the archived manifests and the files they reference are
     gc-protected on the source for as long as the snapshot is retained;
     the branch hardlinks them, so it keeps them alive independently of
-    the source's retention window afterwards)."""
-    from thor_ray.state import (load_manifests, load_manifests_at,
-                                snapshot_active, write_manifest)
+    the source's retention window afterwards). ``at_tag`` resolves a
+    named savepoint tag to its epoch (tags pin their archives, so a
+    tagged branch point never ages out of retention)."""
+    from thor_ray.state import (list_tags, load_manifests,
+                                load_manifests_at, snapshot_active,
+                                write_manifest)
     from thor_ray.state.manifest import Manifest, _atomic_write
 
+    if at_tag is not None:
+        if at_epoch is not None:
+            raise ValueError("pass at_epoch or at_tag, not both")
+        tags = list_tags(src_lake)
+        if at_tag not in tags:
+            raise KeyError(f"no savepoint tag {at_tag!r} on {src_lake} "
+                           f"(have {sorted(tags)})")
+        at_epoch = tags[at_tag]
     if snapshot_active(src_lake):
         raise ValueError("cannot branch while an incremental snapshot is "
                          "in progress (retained tombstones would leak)")
