@@ -994,3 +994,46 @@ def test_ingest_dataset(ray_session, fixture, tmp_path):
         pipe.ingest_dataset(_ray.data.from_pandas(
             pd.DataFrame({"repo": [None], "path": ["p"],
                           "content": ["x"]})), ident="y")
+
+
+def test_size_tiered_compaction(ray_session, tmp_path):
+    """compact_policy='size': level-0 folds when its BYTES outgrow
+    compact_ratio x the base file, not at a fixed file count — and the
+    folded lake still equals the oracle under every ratio. (Own DDL-free
+    log: a DDL in the final epoch would fold either lake regardless.)"""
+    import pyarrow.parquet as pq
+
+    base = gen.gen_base_table(n_repos=15, paths_per_repo=10, seed=66)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=8_000, n_shards=3, ddl_every=0, delete_rate=0.06,
+        update_rate=0.6, seed=66))
+    binlog_dir = str(tmp_path / "binlog")
+    log.write(binlog_dir)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    events = pa.concat_tables(log.shards)
+    expected, _ = oracle.apply_events(events, initial=base)
+
+    def build(name, ratio):
+        lake = str(tmp_path / name)
+        pipe = CdcPipeline(CdcConfig(
+            lake_dir=lake, binlog_dir=binlog_dir,
+            num_partitions=8, epoch_size=1_000, write_mode="delta",
+            compact_policy="size", compact_ratio=ratio,
+            compact_every=1_000_000))
+        pipe.run(base=base_path)
+        got = normalize(pipe.final_table().to_pandas())
+        pd.testing.assert_frame_equal(got, normalize(expected),
+                                      check_dtype=False)
+        return max(len(m.files) for m in load_manifests(lake).values())
+
+    # aggressive ratio folds nearly every epoch; lazy ratio lets the
+    # level-0 run grow across all 8 epochs
+    files_a = build("lake_aggr", 0.0001)
+    files_l = build("lake_lazy", 1e9)
+    assert files_a <= 2
+    assert files_l > files_a
+
+    with pytest.raises(ValueError, match="compact_policy"):
+        CdcConfig(lake_dir="/tmp/x", binlog_dir="/tmp/y",
+                  compact_policy="bytes")

@@ -201,6 +201,16 @@ class CdcConfig:
     # run exceeds compact_every (write-optimal for hot micro-batches).
     write_mode: str = "cow"
     compact_every: int = 8
+    # delta-mode compaction policy: "count" folds a partition when its
+    # level-0 run exceeds compact_every files; "size" folds when the
+    # level-0 BYTES exceed compact_ratio × the base-file bytes (true
+    # size-tiered LSM amortization — write amplification stays O(log)
+    # under hot-key updates where count-based folding rewrites the whole
+    # base over and over). compact_every remains the file-count backstop
+    # under "size" (merge-on-read cost grows with file count even when
+    # the bytes are small) — raise it when choosing the size policy.
+    compact_policy: str = "count"
+    compact_ratio: float = 1.0
     # >0: archive each partition's committed manifest per epoch under
     # _manifests/history so the lake is readable AS OF any retained epoch
     # (time travel: CdcPipeline.table_at / sources.lake.read_lake_at).
@@ -272,6 +282,9 @@ class CdcConfig:
         if self.update_mode not in ("full", "patch"):
             raise ValueError(f"update_mode must be 'full' or 'patch', "
                              f"got {self.update_mode!r}")
+        if self.compact_policy not in ("count", "size"):
+            raise ValueError(f"compact_policy must be 'count' or 'size', "
+                             f"got {self.compact_policy!r}")
         if self.shuffle == "auto":
             # measured guidance (BASELINE.md §3 + the shuffle= comment
             # above): the two-stage spill exchange amortizes its per-epoch
@@ -784,9 +797,20 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
         # delta mode (LSM write path): append a winners-only delta file —
         # tombstones included — and merge on read; compact to a single file
         # when a DDL must rewrite schemas (keeps the per-partition file-set
-        # schema-uniform) or the level-0 run grows past compact_every.
+        # schema-uniform), the level-0 run grows past compact_every, or —
+        # under compact_policy="size" — the level-0 bytes outgrow
+        # compact_ratio × the base file (size-tiered LSM amortization).
+        size_trigger = False
+        if (mode == "delta" and ctx.get("compact_policy") == "size"
+                and len(prior_files) > 1):
+            sizes = [os.path.getsize(f) for f in prior_files
+                     if os.path.exists(f)]
+            base_b = max(sizes, default=0)
+            size_trigger = (sum(sizes) - base_b) > \
+                ctx.get("compact_ratio", 1.0) * base_b
         compact = (mode != "delta") or bool(applied_ddls) \
-            or (len(prior_files) + 1 > compact_every) or force
+            or (len(prior_files) + 1 > compact_every) \
+            or size_trigger or force
         if compact:
             retain = bool(ctx.get("retain_tombstones"))
             state = state0 if state0 is not None else _state_with_ddls(
@@ -1594,6 +1618,8 @@ class CdcPipeline:
             "epoch_ddls": epoch_ddls, "all_entries": full_registry.entries,
             "compute_content_hash": cfg.compute_content_hash,
             "write_mode": cfg.write_mode, "compact_every": cfg.compact_every,
+            "compact_policy": cfg.compact_policy,
+            "compact_ratio": cfg.compact_ratio,
             "update_mode": cfg.update_mode,
             "retain_tombstones": snapshot_active(cfg.lake_dir),
         }
@@ -1880,6 +1906,8 @@ class CdcPipeline:
             "epoch_ddls": [], "all_entries": registry.entries,
             "compute_content_hash": cfg.compute_content_hash,
             "write_mode": cfg.write_mode, "compact_every": cfg.compact_every,
+            "compact_policy": cfg.compact_policy,
+            "compact_ratio": cfg.compact_ratio,
             "update_mode": cfg.update_mode,
             # run_incremental's finalize passes False explicitly: it drops
             # the retained tombstones BEFORE flipping the snapshot's active
