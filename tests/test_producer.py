@@ -120,3 +120,62 @@ def test_producer_jsonl_wire(ray_session, tmp_path):
     # a second producer inherits the wire format from the log
     p2 = BinlogProducer(bdir)
     assert p2.fmt == "jsonl"
+
+
+@pytest.mark.parametrize("seed", [101, 102, 103])
+def test_producer_randomized_equivalence(ray_session, tmp_path, seed):
+    """Seeded property test (repo convention: deterministic, bounded):
+    random op mixes, random flush boundaries, random mid-stream producer
+    restarts, a random DDL — the replayed lake always equals the oracle
+    fold of the produced log."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    base = gen.gen_base_table(n_repos=6, paths_per_repo=8, seed=seed)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    bdir = str(tmp_path / "binlog")
+    keys = base.select(["repo", "path"]).to_pylist()
+
+    n_events = 400
+    ddl_at = int(rng.integers(50, 350))
+    prod = BinlogProducer(bdir, n_shards=int(rng.integers(2, 5)))
+    have_ddl = False
+    for i in range(n_events):
+        if i == ddl_at:
+            prod.append_ddl("add_column", "score", type="int64")
+            have_ddl = True
+        kv = keys[int(rng.integers(0, len(keys)))]
+        r = rng.random()
+        if r < 0.15:
+            prod.append("D", kv["repo"], kv["path"])
+        else:
+            extra = {"score": int(rng.integers(0, 100))} \
+                if have_ddl and r < 0.5 else None
+            prod.append("U", kv["repo"], kv["path"],
+                        commit=f"s{seed}e{i}",
+                        lang=["py", "go", "md"][i % 3],
+                        content=f"content {seed} {i} " + "x" * int(
+                            rng.integers(0, 60)),
+                        extra=extra)
+        if rng.random() < 0.05 and len(prod):
+            prod.flush()
+        if rng.random() < 0.02:
+            prod.flush()
+            prod = BinlogProducer(bdir)     # mid-stream restart
+    prod.flush()
+
+    events = read_produced_events(bdir)
+    assert events.num_rows == n_events + 1
+    assert events["lsn"].to_pylist() == list(
+        range(1, events.num_rows + 1))
+    expected, _ = oracle.apply_events(events, initial=base)
+
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=str(tmp_path / "lake"), binlog_dir=bdir,
+        num_partitions=4, epoch_size=int(rng.integers(40, 120))))
+    pipe.run(base=base_path)
+    pd.testing.assert_frame_equal(
+        normalize(pipe.final_table().to_pandas()), normalize(expected),
+        check_dtype=False)
