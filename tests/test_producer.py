@@ -179,3 +179,21 @@ def test_producer_randomized_equivalence(ray_session, tmp_path, seed):
     pd.testing.assert_frame_equal(
         normalize(pipe.final_table().to_pandas()), normalize(expected),
         check_dtype=False)
+
+
+def test_producer_fencing(ray_session, tmp_path):
+    """Zombie-producer protection: constructing a producer takes over the
+    log; a paused older instance's next flush fails closed instead of
+    double-allocating lsns."""
+    from thor_ray.sources.producer import ProducerFencedError
+
+    bdir = str(tmp_path / "binlog")
+    old = BinlogProducer(bdir, n_shards=2)
+    old.append("I", "r", "a.py", commit="c", lang="py", content="x")
+    new = BinlogProducer(bdir)          # takeover
+    with pytest.raises(ProducerFencedError, match="superseded"):
+        old.flush()
+    # the new producer is unaffected and continues the lsn sequence
+    new.append("I", "r", "b.py", commit="c", lang="py", content="y")
+    assert new.flush()["first_lsn"] == 1
+    assert binlog_src.max_lsn(bdir) == 1

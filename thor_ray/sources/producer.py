@@ -50,6 +50,12 @@ def _state_path(binlog_dir: str) -> str:
     return os.path.join(binlog_dir, "_producer.json")
 
 
+class ProducerFencedError(RuntimeError):
+    """A newer BinlogProducer took over this binlog; this instance must
+    stop (its lsn allocation is stale — continuing could assign the same
+    lsns to different payloads)."""
+
+
 class BinlogProducer:
     """Buffered, crash-safe binlog writer. Use as a context manager
     (flushes on exit) or call :meth:`flush` explicitly."""
@@ -82,8 +88,16 @@ class BinlogProducer:
         self.next_lsn = max((st or {}).get("next_lsn", 1), observed + 1)
         self.next_txn = (st or {}).get("next_txn", 1)
         self.schema_ver = (st or {}).get("schema_ver", 0)
+        # single-writer fencing (the lake's writer-generation pattern):
+        # constructing a producer takes over the log; an older instance's
+        # next flush fails closed instead of double-allocating lsns.
+        # Check-then-write is not a CAS — the guard covers the zombie
+        # case (paused writer resuming after a takeover), not two
+        # actively racing writers, same contract as the lake manifests.
+        self.writer_gen = (st or {}).get("writer_gen", 0) + 1
         self._buf: list[dict] = []
         self._declare_shards()
+        self._commit_state()
 
     # -- buffering -------------------------------------------------------
     def append(self, op: str, repo: str | None = None,
@@ -136,6 +150,12 @@ class BinlogProducer:
         if not self._buf:
             return {"events": 0, "segments": 0,
                     "first_lsn": self.next_lsn, "last_lsn": self.next_lsn - 1}
+        with open(_state_path(self.binlog_dir)) as f:
+            cur_gen = json.load(f).get("writer_gen", 0)
+        if cur_gen != self.writer_gen:
+            raise ProducerFencedError(
+                f"producer gen {self.writer_gen} superseded by {cur_gen} "
+                f"on {self.binlog_dir}; this producer must stop")
         k = len(self._buf)
         base = self.next_lsn
         df = pd.DataFrame(self._buf)
@@ -198,7 +218,8 @@ class BinlogProducer:
                       {"next_lsn": int(self.next_lsn),
                        "next_txn": int(self.next_txn),
                        "schema_ver": int(self.schema_ver),
-                       "n_shards": self.n_shards, "fmt": self.fmt})
+                       "n_shards": self.n_shards, "fmt": self.fmt,
+                       "writer_gen": int(self.writer_gen)})
 
     def _declare_shards(self) -> None:
         """Write the `_shards.json` marker so safe_frontier waits for
