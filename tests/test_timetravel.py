@@ -688,3 +688,38 @@ def test_branch_at_tag(ray_session, fixture, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         create_branch(pipe.cfg.lake_dir, str(tmp_path / "b3"),
                       at_epoch=k, at_tag="cut")
+
+
+def test_unload_snapshot(ray_session, fixture, tmp_path):
+    """unload(): hive-partitioned export of live / tagged state matches
+    the oracle; a re-run skips every completed partition."""
+    import glob as _glob
+
+    import pyarrow.dataset as pads
+
+    pipe = run_pipe(fixture, str(tmp_path / "lake"), retain_snapshots=99)
+    eps = pipe.snapshots()
+    k = eps[len(eps) // 2]
+    pipe.tag("cut", k)
+
+    out = str(tmp_path / "unload_live")
+    rep = pipe.unload(out, by="lang")
+    live = normalize(pipe.final_table().to_pandas())
+    assert int(rep["rows"].sum()) == len(live)
+    back = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    back["lang"] = back["lang"].astype(live["lang"].dtype)
+    pd.testing.assert_frame_equal(normalize(back), live,
+                                  check_dtype=False)
+    # resume: everything skipped
+    rep2 = pipe.unload(out, by="lang")
+    assert int(rep2["skipped"].sum()) == len(rep2)
+
+    # tagged unload == oracle prefix; column pruning keeps the by-column
+    out_t = str(tmp_path / "unload_tag")
+    pipe.unload(out_t, by="lang", tag="cut", columns=["repo", "path"])
+    back_t = pads.dataset(out_t, partitioning="hive").to_table().to_pandas()
+    exp_t = oracle_at(fixture, k)
+    assert sorted(back_t.columns) == ["lang", "path", "repo"]
+    assert len(back_t) == len(exp_t)
+    with pytest.raises(ValueError, match="not both"):
+        pipe.unload(str(tmp_path / "x"), epoch=k, tag="cut")

@@ -302,6 +302,21 @@ def cmd_update(a) -> int:
     return 0
 
 
+def cmd_unload(a) -> int:
+    """Export the lake state as hive-partitioned parquet (resumable)."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    pipe = CdcPipeline(CdcConfig(lake_dir=a.lake, binlog_dir=a.binlog,
+                                 num_partitions=1))
+    rep = pipe.unload(a.out, by=a.by, epoch=a.epoch, tag=a.tag)
+    print(json.dumps({"partitions": len(rep),
+                      "rows": int(rep["rows"].sum()),
+                      "skipped": int(rep["skipped"].sum())}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_status(a) -> int:
     """Ops summary (metadata only — no Ray session needed)."""
     from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
@@ -674,6 +689,17 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--partitions", type=int, default=64)
     up.add_argument("--num-cpus", type=int)
     up.set_defaults(fn=cmd_update)
+
+    ul = sub.add_parser("unload", help="export lake state as hive-"
+                                       "partitioned parquet (resumable)")
+    ul.add_argument("--lake", required=True)
+    ul.add_argument("--binlog", required=True)
+    ul.add_argument("--out", required=True)
+    ul.add_argument("--by", default="lang")
+    ul.add_argument("--epoch", type=int)
+    ul.add_argument("--tag")
+    ul.add_argument("--num-cpus", type=int)
+    ul.set_defaults(fn=cmd_unload)
 
     st = sub.add_parser("status", help="ops summary: epochs, watermarks, "
                                        "frontier lag, tags, consumer "

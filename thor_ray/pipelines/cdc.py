@@ -2517,6 +2517,33 @@ class CdcPipeline:
 
         return snapshot_epochs(self.cfg.lake_dir)
 
+    def unload(self, out_dir: str, by: str = "lang",
+               epoch: int | None = None, tag: str | None = None,
+               columns: "list[str] | None" = None,
+               cluster_by: "list[str] | None" = None) -> pd.DataFrame:
+        """Snapshot unload: export the lake's state (live, AS OF a
+        retained ``epoch``, or AS OF a savepoint ``tag``) as a clean
+        hive-partitioned parquet dataset for downstream analytics engines
+        — one ``<by>=<value>/`` directory per value, resumable (a re-run
+        skips complete partitions), optionally column-pruned and
+        clustered for row-group stat pruning. One distributed pass;
+        the groupby on ``by`` is the only wide step. Returns the
+        per-partition report from write_partitioned."""
+        from thor_ray.sources.sink import write_partitioned
+
+        if tag is not None:
+            if epoch is not None:
+                raise ValueError("pass epoch or tag, not both")
+            ds = self.table_at_tag(tag)
+        elif epoch is not None:
+            ds = self.table_at(epoch)
+        else:
+            ds = self.final_table()
+        if columns is not None:
+            need = {by, *(cluster_by or [])} - set(columns)
+            ds = ds.select_columns(sorted(set(columns) | need))
+        return write_partitioned(ds, out_dir, by, cluster_by=cluster_by)
+
     def status(self) -> dict:
         """One-call ops summary — METADATA ONLY (manifests, registry,
         markers, parquet footers; no Ray jobs, no data reads): epochs and
