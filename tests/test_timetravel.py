@@ -723,3 +723,42 @@ def test_unload_snapshot(ray_session, fixture, tmp_path):
     assert len(back_t) == len(exp_t)
     with pytest.raises(ValueError, match="not both"):
         pipe.unload(str(tmp_path / "x"), epoch=k, tag="cut")
+
+
+def test_restore_in_place(ray_session, fixture, tmp_path):
+    """Point-in-time RESTORE: the lake rolls back to a retained epoch in
+    place (manifests + watermarks + registry; future archives and
+    dangling tags pruned), then a plain run() replays the binlog back to
+    the full state — the rewind-and-replay repair loop."""
+    pipe = run_pipe(fixture, str(tmp_path / "lake"), retain_snapshots=99)
+    eps = pipe.snapshots()
+    k = eps[len(eps) // 2]
+    assert 0 < k < eps[-1]
+    pipe.tag("good", k)
+    pipe.tag("late", eps[-1])
+    full = normalize(pipe.final_table().to_pandas())
+
+    assert pipe.restore(tag="good") == k
+    got = normalize(pipe.final_table().to_pandas())
+    exp_k = normalize(oracle_at(fixture, k))
+    # registry rolled back with the state: the column set is epoch-k's
+    assert list(got.columns) == list(exp_k.columns)
+    pd.testing.assert_frame_equal(got, exp_k, check_dtype=False)
+    # future archives pruned, dangling tag dropped, anchored tag kept
+    assert pipe.snapshots()[-1] == k
+    assert pipe.tags() == {"good": k}
+
+    # replaying the (unchanged) binlog reconverges to the full state and
+    # rebuilds the pruned history
+    pipe.run()
+    got2 = normalize(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got2, full, check_dtype=False)
+    assert pipe.snapshots()[-1] == eps[-1]
+    assert_snapshot_matches(pipe, fixture, k)
+
+    with pytest.raises(ValueError, match="not both"):
+        pipe.restore(epoch=k, tag="good")
+    with pytest.raises(KeyError):
+        pipe.restore(tag="nope")
+    with pytest.raises(ValueError, match="needs an epoch"):
+        pipe.restore()

@@ -302,6 +302,20 @@ def cmd_update(a) -> int:
     return 0
 
 
+def cmd_restore(a) -> int:
+    """Point-in-time RESTORE: roll the lake back to a retained epoch or
+    savepoint tag in place; re-apply with a subsequent `run`."""
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    pipe = CdcPipeline(CdcConfig(lake_dir=a.lake, binlog_dir=a.binlog,
+                                 num_partitions=1))
+    k = pipe.restore(epoch=a.epoch, tag=a.tag)
+    print(json.dumps({"restored_epoch": k,
+                      "hint": "run `python -m thor_ray run ...` to "
+                              "re-apply the binlog from here"}))
+    return 0
+
+
 def cmd_unload(a) -> int:
     """Export the lake state as hive-partitioned parquet (resumable)."""
     ray = _ray_init(a.num_cpus)
@@ -689,6 +703,15 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--partitions", type=int, default=64)
     up.add_argument("--num-cpus", type=int)
     up.set_defaults(fn=cmd_update)
+
+    rs = sub.add_parser("restore", help="roll the lake back to a retained "
+                                        "epoch/tag in place (rewind-and-"
+                                        "replay repair)")
+    rs.add_argument("--lake", required=True)
+    rs.add_argument("--binlog", required=True)
+    rs.add_argument("--epoch", type=int)
+    rs.add_argument("--tag")
+    rs.set_defaults(fn=cmd_restore)
 
     ul = sub.add_parser("unload", help="export lake state as hive-"
                                        "partitioned parquet (resumable)")

@@ -2517,6 +2517,72 @@ class CdcPipeline:
 
         return snapshot_epochs(self.cfg.lake_dir)
 
+    def restore(self, epoch: int | None = None,
+                tag: str | None = None) -> int:
+        """Point-in-time RESTORE (Delta-RESTORE analogue): make a
+        retained snapshot the lake's head IN PLACE — manifests,
+        watermarks and the schema registry roll back to the epoch;
+        archives and savepoint tags past it are pruned (they describe a
+        rolled-back future). A subsequent run() re-applies the binlog
+        from the restored watermark — the rewind-and-replay repair loop:
+        quarantine bad segments, restore, re-run. State files from the
+        rolled-back epochs stay on disk and are overwritten
+        deterministically by the replay (the same crash-orphan rule the
+        exactly-once design already relies on).
+
+        Downstream consumers (changefeed groups, sinks, views) that
+        consumed past the restore point hold offsets into a rewritten
+        future — seek()/rebuild() them explicitly; restore does not
+        touch their state. Returns the restored epoch."""
+        import glob as _glob
+
+        from thor_ray.state import (delete_tag, load_manifests_at,
+                                    snapshot_active)
+        from thor_ray.state.manifest import _history_dir  # noqa: SLF001
+
+        cfg = self.cfg
+        if tag is not None:
+            if epoch is not None:
+                raise ValueError("pass epoch or tag, not both")
+            tags = self.tags()
+            if tag not in tags:
+                raise KeyError(f"no savepoint tag {tag!r} "
+                               f"(have {sorted(tags)})")
+            epoch = tags[tag]
+        if epoch is None:
+            raise ValueError("restore needs an epoch or a tag")
+        if snapshot_active(cfg.lake_dir):
+            raise ValueError("cannot restore while an incremental "
+                             "snapshot is in progress")
+        cur = load_manifests(cfg.lake_dir)
+        ms_k = load_manifests_at(cfg.lake_dir, epoch)
+        missing = sorted(set(cur) - set(ms_k))
+        if not cur or missing:
+            raise ValueError(
+                f"epoch {epoch} is not a restorable snapshot for "
+                f"partitions {missing or 'all'} — retention must cover it")
+        self._fence()   # take over; a zombie writer's commits fail closed
+        ver_k = max(m.schema_ver for m in ms_k.values())
+        reg = SchemaRegistry.load(cfg.lake_dir)
+        # entries carry their PRE-application version (entry index ==
+        # schema_ver): the entry producing version v carries v-1, so the
+        # rollback keeps strictly-below-ver_k entries
+        reg.entries = [e for e in reg.entries
+                       if e["schema_ver"] < ver_k]
+        reg.save(cfg.lake_dir)
+        for m in ms_k.values():
+            write_manifest(cfg.lake_dir, m)
+        for p in _glob.glob(os.path.join(
+                _history_dir(cfg.lake_dir), "part-*-e*.json")):
+            ep = int(os.path.basename(p).rsplit("-e", 1)[1]
+                     [:-len(".json")])
+            if ep > epoch:
+                os.remove(p)
+        for name, te in list(self.tags().items()):
+            if te > epoch:
+                delete_tag(cfg.lake_dir, name)
+        return epoch
+
     def unload(self, out_dir: str, by: str = "lang",
                epoch: int | None = None, tag: str | None = None,
                columns: "list[str] | None" = None,
