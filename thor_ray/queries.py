@@ -14548,6 +14548,80 @@ def q378_bulk_ingest(sf: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q379_restore_replay(sf: str):
+    """Point-in-time RESTORE (CdcPipeline.restore, rows-only): roll the
+    lake back to a tagged epoch in place, then replay the binlog to
+    reconverge. Oracle equality both sides of the cycle is pinned in
+    tests/test_timetravel.py::test_restore_in_place. Returns row counts
+    at the restore point and after reconvergence."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_rst_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=20, paths_per_repo=12, seed=71)
+    bp = os.path.join(work, "base.parquet")
+    _pq.write_table(base, bp)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=6_000, n_shards=3, delete_rate=0.08, seed=71))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=os.path.join(work, "lake"), binlog_dir=bdir,
+        num_partitions=6, epoch_size=1_500, retain_snapshots=99))
+    pipe.run(base=bp)
+    full_rows = pipe.final_table().count()
+    k = pipe.tag("mid", pipe.snapshots()[len(pipe.snapshots()) // 2])
+    pipe.restore(tag="mid")
+    mid_rows = pipe.final_table().count()
+    pipe.run()
+    back_rows = pipe.final_table().count()
+    return pd.DataFrame([
+        {"stage": "full", "rows": full_rows},
+        {"stage": f"restored_e{k}", "rows": mid_rows},
+        {"stage": "replayed", "rows": back_rows},
+    ])
+
+
+def q380_unload_partitioned(sf: str):
+    """Snapshot unload (CdcPipeline.unload, rows-only): hive-partitioned
+    analytics export of the lake state; resumability and oracle equality
+    pinned in tests/test_timetravel.py::test_unload_snapshot. Returns
+    per-partition row counts of the export."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_unl_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=20, paths_per_repo=12, seed=73)
+    bp = os.path.join(work, "base.parquet")
+    _pq.write_table(base, bp)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=5_000, n_shards=3, delete_rate=0.06, seed=73))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=os.path.join(work, "lake"), binlog_dir=bdir,
+        num_partitions=6, epoch_size=2_500))
+    pipe.run(base=bp)
+    rep = pipe.unload(os.path.join(work, "out"), by="lang",
+                      cluster_by=["repo", "path"])
+    out = rep[["value", "rows"]].rename(columns={"value": "lang"})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14924,6 +14998,8 @@ QUERIES: dict[str, tuple] = {
     "q376_demux_consistent": (q376_demux_consistent, None),
     "q377_producer": (q377_producer, None),
     "q378_bulk_ingest": (q378_bulk_ingest, None),
+    "q379_restore_replay": (q379_restore_replay, None),
+    "q380_unload_partitioned": (q380_unload_partitioned, None),
     "q362_cheapest_per_type": (q362_cheapest_per_type, SQL_Q362),
     "q363_value_share_parts": (q363_value_share_parts, SQL_Q363),
     "q364_supplier_counts_not_in": (q364_supplier_counts_not_in, SQL_Q364),
