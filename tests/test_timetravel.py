@@ -762,3 +762,42 @@ def test_restore_in_place(ray_session, fixture, tmp_path):
         pipe.restore(tag="nope")
     with pytest.raises(ValueError, match="needs an epoch"):
         pipe.restore()
+
+
+def test_fsck_audits_history_and_tags(ray_session, fixture, tmp_path):
+    """fsck covers the time-travel promise: missing snapshot files and
+    dangling tags are errors, a clean retained lake passes."""
+    import glob as _glob
+
+    from thor_ray.sources import fsck
+    from thor_ray.state import create_tag
+    from thor_ray.state.manifest import _atomic_write, _tags_path
+
+    pipe = run_pipe(fixture, str(tmp_path / "lake"), retain_snapshots=99)
+    lake = pipe.cfg.lake_dir
+    k = pipe.snapshots()[len(pipe.snapshots()) // 2]
+    create_tag(lake, "rel", k)
+    r = fsck(lake)
+    assert r["ok"], r["errors"]
+
+    # a dangling tag (epoch with no retained archives) is an error
+    _atomic_write(_tags_path(lake), {"rel": k, "ghost": -3})
+    r2 = fsck(lake)
+    assert not r2["ok"]
+    assert any("ghost" in e for e in r2["errors"])
+    _atomic_write(_tags_path(lake), {"rel": k})
+
+    # an archive whose snapshot file was deleted out-of-band is an error
+    victim = None
+    ms_now = {f for m in __import__("thor_ray.state", fromlist=["x"])
+              .load_manifests(lake).values() for f in m.files}
+    for f in sorted(_glob.glob(os.path.join(lake, "part=*",
+                                            "state-e*.parquet"))):
+        if f not in ms_now:
+            victim = f
+            break
+    assert victim is not None
+    os.remove(victim)
+    r3 = fsck(lake)
+    assert not r3["ok"]
+    assert any("missing snapshot file" in e for e in r3["errors"])

@@ -1296,12 +1296,28 @@ def fsck(lake_dir: str, deep: bool = False) -> dict:
                                          "part-*-e*.json")):
             with open(p) as fh:
                 payload = json.load(fh)
-            live |= {os.path.abspath(f if os.path.isabs(f)
+            paths = [os.path.abspath(f if os.path.isabs(f)
                                      else os.path.join(lake_dir, f))
-                     for f in payload["files"]}
+                     for f in payload["files"]]
+            live |= set(paths)
+            # time-travel promise: every archive still resolves to files
+            # on disk (gc must have protected them)
+            for f in paths:
+                if not os.path.exists(f):
+                    errors.append(f"archive {os.path.basename(p)}: "
+                                  f"missing snapshot file {f}")
     for p in _glob.glob(os.path.join(lake_dir, "part=*", "*.parquet")):
         if os.path.abspath(p) not in live:
             warnings.append(f"orphan (legal crash leftover): {p}")
+    # savepoint tags: each must resolve through retained archives for
+    # every committed partition (prune/gc honor tags; a dangling tag
+    # means out-of-band deletion)
+    from thor_ray.state import list_tags, load_manifests_at
+    for name, te in sorted(list_tags(lake_dir).items()):
+        missing = sorted(set(ms) - set(load_manifests_at(lake_dir, te)))
+        if missing:
+            errors.append(f"tag {name!r}@e{te}: unresolvable for "
+                          f"partitions {missing}")
 
     from thor_ray.state import snapshot_active
     if deep and snapshot_active(lake_dir):
