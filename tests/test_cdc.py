@@ -1037,3 +1037,53 @@ def test_size_tiered_compaction(ray_session, tmp_path):
     with pytest.raises(ValueError, match="compact_policy"):
         CdcConfig(lake_dir="/tmp/x", binlog_dir="/tmp/y",
                   compact_policy="bytes")
+
+
+def test_ddl_default_backfill(ray_session, tmp_path):
+    """add_column with a DEFAULT: rows existing at the fold backfill the
+    default (MySQL ALTER ADD COLUMN shape), later events unchanged —
+    engine == oracle, and the defaults are actually visible."""
+    import pyarrow.parquet as pq
+
+    base = gen.gen_base_table(n_repos=40, paths_per_repo=25, seed=77)
+    cfg = gen.BinlogConfig(n_events=3_000, n_shards=3, dup_rate=0.04,
+                           shuffle_window=96, ddl_every=1_000,
+                           ddl_defaults=True, ddl_widens=True,
+                           delete_rate=0.06, update_rate=0.5, seed=77)
+    log = gen.gen_binlog(base, cfg)
+    events = pa.concat_tables(log.shards)
+    ddls = [json.loads(d) for d in
+            events.filter(pa.compute.equal(events["op"], "DDL"))
+            ["ddl"].to_pylist()]
+    assert any("default" in d for d in ddls if d["action"] == "add_column")
+    expected, _ = oracle.apply_events(events, initial=base)
+    # backfilled default VALUES survive into the final frame (possibly
+    # under a renamed column)
+    default_vals = {d["default"] for d in ddls
+                    if d["action"] == "add_column" and "default" in d}
+    evolved_cols = [c for c in expected.columns
+                    if c not in ("repo", "path", "commit", "lang",
+                                 "content")]
+    assert any(expected[c].isin(default_vals).any()
+               for c in evolved_cols)
+
+    binlog_dir = str(tmp_path / "binlog")
+    log.write(binlog_dir)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    pipe = CdcPipeline(CdcConfig(lake_dir=str(tmp_path / "lake"),
+                                 binlog_dir=binlog_dir,
+                                 num_partitions=6, epoch_size=1_000))
+    pipe.run(base=base_path)
+    got = normalize(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got, normalize(expected),
+                                  check_dtype=False)
+    # delta mode folds the same defaults
+    pipe2 = CdcPipeline(CdcConfig(lake_dir=str(tmp_path / "lake_d"),
+                                  binlog_dir=binlog_dir,
+                                  num_partitions=6, epoch_size=1_000,
+                                  write_mode="delta", compact_every=100))
+    pipe2.run(base=base_path)
+    got2 = normalize(pipe2.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got2, normalize(expected),
+                                  check_dtype=False)

@@ -29,6 +29,11 @@ CONFIGS = [
     dict(n_events=6_000, n_shards=4, dup_rate=0.05, shuffle_window=64,
          ddl_every=0, delete_rate=0.0, update_rate=0.0, new_key_rate=0.9,
          corrupt_rate=0.03, seed=24),
+    # DDL defaults + widening + drops (backfill interplay with the
+    # full DDL cycle)
+    dict(n_events=6_000, n_shards=3, dup_rate=0.08, shuffle_window=128,
+         ddl_every=1_000, ddl_defaults=True, ddl_widens=True,
+         ddl_drops=True, delete_rate=0.08, update_rate=0.45, seed=25),
 ]
 
 
@@ -46,9 +51,10 @@ def test_replay_equivalence(ray_session, tmp_path, i):
     # alternate engine configs across cases too
     pipe = CdcPipeline(CdcConfig(
         lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
-        num_partitions=[4, 16, 8, 32][i], epoch_size=[1_700, 2_000, 900, 6_000][i],
-        shuffle=["spill", "sort", "spill", "sort"][i],
-        write_mode=["cow", "delta", "delta", "cow"][i]))
+        num_partitions=[4, 16, 8, 32, 8][i],
+        epoch_size=[1_700, 2_000, 900, 6_000, 1_000][i],
+        shuffle=["spill", "sort", "spill", "sort", "spill"][i],
+        write_mode=["cow", "delta", "delta", "cow", "delta"][i]))
     pipe.run(base=base_path)
 
     got = pipe.final_table().to_pandas()

@@ -121,6 +121,8 @@ class BinlogConfig:
     ddl_every: int = 25_000          # 0 disables DDL injection
     ddl_drops: bool = False          # include drop_column in the DDL cycle
     ddl_widens: bool = False         # include alter_type (int64→double) widening
+    ddl_defaults: bool = False       # every other add_column carries a DEFAULT
+                                     # (existing rows backfill at fold time)
     delete_rate: float = 0.05
     update_rate: float = 0.60        # remainder after delete/ddl = inserts
     new_key_rate: float = 0.30       # fraction of I events that mint a new key
@@ -278,7 +280,8 @@ class Binlog:
 
 
 def _ddl_timeline(n_events: int, ddl_every: int, drops: bool = False,
-                  widens: bool = False) -> list[tuple[int, dict]]:
+                  widens: bool = False,
+                  defaults: bool = False) -> list[tuple[int, dict]]:
     """Positions (1-based lsn) and payloads of DDL events, deterministic.
 
     Alternates add_column / rename_column (renames only once a column
@@ -300,7 +303,12 @@ def _ddl_timeline(n_events: int, ddl_every: int, drops: bool = False,
     def add() -> None:
         name = f"c{k}"
         ty = "int64" if (widens and k % 2 == 0) else "string"
-        out.append((pos, {"action": "add_column", "name": name, "type": ty}))
+        d = {"action": "add_column", "name": name, "type": ty}
+        if defaults and k % 2 == 0:
+            # MySQL ALTER ADD COLUMN DEFAULT semantics: rows existing at
+            # the DDL fold backfill the default (later events unchanged)
+            d["default"] = 7 if ty == "int64" else f"dflt_{name}"
+        out.append((pos, d))
         cols.append(name)
         tys[name] = ty
 
@@ -360,7 +368,8 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
     key_path: list[str] = list(base_path)
 
     ddl_at = dict(_ddl_timeline(n, cfg.ddl_every, drops=cfg.ddl_drops,
-                                widens=cfg.ddl_widens))
+                                widens=cfg.ddl_widens,
+                                defaults=cfg.ddl_defaults))
     ddls = [ddl_at[p] for p in sorted(ddl_at)]
 
     # pre-draw randomness in bulk

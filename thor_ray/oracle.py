@@ -8,7 +8,8 @@ Semantics (FIXTURES.md §2 oracle contract):
           replacement* of every evolved column existing at the event's
           schema version (missing later-added columns become null).
   D    -> delete the key if present (no-op otherwise).
-  DDL  -> bump registry: add_column (existing rows -> null),
+  DDL  -> bump registry: add_column (existing rows -> the DDL's
+          default if present, else null),
           rename_column (values carry over under the new name), or
           drop_column (values discarded; a later same-named add starts null).
 
@@ -110,7 +111,7 @@ def apply_events(
             if d["action"] == "add_column":
                 evolved.append(d["name"])
                 for r in state.values():
-                    r[d["name"]] = None
+                    r[d["name"]] = d.get("default")
             elif d["action"] == "drop_column":
                 evolved.remove(d["name"])
                 for r in state.values():

@@ -904,7 +904,11 @@ def _state_with_ddls(prior_files: list[str], applied_ddls: list[dict],
                      start_cols: list[str],
                      keep_tombstones: bool = False) -> pd.DataFrame:
     """Prior partition state with this epoch's accepted DDLs folded in
-    (column add → null, drop → discarded, rename → carried over;
+    (column add → null, or the DDL's DEFAULT backfilled onto existing
+    rows — MySQL ALTER ADD COLUMN semantics, later events unchanged;
+    an incremental-snapshot chunk landing AFTER the DDL fold carries
+    nulls, the same documented window rule as renames;
+    drop → discarded, rename → carried over;
     alter_type values cast at the write — the output schema carries the
     widened type, nothing to do in-frame)."""
     state = _read_state(prior_files, keep_tombstones) if prior_files \
@@ -912,7 +916,7 @@ def _state_with_ddls(prior_files: list[str], applied_ddls: list[dict],
     for d in applied_ddls:
         a = d["ddl"]
         if a["action"] == "add_column":
-            state[a["name"]] = None
+            state[a["name"]] = a.get("default")
         elif a["action"] == "drop_column":
             state = state.drop(columns=[a["name"]], errors="ignore")
         elif a["action"] == "rename_column":
@@ -939,10 +943,34 @@ def _materialize_evolved(winners: pd.DataFrame, registry: SchemaRegistry,
     if not evolved_final:
         return out
     rename_cache: dict[int, dict[str, str]] = {}
+    dflt_cache: dict[int, dict[str, object]] = {}
+
+    def later_defaults(ver: int) -> dict[str, object]:
+        """Columns ADDED after this event's version whose add_column DDL
+        carries a DEFAULT: the row image written at `ver` predates the
+        column, so the DDL backfill applies to it (same rule as prior
+        state — the oracle folds in lsn order, event first, DDL after)."""
+        d = dflt_cache.get(ver)
+        if d is None:
+            d = {}
+            for e in registry.entries:
+                a = e["ddl"]
+                if (e["schema_ver"] >= ver and not e.get("rejected")
+                        and a["action"] == "add_column"
+                        and "default" in a):
+                    fname = registry.rename_into(
+                        e["schema_ver"] + 1).get(a["name"])
+                    if fname:
+                        d[fname] = a["default"]
+            dflt_cache[ver] = d
+        return d
+
     for extra, ver, op in zip(winners["extra"], winners["schema_ver"], winners["op"]):
         if op == "D" or extra is None or extra == "{}":
+            ver = int(ver)
+            dflt = None if op == "D" else later_defaults(ver)
             for c in evolved_final:
-                out[c].append(None)
+                out[c].append(None if op == "D" else dflt.get(c))
             continue
         ver = int(ver)
         m = rename_cache.get(ver)
@@ -953,8 +981,10 @@ def _materialize_evolved(winners: pd.DataFrame, registry: SchemaRegistry,
         # strict mapping: a key absent from m was DROPPED after this event's
         # version — its value must not leak into a later same-named column
         row = {m[k]: v for k, v in vals.items() if k in m}
+        dflt = later_defaults(ver)
         for c in evolved_final:
-            out[c].append(row.get(c))
+            v = row.get(c)
+            out[c].append(v if v is not None else dflt.get(c))
     return out
 
 

@@ -121,15 +121,19 @@ class BinlogProducer:
                               txn=txn))
 
     def append_ddl(self, action: str, name: str, new_name: str | None = None,
-                   type: str = "string") -> None:  # noqa: A002
+                   type: str = "string",  # noqa: A002
+                   default=None) -> None:
         """Buffer a schema-change event (op='DDL'); bumps schema_ver for
-        every subsequently buffered event."""
+        every subsequently buffered event. ``default`` backfills existing
+        rows at the add_column fold (MySQL ALTER ADD COLUMN shape)."""
         if action not in ("add_column", "rename_column", "drop_column",
                           "alter_type"):
             raise ValueError(f"unknown DDL action {action!r}")
         payload = {"action": action, "name": name, "type": type}
         if new_name is not None:
             payload["new_name"] = new_name
+        if default is not None:
+            payload["default"] = default
         txn, self.next_txn = self.next_txn, self.next_txn + 1
         self._buf.append(dict(op="DDL", repo=None, path=None, commit=None,
                               lang=None, content=None, extra="{}",
