@@ -172,3 +172,33 @@ def test_patch_dlq_rules(ray_session, patch_fixture, tmp_path):
     assert (u["repo"].isna() | u["path"].isna()).all()
     bad_i = dlq[(dlq["op"] == "I") & dlq["repo"].notna()]
     assert bad_i["content"].isna().all()
+
+
+def test_patch_with_ddl_defaults(ray_session, tmp_path):
+    """Patch mode × DDL defaults: backfilled defaults inherit through
+    partial images exactly as the oracle folds them."""
+    base = gen.gen_base_table(n_repos=30, paths_per_repo=20, seed=55)
+    cfg = gen.BinlogConfig(n_events=4_000, n_shards=3, dup_rate=0.04,
+                           shuffle_window=96, ddl_every=1_000,
+                           ddl_defaults=True, delete_rate=0.06,
+                           update_rate=0.55, seed=55,
+                           update_mode="patch")
+    log = gen.gen_binlog(base, cfg)
+    events = pa.concat_tables(log.shards)
+    ddls = [d for d in (__import__("json").loads(x) for x in
+            events.filter(pa.compute.equal(events["op"], "DDL"))
+            ["ddl"].to_pylist()) if "default" in d]
+    assert ddls
+    expected, _ = oracle.apply_events(events, initial=base,
+                                      update_mode="patch")
+    binlog_dir = str(tmp_path / "binlog")
+    log.write(binlog_dir)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=str(tmp_path / "lake"), binlog_dir=binlog_dir,
+        num_partitions=6, epoch_size=1_000, update_mode="patch"))
+    pipe.run(base=base_path)
+    got = _normalize(pipe.final_table().to_pandas())
+    pd.testing.assert_frame_equal(got, _normalize(expected),
+                                  check_dtype=False)

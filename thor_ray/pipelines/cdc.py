@@ -636,6 +636,39 @@ def _patch_fold_table(t: pa.Table, all_entries: list) -> pd.DataFrame:
         for c, acc in accs.items():
             extras[c] = json.dumps(acc, sort_keys=True)
 
+    # DDL defaults (add_column with "default"): the oracle backfills every
+    # row PRESENT at the DDL lsn L. Keys present only via prior state are
+    # handled by the backfilled-state inheritance (_reset=False); here we
+    # inject for keys whose own epoch chain establishes presence at L —
+    # last pre-L event is I/U (not D) — unless a post-L reset wipes the
+    # row (I full image / D). Nothing can write the column before L (it
+    # did not exist; strict rename mapping drops unknown keys), so
+    # setdefault never overrides a real post-L write.
+    registry_d = SchemaRegistry(all_entries)
+    lsn0o = lsn0[order]
+    for e in registry_d.entries:
+        a = e["ddl"]
+        if (e.get("rejected") or a["action"] != "add_column"
+                or "default" not in a):
+            continue
+        fname = registry_d.rename_into(e["schema_ver"] + 1).get(a["name"])
+        if not fname:
+            continue
+        L = e["lsn"]
+        prem = lsn0o < L
+        if not prem.any():
+            continue
+        lastpre = np.full(K, -1, dtype=np.int64)
+        np.maximum.at(lastpre, cid[prem], pos[prem])
+        present = (lastpre >= 0) & (op_idx[np.maximum(lastpre, 0)] != d_code)
+        reset_after = has_reset.copy()
+        reset_after[has_reset] = lsn0o[lr[has_reset]] > L
+        for ck in np.flatnonzero(present & ~reset_after):
+            acc = json.loads(extras[ck])
+            if acc.get(fname) is None:
+                acc[fname] = a["default"]
+                extras[int(ck)] = json.dumps(acc, sort_keys=True)
+
     out["lsn"] = lsn0[order[lastp]].tolist()
     out["pid"] = pid0[order[lastp]].tolist()
     out["op"] = np.where(op_idx[lastp] == d_code, "D", "U").tolist()
