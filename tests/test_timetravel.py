@@ -664,6 +664,7 @@ def test_status_summary(ray_session, fixture, tmp_path):
     assert s["tags"] == {"rel": pipe.snapshots()[-1]}
     assert s["snapshots"] == pipe.snapshots()
     assert s["dlq_files"] == 0 and s["consumer_groups"] == {}
+    assert s["producer"] is None  # no write-edge state on this log
 
 
 def test_branch_at_tag(ray_session, fixture, tmp_path):

@@ -2715,7 +2715,19 @@ class CdcPipeline:
                                 for g, e in groups.items()},
             "dlq_files": len(_glob.glob(os.path.join(
                 cfg.lake_dir, "_dlq", "dlq-*.parquet"))),
+            "producer": self._producer_status(),
         }
+
+    def _producer_status(self) -> "dict | None":
+        """BinlogProducer state file, when the log has one (write edge)."""
+        p = os.path.join(self.cfg.binlog_dir, "_producer.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            st = json.load(f)
+        return {"next_lsn": st.get("next_lsn"),
+                "schema_ver": st.get("schema_ver"),
+                "writer_gen": st.get("writer_gen")}
 
     def tag(self, name: str, epoch: int | None = None,
             replace: bool = False) -> int:
