@@ -111,11 +111,18 @@ def test_producer_jsonl_wire(ray_session, tmp_path):
     p = BinlogProducer(bdir, n_shards=2, fmt="jsonl")
     p.append("I", "r", "x.py", commit="c", lang="py", content="body")
     p.append("I", "r", "y.py", commit="c", lang="py", content="body2")
+    p.append_ddl("add_column", "stars", type="int64", default=3)
     p.flush()
     files = binlog_src.shard_files(bdir)
     assert files and files[0].endswith(".jsonl")
     ev = read_produced_events(bdir)
-    assert ev.num_rows == 2 and ev["lsn"].to_pylist() == [1, 2]
+    assert ev.num_rows == 3 and ev["lsn"].to_pylist() == [1, 2, 3]
+    # the DDL payload (incl. default) survives the text wire
+    import json as _json
+    d = _json.loads(ev.filter(pa.compute.equal(ev["op"], "DDL"))
+                    ["ddl"].to_pylist()[0])
+    assert d == {"action": "add_column", "name": "stars",
+                 "type": "int64", "default": 3}
     assert ev.schema.field("ts").type == pa.timestamp("us")
     # a second producer inherits the wire format from the log
     p2 = BinlogProducer(bdir)
