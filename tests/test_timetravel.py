@@ -802,3 +802,57 @@ def test_fsck_audits_history_and_tags(ray_session, fixture, tmp_path):
     r3 = fsck(lake)
     assert not r3["ok"]
     assert any("missing snapshot file" in e for e in r3["errors"])
+
+
+def test_restore_then_sink_reset(ray_session, tmp_path):
+    """Restore × sink: rolled-back epochs leave STALE sink segments the
+    exactly-once skip would keep forever; sink.reset(to_epoch) drops
+    them and rewinds the group, so the re-advance exports the rewritten
+    feed and the fold converges to the live state."""
+    import glob as _glob
+
+    from thor_ray.sources import SinkConnector
+    from thor_ray.sources.lake import read_changefeed
+    from thor_ray.state import load_manifests
+
+    base = gen.gen_base_table(n_repos=12, paths_per_repo=8, seed=48)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=4_500, n_shards=3, ddl_every=0, delete_rate=0.08,
+        update_rate=0.5, seed=48))
+    d = str(tmp_path / "rs")
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    lake = os.path.join(d, "lake")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake, binlog_dir=binlog_dir, num_partitions=6,
+        epoch_size=EPOCH, write_mode="delta", compact_every=1_000_000,
+        retain_snapshots=99))
+    pipe.run(base=base_path)
+    n_epochs = min(m.epoch for m in load_manifests(lake).values())
+
+    sink = SinkConnector(lake, os.path.join(d, "out"), "exporter")
+    sink.advance()
+    k = n_epochs - 1
+    pipe.restore(epoch=k)
+    removed = sink.reset(k)
+    assert removed == n_epochs - k
+    assert sink.consumer.committed() == k
+
+    pipe.run()   # rewrites epochs k+1.. (same binlog → same content here)
+    r = sink.advance()
+    assert r["committed"] == n_epochs and r["epochs_written"] == \
+        n_epochs - k
+
+    def norm_feed(df):
+        df = df.where(pd.notna(df), None)
+        return df.sort_values(["repo", "path", "lsn"]).reset_index(
+            drop=True)[sorted(df.columns)]
+
+    files = _glob.glob(os.path.join(d, "out", "epoch=*", "*.parquet"))
+    sunk = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                     ignore_index=True)
+    feed = read_changefeed(lake, 0, n_epochs).to_pandas()
+    pd.testing.assert_frame_equal(norm_feed(sunk), norm_feed(feed),
+                                  check_dtype=False)

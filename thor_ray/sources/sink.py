@@ -11,6 +11,7 @@ out_dir must be shared storage (S3/NFS), same as the lake.
 
 from __future__ import annotations
 
+import glob
 import os
 
 import numpy as np
@@ -241,6 +242,27 @@ class SinkConnector:
 
         return _diff_manifest_sets(ms_a, ms_b, payload_b=True) \
             .map_batches(shape, batch_format="pyarrow")
+
+    def reset(self, to_epoch: int) -> int:
+        """Post-restore repair: the lake rewrote epochs past a
+        point-in-time restore, so this sink's already-written segments
+        for epochs > ``to_epoch`` are STALE — and the exactly-once
+        rename-skip would preserve them forever. Drop them and seek the
+        group back so the next advance() re-exports the rewritten feed.
+        Returns the number of segment directories removed."""
+        import shutil
+
+        removed = 0
+        for d in glob.glob(os.path.join(self.out_dir, "epoch=*")):
+            try:
+                e = int(os.path.basename(d).split("=", 1)[1])
+            except ValueError:
+                continue
+            if e > to_epoch:
+                shutil.rmtree(d)
+                removed += 1
+        self.consumer.seek(min(self.consumer.committed(), to_epoch))
+        return removed
 
     def advance(self) -> dict:
         """Consume every uncommitted epoch: write, then commit. Returns
