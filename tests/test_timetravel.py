@@ -856,3 +856,60 @@ def test_restore_then_sink_reset(ray_session, tmp_path):
     feed = read_changefeed(lake, 0, n_epochs).to_pandas()
     pd.testing.assert_frame_equal(norm_feed(sunk), norm_feed(feed),
                                   check_dtype=False)
+
+
+def test_restore_fences_consumers(ray_session, tmp_path):
+    """Restore fencing: indexes and views that advanced before a
+    point-in-time restore fail loudly (stale state) instead of serving
+    pre-restore epochs; a rebuild re-anchors and clears the fence."""
+    import shutil as _shutil
+
+    from thor_ray.pipelines.ivm import IncrementalView
+    from thor_ray.sources.secondary import SecondaryIndex
+
+    base = gen.gen_base_table(n_repos=10, paths_per_repo=8, seed=49)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=4_500, n_shards=3, ddl_every=0, delete_rate=0.06,
+        update_rate=0.5, seed=49))
+    d = str(tmp_path / "rf")
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    lake = os.path.join(d, "lake")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake, binlog_dir=binlog_dir, num_partitions=6,
+        epoch_size=EPOCH, write_mode="delta", compact_every=1_000_000,
+        retain_snapshots=99))
+    pipe.run(base=base_path)
+    n_epochs = pipe.snapshots()[-1]
+
+    idx = SecondaryIndex(lake, os.path.join(d, "idx"), "lang")
+    idx.advance()
+    view = IncrementalView(lake, os.path.join(d, "view"), "lang")
+    view.advance()
+
+    pipe.restore(epoch=n_epochs - 1)
+    pipe.run()   # reconverge (same binlog)
+    with pytest.raises(ValueError, match="restored"):
+        idx.advance()
+    with pytest.raises(ValueError, match="restored"):
+        idx.probe("py")
+    with pytest.raises(ValueError, match="restored"):
+        view.advance()
+
+    # rebuild re-anchors: fresh index dir builds clean and serves
+    _shutil.rmtree(os.path.join(d, "idx"))
+    idx2 = SecondaryIndex(lake, os.path.join(d, "idx"), "lang")
+    idx2.advance()
+    df = pipe.final_table().to_pandas()
+    v = sorted(df["lang"].dropna().unique())[0]
+    exp = df.loc[df["lang"] == v, ["repo", "path"]] \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(idx2.probe_local(v), exp)
+    # view.rebuild() re-anchors from the live lake and matches a recount
+    v2 = view.rebuild()
+    counts = df.groupby("lang").size().astype("int64")
+    got = v2.set_index("lang")["n_rows"].astype("int64")
+    assert got.sort_index().equals(counts.sort_index()), (got, counts)
+    view.advance()   # fence cleared by the rebuild's fresh stamp

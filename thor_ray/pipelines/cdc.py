@@ -2644,6 +2644,8 @@ class CdcPipeline:
         for name, te in list(self.tags().items()):
             if te > epoch:
                 delete_tag(cfg.lake_dir, name)
+        from thor_ray.state import record_restore
+        record_restore(cfg.lake_dir, epoch)
         return epoch
 
     def unload(self, out_dir: str, by: str = "lang",

@@ -54,6 +54,18 @@ _MANIFEST = "_view_manifest.json"
 _KEY_COLS = ["repo", "path"]
 
 
+def _check_restores(lake_dir: str, man: dict, what: str) -> None:
+    """A point-in-time restore rewrites lake epochs — a view folded
+    before it holds stale aggregates; fail loudly (restore fencing)."""
+    from thor_ray.state import restore_count
+
+    rc = restore_count(lake_dir)
+    if man.get("lake_restores", 0) != rc:
+        raise ValueError(
+            f"lake {lake_dir} was point-in-time restored (restore #{rc}) "
+            f"after this {what} last advanced — stale state; rebuild()")
+
+
 def _atomic_json(path: str, payload: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -203,6 +215,7 @@ class IncrementalView:
         no-shuffle task bundle over partitions; driver folds only the
         output-sized group deltas. Idempotent per (range)."""
         man = self._load()
+        _check_restores(self.lake_dir, man, "view")
         e0 = int(man["epoch"])
         e1 = self._lake_epoch() if upto_epoch is None else int(upto_epoch)
         if e1 < e0:
@@ -245,12 +258,14 @@ class IncrementalView:
 
         view_rel = f"view-e{e1:06d}.parquet"
         v.to_parquet(os.path.join(self.view_dir, view_rel), index=False)
+        from thor_ray.state import restore_count
         new_man = {
             "epoch": e1, "view": view_rel,
             "keys": {str(p): os.path.join(
                 "keys", f"part={p:05d}", f"keys-e{e1:06d}.parquet")
                 for p in pids},
             "group_col": self.group_col, "metric": self.metric,
+            "lake_restores": restore_count(self.lake_dir),
         }
         _atomic_json(os.path.join(self.view_dir, _MANIFEST), new_man)
         self._gc(new_man)
@@ -294,12 +309,14 @@ class IncrementalView:
         v["m_sum"] = v["m_sum"].astype("int64")
         view_rel = f"view-e{e1:06d}.parquet"
         v.to_parquet(os.path.join(self.view_dir, view_rel), index=False)
+        from thor_ray.state import restore_count
         new_man = {
             "epoch": e1, "view": view_rel,
             "keys": {str(p): os.path.join(
                 "keys", f"part={p:05d}", f"keys-e{e1:06d}.parquet")
                 for p in pids},
             "group_col": self.group_col, "metric": self.metric,
+            "lake_restores": restore_count(self.lake_dir),
         }
         _atomic_json(os.path.join(self.view_dir, _MANIFEST), new_man)
         self._gc(new_man)
@@ -453,6 +470,7 @@ class RetractionView:
         from thor_ray.sources import read_changefeed_full
 
         man = self._load()
+        _check_restores(self.lake_dir, man, "view")
         e0 = int(man["epoch"])
         e1 = self._lake_epoch() if upto_epoch is None else int(upto_epoch)
         if e1 < e0:
@@ -505,9 +523,11 @@ class RetractionView:
 
         view_rel = f"view-e{e1:06d}.parquet"
         v.to_parquet(os.path.join(self.view_dir, view_rel), index=False)
+        from thor_ray.state import restore_count
         _atomic_json(self._manifest, {
             "epoch": e1, "view": view_rel,
-            "group_col": gcol, "metric": metric})
+            "group_col": gcol, "metric": metric,
+            "lake_restores": restore_count(self.lake_dir)})
         for f in glob.glob(os.path.join(self.view_dir, "view-e*.parquet")):
             if os.path.basename(f) != view_rel:
                 os.remove(f)

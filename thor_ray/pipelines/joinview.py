@@ -290,6 +290,14 @@ class JoinView:
         (view_b, upto_b] into the stitch ledgers. One no-shuffle task
         bundle over partitions; idempotent per range."""
         man = self._load()
+        from thor_ray.state import restore_count
+        for side, lake in (("a", self.lake_a), ("b", self.lake_b)):
+            rc = restore_count(lake)
+            if man.get(f"lake_restores_{side}", 0) != rc:
+                raise ValueError(
+                    f"lake {lake} was point-in-time restored (restore "
+                    f"#{rc}) after this join view last advanced — stale "
+                    "ledger; rebuild()")
         ea0, eb0 = int(man["epoch_a"]), int(man["epoch_b"])
         ea1 = self._lake_epoch(self.lake_a) if upto_a is None else int(upto_a)
         eb1 = self._lake_epoch(self.lake_b) if upto_b is None else int(upto_b)
@@ -359,7 +367,10 @@ class JoinView:
                 "n_inner": int(stats["n_inner"].sum())}
 
     def _commit(self, ea1: int, eb1: int, pids: list[int]) -> None:
+        from thor_ray.state import restore_count
         man = {"epoch_a": ea1, "epoch_b": eb1,
+               "lake_restores_a": restore_count(self.lake_a),
+               "lake_restores_b": restore_count(self.lake_b),
                "parts": {str(p): os.path.join(
                    f"part={p:05d}", f"join-a{ea1:06d}-b{eb1:06d}.parquet")
                    for p in pids},

@@ -229,9 +229,24 @@ class SecondaryIndex:
         return m
 
     def _commit(self, epoch: int, anchor: int, P: int) -> None:
+        from thor_ray.state import restore_count
+
         _atomic_json(os.path.join(self.index_dir, _MANIFEST),
                      {"col": self.col, "epoch": epoch, "anchor": anchor,
-                      "num_partitions": P, "hash_impl": _hash_impl()})
+                      "num_partitions": P, "hash_impl": _hash_impl(),
+                      "lake_restores": restore_count(self.lake_dir)})
+
+    def _check_restores(self, m: dict) -> None:
+        """A point-in-time restore rewrites lake epochs — runs this index
+        folded before it are stale; fail loudly (restore fencing)."""
+        from thor_ray.state import restore_count
+
+        rc = restore_count(self.lake_dir)
+        if m.get("lake_restores", 0) != rc:
+            raise ValueError(
+                f"lake {self.lake_dir} was point-in-time restored "
+                f"(restore #{rc}) after this index last advanced — its "
+                "runs are stale; delete the index dir and build() again")
 
     def epoch(self) -> int:
         m = self._manifest()
@@ -304,6 +319,7 @@ class SecondaryIndex:
         if m is None:
             self.build()
             m = self._manifest()
+        self._check_restores(m)
         ms, cur = self._lake_state()
         upto = cur if upto_epoch is None else upto_epoch
         e0 = m["epoch"]
@@ -386,6 +402,7 @@ class SecondaryIndex:
         m = self._manifest()
         if m is None:
             raise ValueError("index not built")
+        self._check_restores(m)
         sval = _probe_str(value)
         vh = _val_hash(pa.array([sval], pa.string()))
         impl, idx_dir = m["hash_impl"], self.index_dir
@@ -425,6 +442,7 @@ class SecondaryIndex:
         m = self._manifest()
         if m is None:
             raise ValueError("index not built")
+        self._check_restores(m)
         sval = _probe_str(value)
         vh = _val_hash(pa.array([sval], pa.string()))
         outs = [_probe_partition(d, sval, vh, m["hash_impl"], stats)

@@ -213,6 +213,25 @@ def _tags_path(lake_dir: str) -> str:
     return os.path.join(_manifest_dir(lake_dir), "tags.json")
 
 
+def restore_count(lake_dir: str) -> int:
+    """How many point-in-time restores this lake has undergone. Derived
+    consumers (indexes, views, sinks, replicas) persist the count they
+    last advanced under and fail loudly on mismatch — a restore rewrites
+    epochs, so any state keyed by pre-restore epochs is stale."""
+    p = os.path.join(_manifest_dir(lake_dir), "restores.json")
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["count"])
+
+
+def record_restore(lake_dir: str, epoch: int) -> int:
+    c = restore_count(lake_dir) + 1
+    _atomic_write(os.path.join(_manifest_dir(lake_dir), "restores.json"),
+                  {"count": c, "epoch": int(epoch)})
+    return c
+
+
 def list_tags(lake_dir: str) -> dict[str, int]:
     """name -> epoch for every savepoint tag on the lake."""
     p = _tags_path(lake_dir)
