@@ -303,3 +303,51 @@ def test_replica_reseeds_over_retention_gap(ray_session, tmp_path):
     assert all(len(m.files) == 1 and m.row_count >= 0 for m in ms.values())
     chk = fsck(rep, deep=True)                # mirrored manifests verify
     assert chk["ok"], chk["errors"]
+
+
+def test_replica_reseeds_after_primary_restore(ray_session, tmp_path):
+    """Restore self-heal: a point-in-time restore rewrites primary
+    epochs; the replica detects the bumped restore count and falls back
+    to a full snapshot re-seed instead of serving stale runs."""
+    base = gen.gen_base_table(n_repos=10, paths_per_repo=8, seed=52)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=4_500, n_shards=3, ddl_every=0, delete_rate=0.06,
+        update_rate=0.5, seed=52))
+    d = str(tmp_path)
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    lake = os.path.join(d, "lake")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake, binlog_dir=binlog_dir, num_partitions=6,
+        epoch_size=1_500, write_mode="delta", compact_every=1_000_000,
+        retain_snapshots=99))
+    pipe.run(base=base_path)
+    n_epochs = pipe.snapshots()[-1]
+
+    replica = os.path.join(d, "replica")
+    r1 = replicate_lake(lake, replica)
+    assert r1["caught_up"]
+
+    pipe.restore(epoch=n_epochs - 1)
+    pipe.run()   # reconverge
+    r2 = replicate_lake(lake, replica)
+    assert r2["caught_up"]
+
+    def norm(ds):
+        df = ds.to_pandas()
+        df = df.where(pd.notna(df), None)
+        return df.sort_values(["repo", "path"]).reset_index(drop=True)[
+            sorted(df.columns)]
+
+    pd.testing.assert_frame_equal(norm(read_lake(replica)),
+                                  norm(pipe.final_table()),
+                                  check_dtype=False)
+    # the identity file now records the primary's restore count — the
+    # next replicate is incremental again (not a re-seed)
+    import json as _json
+    with open(os.path.join(replica, "_schema", "replica.json")) as f:
+        assert _json.load(f)["src_restores"] == 1
+    r3 = replicate_lake(lake, replica)
+    assert r3["epochs_applied"] == 0 and r3["caught_up"]

@@ -956,14 +956,22 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
     # durable identity marker — survives replica-side maintenance
     # (compaction rewrites manifests and their lineage)
     ident_path = os.path.join(dst_lake, "_schema", "replica.json")
-    ident = None
+    ident, ident_rc = None, 0
     if os.path.exists(ident_path):
         with open(ident_path) as f:
-            ident = json.load(f).get("replica_of")
+            _doc = json.load(f)
+        ident = _doc.get("replica_of")
+        ident_rc = _doc.get("src_restores", 0)
     if dst_ms and ident != src_abs:
         raise ValueError(
             f"{dst_lake} is not a replica of {src_abs} "
             f"(identity says {ident!r})")
+    # restore self-heal: a point-in-time restore rewrote primary epochs,
+    # so every replica run past the restore point is stale — fall back
+    # to a full snapshot re-seed in place (the retention-gap path)
+    from thor_ray.state import restore_count
+    src_rc = restore_count(src_lake)
+    restored_since = bool(dst_ms) and ident_rc != src_rc
     # the replica's own slowest partition is the resume point — a torn
     # apply (some manifests swapped, some not) re-delivers the gap
     lo = min((m.epoch for m in dst_ms.values()), default=0)
@@ -971,7 +979,7 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
     parts = sorted(_glob.glob(os.path.join(src_lake, "part=*")))
 
     work: list[tuple[int, int, str]] = []   # (epoch, pid, src_path)
-    seeding = not dst_ms
+    seeding = not dst_ms or restored_since
     stopped = None
     rebase = None
     if not seeding:
@@ -1057,9 +1065,10 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
 
     reg = SchemaRegistry.load(src_lake)
     reg.save(dst_lake)
-    if ident is None:
+    if ident is None or ident_rc != src_rc:
         from thor_ray.state.manifest import _atomic_write  # noqa: SLF001
-        _atomic_write(ident_path, {"replica_of": src_abs})
+        _atomic_write(ident_path, {"replica_of": src_abs,
+                                   "src_restores": src_rc})
     eng = os.path.join(src_lake, "_schema", "engine.json")
     if os.path.exists(eng):   # routing identity: lookups hash identically
         tmp = os.path.join(dst_lake, "_schema", "engine.json")
