@@ -302,6 +302,28 @@ def cmd_update(a) -> int:
     return 0
 
 
+def cmd_consumer(a) -> int:
+    """Changefeed consumer-group admin: list offsets/lag, or reset one
+    group's offset (kafka-consumer-groups analogue; metadata only)."""
+    from thor_ray.sources.lake import ChangefeedConsumer, consumer_groups
+    from thor_ray.state import load_manifests
+
+    if a.seek is not None:
+        if not a.group:
+            print(json.dumps({"error": "--seek needs --group"}))
+            return 1
+        c = ChangefeedConsumer(a.lake, a.group)
+        c.seek(a.seek)
+        print(json.dumps({"group": a.group, "epoch": a.seek}))
+        return 0
+    ms = load_manifests(a.lake)
+    cur = min((m.epoch for m in ms.values()), default=0)
+    out = {g: {"epoch": e, "lag": cur - e}
+           for g, e in consumer_groups(a.lake).items()}
+    print(json.dumps({"lake_epoch": cur, "groups": out}))
+    return 0
+
+
 def cmd_restore(a) -> int:
     """Point-in-time RESTORE: roll the lake back to a retained epoch or
     savepoint tag in place; re-apply with a subsequent `run`."""
@@ -703,6 +725,16 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--partitions", type=int, default=64)
     up.add_argument("--num-cpus", type=int)
     up.set_defaults(fn=cmd_update)
+
+    cg = sub.add_parser("consumer", help="changefeed consumer-group admin: "
+                                         "list offsets/lag or reset one "
+                                         "(metadata only)")
+    cg.add_argument("--lake", required=True)
+    cg.add_argument("--group")
+    cg.add_argument("--seek", type=int,
+                    help="reset the group's offset to this epoch "
+                         "(re-consumes from there; at-least-once)")
+    cg.set_defaults(fn=cmd_consumer)
 
     rs = sub.add_parser("restore", help="roll the lake back to a retained "
                                         "epoch/tag in place (rewind-and-"
