@@ -536,3 +536,31 @@ def test_live_produce_follow_consumers(ray_session, tmp_path):
     exp = df.loc[df["lang"] == v, ["repo", "path"]] \
         .sort_values(["repo", "path"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(idx.probe_local(v), exp)
+
+
+def test_transaction_feed(ray_session, tmp_path):
+    """Transaction metadata feed (Debezium transaction-topic analogue):
+    per-txn event counts and lsn spans match a pandas recount; multi-
+    event transactions are represented whole."""
+    base = gen.gen_base_table(n_repos=8, paths_per_repo=8, seed=62)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=3_000, n_shards=3, ddl_every=1_000, delete_rate=0.06,
+        update_rate=0.5, seed=62))
+    binlog_dir = str(tmp_path / "binlog")
+    log.write(binlog_dir)
+    got = bs.transaction_feed(binlog_dir).to_pandas() \
+        .sort_values("txn").reset_index(drop=True)
+
+    ev = pa.concat_tables(log.shards).to_pandas()
+    ev = ev[ev["op"] != "DDL"]   # read_epoch serves data events only
+    want = ev.groupby("txn").agg(
+        n_events=("lsn", "size"),
+        n_i=("op", lambda s: int((s == "I").sum())),
+        n_u=("op", lambda s: int((s == "U").sum())),
+        n_d=("op", lambda s: int((s == "D").sum())),
+        lsn_min=("lsn", "min"), lsn_max=("lsn", "max"),
+    ).reset_index().sort_values("txn").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in got.columns}), want,
+        check_dtype=False)
+    assert (want["n_events"] > 1).any()   # multi-event txns exercised

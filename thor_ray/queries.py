@@ -14622,6 +14622,33 @@ def q380_unload_partitioned(sf: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q381_transaction_feed(sf: str):
+    """Transaction metadata feed (sources/binlog.py::transaction_feed,
+    rows-only — Debezium transaction-topic analogue): per-txn event
+    counts and lsn spans from the log in one partial+combine pass.
+    Pandas-recount equality is pinned in
+    tests/test_tailing.py::test_transaction_feed. Returns the
+    txn-size histogram."""
+    import os
+    import shutil
+
+    from thor_ray import gen
+    from thor_ray.sources import transaction_feed
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_txn_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=20, paths_per_repo=12, seed=83)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=6_000, n_shards=4, delete_rate=0.06, seed=83))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+    feed = transaction_feed(bdir).to_pandas()
+    out = (feed.groupby("n_events", as_index=False).size()
+           .rename(columns={"size": "n_txns"}))
+    return out.sort_values("n_events").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15000,6 +15027,7 @@ QUERIES: dict[str, tuple] = {
     "q378_bulk_ingest": (q378_bulk_ingest, None),
     "q379_restore_replay": (q379_restore_replay, None),
     "q380_unload_partitioned": (q380_unload_partitioned, None),
+    "q381_transaction_feed": (q381_transaction_feed, None),
     "q362_cheapest_per_type": (q362_cheapest_per_type, SQL_Q362),
     "q363_value_share_parts": (q363_value_share_parts, SQL_Q363),
     "q364_supplier_counts_not_in": (q364_supplier_counts_not_in, SQL_Q364),

@@ -1,4 +1,5 @@
 from .binlog import (max_lsn, read_ddl_events, read_epoch, safe_frontier,
+                     transaction_feed,
                      shard_frontiers)
 from .branch import (branch_info, create_branch, delete_branch, lake_diff,
                      merge_branch)
@@ -27,4 +28,5 @@ __all__ = ["ChangefeedConsumer", "SinkConnector", "compact_lake", "compact_upto"
            "read_lake_at", "read_lineage", "read_partition_state",
            "read_range", "replicate_lake", "SecondaryIndex",
            "snapshot_diff", "write_partitioned", "consistent_epoch",
-           "read_demux_consistent", "BinlogProducer", "read_produced_events"]
+           "read_demux_consistent", "BinlogProducer", "read_produced_events",
+           "transaction_feed"]

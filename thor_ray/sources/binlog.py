@@ -564,3 +564,54 @@ def compact_text_shards(binlog_dir: str, row_group_size: int = 16_384
     for p in converted:
         os.replace(p, os.path.join(arch, os.path.basename(p)))
     return n
+
+
+def transaction_feed(binlog_dir: str, lo: int = 0,
+                     hi: int | None = None) -> "ray.data.Dataset":
+    """Debezium transaction-metadata-topic analogue: one record per
+    transaction with lsn span and per-op event counts, derived from the
+    log range (lo, hi] in one distributed pass (pre-aggregated per batch
+    inside map_batches, then one small groupby over txn ids — the
+    partial/combiner shape, so the shuffle carries txn-count-sized rows,
+    never events). Columns: txn, n_events, n_i, n_u, n_d, lsn_min,
+    lsn_max. DDL events carry their own txn ids and appear as
+    single-event transactions (the schema-change feed is the richer
+    view of those)."""
+    if hi is None:
+        hi = max_lsn(binlog_dir)
+    ds = read_epoch(binlog_dir, lo, hi, columns=["lsn", "txn", "op"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = pa.TableGroupBy(t.append_column(
+            "is_i", pc.cast(pc.equal(t["op"], "I"), pa.int64()))
+            .append_column("is_u", pc.cast(pc.equal(t["op"], "U"),
+                                           pa.int64()))
+            .append_column("is_d", pc.cast(pc.equal(t["op"], "D"),
+                                           pa.int64())), "txn")
+        out = g.aggregate([("lsn", "count"), ("is_i", "sum"),
+                           ("is_u", "sum"), ("is_d", "sum"),
+                           ("lsn", "min"), ("lsn", "max")])
+        # rename by NAME — aggregate/key column order differs across
+        # pyarrow versions (ADVICE round 1)
+        ren = {"lsn_count": "n_events", "is_i_sum": "n_i",
+               "is_u_sum": "n_u", "is_d_sum": "n_d",
+               "lsn_min": "lsn_min", "lsn_max": "lsn_max"}
+        out = out.rename_columns([ren.get(c, c) for c in out.column_names])
+        return out.select(["txn", "n_events", "n_i", "n_u", "n_d",
+                           "lsn_min", "lsn_max"])
+
+    def combine(g):
+        import pandas as pd
+        return pd.DataFrame([{
+            "txn": g["txn"].iloc[0],
+            "n_events": int(g["n_events"].sum()),
+            "n_i": int(g["n_i"].sum()), "n_u": int(g["n_u"].sum()),
+            "n_d": int(g["n_d"].sum()),
+            "lsn_min": int(g["lsn_min"].min()),
+            "lsn_max": int(g["lsn_max"].max()),
+        }])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("txn")
+            .map_groups(combine, batch_format="pandas"))
