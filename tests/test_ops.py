@@ -2320,3 +2320,29 @@ def test_kcore_matches_reference_peel(ray_session):
             want = ref_kcore(pairs, k)
             got_map = dict(zip(got.get("node", []), got.get("degree", [])))
             assert got_map == want, (trial, k)
+
+
+def test_geo_kernels():
+    """ops/geo.py: haversine against known city pair; nearest_site ties
+    resolve to the lowest site id; grid_cell floor-division layout."""
+    import numpy as np
+    import pyarrow as pa
+
+    from thor_ray.ops.geo import grid_cell, haversine_km, nearest_site
+
+    # Paris (48.8566, 2.3522) -> London (51.5074, -0.1278) ~ 343.5 km
+    d = haversine_km(48.8566, 2.3522, 51.5074, -0.1278)
+    assert abs(float(d) - 343.5) < 1.5
+    assert float(haversine_km(10.0, 20.0, 10.0, 20.0)) == 0.0
+
+    # two sites equidistant from the probe point: argmin takes site 0
+    t = pa.table({"lat": pa.array([5, 0], pa.int64()),
+                  "lon": pa.array([0, 7], pa.int64())})
+    sites = np.array([[10, 0], [0, 0]], dtype=np.int64)
+    out = nearest_site(t, sites, "lat", "lon")
+    assert out["site_id"].to_pylist() == [0, 1]
+
+    g = grid_cell(pa.table({"la": pa.array([1499, 1500], pa.int64()),
+                            "lo": pa.array([999, 1000], pa.int64())}),
+                  "la", "lo", cell=500, width=10)
+    assert g["cell"].to_pylist() == [2 * 10 + 1, 3 * 10 + 2]

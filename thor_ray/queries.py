@@ -14649,6 +14649,212 @@ def q381_transaction_feed(sf: str):
     return out.sort_values("n_events").reset_index(drop=True)
 
 
+def q382_geo_grid_density(sf: str):
+    """Geospatial grid density (ops/geo.py::grid_density): deterministic
+    integer coordinates derived from user_id by pure int arithmetic
+    (SQL-replayable), map-side cell assignment + per-batch combiner
+    partials, ONE tiny cell-keyed groupby — row-sized data never enters
+    a spatial shuffle."""
+    from thor_ray.ops import geo as GEO
+    ds = T(sf, "events", ["user_id", "value"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return pa.table({
+            "lat_i": pa.array((uid * 7919) % 17000),
+            "lon_i": pa.array((uid * 104729) % 35000),
+            "cents": cents,
+        })
+
+    out = GEO.grid_density(
+        ds.map_batches(coords, batch_format="pyarrow"),
+        "lat_i", "lon_i", cell=1000, weight_col="cents", width=100)
+    return out.sort("cell")
+
+
+SQL_Q382 = """
+WITH pts AS (
+  SELECT ((user_id * 7919) % 17000) // 1000 AS cy,
+         ((user_id * 104729) % 35000) // 1000 AS cx,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT cy * 100 + cx AS cell, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS w
+FROM pts GROUP BY cell ORDER BY cell
+"""
+
+
+def q383_geo_nearest(sf: str):
+    """Nearest-facility assignment (ops/geo.py::nearest_site): the site
+    table is broadcast once via ray.put, each batch resolves its argmin
+    with one squared-distance matrix (exact int64, ties to the lowest
+    site id), per-batch combiner partials fold into a site-keyed tiny
+    groupby. The classic broadcast spatial join — no shuffle of the big
+    side."""
+    from ray.data.aggregate import Sum
+
+    from thor_ray.ops import geo as GEO
+    ds = T(sf, "customer", ["c_custkey", "c_acctbal"])
+    sites = np.array([[(s * 2311) % 17000, (s * 4099) % 35000]
+                      for s in range(12)], dtype=np.int64)
+    sref = ray.put(sites)
+
+    def part(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                        pa.int64())
+        pts = pa.table({
+            "lat_i": pa.array((key * 7919) % 17000),
+            "lon_i": pa.array((key * 104729) % 35000),
+            "cents": cents,
+        })
+        pts = GEO.nearest_site(pts, sref, "lat_i", "lon_i")
+        g = pa.table({"site_id": pts["site_id"], "cents": pts["cents"]}) \
+            .group_by("site_id") \
+            .aggregate([("site_id", "count"), ("cents", "sum")])
+        return g.select(["site_id", "site_id_count", "cents_sum"]) \
+            .rename_columns(["site_id", "n", "bal_cents"])
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("site_id")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("bal_cents", alias_name="bal_cents"))
+            .sort("site_id"))
+
+
+SQL_Q383 = """
+WITH pts AS (
+  SELECT c_custkey, ((c_custkey * 7919) % 17000) AS y,
+         ((c_custkey * 104729) % 35000) AS x,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+sites AS (
+  SELECT s AS site_id, (s * 2311) % 17000 AS sy, (s * 4099) % 35000 AS sx
+  FROM generate_series(0, 11) AS t(s)),
+d AS (
+  SELECT c_custkey, cents, site_id,
+         (y - sy) * (y - sy) + (x - sx) * (x - sx) AS d2
+  FROM pts CROSS JOIN sites),
+best AS (
+  SELECT c_custkey, cents, site_id,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY d2, site_id)
+           AS rn
+  FROM d)
+SELECT site_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS bal_cents
+FROM best WHERE rn = 1 GROUP BY site_id ORDER BY site_id
+"""
+
+
+def q384_haversine(sf: str):
+    """Per-supplier great-circle distance to a fixed reference point
+    (ops/geo.py::haversine_km, map-only vectorized doubles). Coordinates
+    are derived real degrees (integer milli-degree grid / 100 − offset);
+    the distance is rounded to 6 decimals on both sides — numpy and
+    DuckDB evaluate the identical formula on the same doubles."""
+    from thor_ray.ops import geo as GEO
+    ds = T(sf, "supplier", ["s_suppkey"])
+
+    def dist(t: pa.Table) -> pa.Table:
+        key = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = ((key * 7919) % 17000) / 100.0 - 85.0
+        lon = ((key * 104729) % 35000) / 100.0 - 175.0
+        km = GEO.haversine_km(lat, lon, 48.85, 2.35)
+        return pa.table({"s_suppkey": t["s_suppkey"],
+                         "dist_km": pa.array(km, type=pa.float64())})
+    out = ds.map_batches(dist, batch_format="pyarrow")
+    return _round_cols(out, {"dist_km": 6}).sort("s_suppkey")
+
+
+SQL_Q384 = """
+WITH pts AS (
+  SELECT s_suppkey,
+         radians(((s_suppkey * 7919) % 17000) / 100.0 - 85.0) AS p1,
+         radians(((s_suppkey * 104729) % 35000) / 100.0 - 175.0) AS l1,
+         radians(48.85) AS p2, radians(2.35) AS l2
+  FROM supplier)
+SELECT s_suppkey,
+       round(2.0 * 6371.0 * asin(sqrt(
+         pow(sin((p2 - p1) / 2.0), 2)
+         + cos(p1) * cos(p2) * pow(sin((l2 - l1) / 2.0), 2))), 6)
+         AS dist_km
+FROM pts ORDER BY s_suppkey
+"""
+
+
+def q385_mad_outliers(sf: str):
+    """Robust MAD outlier count per event type: the 2-decimal value
+    domain is bounded, so ONE (type, cents) combiner-count shuffle yields
+    an output-sized histogram from which the exact interpolated median,
+    the MAD (weighted median of |x − med| over the same histogram — no
+    second data pass), and the |x − med| > 3·MAD outlier count are all
+    folded in doubled integer units (medians of ints land on halves;
+    doubling keeps every comparison exact)."""
+    from ray.data.aggregate import Sum
+
+    ds = T(sf, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        g = pa.table({"event_type": t["event_type"], "cents": cents}) \
+            .group_by(["event_type", "cents"]) \
+            .aggregate([("cents", "count")])
+        return g.select(["event_type", "cents", "cents_count"]) \
+            .rename_columns(["event_type", "cents", "n"])
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))).to_pandas()
+
+    def wmedian2(vals: np.ndarray, cnt: np.ndarray) -> int:
+        """Interpolated median over a (sorted-value, count) histogram, in
+        DOUBLED units (exact int: median of ints is k or k+0.5)."""
+        order = np.argsort(vals, kind="stable")
+        v, c = vals[order], cnt[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        if n % 2 == 1:
+            return int(2 * v[np.searchsorted(cum, (n + 1) // 2)])
+        lo = int(v[np.searchsorted(cum, n // 2)])
+        hi = int(v[np.searchsorted(cum, n // 2 + 1)])
+        return lo + hi
+
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        vals = g["cents"].to_numpy().astype(np.int64)
+        cnt = g["n"].to_numpy().astype(np.int64)
+        med2 = wmedian2(vals, cnt)
+        adev2 = np.abs(2 * vals - med2)          # doubled |x - med|
+        mad4 = wmedian2(adev2, cnt)              # 4× the MAD
+        out_mask = 2 * adev2 > 3 * mad4          # |x-med| > 3*MAD, exact
+        rows.append({"event_type": et,
+                     "n_outliers": int(cnt[out_mask].sum()),
+                     "n": int(cnt.sum()),
+                     "med": med2 / 2.0 / 100.0,
+                     "mad": mad4 / 4.0 / 100.0})
+    return pd.DataFrame(rows)
+
+
+SQL_Q385 = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+m AS (SELECT event_type, median(cents) AS med FROM c GROUP BY event_type),
+d AS (SELECT c.event_type, cents, abs(cents - med) AS adev
+      FROM c JOIN m USING (event_type)),
+mm AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY event_type)
+SELECT d.event_type,
+       count(*) FILTER (WHERE adev > 3 * mad) AS n_outliers,
+       count(*) AS n,
+       any_value(med) / 100.0 AS med,
+       any_value(mad) / 100.0 AS mad
+FROM d JOIN mm USING (event_type) JOIN m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15038,6 +15244,10 @@ QUERIES: dict[str, tuple] = {
     "q369_union_distinct": (q369_union_distinct, SQL_Q369),
     "q370_string_agg_distinct": (q370_string_agg_distinct, SQL_Q370),
     "q371_quarter_having": (q371_quarter_having, SQL_Q371),
+    "q382_geo_grid_density": (q382_geo_grid_density, SQL_Q382),
+    "q383_geo_nearest": (q383_geo_nearest, SQL_Q383),
+    "q384_haversine": (q384_haversine, SQL_Q384),
+    "q385_mad_outliers": (q385_mad_outliers, SQL_Q385),
 }
 
 
