@@ -2346,3 +2346,37 @@ def test_geo_kernels():
                             "lo": pa.array([999, 1000], pa.int64())}),
                   "la", "lo", cell=500, width=10)
     assert g["cell"].to_pylist() == [2 * 10 + 1, 3 * 10 + 2]
+
+
+def test_grid_hotspots(ray_session):
+    """ops/geo.py::grid_hotspots: planted dense blobs become separate
+    clusters, diagonal adjacency merges, sparse cells drop out, and the
+    column-0/width-1 wraparound guard keeps edge cells apart."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from thor_ray.ops.geo import grid_hotspots
+
+    W, C = 10, 100  # width=10 cells, cell size 100
+    def blob(cy, cx, n):
+        return [(cy * C + 10, cx * C + 10)] * n
+
+    pts = (blob(2, 2, 5) + blob(2, 3, 5)      # horizontal pair -> cluster A
+           + blob(5, 5, 5) + blob(6, 6, 5)    # diagonal pair  -> cluster B
+           + blob(8, 0, 5) + blob(7, 9, 5)    # edge cells: col 0 of row 8
+                                              # vs col 9 of row 7 must NOT
+                                              # merge (wraparound guard)
+           + blob(0, 7, 2))                   # sparse: below min_count
+    ds = ray.data.from_arrow(pa.table({
+        "la": pa.array([p[0] for p in pts], pa.int64()),
+        "lo": pa.array([p[1] for p in pts], pa.int64()),
+    }))
+    out = grid_hotspots(ds, "la", "lo", cell=C, min_count=5, width=W)
+    got = dict(zip(out["cell"], out["cluster"]))
+    assert 0 * W + 7 not in got                      # sparse dropped
+    assert got[2 * W + 2] == got[2 * W + 3]          # A merged
+    assert got[5 * W + 5] == got[6 * W + 6]          # B merged (diagonal)
+    assert got[8 * W + 0] != got[7 * W + 9]          # no wraparound merge
+    assert len(set(got.values())) == 4               # A, B, two edge cells
+    assert out.loc[out["cell"] == 2 * W + 2, "n"].item() == 5

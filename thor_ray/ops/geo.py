@@ -104,3 +104,101 @@ def grid_density(ds: Dataset, lat_col: str, lon_col: str, cell: int,
     if weight_col is not None:
         aggs.append(Sum("w", alias_name="w"))
     return parts.groupby("cell").aggregate(*aggs)
+
+
+def travel_distance(ds: Dataset, key_col: str, ts_col: str, ord_col: str,
+                    lat_col: str, lon_col: str, fanout: int = 64,
+                    unit: float = 1e6) -> Dataset:
+    """Per-key trajectory length: haversine over consecutive points in
+    (ts, ord) order. One coarse-salt shuffle (key % fanout → ~fanout Ray
+    groups at any key count), consecutive-segment distances vectorized
+    inside each group, each segment ROUNDED to 1/unit and summed as exact
+    integers — so the per-key total is independent of summation order
+    (float sums are not) and replays bit-for-bit in SQL."""
+    import pyarrow.compute as pc
+
+    def salt(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.bit_wise_and(t[key_col], fanout - 1), pa.int32())
+        return t.append_column("ksalt", s)
+
+    def dist(g: "object") -> "object":
+        import pandas as pd
+        g = g.sort_values([key_col, ts_col, ord_col], kind="stable")
+        keys = g[key_col].to_numpy()
+        if len(keys) == 0:
+            return pd.DataFrame({key_col: keys,
+                                 "dist_km": np.array([], dtype=np.float64)})
+        la = g[lat_col].to_numpy(dtype=np.float64)
+        lo = g[lon_col].to_numpy(dtype=np.float64)
+        km = haversine_km(la[:-1], lo[:-1], la[1:], lo[1:])
+        same = keys[1:] == keys[:-1]
+        # round half-away to 1/unit, exact int sum per key
+        v = km * unit
+        fl = np.floor(v)
+        seg = (fl + (v - fl >= 0.5)).astype(np.int64) * same
+        tot = pd.Series(seg).groupby(keys[:-1]).sum()
+        first_of_key = np.r_[True, keys[1:] != keys[:-1]]
+        uk = keys[first_of_key]
+        out = pd.DataFrame({key_col: uk})
+        # .to_numpy(): the reindexed Series carries KEY values as its
+        # index — direct assignment would align on out's positional index
+        out["dist_km"] = (tot.reindex(uk).fillna(0).astype(np.int64)
+                          .to_numpy() / unit)
+        return out
+
+    return (ds.map_batches(salt, batch_format="pyarrow")
+            .groupby("ksalt").map_groups(dist, batch_format="pandas"))
+
+
+def grid_hotspots(ds: Dataset, lat_col: str, lon_col: str, cell: int,
+                  min_count: int, width: int = 1000) -> "object":
+    """Grid-DBSCAN hotspot clustering: cells with ≥ min_count points are
+    dense; clusters are connected components of 8-adjacent dense cells.
+
+    The corpus-sized work is ONE grid_density pass (map-side cell
+    assignment + tiny cell-keyed groupby); the component fold runs on the
+    dense-cell table, which is output-sized (bounded by the grid, not the
+    data). For grids too large for the driver, feed the dense-cell
+    adjacency pairs to ops/graph.py::connected_components instead — the
+    semantics here are the same. Returns a pandas frame
+    (cell, cluster, n) with cluster = min cell id of the component."""
+    dense = grid_density(ds, lat_col, lon_col, cell,
+                         width=width).to_pandas()
+    dense = dense[dense["n"] >= min_count].reset_index(drop=True)
+    cells = dense["cell"].to_numpy().astype(np.int64)
+    cellset = {}
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for c in cells:
+        parent[int(c)] = int(c)
+        cellset[int(c)] = True
+    for c in cells:
+        cy, cx = divmod(int(c), width)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ny, nx = cy + dy, cx + dx
+                # bounds check: column wraparound would alias cell
+                # (y, 0)-1 onto (y-1, width-1) — a false adjacency
+                if ny < 0 or nx < 0 or nx >= width:
+                    continue
+                nb = ny * width + nx
+                if nb != c and nb in cellset:
+                    union(int(c), nb)
+    import pandas as pd
+    out = pd.DataFrame({
+        "cell": cells,
+        "cluster": [find(int(c)) for c in cells],
+        "n": dense["n"].to_numpy(),
+    })
+    return out.sort_values("cell").reset_index(drop=True)

@@ -14783,76 +14783,74 @@ FROM pts ORDER BY s_suppkey
 """
 
 
-def q385_mad_outliers(sf: str):
-    """Robust MAD outlier count per event type: the 2-decimal value
-    domain is bounded, so ONE (type, cents) combiner-count shuffle yields
-    an output-sized histogram from which the exact interpolated median,
-    the MAD (weighted median of |x − med| over the same histogram — no
-    second data pass), and the |x − med| > 3·MAD outlier count are all
-    folded in doubled integer units (medians of ints land on halves;
-    doubling keeps every comparison exact)."""
-    from ray.data.aggregate import Sum
+def q385_travel_dist(sf: str):
+    """Per-user trajectory length (ops/geo.py::travel_distance): haversine
+    over consecutive event points in (ts, event_id) order — one coarse-salt
+    shuffle, vectorized segment distances inside each group, segments
+    rounded to µm-km and summed as EXACT integers so the per-user total is
+    summation-order-independent and replays bit-for-bit in SQL."""
+    from thor_ray.ops import geo as GEO
+    ds = T(sf, "events", ["event_id", "ts", "user_id"])
 
-    ds = T(sf, "events", ["event_type", "value"])
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"], "event_id": t["event_id"],
+            "lat": pa.array(((eid * 7919) % 17000) / 100.0 - 85.0),
+            "lon": pa.array(((eid * 104729) % 35000) / 100.0 - 175.0),
+        })
 
-    def part(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
-                        pa.int64())
-        g = pa.table({"event_type": t["event_type"], "cents": cents}) \
-            .group_by(["event_type", "cents"]) \
-            .aggregate([("cents", "count")])
-        return g.select(["event_type", "cents", "cents_count"]) \
-            .rename_columns(["event_type", "cents", "n"])
-
-    hist = (ds.map_batches(part, batch_format="pyarrow")
-            .groupby(["event_type", "cents"])
-            .aggregate(Sum("n", alias_name="n"))).to_pandas()
-
-    def wmedian2(vals: np.ndarray, cnt: np.ndarray) -> int:
-        """Interpolated median over a (sorted-value, count) histogram, in
-        DOUBLED units (exact int: median of ints is k or k+0.5)."""
-        order = np.argsort(vals, kind="stable")
-        v, c = vals[order], cnt[order]
-        cum = np.cumsum(c)
-        n = int(cum[-1])
-        if n % 2 == 1:
-            return int(2 * v[np.searchsorted(cum, (n + 1) // 2)])
-        lo = int(v[np.searchsorted(cum, n // 2)])
-        hi = int(v[np.searchsorted(cum, n // 2 + 1)])
-        return lo + hi
-
-    rows = []
-    for et, g in hist.groupby("event_type", sort=True):
-        vals = g["cents"].to_numpy().astype(np.int64)
-        cnt = g["n"].to_numpy().astype(np.int64)
-        med2 = wmedian2(vals, cnt)
-        adev2 = np.abs(2 * vals - med2)          # doubled |x - med|
-        mad4 = wmedian2(adev2, cnt)              # 4× the MAD
-        out_mask = 2 * adev2 > 3 * mad4          # |x-med| > 3*MAD, exact
-        rows.append({"event_type": et,
-                     "n_outliers": int(cnt[out_mask].sum()),
-                     "n": int(cnt.sum()),
-                     "med": med2 / 2.0 / 100.0,
-                     "mad": mad4 / 4.0 / 100.0})
-    return pd.DataFrame(rows)
+    out = GEO.travel_distance(
+        ds.map_batches(coords, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", ord_col="event_id",
+        lat_col="lat", lon_col="lon")
+    return out.sort("user_id")
 
 
 SQL_Q385 = """
-WITH c AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 17000) / 100.0 - 85.0 AS lat,
+         ((event_id * 104729) % 35000) / 100.0 - 175.0 AS lon
   FROM events),
-m AS (SELECT event_type, median(cents) AS med FROM c GROUP BY event_type),
-d AS (SELECT c.event_type, cents, abs(cents - med) AS adev
-      FROM c JOIN m USING (event_type)),
-mm AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY event_type)
-SELECT d.event_type,
-       count(*) FILTER (WHERE adev > 3 * mad) AS n_outliers,
-       count(*) AS n,
-       any_value(med) / 100.0 AS med,
-       any_value(mad) / 100.0 AS mad
-FROM d JOIN mm USING (event_type) JOIN m USING (event_type)
-GROUP BY d.event_type ORDER BY d.event_type
+seg AS (
+  SELECT user_id, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         lat, lon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+d AS (
+  SELECT user_id, CASE WHEN plat IS NULL THEN NULL ELSE
+    CAST(round(2.0 * 6371.0 * asin(sqrt(
+      pow(sin((radians(lat) - radians(plat)) / 2.0), 2)
+      + cos(radians(plat)) * cos(radians(lat))
+        * pow(sin(radians(lon - plon) / 2.0), 2))) * 1000000) AS BIGINT)
+    END AS seg_um
+  FROM seg)
+SELECT user_id,
+       coalesce(CAST(sum(seg_um) AS BIGINT), 0) / 1000000.0 AS dist_km
+FROM d GROUP BY user_id ORDER BY user_id
 """
+
+
+def q386_geo_hotspots(sf: str):
+    """Grid-DBSCAN hotspot clustering (ops/geo.py::grid_hotspots,
+    rows-only — the union-find fold isn't SQL-expressible): dense cells
+    (≥ min_count events) clustered by 8-adjacency; corpus-sized work is
+    one grid-density pass, the component fold is grid-bounded.
+    Planted-blob semantics are unit-tested in
+    tests/test_ops.py::test_grid_hotspots."""
+    from thor_ray.ops import geo as GEO
+    ds = T(sf, "events", ["event_id"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "lat_i": pa.array((eid * 7919) % 17000),
+            "lon_i": pa.array((eid * 104729) % 35000),
+        })
+
+    return GEO.grid_hotspots(
+        ds.map_batches(coords, batch_format="pyarrow"),
+        "lat_i", "lon_i", cell=500, min_count=8, width=100)
 
 
 # ---------------------------------------------------------------------------
@@ -15247,7 +15245,8 @@ QUERIES: dict[str, tuple] = {
     "q382_geo_grid_density": (q382_geo_grid_density, SQL_Q382),
     "q383_geo_nearest": (q383_geo_nearest, SQL_Q383),
     "q384_haversine": (q384_haversine, SQL_Q384),
-    "q385_mad_outliers": (q385_mad_outliers, SQL_Q385),
+    "q385_travel_dist": (q385_travel_dist, SQL_Q385),
+    "q386_geo_hotspots": (q386_geo_hotspots, None),
 }
 
 
