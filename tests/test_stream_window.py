@@ -1,0 +1,205 @@
+"""Event-time windowed aggregation consumer (pipelines/stream_window.py):
+oracle recount equality, stepwise == one-shot over a growing log, late
+side-output accounting on a hand-built out-of-order fixture, and
+torn-commit idempotence (IVM exactly-once protocol)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from thor_ray import gen
+from thor_ray.pipelines.stream_window import WindowedAggregator
+
+W_US = 200_000  # 200 lsn at the generator's 1 ms/lsn event-time cadence
+
+
+def _write_log(work: str, n_events: int = 3_000, seed: int = 9,
+               **kw) -> str:
+    base = gen.gen_base_table(n_repos=10, paths_per_repo=8, seed=seed)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=n_events, n_shards=3, seed=seed, **kw))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+    return bdir
+
+
+def _recount(bdir: str, w_us: int, lateness_us: int) -> tuple:
+    """Driver-side oracle: fold EVERY data event once (the at-least-once
+    duplicates in the log are re-deliveries the aggregator also sees, so
+    the recount reads the same shard files it does)."""
+    frames = [pq.read_table(f, columns=["lsn", "op", "ts", "content"])
+              .to_pandas()
+              for f in sorted(glob.glob(
+                  os.path.join(bdir, "shard-*.parquet")))]
+    ev = pd.concat(frames, ignore_index=True)
+    ev = ev[ev["op"] != "DDL"].copy()
+    ts = ev["ts"].astype("int64")
+    ev["win"] = (ts // w_us) * w_us
+    ev["b"] = [len(c.encode()) if isinstance(c, str) else 0
+               for c in ev["content"]]
+    g = ev.groupby(["win", "op"], as_index=False).agg(
+        n=("b", "size"), bytes=("b", "sum"))
+    g = g.rename(columns={"op": "grp"})
+    wm = int(ts.max()) - lateness_us
+    done = g["win"] + w_us <= wm
+    emitted = g[done].sort_values(["win", "grp"]).reset_index(drop=True)
+    open_w = g[~done].sort_values(["win", "grp"]).reset_index(drop=True)
+    return emitted, open_w, wm
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["win", "grp"], kind="stable") \
+        .reset_index(drop=True).astype(
+            {"win": "int64", "n": "int64", "bytes": "int64"})
+
+
+def test_windowed_aggregator_matches_recount(ray_session, tmp_path):
+    work = str(tmp_path)
+    bdir = _write_log(work)
+    lateness = 3 * W_US
+    w = WindowedAggregator(bdir, os.path.join(work, "wagg"), W_US,
+                           lateness_us=lateness, group_col="op")
+    rep = w.advance(complete=True)
+    emitted, open_w, wm = _recount(bdir, W_US, lateness)
+    assert rep["watermark"] == wm
+    pd.testing.assert_frame_equal(_norm(w.emitted()), _norm(emitted))
+    pd.testing.assert_frame_equal(_norm(w.open_windows()), _norm(open_w))
+    assert w.late_events() == 0          # generator ts is monotone in lsn
+    # caught-up advance is a no-op
+    assert w.advance(complete=True) == {
+        "emitted": 0, "late": 0, "watermark": wm}
+
+
+def test_stepwise_equals_oneshot(ray_session, tmp_path):
+    """A log delivered segment-by-segment: safe-frontier micro-batches
+    only consume what EVERY declared shard has delivered (no advance
+    while a declared shard is empty — the ADVICE-round-1 contract), and
+    the stepwise totals converge to the one-shot fold."""
+    work = str(tmp_path)
+    bdir = _write_log(work, n_events=2_000, seed=11)
+    staged = os.path.join(work, "staged")
+    os.makedirs(staged)
+    segs0, segs1 = [], []
+    shard_names = set()
+    for f in sorted(glob.glob(os.path.join(bdir, "shard-*.parquet"))):
+        # the delivery contract (BinlogProducer): a shard's later segments
+        # carry strictly higher lsns — sort before splitting so the staged
+        # halves honor it (the raw file is bounded-skew shuffled inside)
+        t = pq.read_table(f).sort_by("lsn")
+        stem = os.path.basename(f)[:-len(".parquet")]
+        shard_names.add(stem[:10])
+        half = len(t) // 2
+        segs0.append((f"{stem}-a.parquet", t.slice(0, half)))
+        segs1.append((f"{stem}-b.parquet", t.slice(half)))
+    with open(os.path.join(staged, "_shards.json"), "w") as f:
+        json.dump({"shards": sorted(shard_names)}, f)
+
+    w = WindowedAggregator(staged, os.path.join(work, "w_step"), W_US,
+                           lateness_us=W_US, group_col="op")
+    assert w.advance()["emitted"] == 0   # nothing delivered yet
+    pq.write_table(segs0[0][1], os.path.join(staged, segs0[0][0]))
+    assert w.advance()["emitted"] == 0   # declared shards still empty
+    for name, t in segs0[1:]:
+        pq.write_table(t, os.path.join(staged, name))
+        w.advance()
+    for name, t in segs1:
+        pq.write_table(t, os.path.join(staged, name))
+        w.advance()
+    w.advance(complete=True)             # drain past the safe frontier
+
+    w1 = WindowedAggregator(bdir, os.path.join(work, "w_once"), W_US,
+                            lateness_us=W_US, group_col="op")
+    w1.advance(complete=True)
+
+    def fold(agg):
+        full = pd.concat([agg.emitted(), agg.open_windows()],
+                         ignore_index=True)
+        return _norm(full.groupby(["win", "grp"], as_index=False).agg(
+            n=("n", "sum"), bytes=("bytes", "sum")))
+
+    pd.testing.assert_frame_equal(fold(w), fold(w1))
+    # stepwise emitted set is a prefix-consistent subset: nothing emitted
+    # twice, and every one-shot-emitted window eventually emitted
+    e_step = _norm(w.emitted())
+    assert not e_step.duplicated(["win", "grp"]).any()
+    e_once = _norm(w1.emitted())
+    merged = e_once.merge(e_step, on=["win", "grp"],
+                          suffixes=("_once", "_step"))
+    assert len(merged) == len(e_once)
+    assert (merged["n_once"] == merged["n_step"]).all()
+
+
+def test_late_events_side_output(ray_session, tmp_path):
+    """Hand-built out-of-order log: a second segment delivers events whose
+    windows were already finalized — they are COUNTED late and excluded
+    from emitted results; in-lateness stragglers still fold in."""
+    work = str(tmp_path)
+    bdir = os.path.join(work, "binlog")
+    os.makedirs(bdir)
+    base_ts = 1_600_000_000_000_000     # divisible by W_US
+
+    def seg(path, rows):
+        cols = {n: [] for n in gen.EVENT_SCHEMA.names}
+        for lsn, ts_off, op in rows:
+            cols["lsn"].append(lsn); cols["txn"].append(lsn)
+            cols["op"].append(op); cols["repo"].append("r")
+            cols["path"].append(f"p{lsn}"); cols["commit"].append("c")
+            cols["lang"].append("py"); cols["content"].append("xyz")
+            cols["extra"].append("{}"); cols["ddl"].append(None)
+            cols["ts"].append(base_ts + ts_off)
+            cols["schema_ver"].append(0); cols["shard"].append(0)
+        pq.write_table(pa.table(cols, schema=gen.EVENT_SCHEMA),
+                       os.path.join(bdir, path))
+
+    # batch 1: events in windows 0 and 2; watermark = base+2.5w →
+    # window 0 (end base+w) finalizes, window 2 (end base+3w) stays open
+    seg("shard-0000-seg0.parquet",
+        [(1, 50_000, "I"), (2, 2 * W_US + W_US // 2, "I")])
+    w = WindowedAggregator(bdir, os.path.join(work, "wagg"), W_US,
+                           lateness_us=0, group_col="op")
+    r1 = w.advance(complete=True)
+    assert r1["late"] == 0 and r1["emitted"] == 1
+    # batch 2: lsn 3 falls into the finalized window 0 → LATE; lsn 4
+    # lands in the still-open window 2 → folds in
+    seg("shard-0000-seg1.parquet",
+        [(3, 60_000, "I"), (4, 2 * W_US + W_US // 4, "I")])
+    r2 = w.advance(complete=True)
+    assert r2["late"] == 1
+    assert w.late_events() == 1
+    open_w = w.open_windows()
+    assert int(open_w.loc[open_w["win"] == base_ts + 2 * W_US,
+                          "n"].sum()) == 2
+    emitted = w.emitted()
+    # the late event never mutated the emitted window-0 row
+    assert int(emitted.loc[emitted["win"] == base_ts, "n"].sum()) == 1
+
+
+def test_torn_commit_replays_idempotently(ray_session, tmp_path):
+    """A crash after state files land but BEFORE the manifest swap: the
+    re-run overwrites the same deterministic files and commits once."""
+    work = str(tmp_path)
+    bdir = _write_log(work, n_events=1_500, seed=13)
+    odir = os.path.join(work, "wagg")
+    w = WindowedAggregator(bdir, odir, W_US, lateness_us=W_US)
+    w.advance(complete=True)
+    man_path = os.path.join(odir, "_window_manifest.json")
+    committed = json.load(open(man_path))
+    want = _norm(w.emitted())
+
+    # torn commit: seq-1 emit/open files exist, manifest never swapped
+    os.remove(man_path)
+    w2 = WindowedAggregator(bdir, odir, W_US, lateness_us=W_US)
+    w2.advance(complete=True)
+    assert json.load(open(man_path)) == committed
+    pd.testing.assert_frame_equal(_norm(w2.emitted()), want)
+
+    # config drift against a committed manifest is refused
+    with pytest.raises(ValueError, match="config changed"):
+        WindowedAggregator(bdir, odir, W_US * 2).advance(complete=True)

@@ -11,4 +11,7 @@ def __getattr__(name):
     if name == "JoinView":
         from .joinview import JoinView
         return JoinView
+    if name == "WindowedAggregator":
+        from .stream_window import WindowedAggregator
+        return WindowedAggregator
     raise AttributeError(name)

@@ -1,0 +1,215 @@
+"""Event-time windowed aggregation over the binlog stream, with
+watermarks, allowed lateness, and a late-event side count — the
+Flink/Kafka-Streams tumbling-window consumer shape (SURVEY.md §2.9 W1–W3)
+as a streaming companion to the batch window queries (q19/q32/q35).
+
+``WindowedAggregator`` tails the change-event log directly (the Kafka
+topic analogue — not the lake): each ``advance()`` consumes the lsn range
+``(committed, max_lsn]`` as one micro-batch, folds per-(window, group)
+partials into its open-window state, advances the event-time watermark
+
+    watermark = max(event ts seen) − allowed_lateness
+
+and EMITS (finalizes) every open window whose end ≤ watermark. Events
+that arrive for an already-finalized window are *late*: they are counted
+per batch (the side-output metric) and excluded from emitted results —
+exactly the Flink ``sideOutputLateData`` contract at micro-batch
+granularity. Lateness is judged against the watermark COMMITTED by the
+previous batch (within a batch, delivery order carries no information —
+the binlog is at-least-once and out-of-order within bounded skew).
+
+Scale shape: the only corpus-sized work is one streaming ``map_batches``
+pass over the batch's events in which every Ray batch emits ONE
+window×group-sized partial row set (count + byte sum + max ts — the
+combiner); the driver folds kilobytes. Open-window state is bounded by
+(windows in flight × groups), independent of event count.
+
+Exactly-once: state and emit files are written under deterministic
+batch-sequence names (``emit-b{seq}``, ``open-b{seq}``), the JSON
+manifest is swapped LAST — a crashed ``advance()`` re-run overwrites the
+same files and commits once (IVM protocol; see pipelines/ivm.py).
+``follow(on_apply=[wagg.advance])`` keeps it current with the stream.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from thor_ray.pipelines.ivm import _atomic_json
+
+_MANIFEST = "_window_manifest.json"
+
+
+class WindowedAggregator:
+    """Tumbling event-time windows (count + content-byte sum per group)
+    maintained incrementally from the binlog.
+
+    Parameters
+    ----------
+    binlog_dir : the change-event log to tail.
+    out_dir : state/emit directory (created).
+    window_us : tumbling window width in event-time microseconds.
+    lateness_us : allowed lateness subtracted from max event ts to form
+        the watermark (0 = emit as soon as a later window is seen).
+    group_col : event column to group by inside each window ('op',
+        'repo', 'shard', ...).
+    """
+
+    def __init__(self, binlog_dir: str, out_dir: str, window_us: int,
+                 lateness_us: int = 0, group_col: str = "op"):
+        self.binlog_dir = binlog_dir
+        self.out_dir = out_dir
+        self.window_us = int(window_us)
+        self.lateness_us = int(lateness_us)
+        self.group_col = group_col
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------
+    def _load(self) -> dict:
+        p = os.path.join(self.out_dir, _MANIFEST)
+        if not os.path.exists(p):
+            return {"seq": 0, "upto_lsn": 0, "max_ts": None,
+                    "watermark": None, "late_events": 0,
+                    "config": {"window_us": self.window_us,
+                               "lateness_us": self.lateness_us,
+                               "group_col": self.group_col}}
+        with open(p) as f:
+            man = json.load(f)
+        cfg = man["config"]
+        if (cfg["window_us"] != self.window_us
+                or cfg["lateness_us"] != self.lateness_us
+                or cfg["group_col"] != self.group_col):
+            raise ValueError(
+                f"window config changed since {p} was written "
+                f"({cfg} vs window_us={self.window_us}, "
+                f"lateness_us={self.lateness_us}, "
+                f"group_col={self.group_col!r}); use a fresh out_dir")
+        return man
+
+    def _open_state(self, man: dict) -> pd.DataFrame:
+        if man["seq"] == 0:
+            return pd.DataFrame({
+                "win": pd.Series(dtype="int64"),
+                "grp": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "bytes": pd.Series(dtype="int64")})
+        return pd.read_parquet(os.path.join(
+            self.out_dir, f"open-b{man['seq']:06d}.parquet"))
+
+    # -- advance ------------------------------------------------------
+    def advance(self, complete: bool = False, slack: int = 0) -> dict:
+        """Consume one micro-batch; returns {"emitted": k, "late": j,
+        "watermark": ts_us | None}. No-op when caught up.
+
+        complete=False (default, the ``follow(on_apply=...)`` mode): the
+        log may still be growing — consume only up to the SAFE frontier
+        (slowest declared shard minus ``slack``), the same lsn-watermark
+        contract the pipeline's own tail uses, so a lagging shard's
+        undelivered lower-lsn events are never skipped. complete=True:
+        the log is finished — drain to its global max lsn."""
+        from thor_ray.sources import binlog as B
+
+        man = self._load()
+        hi = B.max_lsn(self.binlog_dir) if complete \
+            else B.safe_frontier(self.binlog_dir, slack)
+        lo = int(man["upto_lsn"])
+        if hi <= lo:
+            return {"emitted": 0, "late": 0, "watermark": man["watermark"]}
+
+        wm_committed = man["watermark"]  # late-judgment frontier
+        w_us = self.window_us
+        gcol = self.group_col
+        wm_bc = -1 if wm_committed is None else int(wm_committed)
+
+        def part(t: pa.Table) -> pa.Table:
+            ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            win = (ts // w_us) * w_us
+            grp = t[gcol].to_numpy(zero_copy_only=False)
+            # utf-8 BYTE lengths straight off the Arrow offsets — no
+            # Python string materialization (binary_length on a string
+            # column counts bytes, not codepoints)
+            nbytes = pa.compute.binary_length(t["content"]) \
+                .fill_null(0).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            late = win + w_us <= wm_bc      # window already finalized
+            df = pd.DataFrame({"win": win, "grp": grp, "b": nbytes,
+                               "late": late})
+            g = df.groupby(["win", "grp", "late"], as_index=False).agg(
+                n=("b", "size"), bytes=("b", "sum"))
+            g["max_ts"] = int(ts.max()) if len(ts) else -1
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = (B.read_epoch(self.binlog_dir, lo, hi,
+                              columns=["lsn", "ts", gcol, "content"])
+                 .map_batches(part, batch_format="pyarrow").to_pandas())
+
+        seq = int(man["seq"]) + 1
+        open_df = self._open_state(man)
+        n_late = 0
+        batch_max_ts = man["max_ts"]
+        if len(parts):
+            n_late = int(parts.loc[parts["late"], "n"].sum())
+            live = parts[~parts["late"]]
+            fold = pd.concat(
+                [open_df, live[["win", "grp", "n", "bytes"]]],
+                ignore_index=True).groupby(
+                    ["win", "grp"], as_index=False).agg(
+                        n=("n", "sum"), bytes=("bytes", "sum"))
+            open_df = fold
+            m = int(parts["max_ts"].max())
+            batch_max_ts = m if batch_max_ts is None \
+                else max(int(batch_max_ts), m)
+
+        watermark = None if batch_max_ts is None \
+            else int(batch_max_ts) - self.lateness_us
+        if watermark is not None and len(open_df):
+            done = open_df["win"] + w_us <= watermark
+            emit = open_df[done].sort_values(
+                ["win", "grp"], kind="stable").reset_index(drop=True)
+            open_df = open_df[~done].reset_index(drop=True)
+        else:
+            emit = open_df.iloc[0:0]
+
+        # deterministic names, manifest swap last (exactly-once)
+        emit.to_parquet(os.path.join(
+            self.out_dir, f"emit-b{seq:06d}.parquet"), index=False)
+        open_df.sort_values(["win", "grp"], kind="stable") \
+            .reset_index(drop=True).to_parquet(os.path.join(
+                self.out_dir, f"open-b{seq:06d}.parquet"), index=False)
+        man.update({"seq": seq, "upto_lsn": hi, "max_ts": batch_max_ts,
+                    "watermark": watermark,
+                    "late_events": int(man["late_events"]) + n_late})
+        _atomic_json(os.path.join(self.out_dir, _MANIFEST), man)
+        # superseded open-state files are dead after the swap
+        for f in glob.glob(os.path.join(self.out_dir, "open-b*.parquet")):
+            if f != os.path.join(self.out_dir,
+                                 f"open-b{seq:06d}.parquet"):
+                os.remove(f)
+        return {"emitted": int(len(emit)), "late": n_late,
+                "watermark": watermark}
+
+    # -- reads --------------------------------------------------------
+    def emitted(self) -> pd.DataFrame:
+        """All finalized windows, in emission order (stable across
+        re-runs: deterministic batch files)."""
+        man = self._load()
+        frames = [pd.read_parquet(os.path.join(
+            self.out_dir, f"emit-b{s:06d}.parquet"))
+            for s in range(1, int(man["seq"]) + 1)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return self._open_state({"seq": 0})
+        return pd.concat(frames, ignore_index=True)
+
+    def open_windows(self) -> pd.DataFrame:
+        return self._open_state(self._load())
+
+    def late_events(self) -> int:
+        return int(self._load()["late_events"])

@@ -14853,6 +14853,45 @@ def q386_geo_hotspots(sf: str):
         "lat_i", "lon_i", cell=500, min_count=8, width=100)
 
 
+def q387_stream_windows(sf: str):
+    """Event-time windowed streaming aggregation
+    (pipelines/stream_window.py::WindowedAggregator, rows-only): tumbling
+    windows with watermarks and allowed lateness maintained incrementally
+    from the binlog in two micro-batches; emitted-vs-open split and the
+    late side count are pinned against a pandas recount in
+    tests/test_stream_window.py. Returns per-op emitted/open window
+    counts."""
+    import os
+    import shutil
+
+    from thor_ray import gen
+    from thor_ray.pipelines.stream_window import WindowedAggregator
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_swin_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=20, paths_per_repo=12, seed=87)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=6_000, n_shards=3, seed=87))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+    w = WindowedAggregator(bdir, os.path.join(work, "wagg"),
+                           window_us=500_000, lateness_us=1_000_000,
+                           group_col="op")
+    w.advance(slack=2_000)               # safe-frontier micro-batch
+    w.advance(complete=True)             # drain the tail
+    em, op = w.emitted(), w.open_windows()
+    out = pd.concat([
+        em.groupby("grp", as_index=False)
+          .agg(windows=("win", "size"), events=("n", "sum"))
+          .assign(state="emitted"),
+        op.groupby("grp", as_index=False)
+          .agg(windows=("win", "size"), events=("n", "sum"))
+          .assign(state="open"),
+    ], ignore_index=True)
+    return out.sort_values(["state", "grp"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15247,6 +15286,7 @@ QUERIES: dict[str, tuple] = {
     "q384_haversine": (q384_haversine, SQL_Q384),
     "q385_travel_dist": (q385_travel_dist, SQL_Q385),
     "q386_geo_hotspots": (q386_geo_hotspots, None),
+    "q387_stream_windows": (q387_stream_windows, None),
 }
 
 

@@ -59,6 +59,8 @@ def exact_equal(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if a[c].dtype == np.float64:
             neq = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
+        elif str(a[c].dtype).startswith("datetime64"):
+            neq = ~((av == bv) | (np.isnat(av) & np.isnat(bv)))
         else:
             neq = np.array([x != y for x, y in zip(av, bv)])
         if neq.any():
