@@ -203,3 +203,43 @@ def test_torn_commit_replays_idempotently(ray_session, tmp_path):
     # config drift against a committed manifest is refused
     with pytest.raises(ValueError, match="config changed"):
         WindowedAggregator(bdir, odir, W_US * 2).advance(complete=True)
+
+
+def test_sliding_windows_match_recount(ray_session, tmp_path):
+    """slide_us = window/4: every event lands in 4 overlapping windows;
+    emitted+open totals equal a fanout recount, and the per-window event
+    totals sum to 4x the tumbling totals."""
+    work = str(tmp_path)
+    bdir = _write_log(work, n_events=1_200, seed=19)
+    lateness = W_US
+    k = 4
+    w = WindowedAggregator(bdir, os.path.join(work, "wagg"), W_US,
+                           lateness_us=lateness, group_col="op",
+                           slide_us=W_US // k)
+    w.advance(complete=True)
+
+    frames = [pq.read_table(f, columns=["op", "ts", "content"]).to_pandas()
+              for f in glob.glob(os.path.join(bdir, "shard-*.parquet"))]
+    ev = pd.concat(frames, ignore_index=True)
+    ev = ev[ev["op"] != "DDL"].copy()
+    ts = ev["ts"].astype("int64").to_numpy()
+    import numpy as np
+    s = W_US // k
+    rows = []
+    for j in range(k):
+        win = (ts // s) * s - j * s
+        rows.append(pd.DataFrame({
+            "win": win, "grp": ev["op"].to_numpy(),
+            "b": [len(c.encode()) if isinstance(c, str) else 0
+                  for c in ev["content"]]}))
+    allw = pd.concat(rows, ignore_index=True)
+    g = allw.groupby(["win", "grp"], as_index=False).agg(
+        n=("b", "size"), bytes=("b", "sum"))
+    full = pd.concat([w.emitted(), w.open_windows()], ignore_index=True)
+    pd.testing.assert_frame_equal(_norm(full), _norm(g))
+    assert int(full["n"].sum()) == k * len(ev)
+
+    # slide that doesn't divide the window is refused up front
+    with pytest.raises(ValueError, match="must divide"):
+        WindowedAggregator(bdir, os.path.join(work, "bad"), W_US,
+                           slide_us=W_US // 3 + 1)

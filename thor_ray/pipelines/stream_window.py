@@ -48,27 +48,37 @@ _MANIFEST = "_window_manifest.json"
 
 
 class WindowedAggregator:
-    """Tumbling event-time windows (count + content-byte sum per group)
-    maintained incrementally from the binlog.
+    """Tumbling or hopping/sliding event-time windows (count +
+    content-byte sum per group) maintained incrementally from the binlog.
 
     Parameters
     ----------
     binlog_dir : the change-event log to tail.
     out_dir : state/emit directory (created).
-    window_us : tumbling window width in event-time microseconds.
+    window_us : window width in event-time microseconds.
     lateness_us : allowed lateness subtracted from max event ts to form
         the watermark (0 = emit as soon as a later window is seen).
     group_col : event column to group by inside each window ('op',
         'repo', 'shard', ...).
+    slide_us : hop size for SLIDING windows (must divide window_us; each
+        event then lands in window_us // slide_us overlapping windows —
+        the combiner fanout grows by that factor, the protocol is
+        unchanged). None (default) = tumbling.
     """
 
     def __init__(self, binlog_dir: str, out_dir: str, window_us: int,
-                 lateness_us: int = 0, group_col: str = "op"):
+                 lateness_us: int = 0, group_col: str = "op",
+                 slide_us: int | None = None):
         self.binlog_dir = binlog_dir
         self.out_dir = out_dir
         self.window_us = int(window_us)
         self.lateness_us = int(lateness_us)
         self.group_col = group_col
+        self.slide_us = int(window_us) if slide_us is None else int(slide_us)
+        if self.window_us % self.slide_us:
+            raise ValueError(
+                f"slide_us={self.slide_us} must divide "
+                f"window_us={self.window_us}")
         os.makedirs(out_dir, exist_ok=True)
 
     # -- manifest -----------------------------------------------------
@@ -79,18 +89,21 @@ class WindowedAggregator:
                     "watermark": None, "late_events": 0,
                     "config": {"window_us": self.window_us,
                                "lateness_us": self.lateness_us,
-                               "group_col": self.group_col}}
+                               "group_col": self.group_col,
+                               "slide_us": self.slide_us}}
         with open(p) as f:
             man = json.load(f)
         cfg = man["config"]
         if (cfg["window_us"] != self.window_us
                 or cfg["lateness_us"] != self.lateness_us
-                or cfg["group_col"] != self.group_col):
+                or cfg["group_col"] != self.group_col
+                or cfg.get("slide_us", cfg["window_us"]) != self.slide_us):
             raise ValueError(
                 f"window config changed since {p} was written "
                 f"({cfg} vs window_us={self.window_us}, "
                 f"lateness_us={self.lateness_us}, "
-                f"group_col={self.group_col!r}); use a fresh out_dir")
+                f"group_col={self.group_col!r}, "
+                f"slide_us={self.slide_us}); use a fresh out_dir")
         return man
 
     def _open_state(self, man: dict) -> pd.DataFrame:
@@ -125,12 +138,13 @@ class WindowedAggregator:
 
         wm_committed = man["watermark"]  # late-judgment frontier
         w_us = self.window_us
+        s_us = self.slide_us
+        k = w_us // s_us                 # windows per event (1 = tumbling)
         gcol = self.group_col
         wm_bc = -1 if wm_committed is None else int(wm_committed)
 
         def part(t: pa.Table) -> pa.Table:
             ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            win = (ts // w_us) * w_us
             grp = t[gcol].to_numpy(zero_copy_only=False)
             # utf-8 BYTE lengths straight off the Arrow offsets — no
             # Python string materialization (binary_length on a string
@@ -138,6 +152,17 @@ class WindowedAggregator:
             nbytes = pa.compute.binary_length(t["content"]) \
                 .fill_null(0).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
+            # sliding: an event at ts belongs to the k windows starting
+            # at (ts//s - j)*s for j in [0, k) — vectorized repeat+offset
+            base = (ts // s_us) * s_us
+            if k == 1:
+                win = base
+            else:
+                win = (np.repeat(base, k)
+                       - np.tile(np.arange(k, dtype=np.int64) * s_us,
+                                 len(ts)))
+                grp = np.repeat(grp, k)
+                nbytes = np.repeat(nbytes, k)
             late = win + w_us <= wm_bc      # window already finalized
             df = pd.DataFrame({"win": win, "grp": grp, "b": nbytes,
                                "late": late})
