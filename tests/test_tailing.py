@@ -89,10 +89,22 @@ def test_follow_on_apply_keeps_consumers_current(ray_session, grown,
                     compact_every=1_000_000)
     pipe = CdcPipeline(cfg)
     idx = SecondaryIndex(cfg.lake_dir, str(tmp_path / "idx"), "lang")
+    from thor_ray.pipelines.stream_window import WindowedAggregator
+    wagg = WindowedAggregator(binlog_dir, str(tmp_path / "wagg"),
+                              window_us=500_000, lateness_us=500_000)
     calls = []
     pipe.follow(poll_sec=0.05, idle_polls=2, base=base_path,
-                on_apply=[idx.advance, lambda: calls.append(1)])
+                on_apply=[idx.advance, wagg.advance,
+                          lambda: calls.append(1)])
     assert calls                            # hook fired at least once
+    wagg.advance(complete=True)             # drain the stream-window tail
+    # every data event of the log is accounted once across emitted+open
+    import glob as _glob
+    n_data = sum(
+        (pq.read_table(f, columns=["op"])["op"].to_pandas() != "DDL").sum()
+        for f in _glob.glob(os.path.join(binlog_dir, "shard-*.parquet")))
+    n_agg = int(wagg.emitted()["n"].sum() + wagg.open_windows()["n"].sum())
+    assert n_agg == n_data and wagg.late_events() == 0
     from thor_ray.state import load_manifests
     cur = min(m.epoch for m in load_manifests(cfg.lake_dir).values())
     assert idx.epoch() == cur               # index is current at drain
