@@ -488,6 +488,29 @@ def cmd_index(a) -> int:
     return 0
 
 
+def cmd_window(a) -> int:
+    """Advance a streaming windowed aggregation over the binlog; print
+    emitted/open/late totals."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.stream_window import WindowedAggregator
+
+    w = WindowedAggregator(
+        a.binlog, a.out_dir, window_us=a.window_ms * 1000,
+        lateness_us=a.lateness_ms * 1000, group_col=a.group_col,
+        slide_us=a.slide_ms * 1000 if a.slide_ms else None)
+    rep = w.advance(complete=a.complete, slack=a.slack)
+    em, op = w.emitted(), w.open_windows()
+    print(json.dumps({
+        "emitted_now": rep["emitted"], "late_now": rep["late"],
+        "watermark": rep["watermark"],
+        "emitted_windows": int(len(em)), "open_windows": int(len(op)),
+        "emitted_events": int(em["n"].sum()) if len(em) else 0,
+        "open_events": int(op["n"].sum()) if len(op) else 0,
+        "late_events_total": w.late_events()}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_verify(a) -> int:
     """Replay-equivalence check: lake state vs the single-process oracle."""
     ray = _ray_init(a.num_cpus)
@@ -868,6 +891,22 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("--out", help="parquet path for probe hits")
     ix.add_argument("--num-cpus", type=int)
     ix.set_defaults(fn=cmd_index)
+
+    wn = sub.add_parser("window", help="advance an event-time windowed "
+                        "aggregation over the binlog (emit-on-watermark)")
+    wn.add_argument("--binlog", required=True)
+    wn.add_argument("--out-dir", required=True)
+    wn.add_argument("--window-ms", type=int, required=True)
+    wn.add_argument("--lateness-ms", type=int, default=0)
+    wn.add_argument("--slide-ms", type=int,
+                    help="hop size for sliding windows (divides window)")
+    wn.add_argument("--group-col", default="op")
+    wn.add_argument("--complete", action="store_true",
+                    help="log finished: drain past the safe frontier")
+    wn.add_argument("--slack", type=int, default=0,
+                    help="frontier slack (lsns) for bounded intra-shard skew")
+    wn.add_argument("--num-cpus", type=int)
+    wn.set_defaults(fn=cmd_window)
 
     a = p.parse_args(argv)
     return a.fn(a)
