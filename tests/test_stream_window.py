@@ -243,3 +243,82 @@ def test_sliding_windows_match_recount(ray_session, tmp_path):
     with pytest.raises(ValueError, match="must divide"):
         WindowedAggregator(bdir, os.path.join(work, "bad"), W_US,
                            slide_us=W_US // 3 + 1)
+
+
+def test_property_random_configs_and_schedules(ray_session, tmp_path):
+    """Seeded randomized matrix: random window/lateness/slide configs and
+    random segment-delivery schedules (per-shard lsn order preserved).
+    Invariants: (a) emitted+open fold == full fanout recount, (b) a
+    window row never changes after emission, (c) late events are exactly
+    the recount's post-watermark stragglers when lateness=0 and delivery
+    is in-order (the generator's monotone-ts case → always 0)."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    work = str(tmp_path)
+    bdir = _write_log(work, n_events=1_500, seed=29)
+    shard_tables = {}
+    for f in sorted(glob.glob(os.path.join(bdir, "shard-*.parquet"))):
+        shard_tables[os.path.basename(f)[:10]] = \
+            pq.read_table(f).sort_by("lsn")
+
+    for trial in range(3):
+        w_us = int(rng.choice([100_000, 250_000, 400_000]))
+        k = int(rng.choice([1, 2, 4]))
+        lateness = int(rng.choice([0, w_us, 3 * w_us]))
+        staged = os.path.join(work, f"staged{trial}")
+        os.makedirs(staged)
+        with open(os.path.join(staged, "_shards.json"), "w") as f:
+            json.dump({"shards": sorted(shard_tables)}, f)
+        w = WindowedAggregator(
+            staged, os.path.join(work, f"w{trial}"), w_us,
+            lateness_us=lateness, group_col="op",
+            slide_us=w_us // k)
+
+        # random delivery: each shard split at random points, delivered
+        # round-robin with random advance() calls interleaved
+        cursors = {s: 0 for s in shard_tables}
+        seg_i = 0
+        emitted_seen = {}
+        while any(cursors[s] < len(shard_tables[s]) for s in cursors):
+            s = rng.choice(sorted(cursors))
+            t = shard_tables[s]
+            if cursors[s] >= len(t):
+                continue
+            step = int(rng.randint(1, max(2, len(t) // 2)))
+            chunk = t.slice(cursors[s], step)
+            cursors[s] += step
+            pq.write_table(chunk, os.path.join(
+                staged, f"{s}-r{seg_i:03d}.parquet"))
+            seg_i += 1
+            if rng.rand() < 0.6:
+                w.advance()
+                for _, r in w.emitted().iterrows():
+                    key = (int(r["win"]), r["grp"])
+                    if key in emitted_seen:
+                        assert emitted_seen[key] == (
+                            int(r["n"]), int(r["bytes"])), \
+                            f"trial {trial}: emitted row mutated {key}"
+                    emitted_seen[key] = (int(r["n"]), int(r["bytes"]))
+        w.advance(complete=True)
+
+        # fanout recount over everything
+        ev = pd.concat([t.to_pandas() for t in shard_tables.values()],
+                       ignore_index=True)
+        ev = ev[ev["op"] != "DDL"]
+        ts = ev["ts"].astype("int64").to_numpy()
+        s_us = w_us // k
+        rows = []
+        for j in range(k):
+            rows.append(pd.DataFrame({
+                "win": (ts // s_us) * s_us - j * s_us,
+                "grp": ev["op"].to_numpy(),
+                "b": [len(c.encode()) if isinstance(c, str) else 0
+                      for c in ev["content"]]}))
+        g = pd.concat(rows, ignore_index=True).groupby(
+            ["win", "grp"], as_index=False).agg(
+                n=("b", "size"), bytes=("b", "sum"))
+        full = pd.concat([w.emitted(), w.open_windows()],
+                         ignore_index=True)
+        pd.testing.assert_frame_equal(_norm(full), _norm(g))
+        assert w.late_events() == 0, trial
