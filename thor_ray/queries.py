@@ -14892,6 +14892,150 @@ def q387_stream_windows(sf: str):
     return out.sort_values(["state", "grp"]).reset_index(drop=True)
 
 
+def q388_price_volume(sf: str):
+    """Price-volume variance decomposition per brand, 1996 → 1997 (the
+    FP&A revenue-bridge fold): the part→brand lookup is broadcast once
+    (ray.put'd sorted arrays + searchsorted — the dimension never enters
+    a shuffle), per-batch combiner partials carry exact integer
+    (cents, qty) sums per (brand, year), and the float bridge formula
+    runs only on the 25-row aggregate in the same operation order as the
+    SQL (p0 = rev0/qty0; price = rev1 − p0·qty1; volume = p0·Δqty)."""
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    order = np.argsort(part["p_partkey"].to_numpy())
+    pk = part["p_partkey"].to_numpy()[order]
+    pb = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+    bref = ray.put((pk, pb))
+
+    ds = T(sf, "lineitem",
+           ["l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        m = (yr == 1996) | (yr == 1997)
+        if not m.any():
+            return pa.table({"p_brand": pa.array([], pa.string()),
+                             "yr": pa.array([], pa.int64()),
+                             "qty": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        keys, brands = ray.get(bref)
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False)[m]
+        brand = brands[np.searchsorted(keys, lpk)]
+        qty = pc.cast(t["l_quantity"], pa.int64()).to_numpy(
+            zero_copy_only=False)[m]
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)[m]
+        df = pd.DataFrame({"p_brand": brand, "yr": yr[m].astype(np.int64),
+                           "qty": qty, "cents": cents})
+        g = df.groupby(["p_brand", "yr"], as_index=False).agg(
+            qty=("qty", "sum"), cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["p_brand", "yr"])
+           .aggregate(Sum("qty", alias_name="qty"),
+                      Sum("cents", alias_name="cents"))).to_pandas()
+    w = agg.pivot(index="p_brand", columns="yr",
+                  values=["qty", "cents"])
+    rows = []
+    for brand in sorted(w.index):
+        q0, q1 = int(w.loc[brand, ("qty", 1996)]), \
+            int(w.loc[brand, ("qty", 1997)])
+        r0, r1 = int(w.loc[brand, ("cents", 1996)]), \
+            int(w.loc[brand, ("cents", 1997)])
+        p0 = r0 / q0
+        rows.append({
+            "p_brand": brand, "d_rev_cents": r1 - r0,
+            "price_effect": r1 - p0 * q1,
+            "volume_effect": p0 * (q1 - q0),
+        })
+    out = pd.DataFrame(rows)
+    return pa.table({
+        "p_brand": pa.array(out["p_brand"], pa.string()),
+        "d_rev_cents": pa.array(out["d_rev_cents"], pa.int64()),
+        "price_effect": _rnd(pa.array(out["price_effect"],
+                                      pa.float64()), 2),
+        "volume_effect": _rnd(pa.array(out["volume_effect"],
+                                       pa.float64()), 2),
+    }).to_pandas()
+
+
+SQL_Q388 = """
+WITH f AS (
+  SELECT p_brand, year(l_shipdate) AS yr,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) IN (1996, 1997)
+  GROUP BY p_brand, yr),
+b AS (
+  SELECT a.p_brand, a.qty AS q0, a.cents AS r0, c.qty AS q1, c.cents AS r1
+  FROM f a JOIN f c ON a.p_brand = c.p_brand
+  WHERE a.yr = 1996 AND c.yr = 1997)
+SELECT p_brand, r1 - r0 AS d_rev_cents,
+       round(r1 - (r0 / q0) * q1, 2) AS price_effect,
+       round((r0 / q0) * (q1 - q0), 2) AS volume_effect
+FROM b ORDER BY p_brand
+"""
+
+
+def q389_aging_buckets(sf: str):
+    """Receivables-style aging report: order age (days before the
+    dataset's newest order date — the scalar anchor comes from a tiny
+    first aggregate, broadcast into the bucketing pass) bucketed
+    0–30/31–60/61–90/90+, exact integer counts and cents per
+    (o_orderpriority, bucket). One combiner shuffle over ≤ 20 keys."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = T(sf, "orders",
+           ["o_orderpriority", "o_orderdate", "o_totalprice"])
+    anchor = ds.aggregate(Max("o_orderdate"))["max(o_orderdate)"]
+    anchor_us = int(pd.Timestamp(anchor).value // 1000)
+    day_us = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        dt = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        age = (anchor_us - dt) // day_us
+        bucket = np.select(
+            [age <= 30, age <= 60, age <= 90],
+            ["0-30", "31-60", "61-90"], default="90+")
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"o_orderpriority": t["o_orderpriority"],
+                           "bucket": bucket, "cents": cents})
+        g = df.groupby(["o_orderpriority", "bucket"],
+                       as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["o_orderpriority", "bucket"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents", alias_name="cents"))
+            .sort(["o_orderpriority", "bucket"]))
+
+
+SQL_Q389 = """
+WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+c AS (
+  SELECT o_orderpriority,
+         CASE WHEN date_diff('day', o_orderdate, anchor) <= 30 THEN '0-30'
+              WHEN date_diff('day', o_orderdate, anchor) <= 60 THEN '31-60'
+              WHEN date_diff('day', o_orderdate, anchor) <= 90 THEN '61-90'
+              ELSE '90+' END AS bucket,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN a)
+SELECT o_orderpriority, bucket, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM c GROUP BY o_orderpriority, bucket
+ORDER BY o_orderpriority, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15287,6 +15431,8 @@ QUERIES: dict[str, tuple] = {
     "q385_travel_dist": (q385_travel_dist, SQL_Q385),
     "q386_geo_hotspots": (q386_geo_hotspots, None),
     "q387_stream_windows": (q387_stream_windows, None),
+    "q388_price_volume": (q388_price_volume, SQL_Q388),
+    "q389_aging_buckets": (q389_aging_buckets, SQL_Q389),
 }
 
 
