@@ -322,3 +322,147 @@ def test_property_random_configs_and_schedules(ray_session, tmp_path):
                          ignore_index=True)
         pd.testing.assert_frame_equal(_norm(full), _norm(g))
         assert w.late_events() == 0, trial
+
+
+from thor_ray.pipelines.stream_window import SessionAggregator  # noqa: E402
+
+GAP_US = 150_000
+
+
+def _session_recount(bdir: str, gap_us: int, lateness_us: int) -> tuple:
+    """Pandas oracle: sessionize ALL data events per group, then split by
+    the final watermark (end + gap <= wm emitted)."""
+    import numpy as np
+    frames = [pq.read_table(f, columns=["op", "ts", "content"]).to_pandas()
+              for f in sorted(glob.glob(
+                  os.path.join(bdir, "shard-*.parquet")))]
+    ev = pd.concat(frames, ignore_index=True)
+    ev = ev[ev["op"] != "DDL"].copy()
+    ev["ts"] = ev["ts"].astype("int64")
+    ev["b"] = [len(c.encode()) if isinstance(c, str) else 0
+               for c in ev["content"]]
+    rows = []
+    for grp, g in ev.groupby("op"):
+        g = g.sort_values("ts", kind="stable")
+        tv = g["ts"].to_numpy()
+        brk = np.r_[True, tv[1:] - tv[:-1] > gap_us]
+        sid = np.cumsum(brk) - 1
+        agg = pd.DataFrame({"sid": sid, "ts": tv,
+                            "b": g["b"].to_numpy()}).groupby(
+            "sid", as_index=False).agg(start=("ts", "min"),
+                                       end=("ts", "max"),
+                                       n=("b", "size"),
+                                       bytes=("b", "sum"))
+        agg.insert(0, "grp", grp)
+        rows.append(agg[["grp", "start", "end", "n", "bytes"]])
+    alls = pd.concat(rows, ignore_index=True)
+    wm = int(ev["ts"].max()) - lateness_us
+    done = alls["end"] + gap_us <= wm
+    return (alls[done].reset_index(drop=True),
+            alls[~done].reset_index(drop=True), wm)
+
+
+def _snorm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["grp", "start"], kind="stable") \
+        .reset_index(drop=True).astype(
+            {"start": "int64", "end": "int64",
+             "n": "int64", "bytes": "int64"})
+
+
+def test_session_aggregator_matches_recount(ray_session, tmp_path):
+    work = str(tmp_path)
+    bdir = _write_log(work, n_events=2_500, seed=31)
+    s = SessionAggregator(bdir, os.path.join(work, "sagg"), GAP_US,
+                          lateness_us=2 * GAP_US)
+    rep = s.advance(complete=True)
+    emitted, open_s, wm = _session_recount(bdir, GAP_US, 2 * GAP_US)
+    assert rep["watermark"] == wm
+    pd.testing.assert_frame_equal(_snorm(s.emitted()), _snorm(emitted))
+    pd.testing.assert_frame_equal(_snorm(s.open_sessions()),
+                                  _snorm(open_s))
+    assert s.late_events() == 0
+    assert s.advance(complete=True)["emitted"] == 0
+
+
+def test_session_stepwise_equals_oneshot(ray_session, tmp_path):
+    """Segment-wise delivery (per-shard lsn order): merged emitted+open
+    sessions equal the one-shot fold — the interval-cluster merge is
+    associative across any batch split."""
+    work = str(tmp_path)
+    bdir = _write_log(work, n_events=2_000, seed=37)
+    staged = os.path.join(work, "staged")
+    os.makedirs(staged)
+    shard_names = set()
+    segs = []
+    for f in sorted(glob.glob(os.path.join(bdir, "shard-*.parquet"))):
+        t = pq.read_table(f).sort_by("lsn")
+        stem = os.path.basename(f)[:-len(".parquet")]
+        shard_names.add(stem[:10])
+        third = max(1, len(t) // 3)
+        for j in range(3):
+            seg = t.slice(j * third) if j == 2 else t.slice(j * third, third)
+            segs.append((f"{stem}-{j}.parquet", seg))
+    with open(os.path.join(staged, "_shards.json"), "w") as f:
+        json.dump({"shards": sorted(shard_names)}, f)
+
+    s = SessionAggregator(staged, os.path.join(work, "s_step"), GAP_US,
+                          lateness_us=3 * GAP_US)
+    for name, t in segs:
+        pq.write_table(t, os.path.join(staged, name))
+        s.advance()
+    s.advance(complete=True)
+
+    s1 = SessionAggregator(bdir, os.path.join(work, "s_once"), GAP_US,
+                           lateness_us=3 * GAP_US)
+    s1.advance(complete=True)
+
+    def fold(agg):
+        full = pd.concat([agg.emitted(), agg.open_sessions()],
+                         ignore_index=True)
+        return _snorm(full)
+
+    pd.testing.assert_frame_equal(fold(s), fold(s1))
+    assert s.late_events() == 0
+
+
+def test_session_late_and_extension(ray_session, tmp_path):
+    """Hand-built stream: an event beyond gap starts a new session; an
+    event ≤ committed watermark is late (it might have extended an
+    emitted session); an in-lateness event EXTENDS an open session."""
+    work = str(tmp_path)
+    bdir = os.path.join(work, "binlog")
+    os.makedirs(bdir)
+    base = 1_600_000_000_000_000
+    g = GAP_US
+
+    def seg(path, rows):
+        cols = {n: [] for n in gen.EVENT_SCHEMA.names}
+        for lsn, ts_off in rows:
+            cols["lsn"].append(lsn); cols["txn"].append(lsn)
+            cols["op"].append("I"); cols["repo"].append("r")
+            cols["path"].append(f"p{lsn}"); cols["commit"].append("c")
+            cols["lang"].append("py"); cols["content"].append("abc")
+            cols["extra"].append("{}"); cols["ddl"].append(None)
+            cols["ts"].append(base + ts_off)
+            cols["schema_ver"].append(0); cols["shard"].append(0)
+        pq.write_table(pa.table(cols, schema=gen.EVENT_SCHEMA),
+                       os.path.join(bdir, path))
+
+    # batch 1: session A = {0, g//2}; then a far event at 10g → new
+    # session B; wm = 10g → A (end g//2, +g <= 10g) emits, B stays open
+    seg("shard-0000-s0.parquet", [(1, 0), (2, g // 2), (3, 10 * g)])
+    s = SessionAggregator(bdir, os.path.join(work, "sagg"), g,
+                          lateness_us=0)
+    r1 = s.advance(complete=True)
+    assert r1["emitted"] == 1 and r1["late"] == 0
+    assert len(s.open_sessions()) == 1
+    # batch 2: ts g//4 <= wm → LATE; ts 10g + g//2 extends open B
+    seg("shard-0000-s1.parquet", [(4, g // 4), (5, 10 * g + g // 2)])
+    r2 = s.advance(complete=True)
+    assert r2["late"] == 1 and s.late_events() == 1
+    ob = s.open_sessions()
+    assert len(ob) == 1 and int(ob["n"].iloc[0]) == 2
+    assert int(ob["end"].iloc[0]) == base + 10 * g + g // 2
+    # emitted session A unchanged
+    em = s.emitted()
+    assert len(em) == 1 and int(em["n"].iloc[0]) == 2

@@ -492,14 +492,23 @@ def cmd_window(a) -> int:
     """Advance a streaming windowed aggregation over the binlog; print
     emitted/open/late totals."""
     ray = _ray_init(a.num_cpus)
-    from thor_ray.pipelines.stream_window import WindowedAggregator
+    from thor_ray.pipelines.stream_window import (SessionAggregator,
+                                                  WindowedAggregator)
 
-    w = WindowedAggregator(
-        a.binlog, a.out_dir, window_us=a.window_ms * 1000,
-        lateness_us=a.lateness_ms * 1000, group_col=a.group_col,
-        slide_us=a.slide_ms * 1000 if a.slide_ms else None)
+    if a.gap_ms:
+        w = SessionAggregator(
+            a.binlog, a.out_dir, gap_us=a.gap_ms * 1000,
+            lateness_us=a.lateness_ms * 1000, group_col=a.group_col)
+    else:
+        if not a.window_ms:
+            raise SystemExit("one of --window-ms / --gap-ms is required")
+        w = WindowedAggregator(
+            a.binlog, a.out_dir, window_us=a.window_ms * 1000,
+            lateness_us=a.lateness_ms * 1000, group_col=a.group_col,
+            slide_us=a.slide_ms * 1000 if a.slide_ms else None)
     rep = w.advance(complete=a.complete, slack=a.slack)
-    em, op = w.emitted(), w.open_windows()
+    em = w.emitted()
+    op = w.open_sessions() if a.gap_ms else w.open_windows()
     print(json.dumps({
         "emitted_now": rep["emitted"], "late_now": rep["late"],
         "watermark": rep["watermark"],
@@ -896,7 +905,10 @@ def main(argv: list[str] | None = None) -> int:
                         "aggregation over the binlog (emit-on-watermark)")
     wn.add_argument("--binlog", required=True)
     wn.add_argument("--out-dir", required=True)
-    wn.add_argument("--window-ms", type=int, required=True)
+    wn.add_argument("--window-ms", type=int,
+                    help="tumbling/sliding window width")
+    wn.add_argument("--gap-ms", type=int,
+                    help="SESSION windows instead: inactivity gap")
     wn.add_argument("--lateness-ms", type=int, default=0)
     wn.add_argument("--slide-ms", type=int,
                     help="hop size for sliding windows (divides window)")

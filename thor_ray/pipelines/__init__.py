@@ -11,7 +11,7 @@ def __getattr__(name):
     if name == "JoinView":
         from .joinview import JoinView
         return JoinView
-    if name == "WindowedAggregator":
-        from .stream_window import WindowedAggregator
-        return WindowedAggregator
+    if name in ("WindowedAggregator", "SessionAggregator"):
+        from . import stream_window
+        return getattr(stream_window, name)
     raise AttributeError(name)

@@ -238,3 +238,215 @@ class WindowedAggregator:
 
     def late_events(self) -> int:
         return int(self._load()["late_events"])
+
+
+def _merge_clusters(df: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Merge per-group [start, end] clusters whose gap ≤ gap_us into
+    sessions (sessionization = connected components on the time line, so
+    clusters from ANY partition of the events merge associatively to the
+    sessions of the union — counts and byte sums just add)."""
+    if not len(df):
+        return df
+    df = df.sort_values(["grp", "start"], kind="stable")
+    out = []
+    for grp, g in df.groupby("grp", sort=False):
+        s = g["start"].to_numpy()
+        e = g["end"].to_numpy()
+        n = g["n"].to_numpy()
+        b = g["bytes"].to_numpy()
+        # cumulative running max of end defines the chain; a new session
+        # starts where start - max(prev ends) > gap
+        run_end = np.maximum.accumulate(e)
+        brk = np.r_[True, s[1:] - run_end[:-1] > gap_us]
+        sid = np.cumsum(brk) - 1
+        agg = pd.DataFrame({"sid": sid, "s": s, "e": e, "n": n, "b": b}) \
+            .groupby("sid", as_index=False).agg(
+                start=("s", "min"), end=("e", "max"),
+                n=("n", "sum"), bytes=("b", "sum"))
+        agg.insert(0, "grp", grp)
+        out.append(agg[["grp", "start", "end", "n", "bytes"]])
+    return pd.concat(out, ignore_index=True)
+
+
+class SessionAggregator:
+    """Gap-based event-time SESSION windows maintained incrementally from
+    the binlog — the merging-window tier of :class:`WindowedAggregator`
+    (Flink session windows with watermark emission).
+
+    Per micro-batch, each Ray batch emits its own per-group session
+    CLUSTERS ([min ts, max ts], count, byte sum) — cluster rows, never
+    events — and the driver merges them with the open sessions by
+    interval chaining (associative, so any partition of the events folds
+    to the same sessions). A session is EMITTED once
+    ``end + gap ≤ watermark``: no in-order event can extend it (anything
+    later than the watermark starts a new session by definition). Events
+    at or below the committed watermark might have extended an
+    already-emitted session, so they are counted LATE and excluded —
+    the same side-output contract as the tumbling tier.
+
+    Exactly-once protocol (deterministic ``semit-b{seq}`` /
+    ``sopen-b{seq}`` files + manifest swap) is shared with
+    WindowedAggregator.
+    """
+
+    def __init__(self, binlog_dir: str, out_dir: str, gap_us: int,
+                 lateness_us: int = 0, group_col: str = "op"):
+        self.binlog_dir = binlog_dir
+        self.out_dir = out_dir
+        self.gap_us = int(gap_us)
+        self.lateness_us = int(lateness_us)
+        self.group_col = group_col
+        os.makedirs(out_dir, exist_ok=True)
+
+    _MAN = "_session_manifest.json"
+
+    def _load(self) -> dict:
+        p = os.path.join(self.out_dir, self._MAN)
+        if not os.path.exists(p):
+            return {"seq": 0, "upto_lsn": 0, "max_ts": None,
+                    "watermark": None, "late_events": 0,
+                    "config": {"gap_us": self.gap_us,
+                               "lateness_us": self.lateness_us,
+                               "group_col": self.group_col}}
+        with open(p) as f:
+            man = json.load(f)
+        if man["config"] != {"gap_us": self.gap_us,
+                             "lateness_us": self.lateness_us,
+                             "group_col": self.group_col}:
+            raise ValueError(f"session config changed since {p} was "
+                             "written; use a fresh out_dir")
+        return man
+
+    def _open_state(self, man: dict) -> pd.DataFrame:
+        if man["seq"] == 0:
+            return pd.DataFrame({
+                "grp": pd.Series(dtype="object"),
+                "start": pd.Series(dtype="int64"),
+                "end": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "bytes": pd.Series(dtype="int64")})
+        return pd.read_parquet(os.path.join(
+            self.out_dir, f"sopen-b{man['seq']:06d}.parquet"))
+
+    def advance(self, complete: bool = False, slack: int = 0) -> dict:
+        from thor_ray.sources import binlog as B
+
+        man = self._load()
+        hi = B.max_lsn(self.binlog_dir) if complete \
+            else B.safe_frontier(self.binlog_dir, slack)
+        lo = int(man["upto_lsn"])
+        if hi <= lo:
+            return {"emitted": 0, "late": 0,
+                    "watermark": man["watermark"]}
+
+        gap_us = self.gap_us
+        gcol = self.group_col
+        wm_bc = -1 if man["watermark"] is None else int(man["watermark"])
+
+        def part(t: pa.Table) -> pa.Table:
+            ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            grp = t[gcol].to_numpy(zero_copy_only=False)
+            nbytes = pa.compute.binary_length(t["content"]) \
+                .fill_null(0).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            late = ts <= wm_bc
+            df = pd.DataFrame({"grp": grp, "ts": ts, "b": nbytes,
+                               "late": late})
+            n_late = int(late.sum())
+            df = df[~df["late"]]
+            if len(df):
+                df = df.sort_values(["grp", "ts"], kind="stable")
+                gvals = df["grp"].to_numpy()
+                tv = df["ts"].to_numpy()
+                brk = np.r_[True, (gvals[1:] != gvals[:-1])
+                            | (tv[1:] - tv[:-1] > gap_us)]
+                sid = np.cumsum(brk) - 1
+                cl = pd.DataFrame({
+                    "sid": sid, "grp": gvals, "ts": tv,
+                    "b": df["b"].to_numpy()}).groupby(
+                        ["sid", "grp"], as_index=False).agg(
+                            start=("ts", "min"), end=("ts", "max"),
+                            n=("b", "size"), bytes=("b", "sum"))
+                cl = cl[["grp", "start", "end", "n", "bytes"]]
+            else:
+                cl = pd.DataFrame({"grp": pd.Series(dtype="object"),
+                                   "start": pd.Series(dtype="int64"),
+                                   "end": pd.Series(dtype="int64"),
+                                   "n": pd.Series(dtype="int64"),
+                                   "bytes": pd.Series(dtype="int64")})
+            # one MARKER row per source batch carries the side counters
+            # (late count, max ts); cluster rows carry zeros — summing
+            # over all rows is then exact with no cross-batch dedup
+            cl["late_n"] = 0
+            cl["max_ts"] = -1
+            marker = pd.DataFrame([{
+                "grp": None, "start": -1, "end": -1, "n": 0, "bytes": 0,
+                "late_n": n_late,
+                "max_ts": int(ts.max()) if len(ts) else -1}])
+            cl = pd.concat([cl, marker], ignore_index=True)
+            return pa.Table.from_pandas(cl, preserve_index=False)
+
+        parts = (B.read_epoch(self.binlog_dir, lo, hi,
+                              columns=["lsn", "ts", gcol, "content"])
+                 .map_batches(part, batch_format="pyarrow").to_pandas())
+
+        seq = int(man["seq"]) + 1
+        open_df = self._open_state(man)
+        n_late = 0
+        batch_max_ts = man["max_ts"]
+        if len(parts):
+            n_late = int(parts["late_n"].sum())
+            live = parts[parts["grp"].notna()]
+            fold = pd.concat(
+                [open_df, live[["grp", "start", "end", "n", "bytes"]]
+                 .astype({"start": "int64", "end": "int64",
+                          "n": "int64", "bytes": "int64"})],
+                ignore_index=True)
+            open_df = _merge_clusters(fold, gap_us)
+            m = int(parts["max_ts"].max())
+            if m >= 0:
+                batch_max_ts = m if batch_max_ts is None \
+                    else max(int(batch_max_ts), m)
+
+        watermark = None if batch_max_ts is None \
+            else int(batch_max_ts) - self.lateness_us
+        if watermark is not None and len(open_df):
+            done = open_df["end"] + gap_us <= watermark
+            emit = open_df[done].sort_values(
+                ["grp", "start"], kind="stable").reset_index(drop=True)
+            open_df = open_df[~done].reset_index(drop=True)
+        else:
+            emit = open_df.iloc[0:0]
+
+        emit.to_parquet(os.path.join(
+            self.out_dir, f"semit-b{seq:06d}.parquet"), index=False)
+        open_df.sort_values(["grp", "start"], kind="stable") \
+            .reset_index(drop=True).to_parquet(os.path.join(
+                self.out_dir, f"sopen-b{seq:06d}.parquet"), index=False)
+        man.update({"seq": seq, "upto_lsn": hi, "max_ts": batch_max_ts,
+                    "watermark": watermark,
+                    "late_events": int(man["late_events"]) + n_late})
+        _atomic_json(os.path.join(self.out_dir, self._MAN), man)
+        for f in glob.glob(os.path.join(self.out_dir,
+                                        "sopen-b*.parquet")):
+            if f != os.path.join(self.out_dir,
+                                 f"sopen-b{seq:06d}.parquet"):
+                os.remove(f)
+        return {"emitted": int(len(emit)), "late": n_late,
+                "watermark": watermark}
+
+    def emitted(self) -> pd.DataFrame:
+        man = self._load()
+        frames = [pd.read_parquet(os.path.join(
+            self.out_dir, f"semit-b{s:06d}.parquet"))
+            for s in range(1, int(man["seq"]) + 1)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return self._open_state({"seq": 0})
+        return pd.concat(frames, ignore_index=True)
+
+    def open_sessions(self) -> pd.DataFrame:
+        return self._open_state(self._load())
+
+    def late_events(self) -> int:
+        return int(self._load()["late_events"])

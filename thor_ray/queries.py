@@ -15036,6 +15036,44 @@ ORDER BY o_orderpriority, bucket
 """
 
 
+def q390_session_stream(sf: str):
+    """Streaming SESSION windows (pipelines/stream_window.py::
+    SessionAggregator, rows-only): gap-based merging windows maintained
+    incrementally from the binlog — per-batch interval clusters merged
+    associatively, emit on watermark, late side count. Recount equality
+    and the merge law are pinned in tests/test_stream_window.py. Returns
+    per-group emitted/open session counts."""
+    import os
+    import shutil
+
+    from thor_ray import gen
+    from thor_ray.pipelines.stream_window import SessionAggregator
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_sess_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=20, paths_per_repo=12, seed=91)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=6_000, n_shards=3, seed=91))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+    s = SessionAggregator(bdir, os.path.join(work, "sagg"),
+                          gap_us=40_000, lateness_us=500_000,
+                          group_col="op")
+    s.advance(slack=2_000)
+    s.advance(complete=True)
+    em, op = s.emitted(), s.open_sessions()
+    out = pd.concat([
+        em.groupby("grp", as_index=False)
+          .agg(sessions=("start", "size"), events=("n", "sum"))
+          .assign(state="emitted"),
+        op.groupby("grp", as_index=False)
+          .agg(sessions=("start", "size"), events=("n", "sum"))
+          .assign(state="open"),
+    ], ignore_index=True)
+    return out.sort_values(["state", "grp"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15433,6 +15471,7 @@ QUERIES: dict[str, tuple] = {
     "q387_stream_windows": (q387_stream_windows, None),
     "q388_price_volume": (q388_price_volume, SQL_Q388),
     "q389_aging_buckets": (q389_aging_buckets, SQL_Q389),
+    "q390_session_stream": (q390_session_stream, None),
 }
 
 
