@@ -327,7 +327,11 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
     # with a vectorized is_in — a map-only pass, no shuffle, no driver-side
     # corpus to_pandas (the round-1 scale-killer).
     cand_tbl = cands.to_arrow_refs()
-    cand_df = pa.concat_tables(_ray.get(cand_tbl)).to_pandas()
+    # empty shuffle partitions yield schema-less blocks (Ray 2.49) —
+    # concat only the populated ones
+    blocks = [t for t in _ray.get(cand_tbl) if t.num_rows]
+    cand_df = pa.concat_tables(blocks).to_pandas() if blocks \
+        else pd.DataFrame({"id_a": [], "id_b": []})
     if not len(cand_df):
         return _rd.from_arrow(pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),

@@ -159,7 +159,12 @@ def triangle_count(edges: Dataset, a: str = "s1", b: str = "s2") -> int:
     import ray.data as _rd
 
     refs = edges.to_arrow_refs()
-    et = pa.concat_tables(_ray.get(refs))
+    # empty shuffle partitions yield schema-less blocks (Ray 2.49) —
+    # concat only the populated ones
+    blocks = [t for t in _ray.get(refs) if t.num_rows]
+    if not blocks:
+        return 0
+    et = pa.concat_tables(blocks)
     ea = et[a].to_numpy(zero_copy_only=False).astype(np.int64)
     eb = et[b].to_numpy(zero_copy_only=False).astype(np.int64)
     ids = np.unique(np.concatenate([ea, eb]))
