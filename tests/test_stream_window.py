@@ -466,3 +466,161 @@ def test_session_late_and_extension(ray_session, tmp_path):
     # emitted session A unchanged
     em = s.emitted()
     assert len(em) == 1 and int(em["n"].iloc[0]) == 2
+
+
+from thor_ray.pipelines.stream_window import IntervalJoinStream  # noqa: E402
+
+
+def _ij_recount(ldir, rdir, lo_us, hi_us):
+    """Brute-force oracle: all same-key (l, r) pairs with
+    r.ts in [l.ts+lo, l.ts+hi], over every data event of both logs."""
+    def load(d):
+        frames = [pq.read_table(f, columns=["op", "repo", "lsn", "ts"])
+                  .to_pandas()
+                  for f in sorted(glob.glob(os.path.join(
+                      d, "shard-*.parquet")))]
+        ev = pd.concat(frames, ignore_index=True)
+        ev = ev[ev["op"] != "DDL"].copy()
+        ev["ts"] = ev["ts"].astype("int64")
+        # the consumer's W4 duplicate drop: one copy per lsn
+        return ev.drop_duplicates("lsn").reset_index(drop=True)
+    L, R = load(ldir), load(rdir)
+    m = L.merge(R, on="repo", suffixes=("_l", "_r"))
+    m = m[(m["ts_r"] >= m["ts_l"] + lo_us)
+          & (m["ts_r"] <= m["ts_l"] + hi_us)]
+    out = m.rename(columns={"repo": "key", "lsn_l": "l_lsn",
+                            "ts_l": "l_ts", "lsn_r": "r_lsn",
+                            "ts_r": "r_ts"})
+    return out[["key", "l_lsn", "l_ts", "r_lsn", "r_ts"]]
+
+
+def _ij_norm(df):
+    return df.sort_values(["key", "l_lsn", "r_lsn"], kind="stable") \
+        .reset_index(drop=True).astype(
+            {"l_lsn": "int64", "l_ts": "int64",
+             "r_lsn": "int64", "r_ts": "int64"})
+
+
+def test_interval_join_matches_recount(ray_session, tmp_path):
+    work = str(tmp_path)
+    base = gen.gen_base_table(n_repos=8, paths_per_repo=6, seed=41)
+    ldir, rdir = os.path.join(work, "L"), os.path.join(work, "R")
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=600, n_shards=2, ddl_every=0, seed=43)).write(ldir)
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=600, n_shards=2, ddl_every=0, seed=47)).write(rdir)
+    lo, hi = -40_000, 40_000
+    j = IntervalJoinStream(ldir, rdir, os.path.join(work, "ij"),
+                           lo, hi, key_col="repo")
+    rep = j.advance(complete=True)
+    want = _ij_recount(ldir, rdir, lo, hi)
+    got = j.matches()
+    assert rep["late"] == 0
+    pd.testing.assert_frame_equal(_ij_norm(got), _ij_norm(want))
+    # no pair is ever produced twice
+    assert not got.duplicated(["key", "l_lsn", "r_lsn"]).any()
+    # caught-up advance is a no-op
+    assert j.advance(complete=True)["matches"] == 0
+
+
+def test_interval_join_stepwise_equals_oneshot(ray_session, tmp_path):
+    """Both logs delivered in per-shard halves with lateness covering the
+    span: the stepwise union of matches equals the one-shot set (each
+    in-order pair produced exactly once across micro-batches)."""
+    work = str(tmp_path)
+    base = gen.gen_base_table(n_repos=8, paths_per_repo=6, seed=51)
+    ldir, rdir = os.path.join(work, "L"), os.path.join(work, "R")
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=500, n_shards=2, ddl_every=0, seed=53)).write(ldir)
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=500, n_shards=2, ddl_every=0, seed=59)).write(rdir)
+    lo, hi = -30_000, 30_000
+
+    def stage(src, dst):
+        os.makedirs(dst)
+        segs = []
+        names = set()
+        for f in sorted(glob.glob(os.path.join(src, "shard-*.parquet"))):
+            t = pq.read_table(f).sort_by("lsn")
+            stem = os.path.basename(f)[:-len(".parquet")]
+            names.add(stem[:10])
+            half = len(t) // 2
+            segs.append((f"{stem}-a.parquet", t.slice(0, half)))
+            segs.append((f"{stem}-b.parquet", t.slice(half)))
+        with open(os.path.join(dst, "_shards.json"), "w") as f:
+            json.dump({"shards": sorted(names)}, f)
+        return segs
+
+    lstage, rstage = os.path.join(work, "Ls"), os.path.join(work, "Rs")
+    lsegs, rsegs = stage(ldir, lstage), stage(rdir, rstage)
+    j = IntervalJoinStream(lstage, rstage, os.path.join(work, "ij"),
+                           lo, hi, key_col="repo",
+                           lateness_us=10_000_000)
+    for (ln, lt), (rn, rt) in zip(lsegs, rsegs):
+        pq.write_table(lt, os.path.join(lstage, ln))
+        j.advance()
+        pq.write_table(rt, os.path.join(rstage, rn))
+        j.advance()
+    j.advance(complete=True)
+
+    j1 = IntervalJoinStream(ldir, rdir, os.path.join(work, "ij1"),
+                            lo, hi, key_col="repo",
+                            lateness_us=10_000_000)
+    j1.advance(complete=True)
+    pd.testing.assert_frame_equal(_ij_norm(j.matches()),
+                                  _ij_norm(j1.matches()))
+    assert j.late_events() == 0
+
+
+def test_interval_join_late_and_pruning(ray_session, tmp_path):
+    """lateness=0 hand-built streams: watermark pruning drops dead state,
+    an event at/below the committed watermark is LATE, an in-order event
+    still matches live state."""
+    work = str(tmp_path)
+    ldir, rdir = os.path.join(work, "L"), os.path.join(work, "R")
+    os.makedirs(ldir); os.makedirs(rdir)
+    base = 1_600_000_000_000_000
+    S = 100_000                      # span: lo=-S, hi=+S
+
+    def seg(d, path, rows):
+        cols = {n: [] for n in gen.EVENT_SCHEMA.names}
+        for lsn, ts_off in rows:
+            cols["lsn"].append(lsn); cols["txn"].append(lsn)
+            cols["op"].append("I"); cols["repo"].append("k")
+            cols["path"].append(f"p{lsn}"); cols["commit"].append("c")
+            cols["lang"].append("py"); cols["content"].append("x")
+            cols["extra"].append("{}"); cols["ddl"].append(None)
+            cols["ts"].append(base + ts_off)
+            cols["schema_ver"].append(0); cols["shard"].append(0)
+        pq.write_table(pa.table(cols, schema=gen.EVENT_SCHEMA),
+                       os.path.join(d, path))
+
+    # batch 1: l1@0 matches r1@50ms; r2@100s drives wm to 100s and both
+    # l1 (0 + S < wm) and r1 (50ms < wm - S) are pruned; r2 survives
+    seg(ldir, "shard-0000-a.parquet", [(1, 0)])
+    seg(rdir, "shard-0000-a.parquet", [(1, 50_000), (2, 100_000_000)])
+    j = IntervalJoinStream(ldir, rdir, os.path.join(work, "ij"),
+                           -S, S, key_col="repo", lateness_us=0)
+    r1 = j.advance(complete=True)
+    assert r1["matches"] == 1 and r1["late"] == 0
+    # batch 2: l2 just under r2 (in-order, matches surviving r2);
+    # l3 at 40s <= wm -> LATE (its partners may be pruned)
+    seg(ldir, "shard-0000-b.parquet",
+        [(2, 100_000_000 + 20_000), (3, 40_000_000)])
+    r2 = j.advance(complete=True)
+    assert r2["matches"] == 1
+    assert r2["late"] == 1 and j.late_events() == 1
+    m = _ij_norm(j.matches())
+    assert len(m) == 2
+    assert set(zip(m["l_lsn"], m["r_lsn"])) == {(1, 1), (2, 2)}
+
+    # torn commit: manifest removed, re-advance with no new data is a
+    # deterministic no-op re-run from the prior committed state
+    man = os.path.join(work, "ij", "_ijoin_manifest.json")
+    committed = json.load(open(man))
+    os.remove(man)
+    j2 = IntervalJoinStream(ldir, rdir, os.path.join(work, "ij"),
+                            -S, S, key_col="repo", lateness_us=0)
+    j2.advance(complete=True)
+    assert json.load(open(man))["upto_l"] == committed["upto_l"]
+    pd.testing.assert_frame_equal(_ij_norm(j2.matches()), m)

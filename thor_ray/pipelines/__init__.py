@@ -11,7 +11,8 @@ def __getattr__(name):
     if name == "JoinView":
         from .joinview import JoinView
         return JoinView
-    if name in ("WindowedAggregator", "SessionAggregator"):
+    if name in ("WindowedAggregator", "SessionAggregator",
+                "IntervalJoinStream"):
         from . import stream_window
         return getattr(stream_window, name)
     raise AttributeError(name)

@@ -450,3 +450,233 @@ class SessionAggregator:
 
     def late_events(self) -> int:
         return int(self._load()["late_events"])
+
+
+class IntervalJoinStream:
+    """Stream-stream interval join over two binlogs — the Kafka-Streams
+    KStream-KStream / Flink ``intervalJoin`` shape: a left event ``l``
+    matches right events ``r`` of the same key with
+
+        r.ts ∈ [l.ts + lo_us, l.ts + hi_us]        (lo may be negative)
+
+    maintained incrementally. Each ``advance()`` consumes both logs'
+    next lsn ranges; NEW left events match against the full right state
+    (old + new), new right events against the OLD left state only — every
+    in-order pair is produced exactly once. State is pruned by the
+    watermark: a right event is dead once ``r.ts < wm + lo_us`` (no
+    future in-order left can reach back to it), a left event once
+    ``l.ts + hi_us < wm`` — so state size is bounded by the interval
+    span × event rate, independent of stream length. Events at or below
+    the committed watermark may have lost pruned partners; they are
+    counted LATE and excluded (the side-output contract).
+
+    The corpus-sized work is distributed: each Ray batch of new events
+    matches against the broadcast (``ray.put``) state with per-key
+    sort + searchsorted — only (key, lsn, ts) triples ever reach the
+    driver-held state, never payloads. Scale path past a driver-held
+    state: partition both logs by key hash and run one IntervalJoinStream
+    per partition (the demux route family gives exactly this layout).
+
+    Exactly-once: ``jmatch-b{seq}`` / ``jstate-b{seq}`` deterministic
+    files + manifest swap (the shared IVM protocol).
+    """
+
+    _MAN = "_ijoin_manifest.json"
+
+    def __init__(self, left_dir: str, right_dir: str, out_dir: str,
+                 lo_us: int, hi_us: int, key_col: str = "repo",
+                 lateness_us: int = 0):
+        if lo_us > hi_us:
+            raise ValueError(f"lo_us={lo_us} > hi_us={hi_us}")
+        self.left_dir, self.right_dir = left_dir, right_dir
+        self.out_dir = out_dir
+        self.lo_us, self.hi_us = int(lo_us), int(hi_us)
+        self.key_col = key_col
+        self.lateness_us = int(lateness_us)
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _load(self) -> dict:
+        p = os.path.join(self.out_dir, self._MAN)
+        if not os.path.exists(p):
+            return {"seq": 0, "upto_l": 0, "upto_r": 0, "max_ts": None,
+                    "watermark": None, "late_events": 0,
+                    "config": {"lo_us": self.lo_us, "hi_us": self.hi_us,
+                               "key_col": self.key_col,
+                               "lateness_us": self.lateness_us}}
+        with open(p) as f:
+            man = json.load(f)
+        if man["config"] != {"lo_us": self.lo_us, "hi_us": self.hi_us,
+                             "key_col": self.key_col,
+                             "lateness_us": self.lateness_us}:
+            raise ValueError(f"interval-join config changed since {p} "
+                             "was written; use a fresh out_dir")
+        return man
+
+    def _state(self, man: dict) -> pd.DataFrame:
+        if man["seq"] == 0:
+            return pd.DataFrame({"side": pd.Series(dtype="object"),
+                                 "key": pd.Series(dtype="object"),
+                                 "lsn": pd.Series(dtype="int64"),
+                                 "ts": pd.Series(dtype="int64")})
+        return pd.read_parquet(os.path.join(
+            self.out_dir, f"jstate-b{man['seq']:06d}.parquet"))
+
+    @staticmethod
+    def _gather(binlog_dir: str, lo: int, hi: int, key_col: str,
+                wm_bc: int) -> tuple[pd.DataFrame, int, int]:
+        """(key, lsn, ts) triples of the new range (distributed read +
+        column prune; the driver receives id-sized rows, no payloads),
+        plus (n_late, max_ts)."""
+        from thor_ray.sources import binlog as B
+
+        def slim(t: pa.Table) -> pa.Table:
+            ts = t["ts"].cast(pa.int64())
+            return pa.table({"key": t[key_col].cast(pa.string()),
+                             "lsn": t["lsn"], "ts": ts})
+
+        empty = pd.DataFrame({"key": pd.Series(dtype="object"),
+                              "lsn": pd.Series(dtype="int64"),
+                              "ts": pd.Series(dtype="int64")})
+        if hi <= lo:
+            return (empty, 0, -1)
+        df = (B.read_epoch(binlog_dir, lo, hi,
+                           columns=["lsn", "ts", key_col])
+              .map_batches(slim, batch_format="pyarrow").to_pandas())
+        if not len(df):
+            return (empty, 0, -1)
+        # at-least-once re-delivery: duplicate copies keep their lsn, and
+        # an lsn is consumed in exactly one range — dedup here is the
+        # consumer's W4 duplicate-drop (a pair must be produced once)
+        df = df.drop_duplicates("lsn").reset_index(drop=True)
+        late = df["ts"].to_numpy() <= wm_bc
+        return (df[~late].reset_index(drop=True), int(late.sum()),
+                int(df["ts"].max()))
+
+    @staticmethod
+    def _match(lefts: pd.DataFrame, rights: pd.DataFrame,
+               lo_us: int, hi_us: int) -> pd.DataFrame:
+        """All (l, r) same-key pairs with r.ts ∈ [l.ts+lo, l.ts+hi] —
+        per-key sort + searchsorted, vectorized over the window spans."""
+        cols = ["key", "l_lsn", "l_ts", "r_lsn", "r_ts"]
+        if not len(lefts) or not len(rights):
+            return pd.DataFrame(columns=cols)
+        out = []
+        r_by_key = {k: g.sort_values("ts", kind="stable")
+                    for k, g in rights.groupby("key", sort=False)}
+        for k, lg in lefts.groupby("key", sort=False):
+            rg = r_by_key.get(k)
+            if rg is None:
+                continue
+            rts = rg["ts"].to_numpy()
+            rlsn = rg["lsn"].to_numpy()
+            lts = lg["ts"].to_numpy()
+            llsn = lg["lsn"].to_numpy()
+            i0 = np.searchsorted(rts, lts + lo_us, side="left")
+            i1 = np.searchsorted(rts, lts + hi_us, side="right")
+            cnt = i1 - i0
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            reps = cnt[keep]
+            idx = (np.repeat(i0[keep], reps)
+                   + _concat_ranges(reps))
+            out.append(pd.DataFrame({
+                "key": k,
+                "l_lsn": np.repeat(llsn[keep], reps),
+                "l_ts": np.repeat(lts[keep], reps),
+                "r_lsn": rlsn[idx],
+                "r_ts": rts[idx]}))
+        if not out:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(out, ignore_index=True)[cols]
+
+    def advance(self, complete: bool = False, slack: int = 0) -> dict:
+        from thor_ray.sources import binlog as B
+
+        man = self._load()
+        hi_l = B.max_lsn(self.left_dir) if complete \
+            else B.safe_frontier(self.left_dir, slack)
+        hi_r = B.max_lsn(self.right_dir) if complete \
+            else B.safe_frontier(self.right_dir, slack)
+        lo_l, lo_r = int(man["upto_l"]), int(man["upto_r"])
+        if hi_l <= lo_l and hi_r <= lo_r:
+            return {"matches": 0, "late": 0,
+                    "watermark": man["watermark"]}
+
+        wm_bc = -1 if man["watermark"] is None else int(man["watermark"])
+        new_l, late_l, mts_l = self._gather(
+            self.left_dir, lo_l, hi_l, self.key_col, wm_bc)
+        new_r, late_r, mts_r = self._gather(
+            self.right_dir, lo_r, hi_r, self.key_col, wm_bc)
+
+        state = self._state(man)
+        old_l = state[state["side"] == "L"][["key", "lsn", "ts"]]
+        old_r = state[state["side"] == "R"][["key", "lsn", "ts"]]
+
+        # new L × (old R + new R), then new R × old L — exactly once
+        all_r = pd.concat([old_r, new_r], ignore_index=True)
+        m1 = self._match(new_l, all_r, self.lo_us, self.hi_us)
+        # right-perspective: l.ts ∈ [r.ts - hi, r.ts - lo]
+        m2 = self._match(new_r, old_l, -self.hi_us, -self.lo_us)
+        m2 = m2.rename(columns={"l_lsn": "r_lsn", "l_ts": "r_ts",
+                                "r_lsn": "l_lsn", "r_ts": "l_ts"})
+        matches = pd.concat([m1, m2[m1.columns]], ignore_index=True) \
+            .sort_values(["key", "l_lsn", "r_lsn"], kind="stable") \
+            .reset_index(drop=True)
+
+        # watermark + state pruning
+        batch_max = max(int(man["max_ts"] or -1), mts_l, mts_r)
+        watermark = None if batch_max < 0 \
+            else batch_max - self.lateness_us
+        keep_l = pd.concat([old_l, new_l], ignore_index=True)
+        keep_r = all_r
+        if watermark is not None:
+            keep_l = keep_l[keep_l["ts"] + self.hi_us >= watermark]
+            keep_r = keep_r[keep_r["ts"] >= watermark + self.lo_us]
+        nstate = pd.concat([keep_l.assign(side="L"),
+                            keep_r.assign(side="R")], ignore_index=True)
+        nstate = nstate[["side", "key", "lsn", "ts"]].sort_values(
+            ["side", "key", "lsn"], kind="stable").reset_index(drop=True)
+
+        seq = int(man["seq"]) + 1
+        matches.to_parquet(os.path.join(
+            self.out_dir, f"jmatch-b{seq:06d}.parquet"), index=False)
+        nstate.to_parquet(os.path.join(
+            self.out_dir, f"jstate-b{seq:06d}.parquet"), index=False)
+        man.update({"seq": seq, "upto_l": hi_l, "upto_r": hi_r,
+                    "max_ts": batch_max if batch_max >= 0 else None,
+                    "watermark": watermark,
+                    "late_events": int(man["late_events"])
+                    + late_l + late_r})
+        _atomic_json(os.path.join(self.out_dir, self._MAN), man)
+        for f in glob.glob(os.path.join(self.out_dir,
+                                        "jstate-b*.parquet")):
+            if f != os.path.join(self.out_dir,
+                                 f"jstate-b{seq:06d}.parquet"):
+                os.remove(f)
+        return {"matches": int(len(matches)),
+                "late": late_l + late_r, "watermark": watermark}
+
+    def matches(self) -> pd.DataFrame:
+        man = self._load()
+        frames = [pd.read_parquet(os.path.join(
+            self.out_dir, f"jmatch-b{s:06d}.parquet"))
+            for s in range(1, int(man["seq"]) + 1)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame(columns=["key", "l_lsn", "l_ts",
+                                         "r_lsn", "r_ts"])
+        return pd.concat(frames, ignore_index=True)
+
+    def late_events(self) -> int:
+        return int(self._load()["late_events"])
+
+
+def _concat_ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0) ++ [0..c1) ++ ... as one vector (offset-vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)

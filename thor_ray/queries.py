@@ -15074,6 +15074,39 @@ def q390_session_stream(sf: str):
     return out.sort_values(["state", "grp"]).reset_index(drop=True)
 
 
+def q391_interval_join_stream(sf: str):
+    """Stream-stream interval join (pipelines/stream_window.py::
+    IntervalJoinStream, rows-only — Kafka-Streams KStream-KStream /
+    Flink intervalJoin analogue): same-key pairs within a ±40 ms
+    event-time band, maintained incrementally over two binlogs with
+    watermark-pruned state and a late side count. Brute-force recount
+    equality and exactly-once pairing are pinned in
+    tests/test_stream_window.py. Returns per-key match counts."""
+    import os
+    import shutil
+
+    from thor_ray import gen
+    from thor_ray.pipelines.stream_window import IntervalJoinStream
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_ij_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=12, paths_per_repo=8, seed=95)
+    ldir, rdir = os.path.join(work, "L"), os.path.join(work, "R")
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=2_000, n_shards=2, ddl_every=0, seed=97)).write(ldir)
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=2_000, n_shards=2, ddl_every=0, seed=101)).write(rdir)
+    j = IntervalJoinStream(ldir, rdir, os.path.join(work, "ij"),
+                           -40_000, 40_000, key_col="repo",
+                           lateness_us=1_000_000)
+    j.advance(slack=1_000)
+    j.advance(complete=True)
+    m = j.matches()
+    out = m.groupby("key", as_index=False).agg(n_pairs=("l_lsn", "size"))
+    return out.sort_values("key").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15472,6 +15505,7 @@ QUERIES: dict[str, tuple] = {
     "q388_price_volume": (q388_price_volume, SQL_Q388),
     "q389_aging_buckets": (q389_aging_buckets, SQL_Q389),
     "q390_session_stream": (q390_session_stream, None),
+    "q391_interval_join_stream": (q391_interval_join_stream, None),
 }
 
 
