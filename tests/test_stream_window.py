@@ -624,3 +624,92 @@ def test_interval_join_late_and_pruning(ray_session, tmp_path):
     j2.advance(complete=True)
     assert json.load(open(man))["upto_l"] == committed["upto_l"]
     pd.testing.assert_frame_equal(_ij_norm(j2.matches()), m)
+
+
+def test_merge_clusters_property():
+    """_merge_clusters == brute-force union-find sessionization on random
+    interval sets (pure kernel, no Ray)."""
+    import numpy as np
+
+    from thor_ray.pipelines.stream_window import _merge_clusters
+
+    rng = np.random.RandomState(61)
+    for trial in range(25):
+        gap = int(rng.randint(1, 50))
+        n = int(rng.randint(1, 40))
+        starts = rng.randint(0, 500, n)
+        lens = rng.randint(0, 30, n)
+        df = pd.DataFrame({
+            "grp": rng.choice(["a", "b"], n),
+            "start": starts, "end": starts + lens,
+            "n": rng.randint(1, 5, n),
+            "bytes": rng.randint(0, 100, n)})
+        got = _merge_clusters(df.astype(
+            {"start": "int64", "end": "int64",
+             "n": "int64", "bytes": "int64"}), gap)
+
+        # brute union-find over intervals
+        for grp, g in df.groupby("grp"):
+            rows = list(g.itertuples(index=False))
+            parent = list(range(len(rows)))
+
+            def find(x):
+                while parent[x] != x:
+                    x = parent[x]
+                return x
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    a, b = rows[i], rows[j]
+                    lo = max(a.start, b.start)
+                    hi = min(a.end, b.end)
+                    if lo - hi <= gap:      # gap between intervals <= gap
+                        parent[find(i)] = find(j)
+            comp = {}
+            for i, r in enumerate(rows):
+                comp.setdefault(find(i), []).append(r)
+            want = sorted(
+                (min(r.start for r in rs), max(r.end for r in rs),
+                 sum(r.n for r in rs), sum(r.bytes for r in rs))
+                for rs in comp.values())
+            gg = got[got["grp"] == grp]
+            have = sorted(zip(gg["start"], gg["end"], gg["n"],
+                              gg["bytes"]))
+            assert have == want, (trial, grp)
+
+
+def test_concat_ranges_kernel():
+    import numpy as np
+
+    from thor_ray.pipelines.stream_window import _concat_ranges
+    assert _concat_ranges(np.array([3, 0, 2])).tolist() == [0, 1, 2, 0, 1]
+    assert _concat_ranges(np.array([0])).tolist() == []
+    rng = np.random.RandomState(67)
+    c = rng.randint(0, 6, 20)
+    out = _concat_ranges(c)
+    want = [i for k in c for i in range(k)]
+    assert out.tolist() == want
+
+
+def test_interval_join_random_bands(ray_session, tmp_path):
+    """Random (lo, hi) bands — asymmetric, one-sided, zero-width — all
+    equal the brute-force recount in a one-shot drain."""
+    import numpy as np
+
+    rng = np.random.RandomState(71)
+    work = str(tmp_path)
+    base = gen.gen_base_table(n_repos=6, paths_per_repo=5, seed=73)
+    ldir, rdir = os.path.join(work, "L"), os.path.join(work, "R")
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=300, n_shards=2, ddl_every=0, seed=79)).write(ldir)
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=300, n_shards=2, ddl_every=0, seed=83)).write(rdir)
+    bands = [(-50_000, 50_000), (0, 80_000), (-80_000, 0), (0, 0),
+             (int(rng.randint(-100_000, 0)), int(rng.randint(0, 100_000)))]
+    for i, (lo, hi) in enumerate(bands):
+        j = IntervalJoinStream(ldir, rdir,
+                               os.path.join(work, f"ij{i}"), lo, hi,
+                               key_col="repo")
+        j.advance(complete=True)
+        want = _ij_recount(ldir, rdir, lo, hi)
+        pd.testing.assert_frame_equal(_ij_norm(j.matches()),
+                                      _ij_norm(want)), (lo, hi)
