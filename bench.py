@@ -131,6 +131,25 @@ def run_bench() -> dict:
         calib_sec = round(time.perf_counter() - t0, 3)
         membw_gbps = _measure_membw(NUM_CPUS)
 
+    # ---- streaming windowed aggregation over the 1M-event binlog -------
+    # (one complete drain of the fixture through WindowedAggregator:
+    # distributed combiner pass + driver fold + watermark emit)
+    stream_evps = None
+    if not scaling_mode:
+        from thor_ray.pipelines.stream_window import WindowedAggregator
+        wdir = f"{lake_root}/wagg_{NUM_CPUS}"
+        shutil.rmtree(wdir, ignore_errors=True)
+        wagg = WindowedAggregator(info["binlog_dir"], wdir,
+                                  window_us=1_000_000,
+                                  lateness_us=2_000_000, group_col="op")
+        t0 = time.perf_counter()
+        wagg.advance(complete=True)
+        w_sec = time.perf_counter() - t0
+        n_w = int(wagg.emitted()["n"].sum()
+                  + wagg.open_windows()["n"].sum())
+        stream_evps = round(n_w / w_sec, 1) if w_sec else 0.0
+        shutil.rmtree(wdir, ignore_errors=True)
+
     # ---- operator queries over the sf dir ------------------------------
     q_times: dict[str, float] = {}
     skip_queries = os.environ.get("GRAFT_SKIP_QUERIES") == "1"
@@ -158,6 +177,8 @@ def run_bench() -> dict:
     }
     if mode_evps:
         out["cdc_events_per_sec_by_mode"] = mode_evps
+    if stream_evps is not None:
+        out["stream_window_events_per_sec"] = stream_evps
     if calib_sec is not None:
         out["calib_sec"] = calib_sec
     if membw_gbps is not None:

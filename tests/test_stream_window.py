@@ -713,3 +713,19 @@ def test_interval_join_random_bands(ray_session, tmp_path):
         want = _ij_recount(ldir, rdir, lo, hi)
         pd.testing.assert_frame_equal(_ij_norm(j.matches()),
                                       _ij_norm(want)), (lo, hi)
+
+
+def test_stream_telemetry_heartbeat(ray_session, tmp_path):
+    """Every advance — including caught-up no-ops — appends one
+    telemetry line (the consumer heartbeat analogue)."""
+    work = str(tmp_path)
+    bdir = _write_log(work, n_events=600, seed=93)
+    w = WindowedAggregator(bdir, os.path.join(work, "wagg"), W_US)
+    w.advance(complete=True)
+    w.advance(complete=True)             # no-op
+    lines = [json.loads(ln) for ln in open(
+        os.path.join(work, "wagg", "_telemetry.jsonl"))]
+    assert len(lines) == 2
+    assert lines[0]["kind"] == "window" and lines[0]["seq"] == 1
+    assert "wall_sec" in lines[0] and lines[0]["emitted"] >= 0
+    assert lines[1].get("noop") is True

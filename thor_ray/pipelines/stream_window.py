@@ -42,9 +42,19 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import time
+
 from thor_ray.pipelines.ivm import _atomic_json
 
 _MANIFEST = "_window_manifest.json"
+
+
+def _beat(out_dir: str, rec: dict) -> None:
+    """Append one ops-telemetry line per advance() (the consumer-side
+    heartbeat-topic analogue of pipelines/cdc.py::_write_heartbeat) —
+    never read back by the exactly-once machinery."""
+    with open(os.path.join(out_dir, "_telemetry.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
 
 
 class WindowedAggregator:
@@ -129,11 +139,15 @@ class WindowedAggregator:
         the log is finished — drain to its global max lsn."""
         from thor_ray.sources import binlog as B
 
+        t_adv = time.perf_counter()
         man = self._load()
         hi = B.max_lsn(self.binlog_dir) if complete \
             else B.safe_frontier(self.binlog_dir, slack)
         lo = int(man["upto_lsn"])
         if hi <= lo:
+            _beat(self.out_dir, {"kind": "window", "seq": man["seq"],
+                                 "upto_lsn": lo, "noop": True,
+                                 "watermark": man["watermark"]})
             return {"emitted": 0, "late": 0, "watermark": man["watermark"]}
 
         wm_committed = man["watermark"]  # late-judgment frontier
@@ -217,6 +231,11 @@ class WindowedAggregator:
             if f != os.path.join(self.out_dir,
                                  f"open-b{seq:06d}.parquet"):
                 os.remove(f)
+        _beat(self.out_dir, {
+            "kind": "window", "seq": seq, "upto_lsn": hi,
+            "watermark": watermark, "emitted": int(len(emit)),
+            "open": int(len(open_df)), "late": n_late,
+            "wall_sec": round(time.perf_counter() - t_adv, 4)})
         return {"emitted": int(len(emit)), "late": n_late,
                 "watermark": watermark}
 
@@ -331,11 +350,15 @@ class SessionAggregator:
     def advance(self, complete: bool = False, slack: int = 0) -> dict:
         from thor_ray.sources import binlog as B
 
+        t_adv = time.perf_counter()
         man = self._load()
         hi = B.max_lsn(self.binlog_dir) if complete \
             else B.safe_frontier(self.binlog_dir, slack)
         lo = int(man["upto_lsn"])
         if hi <= lo:
+            _beat(self.out_dir, {"kind": "session", "seq": man["seq"],
+                                 "upto_lsn": lo, "noop": True,
+                                 "watermark": man["watermark"]})
             return {"emitted": 0, "late": 0,
                     "watermark": man["watermark"]}
 
@@ -432,6 +455,11 @@ class SessionAggregator:
             if f != os.path.join(self.out_dir,
                                  f"sopen-b{seq:06d}.parquet"):
                 os.remove(f)
+        _beat(self.out_dir, {
+            "kind": "session", "seq": seq, "upto_lsn": hi,
+            "watermark": watermark, "emitted": int(len(emit)),
+            "open": int(len(open_df)), "late": n_late,
+            "wall_sec": round(time.perf_counter() - t_adv, 4)})
         return {"emitted": int(len(emit)), "late": n_late,
                 "watermark": watermark}
 
@@ -598,8 +626,12 @@ class IntervalJoinStream:
             else B.safe_frontier(self.left_dir, slack)
         hi_r = B.max_lsn(self.right_dir) if complete \
             else B.safe_frontier(self.right_dir, slack)
+        t_adv = time.perf_counter()
         lo_l, lo_r = int(man["upto_l"]), int(man["upto_r"])
         if hi_l <= lo_l and hi_r <= lo_r:
+            _beat(self.out_dir, {"kind": "interval_join",
+                                 "seq": man["seq"], "noop": True,
+                                 "watermark": man["watermark"]})
             return {"matches": 0, "late": 0,
                     "watermark": man["watermark"]}
 
@@ -654,6 +686,12 @@ class IntervalJoinStream:
             if f != os.path.join(self.out_dir,
                                  f"jstate-b{seq:06d}.parquet"):
                 os.remove(f)
+        _beat(self.out_dir, {
+            "kind": "interval_join", "seq": seq, "upto_l": hi_l,
+            "upto_r": hi_r, "watermark": watermark,
+            "matches": int(len(matches)), "state": int(len(nstate)),
+            "late": late_l + late_r,
+            "wall_sec": round(time.perf_counter() - t_adv, 4)})
         return {"matches": int(len(matches)),
                 "late": late_l + late_r, "watermark": watermark}
 
