@@ -31,15 +31,15 @@ def _write_log(work: str, n_events: int = 3_000, seed: int = 9,
 
 
 def _recount(bdir: str, w_us: int, lateness_us: int) -> tuple:
-    """Driver-side oracle: fold EVERY data event once (the at-least-once
-    duplicates in the log are re-deliveries the aggregator also sees, so
-    the recount reads the same shard files it does)."""
+    """Driver-side oracle: fold every data event EXACTLY once — the
+    consumer's default lsn dedup drops the log's at-least-once
+    re-delivered copies, so the oracle keeps one copy per lsn too."""
     frames = [pq.read_table(f, columns=["lsn", "op", "ts", "content"])
               .to_pandas()
               for f in sorted(glob.glob(
                   os.path.join(bdir, "shard-*.parquet")))]
     ev = pd.concat(frames, ignore_index=True)
-    ev = ev[ev["op"] != "DDL"].copy()
+    ev = ev[ev["op"] != "DDL"].drop_duplicates("lsn").copy()
     ts = ev["ts"].astype("int64")
     ev["win"] = (ts // w_us) * w_us
     ev["b"] = [len(c.encode()) if isinstance(c, str) else 0
@@ -218,10 +218,11 @@ def test_sliding_windows_match_recount(ray_session, tmp_path):
                            slide_us=W_US // k)
     w.advance(complete=True)
 
-    frames = [pq.read_table(f, columns=["op", "ts", "content"]).to_pandas()
+    frames = [pq.read_table(f, columns=["lsn", "op", "ts", "content"])
+              .to_pandas()
               for f in glob.glob(os.path.join(bdir, "shard-*.parquet"))]
     ev = pd.concat(frames, ignore_index=True)
-    ev = ev[ev["op"] != "DDL"].copy()
+    ev = ev[ev["op"] != "DDL"].drop_duplicates("lsn").copy()
     ts = ev["ts"].astype("int64").to_numpy()
     import numpy as np
     s = W_US // k
@@ -305,7 +306,7 @@ def test_property_random_configs_and_schedules(ray_session, tmp_path):
         # fanout recount over everything
         ev = pd.concat([t.to_pandas() for t in shard_tables.values()],
                        ignore_index=True)
-        ev = ev[ev["op"] != "DDL"]
+        ev = ev[ev["op"] != "DDL"].drop_duplicates("lsn")
         ts = ev["ts"].astype("int64").to_numpy()
         s_us = w_us // k
         rows = []
@@ -333,11 +334,12 @@ def _session_recount(bdir: str, gap_us: int, lateness_us: int) -> tuple:
     """Pandas oracle: sessionize ALL data events per group, then split by
     the final watermark (end + gap <= wm emitted)."""
     import numpy as np
-    frames = [pq.read_table(f, columns=["op", "ts", "content"]).to_pandas()
+    frames = [pq.read_table(f, columns=["lsn", "op", "ts", "content"])
+              .to_pandas()
               for f in sorted(glob.glob(
                   os.path.join(bdir, "shard-*.parquet")))]
     ev = pd.concat(frames, ignore_index=True)
-    ev = ev[ev["op"] != "DDL"].copy()
+    ev = ev[ev["op"] != "DDL"].drop_duplicates("lsn").copy()
     ev["ts"] = ev["ts"].astype("int64")
     ev["b"] = [len(c.encode()) if isinstance(c, str) else 0
                for c in ev["content"]]
@@ -729,3 +731,45 @@ def test_stream_telemetry_heartbeat(ray_session, tmp_path):
     assert lines[0]["kind"] == "window" and lines[0]["seq"] == 1
     assert "wall_sec" in lines[0] and lines[0]["emitted"] >= 0
     assert lines[1].get("noop") is True
+
+
+def test_retention_gap_fence(ray_session, tmp_path):
+    """OffsetOutOfRange analogue: a consumer whose committed offset fell
+    below the archive retention floor fails loudly; on_retention='seek'
+    jumps the gap, records it in telemetry, and processes the rest."""
+    import shutil
+
+    from thor_ray.sources.binlog import RetentionGapError, retention_floor
+
+    work = str(tmp_path)
+    bdir = os.path.join(work, "binlog")
+    os.makedirs(bdir)
+    # two lsn-ordered segments of one shard; retire the first
+    full = _write_log(os.path.join(work, "src"), n_events=800, seed=97)
+    t = pa.concat_tables([pq.read_table(f) for f in sorted(
+        glob.glob(os.path.join(full, "shard-*.parquet")))]).sort_by("lsn")
+    half = len(t) // 2
+    pq.write_table(t.slice(0, half),
+                   os.path.join(bdir, "shard-0000-a.parquet"))
+    pq.write_table(t.slice(half),
+                   os.path.join(bdir, "shard-0000-b.parquet"))
+    os.makedirs(os.path.join(bdir, "_archive"))
+    shutil.move(os.path.join(bdir, "shard-0000-a.parquet"),
+                os.path.join(bdir, "_archive", "shard-0000-a.parquet"))
+    floor = retention_floor(bdir)
+    assert floor > 0
+
+    w = WindowedAggregator(bdir, os.path.join(work, "werr"), W_US)
+    with pytest.raises(RetentionGapError, match="only retains"):
+        w.advance(complete=True)
+
+    ws = WindowedAggregator(bdir, os.path.join(work, "wseek"), W_US,
+                            on_retention="seek")
+    rep = ws.advance(complete=True)
+    assert rep["watermark"] is not None
+    n_remaining = len(t.slice(half)["lsn"].unique())
+    total = int(ws.emitted()["n"].sum() + ws.open_windows()["n"].sum())
+    assert total == n_remaining          # exactly the retained suffix
+    beats = [json.loads(ln) for ln in open(
+        os.path.join(work, "wseek", "_telemetry.jsonl"))]
+    assert any(b.get("retention_seek") for b in beats)

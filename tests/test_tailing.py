@@ -100,9 +100,12 @@ def test_follow_on_apply_keeps_consumers_current(ray_session, grown,
     wagg.advance(complete=True)             # drain the stream-window tail
     # every data event of the log is accounted once across emitted+open
     import glob as _glob
-    n_data = sum(
-        (pq.read_table(f, columns=["op"])["op"].to_pandas() != "DDL").sum()
-        for f in _glob.glob(os.path.join(binlog_dir, "shard-*.parquet")))
+    _ev = pd.concat([pq.read_table(f, columns=["lsn", "op"]).to_pandas()
+                     for f in _glob.glob(os.path.join(
+                         binlog_dir, "shard-*.parquet"))])
+    # exactly-once accounting: the consumer's lsn dedup drops the log's
+    # at-least-once re-delivered copies
+    n_data = int((_ev.drop_duplicates("lsn")["op"] != "DDL").sum())
     n_agg = int(wagg.emitted()["n"].sum() + wagg.open_windows()["n"].sum())
     assert n_agg == n_data and wagg.late_events() == 0
     from thor_ray.state import load_manifests

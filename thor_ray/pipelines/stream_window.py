@@ -57,6 +57,67 @@ def _beat(out_dir: str, rec: dict) -> None:
         f.write(json.dumps(rec) + "\n")
 
 
+
+def _slim_events(binlog_dir: str, lo: int, hi: int, gcol: str,
+                 dedup: bool, fanout: int = 64):
+    """(lsn, ts, grp, b) slim dataset for the range (lo, hi] — column
+    pruning at the read, byte lengths off the Arrow offsets. With
+    ``dedup`` (the default in the consumers), at-least-once re-delivered
+    copies are dropped by lsn in ONE coarse-salt shuffle of these four
+    narrow columns (C-level drop_duplicates inside each salt group) —
+    the consumer-side W4 duplicate drop, so window counts are
+    exactly-once like the lake itself. dedup=False skips the shuffle and
+    counts delivered copies (the cheap at-least-once tier)."""
+    from thor_ray.sources import binlog as B
+
+    ds = B.read_epoch(binlog_dir, lo, hi,
+                      columns=["lsn", "ts", gcol, "content"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        nb = pa.compute.binary_length(t["content"]).fill_null(0)
+        return pa.table({
+            "lsn": t["lsn"],
+            "ts": t["ts"].cast(pa.int64()),
+            "grp": t[gcol].cast(pa.string()),
+            "b": nb.cast(pa.int64()),
+        })
+
+    s = ds.map_batches(slim, batch_format="pyarrow")
+    if not dedup:
+        return s
+
+    def salt(t: pa.Table) -> pa.Table:
+        return t.append_column("dsalt", pa.compute.cast(
+            pa.compute.bit_wise_and(t["lsn"], fanout - 1), pa.int32()))
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("lsn")[["lsn", "ts", "grp", "b"]]
+
+    return (s.map_batches(salt, batch_format="pyarrow")
+            .groupby("dsalt").map_groups(dd, batch_format="pandas"))
+
+
+def _retention_guard(binlog_dir: str, lo: int, on_retention: str,
+                     out_dir: str, kind: str) -> int:
+    """OffsetOutOfRange fence: if segments above `lo` were archived, fail
+    loudly (default) or seek to the retention floor, recording the skipped
+    range in telemetry. Returns the (possibly advanced) lower bound."""
+    from thor_ray.sources import binlog as B
+
+    floor = B.retention_floor(binlog_dir)
+    if lo >= floor:
+        return lo
+    if on_retention == "seek":
+        _beat(out_dir, {"kind": kind, "retention_seek": True,
+                        "skipped_from": lo, "skipped_to": floor})
+        return floor
+    raise B.RetentionGapError(
+        f"{kind} consumer committed upto lsn {lo} but {binlog_dir} only "
+        f"retains lsns > {floor} (archive_binlog retired earlier "
+        "segments); re-seed the consumer or construct it with "
+        "on_retention='seek' to accept the loss")
+
+
 class WindowedAggregator:
     """Tumbling or hopping/sliding event-time windows (count +
     content-byte sum per group) maintained incrementally from the binlog.
@@ -78,9 +139,12 @@ class WindowedAggregator:
 
     def __init__(self, binlog_dir: str, out_dir: str, window_us: int,
                  lateness_us: int = 0, group_col: str = "op",
-                 slide_us: int | None = None):
+                 slide_us: int | None = None, on_retention: str = "error",
+                 dedup: bool = True):
         self.binlog_dir = binlog_dir
         self.out_dir = out_dir
+        self.on_retention = on_retention
+        self.dedup = dedup
         self.window_us = int(window_us)
         self.lateness_us = int(lateness_us)
         self.group_col = group_col
@@ -143,7 +207,8 @@ class WindowedAggregator:
         man = self._load()
         hi = B.max_lsn(self.binlog_dir) if complete \
             else B.safe_frontier(self.binlog_dir, slack)
-        lo = int(man["upto_lsn"])
+        lo = _retention_guard(self.binlog_dir, int(man["upto_lsn"]),
+                              self.on_retention, self.out_dir, "window")
         if hi <= lo:
             _beat(self.out_dir, {"kind": "window", "seq": man["seq"],
                                  "upto_lsn": lo, "noop": True,
@@ -158,14 +223,9 @@ class WindowedAggregator:
         wm_bc = -1 if wm_committed is None else int(wm_committed)
 
         def part(t: pa.Table) -> pa.Table:
-            ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            grp = t[gcol].to_numpy(zero_copy_only=False)
-            # utf-8 BYTE lengths straight off the Arrow offsets — no
-            # Python string materialization (binary_length on a string
-            # column counts bytes, not codepoints)
-            nbytes = pa.compute.binary_length(t["content"]) \
-                .fill_null(0).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
+            ts = t["ts"].to_numpy(zero_copy_only=False)
+            grp = t["grp"].to_numpy(zero_copy_only=False)
+            nbytes = t["b"].to_numpy(zero_copy_only=False)
             # sliding: an event at ts belongs to the k windows starting
             # at (ts//s - j)*s for j in [0, k) — vectorized repeat+offset
             base = (ts // s_us) * s_us
@@ -185,8 +245,7 @@ class WindowedAggregator:
             g["max_ts"] = int(ts.max()) if len(ts) else -1
             return pa.Table.from_pandas(g, preserve_index=False)
 
-        parts = (B.read_epoch(self.binlog_dir, lo, hi,
-                              columns=["lsn", "ts", gcol, "content"])
+        parts = (_slim_events(self.binlog_dir, lo, hi, gcol, self.dedup)
                  .map_batches(part, batch_format="pyarrow").to_pandas())
 
         seq = int(man["seq"]) + 1
@@ -309,9 +368,12 @@ class SessionAggregator:
     """
 
     def __init__(self, binlog_dir: str, out_dir: str, gap_us: int,
-                 lateness_us: int = 0, group_col: str = "op"):
+                 lateness_us: int = 0, group_col: str = "op",
+                 on_retention: str = "error", dedup: bool = True):
         self.binlog_dir = binlog_dir
         self.out_dir = out_dir
+        self.on_retention = on_retention
+        self.dedup = dedup
         self.gap_us = int(gap_us)
         self.lateness_us = int(lateness_us)
         self.group_col = group_col
@@ -354,7 +416,8 @@ class SessionAggregator:
         man = self._load()
         hi = B.max_lsn(self.binlog_dir) if complete \
             else B.safe_frontier(self.binlog_dir, slack)
-        lo = int(man["upto_lsn"])
+        lo = _retention_guard(self.binlog_dir, int(man["upto_lsn"]),
+                              self.on_retention, self.out_dir, "session")
         if hi <= lo:
             _beat(self.out_dir, {"kind": "session", "seq": man["seq"],
                                  "upto_lsn": lo, "noop": True,
@@ -367,11 +430,9 @@ class SessionAggregator:
         wm_bc = -1 if man["watermark"] is None else int(man["watermark"])
 
         def part(t: pa.Table) -> pa.Table:
-            ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            grp = t[gcol].to_numpy(zero_copy_only=False)
-            nbytes = pa.compute.binary_length(t["content"]) \
-                .fill_null(0).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
+            ts = t["ts"].to_numpy(zero_copy_only=False)
+            grp = t["grp"].to_numpy(zero_copy_only=False)
+            nbytes = t["b"].to_numpy(zero_copy_only=False)
             late = ts <= wm_bc
             df = pd.DataFrame({"grp": grp, "ts": ts, "b": nbytes,
                                "late": late})
@@ -409,8 +470,7 @@ class SessionAggregator:
             cl = pd.concat([cl, marker], ignore_index=True)
             return pa.Table.from_pandas(cl, preserve_index=False)
 
-        parts = (B.read_epoch(self.binlog_dir, lo, hi,
-                              columns=["lsn", "ts", gcol, "content"])
+        parts = (_slim_events(self.binlog_dir, lo, hi, gcol, self.dedup)
                  .map_batches(part, batch_format="pyarrow").to_pandas())
 
         seq = int(man["seq"]) + 1
@@ -513,7 +573,8 @@ class IntervalJoinStream:
 
     def __init__(self, left_dir: str, right_dir: str, out_dir: str,
                  lo_us: int, hi_us: int, key_col: str = "repo",
-                 lateness_us: int = 0):
+                 lateness_us: int = 0, on_retention: str = "error"):
+        self.on_retention = on_retention
         if lo_us > hi_us:
             raise ValueError(f"lo_us={lo_us} > hi_us={hi_us}")
         self.left_dir, self.right_dir = left_dir, right_dir
@@ -627,7 +688,12 @@ class IntervalJoinStream:
         hi_r = B.max_lsn(self.right_dir) if complete \
             else B.safe_frontier(self.right_dir, slack)
         t_adv = time.perf_counter()
-        lo_l, lo_r = int(man["upto_l"]), int(man["upto_r"])
+        lo_l = _retention_guard(self.left_dir, int(man["upto_l"]),
+                                self.on_retention, self.out_dir,
+                                "interval_join")
+        lo_r = _retention_guard(self.right_dir, int(man["upto_r"]),
+                                self.on_retention, self.out_dir,
+                                "interval_join")
         if hi_l <= lo_l and hi_r <= lo_r:
             _beat(self.out_dir, {"kind": "interval_join",
                                  "seq": man["seq"], "noop": True,

@@ -615,3 +615,26 @@ def transaction_feed(binlog_dir: str, lo: int = 0,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("txn")
             .map_groups(combine, batch_format="pandas"))
+
+
+class RetentionGapError(RuntimeError):
+    """A consumer's committed offset fell below the log's retention floor
+    (segments it never consumed were archived) — Kafka's OffsetOutOfRange.
+    Resume options: re-seed the consumer, or seek past the gap and accept
+    the loss (the consumer's ``on_retention='seek'``)."""
+
+
+def retention_floor(binlog_dir: str) -> int:
+    """Kafka's log-start-offset: the highest lsn RETIRED into
+    ``_archive/`` (a consumer whose committed offset is below it has
+    lost events to `archive_binlog` — the OffsetOutOfRange condition).
+    Judged from the archive, not from the live files' minimum: a
+    declared shard whose first segment simply hasn't been DELIVERED yet
+    must not read as a retention gap. 0 when nothing was archived."""
+    adir = os.path.join(binlog_dir, "_archive")
+    if not os.path.isdir(adir):
+        return 0
+    floors = [_file_max_lsn(os.path.join(adir, f))
+              for f in os.listdir(adir)
+              if f.startswith("shard-")]
+    return max(floors, default=0)
