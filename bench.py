@@ -137,18 +137,23 @@ def run_bench() -> dict:
     stream_evps = None
     if not scaling_mode:
         from thor_ray.pipelines.stream_window import WindowedAggregator
-        wdir = f"{lake_root}/wagg_{NUM_CPUS}"
-        shutil.rmtree(wdir, ignore_errors=True)
-        wagg = WindowedAggregator(info["binlog_dir"], wdir,
-                                  window_us=1_000_000,
-                                  lateness_us=2_000_000, group_col="op")
-        t0 = time.perf_counter()
-        wagg.advance(complete=True)
-        w_sec = time.perf_counter() - t0
-        n_w = int(wagg.emitted()["n"].sum()
-                  + wagg.open_windows()["n"].sum())
-        stream_evps = round(n_w / w_sec, 1) if w_sec else 0.0
-        shutil.rmtree(wdir, ignore_errors=True)
+        stream_evps = {}
+        # dedup=True (default): exactly-once counting, one slim-column
+        # lsn-dedup shuffle; dedup=False: shuffle-free at-least-once tier
+        for label, dd in (("exactly_once", True), ("at_least_once", False)):
+            wdir = f"{lake_root}/wagg_{NUM_CPUS}_{label}"
+            shutil.rmtree(wdir, ignore_errors=True)
+            wagg = WindowedAggregator(info["binlog_dir"], wdir,
+                                      window_us=1_000_000,
+                                      lateness_us=2_000_000,
+                                      group_col="op", dedup=dd)
+            t0 = time.perf_counter()
+            wagg.advance(complete=True)
+            w_sec = time.perf_counter() - t0
+            n_w = int(wagg.emitted()["n"].sum()
+                      + wagg.open_windows()["n"].sum())
+            stream_evps[label] = round(n_w / w_sec, 1) if w_sec else 0.0
+            shutil.rmtree(wdir, ignore_errors=True)
 
     # ---- operator queries over the sf dir ------------------------------
     q_times: dict[str, float] = {}
