@@ -579,3 +579,64 @@ def test_transaction_feed(ray_session, tmp_path):
         got.astype({c: "int64" for c in got.columns}), want,
         check_dtype=False)
     assert (want["n_events"] > 1).any()   # multi-event txns exercised
+
+
+def test_compact_binlog_keys(ray_session, tmp_path):
+    """Kafka log compaction: replaying the key-compacted log folds to the
+    SAME final lake state (deletes and DDLs retained), per-shard
+    frontiers are unchanged, the log shrinks, and the retention fence
+    does NOT fire (compaction keeps every offset readable, unlike the
+    archive's prefix deletion)."""
+    import shutil
+
+    from thor_ray.pipelines.stream_window import WindowedAggregator
+    from thor_ray.sources.binlog import (compact_binlog_keys,
+                                         retention_floor,
+                                         shard_frontiers)
+
+    work = str(tmp_path)
+    base = gen.gen_base_table(n_repos=15, paths_per_repo=10, seed=103)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=5_000, n_shards=3, delete_rate=0.10,
+        ddl_every=1_500, seed=103))
+    b1 = os.path.join(work, "orig")
+    log.write(b1)
+    b2 = os.path.join(work, "compacted")
+    shutil.copytree(b1, b2)
+
+    fr_before = shard_frontiers(b2)
+    rep = compact_binlog_keys(b2)
+    assert rep["events_out"] < rep["events_in"]
+    assert shard_frontiers(b2) == fr_before
+    assert retention_floor(b2) == 0          # compaction ≠ deletion
+
+    def replay(bdir, name):
+        base_path = os.path.join(work, "base.parquet")
+        if not os.path.exists(base_path):
+            pq.write_table(base, base_path)
+        cfg = CdcConfig(lake_dir=os.path.join(work, name),
+                        binlog_dir=bdir, num_partitions=6,
+                        epoch_size=2_000)
+        pipe = CdcPipeline(cfg)
+        pipe.run(base=base_path)
+        return pipe.final_table().to_pandas().sort_values(
+            ["repo", "path"]).reset_index(drop=True)
+
+    a = replay(b1, "lake_orig")
+    b = replay(b2, "lake_kc")
+    pd.testing.assert_frame_equal(a, b)
+
+    # a fresh stream consumer reads the compacted log without tripping
+    # the fence, and sees exactly the kept events
+    w = WindowedAggregator(b2, os.path.join(work, "wagg"), 500_000)
+    w.advance(complete=True)
+    total = int(w.emitted()["n"].sum() + w.open_windows()["n"].sum())
+    n_ddl_and_bad = rep["events_out"] - total
+    assert total > 0 and n_ddl_and_bad >= 0
+
+    # idempotent: a second compaction of the already-compacted log keeps
+    # the same event set (nothing more to fold away per key)
+    rep2 = compact_binlog_keys(b2)
+    assert rep2["events_out"] == rep["events_out"]
+    c = replay(b2, "lake_kc2")
+    pd.testing.assert_frame_equal(a, c)

@@ -189,10 +189,15 @@ def cmd_stats(a) -> int:
 
 
 def cmd_compact_binlog(a) -> int:
-    """Convert text wire shards to the parquet tier in place
-    (metadata-only; no Ray)."""
-    from thor_ray.sources.binlog import compact_text_shards
+    """Convert text wire shards to the parquet tier in place; --keys runs
+    Kafka-style key compaction instead (metadata/driver-only; no Ray)."""
+    from thor_ray.sources.binlog import (compact_binlog_keys,
+                                         compact_text_shards)
 
+    if a.keys:
+        rep = compact_binlog_keys(a.binlog, upto_lsn=a.upto)
+        print(json.dumps(rep))
+        return 0
     n = compact_text_shards(a.binlog)
     print(json.dumps({"converted_segments": n}))
     return 0
@@ -719,8 +724,14 @@ def main(argv: list[str] | None = None) -> int:
     st.set_defaults(fn=cmd_stats)
 
     cb = sub.add_parser("compact-binlog",
-                        help="convert text wire shards to parquet")
+                        help="convert text wire shards to parquet, or "
+                             "--keys for Kafka-style key compaction")
     cb.add_argument("--binlog", required=True)
+    cb.add_argument("--keys", action="store_true",
+                    help="keep only the last event per key (full-image "
+                         "logs only; tombstones and DDL retained)")
+    cb.add_argument("--upto", type=int,
+                    help="only compact segments with max lsn <= this")
     cb.set_defaults(fn=cmd_compact_binlog)
 
     fs = sub.add_parser("fsck", help="lake consistency check "

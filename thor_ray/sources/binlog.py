@@ -638,3 +638,83 @@ def retention_floor(binlog_dir: str) -> int:
               for f in os.listdir(adir)
               if f.startswith("shard-")]
     return max(floors, default=0)
+
+
+def compact_binlog_keys(binlog_dir: str, upto_lsn: int | None = None
+                        ) -> dict:
+    """Kafka log compaction (compacted-topic semantics): rewrite each
+    shard's fully-consumed segments keeping only the LAST event per key —
+    a fresh consumer then bootstraps in O(live keys), not O(history),
+    and replaying the compacted log folds to the SAME final state
+    (last-writer-wins by lsn; the kept event per key includes the global
+    winner because keys are shard-sticky, and any extra per-shard "last"
+    is overwritten by a higher lsn on replay).
+
+    Retention rules (Kafka's): delete tombstones are RETAINED (the key's
+    last event may be its 'D'); DDL events are all kept (schema-evolution
+    replay needs the full timeline); malformed events (null key / unknown
+    op) are all kept so the DLQ path replays identically. Only valid for
+    FULL-image logs — partial-image (patch-mode) updates carry deltas
+    that earlier events complete, exactly like Kafka compaction requires
+    full values.
+
+    Whole-segment granularity: only segments with max lsn ≤ ``upto_lsn``
+    (default: the log end) are rewritten, one lsn-sorted compacted
+    segment per shard (atomic tmp+rename, originals archived only AFTER
+    the final lands — a crash leaves duplicate lsns, which the apply's
+    lsn dedup absorbs; per-shard max lsn is preserved, so frontiers and
+    watermarks are unchanged). Parquet tier only (run
+    ``compact_text_shards`` first). Returns {"shards", "events_in",
+    "events_out"}."""
+    files = shard_files(binlog_dir)
+    if not files:
+        return {"shards": 0, "events_in": 0, "events_out": 0}
+    if not files[0].endswith(".parquet"):
+        raise ValueError("key compaction needs the parquet tier — run "
+                         "compact_text_shards first")
+    if upto_lsn is None:
+        upto_lsn = max_lsn(binlog_dir)
+    # originals go under _archive/kc/, NOT _archive/ itself: compaction
+    # keeps every offset readable (at least the key's latest), so it must
+    # not raise the retention_floor the way archive_binlog's prefix
+    # deletion does (Kafka: compaction does not advance log-start-offset)
+    arch = os.path.join(binlog_dir, "_archive", "kc")
+    by_shard: dict[str, list[str]] = {}
+    for p in files:
+        if _file_max_lsn(p) <= upto_lsn:
+            by_shard.setdefault(os.path.basename(p)[:10], []).append(p)
+
+    n_in = n_out = n_shards = 0
+    for shard, ps in sorted(by_shard.items()):
+        t = pa.concat_tables([pq.read_table(p) for p in ps]) \
+            .sort_by("lsn")
+        n_in += t.num_rows
+        op = t["op"]
+        is_data = pc.and_(
+            pc.is_in(op, value_set=pa.array(["I", "U", "D"])),
+            pc.and_(pc.is_valid(t["repo"]), pc.is_valid(t["path"])))
+        keep_all = t.filter(pc.invert(is_data))     # DDL + malformed
+        data = t.filter(is_data)
+        if data.num_rows:
+            # last event per key: lsn-sorted, so keep the final row of
+            # each (repo, path) group — vectorized via reverse dedup
+            df = pa.table({"repo": data["repo"],
+                           "path": data["path"]}).to_pandas()
+            last = ~df.duplicated(["repo", "path"], keep="last")
+            data = data.filter(pa.array(last.to_numpy()))
+        out = pa.concat_tables([keep_all, data]).sort_by("lsn")
+        n_out += out.num_rows
+        n_shards += 1
+        final = os.path.join(binlog_dir,
+                             f"{shard}-kc{upto_lsn:012d}.parquet")
+        tmp = final + f".tmp-{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, final)
+        os.makedirs(arch, exist_ok=True)
+        for p in ps:
+            # re-compaction input may BE the final name (same upto) —
+            # never archive the file just written
+            if os.path.abspath(p) != os.path.abspath(final):
+                os.replace(p, os.path.join(arch, os.path.basename(p)))
+    return {"shards": n_shards, "events_in": int(n_in),
+            "events_out": int(n_out)}
