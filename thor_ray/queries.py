@@ -15107,6 +15107,68 @@ def q391_interval_join_stream(sf: str):
     return out.sort_values("key").reset_index(drop=True)
 
 
+def q392_streaming_dashboard(sf: str):
+    """Flagship streaming composition (rows-only): ONE follow() loop
+    drives the exactly-once lake apply while its on_apply hooks keep four
+    consumers current with the stream — a secondary index, a tumbling
+    WindowedAggregator, a gap-based SessionAggregator, and the heartbeat
+    telemetry each emits per advance. At drain, everything agrees:
+    the lake state, index probes, and the window/session folds (each
+    pinned against oracles in their own suites). Returns one summary row
+    per surface."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from thor_ray import gen
+    from thor_ray.pipelines import CdcConfig, CdcPipeline
+    from thor_ray.pipelines.stream_window import (SessionAggregator,
+                                                  WindowedAggregator)
+    from thor_ray.sources.secondary import SecondaryIndex
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_dash_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=15, paths_per_repo=10, seed=107)
+    bp = os.path.join(work, "base.parquet")
+    _pq.write_table(base, bp)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=6_000, n_shards=3, ddl_every=0, seed=107))
+    bdir = os.path.join(work, "binlog")
+    log.write(bdir)
+
+    cfg = CdcConfig(lake_dir=os.path.join(work, "lake"), binlog_dir=bdir,
+                    num_partitions=6, epoch_size=2_000,
+                    write_mode="delta", compact_every=1_000_000)
+    pipe = CdcPipeline(cfg)
+    idx = SecondaryIndex(cfg.lake_dir, os.path.join(work, "idx"), "lang")
+    wagg = WindowedAggregator(bdir, os.path.join(work, "wagg"),
+                              window_us=500_000, lateness_us=500_000)
+    sagg = SessionAggregator(bdir, os.path.join(work, "sagg"),
+                             gap_us=50_000, lateness_us=500_000)
+    pipe.follow(poll_sec=0.05, idle_polls=2, base=bp,
+                on_apply=[idx.advance, wagg.advance, sagg.advance])
+    wagg.advance(complete=True)
+    sagg.advance(complete=True)
+
+    live = pipe.final_table().count()
+    probe_lang = "py"
+    return pd.DataFrame([
+        {"surface": "lake_live_rows", "value": int(live)},
+        {"surface": "index_probe_py",
+         "value": int(len(idx.probe(probe_lang)))},
+        {"surface": "windows_emitted", "value": int(len(wagg.emitted()))},
+        {"surface": "window_events",
+         "value": int(wagg.emitted()["n"].sum()
+                      + wagg.open_windows()["n"].sum())},
+        {"surface": "sessions_emitted",
+         "value": int(len(sagg.emitted()))},
+        {"surface": "late_events",
+         "value": int(wagg.late_events() + sagg.late_events())},
+    ])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15506,6 +15568,7 @@ QUERIES: dict[str, tuple] = {
     "q389_aging_buckets": (q389_aging_buckets, SQL_Q389),
     "q390_session_stream": (q390_session_stream, None),
     "q391_interval_join_stream": (q391_interval_join_stream, None),
+    "q392_streaming_dashboard": (q392_streaming_dashboard, None),
 }
 
 
