@@ -525,6 +525,26 @@ def cmd_window(a) -> int:
     return 0
 
 
+def cmd_ijoin(a) -> int:
+    """Advance a stream-stream interval join over two binlogs; print
+    match/late totals."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.stream_window import IntervalJoinStream
+
+    j = IntervalJoinStream(
+        a.left, a.right, a.out_dir, lo_us=a.lo_ms * 1000,
+        hi_us=a.hi_ms * 1000, key_col=a.key_col,
+        lateness_us=a.lateness_ms * 1000)
+    rep = j.advance(complete=a.complete, slack=a.slack)
+    print(json.dumps({
+        "matches_now": rep["matches"], "late_now": rep["late"],
+        "watermark": rep["watermark"],
+        "matches_total": int(len(j.matches())),
+        "late_events_total": j.late_events()}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_verify(a) -> int:
     """Replay-equivalence check: lake state vs the single-process oracle."""
     ray = _ray_init(a.num_cpus)
@@ -930,6 +950,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="frontier slack (lsns) for bounded intra-shard skew")
     wn.add_argument("--num-cpus", type=int)
     wn.set_defaults(fn=cmd_window)
+
+    ij = sub.add_parser("ijoin", help="stream-stream interval join over "
+                        "two binlogs (emit matched pairs exactly once)")
+    ij.add_argument("--left", required=True)
+    ij.add_argument("--right", required=True)
+    ij.add_argument("--out-dir", required=True)
+    ij.add_argument("--lo-ms", type=int, required=True,
+                    help="lower band edge (may be negative)")
+    ij.add_argument("--hi-ms", type=int, required=True)
+    ij.add_argument("--key-col", default="repo")
+    ij.add_argument("--lateness-ms", type=int, default=0)
+    ij.add_argument("--complete", action="store_true")
+    ij.add_argument("--slack", type=int, default=0)
+    ij.add_argument("--num-cpus", type=int)
+    ij.set_defaults(fn=cmd_ijoin)
 
     a = p.parse_args(argv)
     return a.fn(a)

@@ -130,7 +130,9 @@ class WindowedAggregator:
     lateness_us : allowed lateness subtracted from max event ts to form
         the watermark (0 = emit as soon as a later window is seen).
     group_col : event column to group by inside each window ('op',
-        'repo', 'shard', ...).
+        'repo', 'shard', ...). Labels are normalized to STRING in the
+        outputs (the slim exchange schema is fixed — an int32 'shard'
+        groups as "0", "1", ...).
     slide_us : hop size for SLIDING windows (must divide window_us; each
         event then lands in window_us // slide_us overlapping windows —
         the combiner fanout grows by that factor, the protocol is
