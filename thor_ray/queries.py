@@ -15169,6 +15169,155 @@ def q392_streaming_dashboard(sf: str):
     ])
 
 
+def q393_site_mean_distance(sf: str):
+    """Per-site mean great-circle distance of assigned customers: the
+    q383 broadcast nearest-site assignment (exact int64 planar argmin,
+    deterministic ties) composed with the q384 haversine kernel — each
+    customer's distance to ITS site is rounded to µm-km and summed as
+    exact integers per site (combiner partials), so the mean is one
+    float division on the 12-row output."""
+    from ray.data.aggregate import Sum
+
+    from thor_ray.ops import geo as GEO
+    ds = T(sf, "customer", ["c_custkey"])
+    sites = np.array([[(s * 2311) % 17000, (s * 4099) % 35000]
+                      for s in range(12)], dtype=np.int64)
+    sref = ray.put(sites)
+
+    def part(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pts = pa.table({
+            "lat_i": pa.array((key * 7919) % 17000),
+            "lon_i": pa.array((key * 104729) % 35000),
+        })
+        pts = GEO.nearest_site(pts, sref, "lat_i", "lon_i")
+        s = ray.get(sref)
+        sid = pts["site_id"].to_numpy()
+        lat = pts["lat_i"].to_numpy() / 100.0 - 85.0
+        lon = pts["lon_i"].to_numpy() / 100.0 - 175.0
+        slat = s[sid, 0] / 100.0 - 85.0
+        slon = s[sid, 1] / 100.0 - 175.0
+        km = GEO.haversine_km(lat, lon, slat, slon)
+        v = km * 1e6
+        fl = np.floor(v)
+        um = (fl + (v - fl >= 0.5)).astype(np.int64)   # half-away, v >= 0
+        g = pa.table({"site_id": pts["site_id"],
+                      "um": pa.array(um)}) \
+            .group_by("site_id") \
+            .aggregate([("site_id", "count"), ("um", "sum")])
+        return g.select(["site_id", "site_id_count", "um_sum"]) \
+            .rename_columns(["site_id", "n", "um"])
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("site_id")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("um", alias_name="um"))).to_pandas()
+    agg = agg.sort_values("site_id").reset_index(drop=True)
+    out = pa.table({
+        "site_id": pa.array(agg["site_id"], pa.int64()),
+        "n": pa.array(agg["n"], pa.int64()),
+        "mean_km": _rnd(pa.array(
+            (agg["um"] / 1e6) / agg["n"], pa.float64()), 4),
+    })
+    return out.to_pandas()
+
+
+SQL_Q393 = """
+WITH pts AS (
+  SELECT c_custkey, ((c_custkey * 7919) % 17000) AS y,
+         ((c_custkey * 104729) % 35000) AS x
+  FROM customer),
+sites AS (
+  SELECT s AS site_id, (s * 2311) % 17000 AS sy, (s * 4099) % 35000 AS sx
+  FROM generate_series(0, 11) AS t(s)),
+d AS (
+  SELECT c_custkey, site_id, y, x, sy, sx,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY
+           (y - sy) * (y - sy) + (x - sx) * (x - sx), site_id) AS rn
+  FROM pts CROSS JOIN sites),
+km AS (
+  SELECT site_id,
+         CAST(round(2.0 * 6371.0 * asin(sqrt(
+           pow(sin((radians(y / 100.0 - 85.0)
+                    - radians(sy / 100.0 - 85.0)) / 2.0), 2)
+           + cos(radians(sy / 100.0 - 85.0))
+             * cos(radians(y / 100.0 - 85.0))
+             * pow(sin(radians((x / 100.0 - 175.0)
+                               - (sx / 100.0 - 175.0)) / 2.0), 2)))
+           * 1000000) AS BIGINT) AS um
+  FROM d WHERE rn = 1)
+SELECT site_id, count(*) AS n,
+       round((CAST(sum(um) AS BIGINT) / 1000000.0) / count(*), 4)
+         AS mean_km
+FROM km GROUP BY site_id ORDER BY site_id
+"""
+
+
+def q394_fulfillment_lag(sf: str):
+    """Order-fulfillment lag per priority: days from order date to the
+    order's LAST ship date — a per-order grouped max on lineitem
+    (combiner partials, one shuffle keyed by orderkey salt), the small
+    per-order result joined back to orders, integer day sums folded per
+    priority; one division on the 5-row output."""
+    from ray.data.aggregate import Max, Sum
+
+    li = T(sf, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_part(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "ship": t["l_shipdate"].cast(pa.int64()),
+        }).group_by("l_orderkey").aggregate([("ship", "max")])
+        return g.select(["l_orderkey", "ship_max"]) \
+            .rename_columns(["l_orderkey", "ship"])
+
+    last_ship = (li.map_batches(li_part, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Max("ship", alias_name="ship")))
+
+    orders = T(sf, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = R.hash_join(orders, last_ship, on=("o_orderkey",),
+                    right_on=("l_orderkey",))
+
+    def lag_part(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ship = t["ship"].to_numpy(zero_copy_only=False)
+        days = (ship - od) // 86_400_000_000
+        g = pa.table({"o_orderpriority": t["o_orderpriority"],
+                      "days": pa.array(days)}) \
+            .group_by("o_orderpriority") \
+            .aggregate([("days", "count"), ("days", "sum")])
+        return g.select(["o_orderpriority", "days_count", "days_sum"]) \
+            .rename_columns(["o_orderpriority", "n", "day_sum"])
+
+    agg = (j.map_batches(lag_part, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("day_sum", alias_name="day_sum"))).to_pandas()
+    agg = agg.sort_values("o_orderpriority").reset_index(drop=True)
+    out = pa.table({
+        "o_orderpriority": pa.array(agg["o_orderpriority"], pa.string()),
+        "n": pa.array(agg["n"], pa.int64()),
+        "avg_lag_days": _rnd(pa.array(
+            agg["day_sum"] / agg["n"], pa.float64()), 4),
+    })
+    return out.to_pandas()
+
+
+SQL_Q394 = """
+WITH ls AS (
+  SELECT l_orderkey, max(l_shipdate) AS ship FROM lineitem
+  GROUP BY l_orderkey)
+SELECT o_orderpriority, count(*) AS n,
+       round(CAST(sum(date_diff('day', o_orderdate, ship)) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 4) AS avg_lag_days
+FROM orders JOIN ls ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15569,6 +15718,8 @@ QUERIES: dict[str, tuple] = {
     "q390_session_stream": (q390_session_stream, None),
     "q391_interval_join_stream": (q391_interval_join_stream, None),
     "q392_streaming_dashboard": (q392_streaming_dashboard, None),
+    "q393_site_mean_distance": (q393_site_mean_distance, SQL_Q393),
+    "q394_fulfillment_lag": (q394_fulfillment_lag, SQL_Q394),
 }
 
 
