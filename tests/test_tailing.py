@@ -640,3 +640,19 @@ def test_compact_binlog_keys(ray_session, tmp_path):
     assert rep2["events_out"] == rep["events_out"]
     c = replay(b2, "lake_kc2")
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_compact_binlog_keys_refuses_patch_logs(tmp_path):
+    """Key compaction on a partial-image (patch-mode) log would drop
+    field values the kept patches do not carry — refused loudly (Kafka
+    compaction requires full values; the marker travels in
+    _shards.json)."""
+    from thor_ray.sources.binlog import compact_binlog_keys
+
+    base = gen.gen_base_table(n_repos=8, paths_per_repo=6, seed=109)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=500, n_shards=2, seed=109, update_mode="patch"))
+    bdir = str(tmp_path / "binlog")
+    log.write(bdir)
+    with pytest.raises(ValueError, match="partial-image"):
+        compact_binlog_keys(bdir)

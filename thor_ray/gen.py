@@ -250,10 +250,13 @@ class Binlog:
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             # only shards that will actually deliver data — an empty shard
-            # would pin the frontier at 0 forever
+            # would pin the frontier at 0 forever. update_mode travels so
+            # key compaction can refuse partial-image (patch) logs, which
+            # it would silently corrupt (compact_binlog_keys).
             json.dump({"shards": [f"shard-{i:04d}"
                                   for i, t in enumerate(self.shards)
-                                  if t.num_rows > 0]}, f)
+                                  if t.num_rows > 0],
+                       "update_mode": self.config.update_mode}, f)
         os.replace(tmp, p)
 
     def write_segments(self, out_dir: str, n_segments: int,

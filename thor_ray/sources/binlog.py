@@ -672,6 +672,15 @@ def compact_binlog_keys(binlog_dir: str, upto_lsn: int | None = None
     if not files[0].endswith(".parquet"):
         raise ValueError("key compaction needs the parquet tier — run "
                          "compact_text_shards first")
+    marker = os.path.join(binlog_dir, "_shards.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f).get("update_mode", "full") == "patch":
+                raise ValueError(
+                    "key compaction would corrupt a partial-image "
+                    "(patch-mode) log: dropped earlier events carry "
+                    "field values the kept patches do not (Kafka "
+                    "compaction requires full values)")
     if upto_lsn is None:
         upto_lsn = max_lsn(binlog_dir)
     # originals go under _archive/kc/, NOT _archive/ itself: compaction
