@@ -773,3 +773,66 @@ def test_retention_gap_fence(ray_session, tmp_path):
     beats = [json.loads(ln) for ln in open(
         os.path.join(work, "wseek", "_telemetry.jsonl"))]
     assert any(b.get("retention_seek") for b in beats)
+
+
+def test_windowed_distinct_hll(ray_session, tmp_path):
+    """distinct_col: one mergeable HLL per open window — the emitted ndv
+    is within the sketch's error bound of the exact per-window distinct
+    count, and stepwise delivery produces BIT-identical estimates to the
+    one-shot fold (register merges are associative)."""
+    import numpy as np
+
+    work = str(tmp_path)
+    bdir = _write_log(work, n_events=3_000, seed=113)
+    w = WindowedAggregator(bdir, os.path.join(work, "wagg"), W_US,
+                           lateness_us=0, group_col="op",
+                           distinct_col="repo")
+    w.advance(complete=True)
+    em = w.emitted()
+    assert len(em) and "ndv" in em.columns
+
+    # exact recount per (win, grp) over unique-lsn events
+    frames = [pq.read_table(f, columns=["lsn", "op", "ts", "repo"])
+              .to_pandas()
+              for f in sorted(glob.glob(
+                  os.path.join(bdir, "shard-*.parquet")))]
+    ev = pd.concat(frames, ignore_index=True)
+    ev = ev[ev["op"] != "DDL"].drop_duplicates("lsn")
+    ev["win"] = (ev["ts"].astype("int64") // W_US) * W_US
+    exact = ev.groupby(["win", "op"])["repo"].nunique()
+    for _, r in em.iterrows():
+        ex = int(exact.loc[(r["win"], r["grp"])])
+        assert abs(int(r["ndv"]) - ex) <= max(2, 0.06 * ex), \
+            (r["win"], r["grp"], r["ndv"], ex)
+
+    # stepwise (per-shard halves) == one-shot, bit-identical ndv
+    staged = os.path.join(work, "staged")
+    os.makedirs(staged)
+    names = set()
+    segs = []
+    for f in sorted(glob.glob(os.path.join(bdir, "shard-*.parquet"))):
+        t = pq.read_table(f).sort_by("lsn")
+        stem = os.path.basename(f)[:-len(".parquet")]
+        names.add(stem[:10])
+        half = len(t) // 2
+        segs += [(f"{stem}-a.parquet", t.slice(0, half)),
+                 (f"{stem}-b.parquet", t.slice(half))]
+    with open(os.path.join(staged, "_shards.json"), "w") as f:
+        json.dump({"shards": sorted(names)}, f)
+    ws = WindowedAggregator(staged, os.path.join(work, "w_step"), W_US,
+                            lateness_us=0, group_col="op",
+                            distinct_col="repo")
+    for name, t in segs:
+        pq.write_table(t, os.path.join(staged, name))
+        ws.advance()
+    ws.advance(complete=True)
+    a = em.sort_values(["win", "grp"]).reset_index(drop=True)
+    b = ws.emitted().sort_values(["win", "grp"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["win", "grp", "n", "ndv"]], b[["win", "grp", "n", "ndv"]])
+
+    # config fence covers distinct_col
+    with pytest.raises(ValueError, match="config changed"):
+        WindowedAggregator(bdir, os.path.join(work, "wagg"), W_US,
+                           lateness_us=0).advance(complete=True)
+    _ = np

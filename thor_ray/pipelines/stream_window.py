@@ -59,7 +59,7 @@ def _beat(out_dir: str, rec: dict) -> None:
 
 
 def _slim_events(binlog_dir: str, lo: int, hi: int, gcol: str,
-                 dedup: bool, fanout: int = 64):
+                 dedup: bool, fanout: int = 64, dcol: str | None = None):
     """(lsn, ts, grp, b) slim dataset for the range (lo, hi] — column
     pruning at the read, byte lengths off the Arrow offsets. With
     ``dedup`` (the default in the consumers), at-least-once re-delivered
@@ -70,17 +70,23 @@ def _slim_events(binlog_dir: str, lo: int, hi: int, gcol: str,
     counts delivered copies (the cheap at-least-once tier)."""
     from thor_ray.sources import binlog as B
 
-    ds = B.read_epoch(binlog_dir, lo, hi,
-                      columns=["lsn", "ts", gcol, "content"])
+    cols = ["lsn", "ts", gcol, "content"]
+    if dcol is not None and dcol not in cols:
+        cols.append(dcol)
+    ds = B.read_epoch(binlog_dir, lo, hi, columns=cols)
+    keep = ["lsn", "ts", "grp", "b"] + (["d"] if dcol is not None else [])
 
     def slim(t: pa.Table) -> pa.Table:
         nb = pa.compute.binary_length(t["content"]).fill_null(0)
-        return pa.table({
+        out = {
             "lsn": t["lsn"],
             "ts": t["ts"].cast(pa.int64()),
             "grp": t[gcol].cast(pa.string()),
             "b": nb.cast(pa.int64()),
-        })
+        }
+        if dcol is not None:
+            out["d"] = t[dcol].cast(pa.string())
+        return pa.table(out)
 
     s = ds.map_batches(slim, batch_format="pyarrow")
     if not dedup:
@@ -91,7 +97,7 @@ def _slim_events(binlog_dir: str, lo: int, hi: int, gcol: str,
             pa.compute.bit_wise_and(t["lsn"], fanout - 1), pa.int32()))
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates("lsn")[["lsn", "ts", "grp", "b"]]
+        return g.drop_duplicates("lsn")[keep]
 
     return (s.map_batches(salt, batch_format="pyarrow")
             .groupby("dsalt").map_groups(dd, batch_format="pandas"))
@@ -142,11 +148,14 @@ class WindowedAggregator:
     def __init__(self, binlog_dir: str, out_dir: str, window_us: int,
                  lateness_us: int = 0, group_col: str = "op",
                  slide_us: int | None = None, on_retention: str = "error",
-                 dedup: bool = True):
+                 dedup: bool = True, distinct_col: str | None = None,
+                 hll_p: int = 12):
         self.binlog_dir = binlog_dir
         self.out_dir = out_dir
         self.on_retention = on_retention
         self.dedup = dedup
+        self.distinct_col = distinct_col
+        self.hll_p = int(hll_p)
         self.window_us = int(window_us)
         self.lateness_us = int(lateness_us)
         self.group_col = group_col
@@ -166,14 +175,16 @@ class WindowedAggregator:
                     "config": {"window_us": self.window_us,
                                "lateness_us": self.lateness_us,
                                "group_col": self.group_col,
-                               "slide_us": self.slide_us}}
+                               "slide_us": self.slide_us,
+                               "distinct_col": self.distinct_col}}
         with open(p) as f:
             man = json.load(f)
         cfg = man["config"]
         if (cfg["window_us"] != self.window_us
                 or cfg["lateness_us"] != self.lateness_us
                 or cfg["group_col"] != self.group_col
-                or cfg.get("slide_us", cfg["window_us"]) != self.slide_us):
+                or cfg.get("slide_us", cfg["window_us"]) != self.slide_us
+                or cfg.get("distinct_col") != self.distinct_col):
             raise ValueError(
                 f"window config changed since {p} was written "
                 f"({cfg} vs window_us={self.window_us}, "
@@ -184,11 +195,14 @@ class WindowedAggregator:
 
     def _open_state(self, man: dict) -> pd.DataFrame:
         if man["seq"] == 0:
-            return pd.DataFrame({
+            base = {
                 "win": pd.Series(dtype="int64"),
                 "grp": pd.Series(dtype="object"),
                 "n": pd.Series(dtype="int64"),
-                "bytes": pd.Series(dtype="int64")})
+                "bytes": pd.Series(dtype="int64")}
+            if self.distinct_col is not None:
+                base["regs"] = pd.Series(dtype="object")
+            return pd.DataFrame(base)
         return pd.read_parquet(os.path.join(
             self.out_dir, f"open-b{man['seq']:06d}.parquet"))
 
@@ -222,12 +236,22 @@ class WindowedAggregator:
         s_us = self.slide_us
         k = w_us // s_us                 # windows per event (1 = tumbling)
         gcol = self.group_col
+        dcol = self.distinct_col
+        hll_p = self.hll_p
         wm_bc = -1 if wm_committed is None else int(wm_committed)
 
         def part(t: pa.Table) -> pa.Table:
+            from thor_ray.ops.sketch import _bucket_rank
+            from thor_ray.stages.smt import stable_hash
+
             ts = t["ts"].to_numpy(zero_copy_only=False)
             grp = t["grp"].to_numpy(zero_copy_only=False)
             nbytes = t["b"].to_numpy(zero_copy_only=False)
+            if dcol is not None and len(t):
+                dh = stable_hash(
+                    pa.table({"d": t["d"]}), ["d"]).astype(np.uint64)
+            else:
+                dh = np.zeros(len(t), dtype=np.uint64)
             # sliding: an event at ts belongs to the k windows starting
             # at (ts//s - j)*s for j in [0, k) — vectorized repeat+offset
             base = (ts // s_us) * s_us
@@ -239,15 +263,33 @@ class WindowedAggregator:
                                  len(ts)))
                 grp = np.repeat(grp, k)
                 nbytes = np.repeat(nbytes, k)
+                dh = np.repeat(dh, k)
             late = win + w_us <= wm_bc      # window already finalized
             df = pd.DataFrame({"win": win, "grp": grp, "b": nbytes,
                                "late": late})
             g = df.groupby(["win", "grp", "late"], as_index=False).agg(
                 n=("b", "size"), bytes=("b", "sum"))
+            if dcol is not None and len(df):
+                # one 2^p register blob per (win, grp, late) row — a
+                # single np.maximum.at over (row-code, bucket), the
+                # approx_distinct_by combiner shape
+                codes, uniq = pd.factorize(
+                    pd.Series(list(zip(df["win"], df["grp"],
+                                       df["late"]))))
+                idx, rank = _bucket_rank(dh, hll_p)
+                regs = np.zeros((len(uniq), 1 << hll_p), dtype=np.int8)
+                np.maximum.at(regs, (codes, idx), rank)
+                by_key = {kk: regs[i].tobytes()
+                          for i, kk in enumerate(uniq)}
+                g["regs"] = [by_key[(w, gr, lt)] for w, gr, lt in
+                             zip(g["win"], g["grp"], g["late"])]
+            elif dcol is not None:
+                g["regs"] = pd.Series(dtype="object")
             g["max_ts"] = int(ts.max()) if len(ts) else -1
             return pa.Table.from_pandas(g, preserve_index=False)
 
-        parts = (_slim_events(self.binlog_dir, lo, hi, gcol, self.dedup)
+        parts = (_slim_events(self.binlog_dir, lo, hi, gcol, self.dedup,
+                              dcol=dcol)
                  .map_batches(part, batch_format="pyarrow").to_pandas())
 
         seq = int(man["seq"]) + 1
@@ -257,11 +299,29 @@ class WindowedAggregator:
         if len(parts):
             n_late = int(parts.loc[parts["late"], "n"].sum())
             live = parts[~parts["late"]]
-            fold = pd.concat(
-                [open_df, live[["win", "grp", "n", "bytes"]]],
-                ignore_index=True).groupby(
-                    ["win", "grp"], as_index=False).agg(
-                        n=("n", "sum"), bytes=("bytes", "sum"))
+            if dcol is None:
+                fold = pd.concat(
+                    [open_df, live[["win", "grp", "n", "bytes"]]],
+                    ignore_index=True).groupby(
+                        ["win", "grp"], as_index=False).agg(
+                            n=("n", "sum"), bytes=("bytes", "sum"))
+            else:
+                cat = pd.concat(
+                    [open_df, live[["win", "grp", "n", "bytes", "regs"]]],
+                    ignore_index=True)
+                rows = []
+                m = 1 << hll_p
+                # Python loop over OPEN WINDOWS (state-sized, not
+                # event-sized); registers merge with elementwise max
+                for (w, gr), gg in cat.groupby(["win", "grp"],
+                                               sort=False):
+                    merged = np.frombuffer(
+                        b"".join(gg["regs"]), dtype=np.int8)                         .reshape(len(gg), m).max(axis=0)
+                    rows.append({"win": w, "grp": gr,
+                                 "n": int(gg["n"].sum()),
+                                 "bytes": int(gg["bytes"].sum()),
+                                 "regs": merged.tobytes()})
+                fold = pd.DataFrame(rows)
             open_df = fold
             m = int(parts["max_ts"].max())
             batch_max_ts = m if batch_max_ts is None \
@@ -276,6 +336,12 @@ class WindowedAggregator:
             open_df = open_df[~done].reset_index(drop=True)
         else:
             emit = open_df.iloc[0:0]
+        if dcol is not None:
+            from thor_ray.ops.sketch import _hll_estimate
+            emit = emit.copy()
+            emit["ndv"] = [int(round(_hll_estimate(
+                np.frombuffer(r, dtype=np.int8)))) for r in emit["regs"]]
+            emit = emit.drop(columns=["regs"])
 
         # deterministic names, manifest swap last (exactly-once)
         emit.to_parquet(os.path.join(
