@@ -14877,18 +14877,20 @@ def q387_stream_windows(sf: str):
     log.write(bdir)
     w = WindowedAggregator(bdir, os.path.join(work, "wagg"),
                            window_us=500_000, lateness_us=1_000_000,
-                           group_col="op")
+                           group_col="op", distinct_col="repo")
     w.advance(slack=2_000)               # safe-frontier micro-batch
     w.advance(complete=True)             # drain the tail
     em, op = w.emitted(), w.open_windows()
     out = pd.concat([
         em.groupby("grp", as_index=False)
-          .agg(windows=("win", "size"), events=("n", "sum"))
+          .agg(windows=("win", "size"), events=("n", "sum"),
+               ndv_sum=("ndv", "sum"))
           .assign(state="emitted"),
         op.groupby("grp", as_index=False)
           .agg(windows=("win", "size"), events=("n", "sum"))
-          .assign(state="open"),
+          .assign(state="open", ndv_sum=0),
     ], ignore_index=True)
+    out["ndv_sum"] = out["ndv_sum"].astype("int64")
     return out.sort_values(["state", "grp"]).reset_index(drop=True)
 
 
