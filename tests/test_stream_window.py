@@ -836,3 +836,44 @@ def test_windowed_distinct_hll(ray_session, tmp_path):
         WindowedAggregator(bdir, os.path.join(work, "wagg"), W_US,
                            lateness_us=0).advance(complete=True)
     _ = np
+
+
+def test_emitted_paging(ray_session, tmp_path):
+    """emitted(since_seq=…) pages by advance batch: a poller reading each
+    new page exactly once reconstructs the full emitted set."""
+    work = str(tmp_path)
+    bdir = _write_log(work, n_events=1_200, seed=127)
+    staged = os.path.join(work, "staged")
+    os.makedirs(staged)
+    names = set()
+    segs = []
+    for f in sorted(glob.glob(os.path.join(bdir, "shard-*.parquet"))):
+        t = pq.read_table(f).sort_by("lsn")
+        stem = os.path.basename(f)[:-len(".parquet")]
+        names.add(stem[:10])
+        half = len(t) // 2
+        segs += [(f"{stem}-a.parquet", t.slice(0, half)),
+                 (f"{stem}-b.parquet", t.slice(half))]
+    with open(os.path.join(staged, "_shards.json"), "w") as f:
+        json.dump({"shards": sorted(names)}, f)
+
+    from thor_ray.pipelines.stream_window import consumer_seq
+    w = WindowedAggregator(staged, os.path.join(work, "wagg"), W_US,
+                           lateness_us=W_US)
+    pages = []
+    last = 0
+    for name, t in segs:
+        pq.write_table(t, os.path.join(staged, name))
+        w.advance()
+        cur = consumer_seq(w.out_dir, "_window_manifest.json")
+        page = w.emitted(since_seq=last, upto_seq=cur)
+        if len(page):
+            pages.append(page)
+        last = cur
+    w.advance(complete=True)
+    cur = consumer_seq(w.out_dir, "_window_manifest.json")
+    page = w.emitted(since_seq=last, upto_seq=cur)
+    if len(page):
+        pages.append(page)
+    got = pd.concat(pages, ignore_index=True) if pages else w.emitted()
+    pd.testing.assert_frame_equal(_norm(got), _norm(w.emitted()))

@@ -367,13 +367,20 @@ class WindowedAggregator:
                 "watermark": watermark}
 
     # -- reads --------------------------------------------------------
-    def emitted(self) -> pd.DataFrame:
-        """All finalized windows, in emission order (stable across
-        re-runs: deterministic batch files)."""
+    def emitted(self, since_seq: int = 0,
+                upto_seq: int | None = None) -> pd.DataFrame:
+        """Finalized windows in emission order (stable across re-runs:
+        deterministic batch files). ``since_seq``/``upto_seq`` page by
+        advance batch — a long-running follow() accumulates thousands of
+        emit files, and a downstream poller should read only
+        ``since_seq=last_seen`` (its own durable offset), not re-concat
+        history every call."""
         man = self._load()
+        hi = int(man["seq"]) if upto_seq is None else min(
+            int(upto_seq), int(man["seq"]))
         frames = [pd.read_parquet(os.path.join(
             self.out_dir, f"emit-b{s:06d}.parquet"))
-            for s in range(1, int(man["seq"]) + 1)]
+            for s in range(max(1, int(since_seq) + 1), hi + 1)]
         frames = [f for f in frames if len(f)]
         if not frames:
             return self._open_state({"seq": 0})
@@ -591,11 +598,16 @@ class SessionAggregator:
         return {"emitted": int(len(emit)), "late": n_late,
                 "watermark": watermark}
 
-    def emitted(self) -> pd.DataFrame:
+    def emitted(self, since_seq: int = 0,
+                upto_seq: int | None = None) -> pd.DataFrame:
+        """Finalized sessions; pages by advance batch like
+        WindowedAggregator.emitted."""
         man = self._load()
+        hi = int(man["seq"]) if upto_seq is None else min(
+            int(upto_seq), int(man["seq"]))
         frames = [pd.read_parquet(os.path.join(
             self.out_dir, f"semit-b{s:06d}.parquet"))
-            for s in range(1, int(man["seq"]) + 1)]
+            for s in range(max(1, int(since_seq) + 1), hi + 1)]
         frames = [f for f in frames if len(f)]
         if not frames:
             return self._open_state({"seq": 0})
@@ -829,11 +841,16 @@ class IntervalJoinStream:
         return {"matches": int(len(matches)),
                 "late": late_l + late_r, "watermark": watermark}
 
-    def matches(self) -> pd.DataFrame:
+    def matches(self, since_seq: int = 0,
+                upto_seq: int | None = None) -> pd.DataFrame:
+        """Matched pairs; pages by advance batch like
+        WindowedAggregator.emitted."""
         man = self._load()
+        hi = int(man["seq"]) if upto_seq is None else min(
+            int(upto_seq), int(man["seq"]))
         frames = [pd.read_parquet(os.path.join(
             self.out_dir, f"jmatch-b{s:06d}.parquet"))
-            for s in range(1, int(man["seq"]) + 1)]
+            for s in range(max(1, int(since_seq) + 1), hi + 1)]
         frames = [f for f in frames if len(f)]
         if not frames:
             return pd.DataFrame(columns=["key", "l_lsn", "l_ts",
@@ -852,3 +869,13 @@ def _concat_ranges(counts: np.ndarray) -> np.ndarray:
     ends = np.cumsum(counts)
     starts = ends - counts
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def consumer_seq(out_dir: str, manifest_name: str) -> int:
+    """Current advance-batch sequence of a stream consumer's out_dir —
+    the offset a paging reader should persist alongside its own state."""
+    p = os.path.join(out_dir, manifest_name)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["seq"])
