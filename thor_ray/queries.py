@@ -15125,7 +15125,8 @@ def q392_streaming_dashboard(sf: str):
 
     from thor_ray import gen
     from thor_ray.pipelines import CdcConfig, CdcPipeline
-    from thor_ray.pipelines.stream_window import (SessionAggregator,
+    from thor_ray.pipelines.stream_window import (IntervalJoinStream,
+                                                  SessionAggregator,
                                                   WindowedAggregator)
     from thor_ray.sources.secondary import SecondaryIndex
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
@@ -15149,10 +15150,15 @@ def q392_streaming_dashboard(sf: str):
                               window_us=500_000, lateness_us=500_000)
     sagg = SessionAggregator(bdir, os.path.join(work, "sagg"),
                              gap_us=50_000, lateness_us=500_000)
+    ij = IntervalJoinStream(bdir, bdir, os.path.join(work, "ij"),
+                            -25_000, 25_000, key_col="repo",
+                            lateness_us=500_000)
     pipe.follow(poll_sec=0.05, idle_polls=2, base=bp,
-                on_apply=[idx.advance, wagg.advance, sagg.advance])
+                on_apply=[idx.advance, wagg.advance, sagg.advance,
+                          ij.advance])
     wagg.advance(complete=True)
     sagg.advance(complete=True)
+    ij.advance(complete=True)
 
     live = pipe.final_table().count()
     probe_lang = "py"
@@ -15166,8 +15172,10 @@ def q392_streaming_dashboard(sf: str):
                       + wagg.open_windows()["n"].sum())},
         {"surface": "sessions_emitted",
          "value": int(len(sagg.emitted()))},
+        {"surface": "ijoin_pairs", "value": int(len(ij.matches()))},
         {"surface": "late_events",
-         "value": int(wagg.late_events() + sagg.late_events())},
+         "value": int(wagg.late_events() + sagg.late_events()
+                      + ij.late_events())},
     ])
 
 
