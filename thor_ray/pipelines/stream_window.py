@@ -81,7 +81,10 @@ def _slim_events(binlog_dir: str, lo: int, hi: int, gcol: str,
         out = {
             "lsn": t["lsn"],
             "ts": t["ts"].cast(pa.int64()),
-            "grp": t[gcol].cast(pa.string()),
+            # null group labels become "" — pandas groupby drops NaN keys
+            # by default, which would silently lose rows from both live
+            # and late counts (every event must be accounted once)
+            "grp": pa.compute.fill_null(t[gcol].cast(pa.string()), ""),
             "b": nb.cast(pa.int64()),
         }
         if dcol is not None:
@@ -265,10 +268,19 @@ class WindowedAggregator:
                 nbytes = np.repeat(nbytes, k)
                 dh = np.repeat(dh, k)
             late = win + w_us <= wm_bc      # window already finalized
+            # late-EVENT count (Flink sideOutputLateData: one record per
+            # late event): judge only the newest window copy (j=0, the
+            # latest-ending window) — older late copies are still dropped
+            # from the fold but don't re-count the same event
+            if k == 1:
+                newest = np.ones(len(win), dtype=bool)
+            else:
+                newest = np.tile(np.arange(k, dtype=np.int64) == 0,
+                                 len(ts))
             df = pd.DataFrame({"win": win, "grp": grp, "b": nbytes,
-                               "late": late})
+                               "late": late, "l1": late & newest})
             g = df.groupby(["win", "grp", "late"], as_index=False).agg(
-                n=("b", "size"), bytes=("b", "sum"))
+                n=("b", "size"), bytes=("b", "sum"), late1=("l1", "sum"))
             if dcol is not None and len(df):
                 # one 2^p register blob per (win, grp, late) row — a
                 # single np.maximum.at over (row-code, bucket), the
@@ -297,7 +309,7 @@ class WindowedAggregator:
         n_late = 0
         batch_max_ts = man["max_ts"]
         if len(parts):
-            n_late = int(parts.loc[parts["late"], "n"].sum())
+            n_late = int(parts["late1"].sum())
             live = parts[~parts["late"]]
             if dcol is None:
                 fold = pd.concat(
@@ -383,7 +395,15 @@ class WindowedAggregator:
             for s in range(max(1, int(since_seq) + 1), hi + 1)]
         frames = [f for f in frames if len(f)]
         if not frames:
-            return self._open_state({"seq": 0})
+            # empty fallback must carry the EMITTED schema, not the
+            # open-state one: with distinct_col set, emit frames have an
+            # int64 'ndv' and no 'regs' — a paging poller hitting an idle
+            # window (since_seq=last_seen) reads this on every call
+            empty = self._open_state({"seq": 0})
+            if self.distinct_col is not None:
+                empty = empty.drop(columns=["regs"])
+                empty["ndv"] = pd.Series(dtype="int64")
+            return empty
         return pd.concat(frames, ignore_index=True)
 
     def open_windows(self) -> pd.DataFrame:
@@ -802,8 +822,10 @@ class IntervalJoinStream:
             .sort_values(["key", "l_lsn", "r_lsn"], kind="stable") \
             .reset_index(drop=True)
 
-        # watermark + state pruning
-        batch_max = max(int(man["max_ts"] or -1), mts_l, mts_r)
+        # watermark + state pruning (explicit None check: a stored
+        # max_ts of 0 is a real timestamp, `or -1` would regress it)
+        prev_max = -1 if man["max_ts"] is None else int(man["max_ts"])
+        batch_max = max(prev_max, mts_l, mts_r)
         watermark = None if batch_max < 0 \
             else batch_max - self.lateness_us
         keep_l = pd.concat([old_l, new_l], ignore_index=True)

@@ -14941,12 +14941,16 @@ def q388_price_volume(sf: str):
                       Sum("cents", alias_name="cents"))).to_pandas()
     w = agg.pivot(index="p_brand", columns="yr",
                   values=["qty", "cents"])
+    w = w.reindex(columns=pd.MultiIndex.from_product(
+        [["qty", "cents"], [1996, 1997]]))
     rows = []
     for brand in sorted(w.index):
-        q0, q1 = int(w.loc[brand, ("qty", 1996)]), \
-            int(w.loc[brand, ("qty", 1997)])
-        r0, r1 = int(w.loc[brand, ("cents", 1996)]), \
-            int(w.loc[brand, ("cents", 1997)])
+        cells = [w.loc[brand, ("qty", 1996)], w.loc[brand, ("qty", 1997)],
+                 w.loc[brand, ("cents", 1996)],
+                 w.loc[brand, ("cents", 1997)]]
+        if any(pd.isna(c) for c in cells):
+            continue  # SQL twin inner-joins 1996×1997: one-year brands drop
+        q0, q1, r0, r1 = (int(c) for c in cells)
         p0 = r0 / q0
         rows.append({
             "p_brand": brand, "d_rev_cents": r1 - r0,
