@@ -49,6 +49,7 @@ from thor_ray.state import (Manifest, SchemaRegistry, archive_manifest,
                             gc_lake, load_manifests, prune_history,
                             read_snapshot_meta, snapshot_active,
                             write_manifest, write_snapshot_meta)
+from thor_ray.state.storage import storage_for
 
 BASE_COLS = ["repo", "path", "commit", "lang", "content"]
 # event columns the apply path needs — txn/ts/ddl are pruned at the read
@@ -112,20 +113,21 @@ def _dlq_rules(update_mode: str = "full") -> list:
 def _write_binlog_segment(t: pa.Table, path: str, fmt: str) -> None:
     """Atomically write one binlog segment in the log's wire format
     (shared by delete_where tombstones and replay_dlq re-injection)."""
-    tmp = path + f".tmp-{os.getpid()}"
-    if fmt == "parquet":
-        pq.write_table(t, tmp, row_group_size=16 * 1024)
-    elif fmt in ("jsonl", "jsonl.gz"):
-        df = t.to_pandas()
-        df["ts"] = df["ts"].astype("int64")
-        df.to_json(tmp, orient="records", lines=True,
-                   compression="gzip" if fmt == "jsonl.gz" else None)
-    else:  # csv
-        import pyarrow.csv as pacsv
-        t2 = t.set_column(t.schema.get_field_index("ts"), "ts",
-                          t["ts"].cast(pa.int64()))
-        pacsv.write_csv(t2, tmp)
-    os.replace(tmp, path)
+    def stage(tmp: str) -> None:
+        if fmt == "parquet":
+            pq.write_table(t, tmp, row_group_size=16 * 1024)
+        elif fmt in ("jsonl", "jsonl.gz"):
+            df = t.to_pandas()
+            df["ts"] = df["ts"].astype("int64")
+            df.to_json(tmp, orient="records", lines=True,
+                       compression="gzip" if fmt == "jsonl.gz" else None)
+        else:  # csv
+            import pyarrow.csv as pacsv
+            t2 = t.set_column(t.schema.get_field_index("ts"), "ts",
+                              t["ts"].cast(pa.int64()))
+            pacsv.write_csv(t2, tmp)
+
+    storage_for(path).put_atomic(path, stage)
 
 
 def _sha256_series(s: pd.Series) -> pd.Series:
@@ -364,14 +366,17 @@ def _spill_stage1(t: pa.Table, *, ex_dir: str, n_slots: int) -> pa.Table:
         d = os.path.join(ex_dir, f"slot={int(s):05d}")
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"b-{digest}.arrow")
-        tmp = path + f".tmp-{os.getpid()}"
-        # lz4 trades bytes for (parallelizable) CPU: text payloads shrink
-        # ~3x, and the exchange is bandwidth-bound once compute vectorizes
-        opts = pa.ipc.IpcWriteOptions(compression="lz4")
-        with pa.OSFile(tmp, "wb") as f:
-            with pa.ipc.new_stream(f, sub.schema, options=opts) as w:
-                w.write_table(sub)
-        os.replace(tmp, path)
+
+        def stage(tmp: str, sub=sub) -> None:
+            # lz4 trades bytes for (parallelizable) CPU: text payloads
+            # shrink ~3x, and the exchange is bandwidth-bound once
+            # compute vectorizes
+            opts = pa.ipc.IpcWriteOptions(compression="lz4")
+            with pa.OSFile(tmp, "wb") as f:
+                with pa.ipc.new_stream(f, sub.schema, options=opts) as w:
+                    w.write_table(sub)
+
+        storage_for(path).put_atomic(path, stage)
         counts["slot"].append(int(s))
         counts["rows"].append(len(sl))
     return pa.table(counts, schema=pa.schema([("slot", pa.int64()),
@@ -900,7 +905,6 @@ def _fold_partition(winners: pd.DataFrame, stats: dict, *, ctx: dict,
 def _write_state_file(df: pd.DataFrame, final_path: str, evolved: list[str],
                       types: dict[str, str] | None = None,
                       kind: str = "full") -> None:
-    tmp = final_path + f".tmp-{os.getpid()}"
     tbl = pa.Table.from_pandas(
         df.astype({c: "object" for c in BASE_COLS + evolved}),
         schema=_state_schema(evolved, types), preserve_index=False)
@@ -919,8 +923,9 @@ def _write_state_file(df: pd.DataFrame, final_path: str, evolved: list[str],
     tbl = tbl.replace_schema_metadata({
         b"thor_kind": kind.encode(),
         b"thor_bloom": _bloom.encode_footer(blob)})
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, final_path)         # retried task overwrites, never dups
+    # deterministic final name: a retried task overwrites, never dups
+    storage_for(final_path).put_atomic(
+        final_path, lambda tmp: pq.write_table(tbl, tmp))
 
 
 def _read_state(files: list[str], keep_tombstones: bool = False) -> pd.DataFrame:
@@ -1101,10 +1106,7 @@ class CdcPipeline:
                     f"lake engine meta mismatch: lake={prev}, runtime={meta}")
         else:
             os.makedirs(os.path.dirname(p), exist_ok=True)
-            tmp = p + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, p)
+            storage_for(p).put_bytes(p, json.dumps(meta).encode())
 
     # ---- bootstrap / recover --------------------------------------------
     def bootstrap(self, base: "ray.data.Dataset | str | None" = None) -> None:
@@ -1154,10 +1156,9 @@ class CdcPipeline:
             out_dir = os.path.join(lake_dir, f"part={pid:05d}")
             os.makedirs(out_dir, exist_ok=True)
             path = os.path.join(out_dir, "state-e000000.parquet")
-            tmp = path + f".tmp-{os.getpid()}"
             tbl = pa.Table.from_pandas(g, schema=_state_schema([]), preserve_index=False)
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, path)
+            storage_for(path).put_atomic(
+                path, lambda tmp: pq.write_table(tbl, tmp))
             return pd.DataFrame([{
                 "pid": pid, "files": json.dumps([path]), "row_count": len(g),
                 "content_hash": _content_hash(g["_sha"]) if compute_hash and len(g) else "",
@@ -1531,13 +1532,11 @@ class CdcPipeline:
             os.makedirs(out_dir, exist_ok=True)
             path = os.path.join(
                 out_dir, f"snap-g{generation:03d}-c{chunk_id:04d}.parquet")
-            tmp = path + f".tmp-{os.getpid()}"
-            pq.write_table(
-                pa.Table.from_pandas(g,
-                                     schema=_state_schema(evolved_now,
-                                                          types_now),
-                                     preserve_index=False), tmp)
-            os.replace(tmp, path)
+            tbl = pa.Table.from_pandas(
+                g, schema=_state_schema(evolved_now, types_now),
+                preserve_index=False)
+            storage_for(path).put_atomic(
+                path, lambda tmp: pq.write_table(tbl, tmp))
             return pd.DataFrame([{"pid": pid, "path": path, "rows": len(g)}])
 
         cand = (ds.map_batches(route, batch_format="pyarrow")
@@ -1806,19 +1805,17 @@ class CdcPipeline:
         d = os.path.join(self.cfg.lake_dir, "_lineage")
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"epoch-{epoch:06d}.jsonl")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(json.dumps({"type": "epoch", **rep.__dict__}) + "\n")
-            for r in cand.itertuples(index=False):
-                f.write(json.dumps({
-                    "type": "partition", "epoch": epoch, "pid": int(r.pid),
-                    "rows": int(r.row_count), "events": int(r.n_events),
-                    "counts": {"I": int(r.n_I), "U": int(r.n_U), "D": int(r.n_D),
-                               "dup_dropped": int(r.n_dup)},
-                    "input_shards": json.loads(r.input_shards),
-                    "content_hash": r.content_hash,
-                }) + "\n")
-        os.replace(tmp, path)
+        lines = [json.dumps({"type": "epoch", **rep.__dict__})]
+        for r in cand.itertuples(index=False):
+            lines.append(json.dumps({
+                "type": "partition", "epoch": epoch, "pid": int(r.pid),
+                "rows": int(r.row_count), "events": int(r.n_events),
+                "counts": {"I": int(r.n_I), "U": int(r.n_U), "D": int(r.n_D),
+                           "dup_dropped": int(r.n_dup)},
+                "input_shards": json.loads(r.input_shards),
+                "content_hash": r.content_hash,
+            }))
+        storage_for(path).put_bytes(path, ("\n".join(lines) + "\n").encode())
 
     def _write_schema_changes(self, epoch: int, epoch_ddls: list[dict],
                               registry: SchemaRegistry) -> None:
@@ -1834,19 +1831,19 @@ class CdcPipeline:
         d = os.path.join(self.cfg.lake_dir, "_schema_changes")
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"epoch-{epoch:06d}.jsonl")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            for e in sorted(epoch_ddls, key=lambda e: e["lsn"]):
-                ver_after = slot_of[e["lsn"]] + 1
-                f.write(json.dumps({
-                    "type": "schema_change", "epoch": epoch,
-                    "lsn": int(e["lsn"]), "schema_ver": ver_after,
-                    "ddl": e["ddl"],
-                    "rejected": e.get("rejected"),
-                    "columns_after": registry.columns_at(ver_after),
-                    "types_after": registry.types_at(ver_after),
-                }) + "\n")
-        os.replace(tmp, path)
+        lines = []
+        for e in sorted(epoch_ddls, key=lambda e: e["lsn"]):
+            ver_after = slot_of[e["lsn"]] + 1
+            lines.append(json.dumps({
+                "type": "schema_change", "epoch": epoch,
+                "lsn": int(e["lsn"]), "schema_ver": ver_after,
+                "ddl": e["ddl"],
+                "rejected": e.get("rejected"),
+                "columns_after": registry.columns_at(ver_after),
+                "types_after": registry.types_at(ver_after),
+            }))
+        storage_for(path).put_bytes(
+            path, ("\n".join(lines) + "\n").encode() if lines else b"")
 
     def schema_changes(self) -> list[dict]:
         """Read the full schema-change feed, lsn-ordered."""
@@ -2120,10 +2117,8 @@ class CdcPipeline:
         os.makedirs(meta_dir, exist_ok=True)
         meta = {"hash_impl": _hash_impl(), "num_partitions": P,
                 "route": list(cfg.route) if cfg.route else None}
-        tmp = os.path.join(meta_dir, "engine.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(meta_dir, "engine.json"))
+        p = os.path.join(meta_dir, "engine.json")
+        storage_for(p).put_bytes(p, json.dumps(meta).encode())
         return total
 
     def delete_where(self, expr: str) -> int:

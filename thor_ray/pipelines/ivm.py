@@ -67,12 +67,9 @@ def _check_restores(lake_dir: str, man: dict, what: str) -> None:
 
 
 def _atomic_json(path: str, payload: dict) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    from thor_ray.state.storage import storage_for
+
+    storage_for(path).put_bytes(path, json.dumps(payload).encode())
 
 
 def _metric_values(df: pd.DataFrame, metric: str) -> np.ndarray:

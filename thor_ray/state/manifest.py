@@ -19,6 +19,8 @@ import json
 import os
 from dataclasses import asdict, dataclass, field
 
+from thor_ray.state.storage import storage_for
+
 
 @dataclass
 class Manifest:
@@ -62,12 +64,11 @@ def load_manifests(lake_dir: str) -> dict[int, Manifest]:
 
 
 def _atomic_write(final: str, payload: dict) -> None:
-    tmp = final + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(json.dumps(payload, sort_keys=True))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, final)
+    """All commit-point JSON (manifests, archives, tags, writer token,
+    snapshot meta) publishes through the storage interface so the
+    atomicity contract is swappable per backend (state/storage.py)."""
+    storage_for(final).put_bytes(
+        final, json.dumps(payload, sort_keys=True).encode())
 
 
 def _relativized(m: Manifest, lake_dir: str) -> dict:
@@ -370,8 +371,16 @@ def current_writer_gen(lake_dir: str) -> int:
 
 
 def acquire_writer_gen(lake_dir: str) -> int:
-    """Take over the lake: bump and persist the generation token."""
-    g = current_writer_gen(lake_dir) + 1
+    """Take over the lake: bump and persist the generation token via the
+    storage layer's conditional write (CAS on object stores; read-check +
+    atomic rename on local fs — see state/storage.py). A lost race simply
+    re-reads and bumps past the winner."""
+    p = _writer_path(lake_dir)
     os.makedirs(_manifest_dir(lake_dir), exist_ok=True)
-    _atomic_write(_writer_path(lake_dir), {"gen": g})
-    return g
+    st = storage_for(p)
+    while True:
+        cur = current_writer_gen(lake_dir)
+        g = cur + 1
+        if st.put_if_generation(p, json.dumps({"gen": g}).encode(),
+                                cur if cur else None):
+            return g

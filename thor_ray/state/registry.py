@@ -148,9 +148,8 @@ class SchemaRegistry:
             return SchemaRegistry(json.load(f))
 
     def save(self, lake_dir: str) -> None:
+        from thor_ray.state.storage import storage_for
+
         p = self.path(lake_dir)
         os.makedirs(os.path.dirname(p), exist_ok=True)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.entries, f)
-        os.replace(tmp, p)
+        storage_for(p).put_bytes(p, json.dumps(self.entries).encode())

@@ -1,0 +1,169 @@
+"""Commit-atomicity storage interface (VERDICT r2 "Missing #1").
+
+Every durability primitive in the engine — manifest swaps, spill-exchange
+blocks, binlog segments, state/snapshot parquet files, lineage feeds —
+publishes an artifact with the same two-phase shape:
+
+    1. STAGE   write the full artifact somewhere invisible to readers
+    2. PUBLISH make it visible under its final, deterministic name,
+               all-or-nothing (a reader sees the old state or the new
+               artifact, never a torn prefix)
+
+On a POSIX local filesystem, publish is ``os.replace`` of a same-directory
+temp file (atomic rename). On object storage (the real multi-node target,
+where the lake lives on S3/GCS-class storage and rename-atomicity does NOT
+hold) the contract maps differently, which is exactly why the call sites
+route through this interface instead of calling ``os.replace`` directly:
+
+* ``put_atomic`` / ``put_bytes`` → stage to a local scratch file, then a
+  SINGLE object PUT of the final key. Object stores make a single PUT
+  visible atomically (readers see the whole object or none), so the
+  publish step is the upload itself; multipart uploads are atomic at
+  ``CompleteMultipartUpload``.
+* last-writer-wins races (two writers publishing the same deterministic
+  key) are benign for data artifacts here BY DESIGN: names are
+  deterministic per (partition, epoch) and content is a pure function of
+  the name, so either winner is correct (SURVEY.md §7 "exactly-once under
+  task retry").
+* the ONE primitive that additionally needs compare-and-swap is writer
+  fencing (``state/manifest.py::acquire_writer_gen``): an object-store
+  implementation must use a conditional write (S3 ``If-None-Match``/
+  ``If-Match`` on ETag, GCS ``ifGenerationMatch``) for the generation
+  token, or fencing degrades to best-effort exactly as the local-fs
+  docstring already states. ``put_if_generation`` carries that contract;
+  the local impl approximates it with an atomic rename after a read-check
+  (single-node: races only between processes on one host).
+
+Implementations register by URL scheme (``register_scheme``); plain paths
+resolve to the process-default storage (local fs unless a test or a
+deployment swaps it with ``set_default_storage``).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from typing import Callable
+
+
+class Storage:
+    """Base contract. Paths are storage-native strings (local: plain
+    paths). All publishes are all-or-nothing and idempotent under retry
+    with deterministic names."""
+
+    # -- write ---------------------------------------------------------
+    def put_atomic(self, final_path: str,
+                   stage: Callable[[str], None]) -> None:
+        """Stage the artifact by calling ``stage(staging_path)`` (the
+        callable writes the complete artifact to that path), then publish
+        it under ``final_path`` all-or-nothing."""
+        raise NotImplementedError
+
+    def put_bytes(self, final_path: str, data: bytes) -> None:
+        """Publish a small byte payload (manifest JSON, feeds)."""
+        def stage(p: str) -> None:
+            with open(p, "wb") as f:
+                f.write(data)
+        self.put_atomic(final_path, stage)
+
+    def put_if_generation(self, final_path: str, data: bytes,
+                          expect_gen: int | None) -> bool:
+        """Conditional publish for CAS-needing state (writer fencing):
+        succeed only if the stored generation still equals ``expect_gen``
+        (None = must not exist yet). Returns False on a lost race. Object
+        stores implement this with conditional writes; the local impl
+        read-checks then renames (single-host best effort)."""
+        raise NotImplementedError
+
+    # -- read ----------------------------------------------------------
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list(self, pattern: str) -> list[str]:
+        """Glob-style listing (the local lake layout's `part-*.json`)."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+
+class LocalFSStorage(Storage):
+    """POSIX implementation: same-directory temp + fsync + atomic rename.
+    The staging name carries the pid so concurrent stagers (retried Ray
+    tasks on one host) never clobber each other's temp file; the rename
+    makes the last publisher win, which is correct because final names
+    are deterministic and content is a function of the name."""
+
+    def put_atomic(self, final_path: str,
+                   stage: Callable[[str], None]) -> None:
+        os.makedirs(os.path.dirname(final_path) or ".", exist_ok=True)
+        tmp = final_path + f".tmp-{os.getpid()}"
+        try:
+            stage(tmp)
+            fd = os.open(tmp, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            os.replace(tmp, final_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+
+    def put_if_generation(self, final_path: str, data: bytes,
+                          expect_gen: int | None) -> bool:
+        cur: int | None
+        try:
+            cur = int(json.loads(self.read_bytes(final_path))["gen"])
+        except (FileNotFoundError, json.JSONDecodeError, KeyError,
+                ValueError):
+            cur = None
+        if cur != expect_gen:
+            return False
+        self.put_bytes(final_path, data)
+        return True
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list(self, pattern: str) -> list[str]:
+        return sorted(_glob.glob(pattern))
+
+    def delete(self, path: str) -> None:
+        os.remove(path)
+
+
+_SCHEMES: dict[str, Storage] = {}
+_DEFAULT: Storage = LocalFSStorage()
+
+
+def register_scheme(scheme: str, storage: Storage) -> None:
+    """Route `scheme://...` paths to `storage` (e.g. a future s3://)."""
+    _SCHEMES[scheme] = storage
+
+
+def set_default_storage(storage: Storage | None) -> Storage:
+    """Swap the process-default storage (tests inject fault stores here);
+    None restores local fs. Returns the previous default."""
+    global _DEFAULT
+    prev = _DEFAULT
+    _DEFAULT = storage if storage is not None else LocalFSStorage()
+    return prev
+
+
+def storage_for(path: str) -> Storage:
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        if scheme in _SCHEMES:
+            return _SCHEMES[scheme]
+        raise ValueError(f"no Storage registered for scheme {scheme!r}")
+    return _DEFAULT
