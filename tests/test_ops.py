@@ -209,6 +209,34 @@ def test_bpe_token_count_matches_duckdb(ray_session):
     assert got["n_bpe_tokens"].tolist() == exp
 
 
+def test_pair_verify_join_tier_matches_broadcast(ray_session):
+    """The distributed pair⋈text join verify tier (default above
+    BROADCAST_VERIFY_MAX_IDS candidate-touched ids — no driver-side text
+    dict) must return exactly what the broadcast tier returns, for both
+    ngram-jaccard and containment."""
+    import ray
+    import thor_ray.ops.dedup as DD
+
+    SF = "/root/testdata/sf0.001"
+
+    def docs():
+        return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    for fn, val_col, kw in [
+            (DD.ngram_jaccard_pairs, "jaccard", dict(threshold=0.7)),
+            (DD.containment_pairs, "containment", dict(threshold=0.7))]:
+        outs = {}
+        for tier in ("broadcast", "join"):
+            df = fn(docs(), "text", "doc_id", gather=tier, **kw).to_pandas()
+            cols = ["id_a", "id_b", val_col] + (
+                ["direction"] if "direction" in df.columns else [])
+            outs[tier] = df[cols].sort_values(
+                ["id_a", "id_b"]).reset_index(drop=True)
+        assert len(outs["broadcast"]) > 0   # fixture must exercise pairs
+        pd.testing.assert_frame_equal(outs["broadcast"], outs["join"])
+
+
 def test_ngram_jaccard_distributed_verify_matches_reference(ray_session):
     """Regression for the round-1 scale-killer: the distributed candidate
     verify (broadcast-id filter, no corpus to_pandas) must return exactly
