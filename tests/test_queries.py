@@ -184,3 +184,25 @@ def test_isotonic_calibration_monotone(ray_session):
     w = df["n"].to_numpy(float)
     assert abs(np.average(df["iso_rate"], weights=w)
                - np.average(df["rate"], weights=w)) < 1e-12
+
+
+def test_q309_pool_cap_strided_matches_sql(ray_session, monkeypatch):
+    """Above the pool cap the negative-sampling candidate list is a
+    deterministic stride subsample (O(cap) broadcast, never O(corpus));
+    the strided tier must stay bit-exact with its SQL twin."""
+    import duckdb
+
+    monkeypatch.setattr(Q, "Q309_POOL_CAP", 100)
+    got = Q.q309_negative_sampling(SF)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(Q.SQL_Q309.replace("100000.0", "100.0")).df()
+    key = ["doc_id", "neg_slot"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    assert got["neg_id"].nunique() <= 100   # pool really is capped

@@ -11275,15 +11275,27 @@ FROM peru GROUP BY event_type
 
 def q309_negative_sampling(sf: str):
     """Contrastive-training negative sampling: 3 deterministic negatives
-    per document, drawn by md5 slot hash over the GLOBAL sorted id list
-    (self-hits shift to the next id). The candidate list is broadcast
-    once (ray.put; id-only — at 100 TB cap it or sample the candidate
-    pool, documented) and the draw is a pure map — no shuffle. The md5
-    tier is SQL-replayable, so the twin is exact."""
+    per document, drawn by md5 slot hash over a BOUNDED candidate pool
+    (self-hits shift to the next pool id). The pool is the sorted id
+    list, strided down to <= Q309_POOL_CAP ids when the corpus exceeds
+    the cap (doc_id % stride == 0, stride = ceil(total/cap) — a
+    deterministic, SQL-replayable subsample filtered distributed at the
+    read, so the driver/object-store broadcast is O(cap), never
+    O(corpus)). The draw itself is a pure map — no shuffle. The md5 tier
+    is SQL-replayable, so the twin is exact at any scale."""
     import hashlib
 
-    ids = np.sort(T(sf, "documents", ["doc_id"])
-                  .to_pandas()["doc_id"].to_numpy())
+    total = T(sf, "documents", ["doc_id"]).count()
+    stride = max(1, -(-total // Q309_POOL_CAP))
+
+    def pool(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(d % stride == 0))
+
+    ids_ds = T(sf, "documents", ["doc_id"])
+    if stride > 1:
+        ids_ds = ids_ds.map_batches(pool, batch_format="pyarrow")
+    ids = np.sort(ids_ds.to_pandas()["doc_id"].to_numpy())
     n = len(ids)
     ids_ref = ray.put(ids)
 
@@ -11309,9 +11321,14 @@ def q309_negative_sampling(sf: str):
         draw, batch_format="pyarrow")
 
 
+Q309_POOL_CAP = 100_000
+
 SQL_Q309 = """
-WITH ids AS (SELECT list(doc_id ORDER BY doc_id) AS l, count(*) AS n
-             FROM documents),
+WITH tot AS (SELECT count(*) AS m FROM documents),
+pool AS (SELECT doc_id FROM documents, tot
+         WHERE doc_id % GREATEST(1, CAST(ceil(m / 100000.0) AS BIGINT)) = 0),
+ids AS (SELECT list(doc_id ORDER BY doc_id) AS l, count(*) AS n
+        FROM pool),
 c AS (SELECT d.doc_id, j,
              (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '_' ||
                                   CAST(j AS VARCHAR)), 1, 8))::BIGINT)
