@@ -2408,3 +2408,30 @@ def test_grid_hotspots(ray_session):
     assert got[8 * W + 0] != got[7 * W + 9]          # no wraparound merge
     assert len(set(got.values())) == 4               # A, B, two edge cells
     assert out.loc[out["cell"] == 2 * W + 2, "n"].item() == 5
+
+
+def test_concat_nonempty_schema_less_blocks(ray_session):
+    """The shared Ray-2.49 guard: a shuffle whose partitions are mostly
+    empty yields schema-less blocks; concat_nonempty must drop them, and
+    must fall back to the supplied schema when everything is empty."""
+    import ray
+    from thor_ray.ops.util import concat_nonempty, nonempty_blocks
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array([10, 11, 12], pa.int64())}))
+    # groupby on a key with 2 groups but many hash partitions → empties
+    shuffled = ds.groupby("k").map_groups(
+        lambda g: g, batch_format="pandas")
+    t = concat_nonempty(shuffled)
+    assert t.num_rows == 3 and set(t.column_names) == {"k", "v"}
+
+    none_match = ds.filter(expr="k > 99").groupby("k").map_groups(
+        lambda g: g, batch_format="pandas")
+    assert nonempty_blocks(none_match) == []
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    t2 = concat_nonempty(none_match, empty=empty)
+    assert t2.num_rows == 0 and t2.schema == empty.schema
+    with pytest.raises(ValueError, match="all blocks empty"):
+        concat_nonempty(none_match)

@@ -315,10 +315,11 @@ BROADCAST_VERIFY_MAX_IDS = 20_000
 def _gather_candidates(cands: Dataset) -> tuple[list, "pd.DataFrame"]:
     """Materialize the (output-sized) candidate pair list: non-empty arrow
     blocks + one concatenated driver frame for id extraction. Empty
-    shuffle partitions yield schema-less blocks (Ray 2.49) — dropped."""
-    import ray as _ray
+    shuffle partitions yield schema-less blocks (Ray 2.49) — dropped by
+    the shared guard (ops/util.py)."""
+    from thor_ray.ops.util import nonempty_blocks
 
-    blocks = [t for t in _ray.get(cands.to_arrow_refs()) if t.num_rows]
+    blocks = nonempty_blocks(cands)
     cand_df = pa.concat_tables(blocks).to_pandas() if blocks \
         else pd.DataFrame({"id_a": [], "id_b": []})
     return blocks, cand_df

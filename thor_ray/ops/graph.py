@@ -158,10 +158,11 @@ def triangle_count(edges: Dataset, a: str = "s1", b: str = "s2") -> int:
     import ray as _ray
     import ray.data as _rd
 
-    refs = edges.to_arrow_refs()
+    from thor_ray.ops.util import nonempty_blocks
+
     # empty shuffle partitions yield schema-less blocks (Ray 2.49) —
-    # concat only the populated ones
-    blocks = [t for t in _ray.get(refs) if t.num_rows]
+    # the shared guard concats only the populated ones (ops/util.py)
+    blocks = nonempty_blocks(edges)
     if not blocks:
         return 0
     et = pa.concat_tables(blocks)
