@@ -191,7 +191,7 @@ def triangle_count(edges: Dataset, a: str = "s1", b: str = "s2") -> int:
         tri = _POP8[inter].sum() if inter.size else 0
         return pa.table({"tri": pa.array([int(tri)], type=pa.int64())})
 
-    out = _rd.from_arrow_refs(refs) \
+    out = _rd.from_arrow(blocks) \
         .map_batches(count, batch_format="pyarrow").sum("tri")
     return int(out or 0)
 
