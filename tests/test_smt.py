@@ -229,3 +229,65 @@ def test_change_envelope_roundtrip_and_delete_modes():
     assert extract_new_record_state(delete_mode="rewrite")(tomb).num_rows == 0
     with pytest.raises(ValueError):
         extract_new_record_state(delete_mode="bogus")
+
+
+def test_wire_codec_roundtrip():
+    """Schema-id-framed binary wire pair: frame → unframe reproduces the
+    strings and per-row schema ids; magic byte is validated; empty and
+    unicode payloads survive; chained composition with the envelope pair
+    reproduces the rows through the binary boundary."""
+    import numpy as np
+
+    from thor_ray.stages import decode_wire, encode_wire
+    from thor_ray.stages.wire import (WIRE_MAGIC, frame_column,
+                                      unframe_column)
+
+    vals = ['{"a":1}', "", "ünïcødé \n quote\"", "x" * 5000]
+    sids = np.array([0, 1, 7, 0xFFFFFFFF], dtype=np.uint32)
+    framed = frame_column(pa.array(vals, pa.string()), sids)
+    # wire layout: magic, 4-byte BE schema id, payload bytes
+    b0 = framed[0].as_py()
+    assert b0[0] == WIRE_MAGIC and b0[1:5] == b"\x00\x00\x00\x00"
+    assert b0[5:] == b'{"a":1}'
+    assert framed[3].as_py()[1:5] == b"\xff\xff\xff\xff"
+    back, got_sids = unframe_column(framed)
+    assert back.to_pylist() == vals
+    assert [s & 0xFFFFFFFF for s in
+            np.asarray(got_sids, dtype=np.uint32).tolist()] == \
+        [int(s) for s in sids]
+
+    # magic validation fails loudly on foreign bytes
+    with pytest.raises(ValueError, match="bad magic"):
+        unframe_column(pa.array([b"\x01\x00\x00\x00\x00hi"], pa.binary()))
+    with pytest.raises(ValueError, match="shorter than"):
+        unframe_column(pa.array([b"\x00\x00"], pa.binary()))
+    with pytest.raises(ValueError, match="null payloads"):
+        frame_column(pa.array(["a", None], pa.string()),
+                     np.zeros(2, np.uint32))
+
+    # transform pair over an envelope batch, per-row schema version
+    t = pa.table({"key": ['{"id":1}', '{"id":2}'],
+                  "value": ['{"after":{"id":1}}', '{"after":{"id":2}}'],
+                  "schema_ver": pa.array([3, 4], pa.int32())})
+    wired = encode_wire(schema_ver_col="schema_ver")(t)
+    assert wired.column_names == ["key_wire", "value_wire"]
+    assert wired.schema.field("key_wire").type == pa.binary()
+    out = decode_wire()(wired)
+    assert out["key"].to_pylist() == t["key"].to_pylist()
+    assert out["value"].to_pylist() == t["value"].to_pylist()
+    assert out["schema_id"].to_pylist() == [3, 4]
+
+
+def test_wire_codec_vectorized_large_batch():
+    """The framing is one numpy scatter — a 50k-row batch frames and
+    unframes exactly (spot + aggregate checks)."""
+    import numpy as np
+
+    from thor_ray.stages.wire import frame_column, unframe_column
+
+    rng = np.random.default_rng(3)
+    vals = [("p%d_" % i) * int(rng.integers(0, 20)) for i in range(50_000)]
+    sids = rng.integers(0, 2**32, size=50_000, dtype=np.uint32)
+    back, got = unframe_column(frame_column(pa.array(vals), sids))
+    assert back.to_pylist() == vals
+    assert (np.asarray(got, dtype=np.uint32) == sids).all()

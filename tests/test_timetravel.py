@@ -913,3 +913,77 @@ def test_restore_fences_consumers(ray_session, tmp_path):
     got = v2.set_index("lang")["n_rows"].astype("int64")
     assert got.sort_index().equals(counts.sort_index()), (got, counts)
     view.advance()   # fence cleared by the rebuild's fresh stamp
+
+
+def test_sink_connector_wire_tier(tmp_path):
+    """fmt='wire': the sink frames the chain's Debezium envelopes into
+    magic|schema-id|payload binary parquet segments; decode_wire +
+    ExtractNewRecordState over the union of segments reproduces the
+    changefeed exactly (the registry-versioned converter boundary)."""
+    import glob as _glob
+
+    import numpy as np
+
+    from thor_ray.sources import SinkConnector
+    from thor_ray.sources.lake import read_changefeed
+    from thor_ray.stages import (TransformChain, decode_wire,
+                                 extract_new_record_state,
+                                 to_change_envelope)
+
+    base = gen.gen_base_table(n_repos=10, paths_per_repo=6, seed=46)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=3_000, n_shards=3, dup_rate=0.05, shuffle_window=96,
+        ddl_every=0, delete_rate=0.1, update_rate=0.5, seed=46))
+    d = str(tmp_path)
+    binlog_dir = os.path.join(d, "binlog")
+    log.write(binlog_dir)
+    base_path = os.path.join(d, "base.parquet")
+    pq.write_table(base, base_path)
+    lake = os.path.join(d, "lake")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=lake, binlog_dir=binlog_dir, num_partitions=4,
+        epoch_size=EPOCH, write_mode="delta", compact_every=1_000_000))
+    pipe.run(base=base_path)
+    n_epochs = -(-log.max_lsn // EPOCH)
+
+    chain = TransformChain(to_change_envelope(
+        key_cols=["repo", "path"],
+        payload_cols=["repo", "path", "commit", "lang", "content"],
+        op_col="op", source_cols=["lsn"], source_name="lake"))
+    out = os.path.join(d, "sink_wire")
+    sink = SinkConnector(lake, out, "wire-exporter", chain=chain,
+                         fmt="wire")
+    r = sink.advance()
+    assert r["epochs_written"] == n_epochs
+
+    files = sorted(_glob.glob(os.path.join(out, "epoch=*", "*.parquet")))
+    seg = pa.concat_tables([pq.read_table(f) for f in files],
+                           promote_options="default")
+    assert set(seg.column_names) == {"key_wire", "value_wire"}
+    assert seg.schema.field("value_wire").type in (pa.binary(),
+                                                   pa.large_binary())
+    dec = decode_wire()(seg.combine_chunks())
+    ps = pa.schema([("repo", pa.string()), ("path", pa.string()),
+                    ("commit", pa.string()), ("lang", pa.string()),
+                    ("content", pa.string())])
+    flat = extract_new_record_state(
+        delete_mode="rewrite", add_source_fields=["lsn"],
+        payload_schema=ps, key_col="key")(dec).to_pandas()
+
+    want = read_changefeed(lake, 0, n_epochs).to_pandas()
+    key = ["repo", "path", "__lsn"]
+    flat = flat.rename(columns={"__lsn": "__lsn"}).sort_values(
+        ["repo", "path", "__lsn"]).reset_index(drop=True)
+    want = want.sort_values(["repo", "path", "lsn"]).reset_index(drop=True)
+    assert len(flat) == len(want)
+    assert (flat["__lsn"].to_numpy() == want["lsn"].to_numpy()).all()
+    # delete rows recover identity from the wire key; live rows carry
+    # the full payload byte-for-byte
+    live_f = flat[flat["__deleted"] == "false"].reset_index(drop=True)
+    live_w = want[want["op"] != "D"].reset_index(drop=True)
+    for c in ("repo", "path", "commit", "lang", "content"):
+        assert live_f[c].tolist() == live_w[c].tolist()
+    del_f = flat[flat["__deleted"] == "true"]
+    del_w = want[want["op"] == "D"]
+    assert del_f[["repo", "path"]].values.tolist() == \
+        del_w[["repo", "path"]].values.tolist()

@@ -15349,6 +15349,46 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q395_wire_roundtrip(sf: str):
+    """Binary schema-id-framed wire interop (the Connect converter
+    boundary one tier below q304's JSON envelopes): events → Debezium
+    envelope JSON → magic|schema-id|payload binary frames
+    (`stages.wire.encode_wire`, registry-versioned per record) →
+    `decode_wire` (magic-validated) → `extract_new_record_state`. The
+    oracle is the identity projection plus the constant schema id — the
+    frame must carry the id and reproduce every row exactly through the
+    binary boundary."""
+    from thor_ray.stages import extract_new_record_state, to_change_envelope
+    from thor_ray.stages.wire import decode_wire, encode_wire
+
+    ds = T(sf, "events", ["event_id", "user_id", "event_type", "props"])
+    env = to_change_envelope(
+        key_cols=["event_id"],
+        payload_cols=["event_id", "user_id", "event_type", "props"],
+        source_name="events")
+    enc = encode_wire(schema_id=7)
+    dec = decode_wire()
+    unwrap = extract_new_record_state()
+
+    def unwrap_with_sid(t: pa.Table) -> pa.Table:
+        # row-aligned: every event here is a create ('c'), so the unwrap
+        # drops nothing and the frame's schema id zips back 1:1
+        sid = t["schema_id"]
+        return unwrap(t).append_column("schema_id", sid)
+
+    return (ds.map_batches(env, batch_format="pyarrow")
+              .map_batches(enc, batch_format="pyarrow")
+              .map_batches(dec, batch_format="pyarrow")
+              .map_batches(unwrap_with_sid, batch_format="pyarrow"))
+
+
+SQL_Q395 = """
+SELECT event_id, user_id, event_type, props, 'c' AS op,
+       CAST(7 AS INTEGER) AS schema_id
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15751,6 +15791,7 @@ QUERIES: dict[str, tuple] = {
     "q392_streaming_dashboard": (q392_streaming_dashboard, None),
     "q393_site_mean_distance": (q393_site_mean_distance, SQL_Q393),
     "q394_fulfillment_lag": (q394_fulfillment_lag, SQL_Q394),
+    "q395_wire_roundtrip": (q395_wire_roundtrip, SQL_Q395),
 }
 
 # ---------------------------------------------------------------------------

@@ -186,9 +186,14 @@ class SinkConnector:
 
     The chain runs as a stateless ``map_batches`` stage (Connect's SMT
     contract: pure per-batch record transforms); ``fmt`` picks the wire
-    tier ("parquet" or "jsonl" — e.g. compose
-    ``stages.to_change_envelope(...)`` in the chain for Debezium JSONL).
-    Same delta-mode/level-0 requirement as read_changefeed.
+    tier ("parquet", "jsonl", or "wire" — e.g. compose
+    ``stages.to_change_envelope(...)`` in the chain for Debezium JSONL;
+    "wire" additionally frames the chain's envelope ``key``/``value``
+    strings into magic|schema-id|payload binary records
+    (``stages.wire.encode_wire``, schema id per row from a
+    ``schema_ver`` column when the chain carries one) written as a
+    binary-column parquet segment). Same delta-mode/level-0 requirement
+    as read_changefeed.
 
     ``on_fold`` is the self-healing policy for epochs whose delta runs a
     DDL epoch or compaction already FOLDED (their change rows are gone):
@@ -204,8 +209,9 @@ class SinkConnector:
                  chain=None, fmt: str = "parquet",
                  max_epochs_per_poll: int | None = None,
                  on_fold: str = "fail"):
-        if fmt not in ("parquet", "jsonl"):
-            raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
+        if fmt not in ("parquet", "jsonl", "wire"):
+            raise ValueError(f"fmt must be 'parquet', 'jsonl' or 'wire', "
+                             f"got {fmt!r}")
         if on_fold not in ("fail", "diff"):
             raise ValueError(f"on_fold must be 'fail' or 'diff', "
                              f"got {on_fold!r}")
@@ -295,12 +301,22 @@ class SinkConnector:
                 ds = self._diff_epoch(e)
             if self.chain is not None:
                 ds = ds.map_batches(self.chain, batch_format="pyarrow")
+            if self.fmt == "wire":
+                from thor_ray.stages.wire import encode_wire
+
+                def _enc(t: pa.Table) -> pa.Table:
+                    enc = encode_wire(
+                        schema_ver_col="schema_ver"
+                        if "schema_ver" in t.column_names else None)
+                    return enc(t)
+
+                ds = ds.map_batches(_enc, batch_format="pyarrow")
             tmp = final + f".tmp-{os.getpid()}"
             os.makedirs(tmp, exist_ok=True)  # empty epochs still commit
-            if self.fmt == "parquet":
-                ds.write_parquet(tmp)
-            else:
+            if self.fmt == "jsonl":
                 ds.write_json(tmp)
+            else:                       # parquet and wire tiers
+                ds.write_parquet(tmp)
             os.replace(tmp, final)
             written += 1
         if upto > lo:

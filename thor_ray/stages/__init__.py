@@ -19,6 +19,7 @@ from .smt import (
 )
 from .chain import TransformChain, predicate_gate, split_valid
 from .envelope import extract_new_record_state, to_change_envelope
+from .wire import decode_wire, encode_wire
 
 __all__ = [
     "cast_fields", "drop_fields", "extract_field", "flatten", "hoist_field",
@@ -28,4 +29,5 @@ __all__ = [
     "timestamp_converter", "timestamp_router",
     "TransformChain", "predicate_gate", "split_valid",
     "extract_new_record_state", "to_change_envelope",
+    "decode_wire", "encode_wire",
 ]
