@@ -2331,14 +2331,17 @@ def q54_video_frame_sample(sf: str):
 
 
 def q55_audio_features(sf: str):
-    """Multimodal: framewise RMS/ZCR audio features (real vectorized DSP
-    over PCM-interpreted payload bytes; codec layer labeled as stand-in)."""
-    ds = ray.data.from_arrow(MM.make_fake_media_table(48, kind="audio"))
+    """Multimodal: framewise RMS/ZCR audio features over REAL RIFF/WAVE
+    payloads decoded by the stdlib `wave` tier ('stdlib-wav' backend,
+    sample-exact); the raw-PCM stand-in tier stays covered by units."""
+    ds = ray.data.from_arrow(MM.make_fake_media_table(48, kind="audio",
+                                                      codec="wav"))
     out = MM.audio_pipeline(ds, concurrency=2, batch_size=16)
 
     def summarize(t: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "media_id": t["media_id"],
+            "backend": t["decode_backend"],
             "n_audio_frames": t["n_audio_frames"],
             "rms_mean": t["audio_features"].map(lambda f: float(f[0])),
             "zcr_mean": t["audio_features"].map(lambda f: float(f[2])),
@@ -2374,7 +2377,11 @@ def q48_sample(sf: str):
 
 
 def q49_multimodal_features(sf: str):
-    ds = ray.data.from_arrow(MM.make_fake_media_table(64))
+    """Multimodal image pipeline over REAL PNG payloads: the stdlib
+    zlib-unfilter decode tier ('stdlib-png' backend — pixel-exact, no
+    third-party codec) feeds the feature stage; the labeled fake tier
+    stays covered by unit tests and q54's video metadata path."""
+    ds = ray.data.from_arrow(MM.make_fake_media_table(64, codec="png"))
     out = MM.decode_and_featurize(ds, concurrency=2, batch_size=16)
 
     def summarize(t: pd.DataFrame) -> pd.DataFrame:
