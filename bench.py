@@ -73,6 +73,22 @@ def run_bench() -> dict:
     lake_root = "/dev/shm/thor_ray_bench" if scaling_mode else "/tmp/thor_ray_bench"
     n_epochs = int(os.environ.get("GRAFT_BENCH_EPOCHS", "4"))
 
+    # cyclic replay amplification (scaling tier): K passes over the same
+    # fixture at shifted lsns = K× the events with zero extra disk — this
+    # is how the ≥60 s calibration floor is held now that the engine
+    # outruns the sandbox disk's capacity for a big-enough fixture
+    # (BASELINE.md calibration conclusion #1). The K-pass final state
+    # equals 1-pass (tests/test_tailing.py::test_cyclic_view_k_pass...).
+    passes = int(os.environ.get("GRAFT_SCALING_PASSES",
+                                "5" if scaling_mode else "1"))
+    binlog_dir = info["binlog_dir"]
+    if passes > 1:
+        from thor_ray.sources import binlog as _bs
+        view = os.path.join(fixture_dir, f"cyclic{passes}")
+        _bs.write_cyclic_view(view, info["binlog_dir"], passes)
+        binlog_dir = view
+        n_epochs *= passes
+
     def one_cdc_run(write_mode: str, epochs: int = n_epochs) -> tuple[float, float, int]:
         """(total wall incl. bootstrap, epoch-loop wall, events applied).
         The epoch-loop wall (replay_wall_sec) is the throughput denominator
@@ -80,9 +96,9 @@ def run_bench() -> dict:
         lake_dir = f"{lake_root}/lake_{NUM_CPUS}_{write_mode}"
         shutil.rmtree(lake_dir, ignore_errors=True)
         pipe = CdcPipeline(CdcConfig(
-            lake_dir=lake_dir, binlog_dir=info["binlog_dir"],
+            lake_dir=lake_dir, binlog_dir=binlog_dir,
             num_partitions=128,
-            epoch_size=max(N_EVENTS // epochs, 1),
+            epoch_size=max(N_EVENTS * passes // epochs, 1),
             compute_content_hash=True, write_mode=write_mode))
         t0 = time.perf_counter()
         pipe.run(base=info["base"])
@@ -237,11 +253,17 @@ def _membw_worker(q) -> None:
 
 
 def run_scaling() -> dict:
-    """Same input, fresh processes at 8 then 32 CPUs (the N→4N evidence)."""
-    ev = os.environ.get("GRAFT_SCALING_EVENTS", "8000000")
+    """Same input, fresh processes at 8 then 32 CPUs (the N→4N evidence).
+
+    GRAFT_SCALING_PASSES (default 5) replays the fixture cyclically at
+    shifted lsns — K× the applied events with zero extra disk — so the
+    32-CPU leg stays above the ≥60 s calibration floor (BASELINE.md)."""
+    ev = os.environ.get("GRAFT_SCALING_EVENTS", "32000000")
+    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "5"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_EVENTS=ev,
+                   GRAFT_SCALING_PASSES=str(passes),
                    GRAFT_SKIP_QUERIES="1", GRAFT_SCALING_MODE="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
@@ -255,11 +277,14 @@ def run_scaling() -> dict:
         if lo.get("calib_sec") and hi.get("calib_sec") else None
     out = {
         "metric": "cdc_scaling_8_to_32_cpus",
-        "events": int(ev),
+        "events": int(ev) * passes,
+        "fixture_events": int(ev), "cyclic_passes": passes,
         "events_per_sec_8": tp_lo, "events_per_sec_32": tp_hi,
         "cdc_sec_8": lo["queries"]["cdc_replay"],
         "cdc_sec_32": hi["queries"]["cdc_replay"],
         "epoch_sec_8": lo["cdc_epoch_sec"], "epoch_sec_32": hi["cdc_epoch_sec"],
+        "events_applied_8": lo["cdc_events_applied"],
+        "events_applied_32": hi["cdc_events_applied"],
         "speedup": round(tp_hi / tp_lo, 3) if tp_lo else 0.0,
         "scaling_efficiency": round(eff, 3),
     }

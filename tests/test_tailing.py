@@ -656,3 +656,42 @@ def test_compact_binlog_keys_refuses_patch_logs(tmp_path):
     log.write(bdir)
     with pytest.raises(ValueError, match="partial-image"):
         compact_binlog_keys(bdir)
+
+
+def test_cyclic_view_k_pass_equals_one_pass(ray_session, grown, tmp_path):
+    """The K-pass cyclic replay view (bench load-amplification tier):
+    max_lsn is K×span, every pass re-delivers the data events at shifted
+    lsns, DDLs replay once, and the final lake state equals the 1-pass
+    replay exactly (identical last-writer-wins updates per pass)."""
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write(binlog_dir)
+    span = bs.max_lsn(binlog_dir)
+
+    view = str(tmp_path / "cyclic3")
+    meta = bs.write_cyclic_view(view, binlog_dir, passes=3)
+    assert meta["span"] == span
+    assert bs.max_lsn(view) == 3 * span
+    assert bs.safe_frontier(view, slack=0) == \
+        2 * span + bs.safe_frontier(binlog_dir, slack=0)
+
+    # pass-1 reads come back shifted and DDL-free
+    t = bs.read_epoch(view, span, span + 500,
+                      columns=["lsn", "op", "repo"]).to_pandas()
+    assert t["lsn"].between(span + 1, span + 500).all()
+    base_t = bs.read_epoch(binlog_dir, 0, 500,
+                           columns=["lsn", "op", "repo"]).to_pandas()
+    assert sorted(t["lsn"] - span) == sorted(base_t["lsn"])
+    # DDLs only in pass 0
+    assert bs.read_ddl_events(view, span, 3 * span) == []
+    ddl0 = bs.read_ddl_events(view, 0, span)
+    assert ddl0 == bs.read_ddl_events(binlog_dir, 0, span)
+    assert len(ddl0) > 0   # fixture carries DDLs
+
+    # K-pass replay converges to the same final table as one pass
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=str(tmp_path / "lake_cyc"), binlog_dir=view,
+        num_partitions=8, epoch_size=2_000))
+    pipe.run(base=grown["base_path"])
+    n_applied = sum(r.n_events for r in pipe.reports)
+    assert n_applied >= 3 * 7_000   # ~3x the dedup'd event count
+    check(pipe, grown["expected"])

@@ -58,6 +58,48 @@ def shard_files(binlog_dir: str) -> list[str]:
     return []
 
 
+# --- cyclic replay view -----------------------------------------------------
+# A K-pass virtual log over a base binlog: pass p re-delivers every data
+# event with lsn' = lsn + p*span (span = the base log's max lsn), so the
+# tail sees K× the events with ZERO extra bytes on storage. DDL events
+# replay in pass 0 only (schema evolves once; the data keeps flowing).
+# Purpose: load/scaling measurement (bench.py --scaling holds its ≥60 s
+# calibration floor with a fixture the sandbox disk can hold) and soak
+# testing — the K-pass final lake state equals the 1-pass state because
+# each pass re-applies the identical last-writer-wins updates (asserted in
+# tests/test_tailing.py). The view is a directory holding one marker file;
+# every tail-path reader (max_lsn / safe_frontier / read_epoch /
+# read_ddl_events / txn_boundary) resolves it transparently.
+
+_CYCLIC = "_cyclic.json"
+
+
+def write_cyclic_view(view_dir: str, base_dir: str, passes: int) -> dict:
+    """Create (or refresh) a K-pass cyclic view of ``base_dir``."""
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
+    span = max_lsn(base_dir)
+    if span <= 0:
+        raise ValueError(f"base binlog {base_dir} is empty")
+    meta = {"base_dir": os.path.abspath(base_dir), "passes": int(passes),
+            "span": int(span)}
+    os.makedirs(view_dir, exist_ok=True)
+    p = os.path.join(view_dir, _CYCLIC)
+    tmp = p + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, p)
+    return meta
+
+
+def _cyclic_meta(binlog_dir: str) -> dict | None:
+    p = os.path.join(binlog_dir, _CYCLIC)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def binlog_format(binlog_dir: str) -> str:
     files = shard_files(binlog_dir)
     if not files:
@@ -156,6 +198,9 @@ def _file_max_lsn(p: str) -> int:
 
 def max_lsn(binlog_dir: str) -> int:
     """Max lsn across shards (parquet: stats only; jsonl: lsn-column scan)."""
+    cyc = _cyclic_meta(binlog_dir)
+    if cyc is not None:
+        return cyc["span"] * cyc["passes"]
     return max((_file_max_lsn(p) for p in shard_files(binlog_dir)), default=0)
 
 
@@ -188,6 +233,11 @@ def safe_frontier(binlog_dir: str, slack: int = 0,
     would advance watermarks past events a lagging shard hasn't delivered
     (SURVEY.md §2.9 W2/W3). While any declared shard (the `_shards.json`
     marker, or `expected`) has no data yet, the frontier is 0."""
+    cyc = _cyclic_meta(binlog_dir)
+    if cyc is not None:
+        base = safe_frontier(cyc["base_dir"], slack=slack,
+                             expected=expected)
+        return (cyc["passes"] - 1) * cyc["span"] + base if base else 0
     fr = shard_frontiers(binlog_dir)
     exp = expected if expected is not None else expected_shards(binlog_dir)
     if exp is not None and any(s not in fr for s in exp):
@@ -205,6 +255,10 @@ def read_epoch(binlog_dir: str, lo: int, hi: int,
     don't decode or shuffle them). ``tolerant`` (JSONL tiers only) keeps
     well-formed lines of a corrupt shard and records the bad lines under
     `<binlog>/_parse_dlq/` — Kafka Connect's errors.tolerance=all."""
+    cyc = _cyclic_meta(binlog_dir)
+    if cyc is not None:
+        return _read_epoch_cyclic(cyc, lo, hi, override_num_blocks,
+                                  columns, tolerant)
     files = shard_files(binlog_dir)
     if not files:
         from thor_ray.gen import EVENT_SCHEMA
@@ -299,6 +353,43 @@ def _lsn_txn_window(binlog_dir: str, lo: int, hi: int) -> pa.Table:
         filter=(pc.field("lsn") > lo) & (pc.field("lsn") <= hi))
 
 
+def _read_epoch_cyclic(meta: dict, lo: int, hi: int,
+                       override_num_blocks: int | None,
+                       columns: list[str] | None,
+                       tolerant: bool) -> "ray.data.Dataset":
+    """Union of per-pass base reads covering the global (lo, hi] range,
+    each pass's lsns shifted by p*span (vectorized column add). Row-group
+    pushdown still applies per pass — the base range is always within
+    (0, span]."""
+    L, K, base = meta["span"], meta["passes"], meta["base_dir"]
+    hi = min(hi, K * L)
+    parts = []
+    for p in range(max(lo // L, 0), K):
+        s_lo, s_hi = max(lo, p * L), min(hi, (p + 1) * L)
+        if s_lo >= hi:
+            break
+        if s_hi <= s_lo:
+            continue
+        off = p * L
+        sub = read_epoch(base, s_lo - off, s_hi - off,
+                         override_num_blocks=override_num_blocks,
+                         columns=columns, tolerant=tolerant)
+        if off and (columns is None or "lsn" in columns):
+            def shift(t: pa.Table, off=off) -> pa.Table:
+                i = t.schema.get_field_index("lsn")
+                return t.set_column(
+                    i, "lsn", pc.add(t["lsn"], pa.scalar(off, pa.int64())))
+
+            sub = sub.map_batches(shift, batch_format="pyarrow")
+        parts.append(sub)
+    if not parts:
+        return read_epoch(base, 0, 0, columns=columns)
+    out = parts[0]
+    for s in parts[1:]:
+        out = out.union(s)
+    return out
+
+
 def txn_boundary(binlog_dir: str, lo: int, hi: int,
                  probe: int = 4096) -> int:
     """Largest h' in [lo, hi] such that committing upto_lsn=h' splits no
@@ -317,6 +408,16 @@ def txn_boundary(binlog_dir: str, lo: int, hi: int,
     end where the boundary is trivially `hi`)."""
     if hi <= lo:
         return hi
+    cyc = _cyclic_meta(binlog_dir)
+    if cyc is not None:
+        # a txn never straddles a pass boundary (each pass replays whole
+        # base txns), so resolve within the pass containing `hi`
+        L = cyc["span"]
+        p = (hi - 1) // L
+        off = p * L
+        b = txn_boundary(cyc["base_dir"], max(lo - off, 0), hi - off,
+                         probe=probe) + off
+        return max(b, lo)
     win = _lsn_txn_window(binlog_dir, lo, hi)
     if win.num_rows == 0:
         return hi
@@ -351,6 +452,15 @@ def read_ddl_events(binlog_dir: str, lo: int, hi: int) -> list[dict]:
 
     Returns [{"lsn", "schema_ver", "ddl": {...}}, ...]; tiny by contract
     (DDL is rare — SURVEY.md §2.3 A3)."""
+    cyc = _cyclic_meta(binlog_dir)
+    if cyc is not None:
+        # DDLs replay in pass 0 only: the schema evolves once, later
+        # passes re-deliver data events against the evolved registry
+        L = cyc["span"]
+        s_lo, s_hi = min(lo, L), min(hi, L)
+        if s_hi <= s_lo:
+            return []
+        return read_ddl_events(cyc["base_dir"], s_lo, s_hi)
     files = shard_files(binlog_dir)
     if not files:
         return []
