@@ -2527,3 +2527,26 @@ def test_concat_nonempty_schema_less_blocks(ray_session):
     assert t2.num_rows == 0 and t2.schema == empty.schema
     with pytest.raises(ValueError, match="all blocks empty"):
         concat_nonempty(none_match)
+
+
+def test_connected_components_tiers_agree(ray_session):
+    """Driver union-find tier (default, output-sized graphs) and the
+    distributed min-label-propagation tier must produce identical
+    (node, lbl) labels — min node id per component, isolated vertices
+    singleton."""
+    import ray
+    from thor_ray.ops import graph as G
+
+    # two components {1,2,3,7}, {4,5}, isolated {9}
+    e = [(1, 2), (2, 3), (3, 7), (4, 5)]
+    both = e + [(b, a) for a, b in e]
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in both], pa.int64()),
+        "dst": pa.array([b for _, b in both], pa.int64())})).repartition(3)
+    nodes = ray.data.from_arrow(pa.table({
+        "node": pa.array([1, 2, 3, 4, 5, 7, 9], pa.int64())}))
+
+    want = {1: 1, 2: 1, 3: 1, 7: 1, 4: 4, 5: 4, 9: 9}
+    for kw in (dict(), dict(driver_max_nodes=0)):
+        got = G.connected_components(edges, nodes, **kw).to_pandas()
+        assert dict(zip(got["node"], got["lbl"])) == want, kw

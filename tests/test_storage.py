@@ -22,13 +22,13 @@ class CrashBeforePublish(LocalFSStorage):
         self.needle = crash_on_substring
         self.crashes = 0
 
-    def put_atomic(self, final_path, stage):
+    def put_atomic(self, final_path, stage, durable=True):
         if self.needle in final_path:
             tmp = final_path + ".crashed-stage"
             stage(tmp)  # artifact fully staged...
             self.crashes += 1
             raise RuntimeError("crash before publish")  # ...never published
-        super().put_atomic(final_path, stage)
+        super().put_atomic(final_path, stage, durable=durable)
 
 
 @pytest.fixture
@@ -93,7 +93,7 @@ def test_scheme_routing(tmp_path):
         def __init__(self):
             self.puts = []
 
-        def put_atomic(self, final_path, stage):
+        def put_atomic(self, final_path, stage, durable=True):
             self.puts.append(final_path)
 
     rec = Recording()

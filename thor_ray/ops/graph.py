@@ -12,6 +12,7 @@ order)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -250,47 +251,129 @@ def random_walks(edges: Dataset, src: str, dst: str, starts: list[int],
 
 
 def connected_components(edges: Dataset, nodes: Dataset,
-                         max_iters: int = 30) -> Dataset:
-    """Distributed connected components by min-label propagation.
+                         max_iters: int = 30,
+                         driver_max_nodes: int = 2_000_000) -> Dataset:
+    """Connected components as min-label per component.
 
     ``edges``: columns (src, dst), DIRECTED rows — pass both directions
     for an undirected graph (the caller unions (a,b) with (b,a)).
     ``nodes``: column (node), one row per vertex (isolated vertices
     become singleton components).
 
-    Each round is one distributed hash join (edges ⋈ labels on src) +
-    one grouped int64 min over (dst ∪ all nodes), exactly the PageRank
-    shape above — labels and edges stay distributed Datasets, only the
-    per-round convergence scalar (Σ labels) touches the driver. Labels
-    are int64 node ids, so every grouped min is exact and order-free
-    (bit-identical across shuffle orders ⇒ SQL-twinnable). Converges in
-    O(diameter) rounds; Σ labels is monotone non-increasing and equality
-    between rounds is a fixpoint, so the loop early-exits. Per-round
-    state is one int64 per vertex (bounded materialize, same rationale
-    as pagerank_int)."""
-    import ray as _ray
+    Two tiers. The HEAVY distributed work is always the caller's edge
+    construction (a corpus/lineitem-scale scan reduced to a distinct
+    pair list); the propagation itself runs over that output-sized
+    graph:
 
-    from ray.data.aggregate import Min
-    from thor_ray.ops.relational import hash_join
+    * ``|nodes| <= driver_max_nodes`` (default 2M — int64 ids, tens of
+      MB): gather the pair list and run union-find with path halving on
+      the driver. One pass, deterministic, min-root labels — identical
+      output to label propagation, none of the per-round shuffle
+      overhead (measured: the iterative tier's per-round groupby pair
+      costs seconds at 32 CPUs, and graph diameter multiplies it).
+    * larger graphs: distributed min-label propagation, two salted
+      cogroup shuffles per round (the pattern of
+    ops/dedup.py::near_dup_clusters_distributed — union + ONE group key
+    of CPU-proportional cardinality, exact keys resolved by C-level
+    pandas merges/groupbys inside each salt group; no per-round
+    join-aggregator actor pools, which both stall on small clusters and
+    carry the Ray 2.49 empty-block finalize flake): (1) deliver
+    label(src) to dst along every edge, (2) fold each node's incoming
+    labels with its own by grouped min. Labels are int64 node ids, so
+    every grouped min is exact and order-free (bit-identical across
+    shuffle orders ⇒ SQL-twinnable). Converges in O(diameter) rounds;
+    Σ labels is monotone non-increasing and equality between rounds is
+    a fixpoint, so the loop early-exits. Per-round state is one int64
+    per vertex (bounded materialize, same rationale as pagerank_int)."""
+    import ray.data as _rd
 
-    labels = nodes.map_batches(
+    from ray.data.aggregate import Count
+    from thor_ray.ops.util import nonempty_blocks
+
+    n_nodes = nodes.aggregate(Count(alias_name="n"))["n"] or 0
+    if n_nodes <= driver_max_nodes:
+        nb = nonempty_blocks(nodes)
+        node_ids = pa.concat_tables(nb)["node"].to_numpy() if nb \
+            else np.empty(0, np.int64)
+        eb = nonempty_blocks(edges)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for t in eb:
+            for a, b in zip(t["src"].to_numpy(zero_copy_only=False),
+                            t["dst"].to_numpy(zero_copy_only=False)):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)  # min root wins
+        lbls = np.fromiter((find(int(n)) for n in node_ids),
+                           dtype=np.int64, count=len(node_ids))
+        return _rd.from_arrow(pa.table({
+            "node": pa.array(node_ids, pa.int64()),
+            "lbl": pa.array(lbls, pa.int64())}))
+
+    fanout = 64
+
+    def as_edge_rows(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks()
+        return pa.table({
+            "key": src, "dst": t["dst"],
+            "lbl": pa.nulls(len(t), pa.int64()),
+            "kind": pa.array(["E"] * len(t)),
+            "ksalt": pc.cast(pc.bit_wise_and(src, fanout - 1), pa.int32()),
+        })
+
+    def as_label_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].combine_chunks()
+        return pa.table({
+            "key": node, "dst": pa.nulls(len(t), pa.int64()),
+            "lbl": t["lbl"],
+            "kind": pa.array(["L"] * len(t)),
+            "ksalt": pc.cast(pc.bit_wise_and(node, fanout - 1),
+                             pa.int32()),
+        })
+
+    def deliver(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["kind"] == "L", ["key", "lbl"]]
+        ed = g.loc[g["kind"] == "E", ["key", "dst"]]
+        m = ed.merge(lab, on="key")
+        return pd.DataFrame({"node": m["dst"].astype("int64"),
+                             "lbl": m["lbl"].astype("int64")})
+
+    def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("node", as_index=False)["lbl"].min()
+        return pd.DataFrame({"node": r["node"].astype("int64"),
+                             "lbl": r["lbl"].astype("int64")})
+
+    def salt_node(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "nsalt", pc.cast(pc.bit_wise_and(t["node"], fanout - 1),
+                             pa.int32()))
+
+    labels = (nodes.map_batches(
         lambda t: pa.table({"node": t["node"],
                             "lbl": pc.cast(t["node"], pa.int64())}),
-        batch_format="pyarrow").materialize()
-    nblk = max(2, int(_ray.cluster_resources().get("CPU", 4)))
-    # one up-front coalesce: groupby-produced inputs can carry EMPTY
-    # schema-less blocks that crash the acero hash join (same Ray 2.49
-    # wart worked around in pagerank_int / full_outer_join)
-    edges = edges.repartition(nblk)
+        batch_format="pyarrow")
+        .map_batches(salt_node, batch_format="pyarrow")
+        .groupby("nsalt").map_groups(fold_min, batch_format="pandas")
+        .materialize())
+    edge_rows = edges.map_batches(as_edge_rows,
+                                  batch_format="pyarrow").materialize()
     prev_sum: "int | None" = None
     for _ in range(max_iters):
-        prop = (hash_join(edges, labels, on=("src",), right_on=("node",))
-                .map_batches(lambda t: pa.table({"node": t["dst"],
-                                                 "lbl": t["lbl"]}),
-                             batch_format="pyarrow"))
-        labels = (prop.union(labels.select_columns(["node", "lbl"]))
-                  .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
-                  .repartition(nblk).materialize())
+        msgs = (labels.map_batches(as_label_rows, batch_format="pyarrow")
+                .union(edge_rows)
+                .groupby("ksalt").map_groups(deliver,
+                                             batch_format="pandas"))
+        labels = (msgs.union(labels)
+                  .map_batches(salt_node, batch_format="pyarrow")
+                  .groupby("nsalt").map_groups(fold_min,
+                                               batch_format="pandas")
+                  .materialize())
         cur = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
         if prev_sum is not None and cur == prev_sum:
             break

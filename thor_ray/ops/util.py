@@ -17,10 +17,18 @@ from ray.data import Dataset
 def nonempty_blocks(ds: Dataset) -> list[pa.Table]:
     """Materialized arrow blocks of ``ds`` with the schema-less empties
     dropped. Driver-sized: call only on output-sized datasets (candidate
-    pairs, edge lists, aggregates)."""
+    pairs, edge lists, aggregates). Pandas-format blocks (map_groups
+    stages) come back unconverted from to_arrow_refs — normalized here."""
     import ray
 
-    return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    out: list[pa.Table] = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if isinstance(t, pd.DataFrame):
+            if len(t):
+                out.append(pa.Table.from_pandas(t, preserve_index=False))
+        elif t.num_rows:
+            out.append(t)
+    return out
 
 
 def concat_nonempty(ds: Dataset, empty: pa.Table | None = None) -> pa.Table:

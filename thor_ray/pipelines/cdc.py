@@ -376,7 +376,9 @@ def _spill_stage1(t: pa.Table, *, ex_dir: str, n_slots: int) -> pa.Table:
                 with pa.ipc.new_stream(f, sub.schema, options=opts) as w:
                     w.write_table(sub)
 
-        storage_for(path).put_atomic(path, stage)
+        # durable=False: spill blocks are transient intra-epoch exchange
+        # state — a crash recomputes them; fsync here is pure hot-path tax
+        storage_for(path).put_atomic(path, stage, durable=False)
         counts["slot"].append(int(s))
         counts["rows"].append(len(sl))
     return pa.table(counts, schema=pa.schema([("slot", pa.int64()),

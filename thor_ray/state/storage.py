@@ -53,19 +53,23 @@ class Storage:
     with deterministic names."""
 
     # -- write ---------------------------------------------------------
-    def put_atomic(self, final_path: str,
-                   stage: Callable[[str], None]) -> None:
+    def put_atomic(self, final_path: str, stage: Callable[[str], None],
+                   durable: bool = True) -> None:
         """Stage the artifact by calling ``stage(staging_path)`` (the
         callable writes the complete artifact to that path), then publish
-        it under ``final_path`` all-or-nothing."""
+        it under ``final_path`` all-or-nothing. ``durable=False`` skips
+        the flush-to-stable-storage step for TRANSIENT artifacts (spill/
+        exchange blocks, recomputed on replay) — atomic visibility is
+        still guaranteed, only crash-durability is waived."""
         raise NotImplementedError
 
-    def put_bytes(self, final_path: str, data: bytes) -> None:
+    def put_bytes(self, final_path: str, data: bytes,
+                  durable: bool = True) -> None:
         """Publish a small byte payload (manifest JSON, feeds)."""
         def stage(p: str) -> None:
             with open(p, "wb") as f:
                 f.write(data)
-        self.put_atomic(final_path, stage)
+        self.put_atomic(final_path, stage, durable=durable)
 
     def put_if_generation(self, final_path: str, data: bytes,
                           expect_gen: int | None) -> bool:
@@ -98,17 +102,18 @@ class LocalFSStorage(Storage):
     makes the last publisher win, which is correct because final names
     are deterministic and content is a function of the name."""
 
-    def put_atomic(self, final_path: str,
-                   stage: Callable[[str], None]) -> None:
+    def put_atomic(self, final_path: str, stage: Callable[[str], None],
+                   durable: bool = True) -> None:
         os.makedirs(os.path.dirname(final_path) or ".", exist_ok=True)
         tmp = final_path + f".tmp-{os.getpid()}"
         try:
             stage(tmp)
-            fd = os.open(tmp, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+            if durable:
+                fd = os.open(tmp, os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
             os.replace(tmp, final_path)
         except BaseException:
             if os.path.exists(tmp):
