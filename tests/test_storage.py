@@ -117,3 +117,46 @@ def test_put_atomic_cleans_failed_stage(tmp_path):
         st.put_atomic(final, bad_stage)
     # neither the final name nor stray temp files exist
     assert os.listdir(tmp_path) == []
+
+
+def test_memory_storage_manifest_lifecycle():
+    """The full manifest lifecycle (write/load, archives + time travel,
+    tags, prune, snapshot meta, writer-gen CAS) runs end-to-end on the
+    in-memory object-store adapter — proving the commit path has no
+    hidden posix dependency and an S3/GCS adapter slots in by scheme."""
+    from thor_ray.state.storage import MemoryStorage
+
+    mem = MemoryStorage()
+    register_scheme("mem", mem)
+    lake = "mem://lake1"
+
+    for pid in (0, 1):
+        for ep in (1, 2, 3):
+            m = M.Manifest(pid, ep, ep * 100, 0,
+                           [f"part={pid:05d}/state-e{ep:06d}.parquet"],
+                           5, f"h{ep}")
+            M.write_manifest(lake, m)
+            M.archive_manifest(lake, m)
+    got = M.load_manifests(lake)
+    assert sorted(got) == [0, 1] and got[0].epoch == 3
+    # relative file paths resolve against the lake URI
+    assert got[1].files == ["mem://lake1/part=00001/state-e000003.parquet"]
+
+    # time travel + tags + prune on the adapter
+    at2 = M.load_manifests_at(lake, 2)
+    assert at2[0].epoch == 2 and M.snapshot_epochs(lake) == [1, 2, 3]
+    M.create_tag(lake, "v2", 2)
+    assert M.list_tags(lake) == {"v2": 2}
+    removed = M.prune_history(lake, keep_from_epoch=3)
+    assert removed == 2            # epoch-1 archives drop; tagged e2 pinned
+    assert M.load_manifests_at(lake, 2)[0].epoch == 2
+
+    # snapshot meta + restore count + writer CAS
+    M.write_snapshot_meta(lake, {"n_chunks": 4, "done": 2, "active": True})
+    assert M.snapshot_active(lake)
+    assert M.restore_count(lake) == 0
+    assert M.acquire_writer_gen(lake) == 1
+    assert M.acquire_writer_gen(lake) == 2
+    assert M.current_writer_gen(lake) == 2
+    # nothing leaked onto the local filesystem
+    assert not os.path.exists("mem:")

@@ -52,11 +52,13 @@ def manifest_path(lake_dir: str, pid: int) -> str:
 def load_manifests(lake_dir: str) -> dict[int, Manifest]:
     """In-memory Manifest.files are absolute; on disk they are stored
     lake-relative so a lake mounted/relocated under a different path still
-    resumes (and gc never mistakes still-referenced files for garbage)."""
+    resumes (and gc never mistakes still-referenced files for garbage).
+    Reads go through the storage interface like the writes — a lake on a
+    scheme-routed backend lists and reads the same way."""
+    st = storage_for(lake_dir)
     out: dict[int, Manifest] = {}
-    for p in glob.glob(os.path.join(_manifest_dir(lake_dir), "part-*.json")):
-        with open(p) as f:
-            m = Manifest.from_json(f.read())
+    for p in st.list(os.path.join(_manifest_dir(lake_dir), "part-*.json")):
+        m = Manifest.from_json(st.read_bytes(p).decode())
         m.files = [f if os.path.isabs(f) else os.path.join(lake_dir, f)
                    for f in m.files]
         out[m.partition_id] = m
@@ -82,7 +84,7 @@ def write_manifest(lake_dir: str, m: Manifest) -> None:
     """Atomic swap: write tmp in the same dir, fsync, os.replace.
     File paths are relativized against lake_dir before persisting."""
     d = _manifest_dir(lake_dir)
-    os.makedirs(d, exist_ok=True)
+    storage_for(lake_dir).makedirs(d)
     _atomic_write(manifest_path(lake_dir, m.partition_id),
                   _relativized(m, lake_dir))
 
@@ -103,15 +105,16 @@ def _snapshot_path(lake_dir: str) -> str:
 def read_snapshot_meta(lake_dir: str) -> dict | None:
     """{"n_chunks", "done", "active"} or None if no incremental snapshot
     was ever started on this lake."""
+    st = storage_for(lake_dir)
     p = _snapshot_path(lake_dir)
-    if not os.path.exists(p):
+    if not st.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(st.read_bytes(p))
 
 
 def write_snapshot_meta(lake_dir: str, meta: dict) -> None:
-    os.makedirs(os.path.dirname(_snapshot_path(lake_dir)), exist_ok=True)
+    storage_for(lake_dir).makedirs(
+        os.path.dirname(_snapshot_path(lake_dir)))
     _atomic_write(_snapshot_path(lake_dir), meta)
 
 
@@ -136,7 +139,7 @@ def archive_manifest(lake_dir: str, m: Manifest) -> None:
     """Epoch-tagged snapshot copy (idempotent: deterministic name, atomic
     replace — an epoch re-run rewrites the identical archive)."""
     d = _history_dir(lake_dir)
-    os.makedirs(d, exist_ok=True)
+    storage_for(lake_dir).makedirs(d)
     _atomic_write(
         os.path.join(d, f"part-{m.partition_id:05d}-e{m.epoch:06d}.json"),
         _relativized(m, lake_dir))
@@ -145,8 +148,8 @@ def archive_manifest(lake_dir: str, m: Manifest) -> None:
 def snapshot_epochs(lake_dir: str) -> list[int]:
     """Epochs with at least one archived manifest, ascending."""
     eps = {int(os.path.basename(p).rsplit("-e", 1)[1][:-len(".json")])
-           for p in glob.glob(os.path.join(_history_dir(lake_dir),
-                                           "part-*-e*.json"))}
+           for p in storage_for(lake_dir).list(
+               os.path.join(_history_dir(lake_dir), "part-*-e*.json"))}
     return sorted(eps)
 
 
@@ -154,9 +157,11 @@ def load_manifests_at(lake_dir: str, epoch: int) -> dict[int, Manifest]:
     """Per-partition manifests as of `epoch`: the newest archive with
     epoch <= requested (partitions commit independently, so a partition
     untouched since epoch k<=epoch is represented by its epoch-k archive)."""
+    st = storage_for(lake_dir)
     best: dict[int, str] = {}
     best_ep: dict[int, int] = {}
-    for p in glob.glob(os.path.join(_history_dir(lake_dir), "part-*-e*.json")):
+    for p in st.list(os.path.join(_history_dir(lake_dir),
+                                  "part-*-e*.json")):
         b = os.path.basename(p)
         pid = int(b[len("part-"):len("part-") + 5])
         ep = int(b.rsplit("-e", 1)[1][:-len(".json")])
@@ -164,8 +169,7 @@ def load_manifests_at(lake_dir: str, epoch: int) -> dict[int, Manifest]:
             best_ep[pid], best[pid] = ep, p
     out: dict[int, Manifest] = {}
     for pid, p in best.items():
-        with open(p) as f:
-            m = Manifest.from_json(f.read())
+        m = Manifest.from_json(st.read_bytes(p).decode())
         m.files = [f_ if os.path.isabs(f_) else os.path.join(lake_dir, f_)
                    for f_ in m.files]
         out[pid] = m
@@ -179,9 +183,11 @@ def prune_history(lake_dir: str, keep_from_epoch: int) -> int:
     through (the newest archive <= the tagged epoch, per partition) are
     pinned regardless of the window — a tag is an indefinite-retention
     promise until delete_tag."""
+    st = storage_for(lake_dir)
     newest: dict[int, int] = {}
     entries = []
-    for p in glob.glob(os.path.join(_history_dir(lake_dir), "part-*-e*.json")):
+    for p in st.list(os.path.join(_history_dir(lake_dir),
+                                  "part-*-e*.json")):
         b = os.path.basename(p)
         pid = int(b[len("part-"):len("part-") + 5])
         ep = int(b.rsplit("-e", 1)[1][:-len(".json")])
@@ -197,7 +203,7 @@ def prune_history(lake_dir: str, keep_from_epoch: int) -> int:
     removed = 0
     for pid, ep, p in entries:
         if ep < keep_from_epoch and ep != newest[pid] and p not in pinned:
-            os.remove(p)
+            st.delete(p)
             removed += 1
     return removed
 
@@ -219,11 +225,11 @@ def restore_count(lake_dir: str) -> int:
     consumers (indexes, views, sinks, replicas) persist the count they
     last advanced under and fail loudly on mismatch — a restore rewrites
     epochs, so any state keyed by pre-restore epochs is stale."""
+    st = storage_for(lake_dir)
     p = os.path.join(_manifest_dir(lake_dir), "restores.json")
-    if not os.path.exists(p):
+    if not st.exists(p):
         return 0
-    with open(p) as f:
-        return int(json.load(f)["count"])
+    return int(json.loads(st.read_bytes(p))["count"])
 
 
 def record_restore(lake_dir: str, epoch: int) -> int:
@@ -235,11 +241,11 @@ def record_restore(lake_dir: str, epoch: int) -> int:
 
 def list_tags(lake_dir: str) -> dict[str, int]:
     """name -> epoch for every savepoint tag on the lake."""
+    st = storage_for(lake_dir)
     p = _tags_path(lake_dir)
-    if not os.path.exists(p):
+    if not st.exists(p):
         return {}
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(st.read_bytes(p))
 
 
 def create_tag(lake_dir: str, name: str, epoch: int,
@@ -286,43 +292,40 @@ def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
     referenced by a retained snapshot archive (time travel) are protected;
     prune_history shrinks that set first.
     """
+    st = storage_for(lake_dir)
     live = {os.path.abspath(f) for m in manifests.values() for f in m.files}
     # O(retention × partitions) small-JSON reads per commit — bounded by
     # prune_history just before this in the pipeline; skipped entirely
     # when time travel is off (no history dir)
-    if os.path.isdir(_history_dir(lake_dir)):
-        for p in glob.glob(os.path.join(_history_dir(lake_dir),
-                                        "part-*-e*.json")):
-            with open(p) as f:
-                payload = json.load(f)
-            live |= {os.path.abspath(f_ if os.path.isabs(f_)
-                                     else os.path.join(lake_dir, f_))
-                     for f_ in payload["files"]}
+    for p in st.list(os.path.join(_history_dir(lake_dir),
+                                  "part-*-e*.json")):
+        payload = json.loads(st.read_bytes(p))
+        live |= {os.path.abspath(f_ if os.path.isabs(f_)
+                                 else os.path.join(lake_dir, f_))
+                 for f_ in payload["files"]}
     # fork-point manifests (sources/branch.py): a branched lake keeps its
     # creation-time state as the three-way merge base — those hardlinked
     # files must survive the branch's own compactions until the branch is
     # deleted wholesale
     fork_dir = os.path.join(_manifest_dir(lake_dir), "fork")
-    if os.path.isdir(fork_dir):
-        for p in glob.glob(os.path.join(fork_dir, "part-*.json")):
-            with open(p) as f:
-                payload = json.load(f)
-            live |= {os.path.abspath(f_ if os.path.isabs(f_)
-                                     else os.path.join(lake_dir, f_))
-                     for f_ in payload["files"]}
+    for p in st.list(os.path.join(fork_dir, "part-*.json")):
+        payload = json.loads(st.read_bytes(p))
+        live |= {os.path.abspath(f_ if os.path.isabs(f_)
+                                 else os.path.join(lake_dir, f_))
+                 for f_ in payload["files"]}
     removed = 0
     snap_meta = read_snapshot_meta(lake_dir)
     snap_done = int(snap_meta["done"]) if snap_meta else 0
     snap_gen = int(snap_meta.get("generation", 0)) if snap_meta else 0
     for pid, m in manifests.items():
         pdir = os.path.join(lake_dir, f"part={pid:05d}")
-        for f in glob.glob(os.path.join(pdir, "state-e*.parquet")):
+        for f in st.list(os.path.join(pdir, "state-e*.parquet")):
             try:
                 epoch = int(os.path.basename(f)[len("state-e"):-len(".parquet")])
             except ValueError:
                 continue
             if os.path.abspath(f) not in live and epoch < m.epoch:
-                os.remove(f)
+                st.delete(f)
                 removed += 1
         # incremental/ad-hoc snapshot chunk files (snap-g{gen}-c{chunk}):
         # unreferenced + committed means a later compaction superseded it
@@ -330,7 +333,7 @@ def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
         # Committed = an older generation, or the current generation with
         # chunk id < done; an orphan from a crashed injection (current
         # gen, chunk >= done) is kept and overwritten on retry.
-        for f in glob.glob(os.path.join(pdir, "snap-*.parquet")):
+        for f in st.list(os.path.join(pdir, "snap-*.parquet")):
             stem = os.path.basename(f)[len("snap-"):-len(".parquet")]
             try:
                 g_s, c_s = stem.split("-c")
@@ -339,7 +342,7 @@ def gc_lake(lake_dir: str, manifests: dict[int, Manifest]) -> int:
                 continue
             committed = g < snap_gen or (g == snap_gen and chunk < snap_done)
             if os.path.abspath(f) not in live and committed:
-                os.remove(f)
+                st.delete(f)
                 removed += 1
     return removed
 
@@ -364,8 +367,8 @@ def _writer_path(lake_dir: str) -> str:
 
 def current_writer_gen(lake_dir: str) -> int:
     try:
-        with open(_writer_path(lake_dir)) as f:
-            return int(json.load(f)["gen"])
+        return int(json.loads(
+            storage_for(lake_dir).read_bytes(_writer_path(lake_dir)))["gen"])
     except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
         return 0
 
@@ -376,8 +379,8 @@ def acquire_writer_gen(lake_dir: str) -> int:
     atomic rename on local fs — see state/storage.py). A lost race simply
     re-reads and bumps past the winner."""
     p = _writer_path(lake_dir)
-    os.makedirs(_manifest_dir(lake_dir), exist_ok=True)
     st = storage_for(p)
+    st.makedirs(_manifest_dir(lake_dir))
     while True:
         cur = current_writer_gen(lake_dir)
         g = cur + 1

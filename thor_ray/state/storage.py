@@ -94,6 +94,11 @@ class Storage:
     def delete(self, path: str) -> None:
         raise NotImplementedError
 
+    def makedirs(self, path: str) -> None:
+        """Ensure a directory prefix exists (no-op on flat-namespace
+        object stores)."""
+        raise NotImplementedError
+
 
 class LocalFSStorage(Storage):
     """POSIX implementation: same-directory temp + fsync + atomic rename.
@@ -145,6 +150,72 @@ class LocalFSStorage(Storage):
 
     def delete(self, path: str) -> None:
         os.remove(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+
+class MemoryStorage(Storage):
+    """In-memory object-store model: a flat key → bytes namespace with
+    single-PUT atomic publishes and true conditional writes — the
+    smallest faithful stand-in for an S3/GCS adapter, used by tests to
+    prove the manifest lifecycle runs entirely through the interface
+    (no hidden posix calls on the commit path)."""
+
+    def __init__(self):
+        self.objects: dict[str, bytes] = {}
+
+    def put_atomic(self, final_path: str, stage, durable: bool = True):
+        import tempfile
+
+        # stage locally (the adapter contract), upload as one PUT
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            scratch = f.name
+        try:
+            stage(scratch)
+            with open(scratch, "rb") as f:
+                self.objects[final_path] = f.read()
+        finally:
+            if os.path.exists(scratch):
+                os.remove(scratch)
+
+    def put_bytes(self, final_path: str, data: bytes,
+                  durable: bool = True) -> None:
+        self.objects[final_path] = data
+
+    def put_if_generation(self, final_path, data, expect_gen):
+        cur = None
+        if final_path in self.objects:
+            try:
+                cur = int(json.loads(self.objects[final_path])["gen"])
+            except (json.JSONDecodeError, KeyError, ValueError):
+                cur = None
+        if cur != expect_gen:
+            return False
+        self.objects[final_path] = data
+        return True
+
+    def read_bytes(self, path: str) -> bytes:
+        if path not in self.objects:
+            raise FileNotFoundError(path)
+        return self.objects[path]
+
+    def exists(self, path: str) -> bool:
+        return path in self.objects
+
+    def list(self, pattern: str) -> list[str]:
+        import fnmatch
+
+        return sorted(k for k in self.objects
+                      if fnmatch.fnmatch(k, pattern))
+
+    def delete(self, path: str) -> None:
+        if path not in self.objects:
+            raise FileNotFoundError(path)
+        del self.objects[path]
+
+    def makedirs(self, path: str) -> None:
+        pass  # flat namespace
 
 
 _SCHEMES: dict[str, Storage] = {}
