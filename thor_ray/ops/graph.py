@@ -32,57 +32,93 @@ def pagerank_int(edges: Dataset, nodes: Dataset, iters: int = 5,
     Iteration (all int64): r0 = scale // n;
     r_{t+1} = (scale - damp) // n + damp_num * Σ_in (r_t // outdeg) // 100
     where damp = damp_num * scale // 100. Dangling mass is dropped (the
-    standard simplification); floor divisions make the fold exact."""
-    from thor_ray.ops.relational import hash_join
+    standard simplification); floor divisions make the fold exact.
 
+    Exchange shape: two salted cogroup shuffles per iteration (the
+    connected_components pattern — union + a CPU-bounded salt key, exact
+    keys resolved with C-level pandas merges/np.add.at inside each salt
+    group). No per-iteration join-aggregator actor pools: those both
+    starve each other on small clusters (observed hang at 8 CPUs) and
+    carry the Ray 2.49 empty-block finalize flake."""
     nodes = nodes.materialize()   # bounded: one int64 per vertex; reused
-    n = nodes.count()             # every iteration as the left join side
+    n = nodes.count()
     base = (scale - damp_num * scale // 100) // n
+    fanout = 64
 
-    def contrib_partial(t: pa.Table) -> pa.Table:
-        c = pc.divide(t["r"], t["outdeg"])    # int64 floor division
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        cv = c.to_numpy() if not isinstance(c, pa.ChunkedArray) \
-            else c.combine_chunks().to_numpy()
+    def as_edge_rows(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks()
+        return pa.table({
+            "key": src, "dst": t["dst"],
+            "outdeg": pc.cast(t["outdeg"], pa.int64()),
+            "r": pa.nulls(len(t), pa.int64()),
+            "kind": pa.array(["E"] * len(t)),
+            "ksalt": pc.cast(pc.bit_wise_and(src, fanout - 1), pa.int32()),
+        })
+
+    def as_rank_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].combine_chunks()
+        return pa.table({
+            "key": node, "dst": pa.nulls(len(t), pa.int64()),
+            "outdeg": pa.nulls(len(t), pa.int64()),
+            "r": t["r"],
+            "kind": pa.array(["L"] * len(t)),
+            "ksalt": pc.cast(pc.bit_wise_and(node, fanout - 1),
+                             pa.int32()),
+        })
+
+    def deliver(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["kind"] == "L", ["key", "r"]]
+        ed = g.loc[g["kind"] == "E", ["key", "dst", "outdeg"]]
+        m = ed.merge(lab, on="key")
+        if not len(m):
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="int64")})
+        # null-padded union floats the int columns; values are exact
+        # (ids and ranks < 2^53) so the int64 round-trip is lossless
+        c = (m["r"].astype("int64") // m["outdeg"].astype("int64")) \
+            .to_numpy()
+        d = m["dst"].astype("int64").to_numpy()
         ud, inv = np.unique(d, return_inverse=True)
         s = np.zeros(len(ud), dtype=np.int64)
-        np.add.at(s, inv, cv.astype(np.int64))   # exact int64 accumulate
-        return pa.table({"node": ud, "s": s})
+        np.add.at(s, inv, c)                 # exact int64 accumulate
+        return pd.DataFrame({"node": ud, "s": s})
 
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("node", as_index=False)["s"].sum()
+        rr = base + (damp_num * r["s"].astype("int64")) // 100
+        return pd.DataFrame({"node": r["node"].astype("int64"),
+                             "r": rr.astype("int64")})
+
+    def salt_node(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "nsalt", pc.cast(pc.bit_wise_and(t["node"], fanout - 1),
+                             pa.int32()))
+
+    edge_rows = edges.map_batches(as_edge_rows,
+                                  batch_format="pyarrow").materialize()
     ranks = nodes.map_batches(
         lambda t: t.append_column("r", pa.array(
             np.full(len(t), scale // n, dtype=np.int64))),
-        batch_format="pyarrow")
-
-    # zero contribution for EVERY vertex, unioned into the grouped sum:
-    # this keeps no-inbound vertices present WITHOUT a second hash join
-    # per iteration (two join aggregator pools + a groupby in one plan
-    # starve each other on small clusters — observed hang at 8 CPUs)
+        batch_format="pyarrow").materialize()
+    # zero contribution for EVERY vertex, unioned into the grouped sum,
+    # keeps no-inbound vertices present in each fold
     zeros = nodes.map_batches(
         lambda t: pa.table({"node": t["node"],
                             "s": np.zeros(len(t), dtype=np.int64)}),
-        batch_format="pyarrow")
-
-    def fold(t: pa.Table) -> pa.Table:
-        r = pc.add(base, pc.divide(pc.multiply(damp_num, t["s"]), 100))
-        return pa.table({"node": t["node"], "r": pc.cast(r, pa.int64())})
+        batch_format="pyarrow").materialize()
 
     for _ in range(iters):
-        inc = (hash_join(edges, ranks.select_columns(["node", "r"]),
-                         on=("src",), right_on=("node",))
-               .map_batches(contrib_partial, batch_format="pyarrow")
-               .union(zeros)
-               .groupby("node").aggregate(Sum("s", alias_name="s")))
+        msgs = (ranks.map_batches(as_rank_rows, batch_format="pyarrow")
+                .union(edge_rows)
+                .groupby("ksalt").map_groups(deliver,
+                                             batch_format="pandas"))
         # materialize each iteration: ranks are one int64 per vertex
-        # (bounded); without this the lazy plan grows into an
-        # iters-deep join chain that re-executes upstream stages.
-        # repartition first: hash partitions with no keys yield EMPTY
-        # schema-less blocks that crash the next iteration's acero join
-        # (the Ray 2.49 wart also worked around in full_outer_join)
-        import ray as _ray
-        nblk = max(2, int(_ray.cluster_resources().get("CPU", 4)))
-        ranks = inc.map_batches(fold, batch_format="pyarrow") \
-            .repartition(nblk).materialize()
+        # (bounded); without this the lazy plan grows into an iters-deep
+        # chain that re-executes upstream stages
+        ranks = (msgs.union(zeros)
+                 .map_batches(salt_node, batch_format="pyarrow")
+                 .groupby("nsalt").map_groups(fold, batch_format="pandas")
+                 .materialize())
     return ranks
 
 
@@ -389,43 +425,66 @@ def kcore(edges: Dataset, k: int, max_iters: int = 50) -> Dataset:
 
     ``edges``: (src, dst) with BOTH directions present (undirected
     convention shared with connected_components). Each round is one
-    grouped count (degrees) + one semi-join filter of the edge set —
-    edges stay a distributed Dataset; only the per-round survivor count
-    (one int) touches the driver. Survivor count is monotone
-    non-increasing, so equality between rounds is a fixpoint and the
-    loop early-exits; rounds are bounded by max_iters (the peel depth,
-    not the graph size)."""
+    map-only degree pass over the DISTRIBUTED edge set (per-batch
+    combiner partials — unique src + counts, vertex-sized each) folded
+    on the driver, then one broadcast ``is_in`` filter map of the edges
+    (survivor ids are vertex-sized; ``ray.put`` once per round). No
+    joins or shuffle aggregators in the loop — the join-per-round shape
+    both starves actor pools on small clusters and carries the Ray 2.49
+    empty-block finalize flake (see pagerank_int). Driver state is one
+    (node, degree) vector — the bfs_hops bound; for graphs whose VERTEX
+    set exceeds driver memory, switch the degree fold to the salted
+    cogroup tier (connected_components' distributed shape). Survivor
+    count is monotone non-increasing, so equality between rounds is a
+    fixpoint and the loop early-exits; rounds are bounded by max_iters
+    (the peel depth, not the graph size)."""
     import ray as _ray
+    import ray.data as _rd
 
-    from ray.data.aggregate import Count
-    from thor_ray.ops.relational import hash_join
+    from thor_ray.ops.util import nonempty_blocks
 
-    nblk = max(2, int(_ray.cluster_resources().get("CPU", 4)))
-    edges = edges.repartition(nblk).materialize()
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        ud, cnt = np.unique(s, return_counts=True)
+        return pa.table({"node": pa.array(ud.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    def degrees(e: Dataset) -> tuple[np.ndarray, np.ndarray]:
+        blocks = nonempty_blocks(
+            e.map_batches(deg_partial, batch_format="pyarrow"))
+        if not blocks:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        part = pa.concat_tables(blocks)
+        node = part["node"].to_numpy(zero_copy_only=False)
+        c = part["c"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(node, return_inverse=True)
+        tot = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(tot, inv, c)
+        return ud, tot
+
+    edges = edges.materialize()
     prev: "int | None" = None
-    deg = edges.groupby("src").aggregate(Count(alias_name="degree"))
+    node, deg = degrees(edges)
     for _ in range(max_iters):
-        # repartition: groupby-produced blocks can be EMPTY/schema-less,
-        # which crashes the acero hash join (same Ray 2.49 wart worked
-        # around in connected_components / pagerank_int)
-        keep = (deg.filter(expr=f"degree >= {k}")
-                .map_batches(lambda t: pa.table({"node": t["src"]}),
-                             batch_format="pyarrow")
-                .repartition(nblk).materialize())
-        n = keep.count()
+        keep_ids = node[deg >= k]
+        n = len(keep_ids)
         if prev is not None and n == prev:
             break
         prev = n
         if n == 0:
             break
-        # edge survives iff BOTH endpoints survive: two semi-joins
-        edges = (hash_join(edges, keep, on=("src",), right_on=("node",),
-                           join_type="left_semi")
-                 .repartition(nblk).materialize())
-        edges = (hash_join(edges, keep, on=("dst",), right_on=("node",),
-                           join_type="left_semi")
-                 .repartition(nblk).materialize())
-        deg = edges.groupby("src").aggregate(Count(alias_name="degree"))
-    return deg.filter(expr=f"degree >= {k}").map_batches(
-        lambda t: pa.table({"node": t["src"], "degree": t["degree"]}),
-        batch_format="pyarrow")
+        ref = _ray.put(pa.array(keep_ids))
+
+        def surv(t: pa.Table, ref=ref) -> pa.Table:
+            ks = _ray.get(ref)
+            m = pc.and_(pc.is_in(t["src"], value_set=ks),
+                        pc.is_in(t["dst"], value_set=ks))
+            return t.filter(m)
+
+        edges = edges.map_batches(surv,
+                                  batch_format="pyarrow").materialize()
+        node, deg = degrees(edges)
+    m = deg >= k
+    return _rd.from_arrow(pa.table({
+        "node": pa.array(node[m], pa.int64()),
+        "degree": pa.array(deg[m], pa.int64())}))
