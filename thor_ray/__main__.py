@@ -188,6 +188,17 @@ def cmd_stats(a) -> int:
     return 0
 
 
+def cmd_cyclic(a) -> int:
+    """Create a K-pass cyclic replay view of a binlog (load amplification
+    / soak testing: K× the events at shifted lsns, zero extra disk;
+    metadata-only — no Ray)."""
+    from thor_ray.sources.binlog import write_cyclic_view
+
+    meta = write_cyclic_view(a.view, a.binlog, a.passes)
+    print(json.dumps(meta))
+    return 0
+
+
 def cmd_compact_binlog(a) -> int:
     """Convert text wire shards to the parquet tier in place; --keys runs
     Kafka-style key compaction instead (metadata/driver-only; no Ray)."""
@@ -742,6 +753,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns for HLL distinct counts")
     st.add_argument("--num-cpus", type=int)
     st.set_defaults(fn=cmd_stats)
+
+    cy = sub.add_parser("cyclic", help="K-pass cyclic replay view of a "
+                                       "binlog (K-fold events, zero extra "
+                                       "disk; DDLs replay once)")
+    cy.add_argument("--binlog", required=True, help="base binlog dir")
+    cy.add_argument("--view", required=True, help="view dir to create")
+    cy.add_argument("--passes", type=int, required=True)
+    cy.set_defaults(fn=cmd_cyclic)
 
     cb = sub.add_parser("compact-binlog",
                         help="convert text wire shards to parquet, or "
