@@ -207,3 +207,17 @@ def test_q309_pool_cap_strided_matches_sql(ray_session, monkeypatch):
                                   want[sorted(want.columns)],
                                   check_dtype=False)
     assert got["neg_id"].nunique() <= 100   # pool really is capped
+
+
+def test_q397_streaming_dedup_invariants(ray_session):
+    """Streaming-dedup consumer: per-epoch admitted <= changes and
+    counts deterministic across a full re-run (idempotent ingest
+    segments — the lake, index and probes are all rebuilt/overwritten
+    at the same identities). The fixture's update contents are novel by
+    construction, so duplicate-drop behavior itself is pinned by the
+    incremental_dedup units (test_ops), not by this composition."""
+    a = Q.q397_streaming_dedup(SF)
+    assert (a["admitted"] <= a["changes"]).all()
+    assert (a["changes"] > 0).all()
+    b = Q.q397_streaming_dedup(SF)
+    pd.testing.assert_frame_equal(a, b)

@@ -15396,6 +15396,109 @@ FROM events
 """
 
 
+def q396_epoch_shuffle(sf: str):
+    """Deterministic training-epoch shuffle: the corpus reordered by a
+    seeded keyed hash (md5(doc_id || seed)) — the reproducible global
+    shuffle a training run applies per epoch, returned as an explicit
+    (doc_id, shard, pos) permutation so the order is hash-checkable.
+    ``shard`` (the first hex nibble) is the scale path: at 100 TB you
+    never materialize a global rank — write the corpus partitioned by
+    the hash prefix (write_partitioned) and read shards in order; the
+    within-shard order is the hash order from a per-shard sort. The md5
+    draw is a per-row hashlib loop (confined here for SQL
+    replayability, like q309); rank assignment gathers only (id, hash)
+    pairs — id-sized, never the text."""
+    import hashlib
+
+    def h(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        hx = [hashlib.md5(f"{v}_s7".encode()).hexdigest() for v in d]
+        return pa.table({"doc_id": t["doc_id"],
+                         "h": pa.array(hx, pa.string())})
+
+    pairs = (T(sf, "documents", ["doc_id"])
+             .map_batches(h, batch_format="pyarrow").to_pandas())
+    pairs = pairs.sort_values(["h", "doc_id"],
+                              kind="stable").reset_index(drop=True)
+    return pd.DataFrame({
+        "doc_id": pairs["doc_id"].astype(np.int64),
+        "shard": pairs["h"].str[:1],
+        "pos": np.arange(1, len(pairs) + 1, dtype=np.int64)})
+
+
+SQL_Q396 = """
+SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || '_s7'), 1, 1) AS shard,
+       CAST(row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '_s7'), doc_id)
+           AS BIGINT) AS pos
+FROM documents
+"""
+
+
+def q397_streaming_dedup(sf: str):
+    """Streaming exact-dedup consumer (rows-only): the CDC lake's
+    changefeed drives the persistent fingerprint index incrementally —
+    the bridge between the CDC family and the corpus-dedup family. The
+    base corpus seeds the bucket-partitioned fp index once; then each
+    committed epoch's change winners (I/U, content) probe ONLY their
+    buckets' fingerprint files (`incremental_dedup`: the historical
+    corpus is never rescanned, the shuffle carries id+16-byte fp of the
+    NEW batch only — the 100 TB ingest shape). Returns one row per
+    epoch: changes seen, survivors admitted. Deterministic ingest ids
+    make every probe idempotent (a crashed epoch re-probes and
+    overwrites its own segment)."""
+    import os
+    import shutil
+
+    from thor_ray.ops.dedup import build_fp_index, incremental_dedup
+    from thor_ray.pipelines.flagship import run_flagship
+    from thor_ray.sources.lake import read_changefeed
+    from thor_ray.stages.smt import stable_hash
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_streamdedup_{tag}"
+    pipe = run_flagship(work, n_keys=1_500, n_events=9_000, n_shards=2,
+                        num_partitions=8, epoch_size=3_000,
+                        write_mode="delta", ddl_every=0,
+                        compact_every=1_000_000)
+    idx = os.path.join(work, "fpindex")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    def ident(t: pa.Table) -> pa.Table:
+        did = stable_hash(t, ["repo", "path"]).astype(np.int64)
+        did = np.abs(did) % np.int64(2**62)
+        return pa.table({"doc_id": pa.array(did),
+                         "text": pc.cast(t["content"], pa.string())})
+
+    base = ray.data.read_parquet(
+        os.path.join(work, "fixture", "base.parquet"),
+        columns=["repo", "path", "content"])
+    build_fp_index(base.map_batches(ident, batch_format="pyarrow"), idx,
+                   text_col="text", id_col="doc_id", buckets=16)
+
+    n_epochs = max(m.epoch for m in pipe.manifests().values()) \
+        if hasattr(pipe, "manifests") else len(pipe.reports)
+    rows = []
+    for e in range(1, len(pipe.reports) + 1):
+        feed = read_changefeed(pipe.cfg.lake_dir, e - 1, e)
+
+        def live(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.not_equal(t["op"], "D"),
+                        pc.is_valid(t["content"]))
+            return t.filter(m).select(["repo", "path", "content"])
+
+        probe = feed.map_batches(live, batch_format="pyarrow") \
+            .map_batches(ident, batch_format="pyarrow")
+        n_changes = probe.count()
+        admitted = incremental_dedup(
+            probe, idx, ingest_id=f"e{e:03d}",
+            text_col="text", id_col="doc_id").count()
+        rows.append({"epoch": np.int64(e),
+                     "changes": np.int64(n_changes),
+                     "admitted": np.int64(admitted)})
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -15799,6 +15902,8 @@ QUERIES: dict[str, tuple] = {
     "q393_site_mean_distance": (q393_site_mean_distance, SQL_Q393),
     "q394_fulfillment_lag": (q394_fulfillment_lag, SQL_Q394),
     "q395_wire_roundtrip": (q395_wire_roundtrip, SQL_Q395),
+    "q396_epoch_shuffle": (q396_epoch_shuffle, SQL_Q396),
+    "q397_streaming_dedup": (q397_streaming_dedup, None),
 }
 
 # ---------------------------------------------------------------------------
