@@ -15401,29 +15401,51 @@ def q396_epoch_shuffle(sf: str):
     seeded keyed hash (md5(doc_id || seed)) — the reproducible global
     shuffle a training run applies per epoch, returned as an explicit
     (doc_id, shard, pos) permutation so the order is hash-checkable.
-    ``shard`` (the first hex nibble) is the scale path: at 100 TB you
-    never materialize a global rank — write the corpus partitioned by
-    the hash prefix (write_partitioned) and read shards in order; the
-    within-shard order is the hash order from a per-shard sort. The md5
-    draw is a per-row hashlib loop (confined here for SQL
-    replayability, like q309); rank assignment gathers only (id, hash)
-    pairs — id-sized, never the text."""
+    The global rank is assigned DISTRIBUTED: hash-prefix shards (the
+    first hex nibble — the hash order is shard-major by construction)
+    each sort their own rows in one map_groups task and emit
+    within-shard positions; only the 16 shard counts reach the driver,
+    whose cumulative offsets broadcast back into a final map. At 100 TB
+    the same layout is a partitioned write (write_partitioned by the
+    prefix) read shard-by-shard. The md5 draw is a per-row hashlib loop
+    (confined here for SQL replayability, like q309); texts never move
+    — only (id, 32-char hash) pairs enter the one 16-group shuffle."""
     import hashlib
 
     def h(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False)
         hx = [hashlib.md5(f"{v}_s7".encode()).hexdigest() for v in d]
         return pa.table({"doc_id": t["doc_id"],
-                         "h": pa.array(hx, pa.string())})
+                         "h": pa.array(hx, pa.string()),
+                         "shard": pa.array([x[:1] for x in hx],
+                                           pa.string())})
 
-    pairs = (T(sf, "documents", ["doc_id"])
-             .map_batches(h, batch_format="pyarrow").to_pandas())
-    pairs = pairs.sort_values(["h", "doc_id"],
-                              kind="stable").reset_index(drop=True)
-    return pd.DataFrame({
-        "doc_id": pairs["doc_id"].astype(np.int64),
-        "shard": pairs["h"].str[:1],
-        "pos": np.arange(1, len(pairs) + 1, dtype=np.int64)})
+    def local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="stable")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "shard": g["shard"],
+            "lpos": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    ranked = (T(sf, "documents", ["doc_id"])
+              .map_batches(h, batch_format="pyarrow")
+              .groupby("shard").map_groups(local_rank,
+                                           batch_format="pandas")
+              .materialize())
+    counts = ranked.groupby("shard").aggregate(
+        Count(alias_name="n")).to_pandas().sort_values("shard")
+    offs = dict(zip(counts["shard"],
+                    np.concatenate([[0], np.cumsum(
+                        counts["n"].to_numpy())[:-1]]).astype(np.int64)))
+    oref = ray.put(offs)
+
+    def add_off(g: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(oref)
+        g = g.copy()
+        g["pos"] = (g["lpos"] + g["shard"].map(o)).astype("int64")
+        return g[["doc_id", "shard", "pos"]]
+
+    return ranked.map_batches(add_off, batch_format="pandas")
 
 
 SQL_Q396 = """
