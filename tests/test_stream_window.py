@@ -877,3 +877,44 @@ def test_emitted_paging(ray_session, tmp_path):
         pages.append(page)
     got = pd.concat(pages, ignore_index=True) if pages else w.emitted()
     pd.testing.assert_frame_equal(_norm(got), _norm(w.emitted()))
+
+
+def test_partitioned_interval_join_equals_unpartitioned(ray_session,
+                                                        tmp_path):
+    """The demux scale tier: the union of N per-key-route interval joins
+    equals the unpartitioned join exactly (pairs share a key, hence a
+    route), each route holds only its keys' state, and the family stays
+    exactly-once across re-advances."""
+    from thor_ray.pipelines.stream_window import PartitionedIntervalJoin
+
+    work = str(tmp_path)
+    base = gen.gen_base_table(n_repos=10, paths_per_repo=5, seed=61)
+    ldir, rdir = os.path.join(work, "L"), os.path.join(work, "R")
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=600, n_shards=2, ddl_every=0, seed=67)).write(ldir)
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=600, n_shards=2, ddl_every=0, seed=71)).write(rdir)
+    lo, hi = -40_000, 40_000
+
+    flat = IntervalJoinStream(ldir, rdir, os.path.join(work, "flat"),
+                              lo, hi, key_col="repo")
+    flat.advance(complete=True)
+    want = _ij_norm(flat.matches())
+
+    pj = PartitionedIntervalJoin(ldir, rdir, os.path.join(work, "pj"),
+                                 lo, hi, n_routes=3, key_col="repo")
+    rep = pj.advance(complete=True)
+    got = _ij_norm(pj.matches())
+    pd.testing.assert_frame_equal(got, want)
+    assert rep["matches"] == len(want)
+    # routes genuinely partition the key space (no route sees them all,
+    # no key in two routes)
+    per_route = [set(p.matches()["key"]) for p in pj.parts]
+    nonempty = [s for s in per_route if s]
+    assert len(nonempty) >= 2
+    for i in range(len(per_route)):
+        for k in range(i + 1, len(per_route)):
+            assert not (per_route[i] & per_route[k])
+    # caught up: the family advance is a no-op
+    assert pj.advance(complete=True)["matches"] == 0
+    assert pj.late_events() == 0

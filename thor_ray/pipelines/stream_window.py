@@ -673,7 +673,8 @@ class IntervalJoinStream:
 
     def __init__(self, left_dir: str, right_dir: str, out_dir: str,
                  lo_us: int, hi_us: int, key_col: str = "repo",
-                 lateness_us: int = 0, on_retention: str = "error"):
+                 lateness_us: int = 0, on_retention: str = "error",
+                 key_route: "tuple[int, int] | None" = None):
         self.on_retention = on_retention
         if lo_us > hi_us:
             raise ValueError(f"lo_us={lo_us} > hi_us={hi_us}")
@@ -682,21 +683,30 @@ class IntervalJoinStream:
         self.lo_us, self.hi_us = int(lo_us), int(hi_us)
         self.key_col = key_col
         self.lateness_us = int(lateness_us)
+        # (route_id, n_routes): consume only this key partition — the
+        # demux scale tier (PartitionedIntervalJoin) runs one instance
+        # per route so no instance holds more than 1/n of the state
+        self.key_route = key_route
         os.makedirs(out_dir, exist_ok=True)
+
+    def _cfg(self) -> dict:
+        return {"lo_us": self.lo_us, "hi_us": self.hi_us,
+                "key_col": self.key_col,
+                "lateness_us": self.lateness_us,
+                "key_route": list(self.key_route)
+                if self.key_route else None}
 
     def _load(self) -> dict:
         p = os.path.join(self.out_dir, self._MAN)
         if not os.path.exists(p):
             return {"seq": 0, "upto_l": 0, "upto_r": 0, "max_ts": None,
                     "watermark": None, "late_events": 0,
-                    "config": {"lo_us": self.lo_us, "hi_us": self.hi_us,
-                               "key_col": self.key_col,
-                               "lateness_us": self.lateness_us}}
+                    "config": self._cfg()}
         with open(p) as f:
             man = json.load(f)
-        if man["config"] != {"lo_us": self.lo_us, "hi_us": self.hi_us,
-                             "key_col": self.key_col,
-                             "lateness_us": self.lateness_us}:
+        stored = dict(man["config"])
+        stored.setdefault("key_route", None)  # pre-route manifests
+        if stored != self._cfg():
             raise ValueError(f"interval-join config changed since {p} "
                              "was written; use a fresh out_dir")
         return man
@@ -712,13 +722,23 @@ class IntervalJoinStream:
 
     @staticmethod
     def _gather(binlog_dir: str, lo: int, hi: int, key_col: str,
-                wm_bc: int) -> tuple[pd.DataFrame, int, int]:
+                wm_bc: int, key_route: "tuple[int, int] | None" = None
+                ) -> tuple[pd.DataFrame, int, int]:
         """(key, lsn, ts) triples of the new range (distributed read +
         column prune; the driver receives id-sized rows, no payloads),
-        plus (n_late, max_ts)."""
+        plus (n_late, max_ts). ``key_route`` filters to one key
+        partition inside the map (vectorized stable-hash route — the
+        same mix the lake demux uses)."""
         from thor_ray.sources import binlog as B
 
         def slim(t: pa.Table) -> pa.Table:
+            if key_route is not None:
+                from thor_ray.pipelines.cdc import route_of
+                from thor_ray.stages.smt import stable_hash
+
+                rid, n = key_route
+                h = stable_hash(pa.table({"k": t[key_col]}), ["k"])
+                t = t.filter(pa.array(route_of(h, n) == rid))
             ts = t["ts"].cast(pa.int64())
             return pa.table({"key": t[key_col].cast(pa.string()),
                              "lsn": t["lsn"], "ts": ts})
@@ -803,9 +823,11 @@ class IntervalJoinStream:
 
         wm_bc = -1 if man["watermark"] is None else int(man["watermark"])
         new_l, late_l, mts_l = self._gather(
-            self.left_dir, lo_l, hi_l, self.key_col, wm_bc)
+            self.left_dir, lo_l, hi_l, self.key_col, wm_bc,
+            self.key_route)
         new_r, late_r, mts_r = self._gather(
-            self.right_dir, lo_r, hi_r, self.key_col, wm_bc)
+            self.right_dir, lo_r, hi_r, self.key_col, wm_bc,
+            self.key_route)
 
         state = self._state(man)
         old_l = state[state["side"] == "L"][["key", "lsn", "ts"]]
@@ -881,6 +903,57 @@ class IntervalJoinStream:
 
     def late_events(self) -> int:
         return int(self._load()["late_events"])
+
+
+class PartitionedIntervalJoin:
+    """Key-hash-partitioned interval join — the scale tier of
+    :class:`IntervalJoinStream` (whose docstring names exactly this
+    layout): N independent per-route joins over the SAME two logs, each
+    consuming only keys with ``route_of(stable_hash(key), n) == i``, so
+    no instance holds more than ~1/N of the interval state and the
+    per-route state fits any driver. Matched pairs always share a key,
+    hence a route — the union of the routes' matches equals the
+    unpartitioned join exactly (asserted in tests). Each route keeps
+    its own watermark / manifest under ``out_dir/route=<i>/`` (the
+    Kafka-partition semantics: a sparse route's watermark lags
+    independently), and the whole family advances with one call —
+    sequential here; on a cluster each route is its own driver process,
+    exactly like the lake demux family."""
+
+    def __init__(self, left_dir: str, right_dir: str, out_dir: str,
+                 lo_us: int, hi_us: int, n_routes: int,
+                 key_col: str = "repo", lateness_us: int = 0,
+                 on_retention: str = "error"):
+        if n_routes < 1:
+            raise ValueError(f"n_routes must be >= 1, got {n_routes}")
+        self.parts = [
+            IntervalJoinStream(
+                left_dir, right_dir,
+                os.path.join(out_dir, f"route={i:03d}"),
+                lo_us, hi_us, key_col=key_col, lateness_us=lateness_us,
+                on_retention=on_retention, key_route=(i, n_routes))
+            for i in range(n_routes)]
+
+    def advance(self, complete: bool = False, slack: int = 0) -> dict:
+        tot = {"matches": 0, "late": 0, "watermark": None}
+        for p in self.parts:
+            r = p.advance(complete=complete, slack=slack)
+            tot["matches"] += r["matches"]
+            tot["late"] += r["late"]
+            if r["watermark"] is not None:
+                tot["watermark"] = r["watermark"] if tot["watermark"] \
+                    is None else min(tot["watermark"], r["watermark"])
+        return tot
+
+    def matches(self, since_seq: int = 0,
+                upto_seq: "int | None" = None) -> pd.DataFrame:
+        frames = [p.matches(since_seq, upto_seq) for p in self.parts]
+        return pd.concat(frames, ignore_index=True).sort_values(
+            ["key", "l_lsn", "r_lsn"], kind="stable").reset_index(
+                drop=True)
+
+    def late_events(self) -> int:
+        return sum(p.late_events() for p in self.parts)
 
 
 def _concat_ranges(counts: np.ndarray) -> np.ndarray:
