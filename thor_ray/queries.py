@@ -15137,6 +15137,43 @@ def q391_interval_join_stream(sf: str):
     return out.sort_values("key").reset_index(drop=True)
 
 
+def q398_partitioned_interval_join(sf: str):
+    """Demux scale tier of the stream-stream interval join (rows-only):
+    three key-hash-routed IntervalJoinStream instances over the same two
+    binlogs, each with its own watermark/state/exactly-once manifest —
+    no instance holds more than ~1/3 of the interval state (the
+    documented path past a driver-held state; on a cluster each route is
+    its own driver, like the lake demux family). Union-equality with the
+    unpartitioned join is pinned in tests/test_stream_window.py. Returns
+    per-route totals plus the family-wide pair count."""
+    import os
+    import shutil
+
+    from thor_ray import gen
+    from thor_ray.pipelines.stream_window import PartitionedIntervalJoin
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_pij_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=12, paths_per_repo=8, seed=95)
+    ldir, rdir = os.path.join(work, "L"), os.path.join(work, "R")
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=2_000, n_shards=2, ddl_every=0, seed=97)).write(ldir)
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=2_000, n_shards=2, ddl_every=0, seed=101)).write(rdir)
+    pj = PartitionedIntervalJoin(ldir, rdir, os.path.join(work, "pj"),
+                                 -40_000, 40_000, n_routes=3,
+                                 key_col="repo", lateness_us=1_000_000)
+    pj.advance(complete=True)
+    rows = []
+    for i, p in enumerate(pj.parts):
+        m = p.matches()
+        rows.append({"route": np.int64(i),
+                     "n_keys": np.int64(m["key"].nunique()),
+                     "n_pairs": np.int64(len(m))})
+    return pd.DataFrame(rows)
+
+
 def q392_streaming_dashboard(sf: str):
     """Flagship streaming composition (rows-only): ONE follow() loop
     drives the exactly-once lake apply while its on_apply hooks keep four
@@ -15926,6 +15963,8 @@ QUERIES: dict[str, tuple] = {
     "q395_wire_roundtrip": (q395_wire_roundtrip, SQL_Q395),
     "q396_epoch_shuffle": (q396_epoch_shuffle, SQL_Q396),
     "q397_streaming_dedup": (q397_streaming_dedup, None),
+    "q398_partitioned_interval_join": (q398_partitioned_interval_join,
+                                       None),
 }
 
 # ---------------------------------------------------------------------------
