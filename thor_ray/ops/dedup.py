@@ -727,12 +727,12 @@ def build_fp_index(ds: Dataset, index_dir: str, text_col: str = "text",
     uniq = shaped.groupby("bucket").map_groups(dedup_in,
                                                batch_format="pandas")
     rep = write_partitioned(uniq, index_dir, by="bucket")
+    from thor_ray.state.storage import storage_for
+
     meta = os.path.join(index_dir, "_meta.json")
     if not os.path.exists(meta):
-        tmp = meta + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"buckets": buckets}, f)
-        os.replace(tmp, meta)
+        storage_for(meta).put_bytes(
+            meta, _json.dumps({"buckets": buckets}).encode())
     return rep
 
 
@@ -769,13 +769,14 @@ def incremental_dedup(ds: Dataset, index_dir: str, ingest_id: str,
         g = g.sort_values(id_col).drop_duplicates("fp", keep="first")
         g = g[~g["fp"].isin(known)]
         if update:
+            from thor_ray.state.storage import storage_for
+
             os.makedirs(d, exist_ok=True)
             final = os.path.join(d, own)
-            tmp = final + f".tmp-{os.getpid()}"
-            _pq.write_table(
-                pa.Table.from_pandas(g[[id_col, "fp"]],
-                                     preserve_index=False), tmp)
-            os.replace(tmp, final)
+            storage_for(final).put_atomic(
+                final, lambda tmp: _pq.write_table(
+                    pa.Table.from_pandas(g[[id_col, "fp"]],
+                                         preserve_index=False), tmp))
         return g[[id_col, "fp"]]
 
     return shaped.groupby("bucket").map_groups(probe,

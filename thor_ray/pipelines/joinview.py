@@ -60,12 +60,9 @@ _RESERVED = set(_KEY) | {"a_live", "b_live"}
 
 
 def _atomic_json(path: str, payload: dict) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    from thor_ray.state.storage import storage_for
+
+    storage_for(path).put_bytes(path, json.dumps(payload).encode())
 
 
 def _engine_meta(lake_dir: str) -> dict:

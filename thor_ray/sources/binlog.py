@@ -84,11 +84,10 @@ def write_cyclic_view(view_dir: str, base_dir: str, passes: int) -> dict:
     meta = {"base_dir": os.path.abspath(base_dir), "passes": int(passes),
             "span": int(span)}
     os.makedirs(view_dir, exist_ok=True)
+    from thor_ray.state.storage import storage_for
+
     p = os.path.join(view_dir, _CYCLIC)
-    tmp = p + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, p)
+    storage_for(p).put_bytes(p, json.dumps(meta).encode())
     return meta
 
 
@@ -148,11 +147,10 @@ def _read_jsonl_file(p: str, columns: list[str] | None = None,
     if bad and dlq_dir:
         os.makedirs(dlq_dir, exist_ok=True)
         # deterministic per-source name: a retried read overwrites
+        from thor_ray.state.storage import storage_for
+
         out = os.path.join(dlq_dir, os.path.basename(p) + ".bad")
-        tmp = out + f".tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write("\n".join(bad) + "\n")
-        os.replace(tmp, out)
+        storage_for(out).put_bytes(out, ("\n".join(bad) + "\n").encode())
     arrays = {}
     for n, t in fields:
         vals = [r.get(n) for r in good]
@@ -599,20 +597,22 @@ def envelope_to_binlog(src_dir: str, dst_dir: str,
             cols["path"] = pc.coalesce(
                 cols["path"], pc.cast(keys["path"], pa.string()))
         out = pa.table(cols, schema=EVENT_SCHEMA).sort_by("lsn")
+        from thor_ray.state.storage import storage_for
+
         stem = os.path.basename(p)[:-len(".envelope.jsonl")]
         final = os.path.join(dst_dir, stem + ".parquet")
-        tmp = final + f".tmp-{os.getpid()}"
-        pq.write_table(out, tmp, row_group_size=row_group_size)
-        os.replace(tmp, final)
+        storage_for(final).put_atomic(
+            final, lambda tmp, out=out: pq.write_table(
+                out, tmp, row_group_size=row_group_size))
         n += 1
     marker = os.path.join(src_dir, "_shards.json")
     if os.path.exists(marker) and src_dir != dst_dir:
         with open(marker) as f:
             data = f.read()
-        tmp = os.path.join(dst_dir, "_shards.json.tmp")
-        with open(tmp, "w") as f:
-            f.write(data)
-        os.replace(tmp, os.path.join(dst_dir, "_shards.json"))
+        from thor_ray.state.storage import storage_for
+
+        dst = os.path.join(dst_dir, "_shards.json")
+        storage_for(dst).put_bytes(dst, data.encode())
     return n
 
 
@@ -664,10 +664,12 @@ def compact_text_shards(binlog_dir: str, row_group_size: int = 16_384
             else:
                 cols[f.name] = pa.nulls(t.num_rows, f.type)
         out = pa.table(cols).sort_by("lsn")
+        from thor_ray.state.storage import storage_for
+
         final = os.path.join(binlog_dir, stem + ".parquet")
-        tmp = final + f".tmp-{os.getpid()}"
-        pq.write_table(out, tmp, row_group_size=row_group_size)
-        os.replace(tmp, final)
+        storage_for(final).put_atomic(
+            final, lambda tmp, out=out: pq.write_table(
+                out, tmp, row_group_size=row_group_size))
         converted.append(p)
         n += 1
     os.makedirs(arch, exist_ok=True)
@@ -824,11 +826,12 @@ def compact_binlog_keys(binlog_dir: str, upto_lsn: int | None = None
         out = pa.concat_tables([keep_all, data]).sort_by("lsn")
         n_out += out.num_rows
         n_shards += 1
+        from thor_ray.state.storage import storage_for
+
         final = os.path.join(binlog_dir,
                              f"{shard}-kc{upto_lsn:012d}.parquet")
-        tmp = final + f".tmp-{os.getpid()}"
-        pq.write_table(out, tmp)
-        os.replace(tmp, final)
+        storage_for(final).put_atomic(
+            final, lambda tmp, out=out: pq.write_table(out, tmp))
         os.makedirs(arch, exist_ok=True)
         for p in ps:
             # re-compaction input may BE the final name (same upto) —

@@ -1034,17 +1034,22 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
             e, pid = int(e), int(pid)
             out_dir = os.path.join(dst_abs, f"part={pid:05d}")
             os.makedirs(out_dir, exist_ok=True)
+            from thor_ray.state.storage import storage_for
+
             dst = os.path.join(out_dir, f"state-e{e:06d}.parquet")
-            tmp = dst + f".tmp-{os.getpid()}"
-            if keep_cols is None:
-                shutil.copyfile(src, tmp)
-            else:
-                t = pq.read_table(src)
-                t = t.select([c for c in t.column_names if c in keep_cols])
-                t = t.replace_schema_metadata(
-                    pq.read_schema(src).metadata)
-                pq.write_table(t, tmp)
-            os.replace(tmp, dst)
+
+            def stage(tmp: str, src=src) -> None:
+                if keep_cols is None:
+                    shutil.copyfile(src, tmp)
+                else:
+                    t = pq.read_table(src)
+                    t = t.select([c for c in t.column_names
+                                  if c in keep_cols])
+                    t = t.replace_schema_metadata(
+                        pq.read_schema(src).metadata)
+                    pq.write_table(t, tmp)
+
+            storage_for(dst).put_atomic(dst, stage)
             import pyarrow.compute as _pc
             lsn = pq.read_table(src, columns=["_lsn"])["_lsn"]
             n = len(lsn)
@@ -1071,9 +1076,11 @@ def replicate_lake(src_lake: str, dst_lake: str, group: str = "default",
                                    "src_restores": src_rc})
     eng = os.path.join(src_lake, "_schema", "engine.json")
     if os.path.exists(eng):   # routing identity: lookups hash identically
-        tmp = os.path.join(dst_lake, "_schema", "engine.json")
-        shutil.copyfile(eng, tmp + ".tmp")
-        os.replace(tmp + ".tmp", tmp)
+        from thor_ray.state.storage import storage_for
+
+        dst = os.path.join(dst_lake, "_schema", "engine.json")
+        with open(eng, "rb") as f:
+            storage_for(dst).put_bytes(dst, f.read())
     lin = {"replica_of": src_abs, "group": group}
     stale: list[str] = []
     if seeding:

@@ -67,12 +67,9 @@ _IDX_COLS = ["repo", "path", "val", "_op", "_lsn"]
 
 
 def _atomic_json(path: str, payload: dict) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    from thor_ray.state.storage import storage_for
+
+    storage_for(path).put_bytes(path, json.dumps(payload).encode())
 
 
 def _val_hash(vals: pa.Array | pa.ChunkedArray) -> np.ndarray:
@@ -111,9 +108,10 @@ def _write_idx_file(df: pd.DataFrame, final_path: str, kind: str) -> None:
         b"thor_bloom": _bloom.encode_footer(_bloom.build(kh, impl=impl)),
         b"thor_idx_vbloom": _bloom.encode_footer(_bloom.build(vh, impl=impl)),
     })
-    tmp = final_path + f".tmp-{os.getpid()}"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, final_path)
+    from thor_ray.state.storage import storage_for
+
+    storage_for(final_path).put_atomic(
+        final_path, lambda tmp: pq.write_table(tbl, tmp))
 
 
 def _fold(frames: list[pd.DataFrame]) -> pd.DataFrame:

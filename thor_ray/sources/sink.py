@@ -56,15 +56,15 @@ def write_partitioned(ds: Dataset, out_dir: str, by: str,
             return pd.DataFrame([{"value": str(val), "rows": len(g),
                                   "skipped": True}])
         os.makedirs(d, exist_ok=True)
-        tmp = final + ".tmp"
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp,
-                       row_group_size=row_group_size)
-        # fsync before the rename: a final-named file must never hold
-        # partial contents after a crash, or resume would skip it forever
-        # (same discipline as state/manifest.py::_atomic_write)
-        with open(tmp, "rb+") as f:
-            os.fsync(f.fileno())
-        os.replace(tmp, final)
+        # durable publish: a final-named file must never hold partial
+        # contents after a crash, or resume would skip it forever (the
+        # storage interface fsyncs before the swap)
+        from thor_ray.state.storage import storage_for
+
+        storage_for(final).put_atomic(
+            final, lambda tmp: pq.write_table(
+                pa.Table.from_pandas(g, preserve_index=False), tmp,
+                row_group_size=row_group_size))
         return pd.DataFrame([{"value": str(val), "rows": len(g),
                               "skipped": False}])
 

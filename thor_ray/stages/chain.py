@@ -114,9 +114,10 @@ def dlq_stage(dlq_dir: str, rules: list[Callable[[Batch], pa.Array]],
                 or uuid.uuid4().hex
             )
             name = hashlib.sha256((tag + ident).encode()).hexdigest()[:24]
+            from thor_ray.state.storage import storage_for
+
             path = os.path.join(dlq_dir, f"dlq-{name}.parquet")
-            tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-            pq.write_table(invalid, tmp)
-            os.replace(tmp, path)
+            storage_for(path).put_atomic(
+                path, lambda tmp: pq.write_table(invalid, tmp))
         return valid
     return fn
