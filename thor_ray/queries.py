@@ -15997,7 +15997,9 @@ _DRIVER_WINDOW = [
     "q127_math_fns", "q141_paragraph_dedup", "q148_scd2",
     "q152_token_ids", "q153_pagerank", "q155_zorder_range",
     "q159_right_outer", "q164_union_align", "q166_vector_norm",
-    "q384_haversine",
+    # the Connect serialization boundary (envelope + schema-id wire
+    # framing, §2.1 converters) — a §2 surface no prior window stamped
+    "q395_wire_roundtrip",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW}, **QUERIES}
 
