@@ -3753,13 +3753,13 @@ WHERE s IN (SELECT s FROM rep) GROUP BY doc_id
 
 
 def q150_image_neardup(sf: str):
-    """Perceptual image near-dup (rows-only — no SQL for pixels): fake
-    media table with 8 planted duplicate payloads under new ids; decode →
-    aHash (actor pools, small binary batches) → banded-hamming pairs.
-    The aHash + banding math is real; only the codec is a stand-in
-    (identical payloads decode identically, so the planted pairs land at
-    hamming 0). Semantics pinned by test_image_near_dup_ahash."""
-    base = MM.make_fake_media_table(48, kind="image")
+    """Perceptual image near-dup (rows-only — no SQL for pixels): REAL
+    PNG media table (stdlib zlib decode tier) with 8 planted duplicate
+    payloads under new ids; decode → aHash (actor pools, small binary
+    batches) → banded-hamming pairs. The whole path — codec, aHash,
+    banding — is real end-to-end; planted identical payloads land at
+    hamming 0. Semantics pinned by test_image_near_dup_ahash."""
+    base = MM.make_fake_media_table(48, kind="image", codec="png")
     dup = base.slice(0, 8).set_column(
         0, "media_id", pa.array(np.arange(1000, 1008, dtype=np.int64)))
     ds = ray.data.from_arrow(pa.concat_tables([base, dup]))
