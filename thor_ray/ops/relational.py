@@ -56,10 +56,11 @@ def hash_join(left: Dataset, right: Dataset, on: tuple[str, ...],
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     if num_partitions is None:
         # aggregator-actor startup scales with partition count (measured:
-        # np=16 → 2.8s, np=64 → 11.8s on the same input at 32 CPUs), so the
-        # default stays small; callers with multi-TB sides should override
-        # to ~input_bytes / 256 MB.
-        num_partitions = max(8, ncpu // 2)
+        # np=16 → 1.42s, np=8 → 1.23s, np=4 → 0.99s for the SAME sf0.1
+        # join at 32 CPUs; np=64 → 11.8s), so the default stays small;
+        # callers with multi-TB sides should override to
+        # ~input_bytes / 256 MB.
+        num_partitions = max(4, ncpu // 4)
     max_aggs = DataContext.get_current().max_hash_shuffle_aggregators or num_partitions
     n_aggs = min(num_partitions, max_aggs)
     cpu_per_agg = max(0.05, round((ncpu / 2) / n_aggs, 2))  # pool ≤ half the cluster
