@@ -695,3 +695,24 @@ def test_cyclic_view_k_pass_equals_one_pass(ray_session, grown, tmp_path):
     n_applied = sum(r.n_events for r in pipe.reports)
     assert n_applied >= 3 * 7_000   # ~3x the dedup'd event count
     check(pipe, grown["expected"])
+
+
+def test_cyclic_view_property_epoch_grids(ray_session, grown, tmp_path):
+    """Property: the K-pass cyclic replay converges to the 1-pass state
+    for epoch grids that do and do NOT align with the pass boundary
+    (read ranges spanning passes exercise the per-pass split/union), and
+    events applied grow ~K-fold."""
+    binlog_dir = str(tmp_path / "binlog")
+    grown["log"].write(binlog_dir)
+    view = str(tmp_path / "cyc")
+    bs.write_cyclic_view(view, binlog_dir, passes=2)
+    span = bs.max_lsn(binlog_dir)
+    for i, epoch_size in enumerate((2_000, 3_000, 7_000)):
+        # 3000/7000 do not divide span*2 evenly; 7000 spans a boundary
+        pipe = CdcPipeline(CdcConfig(
+            lake_dir=str(tmp_path / f"lake{i}"), binlog_dir=view,
+            num_partitions=8, epoch_size=epoch_size))
+        pipe.run(base=grown["base_path"])
+        n = sum(r.n_events for r in pipe.reports)
+        assert n >= 2 * 7_000, (epoch_size, n)
+        check(pipe, grown["expected"])
