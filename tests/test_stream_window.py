@@ -918,3 +918,54 @@ def test_partitioned_interval_join_equals_unpartitioned(ray_session,
     # caught up: the family advance is a no-op
     assert pj.advance(complete=True)["matches"] == 0
     assert pj.late_events() == 0
+
+
+def test_partitioned_interval_join_stepwise(ray_session, tmp_path):
+    """Staged delivery through the partitioned family: per-route
+    watermarks advance independently, yet the stepwise union of route
+    matches equals the one-shot unpartitioned join (exactly-once across
+    micro-batches AND routes)."""
+    from thor_ray.pipelines.stream_window import PartitionedIntervalJoin
+
+    work = str(tmp_path)
+    base = gen.gen_base_table(n_repos=9, paths_per_repo=5, seed=73)
+    ldir, rdir = os.path.join(work, "L"), os.path.join(work, "R")
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=500, n_shards=2, ddl_every=0, seed=79)).write(ldir)
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=500, n_shards=2, ddl_every=0, seed=83)).write(rdir)
+    lo, hi = -30_000, 30_000
+
+    def stage(src, dst):
+        os.makedirs(dst)
+        segs, names = [], set()
+        for f in sorted(glob.glob(os.path.join(src, "shard-*.parquet"))):
+            t = pq.read_table(f).sort_by("lsn")
+            stem = os.path.basename(f)[:-len(".parquet")]
+            names.add(stem[:10])
+            half = len(t) // 2
+            segs.append((f"{stem}-a.parquet", t.slice(0, half)))
+            segs.append((f"{stem}-b.parquet", t.slice(half)))
+        with open(os.path.join(dst, "_shards.json"), "w") as f:
+            json.dump({"shards": sorted(names)}, f)
+        return segs
+
+    lstage, rstage = os.path.join(work, "Ls"), os.path.join(work, "Rs")
+    lsegs, rsegs = stage(ldir, lstage), stage(rdir, rstage)
+    pj = PartitionedIntervalJoin(lstage, rstage, os.path.join(work, "pj"),
+                                 lo, hi, n_routes=3, key_col="repo",
+                                 lateness_us=10_000_000)
+    for (ln, lt), (rn, rt) in zip(lsegs, rsegs):
+        pq.write_table(lt, os.path.join(lstage, ln))
+        pj.advance()
+        pq.write_table(rt, os.path.join(rstage, rn))
+        pj.advance()
+    pj.advance(complete=True)
+
+    flat = IntervalJoinStream(ldir, rdir, os.path.join(work, "flat"),
+                              lo, hi, key_col="repo",
+                              lateness_us=10_000_000)
+    flat.advance(complete=True)
+    pd.testing.assert_frame_equal(_ij_norm(pj.matches()),
+                                  _ij_norm(flat.matches()))
+    assert pj.late_events() == 0
