@@ -14,7 +14,6 @@ epochs — restore is "read the manifests" (SURVEY.md §3.2).
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 from dataclasses import asdict, dataclass, field
