@@ -969,3 +969,86 @@ def test_partitioned_interval_join_stepwise(ray_session, tmp_path):
     pd.testing.assert_frame_equal(_ij_norm(pj.matches()),
                                   _ij_norm(flat.matches()))
     assert pj.late_events() == 0
+
+
+def test_heavy_hitters_consumer(ray_session, tmp_path):
+    """Misra-Gries streaming top-k: (1) every kept counter lower-bounds
+    the exact exactly-once frequency with slack <= error_bound(); (2)
+    every label with true frequency > N/(k+1) is present; (3) stepwise
+    delivery keeps the invariants; (4) a torn commit (state written,
+    manifest not swapped) replays idempotently."""
+    from thor_ray.pipelines.stream_window import HeavyHittersConsumer
+
+    work = str(tmp_path)
+    base = gen.gen_base_table(n_repos=12, paths_per_repo=6, seed=87)
+    bdir = os.path.join(work, "binlog")
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=4_000, n_shards=3, dup_rate=0.08, ddl_every=0,
+        seed=89))
+    log.write(bdir)
+
+    # exact exactly-once frequencies of the group column ('repo')
+    ev = pd.concat([s.to_pandas() for s in log.shards], ignore_index=True)
+    ev = ev[ev["op"] != "DDL"].drop_duplicates("lsn")
+    exact = ev["repo"].value_counts()
+    N = int(len(ev))
+
+    k = 6
+    hh = HeavyHittersConsumer(bdir, os.path.join(work, "hh"), k=k,
+                              group_col="repo")
+    hh.advance(complete=True)
+    got = hh.hitters().set_index("grp")["n"]
+    err = hh.error_bound()
+    assert hh.n_events() == N
+    for grp, n in got.items():
+        assert n <= exact[grp] <= n + err, (grp, n, exact[grp], err)
+    for grp, true_n in exact.items():
+        if true_n > N / (k + 1):
+            assert grp in got.index, (grp, true_n, N)
+
+    # stepwise (per-shard halves) preserves the invariants
+    stage_dir = os.path.join(work, "staged")
+    os.makedirs(stage_dir)
+    names = set()
+    segs = []
+    for f in sorted(glob.glob(os.path.join(bdir, "shard-*.parquet"))):
+        t = pq.read_table(f).sort_by("lsn")
+        stem = os.path.basename(f)[:-len(".parquet")]
+        names.add(stem[:10])
+        half = len(t) // 2
+        segs.append((f"{stem}-a.parquet", t.slice(0, half)))
+        segs.append((f"{stem}-b.parquet", t.slice(half)))
+    with open(os.path.join(stage_dir, "_shards.json"), "w") as f:
+        json.dump({"shards": sorted(names)}, f)
+    hh2 = HeavyHittersConsumer(stage_dir, os.path.join(work, "hh2"),
+                               k=k, group_col="repo")
+    for name, t in segs:
+        pq.write_table(t, os.path.join(stage_dir, name))
+        hh2.advance()
+    hh2.advance(complete=True)
+    got2 = hh2.hitters().set_index("grp")["n"]
+    err2 = hh2.error_bound()
+    assert hh2.n_events() == N
+    for grp, n in got2.items():
+        assert n <= exact[grp] <= n + err2
+    for grp, true_n in exact.items():
+        if true_n > N / (k + 1):
+            assert grp in got2.index
+
+    # torn commit: delete the manifest after an advance — the state file
+    # exists but the commit never landed; a fresh consumer re-runs the
+    # same range and converges to the same summary
+    man_path = os.path.join(work, "hh3", "_hh_manifest.json")
+    hh3 = HeavyHittersConsumer(bdir, os.path.join(work, "hh3"), k=k,
+                               group_col="repo")
+    hh3.advance(complete=True)
+    want3 = hh3.hitters()
+    os.remove(man_path)
+    hh3b = HeavyHittersConsumer(bdir, os.path.join(work, "hh3"), k=k,
+                                group_col="repo")
+    hh3b.advance(complete=True)
+    pd.testing.assert_frame_equal(hh3b.hitters(), want3)
+    # config fence
+    with pytest.raises(ValueError, match="config changed"):
+        HeavyHittersConsumer(bdir, os.path.join(work, "hh3"), k=k + 1,
+                             group_col="repo").advance(complete=True)

@@ -904,6 +904,129 @@ class IntervalJoinStream:
         return int(self._load()["late_events"])
 
 
+class HeavyHittersConsumer:
+    """Streaming top-k heavy hitters over the binlog — a Misra-Gries
+    summary of ``group_col`` maintained incrementally with the same
+    exactly-once micro-batch protocol as the window consumers (the
+    Kafka-Streams KTable-of-counts-with-bounded-state analogue).
+
+    Per ``advance()``, each Ray batch emits its EXACT per-label counts
+    (a vectorized combiner — label-cardinality-sized rows, never
+    events); the driver folds them into the persistent k-counter sketch
+    and applies one Misra-Gries reduction (subtract the (k+1)-th
+    largest weight, drop non-positives). Standard MG guarantees hold
+    cumulatively: every label with true frequency > N/(k+1) of the N
+    consumed events is present, and each kept counter undercounts its
+    true frequency by at most ``error_bound()`` = the total weight ever
+    subtracted. ``dedup=True`` (default) counts exactly-once by lsn
+    (the consumers' shared slim-dedup shuffle tier).
+
+    Exactly-once: deterministic ``hh-b{seq}.parquet`` state files + a
+    manifest swapped LAST (the shared IVM protocol) — a crashed
+    advance() re-runs idempotently. ``follow(on_apply=[hh.advance])``
+    keeps it current with the stream."""
+
+    _MAN = "_hh_manifest.json"
+
+    def __init__(self, binlog_dir: str, out_dir: str, k: int = 16,
+                 group_col: str = "op", on_retention: str = "error",
+                 dedup: bool = True):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.binlog_dir = binlog_dir
+        self.out_dir = out_dir
+        self.k = int(k)
+        self.group_col = group_col
+        self.on_retention = on_retention
+        self.dedup = dedup
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _load(self) -> dict:
+        p = os.path.join(self.out_dir, self._MAN)
+        if not os.path.exists(p):
+            return {"seq": 0, "upto_lsn": 0, "n_events": 0,
+                    "subtracted": 0,
+                    "config": {"k": self.k, "group_col": self.group_col}}
+        with open(p) as f:
+            man = json.load(f)
+        if man["config"] != {"k": self.k, "group_col": self.group_col}:
+            raise ValueError(f"heavy-hitters config changed since {p} "
+                             "was written; use a fresh out_dir")
+        return man
+
+    def _state(self, man: dict) -> pd.DataFrame:
+        if man["seq"] == 0:
+            return pd.DataFrame({"grp": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.read_parquet(os.path.join(
+            self.out_dir, f"hh-b{man['seq']:06d}.parquet"))
+
+    def advance(self, complete: bool = False, slack: int = 0) -> dict:
+        from thor_ray.sources import binlog as B
+
+        t_adv = time.perf_counter()
+        man = self._load()
+        hi = B.max_lsn(self.binlog_dir) if complete \
+            else B.safe_frontier(self.binlog_dir, slack)
+        lo = _retention_guard(self.binlog_dir, int(man["upto_lsn"]),
+                              self.on_retention, self.out_dir, "hh")
+        if hi <= lo:
+            _beat(self.out_dir, {"kind": "hh", "seq": man["seq"],
+                                 "upto_lsn": lo, "noop": True})
+            return {"events": 0, "hitters": None}
+
+        def part(t: pa.Table) -> pa.Table:
+            g = t["grp"].to_numpy(zero_copy_only=False)
+            ug, cnt = np.unique(g, return_counts=True)
+            return pa.table({"grp": pa.array(ug.astype(object)),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        parts = (_slim_events(self.binlog_dir, lo, hi, self.group_col,
+                              self.dedup)
+                 .map_batches(part, batch_format="pyarrow").to_pandas())
+        n_new = int(parts["n"].sum()) if len(parts) else 0
+        fold = pd.concat([self._state(man), parts], ignore_index=True) \
+            .groupby("grp", as_index=False)["n"].sum() if len(parts) \
+            else self._state(man)
+        subtracted = int(man["subtracted"])
+        if len(fold) > self.k:
+            # one MG reduction: subtract the (k+1)-th largest weight
+            w = np.sort(fold["n"].to_numpy())[::-1]
+            cut = int(w[self.k])
+            fold = fold.assign(n=fold["n"] - cut)
+            fold = fold[fold["n"] > 0].reset_index(drop=True)
+            subtracted += cut
+        fold = fold.sort_values(["n", "grp"], ascending=[False, True],
+                                kind="stable").reset_index(drop=True)
+
+        seq = int(man["seq"]) + 1
+        fold.to_parquet(os.path.join(
+            self.out_dir, f"hh-b{seq:06d}.parquet"), index=False)
+        man.update({"seq": seq, "upto_lsn": hi,
+                    "n_events": int(man["n_events"]) + n_new,
+                    "subtracted": subtracted})
+        _atomic_json(os.path.join(self.out_dir, self._MAN), man)
+        for f in glob.glob(os.path.join(self.out_dir, "hh-b*.parquet")):
+            if f != os.path.join(self.out_dir, f"hh-b{seq:06d}.parquet"):
+                os.remove(f)
+        _beat(self.out_dir, {
+            "kind": "hh", "seq": seq, "upto_lsn": hi, "events": n_new,
+            "hitters": int(len(fold)), "subtracted": subtracted,
+            "wall_sec": round(time.perf_counter() - t_adv, 4)})
+        return {"events": n_new, "hitters": int(len(fold))}
+
+    def hitters(self) -> pd.DataFrame:
+        """Current summary: (grp, n) where n is a LOWER bound on the
+        label's exactly-once frequency; true count <= n + error_bound()."""
+        return self._state(self._load())
+
+    def error_bound(self) -> int:
+        return int(self._load()["subtracted"])
+
+    def n_events(self) -> int:
+        return int(self._load()["n_events"])
+
+
 class PartitionedIntervalJoin:
     """Key-hash-partitioned interval join — the scale tier of
     :class:`IntervalJoinStream` (whose docstring names exactly this

@@ -15174,6 +15174,37 @@ def q398_partitioned_interval_join(sf: str):
     return pd.DataFrame(rows)
 
 
+def q399_stream_heavy_hitters(sf: str):
+    """Streaming Misra-Gries top-k over the binlog (rows-only): the
+    exactly-once heavy-hitters consumer drains a fixture log and returns
+    its k-counter summary plus the cumulative error bound — every kept
+    count is a lower bound on the label's exactly-once frequency within
+    error_bound, and every label above N/(k+1) is guaranteed present
+    (invariants pinned in tests/test_stream_window.py). Batch twin:
+    q261_misra_gries; this is its incremental, manifest-committed tier."""
+    import os
+    import shutil
+
+    from thor_ray import gen
+    from thor_ray.pipelines.stream_window import HeavyHittersConsumer
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    work = f"/tmp/thor_ray_q_hh_{tag}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    base = gen.gen_base_table(n_repos=15, paths_per_repo=8, seed=103)
+    bdir = os.path.join(work, "binlog")
+    gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=3_000, n_shards=2, dup_rate=0.08, ddl_every=0,
+        seed=107)).write(bdir)
+    hh = HeavyHittersConsumer(bdir, os.path.join(work, "hh"), k=8,
+                              group_col="repo")
+    hh.advance(complete=True)
+    out = hh.hitters()
+    out["error_bound"] = np.int64(hh.error_bound())
+    out["n_events"] = np.int64(hh.n_events())
+    return out
+
+
 def q392_streaming_dashboard(sf: str):
     """Flagship streaming composition (rows-only): ONE follow() loop
     drives the exactly-once lake apply while its on_apply hooks keep four
@@ -15965,6 +15996,7 @@ QUERIES: dict[str, tuple] = {
     "q397_streaming_dedup": (q397_streaming_dedup, None),
     "q398_partitioned_interval_join": (q398_partitioned_interval_join,
                                        None),
+    "q399_stream_heavy_hitters": (q399_stream_heavy_hitters, None),
 }
 
 # ---------------------------------------------------------------------------
