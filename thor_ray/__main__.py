@@ -504,6 +504,23 @@ def cmd_index(a) -> int:
     return 0
 
 
+def cmd_hh(a) -> int:
+    """Advance the streaming Misra-Gries heavy-hitters consumer; print
+    the current summary + error bound."""
+    ray = _ray_init(a.num_cpus)
+    from thor_ray.pipelines.stream_window import HeavyHittersConsumer
+
+    hh = HeavyHittersConsumer(a.binlog, a.out_dir, k=a.k,
+                              group_col=a.group_col)
+    rep = hh.advance(complete=a.complete, slack=a.slack)
+    out = hh.hitters()
+    print(json.dumps({"advanced": rep, "n_events": hh.n_events(),
+                      "error_bound": hh.error_bound(),
+                      "hitters": out.to_dict("records")}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_window(a) -> int:
     """Advance a streaming windowed aggregation over the binlog; print
     emitted/open/late totals."""
@@ -969,6 +986,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="frontier slack (lsns) for bounded intra-shard skew")
     wn.add_argument("--num-cpus", type=int)
     wn.set_defaults(fn=cmd_window)
+
+    hhp = sub.add_parser("hh", help="streaming Misra-Gries heavy hitters "
+                         "over the binlog (exactly-once, bounded state)")
+    hhp.add_argument("--binlog", required=True)
+    hhp.add_argument("--out-dir", required=True)
+    hhp.add_argument("--k", type=int, default=16)
+    hhp.add_argument("--group-col", default="op")
+    hhp.add_argument("--complete", action="store_true")
+    hhp.add_argument("--slack", type=int, default=0)
+    hhp.add_argument("--num-cpus", type=int)
+    hhp.set_defaults(fn=cmd_hh)
 
     ij = sub.add_parser("ijoin", help="stream-stream interval join over "
                         "two binlogs (emit matched pairs exactly once)")
