@@ -976,9 +976,13 @@ class HeavyHittersConsumer:
             return {"events": 0, "hitters": None}
 
         def part(t: pa.Table) -> pa.Table:
+            if not len(t):   # typed empty: np.unique of [] yields a
+                return pa.table({"grp": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
             g = t["grp"].to_numpy(zero_copy_only=False)
             ug, cnt = np.unique(g, return_counts=True)
-            return pa.table({"grp": pa.array(ug.astype(object)),
+            return pa.table({"grp": pa.array(ug.astype(object),
+                                             type=pa.string()),
                              "n": pa.array(cnt.astype(np.int64))})
 
         parts = (_slim_events(self.binlog_dir, lo, hi, self.group_col,
