@@ -291,3 +291,47 @@ def test_wire_codec_vectorized_large_batch():
     back, got = unframe_column(frame_column(pa.array(vals), sids))
     assert back.to_pylist() == vals
     assert (np.asarray(got, dtype=np.uint32) == sids).all()
+
+
+def test_wire_codec_adversarial_bytes():
+    """Property: unframe over arbitrary byte payloads either round-trips
+    a valid frame or raises ValueError — never an index/buffer crash,
+    and never silently returns garbage for a bad magic."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from thor_ray.stages.wire import (WIRE_MAGIC, frame_column,
+                                      unframe_column)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=24), min_size=1,
+                    max_size=8))
+    def prop(blobs):
+        import pyarrow as pa
+        arr = pa.array(blobs, pa.binary())
+        ok = all(len(b) >= 5 and b[0] == WIRE_MAGIC for b in blobs)
+        if ok:
+            payload, sids = unframe_column(arr)
+            for b, p, s in zip(blobs, payload.to_pylist(),
+                               sids.to_pylist()):
+                assert p == b[5:].decode("utf-8", "surrogateescape") or \
+                    p.encode("utf-8", "surrogateescape") == b[5:]
+                assert (s & 0xFFFFFFFF) == int.from_bytes(b[1:5], "big")
+        else:
+            with pytest.raises(ValueError):
+                unframe_column(arr)
+
+    prop()
+
+    # frame→unframe fuzz over text payloads incl. NUL and high unicode
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=10),
+           st.integers(min_value=0, max_value=2**32 - 1))
+    def rt(texts, sid):
+        import pyarrow as pa
+        sids = np.full(len(texts), sid, dtype=np.uint32)
+        back, got = unframe_column(frame_column(pa.array(texts), sids))
+        assert back.to_pylist() == texts
+        assert all((g & 0xFFFFFFFF) == sid for g in got.to_pylist())
+
+    rt()
