@@ -1,0 +1,113 @@
+"""Round-4 advisor-fix regression tests.
+
+Covers the ADVICE.md round-3 items: the cyclic view's frozen-base
+contract (safe_frontier over a grown base must fail loudly, not assert
+delivery of never-re-mapped lower-pass events), the wire codec's int32
+offset-overflow guard, and the stream consumers' state/emit parquet
+publishes routing through the storage interface.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from thor_ray import gen
+from thor_ray.sources import binlog as bs
+from thor_ray.state import storage as st
+
+
+def _small_log(tmp_path, n_events=800, seed=3):
+    base = gen.gen_base_table(n_repos=6, paths_per_repo=5, seed=seed)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=n_events, n_shards=2, seed=seed))
+    bdir = str(tmp_path / "binlog")
+    log.write(bdir)
+    return base, log, bdir
+
+
+class TestCyclicFrozenBase:
+    def test_safe_frontier_ok_on_frozen_base(self, tmp_path):
+        _, _, bdir = _small_log(tmp_path)
+        span = bs.max_lsn(bdir)
+        view = str(tmp_path / "view")
+        bs.write_cyclic_view(view, bdir, passes=3)
+        base_fr = bs.safe_frontier(bdir)
+        assert bs.safe_frontier(view) == 2 * span + base_fr
+
+    def test_safe_frontier_raises_on_grown_base(self, tmp_path):
+        base, log, bdir = _small_log(tmp_path)
+        span = bs.max_lsn(bdir)
+        view = str(tmp_path / "view")
+        bs.write_cyclic_view(view, bdir, passes=3)
+        # the base grows after view creation: append a later segment
+        # (schema-compatible shard with lsns beyond the recorded span)
+        import pyarrow.parquet as pq
+
+        first = bs.shard_files(bdir)[0]
+        t = pq.read_table(first)
+        shifted = t.set_column(
+            t.schema.get_field_index("lsn"), "lsn",
+            pa.array(np.asarray(t["lsn"]) + span, type=pa.int64()))
+        pq.write_table(shifted,
+                       os.path.join(bdir, "shard-9999-0000.parquet"))
+        assert bs.max_lsn(bdir) > span
+        with pytest.raises(ValueError, match="frozen"):
+            bs.safe_frontier(view)
+
+
+class TestWireOffsetOverflow:
+    def test_frame_column_guards_int32_offsets(self, monkeypatch):
+        from thor_ray.stages import wire
+
+        payload = pa.array(["x" * 40, "y" * 40], type=pa.string())
+        sids = np.array([1, 2], dtype=np.uint32)
+        # sanity: under the real ceiling this frames fine
+        framed = wire.frame_column(payload, sids)
+        back, sid = wire.unframe_column(framed)
+        assert back.to_pylist() == payload.to_pylist()
+        # shrink the ceiling below the framed size: must raise, not wrap
+        monkeypatch.setattr(wire, "_MAX_BINARY_BYTES", 64)
+        with pytest.raises(ValueError, match="int32 offset"):
+            wire.frame_column(payload, sids)
+
+
+class RecordingStorage(st.LocalFSStorage):
+    """LocalFSStorage that records every put_atomic final path."""
+
+    def __init__(self):
+        self.atomic_paths: list[str] = []
+
+    def put_atomic(self, final_path, stage, durable=True):
+        self.atomic_paths.append(final_path)
+        return super().put_atomic(final_path, stage, durable=durable)
+
+
+class TestConsumerFilesRouteThroughStorage:
+    def test_windowed_aggregator_publishes_atomically(
+            self, ray_session, tmp_path):
+        from thor_ray.pipelines.stream_window import WindowedAggregator
+
+        _, _, bdir = _small_log(tmp_path)
+        rec = RecordingStorage()
+        prev = st.set_default_storage(rec)
+        try:
+            w = WindowedAggregator(
+                bdir, str(tmp_path / "wagg"), 200_000,
+                lateness_us=600_000, group_col="op")
+            w.advance(complete=True)
+        finally:
+            st.set_default_storage(prev)
+        names = [os.path.basename(p) for p in rec.atomic_paths]
+        assert any(n.startswith("emit-b") for n in names), names
+        assert any(n.startswith("open-b") for n in names), names
+        # no stray direct final-name writes: the published files exist
+        # and parse (atomic path actually produced them)
+        out = tmp_path / "wagg"
+        for n in names:
+            if n.startswith(("emit-b", "open-b")):
+                pd.read_parquet(out / n)

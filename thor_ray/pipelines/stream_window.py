@@ -48,6 +48,19 @@ from thor_ray.pipelines.ivm import _atomic_json
 _MANIFEST = "_window_manifest.json"
 
 
+def _put_parquet(df: pd.DataFrame, path: str) -> None:
+    """Publish a consumer state/emit parquet through the storage
+    interface (atomic temp+fsync+rename locally; an object-store backend
+    maps it to a single conditional PUT) instead of a direct final-name
+    ``to_parquet`` — closes the STORAGE.md portability gap the round-3
+    advisor flagged: these files must be whole and durable BEFORE the
+    manifest that references them is swapped in."""
+    from thor_ray.state.storage import storage_for
+
+    storage_for(path).put_atomic(
+        path, lambda tmp: df.to_parquet(tmp, index=False), durable=True)
+
+
 def _beat(out_dir: str, rec: dict) -> None:
     """Append one ops-telemetry line per advance() (the consumer-side
     heartbeat-topic analogue of pipelines/cdc.py::_write_heartbeat) —
@@ -355,11 +368,12 @@ class WindowedAggregator:
             emit = emit.drop(columns=["regs"])
 
         # deterministic names, manifest swap last (exactly-once)
-        emit.to_parquet(os.path.join(
-            self.out_dir, f"emit-b{seq:06d}.parquet"), index=False)
-        open_df.sort_values(["win", "grp"], kind="stable") \
-            .reset_index(drop=True).to_parquet(os.path.join(
-                self.out_dir, f"open-b{seq:06d}.parquet"), index=False)
+        _put_parquet(emit, os.path.join(
+            self.out_dir, f"emit-b{seq:06d}.parquet"))
+        _put_parquet(
+            open_df.sort_values(["win", "grp"], kind="stable")
+            .reset_index(drop=True),
+            os.path.join(self.out_dir, f"open-b{seq:06d}.parquet"))
         man.update({"seq": seq, "upto_lsn": hi, "max_ts": batch_max_ts,
                     "watermark": watermark,
                     "late_events": int(man["late_events"]) + n_late})
@@ -595,11 +609,12 @@ class SessionAggregator:
         else:
             emit = open_df.iloc[0:0]
 
-        emit.to_parquet(os.path.join(
-            self.out_dir, f"semit-b{seq:06d}.parquet"), index=False)
-        open_df.sort_values(["grp", "start"], kind="stable") \
-            .reset_index(drop=True).to_parquet(os.path.join(
-                self.out_dir, f"sopen-b{seq:06d}.parquet"), index=False)
+        _put_parquet(emit, os.path.join(
+            self.out_dir, f"semit-b{seq:06d}.parquet"))
+        _put_parquet(
+            open_df.sort_values(["grp", "start"], kind="stable")
+            .reset_index(drop=True),
+            os.path.join(self.out_dir, f"sopen-b{seq:06d}.parquet"))
         man.update({"seq": seq, "upto_lsn": hi, "max_ts": batch_max_ts,
                     "watermark": watermark,
                     "late_events": int(man["late_events"]) + n_late})
@@ -860,10 +875,10 @@ class IntervalJoinStream:
             ["side", "key", "lsn"], kind="stable").reset_index(drop=True)
 
         seq = int(man["seq"]) + 1
-        matches.to_parquet(os.path.join(
-            self.out_dir, f"jmatch-b{seq:06d}.parquet"), index=False)
-        nstate.to_parquet(os.path.join(
-            self.out_dir, f"jstate-b{seq:06d}.parquet"), index=False)
+        _put_parquet(matches, os.path.join(
+            self.out_dir, f"jmatch-b{seq:06d}.parquet"))
+        _put_parquet(nstate, os.path.join(
+            self.out_dir, f"jstate-b{seq:06d}.parquet"))
         man.update({"seq": seq, "upto_l": hi_l, "upto_r": hi_r,
                     "max_ts": batch_max if batch_max >= 0 else None,
                     "watermark": watermark,
@@ -1004,8 +1019,8 @@ class HeavyHittersConsumer:
                                 kind="stable").reset_index(drop=True)
 
         seq = int(man["seq"]) + 1
-        fold.to_parquet(os.path.join(
-            self.out_dir, f"hh-b{seq:06d}.parquet"), index=False)
+        _put_parquet(fold, os.path.join(
+            self.out_dir, f"hh-b{seq:06d}.parquet"))
         man.update({"seq": seq, "upto_lsn": hi,
                     "n_events": int(man["n_events"]) + n_new,
                     "subtracted": subtracted})

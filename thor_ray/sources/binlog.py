@@ -233,6 +233,20 @@ def safe_frontier(binlog_dir: str, slack: int = 0,
     marker, or `expected`) has no data yet, the frontier is 0."""
     cyc = _cyclic_meta(binlog_dir)
     if cyc is not None:
+        # The cyclic view is only sound over a FROZEN base: pass k>0
+        # replays base lsns shifted by k*span, so if the base grew after
+        # view creation, (passes-1)*span + base_frontier would assert
+        # delivery of lower-pass events the view will never re-map, and a
+        # consumer advancing upto_lsn past them would skip them forever
+        # (ADVICE round 3). Enforce the frozen-base contract here rather
+        # than silently returning a frontier computed from a shifted grid.
+        cur_span = max_lsn(cyc["base_dir"])
+        if cur_span != cyc["span"]:
+            raise ValueError(
+                f"cyclic view over {cyc['base_dir']} requires a frozen "
+                f"base log: span recorded at view creation was "
+                f"{cyc['span']} but the base now ends at {cur_span}; "
+                "recreate the view (write_cyclic_view) over the final log")
         base = safe_frontier(cyc["base_dir"], slack=slack,
                              expected=expected)
         return (cyc["passes"] - 1) * cyc["span"] + base if base else 0

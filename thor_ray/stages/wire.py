@@ -26,6 +26,7 @@ from .smt import Batch, Transform
 
 WIRE_MAGIC = 0
 _HDR = 5  # magic (1) + schema id (4, big-endian)
+_MAX_BINARY_BYTES = 2 ** 31  # pa.binary() int32 offset ceiling
 
 
 def _concat_ranges(counts: np.ndarray) -> np.ndarray:
@@ -67,6 +68,14 @@ def frame_column(payload: "pa.Array | pa.ChunkedArray",
     lens = np.diff(offs)
     new_offs = np.concatenate(
         [[0], np.cumsum(lens + _HDR)]).astype(np.int64)
+    if int(new_offs[-1]) >= _MAX_BINARY_BYTES:
+        # pa.binary() carries int32 offsets; a silent downcast below
+        # would wrap them into a corrupt column (ADVICE round 3). Callers
+        # hitting this should shrink the batch (map_batches batch_size).
+        raise ValueError(
+            f"frame_column: framed payload is {int(new_offs[-1])} bytes, "
+            "exceeding the 2^31-1 int32 offset limit of pa.binary(); "
+            "reduce batch_size")
     out = np.empty(int(new_offs[-1]), dtype=np.uint8)
     heads = new_offs[:-1]
     out[heads] = WIRE_MAGIC

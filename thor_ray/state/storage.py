@@ -120,6 +120,17 @@ class LocalFSStorage(Storage):
                 finally:
                     os.close(fd)
             os.replace(tmp, final_path)
+            if durable:
+                # The rename itself lives in the directory inode; without
+                # this fsync a power failure can roll back an already-
+                # acknowledged publish (ADVICE round 3). O_DIRECTORY is
+                # POSIX-only, matching this backend's scope.
+                dfd = os.open(os.path.dirname(final_path) or ".",
+                              os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
         except BaseException:
             if os.path.exists(tmp):
                 os.remove(tmp)
