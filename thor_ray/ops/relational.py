@@ -41,6 +41,37 @@ def _arrow_schema(ds: Dataset) -> pa.Schema:
 
 # --- joins ---------------------------------------------------------------
 
+_JOIN_PARTITION_BYTES = 256 << 20  # ~256 MB of combined input per partition
+
+
+def _metadata_size_bytes(ds: Dataset) -> int | None:
+    """Input size from plan metadata ONLY — never triggers execution
+    (Dataset.size_bytes() executes lazy plans, which would be a scan per
+    join). Known for fresh reads (parquet footer estimates); None after
+    transforms, where callers fall back to the CPU-derived default."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
+
+def _default_join_partitions(left: Dataset, right: Dataset,
+                             ncpu: int) -> int:
+    """Scale-safe hash-join partition default: ~256 MB of combined input
+    per partition when sizes are knowable from metadata, floored at the
+    small-join default. The floor stays small because aggregator-actor
+    startup scales with partition count (measured: np=16 → 1.42s, np=8 →
+    1.23s, np=4 → 0.99s for the SAME sf0.1 join at 32 CPUs; np=64 →
+    11.8s); the byte-derived term makes multi-TB inputs fan out without
+    the caller having to know to override (round-3 verdict #4)."""
+    floor = max(4, ncpu // 4)
+    l, r = _metadata_size_bytes(left), _metadata_size_bytes(right)
+    if l is None and r is None:
+        return floor
+    total = (l or 0) + (r or 0)
+    return max(floor, -(-total // _JOIN_PARTITION_BYTES))
+
+
 def hash_join(left: Dataset, right: Dataset, on: tuple[str, ...],
               join_type: str = "inner", right_on: tuple[str, ...] | None = None,
               num_partitions: int | None = None) -> Dataset:
@@ -55,12 +86,7 @@ def hash_join(left: Dataset, right: Dataset, on: tuple[str, ...],
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     if num_partitions is None:
-        # aggregator-actor startup scales with partition count (measured:
-        # np=16 → 1.42s, np=8 → 1.23s, np=4 → 0.99s for the SAME sf0.1
-        # join at 32 CPUs; np=64 → 11.8s), so the default stays small;
-        # callers with multi-TB sides should override to
-        # ~input_bytes / 256 MB.
-        num_partitions = max(4, ncpu // 4)
+        num_partitions = _default_join_partitions(left, right, ncpu)
     max_aggs = DataContext.get_current().max_hash_shuffle_aggregators or num_partitions
     n_aggs = min(num_partitions, max_aggs)
     cpu_per_agg = max(0.05, round((ncpu / 2) / n_aggs, 2))  # pool ≤ half the cluster
@@ -74,22 +100,49 @@ def hash_join(left: Dataset, right: Dataset, on: tuple[str, ...],
     )
 
 
+_ARROW_JOIN_TYPE = {"inner": "inner", "left": "left outer",
+                    "right": "right outer", "outer": "full outer"}
+
+
 def broadcast_join(left: Dataset, right: "pa.Table | pd.DataFrame",
                    on: list[str], right_on: list[str] | None = None,
                    how: str = "inner") -> Dataset:
     """Small-side join with NO shuffle: the dimension table is ray.put once
-    and probed per batch with a pandas merge (SURVEY.md §2.4 J2). The big
-    side streams; per-task cost is a local hash probe."""
-    if isinstance(right, pa.Table):
-        right = right.to_pandas()
-    ref = ray.put(right)
+    and probed per batch with an Acero hash join — `pa.Table.join`
+    against the broadcast table, zero-copy Arrow in and out (SURVEY.md
+    §2.4 J2; round-3 verdict #3 removed the per-batch pandas round-trip).
+    The big side streams; per-task cost is a local hash probe.
+
+    Collision suffixes are `_x`/`_y` (the pandas-merge convention this
+    operator historically exposed). Null join keys never match — pandas
+    `merge` treats NaN==NaN as a match, Acero does not; no caller joins
+    on nullable keys (dimension keys are non-null by construction)."""
+    if isinstance(right, pd.DataFrame):
+        right = pa.Table.from_pandas(right, preserve_index=False)
     right_on = right_on or on
+    join_type = _ARROW_JOIN_TYPE.get(how)
+    if join_type is None:
+        raise ValueError(f"broadcast_join: unsupported how={how!r}")
+    # pandas merge kept BOTH key columns when names differ; Acero drops
+    # the right keys. Carry differently-named right keys through under a
+    # temp name and restore after the join so caller schemas are stable.
+    dup = [(rk, f"__bj_{rk}") for lk, rk in zip(on, right_on) if rk != lk]
+    for rk, tmp in dup:
+        right = right.append_column(tmp, right[rk])
+    ref = ray.put(right)
 
-    def probe(batch: pd.DataFrame) -> pd.DataFrame:
-        small = ray.get(ref)
-        return batch.merge(small, how=how, left_on=on, right_on=right_on)
+    def probe(batch: pa.Table) -> pa.Table:
+        small: pa.Table = ray.get(ref)
+        out = batch.join(small, keys=on, right_keys=right_on,
+                         join_type=join_type,
+                         left_suffix="_x", right_suffix="_y")
+        if dup:
+            out = out.rename_columns(
+                [dict(( (t, r) for r, t in dup )).get(c, c)
+                 for c in out.column_names])
+        return out
 
-    return left.map_batches(probe, batch_format="pandas")
+    return left.map_batches(probe, batch_format="pyarrow")
 
 
 def semi_join(left: Dataset, keys: "pa.Table | pd.DataFrame | set",
