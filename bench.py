@@ -89,15 +89,16 @@ def run_bench() -> dict:
         binlog_dir = view
         n_epochs *= passes
 
-    def one_cdc_run(write_mode: str, epochs: int = n_epochs) -> tuple[float, float, int]:
+    def one_cdc_run(write_mode: str, epochs: int = n_epochs,
+                    shuffle: str = "spill") -> tuple[float, float, int]:
         """(total wall incl. bootstrap, epoch-loop wall, events applied).
         The epoch-loop wall (replay_wall_sec) is the throughput denominator
         — per-epoch walls overlap under pipelined spill/apply."""
-        lake_dir = f"{lake_root}/lake_{NUM_CPUS}_{write_mode}"
+        lake_dir = f"{lake_root}/lake_{NUM_CPUS}_{write_mode}_{shuffle}"
         shutil.rmtree(lake_dir, ignore_errors=True)
         pipe = CdcPipeline(CdcConfig(
             lake_dir=lake_dir, binlog_dir=binlog_dir,
-            num_partitions=128,
+            num_partitions=128, shuffle=shuffle,
             epoch_size=max(N_EVENTS * passes // epochs, 1),
             compute_content_hash=True, write_mode=write_mode))
         t0 = time.perf_counter()
@@ -126,6 +127,17 @@ def run_bench() -> dict:
             _, loop2, n2 = one_cdc_run(m, epochs=16)
             mode_evps[m] = round(n2 / loop2, 1) if loop2 else 0.0
     events_per_sec = n_applied / cdc_epoch_sec if cdc_epoch_sec else 0.0
+
+    # exchange-mode comparison (round-3 verdict #5): the default spill
+    # exchange assumes exchange_dir is reachable by every node; the
+    # shuffle="hash" mode routes the epoch exchange through Ray's
+    # in-object-store hash shuffle with NO shared directory — the
+    # multi-node-safe fallback. Quantify what the spill dir buys.
+    exchange_evps = {}
+    if not scaling_mode:
+        exchange_evps["spill"] = round(events_per_sec, 1)
+        _, loop_h, n_h = one_cdc_run(mode, shuffle="hash")
+        exchange_evps["hash"] = round(n_h / loop_h, 1) if loop_h else 0.0
 
     # pure-CPU calibration: the machine's own parallel ceiling, so the
     # scaling efficiency can be read against what this box can deliver at
@@ -198,6 +210,8 @@ def run_bench() -> dict:
     }
     if mode_evps:
         out["cdc_events_per_sec_by_mode"] = mode_evps
+    if exchange_evps:
+        out["cdc_events_per_sec_by_exchange"] = exchange_evps
     if stream_evps is not None:
         out["stream_window_events_per_sec"] = stream_evps
     if calib_sec is not None:
