@@ -140,19 +140,30 @@ def test_token_count_edge_cases(ray_session):
 
 
 def test_multimodal_strict_raises(ray_session):
-    """strict mode: a payload neither PIL nor the stdlib PNG tier can
-    decode raises instead of faking; a real PNG payload still decodes."""
+    """strict mode: a payload no real tier can decode raises instead of
+    faking; a malformed JPEG-signature payload raises the decoder's
+    ValueError (it reached a real tier); real PNG/JPEG still decode."""
     dec = MM.DecodeImage(strict=True)
-    bad = pd.DataFrame({"payload": [b"\xff\xd8 not decodable"],
+    bad = pd.DataFrame({"payload": [b"GIF89a not decodable"],
                         "meta": [{"width": 4, "height": 4}]})
     with pytest.raises(NotImplementedError):
         dec(bad)
+    torn = pd.DataFrame({"payload": [b"\xff\xd8 not a real jpeg"],
+                         "meta": [{"width": 4, "height": 4}]})
+    with pytest.raises(ValueError):
+        dec(torn)
     px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
     good = pd.DataFrame({"payload": [MM.png_encode(px)],
                          "meta": [{"width": 4, "height": 4}]})
     out = dec(good)
     assert out["decode_backend"].iloc[0] == "stdlib-png"
     assert (out["pixels"].iloc[0] == px).all()
+    from thor_ray.ops.jpeg import jpeg_encode
+    jg = pd.DataFrame({"payload": [jpeg_encode(px, quality=95)],
+                       "meta": [{"width": 4, "height": 4}]})
+    jout = dec(jg)
+    assert jout["decode_backend"].iloc[0] == "py-jpeg"
+    assert jout["pixels"].iloc[0].shape == (4, 4, 3)
 
 
 def test_png_codec_pixel_exact_all_filters():

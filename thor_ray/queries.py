@@ -2377,11 +2377,17 @@ def q48_sample(sf: str):
 
 
 def q49_multimodal_features(sf: str):
-    """Multimodal image pipeline over REAL PNG payloads: the stdlib
-    zlib-unfilter decode tier ('stdlib-png' backend — pixel-exact, no
-    third-party codec) feeds the feature stage; the labeled fake tier
-    stays covered by unit tests and q54's video metadata path."""
-    ds = ray.data.from_arrow(MM.make_fake_media_table(64, codec="png"))
+    """Multimodal image pipeline over REAL encoded payloads of BOTH
+    codecs: stdlib zlib-unfilter PNG decode ('stdlib-png' backend,
+    pixel-exact) and the pure-Python baseline JPEG decode ('py-jpeg'
+    backend, ops/jpeg.py — spec tables read from the stream) feed the
+    feature stage; the labeled fake tier stays covered by unit tests and
+    q54's video metadata path."""
+    png = MM.make_fake_media_table(32, codec="png")
+    jpg = MM.make_fake_media_table(32, codec="jpeg", seed=7)
+    jpg = jpg.set_column(0, "media_id",
+                         pa.array(np.arange(100, 132, dtype=np.int64)))
+    ds = ray.data.from_arrow(pa.concat_tables([png, jpg]))
     out = MM.decode_and_featurize(ds, concurrency=2, batch_size=16)
 
     def summarize(t: pd.DataFrame) -> pd.DataFrame:
@@ -3754,14 +3760,20 @@ WHERE s IN (SELECT s FROM rep) GROUP BY doc_id
 
 def q150_image_neardup(sf: str):
     """Perceptual image near-dup (rows-only — no SQL for pixels): REAL
-    PNG media table (stdlib zlib decode tier) with 8 planted duplicate
-    payloads under new ids; decode → aHash (actor pools, small binary
-    batches) → banded-hamming pairs. The whole path — codec, aHash,
-    banding — is real end-to-end; planted identical payloads land at
-    hamming 0. Semantics pinned by test_image_near_dup_ahash."""
-    base = MM.make_fake_media_table(48, kind="image", codec="png")
-    dup = base.slice(0, 8).set_column(
-        0, "media_id", pa.array(np.arange(1000, 1008, dtype=np.int64)))
+    media table mixing PNG (stdlib zlib decode tier) and baseline JPEG
+    (py-jpeg tier) payloads with 8 planted duplicates of each codec
+    under new ids; decode → aHash (actor pools, small binary batches) →
+    banded-hamming pairs. The whole path — codecs, aHash, banding — is
+    real end-to-end; planted identical payloads land at hamming 0.
+    Semantics pinned by test_image_near_dup_ahash."""
+    png = MM.make_fake_media_table(24, kind="image", codec="png")
+    jpg = MM.make_fake_media_table(24, kind="image", codec="jpeg", seed=9)
+    jpg = jpg.set_column(0, "media_id",
+                         pa.array(np.arange(100, 124, dtype=np.int64)))
+    base = pa.concat_tables([png, jpg])
+    dup = pa.concat_tables([png.slice(0, 8), jpg.slice(0, 8)]) \
+        .set_column(0, "media_id",
+                    pa.array(np.arange(1000, 1016, dtype=np.int64)))
     ds = ray.data.from_arrow(pa.concat_tables([base, dup]))
     hashed = MM.ahash_pipeline(ds, concurrency=2, batch_size=16)
     return MM.image_near_dup_pairs(hashed, "media_id", "ahash",
