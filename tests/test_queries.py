@@ -96,9 +96,10 @@ def test_rows_only_semantics(ray_session):
     ivf = to_pandas(Q.q46_ivf_topk(SF))
     overlap = len(set(brute["vec_id"]) & set(ivf["vec_id"]))
     assert overlap >= 5, f"IVF recall@10 too low: {overlap}/10"
-    # multimodal: REAL stdlib PNG decode tier (round 3), 8-dim features
+    # multimodal: REAL decode tiers — stdlib PNG (round 3) + the
+    # pure-Python baseline JPEG codec (round 4), 8-dim features
     mm = to_pandas(Q.q49_multimodal_features(SF))
-    assert (mm["backend"] == "stdlib-png").all() \
+    assert set(mm["backend"]) == {"stdlib-png", "py-jpeg"} \
         and (mm["feat_dim"] == 8).all()
     mm2 = to_pandas(Q.q49_multimodal_features(SF))
     pd.testing.assert_frame_equal(
