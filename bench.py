@@ -136,8 +136,9 @@ def run_bench() -> dict:
     exchange_evps = {}
     if not scaling_mode:
         exchange_evps["spill"] = round(events_per_sec, 1)
-        _, loop_h, n_h = one_cdc_run(mode, shuffle="hash")
-        exchange_evps["hash"] = round(n_h / loop_h, 1) if loop_h else 0.0
+        for sh in ("sort", "hash"):
+            _, loop_x, n_x = one_cdc_run(mode, shuffle=sh)
+            exchange_evps[sh] = round(n_x / loop_x, 1) if loop_x else 0.0
 
     # pure-CPU calibration: the machine's own parallel ceiling, so the
     # scaling efficiency can be read against what this box can deliver at
