@@ -194,3 +194,46 @@ class TestFreqSetJoinTier:
                               gather="join").to_pandas() \
             .sort_values("doc_id").reset_index(drop=True)
         assert got["text"].tolist() == ["solo one", "solo two"]
+
+
+def test_scheme_routed_exchange_dir(ray_session, tmp_path):
+    """The spill exchange works with a scheme-routed exchange_dir
+    (file:// here; s3:// in production resolves the same way): stage-1
+    spills, stage-2 lists/reads and the post-epoch cleanup all go through
+    the storage layer, auto-resolved per worker process via pyarrow.fs —
+    the multi-node shared-exchange story (docs/STORAGE.md) exercised
+    end-to-end. Final state must equal a plain-path replay."""
+    import pyarrow.parquet as pq
+
+    from thor_ray import oracle
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    base = gen.gen_base_table(n_repos=8, paths_per_repo=6, seed=31)
+    log = gen.gen_binlog(base, gen.BinlogConfig(
+        n_events=3_000, n_shards=2, dup_rate=0.05, shuffle_window=64,
+        ddl_every=1_200, delete_rate=0.05, update_rate=0.5, seed=31))
+    bdir = str(tmp_path / "binlog")
+    log.write(bdir)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(base, base_path)
+    expected, _ = oracle.apply_events(
+        pa.concat_tables(log.shards), initial=base)
+
+    ex_root = str(tmp_path / "exchange")
+    pipe = CdcPipeline(CdcConfig(
+        lake_dir=str(tmp_path / "lake"), binlog_dir=bdir,
+        num_partitions=8, epoch_size=1_000, shuffle="spill",
+        exchange_dir=f"file://{ex_root}"))
+    pipe.run(base=base_path)
+
+    got = pipe.final_table().to_pandas()
+    want = expected.to_pandas() if hasattr(expected, "to_pandas") \
+        else expected
+    cols = sorted(set(got.columns) & set(want.columns))
+    got = got[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+    want = want[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # consumed epochs were cleaned through the scheme path
+    leftover = [d for d in (os.listdir(ex_root)
+                            if os.path.isdir(ex_root) else [])]
+    assert leftover == [], leftover

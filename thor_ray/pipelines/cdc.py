@@ -371,7 +371,7 @@ def _spill_stage1(t: pa.Table, *, ex_dir: str, n_slots: int) -> pa.Table:
         # two blocks of the same slot and silently clobber rows
         digest = hashlib.sha256(np.sort(sl).tobytes()).hexdigest()[:20]
         d = os.path.join(ex_dir, f"slot={int(s):05d}")
-        os.makedirs(d, exist_ok=True)
+        storage_for(d).makedirs(d)   # scheme-routed exchange dirs work too
         path = os.path.join(d, f"b-{digest}.arrow")
 
         def stage(tmp: str, sub=sub) -> None:
@@ -692,23 +692,50 @@ def _patch_fold_table(t: pa.Table, all_entries: list) -> pd.DataFrame:
     return pd.DataFrame(out, columns=_PATCH_COLS)
 
 
+def _cleanup_exchange(ex_dir: str) -> None:
+    """Remove a consumed epoch's spill directory (best effort — leftovers
+    are transient and re-created deterministically). Plain paths use
+    shutil; scheme paths delete through the resolved pyarrow filesystem."""
+    if "://" not in ex_dir:
+        import shutil as _shutil
+
+        _shutil.rmtree(ex_dir, ignore_errors=True)
+        return
+    from thor_ray.state.storage import PyArrowFSStorage, storage_for
+
+    store = storage_for(ex_dir)
+    if isinstance(store, PyArrowFSStorage):
+        try:
+            store.fs.delete_dir(store._map(ex_dir))
+        except (OSError, FileNotFoundError):
+            pass
+
+
 def _apply_slot(batch: pd.DataFrame, *, ex_dir: str, ctx: dict,
                 n_slots: int, num_partitions: int) -> pd.DataFrame:
     """Stage 2 of the spill exchange: one slot's files → apply every owned
     pid (slot s owns {p : p % n_slots == s}), INCLUDING pids with no events
     this epoch (empty fold advances their watermark / applies DDL — the
     role markers play in the shuffle paths)."""
-    import glob as _glob
-
     empty_w = pd.DataFrame({c: pd.Series(dtype="object") for c in APPLY_COLS}
                            | {"lsn": pd.Series(dtype="int64"),
                               "schema_ver": pd.Series(dtype="int64"),
                               "pid": pd.Series(dtype="int64")})
+    # scheme-routed exchange dirs (s3://, file://) list/read through the
+    # storage layer — workers auto-resolve the scheme via pyarrow.fs;
+    # plain paths keep the mmap-friendly OSFile fast path
+    remote = "://" in ex_dir
+    store = storage_for(ex_dir)
     outs = []
     for slot in batch["slot"].tolist():
-        files = sorted(_glob.glob(os.path.join(ex_dir, f"slot={slot:05d}", "b-*.arrow")))
+        files = store.list(
+            os.path.join(ex_dir, f"slot={slot:05d}", "b-*.arrow"))
         tables = []
         for f in files:
+            if remote:
+                tables.append(pa.ipc.open_stream(
+                    pa.BufferReader(store.read_bytes(f))).read_all())
+                continue
             with pa.OSFile(f, "rb") as fh:
                 tables.append(pa.ipc.open_stream(fh).read_all())
         reduced: dict[int, tuple[pd.DataFrame, dict]] = {}
@@ -1718,8 +1745,6 @@ class CdcPipeline:
         # apply fn handles a bundle of complete partitions per task.
         t_apply = time.perf_counter()
         if cfg.shuffle == "spill":
-            import shutil as _shutil
-
             # stage 1 (skipped when run() prespilled it concurrently with
             # the previous epoch's apply)
             ex_dir, n_slots = prespilled or self._run_spill(epoch, lo, hi)
@@ -1733,7 +1758,7 @@ class CdcPipeline:
                              batch_format="pandas", batch_size=None)
                 .to_pandas()
             )
-            _shutil.rmtree(ex_dir, ignore_errors=True)
+            _cleanup_exchange(ex_dir)
         elif cfg.shuffle == "hash":
             with _hash_shuffle_ctx():
                 # context is captured at dataset creation — the read must

@@ -390,5 +390,21 @@ def storage_for(path: str) -> Storage:
         scheme = path.split("://", 1)[0]
         if scheme in _SCHEMES:
             return _SCHEMES[scheme]
-        raise ValueError(f"no Storage registered for scheme {scheme!r}")
+        # Auto-resolve schemes pyarrow.fs understands (s3/gs/hdfs/file/
+        # ...): the _SCHEMES registry is PER-PROCESS, so explicit
+        # registration on the driver would never reach Ray worker tasks —
+        # this path lets a worker publishing to s3://bucket/... build the
+        # right adapter on first touch, cached for the process lifetime.
+        try:
+            from pyarrow import fs as pafs
+
+            fsys, _ = pafs.FileSystem.from_uri(path)
+        except Exception:
+            raise ValueError(
+                f"no Storage registered for scheme {scheme!r} and "
+                f"pyarrow.fs cannot resolve it") from None
+        store = PyArrowFSStorage(
+            fsys, path_map=lambda p: p.split("://", 1)[1])
+        _SCHEMES[scheme] = store
+        return store
     return _DEFAULT
