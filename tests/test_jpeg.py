@@ -134,3 +134,42 @@ class TestPipelineBackendLabels:
         for k in range(8):          # jpeg dups planted as 1008..1015
             assert (100 + k, 1008 + k) in pairs \
                 or (1008 + k, 100 + k) in pairs
+
+
+class TestProperties:
+    def test_random_images_roundtrip_bounded(self):
+        """Property sweep: random smooth images at random sizes/qualities
+        round-trip within a quantization-error bound that scales with
+        quality."""
+        rng = np.random.default_rng(42)
+        for _ in range(12):
+            h = int(rng.integers(1, 50))
+            w = int(rng.integers(1, 50))
+            q = int(rng.integers(60, 98))
+            img = _smooth(h, w, seed=int(rng.integers(1 << 30)))
+            dec = jpeg_decode(jpeg_encode(img, quality=q))
+            assert dec.shape == (h, w, 3)
+            err = np.abs(dec.astype(int) - img.astype(int)).mean()
+            assert err < (60 if q < 75 else 25) / max(q / 50, 1), \
+                (h, w, q, err)
+
+    def test_fuzz_decoder_clean_valueerror_contract(self):
+        """Arbitrary byte soup (including JPEG-signature-prefixed soup)
+        either raises ValueError or decodes — no other exception class
+        leaks, no hang. Truncations of a VALID stream must also fail
+        with ValueError only."""
+        rng = np.random.default_rng(7)
+        for i in range(30):
+            blob = bytes(rng.integers(0, 256, int(rng.integers(4, 400)),
+                                      dtype=np.uint8))
+            if i % 2:
+                blob = b"\xff\xd8" + blob
+            try:
+                out = jpeg_decode(blob)
+                assert out.ndim == 3       # survived: must be an image
+            except ValueError:
+                pass                        # the ONLY allowed refusal
+        enc = jpeg_encode(_smooth(24, 24), 90)
+        for cut in (3, 20, len(enc) // 2, len(enc) - 3):
+            with pytest.raises(ValueError):
+                jpeg_decode(enc[:cut])
