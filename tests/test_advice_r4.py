@@ -293,3 +293,68 @@ class TestSizeAwareJoinPartitions:
         ds = ray.data.read_parquet("/root/testdata/sf0.001/orders.parquet")
         sz = _metadata_size_bytes(ds)
         assert sz is not None and sz > 0
+
+
+class TestGatherTierProperty:
+    def test_property_tiers_equal_on_random_corpora(self, ray_session):
+        """Property (seeded sweep): for random corpora over a tiny
+        paragraph alphabet (guaranteeing cross-doc repeats), the join
+        tier of paragraph_dedup equals the broadcast tier exactly."""
+        import ray
+
+        from thor_ray.ops.text import paragraph_dedup
+
+        alphabet = ["aa bb", "cc dd", "ee ff", "gg hh", "ii jj"]
+        rng = np.random.default_rng(13)
+        for trial in range(4):
+            n_docs = int(rng.integers(3, 12))
+            docs = {
+                i + 1: [alphabet[j] for j in rng.integers(
+                    0, len(alphabet), int(rng.integers(1, 6)))]
+                for i in range(n_docs)
+            }
+            ds_of = lambda: ray.data.from_pandas(pd.DataFrame({
+                "doc_id": list(docs),
+                "text": ["\n".join(v) for v in docs.values()],
+            })).repartition(2)
+            outs = {}
+            for tier in ("broadcast", "join"):
+                df = paragraph_dedup(
+                    ds_of(), "text", "doc_id", max_freq=1,
+                    gather=tier).to_pandas()
+                if df.empty:   # all-dropped corpus: Ray drops 0-row cols
+                    df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                       "text": pd.Series(dtype="object")})
+                outs[tier] = df.sort_values("doc_id") \
+                    .reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                outs["broadcast"], outs["join"]), (trial, docs)
+
+
+class TestPyArrowFSCrashWindow:
+    def test_crash_between_stage_and_publish_leaves_no_final(
+            self, tmp_path):
+        """A crash injected after staging but before the adapter's
+        publish (upload/move) must leave the final name absent and the
+        previous content intact — same contract the LocalFSStorage
+        fault tests pin."""
+        from thor_ray.state.storage import PyArrowFSStorage
+
+        store = PyArrowFSStorage()
+        p = str(tmp_path / "m" / "part-00000.json")
+        store.put_bytes(p, b'{"epoch": 1}')
+
+        class Boom(RuntimeError):
+            pass
+
+        def staging_crash(tmp):
+            with open(tmp, "wb") as f:
+                f.write(b'{"epoch": 2}')
+            raise Boom("crash before publish")
+
+        with pytest.raises(Boom):
+            store.put_atomic(p, staging_crash)
+        assert store.read_bytes(p) == b'{"epoch": 1}'   # old state intact
+        # no stray temp files beside the final
+        names = os.listdir(tmp_path / "m")
+        assert names == ["part-00000.json"], names
