@@ -124,8 +124,12 @@ def run_bench() -> dict:
     mode_evps = {}
     if not scaling_mode:
         for m in ("cow", "delta"):
-            _, loop2, n2 = one_cdc_run(m, epochs=16)
-            mode_evps[m] = round(n2 / loop2, 1) if loop2 else 0.0
+            best2 = 0.0
+            for _ in range(attempts):   # single-disk weather: best-of-2
+                _, loop2, n2 = one_cdc_run(m, epochs=16)
+                if loop2:
+                    best2 = max(best2, n2 / loop2)
+            mode_evps[m] = round(best2, 1)
     events_per_sec = n_applied / cdc_epoch_sec if cdc_epoch_sec else 0.0
 
     # exchange-mode comparison (round-3 verdict #5): the default spill
@@ -137,8 +141,12 @@ def run_bench() -> dict:
     if not scaling_mode:
         exchange_evps["spill"] = round(events_per_sec, 1)
         for sh in ("sort", "hash"):
-            _, loop_x, n_x = one_cdc_run(mode, shuffle=sh)
-            exchange_evps[sh] = round(n_x / loop_x, 1) if loop_x else 0.0
+            best_x = 0.0
+            for _ in range(attempts):   # best-of-2, same as the headline
+                _, loop_x, n_x = one_cdc_run(mode, shuffle=sh)
+                if loop_x:
+                    best_x = max(best_x, n_x / loop_x)
+            exchange_evps[sh] = round(best_x, 1)
 
     # pure-CPU calibration: the machine's own parallel ceiling, so the
     # scaling efficiency can be read against what this box can deliver at
