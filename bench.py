@@ -118,6 +118,25 @@ def run_bench() -> dict:
         sec, loop, n = one_cdc_run(mode)
         if cdc_sec is None or sec < cdc_sec:
             cdc_sec, cdc_epoch_sec, n_applied = sec, loop, n
+    # weather-immune companion number: the same replay with the lake on
+    # /dev/shm. The disk number above stays the HEADLINE (round-over-round
+    # comparable, includes the real sink); this one bounds how much of a
+    # bad window is the single virtio disk vs the engine (BASELINE.md
+    # documents 3x disk swings minutes apart).
+    shm_evps = None
+    if not scaling_mode:
+        saved_root = lake_root
+        lake_root = "/dev/shm/thor_ray_bench"
+        try:
+            best_s = 0.0
+            for _ in range(attempts):
+                _, loop_s, n_s = one_cdc_run(mode)
+                if loop_s:
+                    best_s = max(best_s, n_s / loop_s)
+            shm_evps = round(best_s, 1)
+        finally:
+            lake_root = saved_root
+            shutil.rmtree("/dev/shm/thor_ray_bench", ignore_errors=True)
     # cow-vs-delta at MICRO-BATCH cadence (16 epochs): at the headline's 4
     # epochs the fixture's per-epoch DDL forces delta to compact each epoch
     # and the modes converge; write amplification shows at small epochs
@@ -217,6 +236,8 @@ def run_bench() -> dict:
         "cdc_events_per_sec": round(events_per_sec, 1),
         "cdc_write_mode": mode,
     }
+    if shm_evps is not None:
+        out["cdc_events_per_sec_shm_lake"] = shm_evps
     if mode_evps:
         out["cdc_events_per_sec_by_mode"] = mode_evps
     if exchange_evps:
