@@ -351,6 +351,59 @@ def run_scaling() -> dict:
     return out
 
 
+def run_exchange() -> dict:
+    """spill-vs-sort-vs-hash exchange comparison under weather-immune
+    conditions (shm lakes, best-of-2 per cell) at two epoch cadences —
+    the controlled measurement behind the multi-node fallback guidance
+    in CdcConfig.shuffle / docs/STORAGE.md (BASELINE.md r4). The plain
+    bench's by_exchange numbers ride whatever disk window the round
+    gets; this command reproduces the canonical table."""
+    import shutil
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    from thor_ray import gen
+    from thor_ray.pipelines.cdc import CdcConfig, CdcPipeline
+
+    n_events = int(os.environ.get("GRAFT_EXCHANGE_EVENTS", "1000000"))
+    fdir = f"/tmp/thor_ray_bench/exch_ev{n_events}"
+    info = gen.write_fixture(
+        fdir, n_keys=100_000,
+        cfg=gen.BinlogConfig(n_events=n_events, n_shards=16,
+                             dup_rate=0.05, shuffle_window=512,
+                             ddl_every=max(n_events // 4, 1),
+                             content_len=(64, 384), seed=42))
+    out: dict = {"metric": "cdc_exchange_comparison", "events": n_events,
+                 "num_cpus": NUM_CPUS, "cells": {}}
+    for label, n_epochs in (("micro4", 4), ("single1", 1)):
+        for sh in ("spill", "sort", "hash"):
+            best = 0.0
+            for _ in range(2):
+                lake = f"/dev/shm/thor_ray_exch/{label}_{sh}"
+                shutil.rmtree(lake, ignore_errors=True)
+                pipe = CdcPipeline(CdcConfig(
+                    lake_dir=lake, binlog_dir=info["binlog_dir"],
+                    num_partitions=128, shuffle=sh,
+                    epoch_size=max(n_events // n_epochs, 1),
+                    compute_content_hash=True, write_mode="delta"))
+                pipe.run(base=info["base"])
+                loop = pipe.replay_wall_sec
+                n = sum(r.n_events for r in pipe.reports)
+                shutil.rmtree(lake, ignore_errors=True)
+                best = max(best, n / loop if loop else 0.0)
+            out["cells"][f"{label}_{sh}"] = round(best, 1)
+        sp = out["cells"][f"{label}_spill"]
+        for sh in ("sort", "hash"):
+            out["cells"][f"{label}_{sh}_vs_spill"] = round(
+                out["cells"][f"{label}_{sh}"] / sp, 3) if sp else None
+    ray.shutdown()
+    return out
+
+
 def run_modes() -> dict:
     """cow-vs-delta write-mode crossover at micro-batch cadence (VERDICT
     r2 'What's wrong' #4: the delta-default claim needs a state-heavy
@@ -411,7 +464,9 @@ def run_modes() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--exchange" in sys.argv:
+        print(json.dumps(run_exchange()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--modes" in sys.argv:
         print(json.dumps(run_modes()))

@@ -193,13 +193,14 @@ class CdcConfig:
     # (S3/NFS/shared mount) — stage-2 tasks read spill files written by
     # stage-1 tasks on other nodes. On a cluster without shared fs, use
     # shuffle="sort" — it shuffles through Ray's object store with NO
-    # shared directory and measures closest to spill (r4, 32 CPUs,
-    # 1M events: 0.93× spill at 1M-row epochs, 0.64× at 250k-row
-    # micro-batches). "hash" is also shared-dir-free but measured slower
-    # than sort at every cadence on this host (0.33×/0.17× spill) — its
-    # aggregator pool start-up never amortizes here; kept because the
-    # pool route may win on real multi-node clusters where the driver-
-    # coordinated sort range-sampling costs more.
+    # shared directory and is the measured-best dir-free fallback
+    # (`bench.py --exchange`, shm lakes, 32 CPUs, 1M events: sort =
+    # 0.67–0.70× spill at both 1M-row and 250k-row epochs; on a slow
+    # shared disk the gap closes to ~parity because the disk bounds
+    # both). "hash" is also shared-dir-free but measured 0.18–0.22×
+    # spill at every cadence here — its aggregator pool start-up never
+    # amortizes; kept because the pool route may win on real multi-node
+    # clusters where driver-coordinated sort range-sampling costs more.
     # "auto": resolve by epoch_size at config time (spill for big epochs,
     # sort for micro-batches — the measured crossover, see __post_init__).
     shuffle: str = "spill"
