@@ -73,16 +73,36 @@ def quality_score(ds: Dataset, text_col: str = "text") -> Dataset:
         alpha_ratio = pc.divide(n_alpha, safe)
         digit_ratio = pc.divide(n_digit, safe)
         stop_ratio = pc.divide(n_stop, pc.max_element_wise(n_tok, pa.scalar(1.0)))
-        len_band = pc.if_else(
+        # the combined score is evaluated as ONE exact-integer rational
+        # (numerator/denominator in int64) and divided once: chained
+        # float multiply-adds differ by 1 ulp between engines (DuckDB's
+        # expression evaluator vs Arrow kernels), and at sf0.1 corpus
+        # size that ulp crossed a round-to-4-digits boundary. With both
+        # engines dividing the SAME two integers, the double (and its
+        # rounding) is bit-identical. score = band/10 * (5A/C +
+        # 4*min(4S,Tk)/Tk + (C-min(D,C))/C), band in {1, 0.3} →
+        # num = bnum*(5A*Tk + 4*min(4S,Tk)*C + (C-min(D,C))*Tk),
+        # den = 100*C*Tk, bnum in {10, 3}.
+        i64 = pa.int64()
+        A = pc.cast(n_alpha, i64)
+        D = pc.cast(n_digit, i64)
+        S = pc.cast(n_stop, i64)
+        C = pc.cast(safe, i64)
+        Tk = pc.cast(pc.max_element_wise(n_tok, pa.scalar(1.0)), i64)
+        bnum = pc.if_else(
             pc.and_(pc.greater_equal(n_chars, 100.0), pc.less(n_chars, 20000.0)),
-            pa.scalar(1.0), pa.scalar(0.3))
-        score = pc.multiply(
-            len_band,
-            pc.add(pc.multiply(alpha_ratio, 0.5),
-                   pc.add(pc.multiply(pc.min_element_wise(
-                       pc.multiply(stop_ratio, 4.0), pa.scalar(1.0)), 0.4),
-                       pc.multiply(pc.subtract(1.0, pc.min_element_wise(
-                           digit_ratio, pa.scalar(1.0))), 0.1))))
+            pa.scalar(10, type=i64), pa.scalar(3, type=i64))
+        num = pc.multiply(bnum, pc.add(
+            pc.multiply(pc.multiply(A, pa.scalar(5, type=i64)), Tk),
+            pc.add(
+                pc.multiply(pc.multiply(
+                    pc.min_element_wise(
+                        pc.multiply(S, pa.scalar(4, type=i64)), Tk),
+                    pa.scalar(4, type=i64)), C),
+                pc.multiply(pc.subtract(C, pc.min_element_wise(D, C)), Tk))))
+        den = pc.multiply(pc.multiply(C, Tk), pa.scalar(100, type=i64))
+        score = pc.divide(pc.cast(num, pa.float64()),
+                          pc.cast(den, pa.float64()))
         for name, arr in [("alpha_ratio", alpha_ratio), ("digit_ratio", digit_ratio),
                           ("stop_ratio", stop_ratio), ("quality", score)]:
             t = t.append_column(name, pc.round(arr, 4))

@@ -94,26 +94,53 @@ def q01_pricing_summary(sf: str):
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        # money sums in EXACT integer units (price: cents; disc_price:
+        # 1e-4 dollars — price has 2 decimals, discount 2, so the product
+        # has exactly 4): float summation is association-order-dependent
+        # and at sf0.1 row counts the last rounded digit diverged between
+        # Ray's partial/final order and DuckDB's (first caught by the
+        # sf0.1 sweep, round 4). Integer sums are order-free; both sides
+        # of the twin use the same units.
+        pe = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                     pa.int64())
+        dd = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                     pa.int64())
+        t = t.append_column("price_c", pe)
         return t.append_column(
-            "disc_price", pc.multiply(t["l_extendedprice"],
-                                      pc.subtract(1.0, t["l_discount"])))
+            "disc_price_i", pc.multiply(pe, pc.subtract(100, dd)))
     ds = ds.map_batches(prep, batch_format="pyarrow")
     out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base"),
-        Sum("disc_price", alias_name="sum_disc_price"),
+        Sum("price_c", alias_name="sum_base_c"),
+        Sum("disc_price_i", alias_name="sum_disc_price_i"),
         Mean("l_quantity", alias_name="avg_qty"),
         Count(alias_name="n"),
     )
-    return _round_cols(out, {"sum_qty": 2, "sum_base": 2,
-                             "sum_disc_price": 2, "avg_qty": 4})
+
+    def finish(t: pa.Table) -> pa.Table:
+        # rounding to cents happens in INTEGER space, half-away-from-zero
+        # ((x + 50) // 100 on positive sums) — pc.round is half-to-even
+        # while DuckDB's round is half-away, and an exact ....625 sum at
+        # sf0.1 landed on the boundary; the final /100.0 of an integer is
+        # the same double on both engines
+        t = t.append_column("sum_base", pc.divide(
+            pc.cast(t["sum_base_c"], pa.float64()), 100.0))
+        disc_c = pc.divide(pc.add(t["sum_disc_price_i"], 50), 100)
+        t = t.append_column("sum_disc_price", pc.divide(
+            pc.cast(disc_c, pa.float64()), 100.0))
+        return t.drop_columns(["sum_base_c", "sum_disc_price_i"])
+    out = out.map_batches(finish, batch_format="pyarrow")
+    return _round_cols(out, {"sum_qty": 2, "avg_qty": 4})
 
 
 SQL_Q01 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)  AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           / 100.0 AS sum_base,
+       ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50)
+        // 100) / 100.0 AS sum_disc_price,
        round(avg(l_quantity), 4)  AS avg_qty,
        count(*) AS n
 FROM lineitem
@@ -2254,28 +2281,32 @@ SQL_Q44 = r"""
 WITH f AS (
   SELECT doc_id,
     CAST(length(text) AS DOUBLE) AS n_chars,
-    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
-    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-    CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS n_tok,
+    greatest(CAST(length(text) AS BIGINT), 1) AS c,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS a,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS d,
+    greatest(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT),
+             1) AS tk,
     CAST(len(regexp_extract_all(text,
-      '\b(the|and|of|to|in|is|for|with|data|value)\b')) AS DOUBLE) AS n_stop
+      '\b(the|and|of|to|in|is|for|with|data|value)\b')) AS BIGINT) AS s
   FROM documents
 ), r AS (
+  -- quality as ONE exact-integer rational so the final double (and its
+  -- round) is bit-identical to the Arrow side (see ops/text.py)
   SELECT doc_id,
-    n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
-    n_digit / greatest(n_chars, 1.0) AS digit_ratio,
-    n_stop / greatest(n_tok, 1.0) AS stop_ratio,
-    CASE WHEN n_chars >= 100.0 AND n_chars < 20000.0
-         THEN 1.0 ELSE 0.3 END AS len_band
+    CAST(a AS DOUBLE) / c AS alpha_ratio,
+    CAST(d AS DOUBLE) / c AS digit_ratio,
+    CAST(s AS DOUBLE) / tk AS stop_ratio,
+    (CASE WHEN n_chars >= 100.0 AND n_chars < 20000.0
+          THEN 10 ELSE 3 END)
+      * (5*a*tk + 4*least(4*s, tk)*c + (c - least(d, c))*tk) AS num,
+    100*c*tk AS den
   FROM f
 )
 SELECT doc_id,
   round_even(alpha_ratio, 4) AS alpha_ratio,
   round_even(digit_ratio, 4) AS digit_ratio,
   round_even(stop_ratio, 4) AS stop_ratio,
-  round_even(len_band * ((alpha_ratio * 0.5)
-    + ((least(stop_ratio * 4.0, 1.0) * 0.4)
-       + ((1.0 - least(digit_ratio, 1.0)) * 0.1))), 4) AS quality
+  round_even(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS quality
 FROM r
 """
 
@@ -4379,9 +4410,16 @@ def q180_k_anonymity(sf: str):
     groups with fewer than k=15 members — the cells a release would have
     to suppress or generalize. One combiner-backed grouped count."""
     from ray.data.aggregate import Count
-    return (T(sf, "documents", ["lang", "source"])
-            .groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
-            .filter(expr="n < 15"))
+    out = (T(sf, "documents", ["lang", "source"])
+           .groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+           .filter(expr="n < 15")).to_pandas()  # output-sized: cells
+    if out.empty:
+        # no cell needs suppression (every group >= k): Ray's to_pandas
+        # drops columns on an empty dataset; keep the schema stable
+        out = pd.DataFrame({"lang": pd.Series(dtype=object),
+                            "source": pd.Series(dtype=object),
+                            "n": pd.Series(dtype="int64")})
+    return out
 
 
 SQL_Q180 = """
