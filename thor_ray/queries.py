@@ -65,6 +65,28 @@ def _rnd(arr, n: int):
     return pa.array(out, type=pa.float64(), mask=mask)
 
 
+def _cents_col(ds: Dataset, src_col: str, out: str = "_cents") -> Dataset:
+    """Append round(src*100) as int64 — money sums run in EXACT integer
+    cents so they are float-association-order free (the q01 sf0.1 lesson:
+    a 600k-row float sum's last rounded cent diverged between Ray's and
+    DuckDB's summation orders). Pair with _cents_to_dollars after the
+    aggregate; the SQL twin uses CAST(round(x*100) AS BIGINT)."""
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(out, pc.cast(
+            pc.round(pc.multiply(t[src_col], 100.0)), pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _cents_to_dollars(ds: Dataset, col: str, out: str) -> Dataset:
+    """cents int64 -> dollars double (exact integer / 100.0 — the same
+    double on every engine), dropping the cents column."""
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.append_column(out, pc.divide(
+            pc.cast(t[col], pa.float64()), 100.0))
+        return t.drop_columns([col])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _round_cols(ds: Dataset, spec: dict[str, int]) -> Dataset:
     def fn(t: pa.Table) -> pa.Table:
         for c, n in spec.items():
@@ -176,13 +198,14 @@ def q03_join_orders_customer(sf: str):
     orders = T(sf, "orders", ["o_custkey", "o_totalprice"])
     cust = T(sf, "customer", ["c_custkey", "c_mktsegment"])
     j = R.hash_join(orders, cust, on=("o_custkey",), right_on=("c_custkey",))
-    out = j.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
-    return _round_cols(out, {"total": 2})
+    out = _cents_col(j, "o_totalprice").groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("_cents", alias_name="total_c"))
+    return _cents_to_dollars(out, "total_c", "total")
 
 
 SQL_Q03 = """
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -257,23 +280,27 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
 
 
 def q08_global_agg(sf: str):
-    """G1 global aggregates in one pass."""
+    """G1 global aggregates in one pass. The price average runs over an
+    exact integer-cents sum (order-free) — see _cents_col."""
     ds = T(sf, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
-    r = ds.aggregate(Count(alias_name="n_items"),
-                     Sum("l_quantity", alias_name="sum_qty"),
-                     Mean("l_extendedprice", alias_name="avg_price"),
-                     Min("l_discount", alias_name="min_disc"),
-                     Max("l_discount", alias_name="max_disc"))
+    r = _cents_col(ds, "l_extendedprice").aggregate(
+        Count(alias_name="n_items"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("_cents", alias_name="price_c"),
+        Min("l_discount", alias_name="min_disc"),
+        Max("l_discount", alias_name="max_disc"))
     return pd.DataFrame([{
         "n_items": int(r["n_items"]), "sum_qty": _round_away(float(r["sum_qty"]), 2),
-        "avg_price": _round_away(float(r["avg_price"]), 4),
+        "avg_price": _round_away(
+            int(r["price_c"]) / 100.0 / int(r["n_items"]), 4),
         "min_disc": float(r["min_disc"]), "max_disc": float(r["max_disc"]),
     }])
 
 
 SQL_Q08 = """
 SELECT count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             / 100.0 / count(*), 4) AS avg_price,
        min(l_discount) AS min_disc, max(l_discount) AS max_disc
 FROM lineitem
 """
@@ -412,14 +439,16 @@ def q17_date_parts(sf: str):
     def fn(t: pa.Table) -> pa.Table:
         return t.append_column("yr", pc.year(t["o_orderdate"])) \
                 .append_column("mon", pc.month(t["o_orderdate"]))
-    out = ds.map_batches(fn, batch_format="pyarrow").groupby(["yr", "mon"]) \
-            .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="total"))
-    return _round_cols(out, {"total": 2})
+    out = _cents_col(ds.map_batches(fn, batch_format="pyarrow"),
+                     "o_totalprice").groupby(["yr", "mon"]) \
+        .aggregate(Count(alias_name="n"), Sum("_cents", alias_name="total_c"))
+    return _cents_to_dollars(out, "total_c", "total")
 
 
 SQL_Q17 = """
 SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
 FROM orders GROUP BY yr, mon
 """
 
