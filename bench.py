@@ -89,6 +89,10 @@ def run_bench() -> dict:
         binlog_dir = view
         n_epochs *= passes
 
+    # GRAFT_BENCH_SHUFFLE overrides the exchange for every replay in this
+    # process — lets `--scaling` measure the dir-free fallback tier too
+    _shuffle_env = os.environ.get("GRAFT_BENCH_SHUFFLE")
+
     def one_cdc_run(write_mode: str, epochs: int = n_epochs,
                     shuffle: str = "spill") -> tuple[float, float, int]:
         """(total wall incl. bootstrap, epoch-loop wall, events applied).
@@ -98,7 +102,7 @@ def run_bench() -> dict:
         shutil.rmtree(lake_dir, ignore_errors=True)
         pipe = CdcPipeline(CdcConfig(
             lake_dir=lake_dir, binlog_dir=binlog_dir,
-            num_partitions=128, shuffle=shuffle,
+            num_partitions=128, shuffle=_shuffle_env or shuffle,
             epoch_size=max(N_EVENTS * passes // epochs, 1),
             compute_content_hash=True, write_mode=write_mode))
         t0 = time.perf_counter()
@@ -321,6 +325,7 @@ def run_scaling() -> dict:
         if lo.get("calib_sec") and hi.get("calib_sec") else None
     out = {
         "metric": "cdc_scaling_8_to_32_cpus",
+        "shuffle": os.environ.get("GRAFT_BENCH_SHUFFLE", "spill"),
         "events": int(ev) * passes,
         "fixture_events": int(ev), "cyclic_passes": passes,
         "events_per_sec_8": tp_lo, "events_per_sec_32": tp_hi,
