@@ -358,3 +358,57 @@ class TestPyArrowFSCrashWindow:
         # no stray temp files beside the final
         names = os.listdir(tmp_path / "m")
         assert names == ["part-00000.json"], names
+
+
+class TestSeekLsnForTs:
+    """Kafka offsetsForTimes analogue (sources/binlog.py::seek_lsn_for_ts):
+    footer-stat-pruned event-time seek == the full-scan oracle, across
+    parquet and JSONL tiers, with end-of-log and before-start edges."""
+
+    def _oracle(self, log, ts_us):
+        import pyarrow.compute as pc
+        t = pa.concat_tables(log.shards)
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type):
+            import pyarrow as _pa
+            mask = pc.greater_equal(
+                ts, _pa.scalar(pd.Timestamp(ts_us, unit="us")))
+        else:
+            mask = pc.greater_equal(ts, ts_us)
+        hit = t.filter(mask)
+        return int(pc.min(hit["lsn"]).as_py()) if hit.num_rows else None
+
+    def test_matches_full_scan_oracle_parquet(self, tmp_path):
+        base = gen.gen_base_table(n_repos=6, paths_per_repo=5, seed=5)
+        log = gen.gen_binlog(base, gen.BinlogConfig(
+            n_events=2_000, n_shards=3, seed=5, shuffle_window=64))
+        bdir = str(tmp_path / "b")
+        log.write(bdir)
+        t = pa.concat_tables(log.shards)
+        ts_col = t["ts"].to_pandas()
+        lo_us = int(pd.Timestamp(ts_col.min()).value // 1000)
+        hi_us = int(pd.Timestamp(ts_col.max()).value // 1000)
+        for ts_us in (lo_us - 10_000, lo_us + (hi_us - lo_us) // 3,
+                      lo_us + 2 * (hi_us - lo_us) // 3, hi_us,
+                      hi_us + 10_000):
+            got = bs.seek_lsn_for_ts(bdir, ts_us)
+            assert got == self._oracle(log, ts_us), ts_us
+
+    def test_jsonl_tier_and_cyclic_refusal(self, tmp_path):
+        base = gen.gen_base_table(n_repos=5, paths_per_repo=4, seed=6)
+        log = gen.gen_binlog(base, gen.BinlogConfig(
+            n_events=800, n_shards=2, seed=6))
+        jdir = str(tmp_path / "j")
+        log.write_jsonl(jdir)
+        t = pa.concat_tables(log.shards)
+        ts_col = t["ts"].to_pandas()
+        mid_us = int(pd.Timestamp(ts_col.quantile(0.5)).value // 1000)
+        got = bs.seek_lsn_for_ts(jdir, mid_us)
+        assert got == self._oracle(log, mid_us)
+
+        pdir = str(tmp_path / "p")
+        log.write(pdir)
+        view = str(tmp_path / "view")
+        bs.write_cyclic_view(view, pdir, passes=2)
+        with pytest.raises(ValueError, match="cyclic"):
+            bs.seek_lsn_for_ts(view, mid_us)

@@ -25,6 +25,8 @@ import glob
 import json
 import os
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -255,6 +257,73 @@ def safe_frontier(binlog_dir: str, slack: int = 0,
     if exp is not None and any(s not in fr for s in exp):
         return 0
     return max(min(fr.values(), default=0) - slack, 0)
+
+
+def seek_lsn_for_ts(binlog_dir: str, ts) -> int | None:
+    """Kafka ``offsetsForTimes`` analogue: the smallest lsn whose
+    event-time is >= ``ts`` — an event-time seek for consumers (start the
+    next epoch read at ``lo = result - 1``). Returns None when every
+    event is older than ``ts`` (seek past the log end).
+
+    ``ts`` accepts a pandas/py datetime or integer microseconds. Parquet
+    shards prune whole row groups via (ts) footer statistics (the
+    ``filters=`` read) and decode only the surviving groups' (lsn, ts)
+    columns; text tiers scan those two columns. With bounded out-of-order
+    delivery the result has exactly Kafka's per-partition semantics: an
+    event with a LATE timestamp and a smaller offset sorts before the
+    seek point and is not re-delivered. Cyclic replay views are refused —
+    every pass repeats the same event times, so a time seek is ambiguous
+    there (bench-only construct)."""
+    if _cyclic_meta(binlog_dir) is not None:
+        raise ValueError(
+            "seek_lsn_for_ts: cyclic replay views repeat event times "
+            "every pass — seek on the base log instead")
+    ts_pd = pd.Timestamp(ts, unit="us") if isinstance(ts, (int, np.integer)) \
+        else pd.Timestamp(ts)
+    ts_us = ts_pd.value // 1000
+    best: int | None = None
+    for p in shard_files(binlog_dir):
+        if p.endswith((".jsonl", ".jsonl.gz", ".csv")):
+            if p.endswith(".csv"):
+                import pyarrow.csv as pacsv
+
+                t = pacsv.read_csv(p, convert_options=_csv_convert_options(
+                    ["lsn", "ts"]))
+            else:
+                t = _read_jsonl_file(p, ["lsn", "ts"], tolerant=True)
+            if not t.num_rows:
+                continue
+            mask = pc.greater_equal(t["ts"], pa.scalar(ts_us, pa.int64()))
+        else:
+            md = pq.read_metadata(p)
+            names = md.schema.names
+            ts_type = pq.read_schema(p).field("ts").type
+            target = ts_us if pa.types.is_integer(ts_type) else ts_pd
+            idx = names.index("ts")
+            keep = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    keep.append(rg)
+                    continue
+                mx = st.max
+                mx_cmp = mx if pa.types.is_integer(ts_type) \
+                    else pd.Timestamp(mx)
+                if mx_cmp >= target:
+                    keep.append(rg)
+            if not keep:
+                continue
+            t = pq.ParquetFile(p).read_row_groups(
+                keep, columns=["lsn", "ts"])
+            mask = pc.greater_equal(
+                t["ts"], pa.scalar(target.to_datetime64()
+                                   if not pa.types.is_integer(ts_type)
+                                   else target))
+        hit = t.filter(mask)
+        if hit.num_rows:
+            m = int(pc.min(hit["lsn"]).as_py())
+            best = m if best is None else min(best, m)
+    return best
 
 
 def read_epoch(binlog_dir: str, lo: int, hi: int,
