@@ -251,6 +251,21 @@ def cmd_lag(a) -> int:
     return 0
 
 
+def cmd_seek(a) -> int:
+    """Event-time seek (Kafka offsetsForTimes): smallest lsn with
+    event-time >= --ts; start the next replay epoch at result - 1.
+    Metadata-pruned parquet reads; no Ray session."""
+    import json as _json
+
+    from thor_ray.sources import binlog as bs
+
+    ts = int(a.ts) if a.ts.isdigit() else a.ts
+    lsn = bs.seek_lsn_for_ts(a.binlog, ts)
+    print(_json.dumps({"binlog": a.binlog, "ts": a.ts, "lsn": lsn,
+                       "resume_lo": None if lsn is None else lsn - 1}))
+    return 0
+
+
 def _engine_meta(lake_dir: str) -> dict:
     import os
 
@@ -901,6 +916,13 @@ def main(argv: list[str] | None = None) -> int:
     lg.add_argument("--lake", required=True)
     lg.add_argument("--binlog", required=True)
     lg.set_defaults(fn=cmd_lag)
+
+    sk = sub.add_parser("seek", help="event-time seek: smallest lsn with "
+                                     "event-time >= --ts (offsetsForTimes)")
+    sk.add_argument("--binlog", required=True)
+    sk.add_argument("--ts", required=True,
+                    help="ISO timestamp or integer epoch-microseconds")
+    sk.set_defaults(fn=cmd_seek)
 
     rp = sub.add_parser("repartition",
                         help="migrate the lake to a new partition count "
