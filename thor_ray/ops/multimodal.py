@@ -4,13 +4,15 @@ The Ray-side plumbing (schemas, actor-pool stages, batch sizing, output
 layout) is real and tested. Codec tiers, in preference order per row:
 
 1. **library** — PIL when importable (not in this container);
-2. **stdlib** — REAL decodes with no third-party codec: PNG via ``zlib``
-   + the five spec filters (``png_decode``/``png_encode``), WAV via the
-   stdlib ``wave`` module (``wav_decode``/``wav_encode``) — pixel- and
-   sample-exact, unit-tested;
-3. **fake** — a clearly-labeled deterministic stand-in for formats with
-   no stdlib path (JPEG, video), or ``NotImplementedError`` in `strict`
-   mode when the payload is not decodable by any real tier.
+2. **pure-Python real codecs** — no third-party dependency: PNG via
+   ``zlib`` + the five spec filters (``png_decode``/``png_encode``),
+   baseline JPEG via ``ops.jpeg.jpeg_decode`` (ITU-T T.81), WAV via the
+   stdlib ``wave`` module (``wav_decode``/``wav_encode``), MJPEG-in-AVI
+   video via ``avi_frames`` feeding the JPEG decoder — pixel- and
+   sample-exact where the codec is lossless, unit-tested;
+3. **fake** — a clearly-labeled deterministic stand-in only for payloads
+   no real tier can parse (unknown formats, progressive JPEG, corrupt
+   data), or ``NotImplementedError`` in `strict` mode.
 
 At scale these run as actor pools with SMALL batch sizes (large binary
 payloads → batch_size 16–64 so batch × concurrency fits worker heaps —
@@ -294,6 +296,22 @@ class DecodeImage:
         except ImportError:
             self.pil = False
 
+    def _try(self, codec, payload, kind):
+        """Run a real codec tier; in strict mode its errors propagate
+        (ValueError with the parse reason), in non-strict mode an
+        undecodable-by-this-tier payload (progressive/4:2:0/truncated
+        JPEG, corrupt PNG, ...) falls through to the deterministic fake
+        tier instead of killing the whole actor-pool batch — the
+        'deterministic fake when no real tier can decode' contract
+        (round-4 ADVICE, medium)."""
+        try:
+            return codec(payload)
+        except (ValueError, NotImplementedError, zlib.error, struct.error,
+                IndexError):
+            if self.strict:
+                raise
+            return None
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from thor_ray.ops.jpeg import jpeg_decode
 
@@ -306,15 +324,18 @@ class DecodeImage:
                 arrs.append(np.asarray(
                     Image.open(BytesIO(p)).convert("RGB")))
                 backends.append("pil")
-            elif p[:8] == _PNG_SIG:
-                arrs.append(png_decode(p))
+            elif p[:8] == _PNG_SIG and (decoded := self._try(
+                    png_decode, p, "png")) is not None:
+                arrs.append(decoded)
                 backends.append("stdlib-png")
-            elif p[:2] == b"\xff\xd8":
-                arrs.append(jpeg_decode(p))
+            elif p[:2] == b"\xff\xd8" and (decoded := self._try(
+                    jpeg_decode, p, "jpeg")) is not None:
+                arrs.append(decoded)
                 backends.append("py-jpeg")
             elif self.strict:
                 raise NotImplementedError(
-                    "image decode: payload is neither PNG nor JPEG and "
+                    "image decode: payload is not decodable by any real "
+                    "tier (PNG/JPEG parse failed or unknown format) and "
                     "PIL is not available in this container")
             else:
                 h, w = int(m["height"]), int(m["width"])

