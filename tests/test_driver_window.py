@@ -7,9 +7,29 @@ non-SQL entry into the hashed window.
 
 from thor_ray.queries import QUERIES, driver_window, oracle_sql
 
-# Every SQL twin stamped by a PRIOR round's driver (r1-r3: the union of
-# CORRECTNESS_r01/r02/r03 green rows). The r4 window must be disjoint.
-PRIOR_STAMPED = {
+# Every SQL twin stamped by a PRIOR round's driver (the union of
+# CORRECTNESS_r01..r04 green rows). The r5 window must be disjoint.
+R4_STAMPED = {
+    "q100_dense_rank", "q109_pivot", "q110_grouping_sets",
+    "q112_percentile_disc", "q115_skew_kurt", "q118_join_chain",
+    "q120_ratio_to_report", "q124_levenshtein", "q136_multikey_join",
+    "q142_islands", "q143_interval_concurrency", "q149_span_dedup",
+    "q151_span_strip", "q154_inverted_search", "q165_rolling_median",
+    "q170_forward_window", "q188_regr", "q190_triangles", "q203_locf",
+    "q215_not_in_null", "q217_relational_division", "q218_band_self_join",
+    "q272_bm25", "q279_spearman", "q287_fisher_exact",
+    "q291_connected_components", "q292_logistic_irls", "q295_jw_fuzzy_join",
+    "q297_naive_bayes", "q299_anova_f", "q304_envelope_roundtrip",
+    "q317_wasserstein", "q362_cheapest_per_type", "q363_value_share_parts",
+    "q364_supplier_counts_not_in", "q365_exists_not_exists",
+    "q366_rich_inactive_customers", "q367_bulk_suppliers",
+    "q368_asym_window", "q369_union_distinct", "q370_string_agg_distinct",
+    "q371_quarter_having", "q396_epoch_shuffle", "q64_rollup",
+    "q70_unpivot", "q72_range_join", "q73_percentile_cont", "q94_ntile",
+    "q96_percent_rank", "q97_cube",
+}
+
+PRIOR_STAMPED = R4_STAMPED | {
     "q01_pricing_summary", "q02_filter_project", "q03_join_orders_customer",
     "q04_broadcast_dims", "q05_left_join_count", "q06_semi_join",
     "q07_anti_join", "q08_global_agg", "q09_count_distinct",
@@ -51,6 +71,7 @@ def test_window_disjoint_from_prior_rounds():
         f"rotation policy violated — already-stamped entries back in "
         f"the window: {sorted(overlap)}"
     )
+    assert len(PRIOR_STAMPED) == 111  # 61 from r1-r3 + 50 from r4
 
 
 def test_window_occupies_registry_front():
