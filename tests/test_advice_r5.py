@@ -225,3 +225,38 @@ class TestClaimFileCAS:
         gens = sorted(int(pr.communicate()[0]) for pr in procs)
         assert all(pr.returncode == 0 for pr in procs)
         assert gens == [1, 2]   # distinct generations, no double-win
+
+
+class TestNearDupClustersAutoTier:
+    """Round-4 verdict #2: near_dup_clusters counts the (output-sized)
+    verified pair list and hands off to distributed min-label propagation
+    above the threshold — both tiers must agree on the same corpus."""
+
+    def _corpus(self):
+        words = [f"tok{i:03d}" for i in range(300)]
+        a = " ".join(words)
+        b = " ".join(words[60:] + [f"mid{i}" for i in range(60)])
+        c = " ".join(words[120:] + [f"mid{i}" for i in range(60)]
+                     + [f"end{i}" for i in range(60)])
+        d = " ".join(f"zzz{i:03d}" for i in range(300))
+        e = " ".join(f"zzz{i:03d}" for i in range(10, 310))  # ~d
+        return ray.data.from_pandas(pd.DataFrame(
+            {"doc_id": [7, 3, 11, 20, 15], "text": [a, b, c, d, e]}))
+
+    def test_forced_handoff_equals_driver_tier(self, ray_session):
+        from thor_ray.ops.dedup import near_dup_clusters
+        ds = self._corpus()
+        kw = dict(jaccard_threshold=0.4)
+        driver = near_dup_clusters(ds, "text", "doc_id", **kw) \
+            .sort_values("doc_id").reset_index(drop=True)
+        # max_driver_pairs=0 forces the distributed tier on the SAME data
+        dist = near_dup_clusters(ds, "text", "doc_id",
+                                 max_driver_pairs=0, **kw)
+        pd.testing.assert_frame_equal(dist, driver, check_dtype=False)
+        assert set(driver["cluster_id"]) == {3, 15}
+
+    def test_default_threshold_stays_driver_side(self, ray_session):
+        # the default 2M-pair threshold must not trip on test corpora —
+        # q41's driver-recorded output is produced by the driver tier
+        from thor_ray.ops import dedup as DD
+        assert DD.DRIVER_UNION_FIND_MAX_PAIRS == 2_000_000

@@ -472,20 +472,41 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str, id_col: str,
     return _rd.from_arrow(blocks).map_batches(verify, batch_format="pandas")
 
 
+# Auto-tier switch for near_dup_clusters (round-4 verdict #2): above this
+# many verified pairs the driver-side union-find hands off to the
+# distributed min-label propagation — mirrors BROADCAST_VERIFY_MAX_IDS'
+# role for the verify stage. 2M pairs ≈ 50 MB on the driver, far below
+# heap limits but large enough that no test corpus trips it by accident;
+# override for the tier-equality test.
+DRIVER_UNION_FIND_MAX_PAIRS = 2_000_000
+
+
 def near_dup_clusters(ds: Dataset, text_col: str, id_col: str,
-                      jaccard_threshold: float = 0.5, **lsh_kw) -> pd.DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      max_driver_pairs: int | None = None,
+                      **lsh_kw) -> pd.DataFrame:
     """Connected components over the MinHash-LSH near-dup pair graph:
     every doc appearing in ≥1 pair gets cluster_id = min doc id of its
     component (the canonical survivor a dedup pass would keep).
 
-    The union-find runs driver-side over the PAIR LIST — which is
-    output-sized (the distributed LSH stage already reduced the corpus to
-    candidate pairs); at corpus scales where even the pair list is too big
-    for one node, replace with iterative min-label propagation
-    (groupby(id).min(label) until fixpoint)."""
-    pairs = minhash_lsh_pairs(ds, text_col, id_col,
-                              jaccard_threshold=jaccard_threshold,
-                              **lsh_kw).to_pandas()
+    AUTO-TIERED: the pair list is already output-sized (the distributed
+    LSH stage reduced the corpus to verified candidate pairs), so it is
+    counted first — at or below ``max_driver_pairs`` (default
+    DRIVER_UNION_FIND_MAX_PAIRS) the union-find runs driver-side over
+    the collected list; above it the call hands off to the distributed
+    min-label propagation (`near_dup_clusters_distributed`'s core) and
+    only the per-doc labels come back. Both tiers produce identical
+    output (tests/test_advice_r5.py tier-equality)."""
+    limit = DRIVER_UNION_FIND_MAX_PAIRS if max_driver_pairs is None \
+        else max_driver_pairs
+    pairs_ds = minhash_lsh_pairs(ds, text_col, id_col,
+                                 jaccard_threshold=jaccard_threshold,
+                                 **lsh_kw).materialize()
+    if pairs_ds.count() > limit:
+        out = _min_label_propagation(pairs_ds, id_col).to_pandas()
+        return out.sort_values(id_col).reset_index(drop=True) \
+            .astype({id_col: "int64", "cluster_id": "int64"})
+    pairs = pairs_ds.to_pandas()
     if "id_a" not in pairs.columns:   # dup-free corpus: Ray's to_pandas
         pairs = pd.DataFrame({"id_a": [], "id_b": []})  # drops 0-row cols
     parent: dict[int, int] = {}
@@ -609,6 +630,16 @@ def near_dup_clusters_distributed(ds: Dataset, text_col: str, id_col: str,
     in >= 1 pair, identical to the driver-side tier."""
     pairs = minhash_lsh_pairs(ds, text_col, id_col,
                               jaccard_threshold=jaccard_threshold, **lsh_kw)
+    return _min_label_propagation(pairs, id_col, max_iters=max_iters,
+                                  fanout=fanout)
+
+
+def _min_label_propagation(pairs: Dataset, id_col: str,
+                           max_iters: int = 50,
+                           fanout: int = 64) -> Dataset:
+    """The distributed connected-components core over a (id_a, id_b)
+    pair Dataset — shared by `near_dup_clusters_distributed` and the
+    auto-tier handoff in `near_dup_clusters`."""
 
     def both_dirs(t: pa.Table) -> pa.Table:
         src_ = pa.concat_arrays([t["id_a"].combine_chunks(),
