@@ -203,6 +203,102 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
         pcm = pcm[: len(pcm) - len(pcm) % nch].reshape(-1, nch).mean(axis=1)
     return pcm, rate
 
+
+# --- MJPEG-in-AVI video codec (RIFF spec + ops.jpeg per frame) --------------
+# Real video tier (round-4 verdict #3): a minimal RIFF/AVI container
+# writer + a liberal chunk-walking reader for the 'MJPG' codec, where
+# every frame is an independent baseline JPEG decoded by the pure-Python
+# ITU-T T.81 codec in ops/jpeg.py. Public Microsoft RIFF/AVI container
+# layout (MainAVIHeader / AVIStreamHeader / BITMAPINFOHEADER / 'movi'
+# '00dc' chunks / 'idx1'); no third-party library.
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(payload)) + payload \
+        + (b"\x00" if len(payload) & 1 else b"")
+
+
+def _riff_list(subtype: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", subtype + payload)
+
+
+def avi_encode_mjpeg(frames, fps: int = 10, quality: int = 90) -> bytes:
+    """Minimal real AVI writer: one 'vids'/'MJPG' stream, every frame an
+    independent baseline JPEG ('00dc' chunks), with an 'idx1' index.
+    `frames` is (n, h, w, 3) uint8 or a list of (h, w, 3) arrays (all the
+    same size — MJPEG streams have fixed dimensions)."""
+    from thor_ray.ops.jpeg import jpeg_encode
+
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("avi_encode_mjpeg: need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("avi_encode_mjpeg: all frames must share dims")
+    jpegs = [jpeg_encode(f, quality=quality) for f in frames]
+    maxsz = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // max(fps, 1), maxsz * fps, 0,
+        0x10,                       # AVIF_HASINDEX
+        len(jpegs), 0, 1, maxsz, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h", b"vids", b"MJPG", 0, 0, 0, 0,
+        1, max(fps, 1), 0, len(jpegs), maxsz, -1, 0, 0, 0,
+        w & 0x7FFF, h & 0x7FFF)
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3,
+        0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + _riff_list(
+        b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)))
+
+    movi_body, idx, off = b"", b"", 4   # offsets relative to 'movi' fourcc
+    for j in jpegs:
+        movi_body += _riff_chunk(b"00dc", j)
+        idx += struct.pack("<4sIII", b"00dc", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) & 1)
+    body = hdrl + _riff_list(b"movi", movi_body) + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+
+
+def _avi_movi_chunks(data: bytes) -> list[bytes]:
+    """Walk the RIFF tree and return every video-data chunk payload
+    ('NNdc'/'NNdb', including inside 'rec ' groups) in stream order.
+    Raises ValueError on anything that is not a RIFF/AVI container."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF/AVI stream")
+    out: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        while off + 8 <= end:
+            fourcc = data[off:off + 4]
+            size = struct.unpack_from("<I", data, off + 4)[0]
+            body = off + 8
+            if body + size > len(data):
+                raise ValueError("avi: truncated chunk")
+            if fourcc == b"LIST" and size >= 4:
+                if data[body:body + 4] in (b"movi", b"rec "):
+                    walk(body + 4, body + size)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                out.append(data[body:body + size])
+            off = body + size + (size & 1)
+
+    walk(12, min(8 + struct.unpack_from("<I", data, 4)[0], len(data)))
+    return out
+
+
+def avi_frames(data: bytes, stride: int = 1) -> list[np.ndarray]:
+    """Real MJPEG-in-AVI decode: every `stride`-th '00dc' chunk through
+    the pure-Python baseline JPEG decoder → list of (h, w, 3) uint8."""
+    from thor_ray.ops.jpeg import jpeg_decode
+
+    return [jpeg_decode(c) for c in _avi_movi_chunks(data)[::max(stride, 1)]]
+
+
+def avi_n_frames(data: bytes) -> int:
+    """Frame count from the container chunk walk (no pixel decode)."""
+    return len(_avi_movi_chunks(data))
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),            # image | audio | video
@@ -253,6 +349,25 @@ def make_fake_media_table(n: int = 64, kind: str = "image",
                 quality=int(rng.integers(75, 96))))
         metas = [{"width": w, "height": h, "sample_rate": 0,
                   "n_frames": 1, "codec": "jpeg"} for h, w in dims]
+    elif codec == "mjpeg-avi":
+        payloads, metas = [], []
+        for _ in range(n):
+            h, w = int(rng.integers(12, 33)), int(rng.integers(12, 33))
+            nf = int(rng.integers(3, 17))
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+            base = rng.uniform(40, 200, size=3)
+            frames = []
+            for k in range(nf):
+                # smooth, slowly-panning content per frame (what MJPEG
+                # carries); frame index shifts the phase so frames differ
+                img = np.stack([
+                    base[0] + 50 * np.sin((xx + 2 * k) / 5.0),
+                    base[1] + (yy * 80 / max(h, 1)) + 3 * k,
+                    base[2] + 50 * np.cos((yy + 2 * k) / 7.0)], axis=-1)
+                frames.append(np.clip(img, 0, 255).astype(np.uint8))
+            payloads.append(avi_encode_mjpeg(frames, fps=10))
+            metas.append({"width": w, "height": h, "sample_rate": 0,
+                          "n_frames": nf, "codec": "mjpeg-avi"})
     elif codec == "wav":
         lens = rng.integers(400, 4000, size=n)
         payloads = [wav_encode(
@@ -369,8 +484,8 @@ class ImageFeatures:
 
 class FrameSample:
     """Actor-pool stage: sample every `stride`-th frame index from video
-    metadata (decode itself stubbed; emits frame indices + payload slices).
-    """
+    metadata (metadata-only — no pixel decode; emits frame indices).
+    For real pixel extraction use `DecodeVideo`."""
 
     def __init__(self, stride: int = 10):
         self.stride = stride
@@ -381,6 +496,47 @@ class FrameSample:
             list(range(0, int(m["n_frames"]), self.stride)) for m in batch["meta"]
         ]
         batch["n_sampled"] = batch["frame_indices"].map(len)
+        return batch
+
+
+class DecodeVideo:
+    """Actor-pool stage: REAL video decode for MJPEG-in-AVI payloads —
+    RIFF chunk walk + per-frame pure-Python baseline JPEG — sampling
+    every `stride`-th frame. Rows whose payload no real tier can parse
+    (unknown containers, non-MJPEG codecs, progressive per-frame JPEG)
+    fall through to the deterministic labeled fake in non-strict mode;
+    `strict=True` raises instead. Output columns: `frames` (list of
+    (h, w, 3) uint8), `n_sampled`, `decode_backend`."""
+
+    def __init__(self, stride: int = 10, strict: bool = False):
+        self.stride, self.strict = max(stride, 1), strict
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        frames_col, counts, backends = [], [], []
+        for p, m in zip(batch["payload"], batch["meta"]):
+            try:
+                frames = avi_frames(p, stride=self.stride)
+                backends.append("py-mjpeg-avi")
+            except (ValueError, struct.error, IndexError, KeyError):
+                if self.strict:
+                    raise
+                h, w = int(m["height"]), int(m["width"])
+                n_sel = len(range(0, max(int(m["n_frames"]), 1),
+                                  self.stride))
+                seed = int.from_bytes(hashlib.sha256(p).digest()[:8],
+                                      "little")
+                rng = np.random.default_rng(seed)
+                frames = [rng.integers(0, 256, size=(h, w, 3),
+                                       dtype=np.uint8)
+                          for _ in range(n_sel)]
+                backends.append("fake")
+            frames_col.append(frames)
+            counts.append(len(frames))
+        batch = batch.drop(columns=["payload"])
+        batch["frames"] = frames_col
+        batch["n_sampled"] = pd.Series(counts, index=batch.index,
+                                       dtype="int64")
+        batch["decode_backend"] = backends
         return batch
 
 
@@ -460,10 +616,42 @@ def audio_pipeline(ds: Dataset, concurrency: "int | tuple[int, int]" = 2,
 def frame_sample_pipeline(ds: Dataset, stride: int = 10,
                           concurrency: "int | tuple[int, int]" = 2,
                           batch_size: int = 32) -> Dataset:
-    """Video frame sampling (metadata-driven; decode stubbed)."""
+    """Video frame-index sampling (metadata-only tier; no pixel work)."""
     return ds.map_batches(FrameSample, fn_constructor_kwargs={"stride": stride},
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+def video_pipeline(ds: Dataset, stride: int = 10,
+                   concurrency: "int | tuple[int, int]" = 2,
+                   batch_size: int = 16, strict: bool = False) -> Dataset:
+    """Real video decode + frame sampling as an actor pool. batch_size
+    defaults smaller than the image pipelines: a video payload is many
+    frames, so batch × concurrency × decoded-frames must fit the worker
+    heap (ray_guide 'Memory-aware')."""
+    return ds.map_batches(
+        DecodeVideo, fn_constructor_kwargs={"stride": stride,
+                                            "strict": strict},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def video_first_frame_as_image(ds: Dataset, stride: int = 1,
+                               concurrency: "int | tuple[int, int]" = 2,
+                               batch_size: int = 16) -> Dataset:
+    """Adapter: decode each video's FIRST sampled frame into the image
+    pipelines' `pixels` column so aHash / features / near-dup compose
+    over mixed image+video corpora (round-4 verdict #3 fixture shape)."""
+    decoded = video_pipeline(ds, stride=stride, concurrency=concurrency,
+                             batch_size=batch_size)
+
+    def first_frame(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["pixels"] = [f[0] for f in b["frames"]]
+        return b.drop(columns=["frames"])
+
+    return decoded.map_batches(first_frame, batch_format="pandas",
+                               batch_size=batch_size)
 
 
 def decode_and_featurize(ds: Dataset, concurrency: int = 4,
