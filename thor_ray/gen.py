@@ -134,6 +134,13 @@ class BinlogConfig:
     # evolved columns in `extra` (null / absent = unchanged) — the
     # Debezium/Hudi partial-image wire shape (CdcConfig.update_mode).
     update_mode: str = "full"
+    # Key-skew knobs (round-4 verdict #4): `hot_frac` of key-bearing
+    # events target the FIRST base repo's keys (a hot tenant), and of
+    # those, `hot_key_frac` hit that repo's FIRST path (one hottest
+    # (repo, path) key). Defaults 0.0 keep every existing fixture
+    # byte-identical (the skew draws are taken after all other draws).
+    hot_frac: float = 0.0
+    hot_key_frac: float = 0.0
 
 
 @dataclass
@@ -390,6 +397,17 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
     # (bit j → evolved[j]) a partial U sets
     patch_bits = rng.integers(1, 8, size=n)
     patch_evbits = rng.integers(0, 1 << 62, size=n)
+    # skew draws come from a SEPARATE generator so the main rng stream —
+    # and therefore every hot_frac=0 fixture, including the cached bench
+    # fixture — stays byte-identical at the same seed
+    skew_rng = np.random.default_rng(cfg.seed + 7)
+    hot_draw = skew_rng.random(n)
+    hotkey_draw = skew_rng.random(n)
+    # the hot tenant = the base table's first repo (gen_base_table lays
+    # repos out contiguously, so its keys are the leading rows)
+    n_hot = 1
+    while n_hot < len(base_repo) and base_repo[n_hot] == base_repo[0]:
+        n_hot += 1
 
     cols: dict[str, list] = {k: [] for k in (
         "lsn", "txn", "op", "repo", "path", "commit", "lang",
@@ -474,6 +492,12 @@ def gen_binlog(base: pa.Table, cfg: BinlogConfig) -> Binlog:
             path = f"gen/dir{new_key_counter % 17}/f{new_key_counter}.{LANGS[lang_draw[i]]}"
             key_repo.append(repo)
             key_path.append(path)
+        elif cfg.hot_frac and hot_draw[i] < cfg.hot_frac:
+            # skewed tier: hot tenant (first base repo), optionally one
+            # hottest key within it
+            j = 0 if hotkey_draw[i] < cfg.hot_key_frac \
+                else int(key_draw[i] * n_hot)
+            repo, path = key_repo[j], key_path[j]
         else:
             j = int(key_draw[i] * len(key_repo))
             repo, path = key_repo[j], key_path[j]
@@ -575,9 +599,15 @@ def write_fixture(
     """
     cfg = cfg or BinlogConfig(seed=seed)
     n_repos = max(1, n_keys // 50)
+    knobs = {k: str(v) for k, v in vars(cfg).items()}
+    if cfg.hot_frac == 0.0 and cfg.hot_key_frac == 0.0:
+        # skew-off output is byte-identical to pre-knob fixtures (the
+        # skew draws use a separate rng), so the key must not change —
+        # keeps the cached 32M scaling fixture valid across rounds
+        knobs.pop("hot_frac")
+        knobs.pop("hot_key_frac")
     key = json.dumps(
-        {"n_keys": n_keys, "seed": seed, "fmt": 3,
-         **{k: str(v) for k, v in vars(cfg).items()}},
+        {"n_keys": n_keys, "seed": seed, "fmt": 3, **knobs},
         sort_keys=True,
     )
     marker = os.path.join(out_dir, "_FIXTURE_OK")
