@@ -19,9 +19,11 @@ Python loop, which is inherent to Huffman bitstreams — but it is a
 table-driven decoder (flat 16-bit peek LUT per Huffman table, cached by
 DHT payload, inlined scan loop, one vectorized coefficient scatter) and
 the IDCT is ONE BLAS GEMM over all blocks (see _IDCT64). Measured in
-this sandbox: ~7.6 MB-pixels/s/core encode; decode ~7.5 MB-px/s/core on
-smooth content / ~2 MB-px/s/core on noisy photographic content
-(256×256 RGB, q85; ~4× the round-4 bit-at-a-time decoder) —
+this sandbox: ~7.6 MB-pixels/s/core encode; decode ~12.4 MB-px/s/core
+on smooth content / ~2.1 MB-px/s/core on noisy photographic content
+(256×256 RGB, q85; 6.5× / 1.1× the round-4 bit-at-a-time decoder — the
+noisy case is symbol-bound at ~650ns/Huffman-symbol, the pure-Python
+floor) —
 fixture-scale; the actor-pool plumbing around it (DecodeImage) is the
 part that must be real at 100 TB, and a production deployment drops
 PIL/libjpeg into the same per-row backend slot.
@@ -442,15 +444,32 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     ncomp = len(scan_comps)
 
     # ---- entropy-coded scan: INLINED table-driven Huffman decode ------
-    # One hand-rolled loop with local-variable bit state, plain-list
-    # LUTs, and coefficient scatter via flat index/value lists — the
-    # method-call _BitReader/_HuffTable version (kept above for the
-    # encoder tests and corrupt-stream paths) measured ~2.5× slower on
-    # the same streams. Bit state: `acc` holds `nb` valid MSB-first
-    # bits; each symbol refills to ≥32 bits so code (≤16) + magnitude
-    # (≤15) never need a mid-symbol refill; the stream tail past the
-    # terminating marker pads the PEEK with 1s (spec padding) but
-    # consuming nonexistent bits raises.
+    # The scan is PRE-UNSTUFFED once (find its terminating marker, strip
+    # the 0xFF00 byte stuffing with one bytes.replace) so the hot loop's
+    # refill is a branch-free 4-byte int.from_bytes — the per-byte
+    # FF-check refill measured ~30% of noisy-content decode time. Then
+    # one hand-rolled loop with local-variable bit state, plain-list
+    # LUTs, and coefficient scatter via flat index/value lists (the
+    # method-call reader/table version measured ~2.5× slower). Bit
+    # state: `acc` holds `nb` valid MSB-first bits; each symbol refills
+    # to ≥32 bits so code (≤16) + magnitude (≤15) never need a
+    # mid-symbol refill; the tail past the scan end pads the PEEK with
+    # 1s (spec padding) but consuming nonexistent bits raises.
+    end = pos
+    dlen = len(data)
+    while True:
+        ff = data.find(b"\xff", end)
+        if ff < 0:
+            end = dlen
+            break
+        if ff + 1 >= dlen or data[ff + 1] != 0x00:
+            end = ff                    # terminating marker (EOI/other)
+            break
+        end = ff + 2                    # stuffed 0xFF00 — keep scanning
+    scan = bytes(data[pos:end]).replace(b"\xff\x00", b"\xff")
+    slen = len(scan)
+    spos = 0
+
     dluts = [huff_dc[td].lut_list for (_, td, _) in scan_comps]
     aluts = [huff_ac[ta].lut_list for (_, _, ta) in scan_comps]
     pred = [0] * ncomp
@@ -460,9 +479,8 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     av = vals.append
     acc = 0
     nb = 0
-    at_marker = False
     comp_stride = n_mcu * 64
-    dlen = len(data)
+    from_bytes = int.from_bytes
     for m in range(n_mcu):
         base0 = m * 64
         for ci in range(ncomp):
@@ -471,22 +489,13 @@ def _jpeg_decode_inner(data: bytes) -> np.ndarray:
             base = ci * comp_stride + base0
             k = 0                       # 0 = expecting DC, 1..63 = AC
             while True:
-                if nb < 32 and not at_marker:
-                    while nb < 32:
-                        if pos >= dlen:
-                            at_marker = True
-                            break
-                        b = data[pos]
-                        if b == 0xFF:
-                            nx = data[pos + 1]
-                            if nx != 0x00:
-                                at_marker = True
-                                break
-                            pos += 2
-                        else:
-                            pos += 1
-                        acc = ((acc << 8) | b) & 0xFFFFFFFFFFFF
-                        nb += 8
+                if nb < 32 and spos < slen:
+                    chunk = scan[spos:spos + 4]
+                    spos += 4
+                    acc = ((acc << (len(chunk) << 3))
+                           | from_bytes(chunk, "big")) \
+                        & 0xFFFFFFFFFFFFFFFF
+                    nb += len(chunk) << 3
                 if nb >= 16:
                     peek = (acc >> (nb - 16)) & 0xFFFF
                 else:
