@@ -86,4 +86,4 @@ def test_rotation_does_not_alter_values():
     """Reordering must not drop or duplicate registry entries."""
     names = list(QUERIES)
     assert len(names) == len(set(names))
-    assert len(names) == 400  # 399 queries + cdc_replay
+    assert len(names) == 401  # 400 queries + cdc_replay

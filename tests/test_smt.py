@@ -335,3 +335,49 @@ def test_wire_codec_adversarial_bytes():
         assert all((g & 0xFFFFFFFF) == sid for g in got.to_pylist())
 
     rt()
+
+
+def test_header_smts_connect_semantics():
+    """T13 explicit forms: InsertHeader literal, HeaderFrom copy vs move,
+    DropHeaders remove-if-present, SetSchemaMetadata real Arrow schema
+    metadata."""
+    import pyarrow as pa
+
+    from thor_ray.stages.chain import TransformChain
+    from thor_ray.stages.smt import (drop_headers, header_col, header_from,
+                                     insert_header, set_schema_metadata)
+
+    t = pa.table({"a": [1, 2], "b": ["x", "y"], "c": [0.5, 1.5]})
+    assert header_col("k") == "hdr_k" and header_col("hdr_k") == "hdr_k"
+
+    out = insert_header("env", "prod")(t)
+    assert out["hdr_env"].to_pylist() == ["prod", "prod"]
+
+    out = header_from(["a", "b"], ["ka", "kb"], operation="copy")(t)
+    assert out["hdr_ka"].to_pylist() == [1, 2]
+    assert "a" in out.column_names and "b" in out.column_names
+
+    out = header_from(["b"], operation="move")(t)
+    assert out["hdr_b"].to_pylist() == ["x", "y"]
+    assert "b" not in out.column_names
+
+    out = drop_headers(["env", "missing"])(insert_header("env", 1)(t))
+    assert "hdr_env" not in out.column_names
+    assert out.column_names == t.column_names   # untouched otherwise
+
+    out = set_schema_metadata("rec.v", 7)(t)
+    md = out.schema.metadata
+    assert md[b"connect.schema.name"] == b"rec.v"
+    assert md[b"connect.schema.version"] == b"7"
+    assert out.to_pydict() == t.to_pydict()     # values untouched
+
+    with pytest.raises(ValueError, match="operation"):
+        header_from(["a"], operation="rename")
+    with pytest.raises(ValueError, match="align"):
+        header_from(["a", "b"], ["only_one"])
+
+    # chain composes: move then drop leaves neither source nor header
+    chain = TransformChain(header_from(["c"], operation="move"),
+                           drop_headers(["c"]))
+    out = chain(t)
+    assert "c" not in out.column_names and "hdr_c" not in out.column_names

@@ -15673,6 +15673,45 @@ def q397_streaming_dedup(sf: str):
     return pd.DataFrame(rows)
 
 
+def q400_header_smt(sf: str):
+    """The Connect header SMT inventory (T13, explicit named forms):
+    InsertHeader (literal), HeaderFrom copy + move (value fields →
+    `hdr_*` namespace columns; move drops the source), DropHeaders
+    (remove-if-present, including a missing name), SetSchemaMetadata
+    (REAL Arrow schema metadata — asserted by the unit test; invisible
+    to the row values the oracle hashes). One stateless TransformChain
+    over zero-copy Arrow batches — the same shape the CDC pipeline's
+    SMT stage runs."""
+    from thor_ray.stages.chain import TransformChain
+    from thor_ray.stages.smt import (drop_headers, header_from,
+                                     insert_header, set_schema_metadata)
+
+    chain = TransformChain(
+        insert_header("pipeline", "thor"),
+        header_from(["event_type", "user_id"], ["etype", "uid"],
+                    operation="copy"),
+        header_from(["props"], ["payload"], operation="move"),
+        drop_headers(["uid", "never_existed"]),
+        set_schema_metadata("events.value", 3),
+    )
+    ds = T(sf, "events", ["event_id", "event_type", "user_id", "props"])
+    out = ds.map_batches(chain, batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "event_type", "user_id",
+                         "hdr_pipeline", "hdr_etype", "hdr_payload"])
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_Q400 = """
+SELECT event_id, event_type, user_id,
+       'thor' AS hdr_pipeline,
+       event_type AS hdr_etype,
+       props AS hdr_payload
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -16081,6 +16120,7 @@ QUERIES: dict[str, tuple] = {
     "q398_partitioned_interval_join": (q398_partitioned_interval_join,
                                        None),
     "q399_stream_heavy_hitters": (q399_stream_heavy_hitters, None),
+    "q400_header_smt": (q400_header_smt, SQL_Q400),
 }
 
 # ---------------------------------------------------------------------------

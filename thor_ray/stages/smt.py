@@ -253,6 +253,79 @@ def smt_filter(predicate: Callable[[Batch], pa.Array]) -> Transform:
     return fn
 
 
+# --- T13 header SMTs ------------------------------------------------------
+# Connect records carry a header list beside the value; in the columnar
+# model a header is a column under the HEADER_PREFIX namespace (the
+# "headers ≙ columns" mapping SURVEY §2.2 documents). These four give the
+# public header SMT inventory (org.apache.kafka.connect.transforms
+# InsertHeader / HeaderFrom / DropHeaders and SetSchemaMetadata) explicit
+# named implementations with Connect semantics.
+
+HEADER_PREFIX = "hdr_"
+
+
+def header_col(name: str) -> str:
+    """Column name of header `name` under the namespace convention."""
+    return name if name.startswith(HEADER_PREFIX) else HEADER_PREFIX + name
+
+
+def insert_header(name: str, value: Any) -> Transform:
+    """InsertHeader: add a literal-valued header to every record."""
+    def fn(t: Batch) -> Batch:
+        return t.append_column(header_col(name),
+                               pa.array([value] * len(t)))
+    return fn
+
+
+def header_from(fields: list[str], headers: list[str] | None = None,
+                operation: str = "copy") -> Transform:
+    """HeaderFrom: copy or move value fields into headers.
+
+    ``operation="copy"`` keeps the source fields; ``"move"`` drops them
+    after the header is written (the Connect `transforms.*.operation`
+    contract). ``headers`` defaults to the field names."""
+    if operation not in ("copy", "move"):
+        raise ValueError(
+            f"header_from: operation must be 'copy' or 'move', "
+            f"got {operation!r}")
+    headers = headers or list(fields)
+    if len(headers) != len(fields):
+        raise ValueError("header_from: fields and headers must align")
+
+    def fn(t: Batch) -> Batch:
+        for f, hn in zip(fields, headers):
+            t = t.append_column(header_col(hn), t[f])
+        if operation == "move":
+            t = t.drop_columns(list(fields))
+        return t
+    return fn
+
+
+def drop_headers(names: list[str]) -> Transform:
+    """DropHeaders: remove the named headers (missing ones are ignored,
+    matching Connect's remove-if-present behavior)."""
+    def fn(t: Batch) -> Batch:
+        cols = [header_col(n) for n in names]
+        present = [c for c in cols if c in t.column_names]
+        return t.drop_columns(present) if present else t
+    return fn
+
+
+def set_schema_metadata(schema_name: str | None = None,
+                        schema_version: int | None = None) -> Transform:
+    """SetSchemaMetadata: stamp the record schema's name/version. Maps to
+    REAL Arrow schema metadata on the batch (carried into parquet footers
+    by writers), not a side-channel column."""
+    def fn(t: Batch) -> Batch:
+        meta = dict(t.schema.metadata or {})
+        if schema_name is not None:
+            meta[b"connect.schema.name"] = schema_name.encode()
+        if schema_version is not None:
+            meta[b"connect.schema.version"] = str(schema_version).encode()
+        return t.replace_schema_metadata(meta)
+    return fn
+
+
 # --- T14 field extraction from semi-structured payload --------------------
 def json_extract(col: str, key: str, out: str, as_type: pa.DataType | None = None,
                  strict: bool = False) -> Transform:
