@@ -381,3 +381,41 @@ def test_header_smts_connect_semantics():
                            drop_headers(["c"]))
     out = chain(t)
     assert "c" not in out.column_names and "hdr_c" not in out.column_names
+
+
+def test_connect_builtin_predicates():
+    """T12b: HasHeaderKey / RecordIsTombstone / TopicNameMatches +
+    negate, standalone and gating an SMT."""
+    import pyarrow as pa
+
+    from thor_ray.stages.chain import predicate_gate
+    from thor_ray.stages.smt import (has_header_key, insert_field, negate,
+                                     record_is_tombstone, smt_filter,
+                                     topic_name_matches)
+
+    t = pa.table({
+        "op": ["I", "D", None, "U"],
+        "topic": ["t_orders", "t_orders", "x_audit", "t_cust"],
+        "hdr_env": ["p", None, "q", "r"],
+        "v": [1, 2, 3, 4],
+    })
+    assert has_header_key("env")(t).to_pylist() == [True, False, True, True]
+    assert has_header_key("missing")(t).to_pylist() == [False] * 4
+    # tombstone: op == D or null op (null-payload wire record)
+    assert record_is_tombstone()(t).to_pylist() == [False, True, True, False]
+    # Connect matches the WHOLE topic name
+    assert topic_name_matches("t_.*")(t).to_pylist() == \
+        [True, True, False, True]
+    assert topic_name_matches("t_orders")(t).to_pylist() == \
+        [True, True, False, False]   # no substring match on t_cust etc.
+    assert negate(record_is_tombstone())(t).to_pylist() == \
+        [True, False, False, True]
+
+    # gate an SMT with a predicate (the transforms.*.predicate mechanism)
+    gated = predicate_gate(topic_name_matches("t_.*"),
+                           insert_field("routed", value=1))
+    out = gated(t)
+    assert out["routed"].to_pylist() == [1, 1, None, 1]
+    # and filter tombstones out of a stream
+    kept = smt_filter(negate(record_is_tombstone()))(t)
+    assert kept["v"].to_pylist() == [1, 4]

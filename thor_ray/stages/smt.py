@@ -326,6 +326,60 @@ def set_schema_metadata(schema_name: str | None = None,
     return fn
 
 
+# --- T12b Connect built-in predicates -------------------------------------
+# The public predicate trio (org.apache.kafka.connect.transforms.predicates
+# HasHeaderKey / RecordIsTombstone / TopicNameMatches) plus the `negate`
+# flag — used standalone with smt_filter or to gate any SMT via
+# chain.predicate_gate (Connect's `transforms.*.predicate` mechanism).
+
+def has_header_key(name: str) -> Callable[[Batch], pa.Array]:
+    """True for records carrying header `name` (non-null under the
+    headers-≙-columns mapping); all-false when the column is absent."""
+    def pred(t: Batch) -> pa.Array:
+        col = header_col(name)
+        if col not in t.column_names:
+            return pa.array([False] * len(t))
+        return pc.is_valid(t[col])
+    return pred
+
+
+def record_is_tombstone(op_col: str = "op",
+                        tombstone_op: str = "D") -> Callable[[Batch], pa.Array]:
+    """True for delete tombstones — the null-value record of a compacted
+    topic maps to the change-event op column here (null op also counts,
+    matching a null-payload wire record)."""
+    def pred(t: Batch) -> pa.Array:
+        if op_col not in t.column_names:
+            return pa.array([False] * len(t))
+        return pc.or_kleene(
+            pc.equal(t[op_col], tombstone_op),
+            pc.is_null(t[op_col])
+        ).combine_chunks().fill_null(True)
+    return pred
+
+
+def topic_name_matches(pattern: str,
+                       topic_col: str = "topic") -> Callable[[Batch], pa.Array]:
+    """True where the record's topic/route column matches the anchored
+    regex (Connect matches the ENTIRE topic name — the pattern is
+    wrapped in ^...$ like Java's Pattern.matches)."""
+    anchored = pattern if pattern.startswith("^") else f"^(?:{pattern})$"
+
+    def pred(t: Batch) -> pa.Array:
+        if topic_col not in t.column_names:
+            return pa.array([False] * len(t))
+        return pc.match_substring_regex(t[topic_col], pattern=anchored) \
+            .combine_chunks().fill_null(False)
+    return pred
+
+
+def negate(pred: Callable[[Batch], pa.Array]) -> Callable[[Batch], pa.Array]:
+    """Connect's `negate=true` predicate flag."""
+    def fn(t: Batch) -> pa.Array:
+        return pc.invert(pred(t))
+    return fn
+
+
 # --- T14 field extraction from semi-structured payload --------------------
 def json_extract(col: str, key: str, out: str, as_type: pa.DataType | None = None,
                  strict: bool = False) -> Transform:
