@@ -5,9 +5,15 @@ stringified value-hash compare.
 
 Usage:
     python tools/oracle_sweep.py [sf_dir] [query ...]
+    python tools/oracle_sweep.py [sf_dir] --sample N --seed S [--exclude-stamped]
 
 Defaults: sf_dir=/root/testdata/sf0.01, all SQL-checked queries.
-Owns its Ray session (script entry point, not library code).
+`--sample` draws a seeded random subset of the twins — the same
+spot-audit protocol the external judges run; `--exclude-stamped` limits
+the pool to twins never green in any CORRECTNESS_r*.json (the rows no
+driver has ever certified), so the sample measures exactly the
+registry's unaudited surface. Owns its Ray session (script entry
+point, not library code).
 """
 
 from __future__ import annotations
@@ -84,8 +90,32 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     import thor_ray.queries as Q
-    names = sys.argv[2:] or sorted(
-        n for n, (_, s) in Q.QUERIES.items() if s is not None)
+    args = sys.argv[2:]
+    if "--sample" in args:
+        import glob
+        import json
+        import random
+        n_sample = int(args[args.index("--sample") + 1])
+        seed = int(args[args.index("--seed") + 1]) \
+            if "--seed" in args else 0
+        pool = sorted(n for n, (_, s) in Q.QUERIES.items()
+                      if s is not None)
+        if "--exclude-stamped" in args:
+            stamped = set()
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            for f in sorted(glob.glob(os.path.join(repo,
+                                                   "CORRECTNESS_r*.json"))):
+                d = json.load(open(f))
+                stamped |= {k for k, v in d.items()
+                            if isinstance(v, dict) and v.get("hash_match")}
+            pool = [n for n in pool if n not in stamped]
+        names = sorted(random.Random(seed).sample(
+            pool, min(n_sample, len(pool))))
+        print(f"seeded sample: {len(names)} of {len(pool)} "
+              f"(seed={seed})")
+    else:
+        names = args or sorted(
+            n for n, (_, s) in Q.QUERIES.items() if s is not None)
 
     con = duckdb.connect()
     for t in TABLES:
