@@ -260,3 +260,60 @@ class TestNearDupClustersAutoTier:
         # q41's driver-recorded output is produced by the driver tier
         from thor_ray.ops import dedup as DD
         assert DD.DRIVER_UNION_FIND_MAX_PAIRS == 2_000_000
+
+
+class TestCASLinearizability:
+    """N threads × M acquire_writer_gen bumps each: every generation won
+    exactly once, final token == total wins — the linearizable-counter
+    property real fencing must provide."""
+
+    def test_concurrent_acquire_loop(self, tmp_path):
+        import threading
+
+        from thor_ray.state import manifest as M
+        from thor_ray.state import storage as st
+
+        lake = str(tmp_path / "lake")
+        prev = st.set_default_storage(st.PyArrowFSStorage())
+        try:
+            won: list[int] = []
+            lock = threading.Lock()
+
+            def writer(n_bumps):
+                for _ in range(n_bumps):
+                    g = M.acquire_writer_gen(lake)
+                    with lock:
+                        won.append(g)
+
+            ts = [threading.Thread(target=writer, args=(5,))
+                  for _ in range(6)]
+            [t.start() for t in ts]
+            [t.join() for t in ts]
+            assert len(won) == 30
+            assert sorted(won) == list(range(1, 31))   # each gen once
+            assert M.current_writer_gen(lake) == 30
+        finally:
+            st.set_default_storage(prev)
+
+
+class TestSkewKnobFixtureCache:
+    """Regression for the round-5 cache-key rule: default (skew-off)
+    configs keep the pre-knob key so cached fixtures (incl. the 32M
+    scaling fixture) stay valid; skew-on configs get their own key."""
+
+    def test_default_key_stable_and_skew_key_distinct(self, tmp_path):
+        from thor_ray import gen
+
+        out = str(tmp_path / "fix")
+        cfg = dict(n_events=500, n_shards=2, seed=9)
+        first = gen.write_fixture(out, n_keys=100,
+                                  cfg=gen.BinlogConfig(**cfg))
+        assert first.get("cached") is not True
+        again = gen.write_fixture(out, n_keys=100,
+                                  cfg=gen.BinlogConfig(**cfg))
+        assert again["cached"] is True          # same key, no regen
+        skew = gen.write_fixture(out, n_keys=100,
+                                 cfg=gen.BinlogConfig(hot_frac=0.5,
+                                                      hot_key_frac=0.5,
+                                                      **cfg))
+        assert skew.get("cached") is not True   # distinct key → regen
