@@ -156,3 +156,29 @@ def test_q54_real_video_rows(ray_session):
     assert set(out["decode_backend"]) == {"py-mjpeg-avi"}
     assert (out["n_sampled"] ==
             ((out["n_frames"] + 3) // 4)).all()   # ceil(nf / stride=4)
+
+
+def test_avi_roundtrip_property():
+    """Property: any stack of smooth uint8 frames round-trips through
+    encode→decode with frame count, dims and bounded JPEG error
+    preserved (hypothesis over dims/frame-count/content phase)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(min_value=9, max_value=40),
+           st.integers(min_value=9, max_value=40),
+           st.integers(min_value=1, max_value=6),
+           st.integers(min_value=0, max_value=10**6))
+    def prop(h, w, n, seed):
+        frames = _smooth_frames(n, h, w, seed=seed)
+        data = mm.avi_encode_mjpeg(frames, fps=8)
+        out = mm.avi_frames(data)
+        assert len(out) == n == mm.avi_n_frames(data)
+        for a, b in zip(frames, out):
+            assert b.shape == (h, w, 3) and b.dtype == np.uint8
+            assert np.abs(a.astype(int) - b.astype(int)).max() <= 16
+        # stride never exceeds count, always includes frame 0
+        assert len(mm.avi_frames(data, stride=n)) == 1
+
+    prop()
