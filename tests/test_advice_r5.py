@@ -317,3 +317,73 @@ class TestSkewKnobFixtureCache:
                                                       hot_key_frac=0.5,
                                                       **cfg))
         assert skew.get("cached") is not True   # distinct key → regen
+
+
+class TestCASLedgerAuthority:
+    """Round-5 review findings: the claim-file LEDGER, not the cache,
+    is the generation authority — a delayed winner's stale cache publish
+    cannot un-fence a superseded writer, and a torn/empty claim file
+    cannot livelock the acquire loop."""
+
+    def test_stale_cache_publish_cannot_regress_generation(self, tmp_path):
+        from thor_ray.state import manifest as M
+        from thor_ray.state import storage as st
+
+        lake = str(tmp_path / "lake")
+        prev = st.set_default_storage(st.PyArrowFSStorage())
+        try:
+            assert M.acquire_writer_gen(lake) == 1
+            assert M.acquire_writer_gen(lake) == 2
+            p = M._writer_path(lake)
+            # simulate the delayed old winner's publish landing LAST:
+            # overwrite the cache with a stale generation directly
+            with open(p, "wb") as f:
+                f.write(b'{"gen": 1}')
+            # the ledger-aware read is regression-proof
+            assert M.current_writer_gen(lake) == 2
+            # a superseded gen-1 writer's fence check must NOT pass
+            assert M.current_writer_gen(lake) != 1
+            # and the next takeover continues monotonically
+            assert M.acquire_writer_gen(lake) == 3
+        finally:
+            st.set_default_storage(prev)
+
+    def test_empty_claim_file_does_not_livelock(self, tmp_path):
+        """A torn claim (empty file — impossible with the link-created
+        claims, but possible from legacy/corrupt state) burns its
+        generation number instead of wedging the loop."""
+        from thor_ray.state import manifest as M
+        from thor_ray.state import storage as st
+
+        lake = str(tmp_path / "lake")
+        prev = st.set_default_storage(st.LocalFSStorage())
+        try:
+            assert M.acquire_writer_gen(lake) == 1
+            p = M._writer_path(lake)
+            open(p + ".cas-2", "wb").close()      # torn: exists, empty
+            # generation reads advance past the torn claim (filename is
+            # the ledger entry), so acquire converges instead of
+            # spinning on the unwinnable transition 1→2
+            assert M.current_writer_gen(lake) == 2
+            assert M.acquire_writer_gen(lake) == 3
+        finally:
+            st.set_default_storage(prev)
+
+    def test_claims_are_created_atomically_with_content(self, tmp_path):
+        """The hardlink protocol cannot leave an empty claim: every
+        .cas-N visible after a successful CAS carries its payload."""
+        import glob
+
+        from thor_ray.state import storage as st
+
+        store = st.LocalFSStorage()
+        p = str(tmp_path / "w.json")
+        assert store.put_if_generation(p, b'{"gen": 1}', None)
+        assert store.put_if_generation(p, b'{"gen": 2}', 1)
+        claims = sorted(glob.glob(p + ".cas-*"))
+        assert [c.rsplit(".cas-", 1)[1] for c in claims] == ["1", "2"]
+        for c in claims:
+            assert json.loads(open(c, "rb").read())["gen"] == \
+                int(c.rsplit(".cas-", 1)[1])
+        # no staging garbage left behind
+        assert not glob.glob(p + ".cas-*.tmp-*")

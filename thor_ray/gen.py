@@ -600,10 +600,12 @@ def write_fixture(
     cfg = cfg or BinlogConfig(seed=seed)
     n_repos = max(1, n_keys // 50)
     knobs = {k: str(v) for k, v in vars(cfg).items()}
-    if cfg.hot_frac == 0.0 and cfg.hot_key_frac == 0.0:
+    if cfg.hot_frac == 0.0:
         # skew-off output is byte-identical to pre-knob fixtures (the
-        # skew draws use a separate rng), so the key must not change —
-        # keeps the cached 32M scaling fixture valid across rounds
+        # skew draws use a separate rng AND the hot tier is gated on
+        # hot_frac alone — hot_key_frac is inert without it), so the
+        # key must not change — keeps the cached 32M scaling fixture
+        # valid across rounds
         knobs.pop("hot_frac")
         knobs.pop("hot_key_frac")
     key = json.dumps(

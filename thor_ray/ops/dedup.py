@@ -484,6 +484,8 @@ DRIVER_UNION_FIND_MAX_PAIRS = 2_000_000
 def near_dup_clusters(ds: Dataset, text_col: str, id_col: str,
                       jaccard_threshold: float = 0.5,
                       max_driver_pairs: int | None = None,
+                      label_max_iters: int = 50,
+                      label_fanout: int = 64,
                       **lsh_kw) -> pd.DataFrame:
     """Connected components over the MinHash-LSH near-dup pair graph:
     every doc appearing in ≥1 pair gets cluster_id = min doc id of its
@@ -503,7 +505,9 @@ def near_dup_clusters(ds: Dataset, text_col: str, id_col: str,
                                  jaccard_threshold=jaccard_threshold,
                                  **lsh_kw).materialize()
     if pairs_ds.count() > limit:
-        out = _min_label_propagation(pairs_ds, id_col).to_pandas()
+        out = _min_label_propagation(pairs_ds, id_col,
+                                     max_iters=label_max_iters,
+                                     fanout=label_fanout).to_pandas()
         return out.sort_values(id_col).reset_index(drop=True) \
             .astype({id_col: "int64", "cluster_id": "int64"})
     pairs = pairs_ds.to_pandas()
@@ -586,7 +590,10 @@ def embedding_near_dup_pairs(ds: Dataset, vec_col: str, id_col: str,
 
 
 def near_dup_dedup(ds: Dataset, text_col: str, id_col: str,
-                   jaccard_threshold: float = 0.5, **lsh_kw) -> Dataset:
+                   jaccard_threshold: float = 0.5,
+                   max_driver_pairs: int | None = None,
+                   label_max_iters: int = 50,
+                   label_fanout: int = 64, **lsh_kw) -> Dataset:
     """One-call near-dup corpus dedup: keep exactly one survivor (the min
     doc id) per near-dup cluster, drop the rest — the operation a
     training-data pipeline actually runs.
@@ -595,11 +602,16 @@ def near_dup_dedup(ds: Dataset, text_col: str, id_col: str,
     the output-sized pair list → broadcast the (also output-sized)
     non-survivor id set → map-side anti filter over the streaming corpus.
     The corpus itself is touched by exactly two map passes (signatures,
-    final filter) and never materialized."""
+    final filter) and never materialized. The clustering tier knobs
+    (`max_driver_pairs`, `label_max_iters`, `label_fanout`) pass through
+    so a deep-diameter corpus can raise the propagation budget here."""
     from thor_ray.ops.relational import semi_join
 
     clusters = near_dup_clusters(ds, text_col, id_col,
                                  jaccard_threshold=jaccard_threshold,
+                                 max_driver_pairs=max_driver_pairs,
+                                 label_max_iters=label_max_iters,
+                                 label_fanout=label_fanout,
                                  **lsh_kw)
     drop = set(clusters.loc[clusters[id_col] != clusters["cluster_id"],
                             id_col].tolist())

@@ -411,7 +411,7 @@ class DecodeImage:
         except ImportError:
             self.pil = False
 
-    def _try(self, codec, payload, kind):
+    def _try(self, codec, payload):
         """Run a real codec tier; in strict mode its errors propagate
         (ValueError with the parse reason), in non-strict mode an
         undecodable-by-this-tier payload (progressive/4:2:0/truncated
@@ -440,11 +440,11 @@ class DecodeImage:
                     Image.open(BytesIO(p)).convert("RGB")))
                 backends.append("pil")
             elif p[:8] == _PNG_SIG and (decoded := self._try(
-                    png_decode, p, "png")) is not None:
+                    png_decode, p)) is not None:
                 arrs.append(decoded)
                 backends.append("stdlib-png")
             elif p[:2] == b"\xff\xd8" and (decoded := self._try(
-                    jpeg_decode, p, "jpeg")) is not None:
+                    jpeg_decode, p)) is not None:
                 arrs.append(decoded)
                 backends.append("py-jpeg")
             elif self.strict:

@@ -365,18 +365,24 @@ def _writer_path(lake_dir: str) -> str:
 
 
 def current_writer_gen(lake_dir: str) -> int:
+    """Authoritative writer generation via the storage layer's
+    ledger-aware read (`Storage.current_generation`) — on claim-ledger
+    CAS backends this is regression-proof: a delayed old winner's stale
+    cache publish cannot make a superseded writer's fence check pass
+    again (the ledger is monotone)."""
+    p = _writer_path(lake_dir)
     try:
-        return int(json.loads(
-            storage_for(lake_dir).read_bytes(_writer_path(lake_dir)))["gen"])
-    except (FileNotFoundError, json.JSONDecodeError, KeyError, ValueError):
-        return 0
+        g = storage_for(lake_dir).current_generation(p)
+    except OSError:
+        g = None
+    return int(g) if g is not None else 0
 
 
 def acquire_writer_gen(lake_dir: str) -> int:
     """Take over the lake: bump and persist the generation token via the
-    storage layer's conditional write (CAS on object stores; read-check +
-    atomic rename on local fs — see state/storage.py). A lost race simply
-    re-reads and bumps past the winner."""
+    storage layer's conditional write (true claim-ledger CAS on posix
+    backends; conditional PUT on object stores — see state/storage.py).
+    A lost race simply re-reads and bumps past the winner."""
     p = _writer_path(lake_dir)
     st = storage_for(p)
     st.makedirs(_manifest_dir(lake_dir))

@@ -89,6 +89,17 @@ class Storage:
         takeover) can assert this at startup."""
         return False
 
+    def current_generation(self, final_path: str) -> "int | None":
+        """Authoritative generation of a CAS token. Default: parse the
+        stored ``{"gen": n}`` JSON. Claim-ledger backends override with
+        the regression-proof max(cache, ledger) read — fencing checks
+        MUST use this, not a raw read, so a delayed winner's stale
+        cache publish can never un-fence a superseded writer."""
+        try:
+            return _parse_gen(self.read_bytes(final_path))
+        except FileNotFoundError:
+            return None
+
     # -- read ----------------------------------------------------------
     def read_bytes(self, path: str) -> bytes:
         raise NotImplementedError
@@ -118,60 +129,109 @@ def _parse_gen(raw: "bytes | None") -> "int | None":
         return None
 
 
+def _cas_ledger_max(mapped_final: str) -> "int | None":
+    """Highest generation ever CLAIMED for this path, read from the
+    claim-file LEDGER (filenames, not contents — the transition number
+    is the filename by construction). The ledger is append-only and
+    each entry is created atomically, so this is monotone: a stale
+    cache publish can never lower it."""
+    import glob as _g
+
+    best = None
+    for p in _g.glob(_g.escape(mapped_final) + ".cas-*"):
+        tail = p.rsplit(".cas-", 1)[1]
+        if tail.isdigit() and (best is None or int(tail) > best):
+            best = int(tail)
+    return best
+
+
+def _cas_current_gen(mapped_final: str) -> "int | None":
+    """Authoritative current generation: max(cache, claim ledger) —
+    regression-proof against a delayed winner's stale cache publish."""
+    try:
+        with open(mapped_final, "rb") as f:
+            cache = _parse_gen(f.read())
+    except (FileNotFoundError, OSError):
+        cache = None
+    led = _cas_ledger_max(mapped_final)
+    if cache is None:
+        return led
+    if led is None:
+        return cache
+    return max(cache, led)
+
+
+def _cas_repair_cache(mapped_final: str,
+                      publish: Callable[[bytes], None]) -> None:
+    """Roll the highest claim's content into the cache if the cache is
+    behind (crashed winner, or a delayed stale publish)."""
+    led = _cas_ledger_max(mapped_final)
+    if led is None:
+        return
+    try:
+        with open(mapped_final, "rb") as f:
+            cache = _parse_gen(f.read())
+    except (FileNotFoundError, OSError):
+        cache = None
+    if cache is not None and cache >= led:
+        return
+    try:
+        with open(f"{mapped_final}.cas-{led}", "rb") as f:
+            publish(f.read())
+    except (FileNotFoundError, OSError):
+        pass
+
+
 def _link_cas(mapped_final: str, data: bytes, expect_gen: "int | None",
               publish: Callable[[bytes], None]) -> bool:
     """TRUE compare-and-swap on a rename-capable posix filesystem
-    (round-4 verdict #7) via O_EXCL generation-claim files.
+    (round-4 verdict #7) via atomically-created generation-claim files.
 
-    The exclusive create of ``<final>.cas-<expect+1>`` IS the commit
-    point: POSIX guarantees exactly one process can create it, so
-    exactly one writer owns the transition out of ``expect_gen`` — a
-    real fencing guarantee, not the read-check+PUT approximation. The
-    final path is a roll-forward cache: if a winner crashes between
-    claim and publish, the next contender repairs the cache from the
-    (fsynced) claim file, so ``acquire_writer_gen``'s retry loop can
-    never livelock on an orphaned claim. Claim files are small, bounded
-    by the number of takeovers, and deliberately never deleted — a GC'd
-    claim would let a lagging writer re-win an old transition.
+    The claim is staged to a temp name (content written + fsynced) and
+    HARDLINKED to ``<final>.cas-<expect+1>`` — link fails with EEXIST if
+    the name is taken, so exactly one writer owns each transition AND a
+    claim file can never exist empty or torn (a crash before the link
+    leaves only harmless staging garbage; no livelock window). The
+    claim ledger (filenames) is the monotone authority for the current
+    generation; the final file is only a CACHE, repaired from the
+    ledger by contenders and protected against a delayed winner's
+    stale publish by the ledger-aware read (`_cas_current_gen`,
+    surfaced as ``Storage.current_generation``). Claim files are
+    small, bounded by the number of takeovers, and deliberately never
+    deleted — a GC'd claim would let a lagging writer re-win an old
+    transition."""
+    import threading
 
-    ``expect_gen`` must match the current generation, read from the
-    final object's ``{"gen": n}`` JSON *or* evidenced by that
-    generation's claim file (covering both bootstrap-by-put_bytes and
-    the crashed-winner window)."""
-    claim = f"{mapped_final}.cas-{(expect_gen or 0) + 1}"
+    new_gen = (expect_gen or 0) + 1
+    claim = f"{mapped_final}.cas-{new_gen}"
     os.makedirs(os.path.dirname(mapped_final) or ".", exist_ok=True)
-    try:
-        with open(mapped_final, "rb") as f:
-            cur = _parse_gen(f.read())
-    except (FileNotFoundError, OSError):
-        cur = None
-    if expect_gen is None:
-        if cur is not None:
-            return False
-    elif cur != expect_gen and not os.path.exists(
-            f"{mapped_final}.cas-{expect_gen}"):
+    cur = _cas_current_gen(mapped_final)
+    if (cur is not None) if expect_gen is None else (cur != expect_gen):
+        # stale expectation — repair the cache from the ledger on the
+        # way out so the caller's re-read sees the advanced token even
+        # when the winner crashed before its own publish
+        _cas_repair_cache(mapped_final, publish)
         return False
-    try:
-        fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-    except FileExistsError:
-        # Lost the race (or found a crashed winner): roll the claimed
-        # generation forward into the cache so the caller's next read
-        # sees the advanced token, then report the loss.
-        try:
-            with open(claim, "rb") as f:
-                won = f.read()
-            claim_gen = _parse_gen(won)
-            if claim_gen is not None and (cur is None or cur < claim_gen):
-                publish(won)
-        except (FileNotFoundError, OSError):
-            pass
-        return False
+    tmp = f"{claim}.tmp-{os.getpid()}-{threading.get_ident()}"
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
     try:
         os.write(fd, data)
         os.fsync(fd)
     finally:
         os.close(fd)
-    publish(data)
+    try:
+        os.link(tmp, claim)
+    except FileExistsError:
+        os.remove(tmp)
+        # lost the race: roll the winner forward into the cache so the
+        # caller's next read sees the advanced token
+        _cas_repair_cache(mapped_final, publish)
+        return False
+    os.remove(tmp)
+    # cache publish — skipped if the ledger has already moved past us
+    # (we'd only be writing a stale value a newer winner must repair)
+    if _cas_ledger_max(mapped_final) == new_gen:
+        publish(data)
     return True
 
 
@@ -227,6 +287,9 @@ class LocalFSStorage(Storage):
     def supports_cas(self) -> bool:
         return True
 
+    def current_generation(self, final_path: str) -> "int | None":
+        return _cas_current_gen(final_path)
+
     def read_bytes(self, path: str) -> bytes:
         with open(path, "rb") as f:
             return f.read()
@@ -252,7 +315,13 @@ class MemoryStorage(Storage):
     (no hidden posix calls on the commit path)."""
 
     def __init__(self):
+        import threading
+
         self.objects: dict[str, bytes] = {}
+        # conditional writes must be atomic under threads for the
+        # supports_cas=True contract (a multi-bytecode read-check-then-
+        # write double-wins under concurrency without this)
+        self._cas_lock = threading.Lock()
 
     def put_atomic(self, final_path: str, stage, durable: bool = True):
         import tempfile
@@ -273,16 +342,17 @@ class MemoryStorage(Storage):
         self.objects[final_path] = data
 
     def put_if_generation(self, final_path, data, expect_gen):
-        cur = None
-        if final_path in self.objects:
-            try:
-                cur = int(json.loads(self.objects[final_path])["gen"])
-            except (json.JSONDecodeError, KeyError, ValueError):
-                cur = None
-        if cur != expect_gen:
-            return False
-        self.objects[final_path] = data
-        return True
+        with self._cas_lock:
+            cur = None
+            if final_path in self.objects:
+                try:
+                    cur = int(json.loads(self.objects[final_path])["gen"])
+                except (json.JSONDecodeError, KeyError, ValueError):
+                    cur = None
+            if cur != expect_gen:
+                return False
+            self.objects[final_path] = data
+            return True
 
     @property
     def supports_cas(self) -> bool:
@@ -424,6 +494,11 @@ class PyArrowFSStorage(Storage):
         should override this to True when it implements that."""
         return self._is_local
 
+    def current_generation(self, final_path: str) -> "int | None":
+        if self._is_local:
+            return _cas_current_gen(self._map(final_path))
+        return super().current_generation(final_path)
+
     def put_if_generation(self, final_path: str, data: bytes,
                           expect_gen: int | None) -> bool:
         if self._is_local:
@@ -528,13 +603,31 @@ def storage_for(path: str) -> Storage:
             raise ValueError(
                 f"no Storage registered for scheme {scheme!r} and "
                 f"pyarrow.fs cannot resolve it") from None
-        # Derive the fs-native path with from_uri per call, not a naive
-        # '://' split: hdfs://namenode:8020/a/b must map to '/a/b', not
-        # 'namenode:8020/a/b' (round-4 ADVICE — authority-bearing URIs);
-        # for s3://bucket/key from_uri correctly yields 'bucket/key'.
+        # Derive the fs-native path correctly for authority-bearing URIs
+        # (hdfs://namenode:8020/a/b → '/a/b', NOT 'namenode:8020/a/b';
+        # s3://bucket/key → 'bucket/key' — round-4 ADVICE), WITHOUT
+        # re-running FileSystem.from_uri per operation: from_uri builds
+        # a fresh filesystem (credential resolution, namenode
+        # connection) each call. The prefix a scheme+authority strips is
+        # constant, so resolve it once per distinct prefix and cache
+        # the strip length (review finding, round 5).
+        _strip_cache: dict[str, int] = {}
+
         def _native_path(p: str) -> str:
-            _, native = pafs.FileSystem.from_uri(p)
-            return native
+            rest = p.split("://", 1)[1]
+            authority = rest.split("/", 1)[0]
+            key = f"{p.split('://', 1)[0]}://{authority}"
+            strip = _strip_cache.get(key)
+            if strip is None:
+                _, native = pafs.FileSystem.from_uri(p)
+                if not p.endswith(native):
+                    raise ValueError(
+                        f"storage_for: cannot derive native-path prefix "
+                        f"for {p!r} (from_uri native {native!r} is not a "
+                        f"suffix)")
+                strip = len(p) - len(native)
+                _strip_cache[key] = strip
+            return p[strip:]
 
         store = PyArrowFSStorage(fsys, path_map=_native_path)
         _SCHEMES[scheme] = store

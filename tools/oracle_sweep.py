@@ -81,7 +81,13 @@ def exact_equal(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    # sf_dir is optional even when flags are given: a leading --flag
+    # means "default sf_dir" rather than a directory named like a flag
+    if argv and not argv[0].startswith("--"):
+        sf, argv = argv[0], argv[1:]
+    else:
+        sf = "/root/testdata/sf0.01"
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=16, include_dashboard=False,
@@ -90,7 +96,7 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     import thor_ray.queries as Q
-    args = sys.argv[2:]
+    args = argv
     if "--sample" in args:
         import glob
         import json
